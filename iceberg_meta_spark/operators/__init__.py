@@ -1,0 +1,24 @@
+"""Pure DataFrame -> DataFrame kernels (no I/O, no collect, no UDFs).
+
+Each kernel re-expresses one operator from the reference inventory
+(SURVEY.md §2) as a declarative Spark plan; Catalyst/Tungsten pick the
+physical strategy. Scale posture documented per kernel.
+"""
+
+from iceberg_meta_spark.operators.file_health import file_size_stats, manifest_counts, summary_totals
+from iceberg_meta_spark.operators.partitions import partition_distribution, partition_skew
+from iceberg_meta_spark.operators.diff import snapshot_diff, snapshot_diff_summary
+from iceberg_meta_spark.operators.column_stats import column_health, column_health_named
+from iceberg_meta_spark.operators.overlap import overlap_pair_count, overlap_sweepline
+from iceberg_meta_spark.operators.schema import schema_diff, schema_conflicts
+from iceberg_meta_spark.operators.rollups import (
+    format_version_histogram,
+    freshness_histogram,
+    most_snapshots,
+    namespace_rollup,
+    stalest_tables,
+    table_alerts,
+    warehouse_rollup,
+)
+from iceberg_meta_spark.operators.manifests import manifest_row_share, top_files_per_partition
+from iceberg_meta_spark.operators.snapshots import latest_snapshot_summary, new_snapshots, recent_snapshots

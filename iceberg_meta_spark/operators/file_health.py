@@ -1,0 +1,66 @@
+"""File-level health kernels (reference A1/A2/A8).
+
+Reference: collect_table_health file-size section (formatters.py:416-443),
+delete-manifest accumulation (formatters.py:445-462), summary dashboard
+totals (formatters.py:940-950). The reference materializes every file row
+into Python and loops; here each kernel is ONE hash-aggregate over the scan —
+partial aggregation map-side, O(1) result rows, no shuffle beyond the final
+single-group reduce. Safe at any file count.
+
+Precision contract (oracle parity): sums/counts are exact BIGINT; averages
+are computed as exact-int-sum / count (deterministic double division, never
+Spark's accumulate-in-double Average); median is Spark's exact ``median``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.sources.fixtures import SMALL_FILE_THRESHOLD
+
+
+def file_size_stats(files: DataFrame, threshold: int = SMALL_FILE_THRESHOLD) -> DataFrame:
+    """A1: count/min/max/avg/median/sum + small-file count & pct, one pass."""
+    size = F.col("file_size_in_bytes")
+    small = F.coalesce(F.sum(F.when(size < F.lit(threshold), 1).otherwise(0)).cast("long"), F.lit(0))
+    n = F.count(F.lit(1))
+    # Zero-guards mirror the reference's all-zero empty-table report
+    # (formatters.py:384-414) and keep ANSI mode from erroring on 0/0.
+    return files.agg(
+        n.alias("file_count"),
+        F.coalesce(F.sum(size), F.lit(0)).alias("total_size"),
+        F.coalesce(F.min(size), F.lit(0)).alias("min_size"),
+        F.coalesce(F.max(size), F.lit(0)).alias("max_size"),
+        F.when(n == 0, F.lit(0.0)).otherwise(F.sum(size).cast("double") / n).alias("avg_size"),
+        F.coalesce(F.median(size).cast("double"), F.lit(0.0)).alias("median_size"),
+        small.alias("small_files"),
+        F.when(n == 0, F.lit(0.0)).otherwise(F.round(F.lit(100.0) * small / n, 4)).alias("small_pct"),
+    )
+
+
+def summary_totals(files: DataFrame) -> DataFrame:
+    """A8: dashboard totals — file count, total bytes, total rows, partitions."""
+    return files.agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum("file_size_in_bytes").alias("total_size"),
+        F.sum("record_count").alias("total_records"),
+        F.countDistinct("part_key").alias("partition_count"),
+    )
+
+
+def manifest_counts(manifests: DataFrame) -> DataFrame:
+    """A2: conditional counts of data vs delete manifests (content 0=data).
+
+    ``compaction_recommended`` mirrors formatters.py:445-462
+    (delete manifests present -> recommend compaction).
+    """
+    is_delete = F.col("content") != 0
+    delete_count = F.sum(F.when(is_delete, 1).otherwise(0)).cast("long")
+    return manifests.agg(
+        F.sum(F.when(~is_delete, 1).otherwise(0)).cast("long").alias("data_manifests"),
+        delete_count.alias("delete_manifests"),
+        F.sum("manifest_length").alias("total_manifest_bytes"),
+        F.sum(F.col("deleted_files_count").cast("long")).alias("deleted_files"),
+        (delete_count > 0).alias("compaction_recommended"),
+    )

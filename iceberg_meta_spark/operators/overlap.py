@@ -1,0 +1,75 @@
+"""File value-range overlap kernels (reference J3/W6) — the reference's
+hardest algorithm (formatters.py:606-658, monster-table stress target).
+
+Two regimes, mirroring the reference's cardinality switch (limit const at
+formatters.py:341, switch at 632-653):
+
+- exact pair count (<= limit files): interval self-join
+  ``a.lo <= b.hi AND b.lo <= a.hi AND a.path < b.path``. Catalyst executes a
+  broadcast nested-loop join — acceptable only under the gate, exactly like
+  the reference's O(N²) mode. Above the gate we return -1 ("many"), the
+  reference's sentinel.
+- sweep-line detection (any N): count files whose ``lo`` falls under the
+  running max ``hi`` of all predecessors in (lo, path) order. Implemented
+  scale-correctly as a two-level running max: a per-bucket window plus a tiny
+  bucket-prefix table broadcast back — equivalent to the single global-order
+  window but with no single-partition global sort bottleneck at 10⁸ files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OVERLAP_EXACT_LIMIT = 1000  # reference formatters.py:341
+
+
+def overlap_pair_count(ranges: DataFrame, limit: int = OVERLAP_EXACT_LIMIT) -> DataFrame:
+    """J3 exact mode: count of overlapping (unordered) file pairs, or -1
+    when the file count exceeds ``limit`` (reference sentinel for 'many')."""
+    n = ranges.count()
+    spark = ranges.sparkSession
+    if n > limit:
+        return spark.createDataFrame([(n, -1)], "file_count long, overlapping_pairs long")
+    a, b = ranges.alias("a"), ranges.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi"))
+        & (F.col("a.file_path") < F.col("b.file_path")),
+    )
+    return pairs.agg(
+        F.lit(n).cast("long").alias("file_count"),
+        F.count(F.lit(1)).alias("overlapping_pairs"),
+    )
+
+
+def overlap_sweepline(ranges: DataFrame, bucket_width: int = 4096) -> DataFrame:
+    """J3 scalable mode (W6): #files overlapping at least one predecessor.
+
+    Semantics: order files by (lo, file_path); a file overlaps iff
+    max(hi) over all preceding files >= its lo. Equivalent to the reference
+    sweep-line (formatters.py:634-642) without materializing pairs.
+    """
+    bucketed = ranges.withColumn("bucket", (F.col("lo") / F.lit(bucket_width)).cast("long"))
+    # Running max *within* each bucket (parallel windows, partitioned).
+    in_bucket = Window.partitionBy("bucket").orderBy("lo", "file_path").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_local = bucketed.withColumn("prev_local_max", F.max("hi").over(in_bucket))
+    # Max hi of all *earlier* buckets: tiny per-bucket aggregate, prefix-max
+    # window over bucket ids (rows ~ #buckets, not #files), broadcast back.
+    bucket_stats = bucketed.groupBy("bucket").agg(F.max("hi").alias("bucket_max"))
+    prefix = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_prefix = bucket_stats.select(
+        "bucket", F.max("bucket_max").over(prefix).alias("prev_bucket_max")
+    )
+    joined = with_local.join(F.broadcast(bucket_prefix), "bucket", "left")
+    prev_max = F.greatest("prev_local_max", "prev_bucket_max")
+    flagged = joined.withColumn(
+        "overlaps_prev", F.coalesce(prev_max >= F.col("lo"), F.lit(False))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum(F.when(F.col("overlaps_prev"), 1).otherwise(0)).cast("long").alias("overlapping_files"),
+    )

@@ -1,0 +1,166 @@
+"""Deduplication kernels for large-scale training-data pipelines.
+
+All kernels are expression-only (no Python UDFs): shingling via
+split/sequence/element_at, hashing via md5 — JVM-side, whole-stage-codegen,
+Arrow-free. Designed so the exact same relational shape runs on 10⁹ docs:
+per-doc work is linear, candidate generation is an equi-join on (band, sig)
+buckets (shuffle on a well-distributed hash key), never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame, prefix_tokens: int = 3) -> DataFrame:
+    """Exact-duplicate groups by md5 of the first-k-token normalized prefix.
+
+    Scale: one groupBy on a 128-bit hash key — the canonical exact-dedup
+    shape (hash, shuffle on hash, keep min id per group).
+    """
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, prefix_tokens)))
+    return (
+        docs.select(F.col("doc_id"), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _word_shingles(docs: DataFrame, k: int) -> DataFrame:
+    """Distinct k-word shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
+    base = base.filter(F.col("n") >= k)
+    idx = F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("i")
+    exploded = base.select("doc_id", "toks", idx)
+    parts = [F.element_at("toks", F.col("i") + j) for j in range(k)]
+    return exploded.select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2) -> DataFrame:
+    """(doc_id, seed, mh): per-seed MinHash over word shingles.
+
+    Hash family: md5(seed ':' shingle), min taken lexicographically on the
+    hex digest — deterministic and identical in any engine.
+    """
+    sh = _word_shingles(docs, shingle_k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("mh"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2, min_bands: int = 2
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing >= min_bands minhash bands
+    (band size 1), with estimated Jaccard = matching_minhashes / num_hashes.
+
+    Scale: candidates come from an equi-join on (seed, mh) — each band
+    bucket joins only within itself. No O(N²) pair enumeration.
+    """
+    mh = minhash_signatures(docs, num_hashes, shingle_k)
+    a, b = mh.alias("a"), mh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
+    x = mh.select(F.col("doc_id").alias("doc_a"), F.col("seed").alias("seed"), F.col("mh").alias("mh_a"))
+    y = mh.select(F.col("doc_id").alias("doc_b"), F.col("seed").alias("seed"), F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b", "n_bands")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).cast("double")
+                / F.lit(num_hashes),
+                4,
+            ).alias("est_jaccard")
+        )
+    )
+    return est
+
+
+def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash (``bits``-bit) per doc from token md5s; grouped signatures.
+
+    Bit j weight = +1/-1 by bit j of md5(token) (hex-digit arithmetic —
+    portable across engines); signature bit = sign of the weighted sum.
+    """
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    h = tok.select("doc_id", F.md5("tok").alias("hx"))
+    b = h.select(
+        "doc_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    with_digit = b.withColumn(
+        "digit", F.expr("CAST(conv(substring(hx, 1 + CAST(bit DIV 4 AS INT), 1), 16, 10) AS INT)")
+    )
+    w = F.expr(
+        "CASE WHEN (digit DIV CAST(pow(2, bit % 4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+    bitvals = (
+        with_digit.select("doc_id", "bit", w.alias("w"))
+        .groupBy("doc_id", "bit")
+        .agg(F.when(F.sum("w") > 0, 1).otherwise(0).alias("bitval"))
+    )
+    sig = bitvals.groupBy("doc_id").agg(
+        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
+    )
+    return sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 2, min_jaccard: float = 0.2) -> DataFrame:
+    """Blocked n-gram Jaccard: exact set Jaccard for doc pairs within a
+    (lang, source) block — blocking keeps the self-join quadratic only
+    inside small buckets (the standard scale pattern)."""
+    sh = _word_shingles(docs, shingle_k).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        4,
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,136 @@
+"""Embedding similarity-search kernels (ANN over array<float> columns).
+
+Determinism contract: per-element products are scaled+floored to BIGINT
+(``floor(x*y*1e12)``) so dot products are *exact integer sums* — identical in
+any engine and any partition order. Cosine = dot_s / (sqrt(na_s)*sqrt(nb_s))
+on those integers is then a deterministic double.
+
+Scale posture: brute force is the correctness baseline (fine for a broadcast
+query set x N candidates — one pass, no shuffle); the LSH-bucketed variant
+prunes candidates by sign-bucket equality — an equi-join, the shape that
+survives 10⁹ vectors (bucket key can grow to more planes as N grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1e12
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def scaled_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two float arrays at 1e12 scale."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: F.floor(x * y * F.lit(SCALE)).cast("long"))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def with_self_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the scaled self-dot (norm² at 1e12 scale) once per vector."""
+    return emb.withColumn("norm_s", scaled_dot(F.col(vec_col), F.col(vec_col)))
+
+
+def cosine(dot_s: Column, na_s: Column, nb_s: Column) -> Column:
+    return dot_s.cast("double") / (
+        F.sqrt(na_s.cast("double")) * F.sqrt(nb_s.cast("double"))
+    )
+
+
+def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact cosine top-k per query vector (self excluded).
+
+    Queries are a tiny broadcast side; candidates stream by in one scan.
+    Ranking key (cos DESC, vec_id) is fully deterministic.
+    """
+    base = with_self_norm(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_s").alias("q_norm"),
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = cosine(scaled_dot(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_s"))
+    ranked = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+def sign_bucket(arr: Column, planes: int = 4) -> Column:
+    """LSH bucket id from the sign bits of the first ``planes`` components
+    (stand-in for random-hyperplane signs; deterministic & engine-portable)."""
+    bucket = F.lit(0)
+    for i in range(planes):
+        bit = F.when(F.element_at(arr, i + 1) >= 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 3, planes: int = 4) -> DataFrame:
+    """ANN top-k restricted to the query's sign-bucket (candidate pruning).
+
+    The bucket equi-join replaces the cross join — at scale each query
+    touches ~N/2^planes candidates, and buckets shuffle-partition evenly.
+    """
+    base = with_self_norm(emb).withColumn("bucket", sign_bucket(F.col("embedding"), planes))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_s").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cosine(scaled_dot(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_s"))
+    ranked = pairs.select(
+        "query_id", "bucket", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "bucket", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+def nearest_in_label(emb: DataFrame, sample_mod: int = 10) -> DataFrame:
+    """Embedding near-dup detection blocked by label: nearest neighbor
+    within the same label for a deterministic sample of vectors."""
+    base = with_self_norm(emb)
+    q = base.filter(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_s").alias("q_norm"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cosine(scaled_dot(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_s"))
+    ranked = pairs.select(
+        "query_id", F.col("q_label").alias("label"), F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") == 1).select(
+        "query_id", "label", "neighbor_id", F.round("cos", 6).alias("cos_sim")
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis kernels: language ID, quality scoring, token counting,
+fingerprinting. Expression-only (split / regexp / md5 / array lambdas) —
+JVM-side, no Python workers; linear per-doc work, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "les", "une"),
+    "es": ("el", "los", "una"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language token statistics: whitespace tokens + BPE-ish regex tokens."""
+    toks = _tokens(F.col("text"))
+    re_toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(F.size(toks).cast("long")).alias("ws_tokens"),
+        F.sum(F.size(re_toks).cast("long")).alias("re_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + bucket label (length / stopword ratio /
+    mean token length), the standard pre-training corpus filter shape."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    stop = _count_in(toks, STOPWORDS).cast("long")
+    no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round(stop.cast("double") / n_tokens, 4)
+    )
+    avg_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round(no_space.cast("double") / n_tokens, 4)
+    )
+    label = (
+        F.when((n_tokens >= 20) & (n_tokens <= 400) & (stop_ratio >= 0.05), F.lit("good"))
+        .when(n_tokens >= 10, F.lit("ok"))
+        .otherwise(F.lit("low"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop.alias("stopword_count"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+        label.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID with deterministic tie-break (en>de>fr>es)."""
+    toks = _tokens(F.col("text"))
+    scores = {lang: _count_in(toks, ws).cast("long") for lang, ws in LANG_MARKERS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: full-text, whitespace-normalized, head-64."""
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(lower).alias("fp_exact"),
+        F.md5(F.replace(lower, F.lit(" "), F.lit(""))).alias("fp_normalized"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("fp_head"),
+    )

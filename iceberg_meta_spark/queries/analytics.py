@@ -1,0 +1,202 @@
+"""General relational capability queries: full-scan aggregation, multi-way
+joins with broadcast dims, date-range filtering, event-time windowing and
+sessionization. These anchor the bench (bench.py) and prove the engine's
+execution quality beyond the reference's metadata surface.
+
+Precision: monetary aggregates are exact BIGINT cents via per-row
+``floor(x*100)`` (per-row double ops are deterministic; BIGINT sums are
+order-independent — no float-accumulation drift between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.registry import register
+from iceberg_meta_spark.sources.parquet import load_table
+from iceberg_meta_spark.streaming.windows import tumbling_counts
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("bench",),
+    doc="TPC-H Q1-flavor pricing summary: predicate-pushdown full scan + "
+    "partial/final hash aggregation",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    base_cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(base_cents).alias("sum_base_cents"),
+        F.sum(disc_cents).alias("sum_disc_cents"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, c.c_custkey LIMIT 10
+    """,
+    tags=("bench",),
+    doc="Multi-way join (fact shuffles once; nation broadcast) + top-k",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    doc="Date-range filtered aggregation (pushdown-friendly predicate)",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.filter(
+            (d >= F.lit("1996-01-01").cast("date")) & (d < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "events_tumbling_counts",
+    oracle=f"""
+        SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("bench",),
+    doc="Event-time tumbling-window aggregation; same kernel drives the "
+    "Structured Streaming variant (streaming/windows.py)",
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 1000").alias("ts_us"), "event_type", "value"
+    )
+    return tumbling_counts(ev, width_us=HOUR_US)
+
+
+@register(
+    "user_sessions",
+    oracle="""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        lagged AS (
+            SELECT user_id, ts_us,
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_ts
+            FROM ev),
+        marked AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM lagged),
+        sess AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked),
+        per_sess AS (
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_id)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS session_count,
+               CAST(sum(n_events) AS BIGINT) AS event_count,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM per_sess GROUP BY user_id
+    """,
+    tags=("bench",),
+    doc="Sessionization: lag + cumulative-sum windows (30-min gap), "
+    "per-user parallel window partitions",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(by_user)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("session_count"),
+        F.sum("n_events").alias("event_count"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="S8-analog: JSON property extraction + aggregation "
+    "(reference pulls typed values out of the snapshot summary map, "
+    "formatters.py:953-965)",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

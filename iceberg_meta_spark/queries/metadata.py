@@ -1,0 +1,665 @@
+"""Metadata-analytics queries: the reference's operator surface bound to the
+driver contract (SURVEY.md §2 inventory; kernels in operators/).
+
+Every oracle mirrors its kernel's arithmetic exactly:
+- sums wrapped ``CAST(.. AS BIGINT)`` (DuckDB sums BIGINT into HUGEINT),
+- averages as ``CAST(sum AS DOUBLE)/count`` (exact-int division, not
+  accumulate-in-double),
+- percentages as ``round(CAST(100 AS DOUBLE)*a/b, 4)`` with zero-guards,
+- integer division ``DIV`` (Spark) == ``//`` (DuckDB) on non-negatives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark import operators as ops
+from iceberg_meta_spark.functions import display
+from iceberg_meta_spark.registry import register
+from iceberg_meta_spark.sources.fixtures import NOW_MS, SMALL_FILE_THRESHOLD, derive, oracle_query
+
+# Snapshot-diff fixture filters: two overlapping file sets (both directions
+# of the anti-join non-empty; mirrors reference test scenarios FIXTURES.md §3).
+_OLD_PRED_SQL = "record_count <= 40"
+_NEW_PRED_SQL = "file_size_in_bytes < 60000000"
+
+
+def _diff_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    mf = derive(spark, sf_dir, "meta_files")
+    return mf.filter(_OLD_PRED_SQL), mf.filter(_NEW_PRED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# A1 / A8 / A2 — file & manifest health
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_file_health",
+    oracle=oracle_query(
+        f"""
+        SELECT CAST(count(*) AS BIGINT) AS file_count,
+               CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size,
+               min(file_size_in_bytes) AS min_size,
+               max(file_size_in_bytes) AS max_size,
+               CAST(sum(file_size_in_bytes) AS DOUBLE) / count(*) AS avg_size,
+               CAST(median(file_size_in_bytes) AS DOUBLE) AS median_size,
+               CAST(sum(CASE WHEN file_size_in_bytes < {SMALL_FILE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS small_files,
+               round(CAST(100 AS DOUBLE) * sum(CASE WHEN file_size_in_bytes < {SMALL_FILE_THRESHOLD} THEN 1 ELSE 0 END) / count(*), 4) AS small_pct
+        FROM meta_files
+        """,
+        "meta_files",
+    ),
+    tags=("bench", "health"),
+    doc="A1 file-size stats (reference formatters.py:416-443)",
+)
+def meta_file_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.file_size_stats(derive(spark, sf_dir, "meta_files"))
+
+
+@register(
+    "meta_summary_totals",
+    oracle=oracle_query(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS file_count,
+               CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size,
+               CAST(sum(record_count) AS BIGINT) AS total_records,
+               CAST(count(DISTINCT part_key) AS BIGINT) AS partition_count
+        FROM meta_files
+        """,
+        "meta_files",
+    ),
+    doc="A8 summary dashboard totals (reference formatters.py:940-950)",
+)
+def meta_summary_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.summary_totals(derive(spark, sf_dir, "meta_files"))
+
+
+@register(
+    "meta_manifest_health",
+    oracle=oracle_query(
+        """
+        SELECT CAST(sum(CASE WHEN content = 0 THEN 1 ELSE 0 END) AS BIGINT) AS data_manifests,
+               CAST(sum(CASE WHEN content <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS delete_manifests,
+               CAST(sum(manifest_length) AS BIGINT) AS total_manifest_bytes,
+               CAST(sum(CAST(deleted_files_count AS BIGINT)) AS BIGINT) AS deleted_files,
+               sum(CASE WHEN content <> 0 THEN 1 ELSE 0 END) > 0 AS compaction_recommended
+        FROM meta_manifests
+        """,
+        "meta_manifests",
+    ),
+    doc="A2 data-vs-delete manifest accumulation (reference formatters.py:445-462)",
+)
+def meta_manifest_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.manifest_counts(derive(spark, sf_dir, "meta_manifests"))
+
+
+# ---------------------------------------------------------------------------
+# A3 / A4 — partitions
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_partition_distribution",
+    oracle=oracle_query(
+        """
+        SELECT part_key,
+               CAST(count(*) AS BIGINT) AS file_count,
+               CAST(sum(record_count) AS BIGINT) AS record_count,
+               CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size
+        FROM meta_files GROUP BY part_key
+        """,
+        "meta_files",
+    ),
+    doc="A3 per-partition distribution (reference formatters.py:484-498)",
+)
+def meta_partition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.partition_distribution(derive(spark, sf_dir, "meta_files"))
+
+
+@register(
+    "meta_partition_skew",
+    oracle=oracle_query(
+        """
+        , parts AS (
+            SELECT part_key, CAST(count(*) AS BIGINT) AS file_count,
+                   CAST(sum(record_count) AS BIGINT) AS record_count,
+                   CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size
+            FROM meta_files GROUP BY part_key),
+        stats AS (SELECT CAST(sum(file_count) AS DOUBLE) / count(*) AS avg_fc FROM parts)
+        SELECT part_key, file_count, record_count, total_size,
+               round(avg_fc, 4) AS avg_file_count,
+               file_count > 2.0 * avg_fc AS skewed,
+               CASE WHEN avg_fc = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(file_count / avg_fc, 4) END AS skew_ratio
+        FROM parts CROSS JOIN stats
+        """,
+        "meta_files",
+    ),
+    tags=("bench", "health"),
+    doc="A4+P6 partition skew vs global average (reference formatters.py:500-514)",
+)
+def meta_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.partition_skew(derive(spark, sf_dir, "meta_files"))
+
+
+# ---------------------------------------------------------------------------
+# J1 — snapshot diff
+# ---------------------------------------------------------------------------
+
+_DIFF_BODY = f"""
+, f_old AS (SELECT * FROM meta_files WHERE {_OLD_PRED_SQL}),
+f_new AS (SELECT * FROM meta_files WHERE {_NEW_PRED_SQL}),
+diff AS (
+    SELECT 'added' AS change, file_path, record_count, file_size_in_bytes
+    FROM f_new WHERE file_path NOT IN (SELECT file_path FROM f_old)
+    UNION ALL
+    SELECT 'deleted' AS change, file_path, record_count, file_size_in_bytes
+    FROM f_old WHERE file_path NOT IN (SELECT file_path FROM f_new)
+)
+"""
+
+
+@register(
+    "meta_snapshot_diff",
+    oracle=oracle_query(_DIFF_BODY + "SELECT * FROM diff", "meta_files"),
+    doc="J1 bidirectional anti-join diff on file_path (reference formatters.py:1051-1111)",
+)
+def meta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _diff_inputs(spark, sf_dir)
+    return ops.snapshot_diff(old, new)
+
+
+@register(
+    "meta_snapshot_diff_summary",
+    oracle=oracle_query(
+        _DIFF_BODY
+        + """
+        SELECT CAST(sum(CASE WHEN change='added' THEN 1 ELSE 0 END) AS BIGINT) AS added_files,
+               CAST(sum(CASE WHEN change='deleted' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_files,
+               CAST(sum(CASE WHEN change='added' THEN record_count ELSE 0 END) AS BIGINT) AS added_rows,
+               CAST(sum(CASE WHEN change='deleted' THEN record_count ELSE 0 END) AS BIGINT) AS deleted_rows,
+               CAST(sum(CASE WHEN change='added' THEN file_size_in_bytes ELSE 0 END) AS BIGINT) AS added_bytes,
+               CAST(sum(CASE WHEN change='deleted' THEN file_size_in_bytes ELSE 0 END) AS BIGINT) AS deleted_bytes,
+               CAST(sum(CASE WHEN change='added' THEN 1 ELSE -1 END) AS BIGINT) AS net_files,
+               CAST(sum(CASE WHEN change='added' THEN record_count ELSE -record_count END) AS BIGINT) AS net_rows,
+               CAST(sum(CASE WHEN change='added' THEN file_size_in_bytes ELSE -file_size_in_bytes END) AS BIGINT) AS net_bytes
+        FROM diff
+        """,
+        "meta_files",
+    ),
+    tags=("bench",),
+    doc="J1 diff totals + signed nets (reference formatters.py:1087-1111)",
+)
+def meta_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _diff_inputs(spark, sf_dir)
+    return ops.snapshot_diff_summary(old, new)
+
+
+# ---------------------------------------------------------------------------
+# A5/A6/A7 + J4 — column stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_column_health",
+    oracle=oracle_query(
+        """
+        , per_field AS (
+            SELECT field_id,
+                   CAST(sum(value_count) AS BIGINT) AS value_count,
+                   CAST(sum(null_count) AS BIGINT) AS null_count,
+                   CAST(sum(column_size) AS BIGINT) AS total_bytes,
+                   min(lower_bound) AS min_lower,
+                   max(upper_bound) AS max_upper
+            FROM meta_column_stats GROUP BY field_id),
+        tot AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS grand FROM per_field)
+        SELECT field_id, value_count, null_count,
+               CASE WHEN value_count = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(100 AS DOUBLE) * null_count / value_count, 4) END AS null_pct,
+               total_bytes,
+               CASE WHEN grand = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(100 AS DOUBLE) * total_bytes / grand, 4) END AS bytes_pct,
+               min_lower, max_upper
+        FROM per_field CROSS JOIN tot
+        """,
+        "meta_column_stats",
+    ),
+    tags=("bench", "health"),
+    doc="A5+A6+A7 fused per-column null rate / storage share / bounds "
+    "(reference formatters.py:522-604)",
+)
+def meta_column_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.column_health(derive(spark, sf_dir, "meta_column_stats"))
+
+
+# ---------------------------------------------------------------------------
+# J3 — overlap
+# ---------------------------------------------------------------------------
+
+_OVERLAP_LIMIT = 5000  # fixture-sized gate; reference const is 1000 (formatters.py:341)
+
+
+@register(
+    "meta_overlap_pairs",
+    oracle=oracle_query(
+        f"""
+        SELECT CAST((SELECT count(*) FROM file_ranges) AS BIGINT) AS file_count,
+               CASE WHEN (SELECT count(*) FROM file_ranges) > {_OVERLAP_LIMIT}
+                    THEN CAST(-1 AS BIGINT)
+                    ELSE (SELECT CAST(count(*) AS BIGINT)
+                          FROM file_ranges a JOIN file_ranges b
+                            ON a.lo <= b.hi AND b.lo <= a.hi
+                           AND a.file_path < b.file_path)
+               END AS overlapping_pairs
+        """,
+        "file_ranges",
+    ),
+    doc="J3 exact interval self-join pair count with cardinality gate "
+    "(reference formatters.py:632-653)",
+)
+def meta_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.overlap_pair_count(derive(spark, sf_dir, "file_ranges"), limit=_OVERLAP_LIMIT)
+
+
+@register(
+    "meta_overlap_sweepline",
+    oracle=oracle_query(
+        """
+        , flagged AS (
+            SELECT lo,
+                   coalesce(max(hi) OVER (ORDER BY lo, file_path
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= lo,
+                       false) AS ov
+            FROM file_ranges)
+        SELECT CAST(count(*) AS BIGINT) AS file_count,
+               CAST(sum(CASE WHEN ov THEN 1 ELSE 0 END) AS BIGINT) AS overlapping_files
+        FROM flagged
+        """,
+        "file_ranges",
+    ),
+    tags=("bench",),
+    doc="J3/W6 sweep-line overlap detection as running-max window "
+    "(reference formatters.py:634-642)",
+)
+def meta_overlap_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.overlap_sweepline(derive(spark, sf_dir, "file_ranges"))
+
+
+# ---------------------------------------------------------------------------
+# J2 / J6 — schema evolution
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_schema_diff",
+    oracle=oracle_query(
+        """
+        , o AS (SELECT table_name, field_id, name AS old_name, type AS old_type, required AS old_required
+                FROM meta_schema_fields WHERE schema_id = 1),
+        n AS (SELECT table_name, field_id, name AS new_name, type AS new_type, required AS new_required
+              FROM meta_schema_fields WHERE schema_id = 2),
+        j AS (SELECT coalesce(o.table_name, n.table_name) AS table_name,
+                     coalesce(o.field_id, n.field_id) AS field_id,
+                     old_name, new_name, old_type, new_type, old_required, new_required
+              FROM o FULL OUTER JOIN n ON o.table_name = n.table_name AND o.field_id = n.field_id)
+        SELECT table_name, field_id,
+               CASE WHEN old_name IS NULL THEN 'added'
+                    WHEN new_name IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               old_name, new_name, old_type, new_type, old_required, new_required
+        FROM j
+        WHERE old_name IS NULL OR new_name IS NULL
+           OR old_name <> new_name OR old_type <> new_type OR old_required <> new_required
+        """,
+        "meta_schema_fields",
+    ),
+    doc="J2 schema-version full-outer diff on stable field_id "
+    "(reference tui/widgets.py:310-350)",
+)
+def meta_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.schema_diff(derive(spark, sf_dir, "meta_schema_fields"), old_id=1, new_id=2)
+
+
+@register(
+    "meta_schema_conflicts",
+    oracle=oracle_query(
+        """
+        SELECT regexp_extract(name, '^[a-z]+', 0) AS name,
+               CAST(count(DISTINCT type) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT table_name) AS BIGINT) AS n_tables,
+               string_agg(DISTINCT type, ',' ORDER BY type) AS types
+        FROM meta_schema_fields WHERE schema_id = 2
+        GROUP BY regexp_extract(name, '^[a-z]+', 0)
+        HAVING count(DISTINCT type) > 1
+        """,
+        "meta_schema_fields",
+    ),
+    doc="J6 cross-table field-type conflicts (reference formatters.py:1385-1400)",
+)
+def meta_schema_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fields = derive(spark, sf_dir, "meta_schema_fields").withColumn(
+        "name", F.regexp_extract("name", "^[a-z]+", 0)
+    )
+    return ops.schema_conflicts(fields, schema_id=2)
+
+
+# ---------------------------------------------------------------------------
+# A9 / A10 / P7-P9 / O2 / O3 — rollups, freshness, alerts
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_namespace_rollup",
+    oracle=oracle_query(
+        """
+        SELECT namespace, CAST(count(*) AS BIGINT) AS table_count,
+               CAST(sum(total_files) AS BIGINT) AS total_files,
+               CAST(sum(total_records) AS BIGINT) AS total_records,
+               CAST(sum(total_size) AS BIGINT) AS total_size,
+               max(last_updated_ms) AS last_updated_ms
+        FROM meta_tables GROUP BY namespace
+        """,
+        "meta_tables",
+    ),
+    doc="A9 namespace rollup (reference formatters.py:1403-1435)",
+)
+def meta_namespace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.namespace_rollup(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_warehouse_rollup",
+    oracle=oracle_query(
+        """
+        SELECT coalesce(namespace, '(warehouse)') AS namespace,
+               CAST(count(*) AS BIGINT) AS table_count,
+               CAST(sum(total_files) AS BIGINT) AS total_files,
+               CAST(sum(total_records) AS BIGINT) AS total_records,
+               CAST(sum(total_size) AS BIGINT) AS total_size
+        FROM meta_tables GROUP BY ROLLUP(namespace)
+        """,
+        "meta_tables",
+    ),
+    doc="A10 warehouse rollup via grouping sets (reference formatters.py:1438-1494)",
+)
+def meta_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.warehouse_rollup(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_format_version_histogram",
+    oracle=oracle_query(
+        """
+        SELECT format_version, CAST(count(*) AS BIGINT) AS table_count
+        FROM meta_tables GROUP BY format_version
+        """,
+        "meta_tables",
+    ),
+    doc="A10 format-version histogram (reference formatters.py:1466-1472)",
+)
+def meta_format_version_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.format_version_histogram(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_freshness_histogram",
+    oracle=oracle_query(
+        f"""
+        SELECT CASE WHEN CAST(floor(({NOW_MS} - last_updated_ms) / 86400000.0) AS BIGINT) >= 30 THEN 'critical'
+                    WHEN CAST(floor(({NOW_MS} - last_updated_ms) / 86400000.0) AS BIGINT) >= 7 THEN 'stale'
+                    ELSE 'fresh' END AS freshness,
+               CAST(count(*) AS BIGINT) AS table_count
+        FROM meta_tables GROUP BY 1
+        """,
+        "meta_tables",
+    ),
+    doc="P7/F11 freshness bucketing (reference tui/widgets.py:789-817)",
+)
+def meta_freshness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.freshness_histogram(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_table_alerts",
+    oracle=oracle_query(
+        f"""
+        , flagged AS (
+            SELECT namespace, table_name,
+                   CAST(floor(({NOW_MS} - last_updated_ms) / 86400000.0) AS BIGINT) AS age_days,
+                   CAST(floor(({NOW_MS} - last_updated_ms) / 86400000.0) AS BIGINT) >= 30 AS is_stale,
+                   snapshot_count >= 50 AS too_many_snapshots,
+                   format_version = 1 AS is_v1_format
+            FROM meta_tables)
+        SELECT * FROM flagged WHERE is_stale OR too_many_snapshots OR is_v1_format
+        """,
+        "meta_tables",
+    ),
+    doc="P8/P9 + staleness alert predicates (reference tui/widgets.py:915-1001)",
+)
+def meta_table_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.table_alerts(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_stalest_tables",
+    oracle=oracle_query(
+        f"""
+        SELECT namespace, table_name, last_updated_ms,
+               CAST(floor(({NOW_MS} - last_updated_ms) / 86400000.0) AS BIGINT) AS age_days
+        FROM meta_tables ORDER BY last_updated_ms, table_name LIMIT 5
+        """,
+        "meta_tables",
+    ),
+    doc="O2 stalest-tables top-5 (reference formatters.py:1474-1480)",
+)
+def meta_stalest_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.stalest_tables(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_most_snapshots",
+    oracle=oracle_query(
+        """
+        SELECT namespace, table_name, snapshot_count
+        FROM meta_tables ORDER BY snapshot_count DESC, table_name LIMIT 5
+        """,
+        "meta_tables",
+    ),
+    doc="O3 most-snapshots top-5 (reference formatters.py:1481)",
+)
+def meta_most_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.most_snapshots(derive(spark, sf_dir, "meta_tables"))
+
+
+# ---------------------------------------------------------------------------
+# J5/W1/W5 — manifest tree
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_manifest_row_share",
+    oracle=oracle_query(
+        """
+        , pm AS (
+            SELECT snapshot_id, manifest_path,
+                   CAST(count(*) AS BIGINT) AS file_count,
+                   CAST(sum(record_count) AS BIGINT) AS row_count,
+                   CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size
+            FROM meta_files GROUP BY snapshot_id, manifest_path)
+        SELECT snapshot_id, manifest_path, file_count, row_count, total_size,
+               CASE WHEN sum(row_count) OVER (PARTITION BY snapshot_id) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(100 AS DOUBLE) * row_count
+                               / sum(row_count) OVER (PARTITION BY snapshot_id), 4)
+               END AS pct_of_snapshot_rows
+        FROM pm
+        """,
+        "meta_files",
+    ),
+    doc="J5+W1 per-manifest share of snapshot rows (reference formatters.py:1283-1307)",
+)
+def meta_manifest_row_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.manifest_row_share(derive(spark, sf_dir, "meta_files"))
+
+
+@register(
+    "meta_top_files_per_partition",
+    oracle=oracle_query(
+        """
+        , ranked AS (
+            SELECT part_key, file_path, file_size_in_bytes, record_count,
+                   row_number() OVER (PARTITION BY part_key
+                                      ORDER BY file_size_in_bytes DESC, file_path) AS rank_in_partition
+            FROM meta_files)
+        SELECT part_key, rank_in_partition, file_path, file_size_in_bytes, record_count
+        FROM ranked WHERE rank_in_partition <= 3
+        """,
+        "meta_files",
+    ),
+    doc="W5 ranking-window display cap as compute pruning "
+    "(reference formatters.py:1296-1301)",
+)
+def meta_top_files_per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.top_files_per_partition(derive(spark, sf_dir, "meta_files"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# O1 / S8+A11 / A12 — snapshot log
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_recent_snapshots",
+    oracle=oracle_query(
+        """
+        SELECT snapshot_id, committed_us, operation, added_records, deleted_records
+        FROM meta_snapshots ORDER BY committed_us DESC, snapshot_id DESC LIMIT 5
+        """,
+        "meta_snapshots",
+    ),
+    doc="O1 recent operations top-5 (reference formatters.py:953)",
+)
+def meta_recent_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.recent_snapshots(derive(spark, sf_dir, "meta_snapshots"), k=5)
+
+
+@register(
+    "meta_latest_snapshot_summary",
+    oracle=oracle_query(
+        """
+        SELECT snapshot_id, operation, total_data_files, total_records, total_files_size
+        FROM meta_snapshots ORDER BY committed_us DESC, snapshot_id DESC LIMIT 1
+        """,
+        "meta_snapshots",
+    ),
+    doc="S8+A11 metadata-only fast path: totals from latest snapshot summary "
+    "(reference formatters.py:1313-1362)",
+)
+def meta_latest_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.latest_snapshot_summary(derive(spark, sf_dir, "meta_snapshots"))
+
+
+@register(
+    "meta_watch_new_snapshots",
+    oracle=oracle_query(
+        """
+        SELECT snapshot_id, committed_us, operation
+        FROM meta_snapshots
+        WHERE snapshot_id NOT IN (SELECT snapshot_id FROM meta_snapshots WHERE snapshot_id % 3 <> 0)
+        """,
+        "meta_snapshots",
+    ),
+    doc="A12/U2 watch-mode new-snapshot anti-join (reference cli.py:987-995); "
+    "streaming variant in streaming/watch.py",
+)
+def meta_watch_new_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snaps = derive(spark, sf_dir, "meta_snapshots")
+    seen = snaps.filter(F.col("snapshot_id") % 3 != 0)
+    return ops.new_snapshots(snaps, seen).select("snapshot_id", "committed_us", "operation")
+
+
+# ---------------------------------------------------------------------------
+# F1-F6 — scalar display functions (JVM column expressions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "meta_file_labels",
+    oracle=oracle_query(
+        """
+        , lp AS (
+            SELECT file_path, file_size_in_bytes, record_count,
+                   concat('warehouse/',
+                          CASE WHEN part_key = 'A' THEN 'deeply/nested/long/prefix/for/small/files/' ELSE 'd/' END,
+                          file_path, '.parquet') AS long_path
+            FROM meta_files)
+        SELECT DISTINCT file_path,
+               CASE WHEN file_size_in_bytes < 1024 THEN
+                      concat(CAST(file_size_in_bytes * 10 // 10 AS STRING), '.', CAST(file_size_in_bytes * 10 % 10 AS STRING), ' B')
+                    WHEN file_size_in_bytes < 1048576 THEN
+                      concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1024) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1024) AS BIGINT) % 10 AS STRING), ' KB')
+                    WHEN file_size_in_bytes < 1073741824 THEN
+                      concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1048576) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1048576) AS BIGINT) % 10 AS STRING), ' MB')
+                    WHEN file_size_in_bytes < 1099511627776 THEN
+                      concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1073741824) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1073741824) AS BIGINT) % 10 AS STRING), ' GB')
+                    ELSE concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1099511627776) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1099511627776) AS BIGINT) % 10 AS STRING), ' TB')
+               END AS size_label,
+               CASE WHEN record_count * 987 < 1000 THEN CAST(record_count * 987 AS STRING)
+                    WHEN record_count * 987 < 1000000 THEN
+                      concat(CAST(CAST(floor(record_count * 987 * 10 / 1000) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(record_count * 987 * 10 / 1000) AS BIGINT) % 10 AS STRING), 'K')
+                    WHEN record_count * 987 < 1000000000 THEN
+                      concat(CAST(CAST(floor(record_count * 987 * 10 / 1000000) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(record_count * 987 * 10 / 1000000) AS BIGINT) % 10 AS STRING), 'M')
+                    ELSE concat(CAST(CAST(floor(record_count * 987 * 10 / 1000000000) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(record_count * 987 * 10 / 1000000000) AS BIGINT) % 10 AS STRING), 'B')
+               END AS rows_label,
+               CASE WHEN record_count - 25 > 0 THEN concat('+', CAST(record_count - 25 AS STRING))
+                    ELSE CAST(record_count - 25 AS STRING) END AS net_label,
+               CASE WHEN length(long_path) <= 60 THEN long_path
+                    ELSE concat('.../', regexp_extract(long_path, '([^/]*)$', 1)) END AS display_path
+        FROM lp ORDER BY file_path, size_label, rows_label, net_label, display_path LIMIT 20
+        """,
+        "meta_files",
+    ),
+    doc="F1/F3/F4/F6 display scalar functions as column expressions "
+    "(reference utils.py:8-35, formatters.py:50-56, tui/widgets.py:1091-1099)",
+)
+def meta_file_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mf = derive(spark, sf_dir, "meta_files")
+    long_path = F.concat(
+        F.lit("warehouse/"),
+        F.when(F.col("part_key") == "A", F.lit("deeply/nested/long/prefix/for/small/files/")).otherwise(F.lit("d/")),
+        F.col("file_path"),
+        F.lit(".parquet"),
+    )
+    # file_path is not unique in the fixture -> distinct + total ordering over
+    # every output column keeps the LIMIT deterministic across engines.
+    return (
+        mf.select(
+            "file_path",
+            display.format_bytes(F.col("file_size_in_bytes")).alias("size_label"),
+            display.compact_number(F.col("record_count") * 987).alias("rows_label"),
+            display.format_net(F.col("record_count") - 25).alias("net_label"),
+            display.truncate_path(long_path).alias("display_path"),
+        )
+        .distinct()
+        .orderBy("file_path", "size_label", "rows_label", "net_label", "display_path")
+        .limit(20)
+    )
+
+
+@register(
+    "meta_snapshot_timestamps",
+    oracle=oracle_query(
+        """
+        SELECT snapshot_id,
+               concat(strftime(TIMESTAMP '1970-01-01 00:00:00'
+                               + (committed_us // 1000000) * INTERVAL 1 SECOND,
+                               '%Y-%m-%d %H:%M:%S'), ' UTC') AS committed_str
+        FROM meta_snapshots ORDER BY committed_us DESC, snapshot_id DESC LIMIT 10
+        """,
+        "meta_snapshots",
+    ),
+    doc="F2 epoch->'YYYY-MM-DD HH:MM:SS UTC' formatting (reference utils.py:17-25)",
+)
+def meta_snapshot_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snaps = derive(spark, sf_dir, "meta_snapshots")
+    return (
+        snaps.orderBy(F.desc("committed_us"), F.desc("snapshot_id"))
+        .limit(10)
+        .select(
+            "snapshot_id",
+            display.format_timestamp_us(F.col("committed_us")).alias("committed_str"),
+        )
+    )

@@ -1,0 +1,331 @@
+"""LLM-data-pipeline queries bound to the driver contract: dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard), embedding similarity (brute-force +
+LSH-bucketed ANN, near-dup), text analysis, multimodal feature extraction.
+
+Oracles mirror the kernels' integer-exact arithmetic (see pipeline/ module
+docstrings); DuckDB zips parallel ``unnest`` columns for the dot products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_meta_spark.pipeline import dedup, multimodal, similarity, text
+from iceberg_meta_spark.registry import register
+from iceberg_meta_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+        WITH keys AS (
+            SELECT doc_id,
+                   md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS dup_key
+            FROM documents)
+        SELECT dup_key, CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS keep_doc_id, max(doc_id) AS max_doc_id
+        FROM keys GROUP BY dup_key HAVING count(*) > 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized 3-token prefix, keep-min-id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"), prefix_tokens=3)
+
+
+_MINHASH_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+    sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
+           FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+    mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
+           FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+             FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT c.doc_a, c.doc_b, c.n_bands,
+           round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8, 4) AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+    GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    tags=("bench",),
+    doc="MinHash-LSH near-dup candidates: shingle -> 8 minhashes -> "
+    "band-bucket equi-join (never all-pairs)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, shingle_k=2, min_bands=2
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+        WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS hx FROM tk),
+        bits AS (SELECT doc_id, g.bit AS bit,
+                 CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(1 + bit // 4 AS INT), 1)) - 1)
+                            // CAST(power(2, bit % 4) AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END AS w
+                 FROM h, generate_series(0, 15) AS g(bit)),
+        agg AS (SELECT doc_id, bit, CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS bitval
+                FROM bits GROUP BY doc_id, bit),
+        sig AS (SELECT doc_id,
+                       CAST(sum(bitval * CAST(power(2, bit) AS BIGINT)) AS BIGINT) AS simhash
+                FROM agg GROUP BY doc_id)
+        SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+        FROM sig GROUP BY simhash
+    """,
+    doc="SimHash(16-bit) signatures from token md5s, grouped (near-dup buckets)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_groups(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, lang, source, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        sh AS (SELECT DISTINCT doc_id, lang, source, concat(t[i], ' ', t[i+1]) AS shingle
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                  FROM sh a JOIN sh b
+                    ON a.lang = b.lang AND a.source = b.source
+                   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
+    """,
+    doc="Blocked n-gram Jaccard: exact set similarity inside (lang, source) "
+    "blocks (blocking bounds the quadratic term)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_k=2, min_jaccard=0.05
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_NORM_SUBQ = """(SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM unnest(embedding) AS u(x))"""
+
+_DOT_SUBQ = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM (SELECT unnest(q.q_emb) AS xa, unnest(b.embedding) AS xb) z)"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, embedding, {_NORM_SUBQ} AS norm_s FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm_s AS q_norm
+              FROM base WHERE vec_id IN (1, 7, 42)),
+        pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id, {_DOT_SUBQ} AS dot_s,
+                         q.q_norm, b.norm_s
+                  FROM base b, q WHERE b.vec_id <> q.query_id),
+        scored AS (SELECT query_id, neighbor_id,
+                          CAST(dot_s AS DOUBLE) / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) AS cos
+                   FROM pairs),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 5
+    """,
+    tags=("bench",),
+    doc="Brute-force cosine top-k (exact ANN baseline): broadcast query set, "
+    "integer-exact scaled dot products",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[1, 7, 42], k=5
+    )
+
+
+_BUCKET_SQL = """(CAST(embedding[1] >= 0 AS INT) * 8 + CAST(embedding[2] >= 0 AS INT) * 4
+              + CAST(embedding[3] >= 0 AS INT) * 2 + CAST(embedding[4] >= 0 AS INT))"""
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, embedding, {_NORM_SUBQ} AS norm_s,
+                             {_BUCKET_SQL} AS bucket
+                      FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm_s AS q_norm, bucket AS q_bucket
+              FROM base WHERE vec_id IN (3, 11)),
+        pairs AS (SELECT q.query_id, b.bucket, b.vec_id AS neighbor_id, {_DOT_SUBQ} AS dot_s,
+                         q.q_norm, b.norm_s
+                  FROM base b, q WHERE b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
+        scored AS (SELECT query_id, bucket, neighbor_id,
+                          CAST(dot_s AS DOUBLE) / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) AS cos
+                   FROM pairs),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, bucket, rank, neighbor_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 3
+    """,
+    doc="LSH-bucketed ANN: sign-plane bucket equi-join prunes candidates "
+    "(the 10⁹-vector scale path)",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[3, 11], k=3, planes=4
+    )
+
+
+@register(
+    "embedding_nearest_in_label",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, label, embedding, {_NORM_SUBQ} AS norm_s FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb, norm_s AS q_norm
+              FROM base WHERE vec_id % 10 = 0),
+        pairs AS (SELECT q.query_id, q.q_label AS label, b.vec_id AS neighbor_id, {_DOT_SUBQ} AS dot_s,
+                         q.q_norm, b.norm_s
+                  FROM base b, q WHERE b.label = q.q_label AND b.vec_id <> q.query_id),
+        scored AS (SELECT query_id, label, neighbor_id,
+                          CAST(dot_s AS DOUBLE) / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) AS cos
+                   FROM pairs),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, label, neighbor_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank = 1
+    """,
+    doc="Embedding near-dup: nearest neighbor within label block "
+    "(cosine, label blocking)",
+)
+def embedding_nearest_in_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.nearest_in_label(load_table(spark, sf_dir, "embeddings"), sample_mod=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS doc_count,
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS ws_tokens,
+               CAST(sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT)) AS BIGINT) AS re_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    tags=("bench",),
+    doc="Token counting: whitespace + BPE-ish regex tokenizer, per language",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+        WITH f AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS BIGINT) AS stopword_count,
+                          CAST(length(replace(text, ' ', '')) AS BIGINT) AS no_space
+                   FROM documents)
+        SELECT doc_id, n_tokens, stopword_count,
+               CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(stopword_count AS DOUBLE) / n_tokens, 4) END AS stopword_ratio,
+               CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(no_space AS DOUBLE) / n_tokens, 4) END AS avg_token_len,
+               CASE WHEN n_tokens >= 20 AND n_tokens <= 400
+                         AND (CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                                   ELSE round(CAST(stopword_count AS DOUBLE) / n_tokens, 4) END) >= 0.05
+                    THEN 'good'
+                    WHEN n_tokens >= 10 THEN 'ok'
+                    ELSE 'low' END AS quality
+        FROM f
+    """,
+    doc="Per-doc quality features: length, stopword ratio, mean token length",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+        WITH s AS (SELECT doc_id, lang AS labeled_lang,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['the', 'a', 'of'], x))) AS BIGINT) AS score_en,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['der', 'die', 'das'], x))) AS BIGINT) AS score_de,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['le', 'les', 'une'], x))) AS BIGINT) AS score_fr,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['el', 'los', 'una'], x))) AS BIGINT) AS score_es
+                   FROM documents)
+        SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es,
+               CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                    WHEN score_fr >= score_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM s
+    """,
+    doc="Heuristic marker-word language ID with deterministic tie-break",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(text)) AS fp_exact,
+               md5(replace(lower(text), ' ', '')) AS fp_normalized,
+               md5(substr(text, 1, 64)) AS fp_head
+        FROM documents
+    """,
+    doc="Document fingerprinting: exact / whitespace-normalized / head-64 md5",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+        WITH a AS (SELECT doc_id AS asset_id,
+                          CASE WHEN doc_id % 3 = 0 THEN 'image'
+                               WHEN doc_id % 3 = 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                   FROM documents)
+        SELECT asset_id, media_type, byte_len,
+               byte_len % 640 + 16 AS width,
+               byte_len % 480 + 16 AS height,
+               CASE WHEN media_type = 'image' THEN CAST(1 AS BIGINT)
+                    ELSE byte_len % 24 + 2 END AS n_frames
+        FROM a
+    """,
+    doc="Multimodal plumbing: binary payload column -> Arrow-batched "
+    "mapInPandas feature extraction (decode stubbed deterministically)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets)

@@ -1,0 +1,219 @@
+"""Kernel unit tests on pinned synthetic inputs — the reference's test style
+(structural invariants, dev/tests/test_health.py / test_diff.py) plus exact
+expectations where the fixture is fully pinned (FIXTURES.md §3 scenarios)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark import operators as ops
+from iceberg_meta_spark.functions import display
+from iceberg_meta_spark.sources.fixtures import SMALL_FILE_THRESHOLD
+
+MB = 1024 * 1024
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, file_path string, file_format string, part_key string, "
+        "manifest_path string, record_count long, file_size_in_bytes long",
+    )
+
+
+def _file(snap, path, part="p0", manifest="m0", rows=10, size=MB):
+    return (snap, path, "PARQUET", part, manifest, rows, size)
+
+
+def test_file_size_stats_basic(spark):
+    files = _files(spark, [_file(1, "a", size=10 * MB), _file(1, "b", size=40 * MB), _file(1, "c", size=100 * MB)])
+    row = ops.file_size_stats(files).collect()[0]
+    assert row.file_count == 3
+    assert row.total_size == 150 * MB
+    assert row.min_size == 10 * MB and row.max_size == 100 * MB
+    assert row.median_size == 40.0 * MB
+    assert row.small_files == 1  # only the 10 MB file is under 32 MiB
+    assert abs(row.small_pct - 33.3333) < 1e-9
+
+
+def test_file_size_stats_empty_table_all_zeros(spark):
+    # Reference scenario: empty table -> all-zero health report
+    # (formatters.py:384-414; dev/tests/test_health.py:34-53).
+    empty = _files(spark, [])
+    row = ops.file_size_stats(empty).collect()[0]
+    assert (row.file_count, row.total_size, row.min_size, row.max_size) == (0, 0, 0, 0)
+    assert (row.avg_size, row.median_size, row.small_pct) == (0.0, 0.0, 0.0)
+
+
+def test_partition_skew_flags_and_zero_guard(spark):
+    # One partition with 6 files vs two with 1 -> avg 8/3, 6 > 2*avg.
+    rows = [_file(1, f"hot{i}", part="hot") for i in range(6)]
+    rows += [_file(1, "c1", part="cold1"), _file(1, "c2", part="cold2")]
+    out = {r.part_key: r for r in ops.partition_skew(_files(spark, rows)).collect()}
+    assert out["hot"].skewed and not out["cold1"].skewed
+    assert abs(out["hot"].skew_ratio - round(6 / (8 / 3), 4)) < 1e-9
+
+
+def test_snapshot_diff_append_and_overwrite(spark):
+    # Append-only: added>0, deleted==0 (reference test_diff.py:17-24).
+    s1 = _files(spark, [_file(1, "a"), _file(1, "b")])
+    s2_append = _files(spark, [_file(2, "a"), _file(2, "b"), _file(2, "c")])
+    d = ops.snapshot_diff_summary(s1, s2_append).collect()[0]
+    assert d.added_files == 1 and d.deleted_files == 0 and d.net_files == 1
+    # Overwrite: both directions present (reference test_diff.py:26-44).
+    s2_over = _files(spark, [_file(2, "a"), _file(2, "d")])
+    d2 = ops.snapshot_diff_summary(s1, s2_over).collect()[0]
+    assert d2.added_files == 1 and d2.deleted_files == 1 and d2.net_files == 0
+
+
+def test_column_health_non_nullable_zero_pct(spark):
+    stats = spark.createDataFrame(
+        [("f1", 1, 100, 0, 1000, 1, 50), ("f1", 2, 100, 25, 3000, 5, 60)],
+        "file_path string, field_id int, value_count long, null_count long, "
+        "column_size long, lower_bound long, upper_bound long",
+    )
+    out = {r.field_id: r for r in ops.column_health(stats).collect()}
+    assert out[1].null_pct == 0.0  # non-nullable column -> 0.0%
+    assert out[2].null_pct == 25.0
+    assert out[1].bytes_pct == 25.0 and out[2].bytes_pct == 75.0
+    assert out[2].min_lower == 5 and out[2].max_upper == 60
+
+
+def _ranges(spark, rows):
+    return spark.createDataFrame(rows, "file_path string, lo long, hi long")
+
+
+def test_overlap_exact_and_sweepline_agree(spark):
+    # [0,10],[5,15],[20,30],[8,25]: pairs (a,b),(a,d),(b,d),(c,d) = 4.
+    r = _ranges(spark, [("a", 0, 10), ("b", 5, 15), ("c", 20, 30), ("d", 8, 25)])
+    exact = ops.overlap_pair_count(r).collect()[0]
+    assert exact.overlapping_pairs == 4
+    sweep = ops.overlap_sweepline(r, bucket_width=7).collect()[0]
+    assert sweep.overlapping_files == 3  # b, d, c each overlap a predecessor
+
+
+def test_overlap_gate_returns_sentinel(spark):
+    r = _ranges(spark, [(f"f{i}", i, i + 2) for i in range(10)])
+    out = ops.overlap_pair_count(r, limit=5).collect()[0]
+    assert out.overlapping_pairs == -1 and out.file_count == 10
+
+
+def test_overlap_sweepline_bucketed_matches_global(spark):
+    # Bucketed two-level running max == single global window, any width.
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"f{i}", rng.randrange(0, 1000), 0) for i in range(200)]
+    rows = [(p, lo, lo + rng.randrange(1, 120)) for p, lo, _ in rows]
+    r = _ranges(spark, rows)
+    counts = {
+        w: ops.overlap_sweepline(r, bucket_width=w).collect()[0].overlapping_files
+        for w in (1, 13, 4096, 10**9)
+    }
+    assert len(set(counts.values())) == 1
+
+
+def _fields(spark, rows):
+    return spark.createDataFrame(
+        rows, "table_name string, schema_id int, field_id int, name string, type string, required boolean"
+    )
+
+
+def test_schema_diff_detects_all_changes(spark):
+    fields = _fields(
+        spark,
+        [
+            ("t", 1, 1, "id", "long", True),
+            ("t", 1, 2, "old_only", "string", False),
+            ("t", 1, 3, "renamed", "string", False),
+            ("t", 1, 4, "typed", "int", False),
+            ("t", 2, 1, "id", "long", True),
+            ("t", 2, 3, "renamed_v2", "string", False),
+            ("t", 2, 4, "typed", "long", False),
+            ("t", 2, 5, "new_col", "date", False),
+        ],
+    )
+    out = {r.field_id: r.change for r in ops.schema_diff(fields, 1, 2).collect()}
+    # field 1 unchanged -> absent; 2 removed; 3 renamed; 4 type change; 5 added
+    assert out == {2: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_schema_conflicts(spark):
+    fields = _fields(
+        spark,
+        [
+            ("t1", 2, 1, "amount", "double", False),
+            ("t2", 2, 2, "amount", "long", False),
+            ("t1", 2, 3, "id", "long", True),
+            ("t2", 2, 4, "id", "long", True),
+        ],
+    )
+    rows = ops.schema_conflicts(fields, 2).collect()
+    assert len(rows) == 1
+    assert rows[0].name == "amount" and rows[0].n_types == 2
+    assert rows[0].types == "double,long"
+
+
+def test_display_functions(spark):
+    df = spark.createDataFrame(
+        [(512, 999), (1024, 1536), (5 * MB + 300 * 1024, 1234567), (3 * 1024**3, 2_500_000_000)],
+        "v long, w long",
+    )
+    rows = df.select(
+        display.format_bytes(F.col("v")).alias("b"),
+        display.compact_number(F.col("w")).alias("c"),
+        display.format_net(F.col("v") - 1024).alias("n"),
+    ).collect()
+    assert [r.b for r in rows] == ["512.0 B", "1.0 KB", "5.2 MB", "3.0 GB"]
+    assert [r.c for r in rows] == ["999", "1.5K", "1.2M", "2.5B"]
+    assert [r.n for r in rows] == ["-512", "0", "+5549056", "+3221224448"]
+
+
+def test_format_timestamp_us(spark):
+    df = spark.createDataFrame([(1704067200_000_000,)], "us long")
+    row = df.select(display.format_timestamp_us(F.col("us")).alias("s")).collect()[0]
+    assert row.s == "2024-01-01 00:00:00 UTC"
+
+
+def test_truncate_path(spark):
+    long = "warehouse/" + "x/" * 40 + "part-00000.parquet"
+    df = spark.createDataFrame([("short/path.parquet",), (long,)], "p string")
+    rows = df.select(display.truncate_path(F.col("p")).alias("t")).collect()
+    assert rows[0].t == "short/path.parquet"
+    assert rows[1].t == ".../part-00000.parquet"
+
+
+def test_freshness_and_alerts(spark):
+    now = 1713139200000  # fixed NOW
+    day = 86400000
+    tables = spark.createDataFrame(
+        [
+            ("ns", "fresh_t", 2, 3, now - 2 * day, 10, 100, 1000),
+            ("ns", "stale_t", 2, 3, now - 10 * day, 10, 100, 1000),
+            ("ns", "crit_t", 1, 60, now - 45 * day, 10, 100, 1000),
+        ],
+        "namespace string, table_name string, format_version int, snapshot_count int, "
+        "last_updated_ms long, total_files long, total_records long, total_size long",
+    )
+    hist = {r.freshness: r.table_count for r in ops.freshness_histogram(tables, now_ms=now).collect()}
+    assert hist == {"fresh": 1, "stale": 1, "critical": 1}
+    alerts = {r.table_name: r for r in ops.table_alerts(tables, now_ms=now).collect()}
+    assert set(alerts) == {"crit_t"}
+    assert alerts["crit_t"].is_stale and alerts["crit_t"].too_many_snapshots and alerts["crit_t"].is_v1_format
+
+
+def test_warehouse_rollup_has_grand_total(spark):
+    tables = spark.createDataFrame(
+        [("a", "t1", 2, 1, 0, 1, 10, 100), ("b", "t2", 2, 1, 0, 2, 20, 200)],
+        "namespace string, table_name string, format_version int, snapshot_count int, "
+        "last_updated_ms long, total_files long, total_records long, total_size long",
+    )
+    out = {r.namespace: r for r in ops.warehouse_rollup(tables).collect()}
+    assert out["(warehouse)"].total_size == 300 and out["(warehouse)"].table_count == 2
+    assert out["a"].total_size == 100
+
+
+def test_new_snapshots_anti_join(spark):
+    cur = spark.createDataFrame([(1,), (2,), (3,)], "snapshot_id long")
+    seen = spark.createDataFrame([(1,), (2,)], "snapshot_id long")
+    assert [r.snapshot_id for r in ops.new_snapshots(cur, seen).collect()] == [3]

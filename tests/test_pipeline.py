@@ -1,0 +1,141 @@
+"""Tests for the LLM-data-pipeline kernels (dedup / similarity / text /
+multimodal) on pinned inputs with known answers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.pipeline import dedup, multimodal, similarity, text
+
+
+def _docs(spark, texts, langs=None, sources=None):
+    rows = [
+        (i, t, (langs or ["en"] * len(texts))[i], (sources or ["s0"] * len(texts))[i], len(t))
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dup_groups(spark):
+    docs = _docs(spark, ["a b c d", "a b c e", "x y z w", "a b c d"])
+    groups = dedup.exact_dup_groups(docs, prefix_tokens=3).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 3 and g.keep_doc_id == 0 and g.max_doc_id == 3
+
+
+def test_minhash_identical_docs_full_match(spark):
+    same = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [same, same, "totally different words here entirely now"])
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, shingle_k=2, min_bands=2).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (0, 1)
+    assert p.n_bands == 8 and p.est_jaccard == 1.0
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    same = "alpha beta gamma delta"
+    docs = _docs(spark, [same, same, "unrelated content entirely different"])
+    groups = dedup.simhash_groups(docs, bits=16).collect()
+    assert len(groups) == 2
+    dup = [g for g in groups if g.n_docs == 2]
+    assert len(dup) == 1 and dup[0].min_doc_id == 0
+    assert all(0 <= g.simhash < 2**16 for g in groups)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    # shingles("a b c d")={ab,bc,cd}, shingles("a b c x")={ab,bc,cx}
+    # inter=2, union=4 -> jaccard 0.5
+    docs = _docs(spark, ["a b c d", "a b c x"])
+    rows = dedup.ngram_jaccard_pairs(docs, shingle_k=2, min_jaccard=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0].n_inter == 2 and rows[0].jaccard == 0.5
+
+
+def _emb(spark, vecs, labels=None):
+    rows = [(i, [float(x) for x in v], (labels or [0] * len(vecs))[i]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    emb = _emb(
+        spark,
+        [
+            [1.0, 0.0, 0.0, 0.0],   # query
+            [1.0, 0.0, 0.0, 0.0],   # identical -> cos 1
+            [1.0, 1.0, 0.0, 0.0],   # cos ~0.7071
+            [0.0, 1.0, 0.0, 0.0],   # orthogonal -> cos 0
+            [-1.0, 0.0, 0.0, 0.0],  # opposite -> cos -1
+        ],
+    )
+    out = similarity.brute_force_topk(emb, query_ids=[0], k=4).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [1, 2, 3, 4]
+    assert ranked[0].cos_sim == pytest.approx(1.0, abs=1e-5)
+    assert ranked[1].cos_sim == pytest.approx(1 / math.sqrt(2), abs=1e-4)
+    assert ranked[2].cos_sim == pytest.approx(0.0, abs=1e-5)
+    assert ranked[3].cos_sim == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_lsh_bucket_prunes_opposite_sign(spark):
+    emb = _emb(
+        spark,
+        [
+            [1.0, 1.0, 1.0, 1.0],
+            [2.0, 1.0, 1.0, 1.0],     # same bucket (all positive)
+            [-1.0, -1.0, -1.0, -1.0],  # opposite bucket -> pruned
+        ],
+    )
+    out = similarity.lsh_bucketed_topk(emb, query_ids=[0], k=5, planes=4).collect()
+    assert [r.neighbor_id for r in out] == [1]
+    assert out[0].bucket == 15
+
+
+def test_nearest_in_label_blocks(spark):
+    emb = _emb(
+        spark,
+        [[1.0, 0.0], [0.9, 0.1], [1.0, 0.0]],
+        labels=[0, 0, 1],  # vec 2 identical to query but different label
+    )
+    out = similarity.nearest_in_label(emb, sample_mod=10).collect()  # queries: vec 0
+    assert len(out) == 1 and out[0].neighbor_id == 1
+
+
+def test_quality_and_tokens(spark):
+    docs = _docs(spark, ["the cat sat on the mat " + "word " * 20, "tiny"])
+    q = {r.doc_id: r for r in text.quality_scores(docs).collect()}
+    assert q[0].n_tokens >= 20 and q[0].quality == "good"
+    assert q[1].quality == "low" and q[1].stopword_ratio == 0.0
+    stats = text.token_stats(docs).collect()[0]
+    assert stats.doc_count == 2 and stats.ws_tokens == q[0].n_tokens + 1
+
+
+def test_language_id_deterministic(spark):
+    docs = _docs(spark, ["the a of the", "der die das der", "xyz qrs"])
+    out = {r.doc_id: r.pred_lang for r in text.language_id(docs).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "en"  # tie -> en
+
+
+def test_fingerprints_normalization(spark):
+    docs = _docs(spark, ["Hello World", "helloworld"])
+    rows = {r.doc_id: r for r in text.fingerprints(docs).collect()}
+    assert rows[0].fp_normalized == rows[1].fp_normalized
+    assert rows[0].fp_exact != rows[1].fp_exact
+
+
+def test_multimodal_plumbing(spark):
+    docs = _docs(spark, ["abcd", "efghij"])
+    feats = {r.asset_id: r for r in multimodal.extract_features(multimodal.assets_from_documents(docs)).collect()}
+    assert feats[0].byte_len == 4 and feats[0].media_type == "image" and feats[0].n_frames == 1
+    assert feats[1].byte_len == 6 and feats[1].media_type == "audio" and feats[1].n_frames == 6 % 24 + 2
+    assert feats[0].width == 4 % 640 + 16 and feats[0].height == 4 % 480 + 16
+
+
+def test_decode_stubs_raise(spark):
+    for fn in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
+        with pytest.raises(NotImplementedError):
+            fn(b"payload")
