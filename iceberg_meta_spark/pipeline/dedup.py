@@ -32,72 +32,108 @@ def exact_dup_groups(docs: DataFrame, prefix_tokens: int = 3) -> DataFrame:
     )
 
 
-def _word_shingles(docs: DataFrame, k: int) -> DataFrame:
-    """Distinct k-word shingles per doc: (doc_id, shingle)."""
+def _word_shingles(docs: DataFrame, k: int, distinct: bool = True) -> DataFrame:
+    """k-word shingles per doc: (doc_id, shingle).
+
+    ``distinct=True`` (set semantics, one shuffle) feeds Jaccard kernels;
+    MinHash skips it — min() is duplicate-insensitive, so deduplicating first
+    would add a full shuffle of every shingle row for nothing.
+    """
     toks = F.split(F.col("text"), " ")
     base = docs.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
     base = base.filter(F.col("n") >= k)
     idx = F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("i")
     exploded = base.select("doc_id", "toks", idx)
     parts = [F.element_at("toks", F.col("i") + j) for j in range(k)]
-    return exploded.select(
-        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    out = exploded.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
+
+
+def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2) -> DataFrame:
+    """(doc_id, sig: array<string>): all ``num_hashes`` MinHashes in ONE
+    aggregate pass over the shingles.
+
+    Hash family: md5(seed ':' shingle), min taken lexicographically on the
+    hex digest — deterministic and identical in any engine. Computing every
+    seed's md5 inline (codegen'd CPU) and min-aggregating them side by side
+    shuffles each shingle row once — not once per seed, which multiplies
+    shuffle volume by ``num_hashes`` at 10⁹ docs.
+    """
+    sh = _word_shingles(docs, shingle_k, distinct=False)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"mh_{s}") for s in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2) -> DataFrame:
-    """(doc_id, seed, mh): per-seed MinHash over word shingles.
-
-    Hash family: md5(seed ':' shingle), min taken lexicographically on the
-    hex digest — deterministic and identical in any engine.
-    """
-    sh = _word_shingles(docs, shingle_k)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("mh"))
+    """(doc_id, seed, mh): long-format MinHash signatures (band rows)."""
+    wide = minhash_signature_arrays(docs, num_hashes, shingle_k)
+    return wide.select("doc_id", F.posexplode("sig").alias("seed", "mh"))
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2, min_bands: int = 2
+    docs: DataFrame,
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+    band_size: int = 2,
+    min_bands: int = 1,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs sharing >= min_bands minhash bands
-    (band size 1), with estimated Jaccard = matching_minhashes / num_hashes.
+    """MinHash-LSH candidate pairs via b×r banding: the signature splits into
+    ``num_hashes/band_size`` bands of ``band_size`` consecutive minhashes; a
+    pair is a candidate when >= min_bands whole bands collide. Estimated
+    Jaccard = matching minhashes / num_hashes.
 
-    Scale: candidates come from an equi-join on (seed, mh) — each band
-    bucket joins only within itself. No O(N²) pair enumeration.
+    Scale: candidates come from an equi-join on (band_idx, band_key) — each
+    bucket joins only within itself, no O(N²) pair enumeration. Band size r
+    tunes the collision threshold (~(1/b)^(1/r)); r=2 keeps buckets sharp
+    where single-hash bands degenerate into giant buckets on repetitive
+    corpora. The Jaccard estimate is an array compare of the two (tiny)
+    signature arrays, so the estimation joins move one row per doc, not one
+    per (doc, seed).
     """
-    mh = minhash_signatures(docs, num_hashes, shingle_k)
-    a, b = mh.alias("a"), mh.alias("b")
+    n_bands_total = num_hashes // band_size
+    wide = minhash_signature_arrays(docs, num_hashes, shingle_k)
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", *[F.col("sig")[b * band_size + r] for r in range(band_size)])
+            for b in range(n_bands_total)
+        ]
+    )
+    bands = wide.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.mh") == F.col("b.mh"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
     )
-    x = mh.select(F.col("doc_id").alias("doc_a"), F.col("seed").alias("seed"), F.col("mh").alias("mh_a"))
-    y = mh.select(F.col("doc_id").alias("doc_b"), F.col("seed").alias("seed"), F.col("mh").alias("mh_b"))
-    est = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b", "n_bands")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).cast("double")
-                / F.lit(num_hashes),
-                4,
-            ).alias("est_jaccard")
+    sa = wide.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = wide.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.round(matches.cast("double") / F.lit(num_hashes), 4).alias("est_jaccard"),
         )
     )
-    return est
 
 
 def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:

@@ -42,9 +42,13 @@ _MINHASH_ORACLE = """
            FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
     mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
            FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band_idx,
+                     string_agg(mh, '|' ORDER BY seed) AS band_key
+              FROM mh GROUP BY doc_id, seed // 2),
     cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
-             FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
-             GROUP BY 1, 2 HAVING count(*) >= 2)
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 1)
     SELECT c.doc_a, c.doc_b, c.n_bands,
            round(CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8, 4) AS est_jaccard
     FROM cand c
@@ -58,12 +62,12 @@ _MINHASH_ORACLE = """
     "dedup_minhash_lsh",
     oracle=_MINHASH_ORACLE,
     tags=("bench",),
-    doc="MinHash-LSH near-dup candidates: shingle -> 8 minhashes -> "
-    "band-bucket equi-join (never all-pairs)",
+    doc="MinHash-LSH near-dup candidates: shingle -> 8 minhashes -> 4 bands "
+    "of 2 -> band-bucket equi-join (never all-pairs; ~0.5 Jaccard threshold)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=8, shingle_k=2, min_bands=2
+        load_table(spark, sf_dir, "documents"), num_hashes=8, shingle_k=2, band_size=2, min_bands=1
     )
 
 

@@ -30,11 +30,11 @@ def test_exact_dup_groups(spark):
 def test_minhash_identical_docs_full_match(spark):
     same = "the quick brown fox jumps over the lazy dog"
     docs = _docs(spark, [same, same, "totally different words here entirely now"])
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, shingle_k=2, min_bands=2).collect()
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, shingle_k=2, band_size=2, min_bands=2).collect()
     assert len(pairs) == 1
     p = pairs[0]
     assert (p.doc_a, p.doc_b) == (0, 1)
-    assert p.n_bands == 8 and p.est_jaccard == 1.0
+    assert p.n_bands == 4 and p.est_jaccard == 1.0  # 4 bands of 2: identical docs match all bands
 
 
 def test_simhash_identical_docs_same_signature(spark):
