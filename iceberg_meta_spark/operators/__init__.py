@@ -10,7 +10,7 @@ from iceberg_meta_spark.operators.partitions import partition_distribution, part
 from iceberg_meta_spark.operators.diff import snapshot_diff, snapshot_diff_summary
 from iceberg_meta_spark.operators.column_stats import column_health, column_health_named
 from iceberg_meta_spark.operators.overlap import overlap_pair_count, overlap_sweepline
-from iceberg_meta_spark.operators.schema import schema_diff, schema_conflicts
+from iceberg_meta_spark.operators.schema import schema_diff, schema_conflicts, schema_field_history
 from iceberg_meta_spark.operators.rollups import (
     format_version_histogram,
     freshness_histogram,
@@ -18,6 +18,7 @@ from iceberg_meta_spark.operators.rollups import (
     namespace_rollup,
     stalest_tables,
     table_alerts,
+    warehouse_cube,
     warehouse_rollup,
 )
 from iceberg_meta_spark.operators.manifests import manifest_row_share, top_files_per_partition

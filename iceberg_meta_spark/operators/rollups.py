@@ -52,6 +52,26 @@ def warehouse_rollup(tables: DataFrame) -> DataFrame:
     )
 
 
+def warehouse_cube(tables: DataFrame) -> DataFrame:
+    """A10 extension: all (namespace × format_version) grouping-set totals in
+    one CUBE — per-namespace, per-version, per-(ns, version) and grand total
+    from a single shuffle (the reference hand-computes two of these levels;
+    SURVEY §2.4 flags cube/rollup as the natural upgrade)."""
+    return (
+        tables.cube("namespace", "format_version")
+        .agg(
+            F.count(F.lit(1)).alias("table_count"),
+            F.sum("total_size").alias("total_size"),
+        )
+        .select(
+            F.coalesce(F.col("namespace"), F.lit("(all)")).alias("namespace"),
+            F.coalesce(F.col("format_version"), F.lit(-1)).alias("format_version"),
+            "table_count",
+            "total_size",
+        )
+    )
+
+
 def format_version_histogram(tables: DataFrame) -> DataFrame:
     """A10 sub-kernel: count of tables per Iceberg format version."""
     return tables.groupBy("format_version").agg(F.count(F.lit(1)).alias("table_count"))

@@ -61,6 +61,45 @@ def schema_diff(fields: DataFrame, old_id: int, new_id: int) -> DataFrame:
     )
 
 
+def schema_field_history(fields: DataFrame) -> DataFrame:
+    """J2 generalized to N versions: each field version vs its predecessor
+    via lag() over schema_id, partitioned by (table_name, field_id).
+
+    The reference walks consecutive version pairs procedurally
+    (tui/widgets.py:289-297); relationally that is one analytic window —
+    partition-parallel, no self-join. change ∈ {added, renamed, retyped,
+    requirement_changed}; unchanged versions are dropped ('removed' needs the
+    full-outer diff, see schema_diff, since a missing row has no successor).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("table_name", "field_id").orderBy("schema_id")
+    with_prev = fields.select(
+        "table_name",
+        "field_id",
+        "schema_id",
+        "name",
+        "type",
+        "required",
+        F.lag("name").over(w).alias("prev_name"),
+        F.lag("type").over(w).alias("prev_type"),
+        F.lag("required").over(w).alias("prev_required"),
+        F.lag("schema_id").over(w).alias("prev_schema_id"),
+    )
+    change = (
+        F.when(F.col("prev_schema_id").isNull(), F.lit("added"))
+        .when(F.col("name") != F.col("prev_name"), F.lit("renamed"))
+        .when(F.col("type") != F.col("prev_type"), F.lit("retyped"))
+        .when(F.col("required") != F.col("prev_required"), F.lit("requirement_changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        with_prev.withColumn("change", change)
+        .filter(F.col("change") != "same")
+        .select("table_name", "field_id", "schema_id", "change", "prev_name", "name", "prev_type", "type")
+    )
+
+
 def schema_conflicts(fields: DataFrame, schema_id: int) -> DataFrame:
     """J6: field names with >1 distinct type across tables (one schema version).
 

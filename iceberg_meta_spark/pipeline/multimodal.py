@@ -93,3 +93,81 @@ def extract_features(assets: DataFrame) -> DataFrame:
             yield out[[f.name for f in ASSET_SCHEMA.fields]]
 
     return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("src_bytes", LongType()),
+        StructField("dst_bytes", LongType()),
+        StructField("dst_width", LongType()),
+        StructField("dst_height", LongType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize (PIL.Image.resize): output
+    size scales with the target pixel count; bytes cycle from the source."""
+    target = max(1, (width * height) // 64)
+    reps = target // max(1, len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_assets(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Arrow-batched resize of image assets to (width, height).
+
+    Real pipelines swap ``fake_resize`` for PIL/OpenCV inside the same
+    mapInPandas body; the batch shape, schema and partition flow (narrow,
+    zero-shuffle, one Python worker per input partition) stay identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "src_bytes": [len(p) for p in pdf["payload"]],
+                    "dst_bytes": [len(r) for r in resized],
+                    "dst_width": width,
+                    "dst_height": height,
+                }
+            )
+
+    return assets.filter(F.col("media_type") == "image").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for video assets: one output row per kept frame
+    (every ``every_n``-th of the asset's ``n_frames``).
+
+    A real decoder would yield actual frame payloads from ffmpeg here; the
+    deterministic stand-in derives frame count and per-frame byte length
+    from the payload, keeping the fan-out plumbing (one input row -> many
+    output rows inside the Arrow batch, no shuffle) fully real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for asset_id, payload, mt in zip(pdf["asset_id"], pdf["payload"], pdf["media_type"]):
+                n_frames = fake_features(payload, mt)["n_frames"]
+                for i in range(0, n_frames, every_n):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    sizes.append(max(1, len(payload) // n_frames))
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_bytes": sizes})
+
+    return assets.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)

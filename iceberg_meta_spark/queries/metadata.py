@@ -384,6 +384,60 @@ def meta_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meta_warehouse_cube",
+    oracle=oracle_query(
+        """
+        SELECT coalesce(namespace, '(all)') AS namespace,
+               coalesce(format_version, -1) AS format_version,
+               CAST(count(*) AS BIGINT) AS table_count,
+               CAST(sum(total_size) AS BIGINT) AS total_size
+        FROM meta_tables GROUP BY CUBE(namespace, format_version)
+        """,
+        "meta_tables",
+    ),
+    doc="A10 extension: namespace × format_version CUBE — all grouping-set "
+    "levels from one shuffle",
+)
+def meta_warehouse_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.warehouse_cube(derive(spark, sf_dir, "meta_tables"))
+
+
+@register(
+    "meta_schema_field_history",
+    oracle=oracle_query(
+        """
+        , h AS (
+            SELECT table_name, field_id, schema_id, name, type, required,
+                   lag(name) OVER w AS prev_name,
+                   lag(type) OVER w AS prev_type,
+                   lag(required) OVER w AS prev_required,
+                   lag(schema_id) OVER w AS prev_schema_id
+            FROM meta_schema_fields
+            WINDOW w AS (PARTITION BY table_name, field_id ORDER BY schema_id))
+        SELECT table_name, field_id, schema_id,
+               CASE WHEN prev_schema_id IS NULL THEN 'added'
+                    WHEN name <> prev_name THEN 'renamed'
+                    WHEN type <> prev_type THEN 'retyped'
+                    WHEN required <> prev_required THEN 'requirement_changed'
+                    ELSE 'same' END AS change,
+               prev_name, name, prev_type, type
+        FROM h
+        WHERE CASE WHEN prev_schema_id IS NULL THEN 'added'
+                   WHEN name <> prev_name THEN 'renamed'
+                   WHEN type <> prev_type THEN 'retyped'
+                   WHEN required <> prev_required THEN 'requirement_changed'
+                   ELSE 'same' END <> 'same'
+        """,
+        "meta_schema_fields",
+    ),
+    doc="J2 generalized: per-field version history vs predecessor via lag() "
+    "(reference walks consecutive version pairs, tui/widgets.py:289-297)",
+)
+def meta_schema_field_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.schema_field_history(derive(spark, sf_dir, "meta_schema_fields"))
+
+
+@register(
     "meta_format_version_histogram",
     oracle=oracle_query(
         """

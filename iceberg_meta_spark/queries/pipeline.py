@@ -333,3 +333,42 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(assets)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        WITH a AS (SELECT doc_id AS asset_id,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes
+                   FROM documents WHERE doc_id % 3 = 0)
+        SELECT asset_id, 'image' AS media_type, src_bytes,
+               CAST(greatest(1, (224 * 224) // 64) AS BIGINT) AS dst_bytes,
+               CAST(224 AS BIGINT) AS dst_width, CAST(224 AS BIGINT) AS dst_height
+        FROM a
+    """,
+    doc="Multimodal resize: image assets -> 224x224 via Arrow-batched "
+    "mapInPandas (decode/resize stubbed deterministically; zero-shuffle)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_assets(assets, width=224, height=224)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH a AS (SELECT doc_id AS asset_id,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                   FROM documents WHERE doc_id % 3 = 2),
+        v AS (SELECT asset_id, byte_len, byte_len % 24 + 2 AS n_frames FROM a)
+        SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
+               CAST(greatest(1, byte_len // n_frames) AS BIGINT) AS frame_bytes
+        FROM v, generate_series(0, 4096) AS g(i)
+        WHERE i < n_frames AND i % 4 = 0
+    """,
+    doc="Multimodal frame sampling: every 4th frame of each video asset, "
+    "one row per kept frame (row fan-out inside the Arrow batch)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(assets, every_n=4)

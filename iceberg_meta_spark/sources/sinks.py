@@ -1,0 +1,58 @@
+"""Output sinks (reference S9/S10).
+
+The reference serializes collected row dicts to JSON/CSV with optional column
+projection (output.py:21-60) and appends/overwrites row data through pyiceberg
+(demo.py:71-74, seed.py:77-80). Here both are distributed writes: the
+projection happens in the plan (column pruning reaches the scan) and the
+serialization runs on executors — no driver materialization at any size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _project(df: DataFrame, columns: Sequence[str] | None) -> DataFrame:
+    """S10 column projection: keep the requested columns in request order
+    (unknown names raise, mirroring a KeyError in the reference's row-dict
+    indexing at output.py:52-57)."""
+    if not columns:
+        return df
+    return df.select(*columns)
+
+
+def write_json(df: DataFrame, path: str, columns: Sequence[str] | None = None) -> None:
+    """S10 JSON sink: one JSON object per line (the reference emits a JSON
+    array; JSONL is the distributed-native equivalent of the same records)."""
+    _project(df, columns).write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str, columns: Sequence[str] | None = None) -> None:
+    """S10 CSV sink with header row (output.py:49-60 writes header + rows)."""
+    _project(df, columns).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def json_lines(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """S10 console-JSON analog: (json string) rows via ``to_json(struct(*))``
+    — stays a DataFrame (collect only ever happens presentation-side)."""
+    from pyspark.sql import functions as F
+
+    p = _project(df, columns)
+    return p.select(F.to_json(F.struct(*[F.col(c) for c in p.columns])).alias("json"))
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """S9 write path on the parquet source: append row data.
+
+    On an Iceberg deployment this is ``df.writeTo(table).append()`` (snapshot
+    commit through the catalog); the fixture source appends parquet files —
+    same executor-side write fan-out, no catalog transaction.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_parquet(df: DataFrame, path: str) -> None:
+    """S9 overwrite (reference table.overwrite -> ``writeTo(...).overwritePartitions()``)."""
+    df.write.mode("overwrite").parquet(path)

@@ -217,3 +217,40 @@ def test_new_snapshots_anti_join(spark):
     cur = spark.createDataFrame([(1,), (2,), (3,)], "snapshot_id long")
     seen = spark.createDataFrame([(1,), (2,)], "snapshot_id long")
     assert [r.snapshot_id for r in ops.new_snapshots(cur, seen).collect()] == [3]
+
+
+def test_warehouse_cube_all_levels(spark):
+    tables = spark.createDataFrame(
+        [("a", "t1", 1, 1, 0, 1, 10, 100), ("a", "t2", 2, 1, 0, 2, 20, 200), ("b", "t3", 2, 1, 0, 3, 30, 400)],
+        "namespace string, table_name string, format_version int, snapshot_count int, "
+        "last_updated_ms long, total_files long, total_records long, total_size long",
+    )
+    out = {(r.namespace, r.format_version): r for r in ops.warehouse_cube(tables).collect()}
+    assert out[("(all)", -1)].total_size == 700          # grand total
+    assert out[("a", -1)].table_count == 2               # per-namespace
+    assert out[("(all)", 2)].table_count == 2            # per-version
+    assert out[("b", 2)].total_size == 400               # finest level
+    assert len(out) == 1 + 2 + 2 + 3
+
+
+def test_schema_field_history_lag(spark):
+    fields = spark.createDataFrame(
+        [
+            # field 1: stable in v1, renamed in v2, retyped in v3
+            ("t", 1, 1, "a", "int", True),
+            ("t", 2, 1, "a2", "int", True),
+            ("t", 3, 1, "a2", "long", True),
+            # field 2: appears in v2 (added), requirement flips in v3
+            ("t", 2, 2, "b", "string", False),
+            ("t", 3, 2, "b", "string", True),
+        ],
+        "table_name string, schema_id int, field_id int, name string, type string, required boolean",
+    )
+    out = {(r.field_id, r.schema_id): r.change for r in ops.schema_field_history(fields).collect()}
+    assert out == {
+        (1, 1): "added",
+        (1, 2): "renamed",
+        (1, 3): "retyped",
+        (2, 2): "added",
+        (2, 3): "requirement_changed",
+    }

@@ -139,3 +139,33 @@ def test_decode_stubs_raise(spark):
     for fn in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
         with pytest.raises(NotImplementedError):
             fn(b"payload")
+
+
+def test_multimodal_resize_deterministic(spark):
+    from iceberg_meta_spark.pipeline import multimodal
+
+    docs = _docs(spark, ["alpha beta", "gamma delta", "epsilon zeta", "eta theta"])
+    assets = multimodal.assets_from_documents(docs)
+    out = {r.asset_id: r for r in multimodal.resize_assets(assets, width=32, height=16).collect()}
+    # only image assets (doc_id % 3 == 0)
+    assert set(out) == {0, 3}
+    r = out[0]
+    assert r.dst_width == 32 and r.dst_height == 16
+    assert r.dst_bytes == (32 * 16) // 64
+    assert r.src_bytes == len("alpha beta")
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    from iceberg_meta_spark.pipeline import multimodal
+
+    docs = _docs(spark, ["a b", "c d", "video one payload", "e f", "g h", "second video bytes"])
+    assets = multimodal.assets_from_documents(docs)
+    rows = multimodal.sample_frames(assets, every_n=4).collect()
+    # only video assets (doc_id % 3 == 2)
+    assert set(r.asset_id for r in rows) == {2, 5}
+    for r in rows:
+        assert r.frame_idx % 4 == 0 and r.frame_bytes > 0
+    # fan-out matches the stub's n_frames arithmetic
+    n = len("video one payload")
+    expected_frames = n % 24 + 2
+    assert sum(1 for r in rows if r.asset_id == 2) == (expected_frames + 3) // 4
