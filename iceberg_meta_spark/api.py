@@ -1,0 +1,212 @@
+"""User-facing command API: the reference's CLI surface as DataFrame-returning
+functions (reference cli.py commands -> §2.11 kernel DAGs).
+
+A user of the reference runs ``iceberg-meta summary|health|diff|tree|
+snapshot-detail|schema --history|namespaces|warehouse|snapshots --watch``;
+each has a function here with the same output columns, composed from the
+source-agnostic kernels in ``operators/``. Rendering (Rich tables, JSON/CSV)
+is presentation-side: collect the returned DataFrame or pass it to
+``sources.sinks`` — every function below stays lazy and distributed.
+
+Sources implement the small ``MetadataSource`` protocol. ``FixtureSource``
+derives metadata shapes from the driver's parquet testdata;
+``IcebergTableSource`` reads a real table's metadata tree through
+``sources/iceberg.py`` when the Iceberg Spark runtime is present.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark import operators as ops
+from iceberg_meta_spark.functions import display
+from iceberg_meta_spark.plans.health import health_report_df
+from iceberg_meta_spark.sources import fixtures
+from iceberg_meta_spark.sources import iceberg as ice
+
+
+class MetadataSource(Protocol):
+    """One inspected table's metadata tree as DataFrames (SURVEY §1.1)."""
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame: ...
+    def snapshots(self) -> DataFrame: ...
+    def manifests(self) -> DataFrame: ...
+    def column_stats(self) -> DataFrame: ...
+    def file_ranges(self) -> DataFrame: ...
+    def schema_fields(self) -> DataFrame: ...
+
+
+@dataclass
+class FixtureSource:
+    """Metadata shapes derived from the driver's parquet testdata."""
+
+    spark: SparkSession
+    sf_dir: str
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        f = fixtures.derive(self.spark, self.sf_dir, "meta_files")
+        return f if snapshot_id is None else f.filter(F.col("snapshot_id") == snapshot_id)
+
+    def snapshots(self) -> DataFrame:
+        return fixtures.derive(self.spark, self.sf_dir, "meta_snapshots")
+
+    def manifests(self) -> DataFrame:
+        return fixtures.derive(self.spark, self.sf_dir, "meta_manifests")
+
+    def column_stats(self) -> DataFrame:
+        return fixtures.derive(self.spark, self.sf_dir, "meta_column_stats")
+
+    def file_ranges(self) -> DataFrame:
+        return fixtures.derive(self.spark, self.sf_dir, "file_ranges")
+
+    def schema_fields(self) -> DataFrame:
+        return fixtures.derive(self.spark, self.sf_dir, "meta_schema_fields")
+
+
+@dataclass
+class IcebergTableSource:
+    """A real Iceberg table's metadata tree (requires the runtime jar)."""
+
+    spark: SparkSession
+    table: str
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        return ice.files_frame(self.spark, self.table, snapshot_id)
+
+    def snapshots(self) -> DataFrame:
+        return ice.snapshots_frame(self.spark, self.table)
+
+    def manifests(self) -> DataFrame:
+        return ice.manifests_frame(self.spark, self.table)
+
+    def column_stats(self) -> DataFrame:
+        return ice.column_stats_frame(self.spark, self.table)
+
+    def file_ranges(self) -> DataFrame:
+        raise NotImplementedError(
+            "bounds decoding needs readable_metrics (Iceberg >= 1.2) — "
+            "select readable_metrics.<col>.lower_bound/upper_bound from .files"
+        )
+
+    def schema_fields(self) -> DataFrame:
+        raise NotImplementedError(
+            "schema versions live in table-metadata JSON; load via a REST "
+            "catalog or pyiceberg and normalize to "
+            "(table_name, schema_id, field_id, name, type, required)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Commands (reference cli.py -> §2.11 DAGs)
+# ---------------------------------------------------------------------------
+
+def summary(src: MetadataSource) -> DataFrame:
+    """`iceberg-meta summary` (cli.py:1194-1207): dashboard totals.
+
+    One row: file/record/size totals (A8) + partition count + snapshot count.
+    """
+    totals = ops.summary_totals(src.files())
+    snap_count = src.snapshots().agg(F.count(F.lit(1)).alias("snapshot_count"))
+    return totals.crossJoin(F.broadcast(snap_count)).select(
+        "file_count",
+        "total_size",
+        display.format_bytes(F.col("total_size")).alias("total_size_h"),
+        "total_records",
+        "partition_count",
+        "snapshot_count",
+    )
+
+
+def recent_operations(src: MetadataSource, k: int = 5) -> DataFrame:
+    """`summary` section 2 (O1/S8): last-k snapshots, newest first."""
+    return ops.recent_snapshots(src.snapshots(), k=k)
+
+
+def health(src: MetadataSource) -> DataFrame:
+    """`iceberg-meta health` (cli.py:1114-1168): the composite report."""
+    return health_report_df(src.files(), src.column_stats(), src.manifests(), src.file_ranges())
+
+
+def file_health(src: MetadataSource) -> DataFrame:
+    """`health` file section (A1): size stats + small-file counts."""
+    return ops.file_size_stats(src.files())
+
+
+def partition_health(src: MetadataSource) -> DataFrame:
+    """`health` partition section (A3+A4): distribution + skew flags."""
+    return ops.partition_skew(src.files())
+
+
+def column_health(src: MetadataSource) -> DataFrame:
+    """`health` column section (A5+A6+A7): nulls, storage, bounds."""
+    return ops.column_health(src.column_stats())
+
+
+def diff(src: MetadataSource, old_snapshot: int, new_snapshot: int) -> DataFrame:
+    """`iceberg-meta diff A B` (cli.py:1213-1228): per-file changes (J1)."""
+    return ops.snapshot_diff(src.files(old_snapshot), src.files(new_snapshot))
+
+
+def diff_summary(src: MetadataSource, old_snapshot: int, new_snapshot: int) -> DataFrame:
+    """`diff` totals: added/deleted files, bytes, rows + signed nets."""
+    return ops.snapshot_diff_summary(src.files(old_snapshot), src.files(new_snapshot))
+
+
+def snapshot_detail(src: MetadataSource, snapshot_id: int) -> DataFrame:
+    """`iceberg-meta snapshot-detail` (cli.py:1174-1188): P1+S5+A8 —
+    the snapshot's file totals (manifest listing via ``tree``)."""
+    return ops.summary_totals(src.files(snapshot_id)).select(
+        F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+        "file_count",
+        "total_size",
+        "total_records",
+        "partition_count",
+    )
+
+
+def tree(src: MetadataSource, max_files: int = 10) -> DataFrame:
+    """`iceberg-meta tree` (cli.py:1251-1281): manifest rows with row-share
+    (J5/W1/W2) — entry rows capped per manifest (W5) via ``top_files``."""
+    return ops.manifest_row_share(src.files())
+
+
+def top_files(src: MetadataSource, k: int = 10) -> DataFrame:
+    """`tree`/`files` display cap (W5/O7): k largest files per partition."""
+    return ops.top_files_per_partition(src.files(), k=k)
+
+
+def schema_history(src: MetadataSource) -> DataFrame:
+    """`iceberg-meta schema --history` (cli.py:1029-1045): per-version field
+    changes via lag() (J2 generalized)."""
+    return ops.schema_field_history(src.schema_fields())
+
+
+def schema_version_diff(src: MetadataSource, old_id: int, new_id: int) -> DataFrame:
+    """TUI schema diff (J2): full-outer field diff of two versions."""
+    return ops.schema_diff(src.schema_fields(), old_id=old_id, new_id=new_id)
+
+
+def namespace_overview(tables: DataFrame) -> DataFrame:
+    """TUI namespace panel (A9+O6): rollup sorted by size desc."""
+    return ops.namespace_rollup(tables).orderBy(F.desc("total_size"))
+
+
+def warehouse_overview(tables: DataFrame) -> DataFrame:
+    """TUI warehouse panel (A10): rollup grouping sets incl. grand total."""
+    return ops.warehouse_rollup(tables)
+
+
+def alerts(tables: DataFrame) -> DataFrame:
+    """TUI alert badges (P7-P9): stale / snapshot-count / v1-format flags."""
+    return ops.table_alerts(tables)
+
+
+def watch(src: MetadataSource, seen: DataFrame) -> DataFrame:
+    """`snapshots --watch` one poll tick (A12/U2/ST1): snapshots not yet
+    seen. Drive in a loop via ``streaming.watch.poll_watch`` or as a
+    Structured Streaming query via ``streaming.watch.watch_stream``."""
+    return ops.new_snapshots(src.snapshots(), seen)

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "iceberg_meta_spark.queries.analytics",
     "iceberg_meta_spark.queries.pipeline",
     "iceberg_meta_spark.plans.health",
+    "iceberg_meta_spark.plans.commands",
 ]
 
 
