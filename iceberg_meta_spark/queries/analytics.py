@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 
 from iceberg_meta_spark.registry import register
 from iceberg_meta_spark.sources.parquet import load_table
-from iceberg_meta_spark.streaming.windows import tumbling_counts
+from iceberg_meta_spark.streaming.windows import sliding_counts, tumbling_counts
 
 HOUR_US = 3_600_000_000
+QUARTER_US = 900_000_000
 
 
 @register(
@@ -127,6 +128,28 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts DIV 1000").alias("ts_us"), "event_type", "value"
     )
     return tumbling_counts(ev, width_us=HOUR_US)
+
+
+@register(
+    "events_sliding_counts",
+    oracle=f"""
+        WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+        w AS (SELECT (ts_us // {QUARTER_US}) * {QUARTER_US} - k * {QUARTER_US} AS window_start_us,
+                     event_type, value
+              FROM ev, generate_series(0, {HOUR_US // QUARTER_US - 1}) AS g(k))
+        SELECT window_start_us, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM w GROUP BY 1, 2
+    """,
+    doc="Sliding-window aggregation (1h window, 15min slide): explode into "
+    "the overlapping window starts — the batch twin of window(width, slide)",
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 1000").alias("ts_us"), "event_type", "value"
+    )
+    return sliding_counts(ev, width_us=HOUR_US, slide_us=QUARTER_US)
 
 
 @register(

@@ -20,6 +20,69 @@ def tumbling_counts(events_us: DataFrame, width_us: int) -> DataFrame:
     )
 
 
+def sliding_counts(events_us: DataFrame, width_us: int, slide_us: int) -> DataFrame:
+    """Sliding-window counts over (ts_us, event_type, value): each event lands
+    in width/slide overlapping windows (explode of the window-start sequence —
+    the same fan-out Spark's streaming ``window(width, slide)`` performs).
+
+    Scale: fan-out factor is width/slide (a small constant); the aggregate
+    shuffles on (window_start, event_type) with map-side combine.
+    """
+    n_windows = width_us // slide_us
+    hi = (F.col("ts_us") - (F.col("ts_us") % F.lit(slide_us))).cast("long")
+    lo = hi - F.lit((n_windows - 1) * slide_us)
+    exploded = events_us.select(
+        F.explode(F.sequence(lo, hi, F.lit(slide_us))).alias("window_start_us"),
+        "event_type",
+        "value",
+    )
+    return exploded.groupBy("window_start_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def streaming_sliding_counts(
+    events_stream: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``sliding_counts`` via ``window(width, slide)``."""
+    return (
+        events_stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_cents")
+    )
+
+
+def streaming_session_counts(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch ``user_sessions`` kernel: engine-managed
+    session windows (``session_window`` merges events closer than ``gap``).
+
+    The batch kernel sessionizes with lag+cumsum windows (exact, oracle-
+    checkable); this variant trades that for bounded state on an unbounded
+    stream — the engine closes a session once the watermark passes its gap.
+    """
+    return (
+        events_stream.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_tumbling_counts(
     events_stream: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

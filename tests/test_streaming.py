@@ -99,3 +99,80 @@ def test_streaming_tumbling_counts(spark):
     finally:
         q.stop()
     assert rows > 0
+
+
+def test_sliding_counts_batch(spark):
+    from iceberg_meta_spark.streaming.windows import sliding_counts
+
+    hour, q = 3_600_000_000, 900_000_000
+    ev = spark.createDataFrame(
+        [(0, "a", 1.0), (q + 1, "a", 2.0)], "ts_us long, event_type string, value double"
+    )
+    out = {(r.window_start_us, r.event_type): r.n for r in sliding_counts(ev, hour, q).collect()}
+    # event at t=0 belongs to windows starting 0, -q, -2q, -3q
+    assert out[(0, "a")] == 2  # both events
+    assert out[(-3 * q, "a")] == 1  # only the t=0 event
+    assert out[(q, "a")] == 1  # only the t=q+1 event
+    assert len(out) == 5  # starts: -3q..q
+
+
+def test_streaming_session_window(spark):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.windows import streaming_session_counts
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            (F.col("value") % 4).cast("string").alias("user_id"),
+        )
+    )
+    out = streaming_session_counts(rate, gap="2 seconds", watermark="0 seconds")
+    # session-window aggregations support complete/append, not update
+    q = out.writeStream.format("memory").queryName("sess_test").outputMode("complete").start()
+    try:
+        deadline = time.time() + 30
+        rows = 0
+        while time.time() < deadline and rows == 0:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM sess_test WHERE n_events > 0").count()
+    finally:
+        q.stop()
+    assert rows > 0
+
+
+def test_stateful_running_counts(spark):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.stateful import running_counts
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(
+            (F.col("value") % 3).cast("string").alias("event_type"),
+            (F.unix_micros(F.col("timestamp"))).alias("ts_us"),
+        )
+    )
+    out = running_counts(rate, key_col="event_type")
+    q = out.writeStream.format("memory").queryName("state_test").outputMode("update").start()
+    try:
+        deadline = time.time() + 45
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT key, max(total_events) AS t FROM state_test GROUP BY key"
+            ).collect()
+            # state accumulates: totals grow past one batch for some key
+            done = len(rows) >= 2 and any(r.t > 50 for r in rows)
+        assert done
+        # running totals never decrease and first<=last
+        sanity = spark.sql("SELECT * FROM state_test WHERE first_seen_us > last_seen_us").count()
+        assert sanity == 0
+    finally:
+        q.stop()
