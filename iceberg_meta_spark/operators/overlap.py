@@ -71,5 +71,9 @@ def overlap_sweepline(ranges: DataFrame, bucket_width: int = 4096) -> DataFrame:
     )
     return flagged.agg(
         F.count(F.lit(1)).alias("file_count"),
-        F.sum(F.when(F.col("overlaps_prev"), 1).otherwise(0)).cast("long").alias("overlapping_files"),
+        # coalesce: empty input must report 0, not NULL (the all-zero
+        # empty-table contract, reference formatters.py:384-414)
+        F.coalesce(
+            F.sum(F.when(F.col("overlaps_prev"), 1).otherwise(0)).cast("long"), F.lit(0).cast("long")
+        ).alias("overlapping_files"),
     )

@@ -28,22 +28,35 @@ def health_report_df(files: DataFrame, col_stats: DataFrame, manifests: DataFram
     """Long-format health report over metadata-shaped inputs."""
     from iceberg_meta_spark.operators.overlap import overlap_sweepline
 
+    # Every aggregate is zero-guarded: an empty table produces the all-zero
+    # report shape, never NULLs (reference formatters.py:384-414).
+    zero = F.lit(0).cast("long")
     file_metrics = files.agg(
         F.count(F.lit(1)).alias("fc"),
-        F.sum("file_size_in_bytes").alias("ts"),
-        F.sum(F.when(F.col("file_size_in_bytes") < SMALL_FILE_THRESHOLD, 1).otherwise(0)).cast("long").alias("sf"),
+        F.coalesce(F.sum("file_size_in_bytes"), zero).alias("ts"),
+        F.coalesce(
+            F.sum(F.when(F.col("file_size_in_bytes") < SMALL_FILE_THRESHOLD, 1).otherwise(0)).cast("long"),
+            zero,
+        ).alias("sf"),
     )
     parts = files.groupBy("part_key").agg(F.count(F.lit(1)).alias("fc"))
     part_metrics = parts.agg(
         F.count(F.lit(1)).alias("pc"),
-        F.max("fc").alias("max_fc"),
-        (F.sum("fc").cast("double") / F.count(F.lit(1))).alias("avg_fc"),
+        F.coalesce(F.max("fc"), zero).alias("max_fc"),
+        F.coalesce(F.sum("fc").cast("double") / F.count(F.lit(1)), F.lit(0.0)).alias("avg_fc"),
     )
     col_metrics = col_stats.agg(
-        (F.lit(100.0) * F.sum("null_count") / F.sum("value_count")).alias("null_pct")
+        F.coalesce(
+            F.when(
+                F.coalesce(F.sum("value_count"), zero) == 0, F.lit(0.0)
+            ).otherwise(F.lit(100.0) * F.sum("null_count") / F.sum("value_count")),
+            F.lit(0.0),
+        ).alias("null_pct")
     )
     man_metrics = manifests.agg(
-        F.sum(F.when(F.col("content") != 0, 1).otherwise(0)).cast("long").alias("dm")
+        F.coalesce(
+            F.sum(F.when(F.col("content") != 0, 1).otherwise(0)).cast("long"), zero
+        ).alias("dm")
     )
     ov = overlap_sweepline(ranges)
 

@@ -254,3 +254,27 @@ def test_schema_field_history_lag(spark):
         (2, 2): "added",
         (2, 3): "requirement_changed",
     }
+
+
+def test_empty_table_all_zero_health_report(spark):
+    # Reference contract: an empty table yields the all-zero report shape,
+    # never NULLs (formatters.py:384-414).
+    from iceberg_meta_spark.plans.health import health_report_df
+
+    files = spark.createDataFrame(
+        [], "snapshot_id long, file_path string, file_format string, part_key string, "
+        "manifest_path string, record_count long, file_size_in_bytes long"
+    )
+    stats = spark.createDataFrame(
+        [], "file_path string, field_id int, value_count long, null_count long, "
+        "column_size long, lower_bound long, upper_bound long"
+    )
+    mans = spark.createDataFrame(
+        [], "snapshot_id long, manifest_path string, manifest_length long, "
+        "partition_spec_id int, content int, added_files_count int, "
+        "existing_files_count int, deleted_files_count int"
+    )
+    ranges = spark.createDataFrame([], "file_path string, lo long, hi long")
+    rows = health_report_df(files, stats, mans, ranges).collect()
+    assert len(rows) == 8
+    assert all(r.value == 0.0 for r in rows), rows

@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis): kernel invariants under randomized
+inputs, checked against brute-force Python references.
+
+The reference's tests assert structural invariants on fixed fixtures
+(SURVEY §5); these go further — any counterexample here is a real bug, found
+without hand-picking inputs. Examples are kept small (Spark round-trip per
+example), so shrinkage stays fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark import operators as ops
+from iceberg_meta_spark.functions import display
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 200)),  # (lo, length)
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(iv=intervals)
+@SET
+def test_sweepline_matches_bruteforce(spark, iv):
+    rows = [(f"f{i:03d}", lo, lo + ln) for i, (lo, ln) in enumerate(iv)]
+    # brute force: a file overlaps a predecessor iff max(hi) of files before
+    # it in (lo, path) order >= its lo  (the reference sweep-line semantics)
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    expect, run_max = 0, None
+    for _, lo, hi in ordered:
+        if run_max is not None and run_max >= lo:
+            expect += 1
+        run_max = hi if run_max is None else max(run_max, hi)
+    df = spark.createDataFrame(rows, "file_path string, lo long, hi long") if rows else (
+        spark.createDataFrame([], "file_path string, lo long, hi long")
+    )
+    got = ops.overlap_sweepline(df).collect()[0]
+    assert got.overlapping_files == expect
+    assert got.file_count == len(rows)
+
+
+@given(iv=st.lists(st.tuples(st.integers(0, 100), st.integers(0, 50)), min_size=0, max_size=12))
+@SET
+def test_pair_count_matches_bruteforce(spark, iv):
+    rows = [(f"f{i:03d}", lo, lo + ln) for i, (lo, ln) in enumerate(iv)]
+    expect = sum(
+        1
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if rows[i][1] <= rows[j][2] and rows[j][1] <= rows[i][2]
+    )
+    df = spark.createDataFrame(rows, "file_path string, lo long, hi long") if rows else (
+        spark.createDataFrame([], "file_path string, lo long, hi long")
+    )
+    got = ops.overlap_pair_count(df).collect()
+    if rows:
+        assert got[0].overlapping_pairs == expect
+    else:
+        assert got[0].overlapping_pairs == 0 or got == []
+
+
+@given(sizes=st.lists(st.integers(0, 10**13), min_size=1, max_size=20))
+@SET
+def test_file_stats_invariants(spark, sizes):
+    df = spark.createDataFrame([(s,) for s in sizes], "file_size_in_bytes long")
+    r = ops.file_size_stats(df).collect()[0]
+    assert r.file_count == len(sizes)
+    assert r.total_size == sum(sizes)
+    assert r.min_size == min(sizes) and r.max_size == max(sizes)
+    assert r.min_size <= r.median_size <= r.max_size
+    assert abs(r.avg_size - sum(sizes) / len(sizes)) < 1e-6 * max(1, max(sizes))
+    srt = sorted(sizes)
+    n = len(srt)
+    exact_median = srt[n // 2] if n % 2 else (srt[n // 2 - 1] + srt[n // 2]) / 2
+    assert r.median_size == float(exact_median)
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.text(alphabet="abcde", min_size=1, max_size=1), st.integers(1, 30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_skew_invariants(spark, counts):
+    rows = [
+        (k, f"fp_{k}_{i}", 10, 100)
+        for k, n in counts
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "part_key string, file_path string, record_count long, file_size_in_bytes long")
+    out = ops.partition_skew(df).collect()
+    per_key: dict[str, int] = {}
+    for k, n in counts:
+        per_key[k] = per_key.get(k, 0) + n
+    avg = sum(per_key.values()) / len(per_key)
+
+    def round_half_up(x: float) -> float:
+        # Spark's round() is HALF_UP (as is DuckDB's); Python's is banker's.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    assert len(out) == len(per_key)
+    for r in out:
+        assert r.file_count == per_key[r.part_key]
+        assert r.skewed == (r.file_count > 2 * avg)
+        assert abs(r.skew_ratio - round_half_up(r.file_count / avg)) < 1e-9
+    # at least one partition reaches the max ratio; ratios bounded by max/avg
+    assert max(r.skew_ratio for r in out) == round_half_up(max(per_key.values()) / avg)
+
+
+@given(v=st.integers(0, 2**50))
+@SET
+def test_format_bytes_matches_python(spark, v):
+    def py_format(n: float) -> str:
+        for unit, base in (("B", 1), ("KB", 1024), ("MB", 1024**2), ("GB", 1024**3), ("TB", 1024**4)):
+            if n < base * 1024 or unit == "TB":
+                scaled = (n * 10) // base  # integer one-decimal, like the kernel
+                return f"{scaled // 10}.{scaled % 10} {unit}"
+        raise AssertionError
+    df = spark.createDataFrame([(v,)], "v long")
+    got = df.select(display.format_bytes(F.col("v")).alias("s")).collect()[0].s
+    assert got == py_format(v)
+
+
+@given(
+    old=st.sets(st.integers(0, 30), max_size=15),
+    new=st.sets(st.integers(0, 30), max_size=15),
+)
+@SET
+def test_diff_partitions_path_sets(spark, old, new):
+    mk = lambda ids: [(f"p{i}", 5, 50) for i in sorted(ids)]
+    schema = "file_path string, record_count long, file_size_in_bytes long"
+    df_old = spark.createDataFrame(mk(old), schema) if old else spark.createDataFrame([], schema)
+    df_new = spark.createDataFrame(mk(new), schema) if new else spark.createDataFrame([], schema)
+    rows = ops.snapshot_diff(df_old, df_new).collect()
+    added = {r.file_path for r in rows if r.change == "added"}
+    deleted = {r.file_path for r in rows if r.change == "deleted"}
+    assert added == {f"p{i}" for i in new - old}
+    assert deleted == {f"p{i}" for i in old - new}
+    assert not (added & deleted)
