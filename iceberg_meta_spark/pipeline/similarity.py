@@ -108,6 +108,38 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 3, planes: 
     )
 
 
+def embedding_near_dups(emb: DataFrame, planes: int = 4, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
+    threshold, candidates restricted to the same sign-plane LSH bucket.
+
+    The dedup variant of ANN: a bucket-local self-join (equi-join on the
+    bucket key, a.vec_id < b.vec_id) instead of an all-pairs product —
+    at 10⁹ vectors the bucket count grows with the plane count so each
+    bucket's quadratic term stays bounded. High-cosine pairs land in the
+    same bucket with high probability (sign agreement on every plane).
+    """
+    base = with_self_norm(emb).withColumn("bucket", sign_bucket(F.col("embedding"), planes))
+    a = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm_s").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm_s").alias("norm_b"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine(scaled_dot(F.col("emb_a"), F.col("emb_b")), F.col("norm_a"), F.col("norm_b"))
+    return (
+        pairs.select("bucket", "vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("bucket", "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def nearest_in_label(emb: DataFrame, sample_mod: int = 10) -> DataFrame:
     """Embedding near-dup detection blocked by label: nearest neighbor
     within the same label for a deterministic sample of vectors."""

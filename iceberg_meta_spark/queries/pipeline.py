@@ -195,6 +195,33 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, embedding, {_NORM_SUBQ} AS norm_s,
+                             {_BUCKET_SQL} AS bucket
+                      FROM embeddings),
+        pairs AS (SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         (SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                          FROM (SELECT unnest(a.embedding) AS xa, unnest(b.embedding) AS xb) z) AS dot_s,
+                         a.norm_s AS norm_a, b.norm_s AS norm_b
+                  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        scored AS (SELECT bucket, vec_a, vec_b,
+                          CAST(dot_s AS DOUBLE) / (sqrt(CAST(norm_a AS DOUBLE)) * sqrt(CAST(norm_b AS DOUBLE))) AS cos
+                   FROM pairs)
+        SELECT bucket, vec_a, vec_b, round(cos, 6) AS cos_sim
+        FROM scored WHERE cos >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs: sign-bucket LSH self-join, "
+    "cosine >= 0.3 (threshold fits the synthetic corpus, whose max "
+    "pairwise cosine is ~0.51; the dedup variant of ANN, never all-pairs)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), planes=4, threshold=0.3
+    )
+
+
+@register(
     "embedding_nearest_in_label",
     oracle=f"""
         WITH base AS (SELECT vec_id, label, embedding, {_NORM_SUBQ} AS norm_s FROM embeddings),

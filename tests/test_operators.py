@@ -278,3 +278,28 @@ def test_empty_table_all_zero_health_report(spark):
     rows = health_report_df(files, stats, mans, ranges).collect()
     assert len(rows) == 8
     assert all(r.value == 0.0 for r in rows), rows
+
+
+def test_salted_join_matches_plain_join(spark):
+    from iceberg_meta_spark.operators.skew import salted_join
+
+    # heavy-tailed key histogram: 'hot' carries 500 of 510 rows
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(10)],
+        "key string, v long",
+    )
+    small = spark.createDataFrame([("hot", 1), ("k3", 2), ("missing", 9)], "key string, w long")
+    got = salted_join(big, small, "key", n_salts=4).groupBy("key").count().collect()
+    expect = big.join(small, "key").groupBy("key").count().collect()
+    assert {(r.key, r["count"]) for r in got} == {(r.key, r["count"]) for r in expect}
+    # left join keeps unmatched big rows exactly once
+    left = salted_join(big, small, "key", n_salts=4, how="left")
+    assert left.count() == big.count()
+
+
+def test_salted_count_matches_groupby(spark):
+    from iceberg_meta_spark.operators.skew import salted_count
+
+    df = spark.createDataFrame([("a",)] * 97 + [("b",)] * 3, "key string")
+    got = {r.key: r.n for r in salted_count(df, "key", n_salts=5).collect()}
+    assert got == {"a": 97, "b": 3}
