@@ -45,11 +45,16 @@ def main() -> None:
     for spec in bench.values():
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed runs per query, report the min: the box shows ±40% run-to-run
+    # noise (GC, neighbors); min-of-2 approximates the steady-state number a
+    # quiet machine would give without inflating the cost of the harness.
     times: dict[str, float] = {}
-    for name, spec in bench.items():
-        t0 = time.time()
-        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name, spec in bench.items():
+            t0 = time.time()
+            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -223,3 +223,106 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-30'
+          AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-30'
+        GROUP BY l.l_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS STRING)
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, segment + date-range filters pushed to "
+    "the scans, integer-cents revenue, top-10 (TakeOrderedAndProject)",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-06-30").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1996-06-30").cast("date")
+    )
+    rev_cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"))
+        .agg(F.round(rev_cents.cast("double") / 100, 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+        SELECT n.n_name,
+               round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join (region/nation/supplier broadcast), "
+    "local-supplier co-nation predicate, per-nation revenue",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev_cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(rev_cents.cast("double") / 100, 2).alias("revenue"))
+    )
+
+
+@register(
+    "returns_by_priority",
+    oracle="""
+        SELECT l.l_returnflag, o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag, o.o_orderpriority
+    """,
+    doc="TPC-H Q12 shape: fact-fact equi-join + two-dimensional aggregate",
+)
+def returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("total_qty"),
+        )
+    )

@@ -303,3 +303,39 @@ def test_salted_count_matches_groupby(spark):
     df = spark.createDataFrame([("a",)] * 97 + [("b",)] * 3, "key string")
     got = {r.key: r.n for r in salted_count(df, "key", n_salts=5).collect()}
     assert got == {"a": 97, "b": 3}
+
+
+def test_decode_bound_bytes_spec_roundtrip():
+    import struct
+
+    from iceberg_meta_spark.functions.bounds import decode_bound_bytes
+
+    # Iceberg single-value serialization: little-endian numerics, UTF-8 strings
+    assert decode_bound_bytes(struct.pack("<i", -7), "int") == -7
+    assert decode_bound_bytes(struct.pack("<q", 2**40), "long") == 2**40
+    assert abs(decode_bound_bytes(struct.pack("<f", 1.5), "float") - 1.5) < 1e-7
+    assert decode_bound_bytes(struct.pack("<d", -2.25), "double") == -2.25
+    assert decode_bound_bytes(b"\x01", "boolean") is True
+    assert decode_bound_bytes("café".encode(), "string") == "café"
+    assert decode_bound_bytes(struct.pack("<i", 19000), "date") == 19000
+    assert decode_bound_bytes(None, "long") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported bound type"):
+        decode_bound_bytes(b"\x00", "struct<int>")
+
+
+def test_decode_bound_column(spark):
+    import struct
+
+    from iceberg_meta_spark.functions.bounds import decode_bound
+
+    rows = [(1, struct.pack("<q", 100)), (2, struct.pack("<q", -5)), (3, None)]
+    df = spark.createDataFrame(rows, "field_id int, lower binary")
+    out = {r.field_id: r.lo for r in df.select("field_id", decode_bound(F.col("lower"), "long").alias("lo")).collect()}
+    assert out == {1: 100, 2: -5, 3: None}
+    # min/max over decoded bounds — the A7 shape on raw bytes
+    agg = df.select(decode_bound(F.col("lower"), "long").alias("lo")).agg(
+        F.min("lo").alias("mn"), F.max("lo").alias("mx")
+    ).collect()[0]
+    assert (agg.mn, agg.mx) == (-5, 100)

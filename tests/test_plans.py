@@ -132,3 +132,17 @@ def test_headline_queries_no_cartesian(spark, name):
     q = load_all()[name]
     p = plan(q.spark_fn(spark, SF))
     assert "CartesianProduct" not in p, p
+
+
+def test_shipping_priority_filters_pushed(spark):
+    p = plan(load_all()["shipping_priority"].spark_fn(spark, SF))
+    pushed = [line for line in p.splitlines() if "PushedFilters" in line and "EqualTo" in line]
+    # the segment equality must reach the customer parquet scan
+    assert any("c_mktsegment" in line for line in pushed), p
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    p = plan(load_all()["local_supplier_volume"].spark_fn(spark, SF))
+    # supplier, nation, region all broadcast: no dim shuffles
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
