@@ -140,6 +140,81 @@ def embedding_near_dups(emb: DataFrame, planes: int = 4, threshold: float = 0.9)
     )
 
 
+def ivf_probe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 31,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to centroid cells, probe the query's
+    ``nprobe`` nearest cells, rank only those cells' vectors.
+
+    The inverted-file counterpart to :func:`lsh_bucketed_topk` (data-dependent
+    cells instead of data-independent hyperplanes). Centroids here are a
+    deterministic sample (``vec_id % centroid_mod == 1``) — the coarse
+    quantizer a k-means pass would refine; assignment/probe plumbing is
+    identical either way, and determinism keeps the DuckDB oracle exact.
+
+    Scale posture (10⁹ vectors): the centroid table is K ≈ sqrt(N) rows and
+    BROADCAST, so cell assignment is a map-side broadcast product followed by
+    a partial-aggregated argmax — the shuffle carries ONE row per vector, not
+    N×K. Probing is an equi-join on the cell id, touching ~nprobe/K of the
+    data per query; the final ranking window partitions by query_id (small).
+    """
+    base = with_self_norm(emb)
+    cent = base.filter(F.col("vec_id") % centroid_mod == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_s").alias("c_norm"),
+    )
+    cos_c = cosine(scaled_dot(F.col("embedding"), F.col("c_emb")), F.col("norm_s"), F.col("c_norm"))
+    acs = (
+        base.select("vec_id", "embedding", "norm_s")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id", cos_c.alias("cos"))
+    )
+    # argmax via max(struct): (cos DESC, cent_id ASC) tie-break, map-side
+    # combinable — unlike a row_number window, which would shuffle N*K rows.
+    assign = (
+        acs.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
+        .select("vec_id", (-F.col("m.neg_cent")).cast("long").alias("cell"))
+    )
+    probes = (
+        acs.filter(F.col("vec_id").isin(query_ids))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").cast("long").alias("cell"))
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_s").alias("q_norm"),
+    )
+    cand = assign.join(base, "vec_id").join(
+        F.broadcast(probes.join(q, "query_id")),
+        on="cell",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = cosine(scaled_dot(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_s"))
+    ranked = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim")
+    )
+
+
 def nearest_in_label(emb: DataFrame, sample_mod: int = 10) -> DataFrame:
     """Embedding near-dup detection blocked by label: nearest neighbor
     within the same label for a deterministic sample of vectors."""

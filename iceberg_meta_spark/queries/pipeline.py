@@ -194,6 +194,55 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENT_DOT_SUBQ = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM (SELECT unnest(b.embedding) AS xa, unnest(c.c_emb) AS xb) z)"""
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, embedding, {_NORM_SUBQ} AS norm_s FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, norm_s AS c_norm
+                 FROM base WHERE vec_id % 31 = 1),
+        acs AS (SELECT b.vec_id, c.cent_id,
+                       CAST({_CENT_DOT_SUBQ} AS DOUBLE)
+                         / (sqrt(CAST(b.norm_s AS DOUBLE)) * sqrt(CAST(c.c_norm AS DOUBLE))) AS cos
+                FROM base b, cent c),
+        assign AS (SELECT vec_id, CAST(cent_id AS BIGINT) AS cell
+                   FROM (SELECT vec_id, cent_id,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                         FROM acs) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, CAST(cent_id AS BIGINT) AS cell
+                   FROM (SELECT vec_id, cent_id,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                         FROM acs WHERE vec_id IN (5, 23)) WHERE rn <= 2),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm_s AS q_norm
+              FROM base WHERE vec_id IN (5, 23)),
+        cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, {_DOT_SUBQ} AS dot_s,
+                        q.q_norm, b.norm_s
+                 FROM probes p
+                 JOIN assign a ON a.cell = p.cell
+                 JOIN base b ON b.vec_id = a.vec_id
+                 JOIN q ON q.query_id = p.query_id
+                 WHERE a.vec_id <> p.query_id),
+        scored AS (SELECT query_id, neighbor_id,
+                          CAST(dot_s AS DOUBLE) / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) AS cos
+                   FROM cand),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF-style ANN: deterministic centroid sample (broadcast), map-side "
+    "argmax cell assignment, nprobe=2 cell probe via equi-join — the "
+    "data-dependent counterpart to the LSH scale path",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_probe_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[5, 23], k=5, centroid_mod=31, nprobe=2
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

@@ -305,6 +305,27 @@ def test_salted_count_matches_groupby(spark):
     assert got == {"a": 97, "b": 3}
 
 
+def test_ivf_probe_finds_in_cluster_neighbors(spark):
+    from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
+
+    # two clean clusters; centroid_mod=4 makes ids 1 and 5 the centroids
+    rows = [
+        (1, [1.0, 0.1], 0), (2, [0.9, 0.05], 0), (3, [1.1, -0.05], 0), (4, [0.95, 0.0], 0),
+        (5, [0.1, 1.0], 1), (6, [0.05, 0.9], 1), (7, [-0.05, 1.1], 1), (8, [0.0, 0.95], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ivf_probe_topk(df, query_ids=[2, 6], k=2, centroid_mod=4, nprobe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {2, 6}
+    for qid, cluster in ((2, {1, 3, 4}), (6, {5, 7, 8})):
+        got = by_q[qid]
+        assert [r.rank for r in got] == [1, 2]
+        assert {r.neighbor_id for r in got} <= cluster
+        assert all(r.cos_sim > 0.9 for r in got)
+
+
 def test_decode_bound_bytes_spec_roundtrip():
     import struct
 

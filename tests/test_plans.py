@@ -141,6 +141,15 @@ def test_shipping_priority_filters_pushed(spark):
     assert any("c_mktsegment" in line for line in pushed), p
 
 
+def test_ivf_probe_plan_shape(spark):
+    p = plan(load_all()["ann_ivf_probe"].spark_fn(spark, SF))
+    # centroid table + probe set broadcast; cell assignment is a map-side
+    # partial-aggregated argmax, never an N*K row_number shuffle
+    assert "CartesianProduct" not in p, p
+    assert p.count("Broadcast") >= 2, p
+    assert "partial_max" in p, p
+
+
 def test_local_supplier_volume_broadcasts_dims(spark):
     p = plan(load_all()["local_supplier_volume"].spark_fn(spark, SF))
     # supplier, nation, region all broadcast: no dim shuffles
