@@ -66,10 +66,13 @@ def test_column_health_broadcasts_schema_dim(spark):
     assert "BroadcastHashJoin" in p, p
 
 
-def test_snapshot_diff_is_hash_anti_join(spark):
+def test_snapshot_diff_is_single_full_outer_join(spark):
     mf = derive(spark, SF, "meta_files")
     p = plan(ops.snapshot_diff(mf.filter("snapshot_id = 1"), mf.filter("snapshot_id = 2")))
-    assert "LeftAnti" in p, p
+    # both diff directions from ONE hash join: each side scanned/shuffled
+    # once, not twice as in the two-anti-join formulation
+    assert "FullOuter" in p, p
+    assert "LeftAnti" not in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
