@@ -104,34 +104,33 @@ def minhash_lsh_pairs(
             for b in range(n_bands_total)
         ]
     )
-    bands = wide.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .filter(F.col("n_bands") >= min_bands)
+    bands = wide.select("doc_id", "sig", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_key"
     )
-    sa = wide.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = wide.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_key"
+    )
+    # signatures ride along through the band join (~35 bytes/hash/row) so the
+    # Jaccard estimate needs NO back-join — the two joins the naive plan pays
+    # to re-attach sigs to candidates dominate at 10⁹ docs.
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("m", matches)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"), F.first("m").alias("m"))
+        .filter(F.col("n_bands") >= min_bands)
         .select(
             "doc_a",
             "doc_b",
             "n_bands",
-            F.round(matches.cast("double") / F.lit(num_hashes), 4).alias("est_jaccard"),
+            F.round(F.col("m").cast("double") / F.lit(num_hashes), 4).alias("est_jaccard"),
         )
     )
 
