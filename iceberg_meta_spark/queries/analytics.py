@@ -305,6 +305,60 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_with_returns",
+    oracle="""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI hash join (each "
+    "order counted once regardless of matching lineitem count), priority agg",
+)
+def priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+        GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: churned customers — NOT EXISTS as a LEFT ANTI hash "
+    "join (the J1 set-difference pattern on the data side); the date filter "
+    "pushes to the orders scan before the join",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
     "returns_by_priority",
     oracle="""
         SELECT l.l_returnflag, o.o_orderpriority,

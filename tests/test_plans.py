@@ -153,6 +153,15 @@ def test_ivf_probe_plan_shape(spark):
     assert "partial_max" in p, p
 
 
+def test_semi_and_anti_join_shapes(spark):
+    p = plan(load_all()["priority_with_returns"].spark_fn(spark, SF))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    p = plan(load_all()["customers_without_orders"].spark_fn(spark, SF))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_local_supplier_volume_broadcasts_dims(spark):
     p = plan(load_all()["local_supplier_volume"].spark_fn(spark, SF))
     # supplier, nation, region all broadcast: no dim shuffles
