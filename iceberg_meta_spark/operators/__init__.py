@@ -5,6 +5,7 @@ Each kernel re-expresses one operator from the reference inventory
 physical strategy. Scale posture documented per kernel.
 """
 
+from iceberg_meta_spark.operators.asof import asof_join
 from iceberg_meta_spark.operators.file_health import file_size_stats, manifest_counts, summary_totals
 from iceberg_meta_spark.operators.partitions import partition_distribution, partition_skew
 from iceberg_meta_spark.operators.diff import snapshot_diff, snapshot_diff_summary
