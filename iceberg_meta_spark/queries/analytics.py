@@ -380,3 +380,126 @@ def returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("total_qty"),
         )
     )
+
+
+@register(
+    "purchase_click_attribution",
+    oracle="""
+        WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+                    FROM events)
+        SELECT p.event_id, p.user_id, p.ts_us,
+               CAST(floor(p.value * 100) AS BIGINT) AS value_cents,
+               (SELECT c.event_id FROM ev c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts_us <= p.ts_us
+                ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS click_event_id,
+               (SELECT c.ts_us FROM ev c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts_us <= p.ts_us
+                ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS click_ts_us,
+               (SELECT p.ts_us - c.ts_us FROM ev c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts_us <= p.ts_us
+                ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS gap_us
+        FROM ev p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join (attribution): each purchase + the user's latest click "
+    "at-or-before it — union + forward-fill window, ONE shuffle on user_id, "
+    "no join operator (operators/asof.py; the reference has no as-of join; "
+    "ties break on max event_id)",
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts_us", right_cols=["event_id"],
+        tiebreak="event_id", prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value_cents",
+        F.col("click_event_id"),
+        F.col("click_ts_us"),
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_hourly_pivot",
+    oracle="""
+        WITH ev AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day, event_type
+                    FROM events)
+        SELECT hour_of_day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM ev GROUP BY hour_of_day
+    """,
+    doc="Pivot (wide conditional aggregation): hour-of-day x event_type "
+    "counts via groupBy().pivot(values=...) — explicit value list keeps the "
+    "plan a single pass (no distinct-collect pre-query) at any scale",
+)
+def events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        ((F.expr("ts DIV 1000") / F.lit(HOUR_US)).cast("long") % 24).alias("hour_of_day"),
+        "event_type",
+    )
+    out = ev.groupBy("hour_of_day").pivot("event_type", _EVENT_TYPES).count()
+    # pivot leaves NULL for empty cells; the conditional-sum semantics is 0
+    return out.select(
+        "hour_of_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "user_value_deciles",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events GROUP BY user_id),
+        tiled AS (
+            SELECT user_id, total_cents,
+                   ntile(10) OVER (ORDER BY total_cents, user_id) AS decile
+            FROM per_user)
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               min(total_cents) AS min_cents,
+               max(total_cents) AS max_cents
+        FROM tiled GROUP BY decile
+    """,
+    doc="Quantile bucketing: per-user totals -> ntile(10) ranking window -> "
+    "per-decile stats. The ntile runs over per-USER aggregates (orders of "
+    "magnitude smaller than events); (total, user_id) ordering is total, so "
+    "bucket assignment is deterministic in any engine",
+)
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    tiled = per_user.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("total_cents", "user_id"))
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("total_cents").alias("min_cents"),
+        F.max("total_cents").alias("max_cents"),
+    )

@@ -360,3 +360,37 @@ def test_decode_bound_column(spark):
         F.min("lo").alias("mn"), F.max("lo").alias("mx")
     ).collect()[0]
     assert (agg.mn, agg.mx) == (-5, 100)
+
+
+def test_asof_join_semantics(spark):
+    from iceberg_meta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3"), (3, 99, "p4")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        # k=1: two quotes before t=100, the later (t=80) must win; at t=50
+        # the equal-ts quote counts (at-or-before is inclusive)
+        [(1, 20, 7), (1, 80, 8), (1, 50, 9), (2, 11, 10)],
+        "k long, t long, rid long",
+    )
+    out = {
+        r.name: (r.r_t, r.r_rid)
+        for r in asof_join(left, right, key="k", ts="t", right_cols=["rid"], tiebreak="rid").collect()
+    }
+    assert out["p1"] == (80, 8)      # latest at-or-before 100
+    assert out["p2"] == (50, 9)      # equal-ts match is included
+    assert out["p3"] == (None, None) # right row at t=11 is AFTER t=10
+    assert out["p4"] == (None, None) # key has no right rows at all
+
+
+def test_asof_join_tiebreak_among_equal_ts(spark):
+    from iceberg_meta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 100, 5), (1, 100, 9), (1, 100, 2)], "k long, t long, rid long"
+    )
+    rows = asof_join(left, right, key="k", ts="t", right_cols=["rid"], tiebreak="rid").collect()
+    assert len(rows) == 1 and rows[0].r_rid == 9  # max tiebreak wins

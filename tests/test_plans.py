@@ -167,3 +167,13 @@ def test_local_supplier_volume_broadcasts_dims(spark):
     # supplier, nation, region all broadcast: no dim shuffles
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_asof_join_has_no_join_operator(spark):
+    # the as-of join compiles to union + ONE partitioned forward-fill
+    # window — no join, no cross product, one hash-partition exchange
+    q = load_all()["purchase_click_attribution"]
+    p = plan(q.spark_fn(spark, SF))
+    assert "Join" not in p, p
+    assert "Window" in p and "Union" in p, p
+    assert p.count("hashpartitioning") == 1, p
