@@ -1,0 +1,67 @@
+"""Deterministic sampling / data-mixing kernels for training-data pipelines.
+
+Sampling a 100 TB corpus must be (a) reproducible run-to-run and across
+engines, (b) map-side — a sample is a FILTER, never a shuffle. Both come
+from hashing the stable row key instead of calling a RNG: a row is in the
+sample iff the first two hex digits of ``md5(salt ':' key)`` sort below a
+threshold. Hex-string comparison is identical in every engine (lowercase
+hex both in Spark and DuckDB), giving 1/256 rate granularity with zero
+cross-engine drift — the same trick the dedup kernels use for MinHash.
+
+``stratified_sample`` generalizes to per-stratum rates (the data-mixing
+primitive: upsample rare languages, downsample crawl dumps) via a literal
+CASE on the stratum column — still a narrow transform, still no shuffle.
+
+``with_shuffle_key`` attaches a deterministic global shuffle key
+(``md5`` of the row key) — sorting by it is the reproducible
+training-order shuffle; the sort is the consumer's choice, not forced here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex2(n_256: int) -> str:
+    if not 0 <= n_256 <= 256:
+        raise ValueError(f"rate must be in [0, 256]/256ths, got {n_256}")
+    return format(n_256, "02x") if n_256 < 256 else "zz"  # 'zz' > any hex pair
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """First two hex digits of md5(salt ':' key): a uniform 1/256 bucket."""
+    return F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 2)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_256: int, salt: str = "sample") -> DataFrame:
+    """Uniform deterministic sample at rate_256/256 — a pure filter."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(_hex2(rate_256)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates_256: dict[str, int],
+    default_256: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the data-mixing primitive).
+
+    ``rates_256`` maps stratum value -> rate in 256ths; strata not listed
+    get ``default_256``. Compiles to one CASE expression over literals —
+    map-side, no shuffle, no RNG, reproducible on any engine and any
+    partitioning of the input.
+    """
+    thresh = F.lit(_hex2(default_256))
+    for value, n in rates_256.items():
+        thresh = F.when(F.col(stratum_col) == value, F.lit(_hex2(n))).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
+
+
+def with_shuffle_key(df: DataFrame, key_col: str, salt: str = "shuffle") -> DataFrame:
+    """Deterministic training-order shuffle key (sort by it to interleave)."""
+    return df.withColumn(
+        "shuffle_key", F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    )

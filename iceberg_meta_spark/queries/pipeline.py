@@ -448,3 +448,30 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(assets, every_n=4)
+
+
+@register(
+    "training_mix",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang, source, n_chars,
+                          substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 2) AS b
+                   FROM documents)
+        SELECT doc_id, lang, source, n_chars,
+               md5(concat('shuffle:', CAST(doc_id AS STRING))) AS shuffle_key
+        FROM t
+        WHERE b < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0' ELSE '40' END
+    """,
+    doc="Data mixing: per-language deterministic sampling (en 128/256, zh "
+    "192/256, rest 64/256) via md5 hex-prefix thresholds + reproducible "
+    "shuffle key — a pure map-side filter, no RNG, no shuffle, identical "
+    "sample on any engine/partitioning (pipeline/sampling.py)",
+)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    mixed = sampling.stratified_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        rates_256={"en": 128, "zh": 192}, default_256=64, salt="mix",
+    )
+    return sampling.with_shuffle_key(mixed, "doc_id")

@@ -394,3 +394,34 @@ def test_asof_join_tiebreak_among_equal_ts(spark):
     )
     rows = asof_join(left, right, key="k", ts="t", right_cols=["rid"], tiebreak="rid").collect()
     assert len(rows) == 1 and rows[0].r_rid == 9  # max tiebreak wins
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from iceberg_meta_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)], "doc_id long, lang string"
+    )
+    s1 = sampling.stratified_sample(df, "doc_id", "lang", {"en": 64, "zh": 192})
+    s2 = sampling.stratified_sample(df, "doc_id", "lang", {"en": 64, "zh": 192})
+    r1 = sorted(r.doc_id for r in s1.collect())
+    assert r1 == sorted(r.doc_id for r in s2.collect())  # reproducible
+    by_lang = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 1000 docs per stratum; expected 250 (en) and 750 (zh), binomial sd ~14
+    assert 175 <= by_lang["en"] <= 325, by_lang
+    assert 675 <= by_lang["zh"] <= 825, by_lang
+    # unlisted stratum falls back to default_256=0 -> excluded entirely
+    df2 = df.withColumn("lang", F.lit("de"))
+    assert sampling.stratified_sample(df2, "doc_id", "lang", {"en": 64}).count() == 0
+
+
+def test_hash_sample_rate_validation():
+    import pytest as _pytest
+
+    from iceberg_meta_spark.pipeline.sampling import _hex2
+
+    assert _hex2(256) == "zz"  # full-rate sentinel sorts above any hex pair
+    with _pytest.raises(ValueError):
+        _hex2(257)
+    with _pytest.raises(ValueError):
+        _hex2(-1)

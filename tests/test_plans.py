@@ -177,3 +177,11 @@ def test_asof_join_has_no_join_operator(spark):
     assert "Join" not in p, p
     assert "Window" in p and "Union" in p, p
     assert p.count("hashpartitioning") == 1, p
+
+
+def test_training_mix_is_pure_map_side(spark):
+    # sampling must be a FILTER: no exchange, no aggregate, no join — the
+    # plan that samples 100 TB without moving a byte between executors
+    p = plan(load_all()["training_mix"].spark_fn(spark, SF))
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "Aggregate" not in p, p
