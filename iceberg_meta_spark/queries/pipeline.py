@@ -475,3 +475,46 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates_256={"en": 128, "zh": 192}, default_256=64, salt="mix",
     )
     return sampling.with_shuffle_key(mixed, "doc_id")
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+        WITH f AS (SELECT doc_id, lang, source, text,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS BIGINT) AS sw
+                   FROM documents),
+        q AS (SELECT doc_id, lang, source, text,
+                     CASE WHEN n_tokens >= 20 AND n_tokens <= 400
+                               AND (CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                                         ELSE round(CAST(sw AS DOUBLE) / n_tokens, 4) END) >= 0.05
+                          THEN 'good'
+                          WHEN n_tokens >= 10 THEN 'ok'
+                          ELSE 'low' END AS quality
+              FROM f),
+        keyed AS (SELECT doc_id, lang, source, quality,
+                         md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS dup_key
+                  FROM q WHERE quality <> 'low'),
+        deduped AS (SELECT doc_id, lang, source, quality FROM (
+                        SELECT *, min(doc_id) OVER (PARTITION BY dup_key) AS keeper
+                        FROM keyed)
+                    WHERE doc_id = keeper)
+        SELECT doc_id, lang, source, quality
+        FROM deduped
+        WHERE substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 2)
+              < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN 'c0' ELSE '40' END
+    """,
+    tags=("bench",),
+    doc="End-to-end corpus curation: quality filter -> exact-dedup keep-min "
+    "(one partitioned window, no self-join) -> per-lang stratified mix "
+    "(map-side filter) — the composed production pipeline shape "
+    "(pipeline/curation.py)",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import curation
+
+    return curation.curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        rates_256={"en": 128, "zh": 192}, default_256=64,
+    )

@@ -425,3 +425,22 @@ def test_hash_sample_rate_validation():
         _hex2(257)
     with _pytest.raises(ValueError):
         _hex2(-1)
+
+
+def test_curate_corpus_stages(spark):
+    from iceberg_meta_spark.pipeline.curation import curate_corpus
+
+    good = "the cat and the dog of a house and to the " * 4  # 40 tokens, stopword-rich
+    rows = [
+        (1, good, "en", "s0"),            # keeper of its dup group
+        (2, good, "en", "s0"),            # exact dup of 1 -> dropped
+        (3, "tiny doc", "en", "s0"),      # low quality -> dropped
+        (4, "unique tail here " + good, "zh", "s1"),  # distinct 3-token prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    # rate 256/256 everywhere isolates the quality+dedup stages from sampling
+    out = {r.doc_id: r for r in curate_corpus(df, rates_256={}, default_256=256).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].quality == "good" and out[1].lang == "en"
+    # rate 0 drops everything
+    assert curate_corpus(df, rates_256={}, default_256=0).count() == 0
