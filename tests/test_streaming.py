@@ -176,3 +176,46 @@ def test_stateful_running_counts(spark):
         assert sanity == 0
     finally:
         q.stop()
+
+
+def test_streaming_attribution_join(spark):
+    # two streams off one rate source: even values are clicks, odd are
+    # purchases, same user pool -> time-bounded inner join must emit matches
+    from iceberg_meta_spark.streaming.joins import streaming_attribution_join
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    clicks = rate.filter(F.col("value") % 2 == 0).select(
+        (F.col("value") % 5).alias("user_id"),
+        F.col("timestamp").alias("event_time"),
+        F.col("value").alias("click_id"),
+    )
+    purchases = rate.filter(F.col("value") % 2 == 1).select(
+        (F.col("value") % 5).alias("user_id"),
+        F.col("timestamp").alias("event_time"),
+        F.col("value").alias("purchase_id"),
+    )
+    out = streaming_attribution_join(
+        purchases, clicks, watermark="2 seconds", max_gap="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attribution_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM attribution_test WHERE click_time <= purchase_time"
+            ).collect()
+        n_bad = spark.sql(
+            "SELECT count(*) AS n FROM attribution_test WHERE click_time > purchase_time"
+        ).collect()[0].n
+    finally:
+        q.stop()
+    assert rows, "no joined rows within deadline"
+    assert n_bad == 0  # interval bound respected
+    assert all(r.user_id == r.user_id for r in rows)
