@@ -503,3 +503,24 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total_cents").alias("min_cents"),
         F.max("total_cents").alias("max_cents"),
     )
+
+
+@register(
+    "event_user_reach",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    doc="Reach: exact distinct-count per event type (two-phase distinct "
+    "aggregate). The >10^9-key scale path is approx_count_distinct — the "
+    "HLL++ sketch, constant memory, mergeable across partitions — "
+    "unit-tested for error tolerance (test_hll_sketch_tolerance)",
+)
+def event_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -444,3 +444,16 @@ def test_curate_corpus_stages(spark):
     assert out[1].quality == "good" and out[1].lang == "en"
     # rate 0 drops everything
     assert curate_corpus(df, rates_256={}, default_256=0).count() == 0
+
+
+def test_hll_sketch_tolerance(spark):
+    # approx_count_distinct is the constant-memory scale path for reach
+    # queries: HLL++ sketches merge across partitions without shuffling
+    # raw keys. Pin its error on a known cardinality.
+    df = spark.range(0, 20000).select((F.col("id") % 7919).alias("u"))
+    exact, approx = df.agg(
+        F.countDistinct("u").alias("e"),
+        F.approx_count_distinct("u", rsd=0.02).alias("a"),
+    ).collect()[0]
+    assert exact == 7919
+    assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd

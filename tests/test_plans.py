@@ -185,3 +185,26 @@ def test_training_mix_is_pure_map_side(spark):
     p = plan(load_all()["training_mix"].spark_fn(spark, SF))
     assert "Exchange" not in p, p
     assert "Join" not in p and "Aggregate" not in p, p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # both sides bucketed by the join key into the same bucket count:
+    # the equi-join must compile with ZERO Exchange — the write-time
+    # shuffle is amortized across every future join
+    from iceberg_meta_spark.sources.bucketed import write_bucketed
+
+    o = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v1"))
+    l = spark.range(0, 5000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v2"))
+    write_bucketed(o, "t_bucket_o", "k", 8, path=str(tmp_path / "bo"))
+    write_bucketed(l, "t_bucket_l", "k", 8, path=str(tmp_path / "bl"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = spark.table("t_bucket_o").join(spark.table("t_bucket_l"), "k")
+        p = plan(j)
+        assert "Exchange" not in p, p
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_o")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_l")
