@@ -6,7 +6,12 @@ physical strategy. Scale posture documented per kernel.
 """
 
 from iceberg_meta_spark.operators.asof import asof_join
-from iceberg_meta_spark.operators.file_health import file_size_stats, manifest_counts, summary_totals
+from iceberg_meta_spark.operators.file_health import (
+    file_size_stats,
+    file_size_stats_approx,
+    manifest_counts,
+    summary_totals,
+)
 from iceberg_meta_spark.operators.partitions import partition_distribution, partition_skew
 from iceberg_meta_spark.operators.diff import snapshot_diff, snapshot_diff_summary
 from iceberg_meta_spark.operators.column_stats import column_health, column_health_named

@@ -39,6 +39,35 @@ def file_size_stats(files: DataFrame, threshold: int = SMALL_FILE_THRESHOLD) -> 
     )
 
 
+def file_size_stats_approx(
+    files: DataFrame, threshold: int = SMALL_FILE_THRESHOLD, accuracy: int = 10000
+) -> DataFrame:
+    """A1 at >10⁸ files: exact aggregates + APPROX median.
+
+    Exact ``median`` buffers every value into one ObjectHashAggregate sort
+    buffer (~2 s / 600k values locally, unbounded memory growth with file
+    count) — the engine's one documented scale cliff. This variant swaps in
+    ``percentile_approx`` (mergeable quantile sketch: constant memory per
+    partition, map-side combinable, error ≤ 1/accuracy of rank), keeping
+    every other column bit-identical with :func:`file_size_stats`.
+    """
+    size = F.col("file_size_in_bytes")
+    small = F.coalesce(F.sum(F.when(size < F.lit(threshold), 1).otherwise(0)).cast("long"), F.lit(0))
+    n = F.count(F.lit(1))
+    return files.agg(
+        n.alias("file_count"),
+        F.coalesce(F.sum(size), F.lit(0)).alias("total_size"),
+        F.coalesce(F.min(size), F.lit(0)).alias("min_size"),
+        F.coalesce(F.max(size), F.lit(0)).alias("max_size"),
+        F.when(n == 0, F.lit(0.0)).otherwise(F.sum(size).cast("double") / n).alias("avg_size"),
+        F.coalesce(
+            F.percentile_approx(size, 0.5, accuracy).cast("double"), F.lit(0.0)
+        ).alias("median_size"),
+        small.alias("small_files"),
+        F.when(n == 0, F.lit(0.0)).otherwise(F.round(F.lit(100.0) * small / n, 4)).alias("small_pct"),
+    )
+
+
 def summary_totals(files: DataFrame) -> DataFrame:
     """A8: dashboard totals — file count, total bytes, total rows, partitions."""
     return files.agg(

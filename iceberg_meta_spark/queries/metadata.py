@@ -58,6 +58,21 @@ def meta_file_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meta_file_health_approx",
+    # No oracle: percentile_approx's sketch is engine-specific, so the
+    # driver records the weaker rows-only check — the exact twin
+    # (meta_file_health) carries the value-hash gate, and
+    # test_file_health_approx_matches_exact pins the two together.
+    tags=("bench",),
+    doc="A1 at >10^8 files: exact aggregates + percentile_approx median "
+    "(mergeable sketch, constant memory) — the scale path for the exact-"
+    "median ObjectHashAggregate cliff documented in PLANS.md",
+)
+def meta_file_health_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.file_size_stats_approx(derive(spark, sf_dir, "meta_files"))
+
+
+@register(
     "meta_summary_totals",
     oracle=oracle_query(
         """

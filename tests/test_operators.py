@@ -457,3 +457,18 @@ def test_hll_sketch_tolerance(spark):
     ).collect()[0]
     assert exact == 7919
     assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
+
+
+def test_file_health_approx_matches_exact(spark):
+    # approx variant: every exact column identical, median within sketch
+    # error (exact at accuracy=10000 on small inputs)
+    files = _files(spark, [_file(1, f"f{i}", size=(i + 1) * MB) for i in range(101)])
+    exact = ops.file_size_stats(files).collect()[0]
+    approx = ops.file_size_stats_approx(files).collect()[0]
+    for c in ("file_count", "total_size", "min_size", "max_size", "avg_size",
+              "small_files", "small_pct"):
+        assert getattr(approx, c) == getattr(exact, c), c
+    assert abs(approx.median_size - exact.median_size) / exact.median_size < 0.01
+    # empty input keeps the all-zero contract
+    empty = ops.file_size_stats_approx(_files(spark, [])).collect()[0]
+    assert (empty.file_count, empty.median_size) == (0, 0.0)

@@ -21,10 +21,20 @@ def duck():
     con.close()
 
 
+# Only genuinely non-portable ops may omit the oracle (the driver records
+# their weaker rows-only check). Each entry must name its exact-twin gate.
+ROWS_ONLY = {
+    # percentile_approx sketch values are engine-specific; exact twin
+    # meta_file_health is oracle-gated and test_file_health_approx_matches_exact
+    # pins the two together.
+    "meta_file_health_approx",
+}
+
+
 def test_every_query_has_an_oracle_or_is_documented():
-    missing = set(_QUERIES) - set(_ORACLES)
-    # Only genuinely non-SQL-expressible ops may omit the oracle.
+    missing = set(_QUERIES) - set(_ORACLES) - ROWS_ONLY
     assert missing == set(), f"queries without oracle: {missing}"
+    assert ROWS_ONLY <= set(_QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
