@@ -524,3 +524,82 @@ def event_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("distinct_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_cents
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: quarterly per-supplier revenue, winner(s) by "
+    "scalar-max — decorrelated to a 1-row aggregate broadcast back (the "
+    "partition_skew pattern), never a global window over all suppliers",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    rev = (
+        li.filter((d >= F.lit("1996-01-01").cast("date")) & (d < F.lit("1996-04-01").cast("date")))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("total_cents")
+        )
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_cents == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@register(
+    "large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 250)
+        SELECT c.c_name, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+               b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape: HAVING group-filter on the fact aggregate (the "
+    "IN-subquery decorrelated to agg->filter->join), then order/customer "
+    "enrichment joins",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "total_qty",
+        )
+    )

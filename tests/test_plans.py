@@ -208,3 +208,12 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_o")
         spark.sql("DROP TABLE IF EXISTS t_bucket_l")
+
+
+def test_q15_q18_shapes(spark):
+    p = plan(load_all()["top_supplier_revenue"].spark_fn(spark, SF))
+    # scalar max = 1-row aggregate broadcast back, never a global window
+    assert "Window" not in p, p
+    assert "Broadcast" in p, p
+    p = plan(load_all()["large_orders"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in p, p
