@@ -219,3 +219,34 @@ def test_streaming_attribution_join(spark):
     assert rows, "no joined rows within deadline"
     assert n_bad == 0  # interval bound respected
     assert all(r.user_id == r.user_id for r in rows)
+
+
+def test_streaming_exact_dedup(spark):
+    # rate source emitting a small cycle of texts: re-deliveries inside the
+    # watermark window must be dropped, so distinct texts cap the output
+    from iceberg_meta_spark.streaming.dedup import streaming_exact_dedup
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    docs = rate.select(
+        F.col("timestamp").alias("event_time"),
+        F.concat(F.lit("doc text number "), (F.col("value") % 7).cast("string")).alias("text"),
+    )
+    out = streaming_exact_dedup(docs, prefix_tokens=4, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        n = 0
+        while time.time() < deadline and n == 0:
+            time.sleep(1)
+            n = spark.sql("SELECT count(*) AS n FROM dedup_stream_test").collect()[0].n
+        texts = spark.sql("SELECT text, count(*) AS c FROM dedup_stream_test GROUP BY text").collect()
+    finally:
+        q.stop()
+    assert n > 0, "stream produced nothing"
+    assert len(texts) <= 7                      # only the distinct cycle
+    assert all(r.c == 1 for r in texts)         # each emitted exactly once
