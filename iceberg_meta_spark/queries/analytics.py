@@ -603,3 +603,42 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+        SELECT round(
+                 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE),
+                 4) AS promo_pct,
+               CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1997-02-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — part dim broadcast into the "
+    "date-pruned fact scan, conditional/total sums in ONE aggregate pass "
+    "(no second scan for the denominator)",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    li = li.filter((d >= F.lit("1997-01-01").cast("date")) & (d < F.lit("1997-02-01").cast("date")))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0))
+    total = F.sum(cents)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 4).alias("promo_pct"),
+            promo.alias("promo_cents"),
+            total.alias("total_cents"),
+        )
+    )
