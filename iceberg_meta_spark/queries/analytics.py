@@ -642,3 +642,37 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.alias("total_cents"),
         )
     )
+
+
+@register(
+    "brand_quantity_revenue",
+    oracle="""
+        SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 5 AND 20 AND p.p_size <= 10)
+           OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40 AND p.p_size <= 25)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brand/quantity/size "
+    "predicates over the fact-dim join — Catalyst extracts the common "
+    "sub-predicates for pushdown and keeps the OR as a post-join filter",
+)
+def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#1") & q.between(5, 20) & (F.col("p_size") <= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & q.between(20, 40) & (F.col("p_size") <= 25)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
