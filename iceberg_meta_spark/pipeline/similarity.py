@@ -67,23 +67,61 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
     )
 
 
-def sign_bucket(arr: Column, planes: int = 4) -> Column:
-    """LSH bucket id from the sign bits of the first ``planes`` components
-    (stand-in for random-hyperplane signs; deterministic & engine-portable)."""
+def hyperplane_signs(planes: int, dims: int) -> list[list[int]]:
+    """Deterministic md5-seeded ±1 random-hyperplane matrix.
+
+    Sign(p, d) = +1 iff the first hex nibble of md5("hyperplane:p:d") < 8 —
+    an unbiased coin that any engine/runtime reproduces.  The matrix is
+    computed driver-side and baked into the plan (and the DuckDB oracle SQL)
+    as literals, so both engines see the identical projection.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"hyperplane:{p}:{d}".encode()).hexdigest()[0], 16) < 8 else -1
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+#: Integer scale for hyperplane projections: sign(Σ ±floor(x·1e6)) is an
+#: exact-integer comparison, immune to float summation order.
+PROJ_SCALE = 1e6
+
+
+def sign_bucket(arr: Column, planes: int = 4, dims: int = 64) -> Column:
+    """LSH bucket id from random-hyperplane sign bits.
+
+    Each plane is a dense ±1 hyperplane over ALL ``dims`` components (real
+    embedding dims are correlated, so first-k-component signs would skew the
+    buckets); the projection Σ_d sign(p,d)·floor(x_d·1e6) is an exact BIGINT
+    sum, so the bucket id is deterministic across engines and partitionings.
+    """
+    signs = hyperplane_signs(planes, dims)
+    scaled = F.transform(_as_double(arr), lambda x: F.floor(x * F.lit(PROJ_SCALE)).cast("long"))
     bucket = F.lit(0)
-    for i in range(planes):
-        bit = F.when(F.element_at(arr, i + 1) >= 0, 1).otherwise(0)
-        bucket = bucket * 2 + bit
+    for p in range(planes):
+        coef = F.array(*[F.lit(s).cast("long") for s in signs[p]])
+        proj = F.aggregate(
+            F.zip_with(scaled, coef, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
     return bucket
 
 
-def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 3, planes: int = 4) -> DataFrame:
+def lsh_bucketed_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 3, planes: int = 4, dims: int = 64
+) -> DataFrame:
     """ANN top-k restricted to the query's sign-bucket (candidate pruning).
 
     The bucket equi-join replaces the cross join — at scale each query
     touches ~N/2^planes candidates, and buckets shuffle-partition evenly.
     """
-    base = with_self_norm(emb).withColumn("bucket", sign_bucket(F.col("embedding"), planes))
+    base = with_self_norm(emb).withColumn("bucket", sign_bucket(F.col("embedding"), planes, dims))
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -108,7 +146,9 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 3, planes: 
     )
 
 
-def embedding_near_dups(emb: DataFrame, planes: int = 4, threshold: float = 0.9) -> DataFrame:
+def embedding_near_dups(
+    emb: DataFrame, planes: int = 4, threshold: float = 0.9, dims: int = 64
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with cosine >=
     threshold, candidates restricted to the same sign-plane LSH bucket.
 
@@ -118,7 +158,7 @@ def embedding_near_dups(emb: DataFrame, planes: int = 4, threshold: float = 0.9)
     bucket's quadratic term stays bounded. High-cosine pairs land in the
     same bucket with high probability (sign agreement on every plane).
     """
-    base = with_self_norm(emb).withColumn("bucket", sign_bucket(F.col("embedding"), planes))
+    base = with_self_norm(emb).withColumn("bucket", sign_bucket(F.col("embedding"), planes, dims))
     a = base.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),

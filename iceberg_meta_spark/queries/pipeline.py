@@ -162,8 +162,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SQL = """(CAST(embedding[1] >= 0 AS INT) * 8 + CAST(embedding[2] >= 0 AS INT) * 4
-              + CAST(embedding[3] >= 0 AS INT) * 2 + CAST(embedding[4] >= 0 AS INT))"""
+def _bucket_sql(planes: int = 4, dims: int = 64) -> str:
+    """DuckDB mirror of :func:`similarity.sign_bucket`: the same md5-seeded
+    ±1 hyperplane matrix baked in as array literals, the same exact-integer
+    projection (parallel ``unnest`` is DuckDB's zip)."""
+    signs = similarity.hyperplane_signs(planes, dims)
+    bits = []
+    for p in range(planes):
+        arr = "[" + ", ".join(str(s) for s in signs[p]) + "]"
+        proj = (
+            "(SELECT sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) * s)"
+            f" FROM (SELECT unnest(embedding) AS x, unnest({arr}) AS s) z)"
+        )
+        bits.append(f"CAST({proj} >= 0 AS INT) * {2 ** (planes - 1 - p)}")
+    return "(" + "\n              + ".join(bits) + ")"
+
+
+_BUCKET_SQL = _bucket_sql()
 
 
 @register(

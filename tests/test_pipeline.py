@@ -82,17 +82,54 @@ def test_brute_force_topk_ranks_by_cosine(spark):
 
 
 def test_lsh_bucket_prunes_opposite_sign(spark):
+    # With the md5-seeded ±1 hyperplanes over dims=4 (row sums 0,-2,0,2),
+    # [1,1,1,1] projects to bits [1,0,1,1] = bucket 11; a scaled-direction
+    # copy shares the bucket exactly; the opposite vector flips the nonzero
+    # projections -> bucket 14 -> pruned by the bucket equi-join.
     emb = _emb(
         spark,
         [
             [1.0, 1.0, 1.0, 1.0],
-            [2.0, 1.0, 1.0, 1.0],     # same bucket (all positive)
+            [2.0, 1.0, 1.0, 1.0],      # same bucket (same projection signs)
             [-1.0, -1.0, -1.0, -1.0],  # opposite bucket -> pruned
         ],
     )
-    out = similarity.lsh_bucketed_topk(emb, query_ids=[0], k=5, planes=4).collect()
+    out = similarity.lsh_bucketed_topk(emb, query_ids=[0], k=5, planes=4, dims=4).collect()
     assert [r.neighbor_id for r in out] == [1]
-    assert out[0].bucket == 15
+    assert out[0].bucket == 11
+
+
+def test_hyperplane_signs_deterministic_and_balanced():
+    s = similarity.hyperplane_signs(4, 64)
+    assert s == similarity.hyperplane_signs(4, 64)  # pure function of (p, d)
+    assert all(v in (1, -1) for row in s for v in row)
+    # md5 nibbles are unbiased: each plane's sum stays well inside ±dims/2
+    assert all(abs(sum(row)) <= 16 for row in s)
+    # planes are distinct hyperplanes, not copies of each other
+    assert len({tuple(row) for row in s}) == 4
+
+
+def test_lsh_recall_and_bucket_balance_sf001(spark):
+    """Random-hyperplane LSH vs brute force on the real sf0.01 embeddings:
+    buckets must be populated and balanced (the first-k-component shortcut
+    this replaced skewed badly on correlated dims), and bucket-restricted
+    top-k must retain a sane fraction of the true neighbors (measured 1/3
+    at cos≈0.4 — theory for 4 planes at that angle predicts ~0.2 collision
+    probability, so 1/6 is a robust floor, not a tuned one)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    dist = (
+        emb.select(similarity.sign_bucket(F.col("embedding"), 4, 64).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(dist) == 16  # every bucket populated
+    assert max(r["count"] for r in dist) <= 0.2 * n  # no skewed mega-bucket
+    qids = [3, 11]
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, qids, k=3).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in similarity.lsh_bucketed_topk(emb, qids, k=3).collect()}
+    assert len(bf & lsh) / len(bf) >= 1 / 6
 
 
 def test_nearest_in_label_blocks(spark):
