@@ -167,24 +167,35 @@ def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, shingle_k: int = 2, min_jaccard: float = 0.2) -> DataFrame:
-    """Blocked n-gram Jaccard: exact set Jaccard for doc pairs within a
-    (lang, source) block — blocking keeps the self-join quadratic only
-    inside small buckets (the standard scale pattern)."""
-    sh = _word_shingles(docs, shingle_k).join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_k: int = 2,
+    min_jaccard: float = 0.2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard, LSH-then-verify: candidate pairs come from the
+    MinHash band join (:func:`minhash_lsh_pairs`); the exact shingle-set
+    intersection runs ONLY for those candidates.
+
+    Scale: the earlier (lang, source) blocked self-join went quadratic the
+    moment one block dominated the corpus (at 100 TB a single (en, crawl)
+    block IS the corpus). Here the quadratic term is gone entirely: candidate
+    generation is the banded equi-join, and verification fans each candidate
+    pair out over one doc's shingles and equi-joins on (doc_id, shingle) —
+    work proportional to candidates × shingles/doc, not block².
+    """
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, shingle_k=shingle_k, band_size=band_size, min_bands=1
+    ).select("doc_a", "doc_b")
+    sh = _word_shingles(docs, shingle_k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))

@@ -98,15 +98,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-        WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
-        sized AS (SELECT doc_id, lang, source, t, len(t) AS n FROM toks WHERE len(t) >= 2),
-        sh AS (SELECT DISTINCT doc_id, lang, source, concat(t[i], ' ', t[i+1]) AS shingle
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
                FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
+               FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band_idx,
+                         string_agg(mh, '|' ORDER BY seed) AS band_key
+                  FROM mh GROUP BY doc_id, seed // 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                  FROM sh a JOIN sh b
-                    ON a.lang = b.lang AND a.source = b.source
-                   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b, n_inter,
                round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -115,8 +123,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
     """,
-    doc="Blocked n-gram Jaccard: exact set similarity inside (lang, source) "
-    "blocks (blocking bounds the quadratic term)",
+    doc="Exact n-gram Jaccard, LSH-then-verify: MinHash band join generates "
+    "candidates, exact shingle intersection verifies only those pairs "
+    "(no block-wide self-join — the quadratic term is gone)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(

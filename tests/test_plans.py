@@ -86,6 +86,11 @@ def test_ngram_jaccard_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(dedup.ngram_jaccard_pairs(docs))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # candidate generation must be the MinHash band join (LSH-then-verify),
+    # not a corpus-wide shingle self-join: band keys appear as join columns,
+    # and the old (lang, source) block keys appear nowhere in the plan
+    assert "band_idx" in p and "band_key" in p, p
+    assert "lang" not in p and "source#" not in p, p
 
 
 def test_lsh_bucketed_ann_is_equi_join(spark):
