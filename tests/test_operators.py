@@ -472,3 +472,22 @@ def test_file_health_approx_matches_exact(spark):
     # empty input keeps the all-zero contract
     empty = ops.file_size_stats_approx(_files(spark, [])).collect()[0]
     assert (empty.file_count, empty.median_size) == (0, 0.0)
+
+
+def test_deciles_approx_matches_exact(spark):
+    # percentile_approx boundaries are exact at accuracy=10000 on sf-scale
+    # user counts, so the approx twin reproduces the ntile deciles up to
+    # boundary-tie granularity (±1 user per bucket).
+    from iceberg_meta_spark.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    exact = {r.decile: r for r in reg["user_value_deciles"].spark_fn(spark, sf).collect()}
+    approx = {r.decile: r for r in reg["user_value_deciles_approx"].spark_fn(spark, sf).collect()}
+    assert set(exact) == set(approx) == set(range(1, 11))
+    assert sum(r.n_users for r in exact.values()) == sum(r.n_users for r in approx.values())
+    for d in exact:
+        assert abs(approx[d].n_users - exact[d].n_users) <= 1, d
+    # buckets are value-ordered and non-overlapping
+    for d in range(1, 10):
+        assert approx[d].max_cents <= approx[d + 1].min_cents

@@ -28,6 +28,10 @@ ROWS_ONLY = {
     # meta_file_health is oracle-gated and test_file_health_approx_matches_exact
     # pins the two together.
     "meta_file_health_approx",
+    # same sketch family: decile boundaries from percentile_approx; exact twin
+    # user_value_deciles is oracle-gated and test_deciles_approx_matches_exact
+    # pins bucket sizes/boundaries to the ntile result.
+    "user_value_deciles_approx",
 }
 
 

@@ -222,3 +222,12 @@ def test_q15_q18_shapes(spark):
     assert "Broadcast" in p, p
     p = plan(load_all()["large_orders"].spark_fn(spark, SF))
     assert "CartesianProduct" not in p, p
+
+
+def test_deciles_approx_has_no_window(spark):
+    # the exact twin's global ntile funnels every user through one
+    # partition; the approx twin must plan as broadcast boundaries +
+    # map-side bucketing — no window operator anywhere
+    p = plan(load_all()["user_value_deciles_approx"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert "Broadcast" in p, p
