@@ -69,10 +69,19 @@ class FixtureSource:
 
 @dataclass
 class IcebergTableSource:
-    """A real Iceberg table's metadata tree (requires the runtime jar)."""
+    """A real Iceberg table's metadata tree (requires the runtime jar).
+
+    ``range_column`` names the column whose ``readable_metrics`` bounds feed
+    the overlap kernels (the reference uses the first partition column,
+    formatters.py:606-658). ``metadata_location`` points at the table-metadata
+    JSON for schema-version queries (from the catalog's
+    ``.metadata_log_entries`` or a REST catalog response).
+    """
 
     spark: SparkSession
     table: str
+    range_column: str | None = None
+    metadata_location: str | None = None
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
         return ice.files_frame(self.spark, self.table, snapshot_id)
@@ -87,17 +96,21 @@ class IcebergTableSource:
         return ice.column_stats_frame(self.spark, self.table)
 
     def file_ranges(self) -> DataFrame:
-        raise NotImplementedError(
-            "bounds decoding needs readable_metrics (Iceberg >= 1.2) — "
-            "select readable_metrics.<col>.lower_bound/upper_bound from .files"
-        )
+        if not self.range_column:
+            raise ValueError(
+                "IcebergTableSource needs range_column=<col> to derive file "
+                "ranges from readable_metrics.<col>.lower_bound/upper_bound"
+            )
+        return ice.file_ranges_frame(self.spark, self.table, self.range_column)
 
     def schema_fields(self) -> DataFrame:
-        raise NotImplementedError(
-            "schema versions live in table-metadata JSON; load via a REST "
-            "catalog or pyiceberg and normalize to "
-            "(table_name, schema_id, field_id, name, type, required)"
-        )
+        if not self.metadata_location:
+            raise ValueError(
+                "IcebergTableSource needs metadata_location=<table-metadata "
+                "JSON path> to enumerate schema versions"
+            )
+        meta = ice.load_table_metadata(self.spark, self.metadata_location)
+        return ice.schema_fields_from_metadata(self.spark, meta, self.table)
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +142,46 @@ def recent_operations(src: MetadataSource, k: int = 5) -> DataFrame:
 def health(src: MetadataSource) -> DataFrame:
     """`iceberg-meta health` (cli.py:1114-1168): the composite report."""
     return health_report_df(src.files(), src.column_stats(), src.manifests(), src.file_ranges())
+
+
+def namespace_health(sources: dict[str, MetadataSource]) -> DataFrame:
+    """`iceberg-meta health --namespace` (cli.py:1130-1163): per-table health
+    fan-out with per-table error tolerance.
+
+    The reference scans every table in the namespace, collecting per-table
+    failures and continuing (formatters.py:1412-1417 renders them as error
+    rows). Same contract here: a table whose metadata can't be read or whose
+    plan can't be built contributes ONE ``section='error'`` row instead of
+    aborting the scan; healthy tables union into a single lazy DataFrame
+    (section, metric, value, table_name, error).
+    """
+    frames: list[DataFrame] = []
+    for name, src in sources.items():
+        try:
+            h = health(src)
+            frames.append(
+                h.select(
+                    "section",
+                    "metric",
+                    "value",
+                    F.lit(name).alias("table_name"),
+                    F.lit(None).cast("string").alias("error"),
+                )
+            )
+        except Exception as exc:  # per-table tolerance: capture, continue
+            spark = getattr(src, "spark", None) or SparkSession.active()
+            frames.append(
+                spark.createDataFrame(
+                    [("error", type(exc).__name__, None, name, str(exc)[:500])],
+                    "section string, metric string, value double, table_name string, error string",
+                )
+            )
+    if not frames:
+        raise ValueError("namespace_health needs at least one source")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def file_health(src: MetadataSource) -> DataFrame:
@@ -169,9 +222,43 @@ def snapshot_detail(src: MetadataSource, snapshot_id: int) -> DataFrame:
 
 
 def tree(src: MetadataSource, max_files: int = 10) -> DataFrame:
-    """`iceberg-meta tree` (cli.py:1251-1281): manifest rows with row-share
-    (J5/W1/W2) — entry rows capped per manifest (W5) via ``top_files``."""
-    return ops.manifest_row_share(src.files())
+    """`iceberg-meta tree` (cli.py:1251-1281): per-file entry rows under each
+    manifest, capped at ``max_files`` largest files per manifest (W5,
+    reference cap at formatters.py:1296), each row carrying its manifest's
+    row-share stats (J5/W1/W2).
+
+    Needs a source whose ``files()`` carries ``manifest_path``. Iceberg's
+    public ``.files``/``.entries`` metadata tables expose no file->manifest
+    edge (the reference reads manifest Avro directly to get it), so
+    ``IcebergTableSource`` raises here rather than fabricating a linkage.
+    """
+    from pyspark.sql import Window
+
+    files = src.files()
+    if "manifest_path" not in files.columns:
+        raise NotImplementedError(
+            "tree() needs files() to carry manifest_path; Iceberg metadata "
+            "tables expose no file->manifest linkage — use manifest_row_share "
+            "(per-manifest totals) or top_files (per-partition cap) instead"
+        )
+    share = ops.manifest_row_share(files)
+    w = Window.partitionBy("snapshot_id", "manifest_path").orderBy(
+        F.desc("file_size_in_bytes"), F.asc("file_path")
+    )
+    entries = files.withColumn("entry_rank", F.row_number().over(w)).filter(
+        F.col("entry_rank") <= max_files
+    )
+    return entries.join(share, ["snapshot_id", "manifest_path"]).select(
+        "snapshot_id",
+        "manifest_path",
+        "entry_rank",
+        "file_path",
+        "file_size_in_bytes",
+        "record_count",
+        "file_count",
+        "row_count",
+        "pct_of_snapshot_rows",
+    )
 
 
 def top_files(src: MetadataSource, k: int = 10) -> DataFrame:

@@ -161,6 +161,87 @@ def files_frame(spark: SparkSession, table: str, snapshot_id: int | None = None)
     )
 
 
+def normalize_file_ranges(files: DataFrame, column: str) -> DataFrame:
+    """``.files`` + ``readable_metrics`` -> (file_path, lo, hi): the per-file
+    value range of ``column`` for the overlap kernels (J3/W6).
+
+    The reference decodes raw Avro-encoded bound bytes per type
+    (formatters.py:581-591); Iceberg >= 1.2 already exposes the decoded
+    values as ``readable_metrics.<col>.lower_bound/upper_bound``, so the
+    normalization is a pure projection — no UDF, no decode. Split from
+    :func:`file_ranges_frame` so the mapping is unit-testable without the
+    runtime jar (any DataFrame with the same nested struct works).
+    """
+    m = F.col(f"readable_metrics.{column}")
+    return files.select(
+        F.col("file_path"),
+        m.getField("lower_bound").cast("long").alias("lo"),
+        m.getField("upper_bound").cast("long").alias("hi"),
+    )
+
+
+def file_ranges_frame(
+    spark: SparkSession, table: str, column: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """J3 input from a live table: ``readable_metrics`` bounds of one column."""
+    return normalize_file_ranges(metadata_table(spark, table, "files", snapshot_id), column)
+
+
+def _type_str(t) -> str:
+    """Iceberg schema-JSON type -> compact display string (nested types
+    recurse; mirrors the reference's type rendering, tui/widgets.py:269-297)."""
+    if isinstance(t, str):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        inner = ", ".join(f"{f['name']}: {_type_str(f['type'])}" for f in t.get("fields", []))
+        return f"struct<{inner}>"
+    if kind == "list":
+        return f"list<{_type_str(t['element'])}>"
+    if kind == "map":
+        return f"map<{_type_str(t['key'])}, {_type_str(t['value'])}>"
+    return str(kind)
+
+
+def schema_fields_from_metadata(
+    spark: SparkSession, metadata: dict, table_name: str
+) -> DataFrame:
+    """Table-metadata JSON -> (table_name, schema_id, field_id, name, type,
+    required): the J2/J6 input shape, every schema version.
+
+    The reference walks ``metadata.schemas`` the same way to build its
+    schema-history panel (tui/widgets.py:269-297). Accepts both the v2
+    ``schemas`` list and the v1 single-``schema`` form. The JSON itself is
+    tiny catalog metadata — parse driver-side, hand Spark the rows.
+    """
+    schemas = metadata.get("schemas")
+    if not schemas and "schema" in metadata:
+        schemas = [metadata["schema"]]
+    rows = [
+        (
+            table_name,
+            int(sch.get("schema-id", 0)),
+            int(fld["id"]),
+            fld["name"],
+            _type_str(fld["type"]),
+            bool(fld.get("required", False)),
+        )
+        for sch in (schemas or [])
+        for fld in sch.get("fields", [])
+    ]
+    schema = "table_name string, schema_id int, field_id int, name string, type string, required boolean"
+    return spark.createDataFrame(rows, schema)
+
+
+def load_table_metadata(spark: SparkSession, metadata_location: str) -> dict:
+    """Read one table-metadata JSON through Spark's configured filesystem
+    (works for s3://... once the catalog FS confs are set; the file is KBs)."""
+    import json
+
+    text = "\n".join(r.value for r in spark.read.text(metadata_location).collect())
+    return json.loads(text)
+
+
 def column_stats_frame(spark: SparkSession, table: str) -> DataFrame:
     """``.files`` stats maps -> pre-flattened (file_path, field_id,
     value_count, null_count, column_size) — input shape of A5/A6.

@@ -1,0 +1,81 @@
+"""Command-API tests: the reference's CLI surface as DataFrame functions
+(tree display cap, namespace fan-out error tolerance, source gating)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark import api
+
+SF = "/root/testdata/sf0.001"
+
+
+def _src(spark):
+    return api.FixtureSource(spark, SF)
+
+
+def test_tree_caps_entries_per_manifest(spark):
+    t2 = api.tree(_src(spark), max_files=2).collect()
+    per_manifest: dict = {}
+    for r in t2:
+        per_manifest.setdefault((r.snapshot_id, r.manifest_path), []).append(r)
+    assert per_manifest, "tree returned no rows"
+    for rows in per_manifest.values():
+        assert len(rows) <= 2
+        # cap keeps the LARGEST files, ranked deterministically
+        sizes = [r.file_size_in_bytes for r in sorted(rows, key=lambda r: r.entry_rank)]
+        assert sizes == sorted(sizes, reverse=True)
+        # every entry row carries its manifest's share stats
+        assert all(r.file_count >= len(rows) for r in rows)
+    # a wider cap yields at least as many rows
+    t5 = api.tree(_src(spark), max_files=5).count()
+    assert t5 >= len(t2)
+
+
+def test_tree_requires_manifest_linkage(spark):
+    class NoManifestSource(api.FixtureSource):
+        def files(self, snapshot_id=None):
+            return super().files(snapshot_id).drop("manifest_path")
+
+    with pytest.raises(NotImplementedError, match="manifest_path"):
+        api.tree(NoManifestSource(spark, SF))
+
+
+def test_iceberg_source_gating_messages(spark):
+    # unconfigured extras fail with actionable ValueErrors, not Py4J noise
+    src = api.IcebergTableSource(spark, "cat.db.t")
+    with pytest.raises(ValueError, match="range_column"):
+        src.file_ranges()
+    with pytest.raises(ValueError, match="metadata_location"):
+        src.schema_fields()
+
+
+def test_namespace_health_tolerates_broken_table(spark):
+    class BrokenSource(api.FixtureSource):
+        def files(self, snapshot_id=None):
+            raise RuntimeError("manifest list unreachable: s3 timeout")
+
+    out = api.namespace_health(
+        {"db.good": _src(spark), "db.bad": BrokenSource(spark, SF), "db.good2": _src(spark)}
+    )
+    rows = out.collect()
+    by_table: dict = {}
+    for r in rows:
+        by_table.setdefault(r.table_name, []).append(r)
+    # the broken table contributes exactly one error row...
+    bad = by_table["db.bad"]
+    assert len(bad) == 1
+    assert bad[0].section == "error" and bad[0].metric == "RuntimeError"
+    assert "unreachable" in bad[0].error and bad[0].value is None
+    # ...and both healthy tables still report full health sections
+    for name in ("db.good", "db.good2"):
+        good = by_table[name]
+        assert len(good) >= 8
+        assert all(r.error is None for r in good)
+        assert {"files", "partitions"} <= {r.section for r in good}
+
+
+def test_namespace_health_empty_rejected(spark):
+    with pytest.raises(ValueError, match="at least one source"):
+        api.namespace_health({})

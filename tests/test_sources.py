@@ -105,3 +105,82 @@ def test_files_frame_shape_without_runtime(spark):
     # The normalizers gate on the runtime too (they call metadata_table).
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         ice.files_frame(spark, "cat.db.t")
+
+
+def test_normalize_file_ranges_from_readable_metrics(spark):
+    # synthetic frame with the .files nested readable_metrics shape —
+    # the projection must yield (file_path, lo, hi) longs with no decode UDF
+    df = spark.createDataFrame(
+        [
+            ("f1", ((10, 99),)),
+            ("f2", ((50, 150),)),
+        ],
+        "file_path string, readable_metrics struct<ts:struct<lower_bound:long, upper_bound:long>>",
+    )
+    out = ice.normalize_file_ranges(df, "ts")
+    assert out.columns == ["file_path", "lo", "hi"]
+    rows = {r.file_path: (r.lo, r.hi) for r in out.collect()}
+    assert rows == {"f1": (10, 99), "f2": (50, 150)}
+
+
+def test_schema_fields_from_metadata_json(spark):
+    # v2 table-metadata with two schema versions, nested types, a rename
+    meta = {
+        "format-version": 2,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "type": "long", "required": True},
+                    {"id": 2, "name": "tags", "type": {"type": "list", "element": "string"}},
+                ],
+            },
+            {
+                "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "id", "type": "long", "required": True},
+                    {
+                        "id": 3,
+                        "name": "loc",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {"id": 4, "name": "lat", "type": "double"},
+                                {"id": 5, "name": "lon", "type": "double"},
+                            ],
+                        },
+                    },
+                ],
+            },
+        ],
+    }
+    out = ice.schema_fields_from_metadata(spark, meta, "db.t")
+    rows = {(r.schema_id, r.field_id): r for r in out.collect()}
+    assert set(rows) == {(0, 1), (0, 2), (1, 1), (1, 3)}
+    assert rows[(0, 2)].type == "list<string>"
+    assert rows[(1, 3)].type == "struct<lat: double, lon: double>"
+    assert rows[(0, 1)].required is True and rows[(0, 2)].required is False
+    # v1 single-schema form normalizes the same way
+    v1 = {"schema": {"fields": [{"id": 1, "name": "x", "type": "int"}]}}
+    assert ice.schema_fields_from_metadata(spark, v1, "t").count() == 1
+
+
+def test_schema_fields_feed_schema_diff(spark):
+    # the normalized frame must drop straight into the J2 kernel
+    from iceberg_meta_spark import operators as ops
+
+    meta = {
+        "schemas": [
+            {"schema-id": 1, "fields": [{"id": 1, "name": "a", "type": "int"}]},
+            {
+                "schema-id": 2,
+                "fields": [
+                    {"id": 1, "name": "a", "type": "long"},
+                    {"id": 2, "name": "b", "type": "string"},
+                ],
+            },
+        ]
+    }
+    fields = ice.schema_fields_from_metadata(spark, meta, "db.t")
+    d = {r.field_id: r.change for r in ops.schema_diff(fields, old_id=1, new_id=2).collect()}
+    assert d[1] == "changed" and d[2] == "added"
