@@ -7,9 +7,11 @@ expressions (whole-stage codegen, no Python workers on the hot path —
 SURVEY §2.10).
 
 Determinism note: fractional display values are built with *integer
-arithmetic* (``(v*10) DIV base`` then digit assembly) rather than
-float-to-string, so the same text is produced by any engine — the DuckDB
-oracle mirrors these expressions exactly.
+arithmetic* (round-half-up via ``(v*10 + base/2) DIV base`` then digit
+assembly) rather than float-to-string, so the same text is produced by any
+engine — the DuckDB oracle mirrors these expressions exactly, and the
+half-up rounding matches the reference's ``f'{x:.1f}'`` on non-half values
+(1126 B -> '1.1 KB', not the truncated '1.0 KB').
 """
 
 from __future__ import annotations
@@ -27,26 +29,39 @@ def _one_decimal(scaled10: Column) -> Column:
     )
 
 
+def _round10(v: Column, base: int) -> Column:
+    """round(v*10/base) half-up, exact: the remainder is subtracted in LONG
+    arithmetic first, so the one double division divides an exact multiple of
+    ``base`` with a small quotient — bit-exact in any engine (plain
+    ``(v*10/base).cast('long')`` loses integer precision past 2^53)."""
+    x = v.cast("long") * 10 + base // 2
+    return ((x - x % base) / base).cast("long")
+
+
 def format_bytes(v: Column) -> Column:
-    """F1: bytes -> '5.2 KB' (1024 steps, one decimal; reference utils.py:8-14)."""
-    KB, MB, GB, TB = 1024, 1024**2, 1024**3, 1024**4
+    """F1: bytes -> '5.2 KB' (1024 steps, one rounded decimal, B..PB ladder;
+    reference utils.py:8-14). Exact for inputs up to ~800 PB (v*10 must fit
+    a BIGINT)."""
+    KB, MB, GB, TB, PB = 1024, 1024**2, 1024**3, 1024**4, 1024**5
     return (
         F.when(v < KB, F.concat(_one_decimal(v * 10), F.lit(" B")))
-        .when(v < MB, F.concat(_one_decimal((v * 10 / KB).cast("long")), F.lit(" KB")))
-        .when(v < GB, F.concat(_one_decimal((v * 10 / MB).cast("long")), F.lit(" MB")))
-        .when(v < TB, F.concat(_one_decimal((v * 10 / GB).cast("long")), F.lit(" GB")))
-        .otherwise(F.concat(_one_decimal((v * 10 / TB).cast("long")), F.lit(" TB")))
+        .when(v < MB, F.concat(_one_decimal(_round10(v, KB)), F.lit(" KB")))
+        .when(v < GB, F.concat(_one_decimal(_round10(v, MB)), F.lit(" MB")))
+        .when(v < TB, F.concat(_one_decimal(_round10(v, GB)), F.lit(" GB")))
+        .when(v < PB, F.concat(_one_decimal(_round10(v, TB)), F.lit(" TB")))
+        .otherwise(F.concat(_one_decimal(_round10(v, PB)), F.lit(" PB")))
     )
 
 
 def compact_number(v: Column) -> Column:
-    """F6: 1234567 -> '1.2M' (K/M/B; reference tui/widgets.py:1091-1099)."""
+    """F6: 1234567 -> '1.2M' (K/M/B, one rounded decimal; reference
+    tui/widgets.py:1091-1099)."""
     K, M, B = 1_000, 1_000_000, 1_000_000_000
     return (
         F.when(v < K, v.cast("long").cast("string"))
-        .when(v < M, F.concat(_one_decimal((v * 10 / K).cast("long")), F.lit("K")))
-        .when(v < B, F.concat(_one_decimal((v * 10 / M).cast("long")), F.lit("M")))
-        .otherwise(F.concat(_one_decimal((v * 10 / B).cast("long")), F.lit("B")))
+        .when(v < M, F.concat(_one_decimal(_round10(v, K)), F.lit("K")))
+        .when(v < B, F.concat(_one_decimal(_round10(v, M)), F.lit("M")))
+        .otherwise(F.concat(_one_decimal(_round10(v, B)), F.lit("B")))
     )
 
 

@@ -25,12 +25,19 @@ OVERLAP_EXACT_LIMIT = 1000  # reference formatters.py:341
 
 
 def overlap_pair_count(ranges: DataFrame, limit: int = OVERLAP_EXACT_LIMIT) -> DataFrame:
-    """J3 exact mode: count of overlapping (unordered) file pairs, or -1
-    when the file count exceeds ``limit`` (reference sentinel for 'many')."""
+    """J3 exact mode: count of overlapping (unordered) file pairs; above the
+    ``limit`` gate, -1 ("many") when the sweep-line detects any overlap and 0
+    when none exists (the reference reports -1 only on detected overlap,
+    formatters.py:632-642 — a big but overlap-free table reports 0)."""
     n = ranges.count()
-    spark = ranges.sparkSession
     if n > limit:
-        return spark.createDataFrame([(n, -1)], "file_count long, overlapping_pairs long")
+        sentinel = (
+            F.when(F.col("overlapping_files") > 0, F.lit(-1)).otherwise(F.lit(0)).cast("long")
+        )
+        return overlap_sweepline(ranges).select(
+            F.lit(n).cast("long").alias("file_count"),
+            sentinel.alias("overlapping_pairs"),
+        )
     a, b = ranges.alias("a"), ranges.alias("b")
     pairs = a.join(
         b,
@@ -48,8 +55,15 @@ def overlap_sweepline(ranges: DataFrame, bucket_width: int = 4096) -> DataFrame:
     """J3 scalable mode (W6): #files overlapping at least one predecessor.
 
     Semantics: order files by (lo, file_path); a file overlaps iff
-    max(hi) over all preceding files >= its lo. Equivalent to the reference
+    max(hi) over all preceding files >= its lo. Same shape as the reference
     sweep-line (formatters.py:634-642) without materializing pairs.
+
+    Bound semantics — deliberate divergence: lo/hi are INCLUSIVE value
+    bounds (Iceberg column bounds are), so touching ranges share a value and
+    count as overlapping (``>=``). This matches the exact pair join's
+    ``a.lo <= b.hi`` above and both oracles; the reference's sweep compares
+    strictly (``lo < max_end``), undercounting exactly-touching ranges
+    relative to its own O(N²) mode.
     """
     bucketed = ranges.withColumn("bucket", (F.col("lo") / F.lit(bucket_width)).cast("long"))
     # Running max *within* each bucket (parallel windows, partitioned).

@@ -26,10 +26,11 @@ from iceberg_meta_spark.sources.fixtures import oracle_query
         sc AS (SELECT CAST(count(*) AS BIGINT) AS snapshot_count FROM meta_snapshots),
         h AS (SELECT total_size,
                      CASE WHEN total_size < 1024 THEN concat(CAST(total_size * 10 // 10 AS STRING), '.', CAST(total_size * 10 % 10 AS STRING), ' B')
-                          WHEN total_size < 1048576 THEN concat(CAST(total_size * 10 // 1024 // 10 AS STRING), '.', CAST(total_size * 10 // 1024 % 10 AS STRING), ' KB')
-                          WHEN total_size < 1073741824 THEN concat(CAST(total_size * 10 // 1048576 // 10 AS STRING), '.', CAST(total_size * 10 // 1048576 % 10 AS STRING), ' MB')
-                          WHEN total_size < 1099511627776 THEN concat(CAST(total_size * 10 // 1073741824 // 10 AS STRING), '.', CAST(total_size * 10 // 1073741824 % 10 AS STRING), ' GB')
-                          ELSE concat(CAST(total_size * 10 // 1099511627776 // 10 AS STRING), '.', CAST(total_size * 10 // 1099511627776 % 10 AS STRING), ' TB')
+                          WHEN total_size < 1048576 THEN concat(CAST((total_size * 10 + 512) // 1024 // 10 AS STRING), '.', CAST((total_size * 10 + 512) // 1024 % 10 AS STRING), ' KB')
+                          WHEN total_size < 1073741824 THEN concat(CAST((total_size * 10 + 524288) // 1048576 // 10 AS STRING), '.', CAST((total_size * 10 + 524288) // 1048576 % 10 AS STRING), ' MB')
+                          WHEN total_size < 1099511627776 THEN concat(CAST((total_size * 10 + 536870912) // 1073741824 // 10 AS STRING), '.', CAST((total_size * 10 + 536870912) // 1073741824 % 10 AS STRING), ' GB')
+                          WHEN total_size < 1125899906842624 THEN concat(CAST((total_size * 10 + 549755813888) // 1099511627776 // 10 AS STRING), '.', CAST((total_size * 10 + 549755813888) // 1099511627776 % 10 AS STRING), ' TB')
+                          ELSE concat(CAST((total_size * 10 + 562949953421312) // 1125899906842624 // 10 AS STRING), '.', CAST((total_size * 10 + 562949953421312) // 1125899906842624 % 10 AS STRING), ' PB')
                      END AS total_size_h
               FROM totals)
         SELECT t.file_count, t.total_size, h.total_size_h, t.total_records,

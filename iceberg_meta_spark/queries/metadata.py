@@ -257,9 +257,16 @@ _OVERLAP_LIMIT = 5000  # fixture-sized gate; reference const is 1000 (formatters
     "meta_overlap_pairs",
     oracle=oracle_query(
         f"""
+        , flagged AS (
+            SELECT lo,
+                   coalesce(max(hi) OVER (ORDER BY lo, file_path
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= lo,
+                       false) AS ov
+            FROM file_ranges)
         SELECT CAST((SELECT count(*) FROM file_ranges) AS BIGINT) AS file_count,
                CASE WHEN (SELECT count(*) FROM file_ranges) > {_OVERLAP_LIMIT}
-                    THEN CAST(-1 AS BIGINT)
+                    THEN CASE WHEN (SELECT count(*) FROM flagged WHERE ov) > 0
+                              THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
                     ELSE (SELECT CAST(count(*) AS BIGINT)
                           FROM file_ranges a JOIN file_ranges b
                             ON a.lo <= b.hi AND b.lo <= a.hi
@@ -659,19 +666,21 @@ def meta_watch_new_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN file_size_in_bytes < 1024 THEN
                       concat(CAST(file_size_in_bytes * 10 // 10 AS STRING), '.', CAST(file_size_in_bytes * 10 % 10 AS STRING), ' B')
                     WHEN file_size_in_bytes < 1048576 THEN
-                      concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1024) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1024) AS BIGINT) % 10 AS STRING), ' KB')
+                      concat(CAST((file_size_in_bytes * 10 + 512) // 1024 // 10 AS STRING), '.', CAST((file_size_in_bytes * 10 + 512) // 1024 % 10 AS STRING), ' KB')
                     WHEN file_size_in_bytes < 1073741824 THEN
-                      concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1048576) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1048576) AS BIGINT) % 10 AS STRING), ' MB')
+                      concat(CAST((file_size_in_bytes * 10 + 524288) // 1048576 // 10 AS STRING), '.', CAST((file_size_in_bytes * 10 + 524288) // 1048576 % 10 AS STRING), ' MB')
                     WHEN file_size_in_bytes < 1099511627776 THEN
-                      concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1073741824) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1073741824) AS BIGINT) % 10 AS STRING), ' GB')
-                    ELSE concat(CAST(CAST(floor(file_size_in_bytes * 10 / 1099511627776) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(file_size_in_bytes * 10 / 1099511627776) AS BIGINT) % 10 AS STRING), ' TB')
+                      concat(CAST((file_size_in_bytes * 10 + 536870912) // 1073741824 // 10 AS STRING), '.', CAST((file_size_in_bytes * 10 + 536870912) // 1073741824 % 10 AS STRING), ' GB')
+                    WHEN file_size_in_bytes < 1125899906842624 THEN
+                      concat(CAST((file_size_in_bytes * 10 + 549755813888) // 1099511627776 // 10 AS STRING), '.', CAST((file_size_in_bytes * 10 + 549755813888) // 1099511627776 % 10 AS STRING), ' TB')
+                    ELSE concat(CAST((file_size_in_bytes * 10 + 562949953421312) // 1125899906842624 // 10 AS STRING), '.', CAST((file_size_in_bytes * 10 + 562949953421312) // 1125899906842624 % 10 AS STRING), ' PB')
                END AS size_label,
                CASE WHEN record_count * 987 < 1000 THEN CAST(record_count * 987 AS STRING)
                     WHEN record_count * 987 < 1000000 THEN
-                      concat(CAST(CAST(floor(record_count * 987 * 10 / 1000) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(record_count * 987 * 10 / 1000) AS BIGINT) % 10 AS STRING), 'K')
+                      concat(CAST((record_count * 987 * 10 + 500) // 1000 // 10 AS STRING), '.', CAST((record_count * 987 * 10 + 500) // 1000 % 10 AS STRING), 'K')
                     WHEN record_count * 987 < 1000000000 THEN
-                      concat(CAST(CAST(floor(record_count * 987 * 10 / 1000000) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(record_count * 987 * 10 / 1000000) AS BIGINT) % 10 AS STRING), 'M')
-                    ELSE concat(CAST(CAST(floor(record_count * 987 * 10 / 1000000000) AS BIGINT) // 10 AS STRING), '.', CAST(CAST(floor(record_count * 987 * 10 / 1000000000) AS BIGINT) % 10 AS STRING), 'B')
+                      concat(CAST((record_count * 987 * 10 + 500000) // 1000000 // 10 AS STRING), '.', CAST((record_count * 987 * 10 + 500000) // 1000000 % 10 AS STRING), 'M')
+                    ELSE concat(CAST((record_count * 987 * 10 + 500000000) // 1000000000 // 10 AS STRING), '.', CAST((record_count * 987 * 10 + 500000000) // 1000000000 % 10 AS STRING), 'B')
                END AS rows_label,
                CASE WHEN record_count - 25 > 0 THEN concat('+', CAST(record_count - 25 AS STRING))
                     ELSE CAST(record_count - 25 AS STRING) END AS net_label,

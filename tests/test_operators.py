@@ -93,9 +93,19 @@ def test_overlap_exact_and_sweepline_agree(spark):
 
 
 def test_overlap_gate_returns_sentinel(spark):
+    # above the gate, -1 only when the sweep actually detects an overlap
     r = _ranges(spark, [(f"f{i}", i, i + 2) for i in range(10)])
     out = ops.overlap_pair_count(r, limit=5).collect()[0]
     assert out.overlapping_pairs == -1 and out.file_count == 10
+    # disjoint ranges above the gate: a big-but-clean table reports 0
+    clean = _ranges(spark, [(f"f{i}", i * 10, i * 10 + 2) for i in range(10)])
+    out = ops.overlap_pair_count(clean, limit=5).collect()[0]
+    assert out.overlapping_pairs == 0 and out.file_count == 10
+    # exactly-touching ranges count as overlapping (inclusive bounds),
+    # consistent with the exact mode's a.lo <= b.hi join
+    touch = _ranges(spark, [(f"f{i}", i * 5, (i + 1) * 5) for i in range(10)])
+    out = ops.overlap_pair_count(touch, limit=5).collect()[0]
+    assert out.overlapping_pairs == -1
 
 
 def test_overlap_sweepline_bucketed_matches_global(spark):
@@ -164,9 +174,20 @@ def test_display_functions(spark):
         display.compact_number(F.col("w")).alias("c"),
         display.format_net(F.col("v") - 1024).alias("n"),
     ).collect()
-    assert [r.b for r in rows] == ["512.0 B", "1.0 KB", "5.2 MB", "3.0 GB"]
+    # 5550080 B / MB = 5.293 -> rounds to '5.3' like the reference's f'{:.1f}'
+    assert [r.b for r in rows] == ["512.0 B", "1.0 KB", "5.3 MB", "3.0 GB"]
     assert [r.c for r in rows] == ["999", "1.5K", "1.2M", "2.5B"]
     assert [r.n for r in rows] == ["-512", "0", "+5549056", "+3221224448"]
+
+
+def test_format_bytes_rounds_and_reaches_pb(spark):
+    df = spark.createDataFrame(
+        [(1126,), (1024**4 - 1,), (3 * 1024**5,), (1536,)], "v long"
+    )
+    got = [r.b for r in df.select(display.format_bytes(F.col("v")).alias("b")).collect()]
+    # 1126/1024 = 1.0996: half-up decimal gives '1.1 KB' (truncation said 1.0);
+    # TB-1 rounds up to the unit boundary text exactly like f'{:.1f}' does
+    assert got == ["1.1 KB", "1024.0 GB", "3.0 PB", "1.5 KB"]
 
 
 def test_format_timestamp_us(spark):
