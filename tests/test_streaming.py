@@ -250,3 +250,41 @@ def test_streaming_exact_dedup(spark):
     assert n > 0, "stream produced nothing"
     assert len(texts) <= 7                      # only the distinct cycle
     assert all(r.c == 1 for r in texts)         # each emitted exactly once
+
+
+def test_watch_stream_live_directory_appends(spark, tmp_path):
+    # ST1 end-to-end against a growing TABLE DIRECTORY: the watched source
+    # is a parquet dir that gains files while the stream runs; each appended
+    # file's snapshot ids must surface as NEW exactly once.
+    d = str(tmp_path / "snaps")
+    _snaps(spark, [1, 2]).write.mode("append").parquet(d)
+
+    def snapshots():
+        return spark.read.parquet(d)
+
+    news: list[list[int]] = []
+    q = watch_stream(
+        spark,
+        snapshots,
+        lambda df: news.append(sorted(r.snapshot_id for r in df.collect())),
+        tick_seconds=1,
+    )
+
+    def wait_for(pred, timeout=45):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: any(n == [1, 2] for n in news)), news
+        _snaps(spark, [3]).write.mode("append").parquet(d)  # first live append
+        assert wait_for(lambda: any(n == [3] for n in news)), news
+        _snaps(spark, [4]).write.mode("append").parquet(d)  # second live append
+        assert wait_for(lambda: any(n == [4] for n in news)), news
+    finally:
+        q.stop()
+    flat = [i for batch in news for i in batch]
+    assert sorted(flat) == [1, 2, 3, 4]  # every id exactly once, none re-reported
