@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "scale_points": {sf: {...}}}.
+
+``scale_points`` carries a second timed pass at $SPARK_GRAFT_SECOND_SF_DIR
+(default /root/testdata/sf0.01 — nearest the reference baseline's 50k-row
+scenario; set to an empty string to skip), so each round records how the
+same plans behave at two data scales.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver transfer). JVM/session startup is excluded (BASELINE.md's numbers
@@ -26,28 +31,27 @@ from iceberg_meta_spark.session import get_spark
 from iceberg_meta_spark.sources.parquet import enable_cache, load_table
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    registry = load_all()
-    bench = {name: spec for name, spec in registry.items() if "bench" in spec.tags}
+_BASE_TABLES = ("lineitem", "events", "part", "customer", "orders", "documents", "embeddings")
 
-    spark = get_spark("iceberg-meta-spark-bench", cpus=cpus)
-    # Cache base tables across cores (see module docstring), then warm the
-    # JVM/codegen paths once with the flagship query.
-    enable_cache(True)
-    for table in ("lineitem", "events", "part", "customer", "orders", "documents", "embeddings"):
+
+def _sf_of(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+def _timed_pass(spark, bench: dict, sf_dir: str) -> dict[str, float]:
+    """Warm every query once, then two timed runs each, min per query.
+
+    Warm pass: the timed pass measures steady-state execution, not first-run
+    plan compilation/codegen (BASELINE.md's reference numbers likewise exclude
+    interpreter startup, and its CLI serves repeated commands from a warm
+    process). Min-of-2: the box shows ±40% run-to-run noise (GC, neighbors);
+    min approximates the steady-state number a quiet machine would give.
+    """
+    for table in _BASE_TABLES:
         load_table(spark, sf_dir, table)
-    # Warm pass: run every query once so the timed pass measures steady-state
-    # execution, not first-run plan compilation/codegen (BASELINE.md's
-    # reference numbers likewise exclude interpreter startup, and its CLI
-    # serves repeated commands from a warm process).
     for spec in bench.values():
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # Two timed runs per query, report the min: the box shows ±40% run-to-run
-    # noise (GC, neighbors); min-of-2 approximates the steady-state number a
-    # quiet machine would give without inflating the cost of the harness.
     times: dict[str, float] = {}
     for _ in range(2):
         for name, spec in bench.items():
@@ -55,20 +59,36 @@ def main() -> None:
             spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+    return times
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall time, noop-sink materialization",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    second_dir = os.environ.get("SPARK_GRAFT_SECOND_SF_DIR", "/root/testdata/sf0.01")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    registry = load_all()
+    bench = {name: spec for name, spec in registry.items() if "bench" in spec.tags}
+
+    spark = get_spark("iceberg-meta-spark-bench", cpus=cpus)
+    # Cache base tables across cores (see module docstring).
+    enable_cache(True)
+    times = _timed_pass(spark, bench, sf_dir)
+
+    out = {
+        "metric": "headline-query wall time, noop-sink materialization",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+    }
+    # Second scale point (closest to the reference baseline's scenario size):
+    # same session, same plans, different data scale.
+    if second_dir and os.path.isdir(second_dir) and second_dir != sf_dir:
+        t2 = _timed_pass(spark, bench, second_dir)
+        out["scale_points"] = {
+            str(_sf_of(second_dir)): {"value": round(sum(t2.values()), 3), "queries": t2}
+        }
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 

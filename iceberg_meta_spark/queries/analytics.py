@@ -280,6 +280,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """,
+    tags=("bench",),
     doc="TPC-H Q5 shape: 6-way star join (region/nation/supplier broadcast), "
     "local-supplier co-nation predicate, per-nation revenue",
 )
@@ -400,6 +401,7 @@ def returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS gap_us
         FROM ev p WHERE p.event_type = 'purchase'
     """,
+    tags=("bench",),
     doc="As-of join (attribution): each purchase + the user's latest click "
     "at-or-before it — union + forward-fill window, ONE shuffle on user_id, "
     "no join operator (operators/asof.py; the reference has no as-of join; "
