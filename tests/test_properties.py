@@ -121,13 +121,15 @@ def test_skew_invariants(spark, counts):
     assert max(r.skew_ratio for r in out) == round_half_up(max(per_key.values()) / avg)
 
 
-@given(v=st.integers(0, 2**50))
+@given(v=st.integers(0, 2**55))
 @SET
 def test_format_bytes_matches_python(spark, v):
-    def py_format(n: float) -> str:
-        for unit, base in (("B", 1), ("KB", 1024), ("MB", 1024**2), ("GB", 1024**3), ("TB", 1024**4)):
-            if n < base * 1024 or unit == "TB":
-                scaled = (n * 10) // base  # integer one-decimal, like the kernel
+    def py_format(n: int) -> str:
+        units = (("B", 1), ("KB", 1024), ("MB", 1024**2), ("GB", 1024**3),
+                 ("TB", 1024**4), ("PB", 1024**5))
+        for unit, base in units:
+            if n < base * 1024 or unit == "PB":
+                scaled = (n * 10 + base // 2) // base  # half-up one-decimal, like the kernel
                 return f"{scaled // 10}.{scaled % 10} {unit}"
         raise AssertionError
     df = spark.createDataFrame([(v,)], "v long")
