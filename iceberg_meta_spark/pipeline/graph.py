@@ -1,0 +1,109 @@
+"""Duplicate-cluster graph kernels: fingerprint-share edges + distributed
+connected components (iterative min-label propagation).
+
+Pair generators (exact keys, MinHash-LSH) emit EDGES; a real dedup pipeline
+needs CLUSTERS — the transitive closure — so that exactly one representative
+per connected component survives. The reference has no analog (it is a
+single-table metadata tool); this is part of the LLM-pipeline surface the
+brief adds on top.
+
+Scale notes:
+- Edges are doc->group-representative STARS (one edge per (doc, key), never
+  the O(group²) clique), so edge count is bounded by rows × #key-types.
+- Label propagation does one shuffle per round (union + min-groupBy) and
+  converges in O(graph diameter) rounds; star-shaped edge sets keep the
+  diameter small. Each round is `localCheckpoint`-ed so the lineage (and the
+  task binary) stays constant-size — the standard iterative-DataFrame idiom.
+- The per-round convergence check is one count() action on the changed-label
+  frame; an iterative algorithm is inherently multi-job, this is the minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fingerprint_edges(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(src, dst) edges linking docs that share a k-token prefix OR suffix
+    fingerprint: each doc links to the MIN doc_id of every key group it
+    belongs to (star edges, not cliques).
+
+    The suffix is taken via reverse->slice->reverse so short documents
+    degrade to their full token list identically in Spark and DuckDB
+    (negative-index slicing differs between engines; this form doesn't).
+    """
+    toks = F.split(F.col("text"), " ")
+    prefix = F.md5(F.concat(F.lit("p|"), F.concat_ws(" ", F.slice(toks, 1, k))))
+    suffix = F.md5(
+        F.concat(
+            F.lit("s|"),
+            F.concat_ws(" ", F.reverse(F.slice(F.reverse(toks), 1, k))),
+        )
+    )
+    keys = docs.select("doc_id", prefix.alias("fp")).unionAll(
+        docs.select("doc_id", suffix.alias("fp"))
+    )
+    reps = keys.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    return (
+        keys.join(reps, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, label): every node labeled with the MIN node id reachable in
+    its undirected connected component.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — expressed as union(current, labels
+    arriving over edges) -> min-groupBy, i.e. ONE shuffle per round. Stops
+    when a round changes nothing (or at ``max_iter`` as a safety bound).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        arriving = sym.join(
+            cur.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new = (
+            cur.unionAll(arriving)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(cur, "node")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        cur = new
+        if changed == 0:
+            break
+    return cur
+
+
+def dedup_clusters(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Duplicate clusters over prefix/suffix fingerprint edges: one row per
+    connected component with its size and id range. Every clustered doc
+    except ``cluster_id`` itself is a removal candidate — the keep-min-id
+    policy of :func:`exact_dup_groups` generalized across transitive links.
+    """
+    cc = connected_components(fingerprint_edges(docs, k))
+    return cc.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )

@@ -1,0 +1,199 @@
+"""Corpus-quality kernels: rule-based filtering (Gopher/C4-style), intra-doc
+repetition profiling, eval-set contamination detection, temperature-based
+domain mixing.
+
+All batch kernels are expression-only (split / array lambdas / md5) —
+JVM-side whole-stage codegen, no Python workers. Per-doc work is linear in
+document length (the one bounded-quadratic piece, the top-token-frequency
+rule, is quadratic in DISTINCT tokens per doc — constant for bounded-length
+documents), so everything here is embarrassingly parallel at 10⁹ docs.
+
+Rule thresholds are integer-exact (``5*top_freq <= n`` instead of
+``top_freq/n <= 0.2``) so the DuckDB oracles replay bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.pipeline.dedup import _word_shingles
+from iceberg_meta_spark.pipeline.text import STOPWORDS
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def quality_rule_summary(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) pass rates for four Gopher/C4-style quality rules.
+
+    Rules (mirroring the published Gopher heuristics — token-count window,
+    mean-word-length window, stopword presence, most-common-word share —
+    restated as integer comparisons):
+
+    - ``r_len``:  20 <= n_tokens <= 400
+    - ``r_word``: 2 <= mean token length <= 12  (as 2n <= chars <= 12n)
+    - ``r_stop``: >= 2 distinct stopwords present
+    - ``r_rep``:  most frequent token <= 20% of tokens (as 5*top <= n)
+
+    Scale: one map-side projection + one groupBy on a tiny key space —
+    partial aggregation makes the shuffle a few rows per (lang, source).
+    """
+    toks = _toks()
+    n = F.size(toks).cast("long")
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    top = F.array_max(
+        F.transform(F.array_distinct(toks), lambda u: F.size(F.filter(toks, lambda v: v == u)))
+    ).cast("long")
+    r_len = (n >= 20) & (n <= 400)
+    r_word = (chars >= 2 * n) & (chars <= 12 * n)
+    r_stop = n_stop >= 2
+    r_rep = top * 5 <= n
+    per = docs.select(
+        "lang",
+        "source",
+        r_len.alias("r_len"),
+        r_word.alias("r_word"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_len & r_word & r_stop & r_rep).alias("r_all"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt("r_len").alias("n_len_ok"),
+        cnt("r_word").alias("n_word_ok"),
+        cnt("r_stop").alias("n_stop_ok"),
+        cnt("r_rep").alias("n_rep_ok"),
+        cnt("r_all").alias("n_pass"),
+        F.round(cnt("r_all").cast("double") / F.count(F.lit(1)), 4).alias("pass_rate"),
+    )
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc intra-document repetition: duplicate-token and duplicate-bigram
+    ratios plus a ``repetitive`` flag (bigram distinct share < 70%).
+
+    The standard "repetitious document" pre-training filter (Gopher's
+    duplicate-line/n-gram family), restated over whitespace tokens. Pure
+    map-side — bigrams are built with ``transform(sequence(...))`` inside the
+    row, no explode, no shuffle at all.
+    """
+    toks = _toks()
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    # slice(toks, 1, 0) = typed empty array<string>; sequence() must be
+    # guarded because Spark's sequence(1, n-1) DESCENDS when n-1 < 1.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.slice(toks, 1, 0))
+    base = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    dup_tok = F.round(F.lit(1.0) - F.col("n_distinct_tokens") / F.col("n_tokens"), 4)
+    dup_bg = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4)
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        dup_tok.alias("dup_token_ratio"),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        dup_bg.alias("dup_bigram_ratio"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (F.col("n_distinct_bigrams") * 10 < F.col("n_bigrams") * 7)
+        ).alias("repetitive"),
+    )
+
+
+EVAL_HEX = "18"  # md5 hex-prefix threshold: ~9.4% of docs become the eval set
+
+
+def contamination_flags(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
+    """Train/eval contamination: per TRAIN doc, the share of its distinct
+    ``shingle_k``-gram shingles that appear anywhere in the EVAL split.
+
+    The eval split is the deterministic md5 hex-prefix sample
+    (``md5('eval:' || doc_id) < '18'``, ~9.4%) — the same cross-engine
+    sampling trick as :mod:`iceberg_meta_spark.pipeline.sampling`, so the
+    oracle selects the identical split. ``contaminated`` = >= 50% overlap
+    (``2*hits >= n_grams``, integer-exact).
+
+    Scale: the eval n-gram set is a tiny fraction of the corpus — it is
+    DISTINCT-ed and **broadcast**, so the train side never shuffles: scan ->
+    explode shingles -> broadcast-semijoin -> partial-agg count per doc. This
+    is the shape decontamination runs at 100 TB (eval benches are MBs).
+    """
+    is_eval = (
+        F.substring(F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))), 1, 2)
+        < EVAL_HEX
+    )
+    tag = docs.select("doc_id", is_eval.alias("__eval"))
+    sh = _word_shingles(docs, shingle_k).join(tag, "doc_id")
+    eval_grams = sh.filter(F.col("__eval")).select("shingle").distinct()
+    train = sh.filter(~F.col("__eval")).select("doc_id", "shingle")
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("contamination"),
+        (F.col("n_hits") * 2 >= F.col("n_grams")).alias("contaminated"),
+    )
+
+
+def domain_mix_temperature(docs: DataFrame, budget: int = 100_000) -> DataFrame:
+    """Temperature-weighted (alpha = 0.5) domain-mixing rates per
+    (lang, source): ``rate_i ∝ sqrt(n_i)`` — the standard multinomial
+    temperature-sampling used to up-weight small domains when composing a
+    training mix — plus the integer doc allocation out of ``budget``.
+
+    Exactness: weights are ``floor(sqrt(n) * 1e6)`` BIGINTs (IEEE sqrt is
+    correctly rounded, so floor-scaling is engine-identical) and the
+    allocation is pure integer arithmetic — no float-sum ordering hazards.
+
+    Scale: groupBy on the tiny domain key, then a broadcast of the 1-row
+    total back onto the per-domain rows — same shape as partition_skew (A4);
+    no window, no second shuffle.
+    """
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
+    )
+    tot = weighted.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("w").alias("total_w")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total_docs"), 4).alias("raw_share"),
+        F.round(F.col("w") / F.col("total_w"), 4).alias("mix_rate"),
+        # integer DIV, not float /: budget*w can exceed exact-double range at
+        # real corpus sizes and the oracle must replay bit-identically.
+        F.expr(f"CAST(({int(budget)} * w) DIV total_w AS BIGINT)").alias("alloc_docs"),
+    )

@@ -50,3 +50,176 @@ def user_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total_cents").alias("min_cents"),
         F.max("total_cents").alias("max_cents"),
     )
+
+# ---------------------------------------------------------------------------
+# Round-2 LLM-pipeline extensions: quality rules, repetition, contamination,
+# domain mixing, duplicate clustering (see pipeline/quality.py, graph.py).
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import graph, quality  # noqa: E402
+
+
+@register(
+    "quality_rule_summary",
+    oracle="""
+        WITH toks AS (SELECT lang, source, text, string_split(text, ' ') AS t
+                      FROM documents),
+        feat AS (SELECT lang, source,
+                   CAST(len(t) AS BIGINT) AS n,
+                   CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars,
+                   CAST(len(list_intersect(list_distinct(t),
+                        ['the','a','of','and','to'])) AS BIGINT) AS nstop,
+                   CAST(list_max(list_transform(list_distinct(t),
+                        u -> len(list_filter(t, v -> v = u)))) AS BIGINT) AS top
+                 FROM toks),
+        r AS (SELECT lang, source,
+                (n >= 20 AND n <= 400) AS r_len,
+                (chars >= 2*n AND chars <= 12*n) AS r_word,
+                (nstop >= 2) AS r_stop,
+                (top * 5 <= n) AS r_rep
+              FROM feat)
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+               CAST(sum(CASE WHEN r_word THEN 1 ELSE 0 END) AS BIGINT) AS n_word_ok,
+               CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+               CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+               CAST(sum(CASE WHEN r_len AND r_word AND r_stop AND r_rep
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(CAST(sum(CASE WHEN r_len AND r_word AND r_stop AND r_rep
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pass_rate
+        FROM r GROUP BY lang, source
+    """,
+    doc="Gopher/C4-style quality-rule pass rates per (lang, source): token "
+    "count, mean word length, stopword presence, top-token share — all "
+    "integer-exact comparisons, one tiny-key groupBy",
+)
+def quality_rule_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.quality_rule_summary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        base AS (SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(generate_series(1, len(t)-1),
+                                            i -> concat(t[i], ' ', t[i+1]))
+                        ELSE list_slice(t, 1, 0) END AS bg
+                 FROM toks),
+        sized AS (SELECT doc_id, n_tokens, n_distinct_tokens,
+                    CAST(len(bg) AS BIGINT) AS n_bigrams,
+                    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+                  FROM base)
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+               round(1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 4)
+                 AS dup_token_ratio,
+               n_bigrams, n_distinct_bigrams,
+               CASE WHEN n_bigrams = 0 THEN 0.0
+                    ELSE round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 4)
+               END AS dup_bigram_ratio,
+               (n_bigrams > 0 AND n_distinct_bigrams * 10 < n_bigrams * 7)
+                 AS repetitive
+        FROM sized
+    """,
+    doc="Intra-document repetition: duplicate-token / duplicate-bigram "
+    "ratios + repetitive flag, fully map-side (bigrams via in-row "
+    "transform(sequence), no explode, zero shuffle)",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "contamination_check",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+        sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 2),
+        tag AS (SELECT doc_id,
+                  substr(md5(concat('eval:', CAST(doc_id AS VARCHAR))), 1, 2) < '18'
+                    AS is_eval
+                FROM toks),
+        ev AS (SELECT DISTINCT shingle FROM sh JOIN tag USING (doc_id) WHERE is_eval),
+        tr AS (SELECT sh.doc_id, shingle FROM sh JOIN tag USING (doc_id)
+               WHERE NOT is_eval),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                  FROM tr GROUP BY doc_id),
+        hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+        SELECT s.doc_id, s.n_grams,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.n_grams, 4)
+                 AS contamination,
+               (COALESCE(h.n_hits, 0) * 2 >= s.n_grams) AS contaminated
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Eval-set contamination: per-train-doc trigram overlap against the "
+    "deterministic md5-sampled eval split; eval n-gram set is broadcast so "
+    "the train side never shuffles (the 100 TB decontamination shape)",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.contamination_flags(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_mix_temperature",
+    oracle="""
+        WITH counts AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+                        FROM documents GROUP BY lang, source),
+        weighted AS (SELECT lang, source, n_docs,
+                       CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT) AS w
+                     FROM counts),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+                       CAST(sum(w) AS BIGINT) AS total_w
+                FROM weighted)
+        SELECT lang, source, n_docs,
+               round(CAST(n_docs AS DOUBLE) / total_docs, 4) AS raw_share,
+               round(CAST(w AS DOUBLE) / total_w, 4) AS mix_rate,
+               CAST((100000 * w) // total_w AS BIGINT) AS alloc_docs
+        FROM weighted, tot
+    """,
+    doc="Temperature-0.5 domain mixing: rate ∝ sqrt(n_docs) per (lang, "
+    "source), floor-scaled BIGINT weights so the allocation is exact; "
+    "1-row total broadcast back (A4's shape), no window",
+)
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.domain_mix_temperature(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keys AS (
+            SELECT doc_id, md5(concat('p|', array_to_string(t[1:3], ' '))) AS fp
+            FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   md5(concat('s|', array_to_string(
+                        list_reverse(list_slice(list_reverse(t), 1, 3)), ' '))) AS fp
+            FROM toks),
+        reps AS (SELECT fp, min(doc_id) AS rep FROM keys GROUP BY fp),
+        e0 AS (SELECT DISTINCT k.doc_id AS src, r.rep AS dst
+               FROM keys k JOIN reps r USING (fp) WHERE k.doc_id <> r.rep),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+        cc AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node)
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+               max(node) AS max_doc_id
+        FROM cc GROUP BY cluster_id
+    """,
+    doc="Duplicate clusters: connected components over prefix/suffix "
+    "fingerprint star edges via iterative min-label propagation (one "
+    "shuffle per round, localCheckpoint-bounded lineage); oracle replays "
+    "the closure with a recursive CTE",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.dedup_clusters(load_table(spark, sf_dir, "documents"))
