@@ -231,3 +231,47 @@ def test_deciles_approx_has_no_window(spark):
     p = plan(load_all()["user_value_deciles_approx"].spark_fn(spark, SF))
     assert "Window" not in p, p
     assert "Broadcast" in p, p
+
+
+def test_doc_repetition_is_pure_map_side(spark):
+    # per-doc repetition ratios are computed in-row (transform over
+    # sequence, no explode): the plan must move zero bytes — no exchange,
+    # no join, no aggregate, no window
+    p = plan(load_all()["doc_repetition"].spark_fn(spark, SF))
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "Aggregate" not in p and "Window" not in p, p
+
+
+def test_quality_rules_single_tiny_key_aggregate(spark):
+    # four rule bits fold into ONE partial+final aggregate on (lang,
+    # source) — no join, no window, and exactly one shuffle key
+    p = plan(load_all()["quality_rule_summary"].spark_fn(spark, SF))
+    assert "Join" not in p and "Window" not in p, p
+    assert p.count("hashpartitioning") == 1, p
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    # the eval n-gram set is MBs against a 100 TB train side: the hit
+    # join must be a broadcast, never a shuffled join of train shingles
+    # against eval shingles
+    p = plan(load_all()["contamination_check"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_domain_mix_broadcasts_total(spark):
+    # the 1-row (total_docs, total_w) aggregate joins back via broadcast
+    # (A4's shape); a global window here would serialize the domain rows
+    p = plan(load_all()["domain_mix_temperature"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert "Broadcast" in p, p
+
+
+def test_fingerprint_edges_no_cartesian(spark):
+    # star edges come from an equi-join on the fingerprint key; any
+    # nested-loop here means the blocking collapsed
+    from iceberg_meta_spark.pipeline.graph import fingerprint_edges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(fingerprint_edges(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
