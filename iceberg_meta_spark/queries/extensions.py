@@ -223,3 +223,119 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics extensions: n-gram counts, vocabulary profiles, unigram
+# rarity scoring, PII scrubbing (see pipeline/corpus.py).
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import corpus  # noqa: E402
+
+
+@register(
+    "corpus_top_bigrams",
+    oracle="""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        grams AS (SELECT concat(t[i], ' ', t[i+1]) AS ngram
+                  FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences
+        FROM grams GROUP BY ngram
+        ORDER BY occurrences DESC, ngram LIMIT 20
+    """,
+    doc="Corpus-wide top-20 bigrams: in-row ngram build, explode with "
+    "map-side partial agg, TakeOrdered top-k (never a global sort "
+    "materialization); deterministic count-desc/text-asc tiebreak",
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@register(
+    "vocabulary_stats",
+    oracle="""
+        WITH tok AS (SELECT lang, source, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        per_token AS (SELECT lang, source, token, CAST(count(*) AS BIGINT) AS cnt
+                      FROM tok GROUP BY lang, source, token)
+        SELECT lang, source,
+               CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+               round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+                 AS type_token_ratio
+        FROM per_token GROUP BY lang, source
+    """,
+    doc="Per-(lang, source) vocabulary profile: total/vocab/hapax token "
+    "counts + type-token ratio; two shrinking shuffles (explode combines "
+    "map-side to one row per distinct domain-token)",
+)
+def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.vocabulary_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_rarity_scores",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                   FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        vocab AS (SELECT token,
+                    CAST((cnt * 1000000000) // total AS BIGINT) AS w, cnt
+                  FROM counts, tot
+                  ORDER BY cnt DESC, token LIMIT 65536),
+        scored AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(COALESCE(v.w, 0)) // count(*) AS BIGINT)
+                       AS mean_commonness,
+                     CAST(min(COALESCE(v.w, 0)) AS BIGINT) AS min_commonness
+                   FROM tok LEFT JOIN vocab v USING (token)
+                   GROUP BY doc_id),
+        exp AS (SELECT CAST(sum(cnt * w) // sum(cnt) AS BIGINT) AS expected_w
+                FROM vocab)
+        SELECT doc_id, n_tokens, mean_commonness, min_commonness,
+               (mean_commonness * 2 < expected_w) AS rare_heavy
+        FROM scored, exp
+    """,
+    doc="CCNet-style unigram rarity scoring with integer-exact floor-scaled "
+    "weights (no platform log()): capped vocab broadcast onto exploded "
+    "tokens, per-doc mean commonness, rare_heavy flag vs the broadcast "
+    "1-row corpus expectation",
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.token_rarity_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(text,
+                 '\\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(text,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                 + len(regexp_extract_all(text,
+                 '\\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_redactions,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                 '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        FROM documents
+    """,
+    doc="PII detection + redaction: email/IPv4/intl-phone counts and the "
+    "md5 of the redacted text; regex subset with identical Java-regex/RE2 "
+    "semantics; pure map-side, zero shuffle",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pii_scrub(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,70 @@
+"""Unit tests for the corpus-statistics kernels (pipeline/corpus.py) on
+handcrafted corpora with known answers. Oracle parity at sf0.01 is covered by
+tests/test_oracle_parity.py; these pin the semantics directly — in particular
+the PII regex behavior, which the synthetic corpus (zero matches) can't.
+"""
+
+from __future__ import annotations
+
+from iceberg_meta_spark.pipeline import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src") for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    out = corpus.top_ngrams(_docs(spark, ["a b a b", "a b c", "x"]), n=2, k=3).collect()
+    assert [(r.ngram, r.occurrences) for r in out] == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_vocabulary_stats(spark):
+    out = corpus.vocabulary_stats(_docs(spark, ["a a b", "a c"])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.total_tokens == 5 and r.vocab_size == 3
+    assert r.hapax_count == 2  # b, c
+    assert r.type_token_ratio == 0.6
+
+
+def test_token_rarity_flags_rare_heavy(spark):
+    # 'common' dominates the corpus; doc 1 is all-hapax -> rare_heavy
+    rows = ["common common common common common common", "rare1 rare2 rare3"]
+    out = {r.doc_id: r for r in corpus.token_rarity_scores(_docs(spark, rows)).collect()}
+    assert out[0].rare_heavy is False
+    assert out[1].rare_heavy is True
+    assert out[0].mean_commonness > out[1].mean_commonness
+    # weights: common=6/9, rare=1/9 of 1e9 (floor)
+    assert out[1].mean_commonness == (1 * corpus.COMMONNESS_SCALE) // 9
+
+
+def test_token_rarity_oov_scores_zero(spark):
+    rows = ["seen seen", "unseen"]
+    out = corpus.token_rarity_scores(_docs(spark, rows), vocab_cap=1).collect()
+    by_id = {r.doc_id: r for r in out}
+    # vocab_cap=1 keeps only 'seen' (count 2 beats 1); 'unseen' is OOV -> 0
+    assert by_id[1].mean_commonness == 0 and by_id[1].min_commonness == 0
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    rows = [
+        "contact me at alice.smith+x@example.co.uk today",
+        "server 192.168.0.1 and 10.0.0.255 up",
+        "call +1 555 123-4567 now",
+        "no pii here at all",
+    ]
+    out = {r.doc_id: r for r in corpus.pii_scrub(_docs(spark, rows)).collect()}
+    assert out[0].n_emails == 1 and out[0].n_redactions == 1
+    assert out[1].n_ips == 2 and out[1].n_emails == 0
+    assert out[2].n_phones == 1
+    assert out[3].n_redactions == 0
+    # redaction actually removed the PII text: md5 differs from raw for hits
+    raw = {r.doc_id: r.redacted_md5 for r in corpus.pii_scrub(_docs(spark, rows)).collect()}
+    import hashlib
+
+    assert raw[3] == hashlib.md5(rows[3].encode()).hexdigest()  # untouched doc
+    assert raw[0] == hashlib.md5(b"contact me at <EMAIL> today").hexdigest()
+    assert raw[2] == hashlib.md5(b"call <PHONE> now").hexdigest()

@@ -275,3 +275,19 @@ def test_fingerprint_edges_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(fingerprint_edges(docs))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_pii_scrub_is_pure_map_side(spark):
+    # regex counting + redaction are per-row expressions: zero exchange,
+    # zero join — the shape that scrubs 100 TB without moving a byte
+    p = plan(load_all()["pii_scrub"].spark_fn(spark, SF))
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "Aggregate" not in p, p
+
+
+def test_token_rarity_broadcasts_vocab(spark):
+    # the capped vocab table must broadcast onto the exploded tokens; a
+    # shuffled vocab join would re-shuffle the whole corpus by token
+    p = plan(load_all()["token_rarity_scores"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
