@@ -89,6 +89,7 @@ from iceberg_meta_spark.pipeline import graph, quality  # noqa: E402
                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pass_rate
         FROM r GROUP BY lang, source
     """,
+    tags=("bench",),
     doc="Gopher/C4-style quality-rule pass rates per (lang, source): token "
     "count, mean word length, stopword presence, top-token share — all "
     "integer-exact comparisons, one tiny-key groupBy",
@@ -300,6 +301,7 @@ def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                (mean_commonness * 2 < expected_w) AS rare_heavy
         FROM scored, exp
     """,
+    tags=("bench",),
     doc="CCNet-style unigram rarity scoring with integer-exact floor-scaled "
     "weights (no platform log()): capped vocab broadcast onto exploded "
     "tokens, per-doc mean commonness, rare_heavy flag vs the broadcast "

@@ -56,3 +56,40 @@ def append_parquet(df: DataFrame, path: str) -> None:
 def overwrite_parquet(df: DataFrame, path: str) -> None:
     """S9 overwrite (reference table.overwrite -> ``writeTo(...).overwritePartitions()``)."""
     df.write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# S9 Iceberg write path (jar-gated). The reference appends/overwrites through
+# pyiceberg table transactions (demo.py:71-74: table.append / table.overwrite);
+# on Spark the same commits go through the DataFrameWriterV2 — writeTo(t)
+# .append() / .overwritePartitions() — executor-parallel file writes plus one
+# catalog snapshot commit. The SQL-text equivalents are pure functions so the
+# statement shape is unit-testable without the runtime jar (like S2's conf).
+# ---------------------------------------------------------------------------
+
+
+def iceberg_write_sql(table: str, mode: str, columns: Sequence[str] | None = None) -> str:
+    """SQL text equivalent of the v2 write: ``INSERT INTO`` (append) or
+    ``INSERT OVERWRITE`` (dynamic partition overwrite) from a named view."""
+    if mode not in ("append", "overwrite_partitions"):
+        raise ValueError(f"unknown write mode: {mode}")
+    cols = f" ({', '.join(columns)})" if columns else ""
+    proj = ", ".join(columns) if columns else "*"
+    verb = "INSERT INTO" if mode == "append" else "INSERT OVERWRITE"
+    return f"{verb} {table}{cols} SELECT {proj} FROM __source__"
+
+
+def append_iceberg(df: DataFrame, table: str) -> None:
+    """S9 append through the catalog (one new snapshot). Jar-gated."""
+    from iceberg_meta_spark.sources.iceberg import _require_runtime
+
+    _require_runtime(df.sparkSession)
+    df.writeTo(table).append()
+
+
+def overwrite_partitions_iceberg(df: DataFrame, table: str) -> None:
+    """S9 dynamic-partition overwrite (reference ``table.overwrite``). Jar-gated."""
+    from iceberg_meta_spark.sources.iceberg import _require_runtime
+
+    _require_runtime(df.sparkSession)
+    df.writeTo(table).overwritePartitions()

@@ -184,3 +184,24 @@ def test_schema_fields_feed_schema_diff(spark):
     fields = ice.schema_fields_from_metadata(spark, meta, "db.t")
     d = {r.field_id: r.change for r in ops.schema_diff(fields, old_id=1, new_id=2).collect()}
     assert d[1] == "changed" and d[2] == "added"
+
+
+def test_iceberg_write_sql_text():
+    assert (
+        sinks.iceberg_write_sql("cat.db.t", "append")
+        == "INSERT INTO cat.db.t SELECT * FROM __source__"
+    )
+    assert (
+        sinks.iceberg_write_sql("cat.db.t", "overwrite_partitions", ["a", "b"])
+        == "INSERT OVERWRITE cat.db.t (a, b) SELECT a, b FROM __source__"
+    )
+    with pytest.raises(ValueError):
+        sinks.iceberg_write_sql("t", "truncate")
+
+
+def test_iceberg_writes_are_jar_gated(spark):
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
+        sinks.append_iceberg(df, "cat.db.t")
+    with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
+        sinks.overwrite_partitions_iceberg(df, "cat.db.t")
