@@ -1,0 +1,101 @@
+"""Deterministic Lloyd k-means refinement for the IVF coarse quantizer.
+
+``ivf_probe_topk`` (pipeline/similarity.py) assigns vectors to a
+deterministic centroid *sample*; this module runs the k-means iterations that
+a real IVF index build performs — and does it with integer-exact arithmetic
+so the result is bit-identical in any engine and any partition order,
+letting an ITERATIVE algorithm carry a full hash-gated DuckDB oracle:
+
+- centroid components are floor-quantized BIGINTs at 1e6 scale
+  (``floor(x * 1e6)``); means are integer division (``sum DIV n``);
+- assignment cosine uses the same floor-scaled 1e12 dot products as the rest
+  of the similarity module — exact integer sums, order-independent.
+
+Scale posture (10⁹ vectors, K ≈ √N centroids): each iteration is one
+broadcast of the K-row centroid table + a map-side argmax (partial-agg
+``max(struct)``, ONE row per vector through the shuffle) + a per-cell
+component-sum aggregate (64 ``sum`` columns, map-side combined — one row per
+cell on the wire). ``localCheckpoint`` per round bounds lineage, the standard
+iterative-DataFrame idiom (see pipeline/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.pipeline.similarity import scaled_dot, with_self_norm
+
+QUANT = 1_000_000  # centroid component quantization scale
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def _dequantize(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double") / QUANT)
+
+
+def _with_cnorm(cents: DataFrame) -> DataFrame:
+    return cents.withColumn("c_norm", scaled_dot(_dequantize(F.col("c")), _dequantize(F.col("c"))))
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmax-cosine cell per vector. Broadcast centroids,
+    map-side ``max(struct)`` argmax — never an N×K window shuffle."""
+    dot = scaled_dot(F.col("embedding"), _dequantize(F.col("c")))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("norm_s").cast("double")) * F.sqrt(F.col("c_norm").cast("double"))
+    )
+    return (
+        base.crossJoin(F.broadcast(_with_cnorm(cents)))
+        .select("vec_id", F.col("cent_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cent_id")).alias("neg"))).alias("m"))
+        .select("vec_id", (-F.col("m.neg")).cast("long").alias("cell"))
+    )
+
+
+def _update(base: DataFrame, assign: DataFrame, dims: int) -> DataFrame:
+    """New quantized centroids: per-cell integer mean of quantized vectors.
+    Empty cells drop out (identically in the oracle's GROUP BY)."""
+    joined = assign.join(base.select("vec_id", "q"), "vec_id")
+    sums = joined.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}") for i in range(dims)],
+    )
+    mean = F.array(*[F.expr(f"CAST(s{i} DIV n AS BIGINT)") for i in range(dims)])
+    return sums.select(F.col("cell").alias("cent_id"), mean.alias("c"))
+
+
+def kmeans_cells(
+    emb: DataFrame, centroid_mod: int = 31, iters: int = 2, dims: int = 64
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds from the deterministic id-sample init, then
+    report the final partition: one row per surviving cell with its member
+    count and the md5 of the refined quantized centroid.
+
+    Returns (cell, n_vectors, centroid_md5) — compact, exact, and
+    hash-comparable across engines.
+    """
+    base = (
+        with_self_norm(emb)
+        .select("vec_id", "embedding", "norm_s", _quantize(F.col("embedding")).alias("q"))
+        .localCheckpoint()
+    )
+    cents = base.filter(F.col("vec_id") % centroid_mod == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("c")
+    )
+    for _ in range(iters):
+        assign = _assign(base, cents)
+        cents = _update(base, assign, dims).localCheckpoint()
+    final = _assign(base, cents)
+    sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    cmd5 = cents.select(
+        F.col("cent_id").alias("cell"),
+        F.md5(F.concat_ws(",", F.transform(F.col("c"), lambda x: x.cast("string")))).alias(
+            "centroid_md5"
+        ),
+    )
+    return sizes.join(cmd5, "cell").select("cell", "n_vectors", "centroid_md5")

@@ -341,3 +341,80 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# IVF k-means training (pipeline/kmeans.py): an ITERATIVE algorithm with a
+# full hash-gated oracle — integer-exact quantized arithmetic makes the
+# fixed-iteration Lloyd refinement bit-identical across engines, so the
+# oracle simply unrolls the iterations as CTEs.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import kmeans  # noqa: E402
+
+_KM_NORM = """(SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1e12) AS BIGINT)) AS BIGINT)
+    FROM (SELECT unnest(b.embedding) AS x) zn)"""
+
+
+def _km_assign(cents: str, out: str) -> str:
+    """One unrolled assignment CTE: argmax-cosine cell per vector against
+    quantized centroids (components at 1e6 scale, dots floor-scaled 1e12)."""
+    dot = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * (CAST(xb AS DOUBLE)/1000000.0) * 1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(b.embedding) AS xa, unnest(c.c) AS xb) zd)"""
+    cn = """(SELECT CAST(sum(CAST(floor((CAST(xc AS DOUBLE)/1000000.0)*(CAST(xc AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(c.c) AS xc) zc)"""
+    return f"""{out} AS (
+        SELECT vec_id, CAST(cent_id AS BIGINT) AS cell FROM (
+            SELECT b.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     CAST({dot} AS DOUBLE)
+                       / (sqrt(CAST(b.norm_s AS DOUBLE)) * sqrt(CAST({cn} AS DOUBLE)))
+                     DESC, c.cent_id) AS rn
+            FROM base b, {cents} c) WHERE rn = 1)"""
+
+
+def _km_update(assign: str, out: str) -> str:
+    """One unrolled update CTE: per-cell integer mean of quantized vectors."""
+    return f"""{out}_s AS (
+        SELECT a.cell, g.i, CAST(sum(b.q[g.i]) // count(*) AS BIGINT) AS s
+        FROM {assign} a JOIN base b USING (vec_id), generate_series(1, 64) AS g(i)
+        GROUP BY a.cell, g.i),
+    {out} AS (SELECT cell AS cent_id, list(s ORDER BY i) AS c FROM {out}_s GROUP BY cell)"""
+
+
+def _kmeans_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
+    parts = [
+        f"""WITH base AS (
+        SELECT b.vec_id, b.embedding, {_KM_NORM} AS norm_s,
+               list_transform(b.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS q
+        FROM embeddings b),
+    c0 AS (SELECT vec_id AS cent_id, q AS c FROM base WHERE vec_id % {centroid_mod} = 1)"""
+    ]
+    for i in range(iters):
+        parts.append(_km_assign(f"c{i}", f"a{i}"))
+        parts.append(_km_update(f"a{i}", f"c{i+1}"))
+    parts.append(_km_assign(f"c{iters}", "af"))
+    parts.append(
+        f"""sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM af GROUP BY cell),
+    cm AS (SELECT cent_id AS cell, md5(array_to_string(c, ',')) AS centroid_md5 FROM c{iters})"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT s.cell, s.n_vectors, cm.centroid_md5 FROM sizes s JOIN cm USING (cell)"
+    )
+
+
+@register(
+    "ann_ivf_train",
+    oracle=_kmeans_oracle(iters=2, centroid_mod=31),
+    doc="IVF coarse-quantizer training: 2 Lloyd rounds from the "
+    "deterministic id-sample init — broadcast centroids, map-side argmax "
+    "assignment (one row per vector through the shuffle), per-cell integer "
+    "centroid means at 1e6 quantization; iterative yet hash-gated because "
+    "every step is integer-exact",
+)
+def ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans.kmeans_cells(
+        load_table(spark, sf_dir, "embeddings"), centroid_mod=31, iters=2, dims=64
+    )

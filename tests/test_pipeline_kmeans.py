@@ -1,0 +1,68 @@
+"""Unit tests for the deterministic Lloyd k-means refinement
+(pipeline/kmeans.py) on a handcrafted separable dataset. Oracle parity at
+sf0.01 (2 unrolled iterations as CTEs) is covered by test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.pipeline import kmeans
+
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_kmeans_separates_two_clusters(spark):
+    # ids 0-2 point along +x, ids 3-5 along +y; init sample (vec_id % 3 == 1)
+    # picks one seed per cluster (ids 1 and 4)
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.1, 0.0]),
+        (2, [0.9, 0.1, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.1, 0.0]),
+        (4, [0.1, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.9, 0.1, 0.0]),
+    ]
+    out = kmeans.kmeans_cells(_emb(spark, rows), centroid_mod=3, iters=2, dims=4).collect()
+    by_cell = {r.cell: r for r in out}
+    assert set(by_cell) == {1, 4}
+    assert by_cell[1].n_vectors == 3 and by_cell[4].n_vectors == 3
+    assert by_cell[1].centroid_md5 != by_cell[4].centroid_md5
+
+
+def test_kmeans_centroid_mean_is_integer_exact(spark):
+    # one cluster, one centroid: after an update the centroid is the
+    # element-wise integer mean of the quantized members
+    rows = [(1, [0.5, 0.5]), (2, [0.7, 0.3]), (3, [0.6, 0.4])]
+    base = _emb(spark, rows)
+    q = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")).alias("q"),
+    )
+    expected = q.agg(
+        F.expr("CAST(sum(q[0]) DIV count(1) AS BIGINT)").alias("m0"),
+        F.expr("CAST(sum(q[1]) DIV count(1) AS BIGINT)").alias("m1"),
+    ).collect()[0]
+    out = kmeans.kmeans_cells(base, centroid_mod=100, iters=1, dims=2).collect()
+    assert len(out) == 1 and out[0].n_vectors == 3
+    import hashlib
+
+    assert out[0].centroid_md5 == hashlib.md5(f"{expected.m0},{expected.m1}".encode()).hexdigest()
+
+
+def test_kmeans_converged_assignment_is_stable(spark):
+    # running one more iteration on an already-converged partition must not
+    # change cells or counts (idempotence of the Lloyd fixed point)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]),
+    ]
+    a = kmeans.kmeans_cells(_emb(spark, rows), centroid_mod=3, iters=2, dims=2).collect()
+    b = kmeans.kmeans_cells(_emb(spark, rows), centroid_mod=3, iters=3, dims=2).collect()
+    assert sorted((r.cell, r.n_vectors) for r in a) == sorted((r.cell, r.n_vectors) for r in b)

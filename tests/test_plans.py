@@ -291,3 +291,13 @@ def test_token_rarity_broadcasts_vocab(spark):
     p = plan(load_all()["token_rarity_scores"].spark_fn(spark, SF))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_kmeans_assign_is_broadcast_argmax(spark):
+    # each Lloyd round must broadcast the K-row centroid table and reduce
+    # the N x K cosine product with a map-side partial_max argmax — one row
+    # per vector through the shuffle, never an N x K window
+    p = plan(load_all()["ann_ivf_train"].spark_fn(spark, SF))
+    assert "BroadcastExchange" in p, p
+    assert "partial_max" in p, p
+    assert "row_number" not in p, p
