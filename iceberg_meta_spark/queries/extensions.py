@@ -418,3 +418,105 @@ def ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_cells(
         load_table(spark, sf_dir, "embeddings"), centroid_mod=31, iters=2, dims=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom operators the brief names that Spark lacks natively: bucketed range
+# join (operators/rangejoin.py) and hypertable-style hierarchical time
+# rollup (operators/hypertable.py).
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.hypertable import time_rollup  # noqa: E402
+from iceberg_meta_spark.operators.rangejoin import (  # noqa: E402
+    bucketed_range_join,
+    session_intervals,
+)
+
+
+@register(
+    "session_purchase_match",
+    oracle="""
+        WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                        WHERE event_type = 'click'),
+        lagged AS (SELECT user_id, ts_us,
+                     lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_ts
+                   FROM clicks),
+        marked AS (SELECT user_id, ts_us,
+                     CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+                   FROM lagged),
+        sess AS (SELECT user_id, ts_us,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 FROM marked),
+        iv AS (SELECT user_id, session_id, min(ts_us) AS lo,
+                      max(ts_us) + 1800000000 AS hi
+               FROM sess GROUP BY user_id, session_id),
+        pur AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                WHERE event_type = 'purchase'),
+        matched AS (SELECT p.user_id, iv.session_id
+                    FROM pur p JOIN iv ON iv.user_id = p.user_id
+                    AND p.ts_us >= iv.lo AND p.ts_us <= iv.hi)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions_hit
+        FROM matched GROUP BY user_id
+    """,
+    doc="Range join (point-in-interval): purchases matched into the same "
+    "user's click-session windows via the bucketed range join — intervals "
+    "explode to covered 30-min buckets, points tag their single bucket, "
+    "candidates come from an EQUI-join on (user_id, bucket), never a "
+    "nested-loop BETWEEN join",
+)
+def session_purchase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    # a session window stays open until its gap expires: hi = last click + gap
+    iv = session_intervals(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts_us"),
+        key="user_id",
+        ts_col="ts_us",
+    ).withColumn("hi", F.col("hi") + 1_800_000_000)
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
+    matched = bucketed_range_join(
+        pur, iv, key="user_id", ts_col="ts_us", width=1_800_000_000
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.countDistinct("session_id").alias("n_sessions_hit"),
+    )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+        WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+        minute AS (SELECT ts_us - ts_us % 60000000 AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                   FROM ev GROUP BY 1),
+        hour AS (SELECT bucket_us - bucket_us % 3600000000 AS bucket_us,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+                 FROM minute GROUP BY 1),
+        day AS (SELECT bucket_us - bucket_us % 86400000000 AS bucket_us,
+                  CAST(sum(n_events) AS BIGINT) AS n_events,
+                  CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+                FROM hour GROUP BY 1)
+        SELECT 'minute' AS grain, bucket_us, n_events, sum_cents FROM minute
+        UNION ALL
+        SELECT 'hour' AS grain, bucket_us, n_events, sum_cents FROM hour
+        UNION ALL
+        SELECT 'day' AS grain, bucket_us, n_events, sum_cents FROM day
+    """,
+    doc="Hypertable-style hierarchical rollup: raw events aggregated ONCE "
+    "at minute grain; hour derives from minute partials and day from hour "
+    "(mergeable integer sums) — Spark's ReuseExchange dedups the shared "
+    "minute subtree across the union branches, so raw data is scanned once",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    return time_rollup(ev, ts_col="ts_us", value_col="value")

@@ -301,3 +301,29 @@ def test_kmeans_assign_is_broadcast_argmax(spark):
     assert "BroadcastExchange" in p, p
     assert "partial_max" in p, p
     assert "row_number" not in p, p
+
+
+def test_range_join_is_equi_join(spark):
+    # the point-in-interval match must compile to an equi-join on
+    # (key, bucket) — a BETWEEN-only join would be a nested loop,
+    # quadratic per key at scale
+    p = plan(load_all()["session_purchase_match"].spark_fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_time_rollup_reuses_minute_exchange(spark):
+    # hour and day derive from the minute partials: the minute subtree
+    # must appear once and be shared (ReusedExchange), so raw events are
+    # scanned exactly once across the three union branches. AQE defers
+    # exchange reuse to runtime, so inspect the non-adaptive plan.
+    df = load_all()["events_time_rollup"].spark_fn(spark, SF)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # formatted mode lists each node in the tree AND the detail section;
+    # count the detail-only markers: one "Reuses operator id" per reuse,
+    # one "Location:" per real scan
+    assert p.count("Reuses operator id") == 2, p
+    assert p.count("Location:") == 1, p
