@@ -281,3 +281,42 @@ def nearest_in_label(emb: DataFrame, sample_mod: int = 10) -> DataFrame:
     return ranked.filter(F.col("rank") == 1).select(
         "query_id", "label", "neighbor_id", F.round("cos", 6).alias("cos_sim")
     )
+
+
+QUANT_SCALE = 1_000_000_000  # 1e9 floor-scale for quantization stats
+
+
+def int8_quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector — the standard 4× memory
+    reduction for ANN candidate storage: ``q_i = floor(x_i / scale * 127)``
+    with ``scale = max|x_i|``.
+
+    Returns per-vector (vec_id, scale_s, q_md5, err_s): the floor-scaled
+    BIGINT scale, the md5 of the int8 array, and the floor-scaled total
+    reconstruction error — all integer-exact, so the oracle hash-matches.
+    Pure map-side: zero shuffle, embarrassingly parallel at 10⁹ vectors.
+    """
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(xd(x))))
+    q = F.transform(F.col(vec_col), lambda x: F.floor((xd(x) / scale) * 127).cast("long"))
+    err_term = lambda x: F.floor(  # noqa: E731
+        F.abs(xd(x) - (F.floor((xd(x) / scale) * 127).cast("double") * scale) / 127.0)
+        * QUANT_SCALE
+    ).cast("long")
+    err = F.aggregate(
+        F.transform(F.col(vec_col), err_term), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    zero = F.lit(0).cast("long")
+    return emb.select(
+        "vec_id",
+        F.when(scale == 0, zero)
+        .otherwise(F.floor(scale * QUANT_SCALE).cast("long"))
+        .alias("scale_s"),
+        F.when(
+            scale == 0,
+            F.md5(F.concat_ws(",", F.transform(F.col(vec_col), lambda x: F.lit("0")))),
+        )
+        .otherwise(F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))))
+        .alias("q_md5"),
+        F.when(scale == 0, zero).otherwise(err).alias("err_s"),
+    )

@@ -520,3 +520,90 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts DIV 1000").alias("ts_us"), "value"
     )
     return time_rollup(ev, ts_col="ts_us", value_col="value")
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings)
+        SELECT vec_id,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor(scale * 1000000000) AS BIGINT) END AS scale_s,
+               CASE WHEN scale = 0
+                    THEN md5(array_to_string(list_transform(embedding, x -> '0'), ','))
+                    ELSE md5(array_to_string(list_transform(embedding,
+                        x -> CAST(CAST(floor((CAST(x AS DOUBLE) / scale) * 127) AS BIGINT)
+                                  AS VARCHAR)), ','))
+               END AS q_md5,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(list_sum(list_transform(embedding,
+                        x -> CAST(floor(abs(CAST(x AS DOUBLE)
+                             - (CAST(floor((CAST(x AS DOUBLE) / scale) * 127) AS DOUBLE)
+                                * scale) / 127.0) * 1000000000) AS BIGINT))) AS BIGINT)
+               END AS err_s
+        FROM base
+    """,
+    doc="Symmetric int8 embedding quantization (the 4x ANN memory "
+    "reduction): per-vector scale, quantized-array md5, and floor-scaled "
+    "reconstruction error — integer-exact, pure map-side, zero shuffle",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.similarity import int8_quantize
+
+    return int8_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keys AS (
+            SELECT doc_id, md5(concat('p|', array_to_string(t[1:3], ' '))) AS fp
+            FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   md5(concat('s|', array_to_string(
+                        list_reverse(list_slice(list_reverse(t), 1, 3)), ' '))) AS fp
+            FROM toks),
+        reps AS (SELECT fp, min(doc_id) AS rep FROM keys GROUP BY fp),
+        e0 AS (SELECT DISTINCT k.doc_id AS src, r.rep AS dst
+               FROM keys k JOIN reps r USING (fp) WHERE k.doc_id <> r.rep),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+        cc AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+        dropped AS (SELECT node AS doc_id FROM cc WHERE cluster_id <> node)
+        SELECT d.lang, d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_survivors
+        FROM documents d LEFT JOIN dropped dr USING (doc_id)
+        GROUP BY d.lang, d.source
+    """,
+    doc="Corpus after transitive dedup: per-domain survivor counts — every "
+    "clustered doc except its component's min-id representative is dropped "
+    "(LeftAnti against the propagated labels); completes the dedup_clusters "
+    "story into an actionable keep-list",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cc = graph.connected_components(graph.fingerprint_edges(docs))
+    dropped = cc.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    per_kept = kept.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_survivors"))
+    per_all = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return per_all.join(per_kept, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_survivors"), F.lit(0).cast("long")).alias("n_survivors"),
+    )

@@ -211,3 +211,35 @@ def test_multimodal_frame_sample_fanout(spark):
     n = len("video one payload")
     expected_frames = n % 24 + 2
     assert sum(1 for r in rows if r.asset_id == 2) == (expected_frames + 3) // 4
+
+
+def test_int8_quantize_known_vectors(spark):
+    from iceberg_meta_spark.pipeline.similarity import int8_quantize
+
+    rows = [
+        (1, [0.5, -1.0, 0.25]),  # scale=1.0 -> q = [63, -127, 31]
+        (2, [0.0, 0.0, 0.0]),  # zero vector: guarded, no div-by-zero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in int8_quantize(df).collect()}
+    import hashlib
+
+    assert out[1].scale_s == 1_000_000_000
+    assert out[1].q_md5 == hashlib.md5(b"63,-127,31").hexdigest()
+    assert out[1].err_s > 0  # 0.5 and 0.25 don't quantize exactly
+    assert out[2].scale_s == 0 and out[2].err_s == 0
+    assert out[2].q_md5 == hashlib.md5(b"0,0,0").hexdigest()
+
+
+def test_dedup_survivors_keeps_representatives(spark):
+    from iceberg_meta_spark.registry import load_all
+
+    # at sf0.001 the survivor count must equal docs minus non-rep cluster
+    # members computed straight from the clusters query
+    sf = "/root/testdata/sf0.001"
+    surv = load_all()["dedup_survivors"].spark_fn(spark, sf)
+    clusters = load_all()["dedup_clusters"].spark_fn(spark, sf)
+    total = sum(r.n_docs for r in surv.collect())
+    kept = sum(r.n_survivors for r in surv.collect())
+    removed = sum(r.n_docs - 1 for r in clusters.collect())  # one rep kept per cluster
+    assert total - kept == removed
