@@ -407,6 +407,7 @@ def _kmeans_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
 
 @register(
     "ann_ivf_train",
+    tags=("bench",),
     oracle=_kmeans_oracle(iters=2, centroid_mod=31),
     doc="IVF coarse-quantizer training: 2 Lloyd rounds from the "
     "deterministic id-sample init — broadcast centroids, map-side argmax "
@@ -490,6 +491,7 @@ def session_purchase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_time_rollup",
+    tags=("bench",),
     oracle="""
         WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
         minute AS (SELECT ts_us - ts_us % 60000000 AS bucket_us,
