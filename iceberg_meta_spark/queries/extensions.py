@@ -609,3 +609,129 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.coalesce(F.col("n_survivors"), F.lit(0).cast("long")).alias("n_survivors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional hard TPC-H decorrelation shapes: Q13 (outer-join histogram),
+# Q17 (correlated per-group average), Q21 (compound-condition semi + anti).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_histogram",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+        FROM per_cust GROUP BY c_count
+        ORDER BY n_customers DESC, c_count DESC
+    """,
+    doc="Q13 shape: customer-order-count distribution including zero-order "
+    "customers — LEFT OUTER join then two shrinking aggregations; the "
+    "per-customer count reuses the join's custkey partitioning (no extra "
+    "exchange) and the histogram key space is tiny",
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+        WITH li AS (SELECT l_partkey, l_extendedprice,
+                           CAST(floor(l_quantity * 100) AS BIGINT) AS lq
+                    FROM lineitem),
+        pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        stats AS (SELECT l_partkey, CAST(sum(lq) AS BIGINT) AS sum_lq,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM li JOIN pk ON p_partkey = l_partkey GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM li JOIN stats USING (l_partkey)
+        WHERE lq * cnt * 5 < sum_lq
+    """,
+    doc="Q17 shape: revenue from below-one-fifth-of-part-average quantity "
+    "lines of one brand — the correlated per-part AVG decorrelated into a "
+    "groupBy broadcast back onto the fact scan; the threshold compare is "
+    "integer cross-multiplication (lq*cnt*5 < sum_lq), no float division",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("lq"),
+    )
+    pk = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    brand_li = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey).drop("p_partkey")
+    stats = brand_li.groupBy("l_partkey").agg(
+        F.sum("lq").alias("sum_lq"), F.count(F.lit(1)).alias("cnt")
+    )
+    hits = brand_li.join(F.broadcast(stats), "l_partkey").filter(
+        F.col("lq") * F.col("cnt") * 5 < F.col("sum_lq")
+    )
+    return hits.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "sole_return_suppliers",
+    oracle="""
+        WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                    WHERE l_returnflag = 'R'),
+        multi AS (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM l1
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R'))
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM multi JOIN supplier s ON s.s_suppkey = multi.l_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    doc="Q21 shape: suppliers who were the SOLE returner in multi-supplier "
+    "orders — compound-condition LeftSemi (another supplier exists) and "
+    "LeftAnti (no other returner) on the orderkey with a suppkey "
+    "inequality, then a broadcast supplier-dim join and top-k",
+)
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    multi = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "leftsemi"
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "leftanti"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        multi.join(F.broadcast(sup), multi.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )

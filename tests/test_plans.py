@@ -327,3 +327,30 @@ def test_time_rollup_reuses_minute_exchange(spark):
     # one "Location:" per real scan
     assert p.count("Reuses operator id") == 2, p
     assert p.count("Location:") == 1, p
+
+
+def test_q13_histogram_two_shuffles(spark):
+    # LEFT OUTER join -> per-customer count -> histogram: exactly two hash
+    # exchanges (custkey agg, c_count agg) — the join side feeds the first
+    # aggregate without an extra exchange
+    p = plan(load_all()["customer_order_histogram"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert p.count("hashpartitioning") == 2, p
+
+
+def test_q17_decorrelated_no_window(spark):
+    # the correlated per-part AVG must decorrelate to a groupBy broadcast
+    # back onto the brand-filtered fact — no window, no nested loop
+    p = plan(load_all()["small_quantity_revenue"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q21_semi_anti_compound_conditions(spark):
+    # EXISTS(other supplier) -> LeftSemi; NOT EXISTS(other returner) ->
+    # LeftAnti; supplier dim broadcast
+    p = plan(load_all()["sole_return_suppliers"].spark_fn(spark, SF))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
