@@ -735,3 +735,50 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+@register(
+    "sole_return_suppliers_agg",
+    oracle="""
+        WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                    WHERE l_returnflag = 'R'),
+        multi AS (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM l1
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R'))
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM multi JOIN supplier s ON s.s_suppkey = multi.l_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    doc="Scale twin of sole_return_suppliers: the semi/anti formulation "
+    "shuffles lineitem three times (base + EXISTS + NOT EXISTS probes); "
+    "this one reduces each order in ONE groupBy — distinct suppliers, "
+    "distinct returners, and the sole returner id via conditional "
+    "aggregates — then filters (n_supp >= 2, n_ret = 1). Same rows, "
+    "one-third the shuffle volume; the plan test pins the single exchange",
+)
+def sole_return_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(ret_supp).alias("n_ret"),
+        F.max(ret_supp).alias("ret_supp"),
+    )
+    hits = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        hits.join(F.broadcast(sup), hits.ret_supp == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )

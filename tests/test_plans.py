@@ -354,3 +354,13 @@ def test_q21_semi_anti_compound_conditions(spark):
     assert "LeftSemi" in p, p
     assert "LeftAnti" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_q21_agg_twin_single_lineitem_shuffle(spark):
+    # the aggregate formulation reduces each order in one groupBy: no
+    # semi/anti probes re-shuffling lineitem, no join except the broadcast
+    # supplier dim
+    p = plan(load_all()["sole_return_suppliers_agg"].spark_fn(spark, SF))
+    assert "LeftSemi" not in p and "LeftAnti" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
