@@ -125,6 +125,60 @@ def token_rarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
     )
 
 
+def duplicated_ngram_share(
+    docs: DataFrame, n: int = 8, min_docs: int = 2, k: int = 100
+) -> DataFrame:
+    """Exact substring-duplication score: per document, how many of its
+    ``n``-gram positions are covered by an n-gram that also occurs in at
+    least ``min_docs`` distinct documents (the "Deduplicating Training Data
+    Makes Language Models Better" exact-substring signal, at n-gram
+    granularity instead of suffix arrays).
+
+    Scale: one groupBy on (gram, doc_id) with map-side combine collapses
+    every repeated position before the shuffle; the duplicated-gram set is a
+    second, strictly shrinking aggregate, and re-attachment is an equi-join
+    on the gram key (AQE broadcasts it when the dup set is small — the usual
+    case). Never an all-pairs doc comparison.
+    """
+    toks = _toks()
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    grams = docs.select("doc_id", F.explode(_ngrams(toks, n)).alias("gram"))
+    per_gram_doc = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("pos_cnt")
+    )
+    dup_grams = (
+        per_gram_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    per_doc = (
+        per_gram_doc.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.sum("pos_cnt").cast("long").alias("dup_grams"))
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("dup_grams"), F.lit(0).cast("long")).alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("CAST((dup_grams * 1000) DIV n_grams AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .orderBy(F.col("dup_permille").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE = r"\+[0-9][0-9 -]{7,}[0-9]"

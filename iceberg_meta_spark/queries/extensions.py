@@ -738,6 +738,73 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicated_ngram_share",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+                FROM toks WHERE len(t) >= 8),
+        grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+        g1 AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS pos_cnt
+               FROM grams GROUP BY 1, 2),
+        dup AS (SELECT gram FROM g1 GROUP BY gram HAVING count(*) >= 2),
+        per_doc AS (SELECT doc_id, CAST(sum(pos_cnt) AS BIGINT) AS dup_grams
+                    FROM g1 JOIN dup USING (gram) GROUP BY doc_id),
+        base AS (SELECT doc_id,
+                   CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_grams
+                 FROM toks)
+        SELECT b.doc_id, b.n_grams,
+               CAST(coalesce(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+               CASE WHEN b.n_grams > 0
+                    THEN CAST((coalesce(p.dup_grams, 0) * 1000) // b.n_grams AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS dup_permille
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY dup_permille DESC, doc_id
+        LIMIT 100
+    """,
+    doc="Exact substring-duplication score (Lee et al. shape at 8-gram "
+    "granularity): per doc, the share of 8-gram positions whose gram occurs "
+    "in >= 2 distinct docs. groupBy(gram, doc) combines map-side; the dup "
+    "set is a shrinking aggregate re-attached by gram equi-join — never an "
+    "all-pairs doc comparison",
+)
+def duplicated_ngram_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.corpus import duplicated_ngram_share
+
+    return duplicated_ngram_share(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+        WITH t AS (SELECT lang, source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+        c AS (SELECT lang, source, doc_id, n_tok,
+                CAST(coalesce(sum(n_tok) OVER (
+                  PARTITION BY lang, source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS prev_tokens
+              FROM t)
+        SELECT lang, source, CAST(prev_tokens // 256 AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1, 2, 3
+        ORDER BY lang, source, bin_id
+    """,
+    doc="Token-budget sequence packing: greedy-fill bins of 256 tokens per "
+    "(lang, source) shard via a partitioned prefix-sum window (bin = "
+    "prev_tokens DIV budget) — no global ordering, no single-partition "
+    "funnel; the per-bin rollup extends the window partition keys",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.packing import sequence_packing
+
+    return sequence_packing(load_table(spark, sf_dir, "documents"), budget=256)
+
+
+@register(
     "sole_return_suppliers_agg",
     oracle="""
         WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem

@@ -243,3 +243,24 @@ def test_dedup_survivors_keeps_representatives(spark):
     kept = sum(r.n_survivors for r in surv.collect())
     removed = sum(r.n_docs - 1 for r in clusters.collect())  # one rep kept per cluster
     assert total - kept == removed
+
+
+def test_sequence_packing_bins(spark):
+    from iceberg_meta_spark.pipeline.packing import sequence_packing
+
+    docs = spark.createDataFrame(
+        [
+            (0, "t " * 99 + "t", "en", "s"),   # 100 tokens -> bin 0
+            (1, "t " * 199 + "t", "en", "s"),  # 200 tokens, prev=100 -> bin 0 (overflow)
+            (2, "t " * 9 + "t", "en", "s"),    # 10 tokens, prev=300 -> bin 1
+            (3, "t " * 49 + "t", "de", "s"),   # other domain restarts at bin 0
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = sequence_packing(docs, budget=256).collect()
+    by_key = {(r.lang, r.bin_id): r for r in out}
+    assert by_key[("en", 0)].n_docs == 2 and by_key[("en", 0)].bin_tokens == 300
+    assert by_key[("en", 1)].n_docs == 1 and by_key[("en", 1)].bin_tokens == 10
+    assert by_key[("de", 0)].n_docs == 1
+    # bins tile each domain: token totals reconcile with the corpus
+    assert sum(r.bin_tokens for r in out) == 360

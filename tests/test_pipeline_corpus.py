@@ -68,3 +68,34 @@ def test_pii_scrub_detects_and_redacts(spark):
     assert raw[3] == hashlib.md5(rows[3].encode()).hexdigest()  # untouched doc
     assert raw[0] == hashlib.md5(b"contact me at <EMAIL> today").hexdigest()
     assert raw[2] == hashlib.md5(b"call <PHONE> now").hexdigest()
+
+
+def test_duplicated_ngram_share_detects_shared_gram(spark):
+    # docs 0 and 1 share one 3-gram ("a b c"); doc 2 shares nothing
+    rows = ["a b c d", "x a b c", "p q r s"]
+    out = {
+        r.doc_id: r
+        for r in corpus.duplicated_ngram_share(_docs(spark, rows), n=3).collect()
+    }
+    assert out[0].n_grams == 2 and out[0].dup_grams == 1
+    assert out[1].n_grams == 2 and out[1].dup_grams == 1
+    assert out[2].dup_grams == 0 and out[2].dup_permille == 0
+    assert out[0].dup_permille == 500
+
+
+def test_duplicated_ngram_share_counts_repeated_positions(spark):
+    # the shared gram occupies BOTH positions of doc 0 (text is "a b a b" ->
+    # 3-grams "a b a", "b a b"; doc 1 repeats them) -> every position dup
+    rows = ["a b a b", "a b a b"]
+    out = corpus.duplicated_ngram_share(_docs(spark, rows), n=3).collect()
+    assert all(r.dup_grams == r.n_grams and r.dup_permille == 1000 for r in out)
+
+
+def test_duplicated_ngram_share_short_docs(spark):
+    # doc shorter than n contributes zero grams and survives with 0/0 -> 0
+    rows = ["a b", "a b c d e"]
+    out = {
+        r.doc_id: r
+        for r in corpus.duplicated_ngram_share(_docs(spark, rows), n=3).collect()
+    }
+    assert out[0].n_grams == 0 and out[0].dup_permille == 0

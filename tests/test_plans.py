@@ -364,3 +364,18 @@ def test_q21_agg_twin_single_lineitem_shuffle(spark):
     assert "LeftSemi" not in p and "LeftAnti" not in p, p
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_sequence_packing_partitioned_window(spark):
+    # the prefix-sum window is partitioned by the packing domain — no
+    # global-order single-partition funnel
+    p = plan(load_all()["sequence_packing"].spark_fn(spark, SF))
+    assert "hashpartitioning" in p, p
+    assert "Window" in p, p
+
+
+def test_duplicated_ngram_share_no_cartesian(spark):
+    # dup-gram re-attachment is an equi-join on the gram key, never a
+    # doc-pair product
+    p = plan(load_all()["duplicated_ngram_share"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
