@@ -69,16 +69,12 @@ def _update(base: DataFrame, assign: DataFrame, dims: int) -> DataFrame:
     return sums.select(F.col("cell").alias("cent_id"), mean.alias("c"))
 
 
-def kmeans_cells(
-    emb: DataFrame, centroid_mod: int = 31, iters: int = 2, dims: int = 64
-) -> DataFrame:
-    """Run ``iters`` Lloyd rounds from the deterministic id-sample init, then
-    report the final partition: one row per surviving cell with its member
-    count and the md5 of the refined quantized centroid.
-
-    Returns (cell, n_vectors, centroid_md5) — compact, exact, and
-    hash-comparable across engines.
-    """
+def _refined(
+    emb: DataFrame, centroid_mod: int, iters: int, dims: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared Lloyd prologue: (base, refined centroids, final assignment).
+    ``base`` is localCheckpointed once; each round's centroid table (K rows)
+    is checkpointed to keep lineage flat across iterations."""
     base = (
         with_self_norm(emb)
         .select("vec_id", "embedding", "norm_s", _quantize(F.col("embedding")).alias("q"))
@@ -90,7 +86,20 @@ def kmeans_cells(
     for _ in range(iters):
         assign = _assign(base, cents)
         cents = _update(base, assign, dims).localCheckpoint()
-    final = _assign(base, cents)
+    return base, cents, _assign(base, cents)
+
+
+def kmeans_cells(
+    emb: DataFrame, centroid_mod: int = 31, iters: int = 2, dims: int = 64
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds from the deterministic id-sample init, then
+    report the final partition: one row per surviving cell with its member
+    count and the md5 of the refined quantized centroid.
+
+    Returns (cell, n_vectors, centroid_md5) — compact, exact, and
+    hash-comparable across engines.
+    """
+    base, cents, final = _refined(emb, centroid_mod, iters, dims)
     sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     cmd5 = cents.select(
         F.col("cent_id").alias("cell"),
@@ -99,3 +108,64 @@ def kmeans_cells(
         ),
     )
     return sizes.join(cmd5, "cell").select("cell", "n_vectors", "centroid_md5")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroid_mod: int = 31,
+    iters: int = 2,
+    dims: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): cluster with the refined k-means
+    cells, then find near-duplicate pairs ONLY within each cell — the
+    cluster replaces the all-pairs product as the candidate blocker, and
+    unlike data-independent LSH buckets the blocks adapt to the corpus.
+
+    Per cell: member count, pairs at cosine >= ``threshold``, and the
+    removable count (distinct higher-id members of a dup pair — keep-lowest
+    survivor rule, matching the exact-dedup convention).
+
+    Scale: the in-cell self-join is quadratic per cell by design — with
+    K ≈ √N centroids a cell holds ~√N vectors, so total pair work is ~N^1.5
+    spread evenly across cells, each an independent shuffle partition; grow
+    K with N to hold cell size constant.
+    """
+    base, _, final = _refined(emb, centroid_mod, iters, dims)
+    cellv = final.join(base.select("vec_id", "embedding", "norm_s"), "vec_id")
+    a = cellv.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm_s").alias("norm_a"),
+    )
+    b = cellv.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm_s").alias("norm_b"),
+    )
+    cos = scaled_dot(F.col("emb_a"), F.col("emb_b")).cast("double") / (
+        F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double"))
+    )
+    hits = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cell", "vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    per_cell = hits.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("dup_pairs"),
+        F.countDistinct("vec_b").alias("removable"),
+    )
+    sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        sizes.join(per_cell, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce(F.col("dup_pairs"), F.lit(0).cast("long")).alias("dup_pairs"),
+            F.coalesce(F.col("removable"), F.lit(0).cast("long")).alias("removable"),
+        )
+        .orderBy("cell")
+    )

@@ -382,7 +382,9 @@ def _km_update(assign: str, out: str) -> str:
     {out} AS (SELECT cell AS cent_id, list(s ORDER BY i) AS c FROM {out}_s GROUP BY cell)"""
 
 
-def _kmeans_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
+def _km_prefix(iters: int, centroid_mod: int) -> list[str]:
+    """Shared unrolled-Lloyd CTE chain ending at the final assignment
+    ``af`` and refined centroids ``c{iters}``."""
     parts = [
         f"""WITH base AS (
         SELECT b.vec_id, b.embedding, {_KM_NORM} AS norm_s,
@@ -395,6 +397,11 @@ def _kmeans_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
         parts.append(_km_assign(f"c{i}", f"a{i}"))
         parts.append(_km_update(f"a{i}", f"c{i+1}"))
     parts.append(_km_assign(f"c{iters}", "af"))
+    return parts
+
+
+def _kmeans_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
+    parts = _km_prefix(iters, centroid_mod)
     parts.append(
         f"""sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM af GROUP BY cell),
     cm AS (SELECT cent_id AS cell, md5(array_to_string(c, ',')) AS centroid_md5 FROM c{iters})"""
@@ -418,6 +425,58 @@ def _kmeans_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
 def ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_cells(
         load_table(spark, sf_dir, "embeddings"), centroid_mod=31, iters=2, dims=64
+    )
+
+
+def _semantic_dedup_oracle(
+    iters: int = 2, centroid_mod: int = 31, threshold: float = 0.9
+) -> str:
+    pair_dot = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE)*CAST(xb AS DOUBLE)*1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(x.embedding) AS xa, unnest(y.embedding) AS xb) zp)"""
+    parts = _km_prefix(iters, centroid_mod)
+    parts.append(
+        f"""cellv AS (SELECT a.cell, b.vec_id, b.embedding, b.norm_s
+               FROM af a JOIN base b USING (vec_id)),
+    hits AS (SELECT x.cell, x.vec_id AS va, y.vec_id AS vb
+             FROM cellv x JOIN cellv y
+               ON x.cell = y.cell AND x.vec_id < y.vec_id
+             WHERE CAST({pair_dot} AS DOUBLE)
+                     / (sqrt(CAST(x.norm_s AS DOUBLE)) * sqrt(CAST(y.norm_s AS DOUBLE)))
+                   >= {threshold}),
+    per_cell AS (SELECT cell, CAST(count(*) AS BIGINT) AS dup_pairs,
+                   CAST(count(DISTINCT vb) AS BIGINT) AS removable
+                 FROM hits GROUP BY cell),
+    sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM af GROUP BY cell)"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT s.cell, s.n_vectors,
+           CAST(coalesce(p.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+           CAST(coalesce(p.removable, 0) AS BIGINT) AS removable
+    FROM sizes s LEFT JOIN per_cell p USING (cell)
+    ORDER BY cell"""
+    )
+
+
+@register(
+    "dedup_semantic",
+    tags=("bench",),
+    oracle=_semantic_dedup_oracle(iters=2, centroid_mod=31, threshold=0.9),
+    doc="SemDeDup (Abbas et al. 2023 shape): near-dup pairs found ONLY "
+    "within refined k-means cells — the learned cluster is the candidate "
+    "blocker instead of an all-pairs product or a data-independent LSH "
+    "bucket. Per cell: members, pairs at cosine >= 0.9, removable count "
+    "under the keep-lowest survivor rule. In-cell self-join is ~cell² by "
+    "design; K grows with N to hold cell size constant",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        centroid_mod=31,
+        iters=2,
+        dims=64,
+        threshold=0.9,
     )
 
 

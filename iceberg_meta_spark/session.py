@@ -25,6 +25,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Row-level runtime filtering: when a selective filter sits on the build
+    # side of a shuffle join, inject a bloom filter into the probe-side scan
+    # so pruned rows never enter the shuffle. The size thresholds stay at
+    # Spark's production defaults (build side <= 10 MB, probe scan >= 10 GB)
+    # so this only fires where it pays — i.e. at the 100 TB deployment scale,
+    # not in local tests (test_plans pins injection with lowered thresholds).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

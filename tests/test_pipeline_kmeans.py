@@ -66,3 +66,42 @@ def test_kmeans_converged_assignment_is_stable(spark):
     a = kmeans.kmeans_cells(_emb(spark, rows), centroid_mod=3, iters=2, dims=2).collect()
     b = kmeans.kmeans_cells(_emb(spark, rows), centroid_mod=3, iters=3, dims=2).collect()
     assert sorted((r.cell, r.n_vectors) for r in a) == sorted((r.cell, r.n_vectors) for r in b)
+
+
+def test_semantic_dedup_finds_in_cell_pairs(spark):
+    # two clusters (seeds 1 and 4); ids 0 and 2 duplicate id 1's direction
+    # exactly -> 3 near-identical members in the +x cell; the +y cell has
+    # no dups at 0.99
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),  # same direction, different norm
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.8, 0.6, 0.0]),  # pairwise cos <= 0.96 within the cell
+        (5, [0.0, 0.6, 0.8, 0.0]),
+    ]
+    out = {r.cell: r for r in kmeans.semantic_dedup(
+        _emb(spark, rows), centroid_mod=3, iters=1, dims=4, threshold=0.99
+    ).collect()}
+    assert len(out) == 2
+    # cell ids carry over from the seed ids (1 -> +x, 4 -> +y) through the
+    # one update round's GROUP BY
+    x_cell, y_cell = out[1], out[4]
+    # all three +x members pairwise cos=1.0 -> 3 pairs; keep-lowest leaves
+    # ids 1 and 2 removable
+    assert x_cell.n_vectors == 3 and x_cell.dup_pairs == 3 and x_cell.removable == 2
+    assert y_cell.n_vectors == 3 and y_cell.dup_pairs == 0 and y_cell.removable == 0
+
+
+def test_semantic_dedup_empty_when_threshold_high(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.8, 0.6, 0.0, 0.0]),
+        (3, [0.6, 0.8, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    out = kmeans.semantic_dedup(
+        _emb(spark, rows), centroid_mod=3, iters=1, dims=4, threshold=0.999
+    ).collect()
+    assert sum(r.dup_pairs for r in out) == 0
+    assert sum(r.n_vectors for r in out) == 4

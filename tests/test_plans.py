@@ -379,3 +379,43 @@ def test_duplicated_ngram_share_no_cartesian(spark):
     # doc-pair product
     p = plan(load_all()["duplicated_ngram_share"].spark_fn(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    # session default enables runtime bloom filters at production thresholds
+    # (build <= 10 MB, probe scan >= 10 GB); lowering the thresholds to toy
+    # scale must inject might_contain into the probe-side scan filter, so a
+    # selective dim filter prunes fact rows BEFORE the shuffle at 100 TB
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        p = plan(li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority").count())
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p, p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    # candidate pairs come from the in-cell equi-join; the only broadcast
+    # NLJ is the deliberate K-row centroid broadcast in assignment
+    p = plan(load_all()["dedup_semantic"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in p, p
