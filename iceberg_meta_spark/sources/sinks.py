@@ -58,6 +58,44 @@ def overwrite_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shuffle_salt: str = "shard",
+    key_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Training-corpus export: ``n_shards`` deterministic, balanced shards
+    with a reproducible within-shard order.
+
+    Shard assignment and ordering both derive from ``md5(salt:key)`` — a
+    content-independent uniform hash, so (a) shards are balanced regardless
+    of key skew, (b) the global shuffle is reproducible from the salt alone
+    (re-running with the same salt yields byte-identical shards), and (c) no
+    engine-specific RNG is involved. ``repartition(n, shard)`` is the ONE
+    shuffle; ``sortWithinPartitions`` orders each shard without any global
+    sort barrier, and ``maxRecordsPerFile`` bounds file size so downstream
+    loaders stream fixed-size pieces.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat_ws(":", F.lit(shuffle_salt), F.col(key_col).cast("string")))
+    sharded = (
+        df.withColumn("__shuffle_key", key)
+        .withColumn(
+            "__shard",
+            (F.conv(F.substring("__shuffle_key", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
+        )
+        .repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions("__shuffle_key")
+    )
+    writer = sharded.write.mode("overwrite").partitionBy("__shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # S9 Iceberg write path (jar-gated). The reference appends/overwrites through
 # pyiceberg table transactions (demo.py:71-74: table.append / table.overwrite);

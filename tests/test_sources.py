@@ -205,3 +205,33 @@ def test_iceberg_writes_are_jar_gated(spark):
         sinks.append_iceberg(df, "cat.db.t")
     with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
         sinks.overwrite_partitions_iceberg(df, "cat.db.t")
+
+
+def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
+    from iceberg_meta_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1, p2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    write_training_shards(docs, p1, n_shards=4, shuffle_salt="s1")
+    write_training_shards(docs, p2, n_shards=4, shuffle_salt="s1")
+
+    r1 = spark.read.parquet(p1)
+    # nothing lost, every shard populated, shards roughly balanced
+    assert r1.count() == docs.count()
+    sizes = {row["__shard"]: row["n"] for row in
+             r1.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) < 2 * min(sizes.values())
+
+    # same salt -> identical shard assignment AND within-shard order
+    a = r1.select("__shard", "__shuffle_key", "doc_id").orderBy("__shard", "__shuffle_key").collect()
+    b = spark.read.parquet(p2).select("__shard", "__shuffle_key", "doc_id").orderBy(
+        "__shard", "__shuffle_key").collect()
+    assert a == b
+
+    # a different salt produces a different permutation
+    p3 = str(tmp_path / "run3")
+    write_training_shards(docs, p3, n_shards=4, shuffle_salt="s2")
+    c = spark.read.parquet(p3).select("doc_id", "__shard").orderBy("doc_id").collect()
+    base = r1.select("doc_id", "__shard").orderBy("doc_id").collect()
+    assert [r["__shard"] for r in c] != [r["__shard"] for r in base]
