@@ -21,6 +21,10 @@ _RUNTIME_CONFS = {
     # read as a timestamp; read it as epoch-nanos bigint instead (exactly what
     # DuckDB's epoch_ns() yields -> stable oracle parity, no tz ambiguity).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (TIMESTAMP_NTZ) must map to the same epoch the
+    # DuckDB oracle computes; pinning the session zone makes the NTZ->TIMESTAMP
+    # cast in sources/parquet.py an identity on the wall-clock value.
+    "spark.sql.session.timeZone": "UTC",
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed ones.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from iceberg_meta_spark.session import prepare_session
 
@@ -46,19 +48,39 @@ def enable_cache(on: bool = True) -> None:
     _CACHE_ENABLED = on
 
 
+def _normalize(df: DataFrame, name: str) -> DataFrame:
+    """Guard against testdata schema drift on ``events.ts``.
+
+    Earlier driver drops stored TIMESTAMP(NANOS), which ``nanosAsLong`` reads
+    as epoch-nanos bigint; later drops store timestamp[us], which Spark reads
+    as TIMESTAMP_NTZ. Every kernel consumes epoch-nanos bigint (``ts DIV
+    1000`` -> micros, matching DuckDB ``epoch_us(ts)``), so convert timestamp
+    types here. The session zone is pinned to UTC (session.py) so the
+    NTZ->TIMESTAMP cast is an identity on the wall-clock value.
+    """
+    if name != "events":
+        return df
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ts = F.col("ts").cast("timestamp") if isinstance(dt, T.TimestampNTZType) else F.col("ts")
+        df = df.withColumn("ts", (F.unix_micros(ts) * F.lit(1000)).cast("long"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in BASE_TABLES:
         raise ValueError(f"unknown table {name!r}")
-    prepare_session(spark)  # nanosAsLong for events.ts, AQE
+    prepare_session(spark)  # nanosAsLong for events.ts, AQE, UTC session tz
     if _CACHE_ENABLED:
         key = (id(spark), sf_dir, name)
         if key not in _CACHE:
             parallelism = spark.sparkContext.defaultParallelism
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(parallelism).persist()
+            df = _normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+            df = df.repartition(parallelism).persist()
             df.count()  # materialize eagerly so queries never pay the scan
             _CACHE[key] = df
         return _CACHE[key]
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = BASE_TABLES) -> None:
