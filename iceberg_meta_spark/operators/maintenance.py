@@ -1,0 +1,123 @@
+"""Table-maintenance planning kernels: compaction, snapshot expiry, orphans.
+
+The reference stops at *detecting* maintenance debt — the small-file count
+and ``compaction_recommended`` flag (formatters.py:416-462) and the snapshot-
+count alert (tui/widgets.py:791). These kernels take the next step a real
+deployment needs and *plan* the maintenance action, staying pure
+DataFrame -> DataFrame:
+
+- ``compaction_plan``   — greedy bin-packing of small files into
+  target-size rewrite groups, per (snapshot, partition).
+- ``snapshot_expiry``   — retention policy (keep last N, expire older than
+  a cutoff) over the snapshot log.
+- ``orphan_files``      — storage listing minus metadata-tracked files
+  (the classic `remove_orphan_files` scan), as one anti-join.
+
+Scale notes (100 TB):
+- The compaction window partitions by (snapshot_id, partition): cumulative
+  sums never cross partition boundaries, so no global-ordering funnel; the
+  per-partition file list is exactly what one rewrite task would handle.
+- Snapshot expiry ranks the snapshot log, which is metadata-sized
+  (O(snapshots-per-table), thousands — the reference holds the same list in
+  process memory, formatters.py:156-173). In a multi-table deployment the
+  window partitions by table.
+- Orphan detection is a single LEFT ANTI equi-join on file_path — the
+  metadata side is the smaller one at any scale (listing >= tracked), and
+  AQE picks broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Default rewrite target: 128 MiB (a common data-file target size; the
+# reference's small-file threshold of 32 MiB marks candidates,
+# formatters.py:340).
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    small_threshold: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Bin-pack small files into compaction groups of ~``target_bytes``.
+
+    Greedy first-fit in file_path order (deterministic): a file joins the
+    current group while the group's start offset stays below ``target_bytes``
+    — i.e. ``group_id = (running_sum_before_this_file) DIV target_bytes``.
+    One window partitioned by (snapshot_id, part_key), one hash aggregate.
+
+    The window orders by (file_path, file_size_in_bytes, record_count):
+    file_path alone can tie (fixture paths collide), and the extra keys make
+    the running sum order-deterministic — rows identical on all three are
+    interchangeable under a cumulative sum.
+    """
+    w = (
+        Window.partitionBy("snapshot_id", "part_key")
+        .orderBy("file_path", "file_size_in_bytes", "record_count")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small = files.filter(F.col("file_size_in_bytes") < F.lit(small_threshold))
+    offs = small.withColumn("end_off", F.sum("file_size_in_bytes").over(w))
+    grouped = offs.withColumn(
+        "group_id",
+        F.expr(f"(end_off - file_size_in_bytes) DIV {int(target_bytes)}"),
+    )
+    return (
+        grouped.groupBy("snapshot_id", "part_key", "group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_size_in_bytes").alias("group_bytes"),
+            F.sum("record_count").alias("group_records"),
+        )
+        .orderBy("snapshot_id", "part_key", "group_id")
+    )
+
+
+def snapshot_expiry(
+    snapshots: DataFrame,
+    keep_last: int = 5,
+    max_age_us: int = 30 * 86400 * 1_000_000,
+    now_us: int = 0,
+) -> DataFrame:
+    """Expiry candidates under "keep last N AND keep newer than cutoff".
+
+    A snapshot expires when it is neither among the ``keep_last`` most recent
+    nor newer than ``now_us - max_age_us`` — the standard retention contract.
+    The rank window runs over the metadata-sized snapshot log (see module
+    docstring); ties break on snapshot_id for determinism.
+    """
+    w = Window.orderBy(F.desc("committed_us"), F.desc("snapshot_id"))
+    ranked = snapshots.withColumn("recency_rank", F.row_number().over(w))
+    cutoff_us = now_us - max_age_us
+    return (
+        ranked.filter(
+            (F.col("recency_rank") > F.lit(keep_last))
+            & (F.col("committed_us") < F.lit(cutoff_us))
+        )
+        .select(
+            "snapshot_id",
+            "committed_us",
+            "recency_rank",
+            "operation",
+            "total_data_files",
+            "total_files_size",
+        )
+        .orderBy("recency_rank")
+    )
+
+
+def orphan_files(storage: DataFrame, metadata_files: DataFrame) -> DataFrame:
+    """Files present in the object-store listing but tracked by no snapshot.
+
+    One LEFT ANTI equi-join on file_path (U1's set-difference idiom,
+    reference formatters.py:1066-1069, pointed at the storage listing).
+    """
+    tracked = metadata_files.select("file_path")
+    return (
+        storage.join(tracked, "file_path", "left_anti")
+        .select("file_path", "file_size_in_bytes")
+        .orderBy("file_path")
+    )

@@ -908,3 +908,125 @@ def sole_return_suppliers_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-maintenance planning (operators/maintenance.py): the reference stops
+# at detecting maintenance debt (small-file counts, compaction_recommended,
+# snapshot-count alerts); these plan the action itself.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark import operators as ops  # noqa: E402
+from iceberg_meta_spark.sources.fixtures import (  # noqa: E402
+    NOW_MS,
+    SMALL_FILE_THRESHOLD,
+    derive,
+    oracle_query,
+)
+
+_COMPACT_TARGET = 128 * 1024 * 1024
+
+# Expiry policy pinned for oracle determinism: keep the 5 most recent
+# snapshots, expire anything older than 80 days before the fixture "now"
+# (NOW_MS, 2024-04-15) — the cutoff lands mid-way through the snapshot log
+# so both retention conditions bind.
+_EXPIRY_KEEP = 5
+_EXPIRY_MAX_AGE_US = 80 * 86400 * 1_000_000
+_EXPIRY_NOW_US = NOW_MS * 1000
+
+
+@register(
+    "meta_compaction_plan",
+    oracle=oracle_query(
+        f"""
+        , small AS (SELECT * FROM meta_files
+                    WHERE file_size_in_bytes < {SMALL_FILE_THRESHOLD}),
+        offs AS (SELECT snapshot_id, part_key, file_size_in_bytes, record_count,
+                        sum(file_size_in_bytes) OVER (
+                            PARTITION BY snapshot_id, part_key
+                            ORDER BY file_path, file_size_in_bytes, record_count
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+                 FROM small)
+        SELECT snapshot_id, part_key,
+               (end_off - file_size_in_bytes) // {_COMPACT_TARGET} AS group_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(file_size_in_bytes) AS BIGINT) AS group_bytes,
+               CAST(sum(record_count) AS BIGINT) AS group_records
+        FROM offs GROUP BY snapshot_id, part_key, group_id
+        ORDER BY snapshot_id, part_key, group_id
+        """,
+        "meta_files",
+    ),
+    tags=("maintenance",),
+    doc="Compaction planning: greedy bin-packing of small files (reference "
+    "detects them at formatters.py:416-443 but plans nothing) into ~128 MiB "
+    "rewrite groups. One window partitioned by (snapshot, partition) — the "
+    "cumulative sum never crosses a partition, so no global funnel — then "
+    "one hash aggregate; each output group is exactly one rewrite task",
+)
+def meta_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.compaction_plan(
+        derive(spark, sf_dir, "meta_files"),
+        target_bytes=_COMPACT_TARGET,
+        small_threshold=SMALL_FILE_THRESHOLD,
+    )
+
+
+@register(
+    "meta_snapshot_expiry",
+    oracle=oracle_query(
+        f"""
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                ORDER BY committed_us DESC, snapshot_id DESC) AS recency_rank
+            FROM meta_snapshots)
+        SELECT snapshot_id, committed_us, recency_rank, operation,
+               total_data_files, total_files_size
+        FROM ranked
+        WHERE recency_rank > {_EXPIRY_KEEP}
+          AND committed_us < {_EXPIRY_NOW_US - _EXPIRY_MAX_AGE_US}
+        ORDER BY recency_rank
+        """,
+        "meta_snapshots",
+    ),
+    tags=("maintenance",),
+    doc="Snapshot-retention planning (keep last 5 AND keep 80 days): expiry "
+    "candidates from one rank window over the metadata-sized snapshot log "
+    "(the reference holds the same list in memory, formatters.py:156-173; "
+    "its only retention signal is the snapshot-count alert, "
+    "tui/widgets.py:791). Multi-table deployments partition the window by "
+    "table",
+)
+def meta_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.snapshot_expiry(
+        derive(spark, sf_dir, "meta_snapshots"),
+        keep_last=_EXPIRY_KEEP,
+        max_age_us=_EXPIRY_MAX_AGE_US,
+        now_us=_EXPIRY_NOW_US,
+    )
+
+
+@register(
+    "meta_orphan_files",
+    oracle=oracle_query(
+        """
+        SELECT s.file_path, s.file_size_in_bytes
+        FROM storage_files s
+        WHERE NOT EXISTS (SELECT 1 FROM meta_files m
+                          WHERE m.file_path = s.file_path)
+        ORDER BY s.file_path
+        """,
+        "storage_files",
+        "meta_files",
+    ),
+    tags=("maintenance",),
+    doc="Orphan-file detection (remove_orphan_files scan): object-store "
+    "listing LEFT ANTI metadata-tracked paths — U1's set-difference idiom "
+    "(reference formatters.py:1066-1069) pointed at the storage listing; "
+    "one equi-anti-join, AQE broadcasts the smaller side",
+)
+def meta_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.orphan_files(
+        derive(spark, sf_dir, "storage_files"),
+        derive(spark, sf_dir, "meta_files"),
+    )

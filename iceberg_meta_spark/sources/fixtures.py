@@ -143,6 +143,21 @@ CTE: dict[str, str] = {
           CAST(floor(p_retailprice) AS BIGINT) + CAST(p_size AS BIGINT) * 40 AS hi
         FROM part
     """,
+    # Object-store listing for orphan-file detection: every metadata-tracked
+    # file (same derivation as meta_files) plus abandoned tmp files no
+    # snapshot references (the write-path debris `remove_orphan_files`
+    # procedures clean up).
+    "storage_files": """
+        SELECT
+          concat('file_', CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING)) AS file_path,
+          CAST(floor(l_extendedprice * 1024) AS BIGINT) AS file_size_in_bytes
+        FROM lineitem
+        UNION ALL
+        SELECT
+          concat('tmp_', CAST(o_orderkey AS STRING)) AS file_path,
+          CAST(floor(o_totalprice * 512) AS BIGINT) AS file_size_in_bytes
+        FROM orders WHERE o_orderkey % 13 = 0
+    """,
 }
 
 # Base tables each derivation reads.
@@ -154,6 +169,7 @@ DEPS: dict[str, tuple[str, ...]] = {
     "meta_schema_fields": ("part",),
     "meta_tables": ("customer",),
     "file_ranges": ("part",),
+    "storage_files": ("lineitem", "orders"),
 }
 
 
