@@ -1030,3 +1030,215 @@ def meta_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive(spark, sf_dir, "storage_files"),
         derive(spark, sf_dir, "meta_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: Q7 / Q8 / Q10 shapes over the star schema.
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@register(
+    "nation_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+               round(CAST(sum({_CENTS.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) / 100, 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l.l_shipdate AS DATE) <= DATE '1997-12-31'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): fact scanned "
+    "once, every dimension broadcast, the two-nation disjunction applied "
+    "after the joins on broadcast-joined attributes; integer-cents revenue",
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") <= F.lit("1997-12-31").cast("date"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cus = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cus), ords.o_custkey == cus.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(F.round(F.sum(cents).cast("double") / 100, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+                   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n2.n_regionkey
+            WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+              AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o.o_orderdate AS DATE) <= DATE '1997-12-31')
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+                     / sum(cents), 6) AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one pass over the filtered "
+    "fact with all six dimensions broadcast; share = conditional sum over "
+    "total per order-year — no second scan, no self-join",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    par = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    # customer-side nation restricted to the target region before the join:
+    # the filter prunes the broadcast build side, not the probe stream
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") <= F.lit("1997-12-31").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cus = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    vol = (
+        li.join(F.broadcast(par), li.l_partkey == par.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cus), ords.o_custkey == cus.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            cents.alias("cents"),
+            F.col("supp_nation"),
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(F.lit(0))
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(national).cast("double") / F.sum("cents"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item top customers): returnflag filter "
+    "pushed to the lineitem scan, quarter filter to the orders scan, "
+    "customer/nation broadcast, top-20 via TakeOrderedAndProject",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    cus = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cus), ords.o_custkey == cus.c_custkey)
+        .join(F.broadcast(nat), cus.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(cents).cast("double") / 100, 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion (Spark 4): shredded semi-structured access.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_props_variant",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+        FROM events GROUP BY event_type
+    """,
+    doc="VARIANT twin of events_props_extract: parse_json once into a "
+    "VARIANT column, then typed variant_get paths — Spark 4's binary "
+    "variant encoding is parsed once per row instead of per-path "
+    "re-parsing under get_json_object; same oracle semantics",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )

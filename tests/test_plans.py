@@ -419,3 +419,33 @@ def test_semantic_dedup_no_cartesian(spark):
     # NLJ is the deliberate K-row centroid broadcast in assignment
     p = plan(load_all()["dedup_semantic"].spark_fn(spark, SF))
     assert "CartesianProduct" not in p, p
+
+
+def test_q7_q8_fact_broadcast_dims(spark):
+    # Q7/Q8 shapes: the lineitem fact streams through broadcast hash joins
+    # for every dimension; only the orders join may shuffle — no
+    # SortMergeJoin against a dimension, no cartesian
+    for name in ("nation_volume_shipping", "nation_market_share"):
+        p = plan(load_all()[name].spark_fn(spark, SF))
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+
+
+def test_q10_top20_take_ordered(spark):
+    # top-20 compiles to TakeOrderedAndProject, not a global sort
+    p = plan(load_all()["returned_item_customers"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_variant_twin_matches_json_extract(spark):
+    # the VARIANT path computes the same sums as get_json_object
+    a = {
+        (r.event_type, r.sum_k)
+        for r in load_all()["events_props_variant"].spark_fn(spark, SF).collect()
+    }
+    b = {
+        (r.event_type, r.sum_k)
+        for r in load_all()["events_props_extract"].spark_fn(spark, SF).collect()
+    }
+    assert a == b
