@@ -32,10 +32,16 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     prefix: str = "r_",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right`` row per
     ``key`` with ``right.ts <= left.ts`` (inclusive; among equal right
     timestamps the greatest ``tiebreak`` wins — pass one for determinism).
+
+    ``tolerance`` (same unit as ``ts``) bounds the lookback like pandas
+    ``merge_asof(tolerance=...)``: a match older than ``left.ts -
+    tolerance`` is nulled out. Applied post-fill as a map-side predicate —
+    the plan is unchanged (still one shuffle, no join operator).
 
     Output: all ``left`` columns, then ``{prefix}{ts}`` and
     ``{prefix}{c}`` for each of ``right_cols`` (all NULL when no right row
@@ -74,6 +80,11 @@ def asof_join(
         .withColumn("__rf", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance is not None:
+        in_window = F.col("__ts") - F.col(f"__rf.{prefix}{ts}") <= F.lit(tolerance)
+        filled = filled.withColumn(
+            "__rf", F.when(in_window, F.col("__rf"))  # else NULL
+        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
         F.col(f"__rf.{prefix}{c}").alias(f"{prefix}{c}") for c in [ts, *right_cols]
     ]

@@ -98,3 +98,33 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.replace(lower, F.lit(" "), F.lit(""))).alias("fp_normalized"),
         F.md5(F.substring(F.col("text"), 1, 64)).alias("fp_head"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    The context-window preprocessing shape: whitespace-tokenize, then emit
+    windows of ``chunk_tokens`` tokens every ``stride = chunk_tokens -
+    overlap`` positions (the final window may be short). Expression-only:
+    split + sequence + explode + slice — pure map-side row expansion, no
+    shuffle, no Python workers; each output chunk carries (doc_id,
+    chunk_id, chunk_text, chunk_len).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    exploded = docs.select(
+        "doc_id", toks.alias("__toks"), F.explode(starts).alias("__start")
+    )
+    window = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.expr(f"(__start - 1) DIV {stride}").alias("chunk_id"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("chunk_len"),
+    )

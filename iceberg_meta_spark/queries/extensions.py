@@ -1242,3 +1242,82 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_with_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions: context-window chunking, bounded attribution.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.asof import asof_join  # noqa: E402
+from iceberg_meta_spark.pipeline.text import chunk_documents  # noqa: E402
+
+_CHUNK, _OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        ex AS (SELECT doc_id, t,
+                      unnest(range(1, greatest(len(t), 1) + 1, {_CHUNK_STRIDE})) AS start
+               FROM toks)
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               array_to_string(t[start:start + {_CHUNK - 1}], ' ') AS chunk_text,
+               CAST(len(t[start:start + {_CHUNK - 1}]) AS BIGINT) AS chunk_len
+        FROM ex
+        ORDER BY doc_id, chunk_id
+    """,
+    doc="Context-window chunking: overlapping 64-token windows every 48 "
+    "tokens per document — split + sequence + explode + slice, pure "
+    "map-side row expansion (no shuffle, no Python workers); the "
+    "tokenize-and-window preprocessing step of a training pipeline",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, _CHUNK, _OVERLAP).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "purchase_click_attribution_1h",
+    oracle="""
+        WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+                    FROM events),
+        p AS (SELECT event_id, user_id, ts_us,
+                     CAST(floor(value * 100) AS BIGINT) AS value_cents
+              FROM ev WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts_us, p.value_cents,
+               (SELECT c.event_id FROM ev c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+                ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS click_event_id,
+               (SELECT p.ts_us - c.ts_us FROM ev c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+                ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS gap_us
+        FROM p ORDER BY event_id
+    """,
+    doc="Tolerance-bounded as-of join (pandas merge_asof(tolerance=1h) "
+    "semantics): same union + forward-fill plan as the unbounded "
+    "attribution — one shuffle, no join operator — with the lookback bound "
+    "applied as a map-side predicate after the fill",
+)
+def purchase_click_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts_us", right_cols=["event_id"],
+        tiebreak="event_id", prefix="click_", tolerance=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "value_cents",
+        F.col("click_event_id"),
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    ).orderBy("event_id")

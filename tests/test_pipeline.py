@@ -264,3 +264,62 @@ def test_sequence_packing_bins(spark):
     assert by_key[("de", 0)].n_docs == 1
     # bins tile each domain: token totals reconcile with the corpus
     assert sum(r.bin_tokens for r in out) == 360
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    from iceberg_meta_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 6: doc 1 has ceil stuff -> starts 1,7,13,...,97 -> 17 chunks
+    assert len(by_doc[1]) == 17
+    assert all(r.chunk_len <= 8 for r in out)
+    # stitching chunks at stride offsets reproduces the token stream
+    toks = [f"t{i}" for i in range(100)]
+    rebuilt: list[str] = []
+    for r in sorted(by_doc[1], key=lambda r: r.chunk_id):
+        rebuilt.extend(r.chunk_text.split(" ")[: 6 if r.chunk_id < 16 else None])
+    assert rebuilt == toks
+    # short docs -> single short chunk
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "a b c")]
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[3]] == [(0, "solo")]
+
+
+def test_chunk_documents_is_map_side(spark):
+    import contextlib
+    import io
+
+    from iceberg_meta_spark.pipeline.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_documents(docs).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p
+    assert "Generate" in p, p  # the explode
+
+
+def test_asof_join_tolerance(spark):
+    from iceberg_meta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 1000)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "early"), (1, 950, "late")], "k long, ts long, tag string"
+    )
+    out = asof_join(
+        left, right, key="k", ts="ts", right_cols=["tag"], tolerance=60
+    ).orderBy("ts").collect()
+    # ts=100 matches 90 (gap 10 <= 60); ts=200 would match 90 but gap 110 > 60
+    # -> NULL; ts=1000 matches 950 (gap 50)
+    assert [(r.ts, r.r_tag) for r in out] == [
+        (100, "early"), (200, None), (1000, "late"),
+    ]
