@@ -29,4 +29,9 @@ from iceberg_meta_spark.operators.rollups import (
 )
 from iceberg_meta_spark.operators.manifests import manifest_row_share, top_files_per_partition
 from iceberg_meta_spark.operators.snapshots import latest_snapshot_summary, new_snapshots, recent_snapshots
-from iceberg_meta_spark.operators.maintenance import compaction_plan, orphan_files, snapshot_expiry
+from iceberg_meta_spark.operators.maintenance import (
+    compaction_plan,
+    orphan_files,
+    snapshot_expiry,
+    zorder_layout,
+)

@@ -121,3 +121,58 @@ def orphan_files(storage: DataFrame, metadata_files: DataFrame) -> DataFrame:
         .select("file_path", "file_size_in_bytes")
         .orderBy("file_path")
     )
+
+
+def _interleave_expr(xcol: str, ycol: str, bits: int) -> str:
+    """SQL text for bit-interleaving two ``bits``-wide ints (Morton/Z code):
+    x occupies even bit positions, y odd. Pure integer arithmetic — the same
+    expression text is valid Spark SQL and DuckDB SQL (mirrored in the
+    oracle)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(
+    ranges: DataFrame, bits: int = 16, n_buckets: int = 16
+) -> DataFrame:
+    """Z-order clustering plan over per-file value ranges.
+
+    Lakehouse data-clustering (the OPTIMIZE ... ZORDER BY shape): map each
+    file's (lo, span) to a Morton code on min-max-normalized ``bits``-wide
+    coordinates, then bucket by the code's high bits — files in one bucket
+    are range-local in BOTH dimensions, which is what makes multi-column
+    min/max pruning effective after a rewrite.
+
+    Plan: one 1-row global aggregate for the normalization bounds
+    (broadcast back — same idiom as partition_skew), then pure map-side
+    integer arithmetic. No window, no join shuffle of the big side.
+    """
+    span = (F.col("hi") - F.col("lo")).alias("span")
+    stats = ranges.select(F.col("lo"), span).agg(
+        F.min("lo").alias("lo_min"),
+        F.max("lo").alias("lo_max"),
+        F.min("span").alias("sp_min"),
+        F.max("span").alias("sp_max"),
+    )
+    top = (1 << bits) - 1
+    scaled = (
+        ranges.withColumn("span", F.col("hi") - F.col("lo"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "x",
+            F.expr(f"CAST((lo - lo_min) * {top} DIV greatest(lo_max - lo_min, 1) AS BIGINT)"),
+        )
+        .withColumn(
+            "y",
+            F.expr(f"CAST((span - sp_min) * {top} DIV greatest(sp_max - sp_min, 1) AS BIGINT)"),
+        )
+    )
+    shift = 2 * bits - (n_buckets - 1).bit_length()
+    return scaled.select(
+        "file_path",
+        F.expr(_interleave_expr("x", "y", bits)).alias("zvalue"),
+        F.expr(f"({_interleave_expr('x', 'y', bits)}) >> {shift}").alias("zbucket"),
+    ).orderBy("zvalue", "file_path")

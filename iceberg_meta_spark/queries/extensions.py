@@ -1321,3 +1321,87 @@ def purchase_click_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("click_event_id"),
         (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout planning + CDC latest-state compaction.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.maintenance import _interleave_expr  # noqa: E402
+
+_Z_BITS, _Z_BUCKETS = 16, 16
+_Z_SHIFT = 2 * _Z_BITS - (_Z_BUCKETS - 1).bit_length()
+_Z_TOP = (1 << _Z_BITS) - 1
+
+
+@register(
+    "meta_zorder_layout",
+    oracle=oracle_query(
+        f"""
+        , stats AS (SELECT min(lo) AS lo_min, max(lo) AS lo_max,
+                           min(hi - lo) AS sp_min, max(hi - lo) AS sp_max
+                    FROM file_ranges),
+        scaled AS (SELECT file_path,
+                          CAST((lo - lo_min) * {_Z_TOP} // greatest(lo_max - lo_min, 1) AS BIGINT) AS x,
+                          CAST((hi - lo - sp_min) * {_Z_TOP} // greatest(sp_max - sp_min, 1) AS BIGINT) AS y
+                   FROM file_ranges, stats)
+        SELECT file_path,
+               {_interleave_expr('x', 'y', _Z_BITS)} AS zvalue,
+               ({_interleave_expr('x', 'y', _Z_BITS)}) >> {_Z_SHIFT} AS zbucket
+        FROM scaled ORDER BY zvalue, file_path
+        """,
+        "file_ranges",
+    ),
+    tags=("maintenance",),
+    doc="Z-order clustering plan (OPTIMIZE ... ZORDER BY shape): Morton "
+    "code over min-max-normalized (lo, span) per file, bucketed by the "
+    "code's high bits — files in one bucket are range-local in both "
+    "dimensions, the precondition for effective multi-column min/max "
+    "pruning. One 1-row bounds aggregate broadcast back, then pure "
+    "map-side bit arithmetic; no window, no shuffle of the file list",
+)
+def meta_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.zorder_layout(
+        derive(spark, sf_dir, "file_ranges"), bits=_Z_BITS, n_buckets=_Z_BUCKETS
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+        WITH ch AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                           CAST(floor(value * 100) AS BIGINT) AS value_cents
+                    FROM events),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+                   FROM ch)
+        SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+               event_type AS last_event_type, value_cents AS last_value_cents
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="CDC latest-state compaction (upsert-materialization): one "
+    "groupBy(key).max(struct(ts, id, payload)) — partial aggregation "
+    "reduces each partition's changes map-side before ONE shuffle of "
+    "per-key maxima, strictly less data movement than the row_number "
+    "window formulation that shuffles every change row",
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    latest = ch.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts_us", "event_id", "event_type", "value_cents")
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.ts_us").alias("last_ts_us"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value_cents").alias("last_value_cents"),
+    ).orderBy("user_id")

@@ -90,3 +90,54 @@ def test_orphan_fixture_only_tmp_paths(spark):
         derive(spark, SF, "storage_files"), derive(spark, SF, "meta_files")
     ).collect()
     assert out and all(r.file_path.startswith("tmp_") for r in out)
+
+
+def test_zorder_interleave_known_values(spark):
+    from iceberg_meta_spark.operators.maintenance import _interleave_expr
+
+    row = spark.sql(
+        f"SELECT {_interleave_expr('3', '1', 4)} AS z1, "
+        f"{_interleave_expr('0', '15', 4)} AS z2, "
+        f"{_interleave_expr('15', '0', 4)} AS z3"
+    ).collect()[0]
+    assert row.z1 == 0b0111  # x=11b even bits, y=01b odd bits
+    assert row.z2 == 0b10101010  # y fills odd bits
+    assert row.z3 == 0b01010101  # x fills even bits
+
+
+def test_zorder_layout_invariants_and_plan(spark):
+    from iceberg_meta_spark.operators.maintenance import zorder_layout
+
+    df = zorder_layout(derive(spark, SF, "file_ranges"), bits=16, n_buckets=16)
+    p = plan(df)
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "Broadcast" in p, p  # 1-row bounds
+    rows = df.collect()
+    assert len(rows) == len(set(r.file_path for r in rows))
+    assert all(0 <= r.zvalue < (1 << 32) for r in rows)
+    assert all(r.zbucket == r.zvalue >> 28 for r in rows)
+    assert 1 <= len({r.zbucket for r in rows}) <= 16
+    # z-order output is sorted by code: adjacent files are range-local
+    zs = [r.zvalue for r in rows]
+    assert zs == sorted(zs)
+
+
+def test_cdc_latest_state_struct_max_matches_window(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, 100, "a", 5), (1, 20, 101, "b", 6), (1, 20, 99, "c", 7),
+         (2, 5, 50, "d", 8)],
+        "user_id long, ts_us long, event_id long, event_type string, value_cents long",
+    )
+    from pyspark.sql import functions as F
+
+    latest = (
+        changes.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "event_type", "value_cents")).alias("s"))
+        .select("user_id", "s.ts_us", "s.event_id")
+        .orderBy("user_id")
+        .collect()
+    )
+    # ties on ts_us resolve by the higher event_id (101 beats 99)
+    assert [(r.user_id, r.ts_us, r.event_id) for r in latest] == [
+        (1, 20, 101), (2, 5, 50),
+    ]
