@@ -957,7 +957,7 @@ _EXPIRY_NOW_US = NOW_MS * 1000
         """,
         "meta_files",
     ),
-    tags=("maintenance",),
+    tags=("maintenance", "bench"),
     doc="Compaction planning: greedy bin-packing of small files (reference "
     "detects them at formatters.py:416-443 but plans nothing) into ~128 MiB "
     "rewrite groups. One window partitioned by (snapshot, partition) — the "
@@ -1257,6 +1257,7 @@ _CHUNK_STRIDE = _CHUNK - _OVERLAP
 
 @register(
     "doc_chunks",
+    tags=("bench",),
     oracle=f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         ex AS (SELECT doc_id, t,
@@ -1352,7 +1353,7 @@ _Z_TOP = (1 << _Z_BITS) - 1
         """,
         "file_ranges",
     ),
-    tags=("maintenance",),
+    tags=("maintenance", "bench"),
     doc="Z-order clustering plan (OPTIMIZE ... ZORDER BY shape): Morton "
     "code over min-max-normalized (lo, span) per file, bucketed by the "
     "code's high bits — files in one bucket are range-local in both "
@@ -1368,6 +1369,7 @@ def meta_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_latest_state",
+    tags=("bench",),
     oracle="""
         WITH ch AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
                            CAST(floor(value * 100) AS BIGINT) AS value_cents

@@ -153,3 +153,59 @@ def test_diff_partitions_path_sets(spark, old, new):
     assert added == {f"p{i}" for i in new - old}
     assert deleted == {f"p{i}" for i in old - new}
     assert not (added & deleted)
+
+
+@given(
+    n_tokens=st.integers(0, 60),
+    chunk=st.integers(2, 12),
+    overlap_frac=st.integers(0, 99),
+)
+@SET
+def test_chunking_covers_every_token_exactly(spark, n_tokens, chunk, overlap_frac):
+    from iceberg_meta_spark.pipeline.text import chunk_documents
+
+    overlap = overlap_frac * (chunk - 1) // 100  # 0 <= overlap < chunk
+    stride = chunk - overlap
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk, overlap).collect(), key=lambda r: r.chunk_id
+    )
+    toks = text.split(" ")  # note: '' -> [''] like F.split
+    # chunk c covers tokens [c*stride, c*stride + chunk); stitching the
+    # non-overlapping prefixes reproduces the token stream exactly
+    rebuilt: list[str] = []
+    for r in rows:
+        got = r.chunk_text.split(" ") if r.chunk_text != "" else [""] if r.chunk_len else []
+        assert got == toks[r.chunk_id * stride : r.chunk_id * stride + chunk]
+        rebuilt.extend(got[:stride] if r is not rows[-1] else got)
+    assert rebuilt == toks
+
+
+@given(
+    sizes=st.lists(st.integers(0, 99), min_size=0, max_size=30),
+    target=st.integers(50, 200),
+)
+@SET
+def test_compaction_groups_match_greedy_reference(spark, sizes, target):
+    rows = [(1, "p", f"f{i:03d}", 1, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(
+        rows,
+        "snapshot_id int, part_key string, file_path string, "
+        "record_count long, file_size_in_bytes long",
+    )
+    got = {
+        (g.group_id, g.n_files, g.group_bytes)
+        for g in ops.compaction_plan(df, target_bytes=target, small_threshold=100)
+        .collect()
+    }
+    # python greedy reference; kernel orders by (file_path, size, records),
+    # which equals the original index order here (paths f000, f001, ...)
+    expect: dict[int, list[int]] = {}
+    off = 0
+    for i, s in enumerate(sizes):
+        gid = off // target
+        expect.setdefault(gid, []).append(s)
+        off += s
+    want = {(g, len(v), sum(v)) for g, v in expect.items()}
+    assert got == want
