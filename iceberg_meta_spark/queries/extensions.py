@@ -1407,3 +1407,124 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("last_event_type"),
         F.col("s.value_cents").alias("last_value_cents"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-surface breadth: exact quantiles, integer-exact correlation,
+# GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_length_quantiles",
+    oracle="""
+        WITH q AS (SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS qs
+                   FROM documents GROUP BY lang)
+        SELECT lang, CAST(i - 1 AS INT) AS q_idx, round(qs[i], 4) AS chars_q
+        FROM q, generate_series(1, 4) t(i)
+        ORDER BY lang, q_idx
+    """,
+    doc="Exact interpolated quantiles of document length per language "
+    "(percentile == DuckDB quantile_cont, identical linear interpolation); "
+    "one groupBy per language, the quantile list explodes to rows "
+    "post-aggregation — per-group sort buffers are the documented exact-"
+    "quantile cliff, with percentile_approx as the >10^8-doc twin pattern",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.groupBy("lang").agg(
+        F.percentile("n_chars", [0.25, 0.5, 0.75, 0.9]).alias("qs")
+    )
+    return qs.select(
+        "lang", F.posexplode("qs").alias("q_idx", "chars_q")
+    ).select("lang", "q_idx", F.round("chars_q", 4).alias("chars_q")).orderBy(
+        "lang", "q_idx"
+    )
+
+
+@register(
+    "value_hour_correlation",
+    oracle="""
+        WITH ev AS (SELECT event_type,
+                           (epoch_us(ts) // 3600000000) % 24 AS hour,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        sums AS (SELECT event_type,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(hour) AS BIGINT) AS sx,
+                        CAST(sum(cents) AS BIGINT) AS sy,
+                        CAST(sum(hour * hour) AS BIGINT) AS sxx,
+                        CAST(sum(cents * cents) AS BIGINT) AS syy,
+                        CAST(sum(hour * cents) AS BIGINT) AS sxy
+                 FROM ev GROUP BY event_type)
+        SELECT event_type, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_hour_value
+        FROM sums ORDER BY event_type
+    """,
+    doc="Pearson correlation from integer-exact sums: the six BIGINT "
+    "accumulators (n, Sx, Sy, Sxx, Syy, Sxy) are order-insensitive so the "
+    "shuffle combine is bit-deterministic across engines and partitionings; "
+    "the float division happens once on the final 1-row-per-group result — "
+    "the built-in corr() accumulates in floating point and is not "
+    "reproducible under re-partitioning",
+)
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("(ts DIV 1000) DIV 3600000000") % 24).alias("hour"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hour").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("hour") * F.col("hour")).alias("sxx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+        F.sum(F.col("hour") * F.col("cents")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - sx * F.col("sx")) * F.sqrt(n * F.col("syy") - sy * F.col("sy"))
+    return s.select(
+        "event_type", "n", F.round(num / den, 6).alias("corr_hour_value")
+    ).orderBy("event_type")
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+        WITH ev AS (SELECT event_type,
+                           (epoch_us(ts) // 3600000000) % 24 AS hour,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events)
+        SELECT CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(hour) AS INT) AS g_hour,
+               event_type, hour,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM ev
+        GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
+        ORDER BY g_type, g_hour, event_type, hour
+    """,
+    doc="Explicit GROUPING SETS (finer than ROLLUP/CUBE: an arbitrary "
+    "level list) with grouping() indicators — all levels computed from one "
+    "Expand + single hash aggregate, one shuffle total",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("(ts DIV 1000) DIV 3600000000") % 24).alias("hour"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ev.groupingSets(
+        [["event_type", "hour"], ["event_type"], []], "event_type", "hour"
+    ).agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("hour").cast("int").alias("g_hour"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return out.select(
+        "g_type", "g_hour", "event_type", "hour", "n", "sum_cents"
+    ).orderBy("g_type", "g_hour", "event_type", "hour")

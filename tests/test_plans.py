@@ -449,3 +449,19 @@ def test_variant_twin_matches_json_extract(spark):
         for r in load_all()["events_props_extract"].spark_fn(spark, SF).collect()
     }
     assert a == b
+
+
+def test_grouping_sets_single_expand_aggregate(spark):
+    # all grouping-set levels come from one Expand + one hash aggregate
+    # (one shuffle), not a union of per-level scans
+    p = plan(load_all()["events_grouping_sets"].spark_fn(spark, SF))
+    assert p.count("Expand") >= 1, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_correlation_is_single_integer_aggregate(spark):
+    # the six integer accumulators fold into ONE partial->final aggregate;
+    # no second pass, no window
+    p = plan(load_all()["value_hour_correlation"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert p.count("Scan parquet") == 1, p
