@@ -1528,3 +1528,46 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "g_type", "g_hour", "event_type", "hour", "n", "sum_cents"
     ).orderBy("g_type", "g_hour", "event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-lineage ancestry (operators/lineage.py): pointer doubling.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.lineage import ancestry  # noqa: E402
+
+
+@register(
+    "snapshot_ancestry",
+    oracle="""
+        WITH RECURSIVE nodes AS (
+            SELECT event_id AS snapshot_id,
+                   CASE WHEN event_id % 64 = 0 THEN NULL
+                        ELSE event_id - 1 END AS parent_id
+            FROM events),
+        walk AS (
+            SELECT snapshot_id, snapshot_id AS cur, 0 AS depth FROM nodes
+            UNION ALL
+            SELECT w.snapshot_id, n.parent_id, w.depth + 1
+            FROM walk w JOIN nodes n ON n.snapshot_id = w.cur
+            WHERE n.parent_id IS NOT NULL)
+        SELECT w.snapshot_id, w.cur AS root_id, CAST(w.depth AS BIGINT) AS depth
+        FROM walk w JOIN nodes n ON n.snapshot_id = w.cur
+        WHERE n.parent_id IS NULL
+        ORDER BY w.snapshot_id
+    """,
+    doc="Snapshot-lineage ancestry (reference walks parent_snapshot_id one "
+    "hop at a time, formatters.py:886-934): pointer doubling resolves every "
+    "node's root + depth in ceil(log2(depth)) self-joins — 6 rounds for "
+    "this forest of 64-deep chains vs 64 sequential hops; rows stay "
+    "one-per-node through every round, localCheckpoint caps lineage. The "
+    "oracle is the recursive-CTE formulation of the same walk",
+)
+def snapshot_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("snapshot_id"),
+        F.when(F.col("event_id") % 64 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") - 1)
+        .alias("parent_id"),
+    )
+    return ancestry(nodes, max_depth=64)

@@ -141,3 +141,50 @@ def test_cdc_latest_state_struct_max_matches_window(spark):
     assert [(r.user_id, r.ts_us, r.event_id) for r in latest] == [
         (1, 20, 101), (2, 5, 50),
     ]
+
+
+def test_ancestry_chain_and_tree(spark):
+    from iceberg_meta_spark.operators.lineage import ancestry
+
+    # chain 0 <- 1 <- 2 <- 3 plus a binary tree rooted at 10
+    rows = [(0, None), (1, 0), (2, 1), (3, 2),
+            (10, None), (11, 10), (12, 10), (13, 11), (14, 11)]
+    nodes = spark.createDataFrame(rows, "snapshot_id long, parent_id long")
+    got = {(r.snapshot_id, r.root_id, r.depth) for r in ancestry(nodes, 16).collect()}
+    assert got == {
+        (0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 0, 3),
+        (10, 10, 0), (11, 10, 1), (12, 10, 1), (13, 10, 2), (14, 10, 2),
+    }
+
+
+def test_ancestry_dangling_parent_is_root(spark):
+    from iceberg_meta_spark.operators.lineage import ancestry
+
+    nodes = spark.createDataFrame(
+        [(5, 99), (6, 5)], "snapshot_id long, parent_id long"
+    )  # 99 does not exist
+    got = {(r.snapshot_id, r.root_id, r.depth) for r in ancestry(nodes, 8).collect()}
+    assert got == {(5, 99, 1), (6, 99, 2)}
+
+
+def test_ancestry_random_forest_matches_python(spark):
+    import random
+
+    from iceberg_meta_spark.operators.lineage import ancestry
+
+    rng = random.Random(7)
+    rows = [(0, None)]
+    for i in range(1, 60):
+        rows.append((i, rng.randrange(i) if rng.random() < 0.9 else None))
+    parent = {i: p for i, p in rows}
+
+    def walk(i):
+        d = 0
+        while parent[i] is not None:
+            i, d = parent[i], d + 1
+        return i, d
+
+    expect = {(i, *walk(i)) for i, _ in rows}
+    nodes = spark.createDataFrame(rows, "snapshot_id long, parent_id long")
+    got = {(r.snapshot_id, r.root_id, r.depth) for r in ancestry(nodes, 64).collect()}
+    assert got == expect
