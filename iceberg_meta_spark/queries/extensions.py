@@ -1571,3 +1571,122 @@ def snapshot_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent_id"),
     )
     return ancestry(nodes, max_depth=64)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q9 shapes (partsupp derived from lineitem history).
+# ---------------------------------------------------------------------------
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(min(floor(l_extendedprice / l_quantity * 100)) AS BIGINT) AS cost_cents
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey),
+        eur AS (
+            SELECT ps.l_partkey, ps.l_suppkey, ps.cost_cents, s.s_name, n.n_name
+            FROM ps
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_partkey ORDER BY cost_cents, l_suppkey) AS rn
+            FROM eur)
+        SELECT b.l_partkey AS p_partkey, p.p_name, b.cost_cents,
+               b.l_suppkey AS s_suppkey, b.s_name, b.n_name
+        FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+        WHERE b.rn = 1 AND p.p_size >= 45
+        ORDER BY b.cost_cents, p_partkey
+        LIMIT 25
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part in a region): partsupp "
+    "derived from lineitem history, region filter prunes the broadcast "
+    "supplier/nation build side, per-part argmin via min(struct(cost, "
+    "suppkey)) — a partial-aggregating groupBy, not a row_number window "
+    "over every quote",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        ).cast("long").alias("cost_cents")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eur = ps.join(F.broadcast(dim), ps.l_suppkey == dim.s_suppkey)
+    best = eur.groupBy("l_partkey").agg(
+        F.min(F.struct("cost_cents", "l_suppkey", "s_name", "n_name")).alias("b")
+    )
+    par = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        best.join(F.broadcast(par), best.l_partkey == par.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("b.cost_cents").alias("cost_cents"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+            F.col("b.s_name").alias("s_name"),
+            F.col("b.n_name").alias("n_name"),
+        )
+        .orderBy("cost_cents", "p_partkey")
+        .limit(25)
+    )
+
+
+@register(
+    "nation_profit",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                        - CAST(floor(p.p_retailprice * l.l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-line profit by nation and year): LIKE "
+    "filter prunes the broadcast part build side, revenue minus derived "
+    "supply cost in integer cents, one pass over the fact",
+)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    par = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        - F.floor(F.col("p_retailprice") * F.col("l_quantity")).cast("long")
+    )
+    return (
+        li.join(F.broadcast(par), li.l_partkey == par.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
