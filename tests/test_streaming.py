@@ -288,3 +288,70 @@ def test_watch_stream_live_directory_appends(spark, tmp_path):
         q.stop()
     flat = [i for batch in news for i in batch]
     assert sorted(flat) == [1, 2, 3, 4]  # every id exactly once, none re-reported
+
+
+def test_streaming_cdc_latest_state(spark):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.cdc import latest_state_stream
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            (F.col("value") % 5).alias("user_id"),
+            F.col("value").alias("ts_us"),  # monotone per key
+            F.col("value").alias("event_id"),
+            (F.col("value") % 3).cast("string").alias("event_type"),
+            (F.col("value") * 7).alias("value_cents"),
+        )
+    )
+    out = latest_state_stream(rate)
+    q = out.writeStream.format("memory").queryName("cdc_test").outputMode("update").start()
+    try:
+        deadline = time.time() + 45
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT user_id, max(last_ts_us) AS m FROM cdc_test GROUP BY user_id"
+            ).collect()
+            done = len(rows) >= 5 and all(r.m > 50 for r in rows)
+        assert done
+        # latest state is consistent: for the newest emission of each key,
+        # the payload is derived from the same change row as the timestamp
+        latest = spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY last_ts_us DESC) rn
+                 FROM cdc_test) WHERE rn = 1"""
+        ).collect()
+        for r in latest:
+            assert r.last_event_id == r.last_ts_us
+            assert r.last_value_cents == r.last_ts_us * 7
+    finally:
+        q.stop()
+
+
+def test_cdc_upsert_sink_merges_batches(spark, tmp_path):
+    from iceberg_meta_spark.streaming.cdc import upsert_sink
+
+    state = str(tmp_path / "state")
+    apply = upsert_sink(state, key_col="user_id")
+    b1 = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "user_id long, last_ts_us long, last_event_id long"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 30, 300), (3, 5, 50)], "user_id long, last_ts_us long, last_event_id long"
+    )
+    b3 = spark.createDataFrame(  # stale re-delivery: older than current state
+        [(1, 15, 150)], "user_id long, last_ts_us long, last_event_id long"
+    )
+    for i, b in enumerate((b1, b2, b3)):
+        apply(b, i)
+    got = {
+        (r.user_id, r.last_ts_us, r.last_event_id)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {(1, 30, 300), (2, 20, 200), (3, 5, 50)}
