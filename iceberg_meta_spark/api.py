@@ -297,3 +297,34 @@ def watch(src: MetadataSource, seen: DataFrame) -> DataFrame:
     seen. Drive in a loop via ``streaming.watch.poll_watch`` or as a
     Structured Streaming query via ``streaming.watch.watch_stream``."""
     return ops.new_snapshots(src.snapshots(), seen)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance planning (beyond the reference's detection-only surface).
+# ---------------------------------------------------------------------------
+
+def compaction_plan(src: MetadataSource, target_bytes: int | None = None) -> DataFrame:
+    """Small-file rewrite groups per (snapshot, partition): the action plan
+    behind the reference's ``compaction_recommended`` flag."""
+    kwargs = {} if target_bytes is None else {"target_bytes": target_bytes}
+    return ops.compaction_plan(src.files(), **kwargs)
+
+
+def snapshot_expiry(
+    src: MetadataSource, keep_last: int = 5, max_age_us: int = 30 * 86400 * 1_000_000,
+    now_us: int = 0,
+) -> DataFrame:
+    """Retention-policy expiry candidates over the snapshot log."""
+    return ops.snapshot_expiry(
+        src.snapshots(), keep_last=keep_last, max_age_us=max_age_us, now_us=now_us
+    )
+
+
+def orphan_files(src: MetadataSource, storage_listing: DataFrame) -> DataFrame:
+    """Files in the object-store listing no snapshot tracks."""
+    return ops.orphan_files(storage_listing, src.files())
+
+
+def zorder_plan(src: MetadataSource, n_buckets: int = 16) -> DataFrame:
+    """Z-order rewrite buckets from per-file value ranges."""
+    return ops.zorder_layout(src.file_ranges(), n_buckets=n_buckets)

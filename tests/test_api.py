@@ -79,3 +79,19 @@ def test_namespace_health_tolerates_broken_table(spark):
 def test_namespace_health_empty_rejected(spark):
     with pytest.raises(ValueError, match="at least one source"):
         api.namespace_health({})
+
+
+def test_maintenance_api_surface(spark):
+    from iceberg_meta_spark import api
+    from iceberg_meta_spark.sources.fixtures import derive
+
+    src = api.FixtureSource(spark, "/root/testdata/sf0.001")
+    assert api.compaction_plan(src).columns == [
+        "snapshot_id", "part_key", "group_id", "n_files", "group_bytes", "group_records",
+    ]
+    exp = api.snapshot_expiry(src, keep_last=3, max_age_us=1, now_us=10**18)
+    assert exp.count() > 0  # everything old expires under a tiny max age
+    storage = derive(spark, "/root/testdata/sf0.001", "storage_files")
+    assert api.orphan_files(src, storage).count() > 0
+    zp = api.zorder_plan(src)
+    assert zp.columns == ["file_path", "zvalue", "zbucket"]
