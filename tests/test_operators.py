@@ -512,3 +512,37 @@ def test_deciles_approx_matches_exact(spark):
     # buckets are value-ordered and non-overlapping
     for d in range(1, 10):
         assert approx[d].max_cents <= approx[d + 1].min_cents
+
+
+def test_kernels_handle_empty_inputs(spark):
+    # SURVEY §7.3: empty-table paths must produce schema-stable results
+    # (correct columns, zero or all-zero rows), not errors.
+    from iceberg_meta_spark.operators.maintenance import (
+        compaction_plan, orphan_files, snapshot_expiry, zorder_layout,
+    )
+    from iceberg_meta_spark.operators.lineage import ancestry
+
+    empty_files = spark.createDataFrame(
+        [], "snapshot_id int, part_key string, file_path string, "
+        "record_count long, file_size_in_bytes long",
+    )
+    empty_snaps = spark.createDataFrame(
+        [], "snapshot_id long, committed_us long, operation string, "
+        "total_data_files long, total_files_size long",
+    )
+    empty_ranges = spark.createDataFrame([], "file_path string, lo long, hi long")
+    empty_nodes = spark.createDataFrame([], "snapshot_id long, parent_id long")
+
+    assert compaction_plan(empty_files).count() == 0
+    assert snapshot_expiry(empty_snaps, now_us=10**18).count() == 0
+    assert orphan_files(empty_ranges.select("file_path", F.col("lo").alias("file_size_in_bytes")), empty_files).count() == 0
+    assert zorder_layout(empty_ranges).count() == 0
+    assert ancestry(empty_nodes).count() == 0
+    # file-health over empty files: one all-null/zero row with the full schema
+    fh = ops.file_size_stats(empty_files)
+    assert fh.columns == [
+        "file_count", "total_size", "min_size", "max_size",
+        "avg_size", "median_size", "small_files", "small_pct",
+    ]
+    row = fh.collect()[0]
+    assert row.file_count == 0
