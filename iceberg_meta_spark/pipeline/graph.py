@@ -107,3 +107,55 @@ def dedup_clusters(docs: DataFrame, k: int = 3) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 2,
+    damping_ppm: int = 850_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-scaled PageRank power iteration over (src, dst) edges.
+
+    All arithmetic is fixed-point BIGINT — rank starts at ``scale`` per
+    node, each round computes ``floor((1-d)*scale) + (d * sum(rank_u DIV
+    outdeg_u)) DIV 1e6`` — so the iteration is bit-deterministic across
+    engines and partitionings, which is what lets an iterative operator
+    carry a hash-gated oracle (the same idiom as the k-means trainer).
+    Dangling-node mass is dropped (the standard simplification).
+
+    Scale posture: per round, ONE edge-side shuffle — contributions
+    aggregate map-side per dst — and the rank/outdeg dimension joins
+    broadcast (ranks are one row per node, orders of magnitude smaller
+    than edges). ``localCheckpoint`` per round caps lineage.
+    """
+    base_ppm = scale - damping_ppm  # (1-d) in ppm of `scale`
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
+    for _ in range(n_iters):
+        r = ranks.select(F.col("node").alias("src"), "rank_scaled")
+        contrib = (
+            edges.join(F.broadcast(r), "src")
+            .join(F.broadcast(outdeg), "src")
+            .select("dst", F.expr("rank_scaled DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_ppm * scale // 1_000_000)
+                    + F.expr(f"{damping_ppm} * coalesce(in_sum, 0) DIV 1000000")
+                ).cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.orderBy(F.desc("rank_scaled"), "node")

@@ -1690,3 +1690,49 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(amount).alias("profit_cents"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank power iteration (pipeline/graph.py): supplier influence network.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline.graph import pagerank  # noqa: E402
+
+
+@register(
+    "supplier_pagerank",
+    oracle="""
+        WITH e AS (SELECT DISTINCT l_suppkey AS src, (l_partkey % 100) + 1 AS dst
+                   FROM lineitem WHERE l_suppkey <> (l_partkey % 100) + 1),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_scaled FROM nodes),
+        c1 AS (SELECT e.dst, CAST(sum(r0.rank_scaled // od.outdeg) AS BIGINT) AS in_sum
+               FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+               GROUP BY e.dst),
+        r1 AS (SELECT n.node,
+                      CAST(150000 + (850000 * coalesce(c1.in_sum, 0)) // 1000000 AS BIGINT) AS rank_scaled
+               FROM nodes n LEFT JOIN c1 ON c1.dst = n.node),
+        c2 AS (SELECT e.dst, CAST(sum(r1.rank_scaled // od.outdeg) AS BIGINT) AS in_sum
+               FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+               GROUP BY e.dst),
+        r2 AS (SELECT n.node,
+                      CAST(150000 + (850000 * coalesce(c2.in_sum, 0)) // 1000000 AS BIGINT) AS rank_scaled
+               FROM nodes n LEFT JOIN c2 ON c2.dst = n.node)
+        SELECT node, rank_scaled FROM r2 ORDER BY rank_scaled DESC, node
+    """,
+    doc="PageRank power iteration (2 rounds, damping 0.85) over a supplier "
+    "co-supply graph derived from lineitem: fixed-point BIGINT arithmetic "
+    "makes the iteration bit-deterministic, so the unrolled recursive "
+    "oracle hash-gates it like the k-means trainer; per round one "
+    "edge-side shuffle with map-side combine, rank/outdeg dims broadcast",
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dst = (F.col("l_partkey") % 100) + 1
+    edges = (
+        li.select(F.col("l_suppkey").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iters=2)

@@ -323,3 +323,34 @@ def test_asof_join_tolerance(spark):
     assert [(r.ts, r.r_tag) for r in out] == [
         (100, "early"), (200, None), (1000, "late"),
     ]
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from iceberg_meta_spark.pipeline.graph import pagerank
+
+    # star: 1,2,3 all point at 9; 9 points at 1
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], "src long, dst long"
+    )
+    # odd iteration count: on even counts the 9->1 back-edge hands the
+    # hub's accumulated mass to node 1 (the cycle oscillates)
+    rows = pagerank(edges, n_iters=3).collect()
+    ranks = {r.node: r.rank_scaled for r in rows}
+    assert max(ranks, key=ranks.get) == 9
+    # nodes with no in-edges settle at the base mass (1-d)*scale
+    assert ranks[2] == 150_000 and ranks[3] == 150_000
+    # output sorted by rank desc
+    assert [r.rank_scaled for r in rows] == sorted(
+        (r.rank_scaled for r in rows), reverse=True
+    )
+
+
+def test_pagerank_mass_determinism_across_partitionings(spark):
+    from iceberg_meta_spark.pipeline.graph import pagerank
+
+    edges = [(i % 13, (i * 7) % 11 + 13) for i in range(200)]
+    a = spark.createDataFrame(edges, "src long, dst long")
+    b = a.repartition(17)
+    ra = {(r.node, r.rank_scaled) for r in pagerank(a, 3).collect()}
+    rb = {(r.node, r.rank_scaled) for r in pagerank(b, 3).collect()}
+    assert ra == rb  # fixed-point arithmetic: partitioning-independent
