@@ -1736,3 +1736,99 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, n_iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: ordered funnel, retention cohorts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_funnel",
+    oracle="""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts_us) AS t2
+              FROM ev e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts_us > v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts_us) AS t3
+              FROM ev e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+              GROUP BY e.user_id)
+        SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_after_view,
+               CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click
+    """,
+    doc="Ordered funnel (view -> click -> purchase, strict temporal order): "
+    "each stage is a per-user MIN aggregate semi-joined onto the previous "
+    "stage's timestamps — per-user rows through every shuffle, no event-"
+    "level self-join, no window; the standard conversion-funnel kernel",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+        WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        first_day AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        activity AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                            e.day - f.cohort_day AS day_offset
+                     FROM ev e JOIN first_day f ON f.user_id = e.user_id)
+        SELECT cohort_day, day_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM activity
+        WHERE day_offset <= 7
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    doc="Retention cohorts: cohort = first-active day per user (one per-user "
+    "aggregate), activity matrix = distinct (user, day) re-joined to the "
+    "cohort and offset-bucketed — the (cohort x day-offset) retention "
+    "triangle, week-one window; cohort dimension rides a per-user equi-join, "
+    "never an event-level self-join",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts DIV 1000) DIV 86400000000").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

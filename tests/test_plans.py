@@ -471,3 +471,19 @@ def test_correlation_is_single_integer_aggregate(spark):
     p = plan(load_all()["value_hour_correlation"].spark_fn(spark, SF))
     assert "Window" not in p, p
     assert _tree_scans(p) == 1, p
+
+
+def test_funnel_no_event_self_join_no_window(spark):
+    # stage joins operate on per-user aggregates; the event table is
+    # scanned per stage but never self-joined at event grain, and no
+    # window appears
+    p = plan(load_all()["event_funnel"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p.replace("BroadcastNestedLoopJoin", ""), p
+
+
+def test_retention_cohort_dimension_join(spark):
+    # the cohort map is a per-user aggregate equi-joined back; no window
+    p = plan(load_all()["user_retention_cohorts"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
