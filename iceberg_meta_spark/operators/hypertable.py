@@ -13,7 +13,7 @@ pins. At 100 TB this is the difference between one pass and three.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 US_MIN = 60_000_000
@@ -51,3 +51,50 @@ def time_rollup(events: DataFrame, ts_col: str = "ts_us", value_col: str = "valu
         F.lit(g).alias("grain"), "bucket_us", "n_events", "sum_cents"
     )
     return tag(minute, "minute").unionAll(tag(hour, "hour")).unionAll(tag(day, "day"))
+
+
+def time_fill(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts_us",
+    value_col: str = "value_cents",
+    step_us: int = 60_000_000,
+) -> DataFrame:
+    """Gap-filled per-key time grid with last-observation-carried-forward.
+
+    The TimescaleDB ``time_bucket_gapfill + locf`` shape: bucket
+    observations, densify each key's [min, max] bucket span via
+    sequence + explode (map-side row generation — the grid never shuffles
+    at event grain), left-join observations back, and forward-fill with
+    ``last(value, ignorenulls)`` over a window PARTITIONED BY KEY — the
+    fill never crosses keys and never funnels through one partition.
+
+    Output: (key, bucket_us, filled value, observed flag). Grid size is
+    O(keys x span/step), independent of event count — the right asymptotic
+    for dense dashboards over sparse high-cardinality streams.
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(step_us)).alias("bucket_us")
+    obs = (
+        events.select(key_col, bucket, F.col(value_col))
+        .groupBy(key_col, "bucket_us")
+        .agg(F.sum(value_col).alias("observed"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.lit(step_us))).alias("bucket_us"),
+    )
+    joined = grid.join(obs, [key_col, "bucket_us"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket_us",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        F.col("observed").isNotNull().alias("observed_flag"),
+    ).orderBy(key_col, "bucket_us")

@@ -1832,3 +1832,48 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled time series (operators/hypertable.time_fill): locf densify.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.hypertable import time_fill  # noqa: E402
+
+
+@register(
+    "events_minute_locf",
+    oracle="""
+        WITH ev AS (SELECT event_type,
+                           epoch_us(ts) - epoch_us(ts) % 60000000 AS bucket_us,
+                           CAST(floor(value * 100) AS BIGINT) AS value_cents
+                    FROM events),
+        obs AS (SELECT event_type, bucket_us, CAST(sum(value_cents) AS BIGINT) AS observed
+                FROM ev GROUP BY event_type, bucket_us),
+        span AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+                 FROM obs GROUP BY event_type),
+        grid AS (SELECT s.event_type, g AS bucket_us
+                 FROM span s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi, 60000000)) g)),
+        j AS (SELECT g.event_type, g.bucket_us, o.observed
+              FROM grid g LEFT JOIN obs o
+                ON o.event_type = g.event_type AND o.bucket_us = g.bucket_us)
+        SELECT event_type, bucket_us,
+               last_value(observed IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+               observed IS NOT NULL AS observed_flag
+        FROM j ORDER BY event_type, bucket_us
+    """,
+    doc="Gap-filled minute series with last-observation-carried-forward "
+    "(time_bucket_gapfill + locf shape): bucketed observations, per-key "
+    "grid densified map-side via sequence + explode, forward-fill window "
+    "partitioned by key — grid size is O(keys x span/step), independent "
+    "of event count",
+)
+def events_minute_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return time_fill(ev)

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "iceberg_meta_spark.plans.commands",
     "iceberg_meta_spark.queries.analytics",
     "iceberg_meta_spark.queries.extensions",
+    "iceberg_meta_spark.plans.maintenance",
 ]
 
 
