@@ -320,3 +320,41 @@ def int8_quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .alias("q_md5"),
         F.when(scale == 0, zero).otherwise(err).alias("err_s"),
     )
+
+
+def hard_negatives(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector, the
+    top-k most-similar candidates with a DIFFERENT label — high-cosine
+    wrong-class neighbors, the pairs that sharpen a metric-learning loss.
+
+    Same plan as the brute-force baseline (tiny query set broadcast, one
+    candidate pass, per-query ranking window) with the label-mismatch
+    predicate applied before ranking.
+    """
+    base = with_self_norm(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_s").alias("q_norm"),
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("q_label"))
+    )
+    cos = cosine(scaled_dot(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_s"))
+    ranked = pairs.select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        cos.alias("cos"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "q_label", "rank", "negative_id", "neg_label",
+        F.round("cos", 6).alias("cos_sim"),
+    )

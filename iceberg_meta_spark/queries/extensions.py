@@ -1877,3 +1877,44 @@ def events_minute_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
     )
     return time_fill(ev)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (pipeline/similarity.py): contrastive training pairs.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline.similarity import hard_negatives  # noqa: E402
+
+_HN_NORM = """(SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM unnest(embedding) AS u(x))"""
+_HN_DOT = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM (SELECT unnest(q.q_emb) AS xa, unnest(b.embedding) AS xb) z)"""
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, label, embedding, {_HN_NORM} AS norm_s FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb, norm_s AS q_norm
+              FROM base WHERE vec_id IN (1, 7, 42)),
+        pairs AS (SELECT q.query_id, q.q_label, b.vec_id AS negative_id, b.label AS neg_label,
+                         {_HN_DOT} AS dot_s, q.q_norm, b.norm_s
+                  FROM base b, q
+                  WHERE b.vec_id <> q.query_id AND b.label <> q.q_label),
+        scored AS (SELECT query_id, q_label, negative_id, neg_label,
+                          CAST(dot_s AS DOUBLE) / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) AS cos
+                   FROM pairs),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, negative_id) AS rank
+                   FROM scored)
+        SELECT query_id, q_label, rank, negative_id, neg_label, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per query vector, "
+    "the top-5 most-similar DIFFERENT-label candidates (high-cosine wrong-"
+    "class neighbors). Brute-force plan shape: broadcast query set, one "
+    "candidate pass, label-mismatch predicate before the per-query ranking "
+    "window; exact integer dot products keep it hash-gated",
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, query_ids=[1, 7, 42], k=5)

@@ -354,3 +354,22 @@ def test_pagerank_mass_determinism_across_partitionings(spark):
     ra = {(r.node, r.rank_scaled) for r in pagerank(a, 3).collect()}
     rb = {(r.node, r.rank_scaled) for r in pagerank(b, 3).collect()}
     assert ra == rb  # fixed-point arithmetic: partitioning-independent
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from iceberg_meta_spark.pipeline.similarity import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = hard_negatives(emb, query_ids=[1, 7], k=3).collect()
+    assert rows
+    for r in rows:
+        assert r.neg_label != r.q_label
+        assert r.negative_id != r.query_id
+    # ranks are 1..k per query and cosine non-increasing within a query
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.cos_sim >= b.cos_sim for a, b in zip(rs, rs[1:]))
