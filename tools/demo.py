@@ -1,0 +1,52 @@
+"""End-to-end demo: drive the command API the way a reference-CLI user would.
+
+    python tools/demo.py [sf_dir]
+
+Walks the full command surface — summary, health, file/partition/column
+health, diff, tree, schema history, maintenance planners, watch tick — over
+the fixture source and prints each result's head. Everything stays lazy
+until the final show(); this is the "a user of the reference could switch"
+path, exercised.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_meta_spark import api  # noqa: E402
+from iceberg_meta_spark.session import get_spark  # noqa: E402
+from iceberg_meta_spark.sources.fixtures import derive  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("iceberg-meta-spark-demo")
+    src = api.FixtureSource(spark, sf_dir)
+
+    def show(title: str, df, n: int = 5) -> None:
+        print(f"\n== {title} ==")
+        df.show(n, truncate=False)
+
+    show("summary", api.summary(src))
+    show("recent operations", api.recent_operations(src))
+    show("health", api.health(src), n=10)
+    show("file health", api.file_health(src))
+    show("partition health", api.partition_health(src))
+    show("column health", api.column_health(src))
+    show("diff 1 -> 2", api.diff_summary(src, old_snapshot=1, new_snapshot=2))
+    show("tree", api.tree(src, max_files=3))
+    show("schema history", api.schema_history(src))
+    show("compaction plan", api.compaction_plan(src))
+    show("snapshot expiry", api.snapshot_expiry(src, now_us=1713139200000000))
+    show("orphan files", api.orphan_files(src, derive(spark, sf_dir, "storage_files")))
+    show("z-order plan", api.zorder_plan(src))
+    seen = src.snapshots().select("snapshot_id").limit(5)
+    show("watch tick (new snapshots)", api.watch(src, seen))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
