@@ -1918,3 +1918,25 @@ _HN_DOT = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, query_ids=[1, 7, 42], k=5)
+
+
+@register(
+    "doc_length_quantiles_approx",
+    oracle=None,  # percentile_approx sketches are engine-specific; the exact
+    # twin doc_length_quantiles carries the hash gate and
+    # test_doc_quantiles_approx_close_to_exact pins the two together.
+    doc="Scale twin of doc_length_quantiles: percentile_approx's mergeable "
+    "KLL-style sketch aggregates in constant memory per group — the "
+    ">10^8-doc path where exact percentile's per-group sort buffer is the "
+    "documented cliff (same twin pattern as meta_file_health_approx)",
+)
+def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", [0.25, 0.5, 0.75, 0.9], 10_000).alias("qs")
+    )
+    return qs.select(
+        "lang", F.posexplode("qs").alias("q_idx", "chars_q")
+    ).select(
+        "lang", "q_idx", F.col("chars_q").cast("double").alias("chars_q")
+    ).orderBy("lang", "q_idx")

@@ -373,3 +373,23 @@ def test_hard_negatives_excludes_same_label(spark):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert all(a.cos_sim >= b.cos_sim for a, b in zip(rs, rs[1:]))
+
+
+def test_doc_quantiles_approx_close_to_exact(spark):
+    from iceberg_meta_spark.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.lang, r.q_idx): r.chars_q
+        for r in reg["doc_length_quantiles"].spark_fn(spark, sf).collect()
+    }
+    approx = {
+        (r.lang, r.q_idx): r.chars_q
+        for r in reg["doc_length_quantiles_approx"].spark_fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        # at 10k accuracy on sf0.01 group sizes the sketch lands on an
+        # actual data value adjacent to the interpolated exact quantile
+        assert abs(approx[k] - v) <= max(0.05 * max(abs(v), 1.0), 2.0), (k, v, approx[k])
