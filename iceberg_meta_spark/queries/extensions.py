@@ -1940,3 +1940,92 @@ def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "q_idx", F.col("chars_q").cast("double").alias("chars_q")
     ).orderBy("lang", "q_idx")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation checks (Deequ / dbt-test shape).
+# ---------------------------------------------------------------------------
+
+@register(
+    "data_quality_checks",
+    oracle="""
+        SELECT 'referential' AS check_name, 'lineitem_orphan_orderkeys' AS metric,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS value
+        UNION ALL
+        SELECT 'referential', 'orders_orphan_custkeys',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'uniqueness', 'orders_duplicate_pk',
+               CAST((SELECT coalesce(sum(n - 1), 0) FROM (
+                     SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g
+                     WHERE n > 1) AS BIGINT)
+        UNION ALL
+        SELECT 'completeness', 'customer_null_names',
+               CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'domain', 'lineitem_discount_out_of_range',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+        UNION ALL
+        SELECT 'domain', 'lineitem_nonpositive_quantity',
+               CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+        ORDER BY check_name, metric
+    """,
+    doc="Data-quality expectations (Deequ / dbt-test shape): referential "
+    "integrity via LeftAnti probes against broadcast key sets, primary-key "
+    "uniqueness via a shrinking groupBy, completeness and domain "
+    "constraints as map-side conditional counts — one long-format result "
+    "a pipeline gate can assert on",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    cus = load_table(spark, sf_dir, "customer")
+
+    def row(check: str, metric: str, df_count) -> DataFrame:
+        return df_count.select(
+            F.lit(check).alias("check_name"),
+            F.lit(metric).alias("metric"),
+            F.col("n").cast("long").alias("value"),
+        )
+
+    li_orphans = (
+        li.select("l_orderkey")
+        .join(ords.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    o_orphans = (
+        ords.select("o_custkey")
+        .join(cus.select("c_custkey"), ords.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup_pk = (
+        ords.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n"))
+    )
+    null_names = cus.agg(
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("n")
+    )
+    disc_range = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("n")
+    )
+    bad_qty = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("n")
+    )
+    out = (
+        row("referential", "lineitem_orphan_orderkeys", li_orphans)
+        .unionByName(row("referential", "orders_orphan_custkeys", o_orphans))
+        .unionByName(row("uniqueness", "orders_duplicate_pk", dup_pk))
+        .unionByName(row("completeness", "customer_null_names", null_names))
+        .unionByName(row("domain", "lineitem_discount_out_of_range", disc_range))
+        .unionByName(row("domain", "lineitem_nonpositive_quantity", bad_qty))
+    )
+    return out.orderBy("check_name", "metric")
