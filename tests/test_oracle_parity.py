@@ -32,6 +32,10 @@ ROWS_ONLY = {
     # user_value_deciles is oracle-gated and test_deciles_approx_matches_exact
     # pins bucket sizes/boundaries to the ntile result.
     "user_value_deciles_approx",
+    # same sketch family: per-language length quantiles; exact twin
+    # doc_length_quantiles is oracle-gated and
+    # test_doc_quantiles_approx_close_to_exact pins the two together.
+    "doc_length_quantiles_approx",
 }
 
 
