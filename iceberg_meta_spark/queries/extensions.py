@@ -2029,3 +2029,42 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("domain", "lineitem_nonpositive_quantity", bad_qty))
     )
     return out.orderBy("check_name", "metric")
+
+
+@register(
+    "weekly_active_users",
+    oracle="""
+        WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM act),
+        contrib AS (SELECT a.user_id, a.day + g AS target_day
+                    FROM act a, generate_series(0, 6) t(g)),
+        wau AS (SELECT target_day AS day,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+                FROM contrib GROUP BY target_day)
+        SELECT w.day, w.active_7d FROM wau w, bounds b
+        WHERE w.day <= b.hi
+        ORDER BY w.day
+    """,
+    doc="Rolling 7-day active users (WAU): distinct (user, day) activity "
+    "explodes each day into the 7 target days it contributes to (map-side "
+    "x7 row expansion of the ALREADY-distinct per-day frame, not of raw "
+    "events), then one distinct-count aggregate per target day — no "
+    "range self-join, no window over event rows",
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("(ts DIV 1000) DIV 86400000000").alias("day"))
+        .distinct()
+    )
+    hi = act.agg(F.max("day").alias("hi"))
+    contrib = act.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("active_7d"))
+    return (
+        wau.join(F.broadcast(hi), wau.day <= F.col("hi"))
+        .select("day", "active_7d")
+        .orderBy("day")
+    )

@@ -487,3 +487,13 @@ def test_retention_cohort_dimension_join(spark):
     p = plan(load_all()["user_retention_cohorts"].spark_fn(spark, SF))
     assert "Window" not in p, p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_wau_no_self_join_no_window(spark):
+    # the 7-day rolling distinct comes from a map-side explode of the
+    # per-day distinct frame + one distinct aggregate — no range self-join
+    # at event grain, no window
+    p = plan(load_all()["weekly_active_users"].spark_fn(spark, SF))
+    assert "Window" not in p, p
+    assert "Generate" in p, p  # the explode
+    assert "CartesianProduct" not in p, p
