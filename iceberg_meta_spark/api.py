@@ -312,9 +312,11 @@ def compaction_plan(src: MetadataSource, target_bytes: int | None = None) -> Dat
 
 def snapshot_expiry(
     src: MetadataSource, keep_last: int = 5, max_age_us: int = 30 * 86400 * 1_000_000,
-    now_us: int = 0,
+    *, now_us: int,
 ) -> DataFrame:
-    """Retention-policy expiry candidates over the snapshot log."""
+    """Retention-policy expiry candidates over the snapshot log.
+
+    ``now_us`` is required (deterministic kernels take the clock as input)."""
     return ops.snapshot_expiry(
         src.snapshots(), keep_last=keep_last, max_age_us=max_age_us, now_us=now_us
     )

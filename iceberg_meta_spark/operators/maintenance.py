@@ -80,15 +80,21 @@ def snapshot_expiry(
     snapshots: DataFrame,
     keep_last: int = 5,
     max_age_us: int = 30 * 86400 * 1_000_000,
-    now_us: int = 0,
+    *,
+    now_us: int,
 ) -> DataFrame:
     """Expiry candidates under "keep last N AND keep newer than cutoff".
 
     A snapshot expires when it is neither among the ``keep_last`` most recent
     nor newer than ``now_us - max_age_us`` — the standard retention contract.
+    ``now_us`` is required: the kernel is deterministic (no wall-clock read),
+    and a zero/negative clock would make the cutoff negative and silently
+    return an empty plan, so it is rejected here.
     The rank window runs over the metadata-sized snapshot log (see module
     docstring); ties break on snapshot_id for determinism.
     """
+    if now_us <= 0:
+        raise ValueError(f"now_us must be a positive epoch-microsecond clock, got {now_us}")
     w = Window.orderBy(F.desc("committed_us"), F.desc("snapshot_id"))
     ranked = snapshots.withColumn("recency_rank", F.row_number().over(w))
     cutoff_us = now_us - max_age_us

@@ -129,7 +129,9 @@ def pagerank(
     broadcast (ranks are one row per node, orders of magnitude smaller
     than edges). ``localCheckpoint`` per round caps lineage.
     """
-    base_ppm = scale - damping_ppm  # (1-d) in ppm of `scale`
+    # (1-d) teleport mass in `scale` units: damping_ppm is parts-per-million
+    # regardless of `scale`, so the two units must not be mixed.
+    base_scaled = scale * (1_000_000 - damping_ppm) // 1_000_000
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -152,7 +154,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base_ppm * scale // 1_000_000)
+                    F.lit(base_scaled)
                     + F.expr(f"{damping_ppm} * coalesce(in_sum, 0) DIV 1000000")
                 ).cast("long").alias("rank_scaled"),
             )

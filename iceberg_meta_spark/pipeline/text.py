@@ -117,7 +117,12 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = _tokens(F.col("text"))
     n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    # Cap starts at n - overlap: a window starting past that point is fully
+    # contained in its predecessor (whose coverage reaches start + overlap - 1
+    # past the stride boundary) and would emit a duplicated training chunk.
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
     exploded = docs.select(
         "doc_id", toks.alias("__toks"), F.explode(starts).alias("__start")
     )

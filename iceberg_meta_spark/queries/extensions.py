@@ -1261,7 +1261,7 @@ _CHUNK_STRIDE = _CHUNK - _OVERLAP
     oracle=f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         ex AS (SELECT doc_id, t,
-                      unnest(range(1, greatest(len(t), 1) + 1, {_CHUNK_STRIDE})) AS start
+                      unnest(range(1, greatest(len(t) - {_OVERLAP}, 1) + 1, {_CHUNK_STRIDE})) AS start
                FROM toks)
         SELECT doc_id,
                CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,

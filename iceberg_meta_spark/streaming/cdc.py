@@ -23,6 +23,7 @@ backend (RocksDB in production) holds key→struct, never the change history.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,9 +59,17 @@ def upsert_sink(state_dir: str, key_col: str = "user_id"):
         spark = batch.sparkSession
         try:
             old = spark.read.parquet(state_dir)
-            merged = old.unionByName(batch)
-        except Exception:
+        except AnalysisException as exc:
+            # Only the first-batch missing-directory case may fall through to
+            # "no prior state"; any other read failure (corrupt files,
+            # permissions, transient IO) must surface — swallowing it would
+            # silently overwrite the accumulated state with one micro-batch.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             merged = batch
+        else:
+            merged = old.unionByName(batch)
         cols = [c for c in merged.columns if c != key_col]
         latest = merged.groupBy(key_col).agg(F.max(F.struct(*cols)).alias("s"))
         out = latest.select(key_col, *[F.col(f"s.{c}").alias(c) for c in cols])

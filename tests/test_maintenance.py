@@ -69,6 +69,12 @@ def test_snapshot_expiry_policy(spark):
     # widen retention age -> cutoff 150: only snapshot 1 expires
     out2 = snapshot_expiry(snaps, keep_last=2, max_age_us=850, now_us=1000).collect()
     assert [r.snapshot_id for r in out2] == [1]
+    # a zero/negative clock would make the cutoff negative and silently plan
+    # nothing — rejected rather than returning 'nothing to expire'
+    import pytest
+
+    with pytest.raises(ValueError, match="now_us"):
+        snapshot_expiry(snaps, now_us=0)
 
 
 def test_orphan_files_is_anti_join(spark):

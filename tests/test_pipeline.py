@@ -356,6 +356,24 @@ def test_pagerank_mass_determinism_across_partitionings(spark):
     assert ra == rb  # fixed-point arithmetic: partitioning-independent
 
 
+def test_pagerank_scale_is_a_resolution_knob(spark):
+    """`scale` only sets fixed-point resolution; damping stays ppm. Ranks at
+    scale=10^7 must be ~10x the scale=10^6 ranks (up to truncation), not the
+    garbage the old scale-minus-ppm mixing produced."""
+    from iceberg_meta_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 9), (2, 9), (3, 9), (9, 1)], "src long, dst long")
+    r1 = {r.node: r.rank_scaled for r in pagerank(edges, n_iters=3).collect()}
+    r10 = {
+        r.node: r.rank_scaled
+        for r in pagerank(edges, n_iters=3, scale=10_000_000).collect()
+    }
+    for node, v in r1.items():
+        assert abs(r10[node] - 10 * v) <= 30  # truncation drift only
+    # no-in-edge nodes sit exactly at the teleport mass (1-d)*scale
+    assert r10[2] == 1_500_000
+
+
 def test_hard_negatives_excludes_same_label(spark):
     from iceberg_meta_spark.pipeline.similarity import hard_negatives
 

@@ -175,9 +175,15 @@ def test_chunking_covers_every_token_exactly(spark, n_tokens, chunk, overlap_fra
     # chunk c covers tokens [c*stride, c*stride + chunk); stitching the
     # non-overlapping prefixes reproduces the token stream exactly
     rebuilt: list[str] = []
+    prev_end = 0
     for r in rows:
         got = r.chunk_text.split(" ") if r.chunk_text != "" else [""] if r.chunk_len else []
         assert got == toks[r.chunk_id * stride : r.chunk_id * stride + chunk]
+        # no chunk is fully contained in its predecessor: each must extend
+        # coverage past the previous chunk's end (duplicate-tail guard)
+        end = r.chunk_id * stride + len(got)
+        assert r.chunk_id == 0 or end > prev_end
+        prev_end = end
         rebuilt.extend(got[:stride] if r is not rows[-1] else got)
     assert rebuilt == toks
 

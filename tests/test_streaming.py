@@ -355,3 +355,21 @@ def test_cdc_upsert_sink_merges_batches(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got == {(1, 30, 300), (2, 20, 200), (3, 5, 50)}
+
+
+def test_cdc_upsert_sink_surfaces_corrupt_state(spark, tmp_path):
+    """A state-dir read failure that is NOT missing-path must propagate —
+    swallowing it would overwrite accumulated state with one micro-batch."""
+    from iceberg_meta_spark.streaming.cdc import upsert_sink
+
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"not parquet at all")
+    apply = upsert_sink(str(state), key_col="user_id")
+    b = spark.createDataFrame([(1, 10, 100)], "user_id long, last_ts_us long, last_event_id long")
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|magic"):
+        apply(b, 0)
+    # the corrupt state directory was not clobbered by the failed merge
+    assert (state / "part-00000.parquet").read_bytes() == b"not parquet at all"
