@@ -330,3 +330,9 @@ def orphan_files(src: MetadataSource, storage_listing: DataFrame) -> DataFrame:
 def zorder_plan(src: MetadataSource, n_buckets: int = 16) -> DataFrame:
     """Z-order rewrite buckets from per-file value ranges."""
     return ops.zorder_layout(src.file_ranges(), n_buckets=n_buckets)
+
+
+def hilbert_plan(src: MetadataSource, n_buckets: int = 16) -> DataFrame:
+    """Hilbert-curve rewrite buckets: the locality-preserving alternative
+    to :func:`zorder_plan` (consecutive codes are always grid-adjacent)."""
+    return ops.hilbert_layout(src.file_ranges(), n_buckets=n_buckets)

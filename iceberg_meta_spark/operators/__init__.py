@@ -31,6 +31,8 @@ from iceberg_meta_spark.operators.manifests import manifest_row_share, top_files
 from iceberg_meta_spark.operators.snapshots import latest_snapshot_summary, new_snapshots, recent_snapshots
 from iceberg_meta_spark.operators.maintenance import (
     compaction_plan,
+    hilbert_index,
+    hilbert_layout,
     orphan_files,
     snapshot_expiry,
     zorder_layout,

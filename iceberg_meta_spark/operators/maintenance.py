@@ -182,3 +182,80 @@ def zorder_layout(
         F.expr(_interleave_expr("x", "y", bits)).alias("zvalue"),
         F.expr(f"({_interleave_expr('x', 'y', bits)}) >> {shift}").alias("zbucket"),
     ).orderBy("zvalue", "file_path")
+
+
+def hilbert_step_exprs(level: int, xcol: str, ycol: str, dcol: str) -> tuple[str, str, str]:
+    """SQL text for one Hilbert xy2d level (high bit -> low): returns
+    (d', x', y') expressions over the previous level's columns. Pure integer
+    CASE/shift/mask arithmetic — the identical text is valid Spark SQL and
+    DuckDB SQL, which is what lets the layout carry a hash-gated oracle.
+
+    Per level ``i`` with quadrant bits rx/ry, the curve visits quadrants in
+    the order (3*rx) XOR ry (written arithmetically as 3*rx + ry - 2*rx*ry)
+    and rotates the frame: ry=1 keeps (x,y); ry=0 swaps after an rx=1
+    reflection. Unrolling keeps state linear — one projection per level,
+    all fused by whole-stage codegen.
+    """
+    s = 1 << level
+    rx = f"(({xcol} >> {level}) & 1)"
+    ry = f"(({ycol} >> {level}) & 1)"
+    d_next = f"{dcol} + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    x_next = f"CASE WHEN {ry} = 1 THEN {xcol} WHEN {rx} = 1 THEN {s - 1} - {ycol} ELSE {ycol} END"
+    y_next = f"CASE WHEN {ry} = 1 THEN {ycol} WHEN {rx} = 1 THEN {s - 1} - {xcol} ELSE {xcol} END"
+    return d_next, x_next, y_next
+
+
+def hilbert_index(df: DataFrame, bits: int, xcol: str = "x", ycol: str = "y") -> DataFrame:
+    """Append ``hvalue`` — the Hilbert-curve index of (xcol, ycol) on a
+    2^bits x 2^bits grid — via ``bits`` chained integer projections."""
+    out = df.withColumn("__hx", F.col(xcol)).withColumn("__hy", F.col(ycol)).withColumn(
+        "__hd", F.lit(0).cast("long")
+    )
+    for level in range(bits - 1, -1, -1):
+        d_e, x_e, y_e = hilbert_step_exprs(level, "__hx", "__hy", "__hd")
+        out = out.withColumns(
+            {"__hd": F.expr(d_e), "__hx": F.expr(x_e), "__hy": F.expr(y_e)}
+        )
+    return out.withColumn("hvalue", F.col("__hd")).drop("__hx", "__hy", "__hd")
+
+
+def hilbert_layout(
+    ranges: DataFrame, bits: int = 8, n_buckets: int = 16
+) -> DataFrame:
+    """Hilbert-curve clustering plan over per-file value ranges.
+
+    The locality-preserving alternative to :func:`zorder_layout`: the
+    Hilbert index's consecutive codes are always grid-adjacent (no Morton
+    "seam jumps" across quadrant boundaries), so equal-width code buckets
+    have tighter per-bucket bounding boxes — better multi-column min/max
+    pruning after the rewrite for the same bucket count.
+
+    Same plan shape as Z-order: one 1-row bounds aggregate broadcast back,
+    then ``bits`` fused map-side projections. No window, no shuffle of the
+    file list.
+    """
+    stats = ranges.select(F.col("lo"), (F.col("hi") - F.col("lo")).alias("span")).agg(
+        F.min("lo").alias("lo_min"),
+        F.max("lo").alias("lo_max"),
+        F.min("span").alias("sp_min"),
+        F.max("span").alias("sp_max"),
+    )
+    top = (1 << bits) - 1
+    scaled = (
+        ranges.withColumn("span", F.col("hi") - F.col("lo"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "x",
+            F.expr(f"CAST((lo - lo_min) * {top} DIV greatest(lo_max - lo_min, 1) AS BIGINT)"),
+        )
+        .withColumn(
+            "y",
+            F.expr(f"CAST((span - sp_min) * {top} DIV greatest(sp_max - sp_min, 1) AS BIGINT)"),
+        )
+    )
+    shift = 2 * bits - (n_buckets - 1).bit_length()
+    return (
+        hilbert_index(scaled, bits)
+        .select("file_path", "hvalue", F.expr(f"hvalue >> {shift}").alias("hbucket"))
+        .orderBy("hvalue", "file_path")
+    )

@@ -2068,3 +2068,239 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "active_7d")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 extensions.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.maintenance import hilbert_step_exprs  # noqa: E402
+from iceberg_meta_spark.streaming.gaps import heartbeat_gaps  # noqa: E402
+
+_GAP_US = 86_400_000_000  # 24h of per-user silence
+
+
+@register(
+    "user_heartbeat_gaps",
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        l AS (SELECT user_id, ts_us,
+                lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+              FROM e)
+        SELECT user_id, prev AS gap_start_us, ts_us AS gap_end_us,
+               ts_us - prev AS gap_us
+        FROM l WHERE ts_us - prev > 86400000000
+        ORDER BY user_id, gap_start_us
+    """,
+    doc="Heartbeat/silence-gap detection (batch twin of "
+    "streaming/gaps.silence_stream): spans > 24h between consecutive "
+    "events of one user — ONE lag() window partitioned by user, no global "
+    "ordering; the complementary alert to the reference's new-snapshot "
+    "watch (cli.py:987-1007): the asset that STOPPED emitting",
+)
+def user_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return heartbeat_gaps(ev, gap_us=_GAP_US).orderBy("user_id", "gap_start_us")
+
+
+_H_BITS, _H_BUCKETS = 8, 16
+_H_TOP = (1 << _H_BITS) - 1
+_H_SHIFT = 2 * _H_BITS - (_H_BUCKETS - 1).bit_length()
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        f"""stats AS (SELECT min(lo) AS lo_min, max(lo) AS lo_max,
+                           min(hi - lo) AS sp_min, max(hi - lo) AS sp_max
+                    FROM file_ranges),
+        h{_H_BITS} AS (SELECT file_path,
+                          CAST(0 AS BIGINT) AS d,
+                          CAST((lo - lo_min) * {_H_TOP} // greatest(lo_max - lo_min, 1) AS BIGINT) AS x,
+                          CAST((hi - lo - sp_min) * {_H_TOP} // greatest(sp_max - sp_min, 1) AS BIGINT) AS y
+                   FROM file_ranges, stats)"""
+    ]
+    for level in range(_H_BITS - 1, -1, -1):
+        d_e, x_e, y_e = hilbert_step_exprs(level, "x", "y", "d")
+        ctes.append(
+            f"h{level} AS (SELECT file_path, {d_e} AS d, {x_e} AS x, {y_e} AS y FROM h{level + 1})"
+        )
+    body = (
+        ", " + ",\n        ".join(ctes)
+        + f"""
+        SELECT file_path, d AS hvalue, d >> {_H_SHIFT} AS hbucket
+        FROM h0 ORDER BY hvalue, file_path"""
+    )
+    return oracle_query(body, "file_ranges")
+
+
+@register(
+    "meta_hilbert_layout",
+    oracle=_hilbert_oracle(),
+    tags=("maintenance",),
+    doc="Hilbert-curve clustering plan: the locality-preserving alternative "
+    "to meta_zorder_layout — consecutive codes are always grid-adjacent "
+    "(no Morton seam jumps), so equal-width code buckets have tighter "
+    "bounding boxes for the same bucket count. Same plan shape: one 1-row "
+    "bounds aggregate broadcast back, then 8 fused map-side integer "
+    "projections (one per curve level); the oracle unrolls the identical "
+    "per-level arithmetic as chained CTEs",
+)
+def meta_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.hilbert_layout(
+        derive(spark, sf_dir, "file_ranges"), bits=_H_BITS, n_buckets=_H_BUCKETS
+    )
+
+
+# --- TPC-H Q11/Q16/Q20 shapes over the derived partsupp -------------------
+# The testdata has no partsupp table; the canonical derivation is the
+# distinct (l_partkey, l_suppkey) pairs with per-pair aggregates from
+# lineitem — the same star-schema access pattern as the real queries.
+
+
+@register(
+    "important_stock",
+    oracle="""
+        WITH s7 AS (SELECT s_suppkey FROM supplier s JOIN nation n
+                      ON s.s_nationkey = n.n_nationkey
+                    WHERE n.n_name = 'NATION_7'),
+        v AS (SELECT l_partkey AS partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+              FROM lineitem l JOIN s7 ON l.l_suppkey = s7.s_suppkey
+              GROUP BY l_partkey),
+        t AS (SELECT sum(value_cents) AS tot FROM v)
+        SELECT partkey, value_cents FROM v, t
+        WHERE value_cents * 1000 > tot
+        ORDER BY value_cents DESC, partkey
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part inventory value held "
+    "by one nation's suppliers, kept when above 1/1000 of that nation's "
+    "total — supplier dim broadcast onto lineitem, ONE partkey groupBy, "
+    "1-row total broadcast back for the threshold (no second scan); "
+    "integer cents keep the hash gate exact",
+)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    s7 = supp.join(
+        F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(s7), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    )
+    tot = v.agg(F.sum("value_cents").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("tot"))
+        .select("partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "partkey")
+    )
+
+
+@register(
+    "supplier_part_variety",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        ok AS (SELECT ps.l_suppkey, p.p_brand, p.p_type, p.p_size
+               FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+               WHERE p.p_brand <> 'Brand#1'
+                 AND p.p_type NOT LIKE 'PROMO%'
+                 AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+                 AND ps.l_suppkey NOT IN
+                     (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ok GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct supplier "
+    "count per (brand, type, size) over the derived partsupp, excluding a "
+    "blacklist (negative-balance suppliers as the complaints stand-in) — "
+    "part dim and the tiny blacklist both broadcast (the NOT IN compiles "
+    "to LeftAnti), distinct-count is the only wide aggregate",
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pok = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ok = (
+        ps.join(F.broadcast(pok), ps.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(blacklist), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        ok.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle="""
+        WITH q97 AS (SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+                     FROM lineitem
+                     WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                       AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+                     GROUP BY l_partkey, l_suppkey),
+        tot AS (SELECT l_partkey, l_suppkey,
+                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS aq
+                FROM lineitem GROUP BY l_partkey, l_suppkey),
+        cand AS (SELECT DISTINCT t.l_suppkey
+                 FROM tot t JOIN q97 USING (l_partkey, l_suppkey)
+                 JOIN part p ON t.l_partkey = p.p_partkey
+                 WHERE p.p_name LIKE 'red%' AND t.aq > 2 * q97.q)
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s JOIN cand ON s.s_suppkey = cand.l_suppkey
+        ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape (excess stock): suppliers holding more than 2x a "
+    "year's shipments of a named part family — availqty derives as the "
+    "all-time quantity per partsupp pair, compared against the 1997 "
+    "aggregate of the same pair; ONE shuffle keyed (partkey, suppkey) "
+    "serves both aggregates via conditional sums, part dim broadcast, "
+    "then a semi-join to supplier; integer quantities keep it exact",
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    in97 = (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date")) & (
+        F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    # one aggregation pass: all-time and 1997 sums from the same shuffle
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("aq"),
+        F.sum(F.when(in97, qty).otherwise(F.lit(0))).alias("q97"),
+        F.max(F.when(in97, F.lit(1)).otherwise(F.lit(0))).alias("has97"),
+    )
+    reds = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    cand = (
+        pair.filter((F.col("has97") == 1) & (F.col("aq") > 2 * F.col("q97")))
+        .join(F.broadcast(reds), pair.l_partkey == F.col("p_partkey"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(cand, supp.s_suppkey == cand.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

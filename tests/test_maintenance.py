@@ -128,6 +128,68 @@ def test_zorder_layout_invariants_and_plan(spark):
     assert zs == sorted(zs)
 
 
+def test_hilbert_index_is_a_hilbert_curve(spark):
+    """Bijection + the defining locality property: consecutive codes on a
+    2^b x 2^b grid are ALWAYS grid-adjacent (Manhattan distance 1) — the
+    property Morton/Z-order lacks (its quadrant seams jump)."""
+    from iceberg_meta_spark.operators.maintenance import hilbert_index
+
+    bits, n = 3, 8
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    rows = hilbert_index(cells, bits).collect()
+    pos = {r.hvalue: (r.x, r.y) for r in rows}
+    assert sorted(pos) == list(range(n * n))  # bijection onto 0..63
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_hilbert_layout_invariants_and_plan(spark):
+    from iceberg_meta_spark.operators.maintenance import hilbert_layout, zorder_layout
+
+    df = hilbert_layout(derive(spark, SF, "file_ranges"), bits=8, n_buckets=16)
+    p = plan(df)
+    assert "Window" not in p, p
+    assert "Broadcast" in p, p  # 1-row bounds aggregate broadcast back
+    rows = df.collect()
+    assert len(rows) == len(set(r.file_path for r in rows))
+    assert all(0 <= r.hvalue < (1 << 16) for r in rows)
+    assert all(r.hbucket == r.hvalue >> 12 for r in rows)
+    hs = [r.hvalue for r in rows]
+    assert hs == sorted(hs)
+    # locality: bucketing the FULL 16x16 grid by high code bits, Hilbert
+    # buckets have no-worse summed bounding-box semi-perimeter in (x, y)
+    # space than Morton buckets — the min/max pruning proxy a rewrite
+    # optimizes. (Morton's quadrant seams inflate some bucket boxes.)
+    from collections import defaultdict
+
+    from iceberg_meta_spark.operators.maintenance import _interleave_expr, hilbert_index
+    from pyspark.sql import functions as F
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    hv = hilbert_index(grid, 4).select("x", "y", F.expr("hvalue >> 4").alias("b")).collect()
+    zv = grid.select(
+        "x", "y", F.expr(f"({_interleave_expr('x', 'y', 4)}) >> 4").alias("b")
+    ).collect()
+
+    def semi_perimeter(rows_):
+        by = defaultdict(list)
+        for r in rows_:
+            by[r.b].append((r.x, r.y))
+        return sum(
+            max(x for x, _ in v) - min(x for x, _ in v)
+            + max(y for _, y in v) - min(y for _, y in v)
+            for v in by.values()
+        )
+
+    assert semi_perimeter(hv) <= semi_perimeter(zv)
+
+
 def test_cdc_latest_state_struct_max_matches_window(spark):
     changes = spark.createDataFrame(
         [(1, 10, 100, "a", 5), (1, 20, 101, "b", 6), (1, 20, 99, "c", 7),

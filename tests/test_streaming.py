@@ -334,6 +334,70 @@ def test_streaming_cdc_latest_state(spark):
         q.stop()
 
 
+def test_heartbeat_gaps_batch_matches_manual(spark):
+    from iceberg_meta_spark.streaming.gaps import heartbeat_gaps
+
+    ev = spark.createDataFrame(
+        # user 1: gap 100->500 (400 > 300); user 2: no gap; user 3: two gaps
+        [(1, 100), (1, 500), (1, 600), (2, 10), (2, 20),
+         (3, 0), (3, 1000), (3, 1100), (3, 2000)],
+        "user_id long, ts_us long",
+    )
+    rows = sorted(
+        heartbeat_gaps(ev, gap_us=300).collect(),
+        key=lambda r: (r.user_id, r.gap_start_us),
+    )
+    assert [(r.user_id, r.gap_start_us, r.gap_end_us, r.gap_us) for r in rows] == [
+        (1, 100, 500, 400),
+        (3, 0, 1000, 1000),
+        (3, 1100, 2000, 900),
+    ]
+
+
+def test_silence_stream_detects_gaps(spark):
+    """Drive the stateful detector from a rate source whose synthetic event
+    times leave every third tick silent for one key: in-stream closed gaps
+    must match the batch twin's arithmetic."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.gaps import heartbeat_gaps, silence_stream
+
+    # key 0 gets ts 0,10,20,...; key 1 gets ts 0,100,200,... (every gap>50)
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(
+            (F.col("value") % 2).alias("user_id"),
+            (F.col("value") * F.when(F.col("value") % 2 == 0, 5).otherwise(50)).alias("ts_us"),
+        )
+    )
+    out = silence_stream(rate, gap_us=60, key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gap_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM gap_test WHERE gap_end_us IS NOT NULL"
+            ).collect()
+            done = len(rows) >= 3
+        assert done, "no closed gaps detected"
+        # key-1 rows step 100 in ts (value jumps of 2 * 50): every
+        # consecutive pair is a gap of exactly 100; key-0 steps 10 -> never
+        assert all(r.key == 1 for r in rows)
+        assert all(r.gap_us == r.gap_end_us - r.gap_start_us for r in rows)
+        assert all(r.gap_us == 100 for r in rows)
+    finally:
+        q.stop()
+
+
 def test_cdc_upsert_sink_merges_batches(spark, tmp_path):
     from iceberg_meta_spark.streaming.cdc import upsert_sink
 
