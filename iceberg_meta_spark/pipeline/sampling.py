@@ -65,3 +65,47 @@ def with_shuffle_key(df: DataFrame, key_col: str, salt: str = "shuffle") -> Data
     return df.withColumn(
         "shuffle_key", F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample: ~``k`` rows per
+    stratum, each row's inclusion probability ∝ its integer weight.
+
+    The deterministic restatement of weighted reservoir sampling: order the
+    stratum by ``md5(salt:key)`` (a reproducible uniform shuffle), take the
+    running weight sum, and keep every row whose cumulative span crosses a
+    multiple of ``total_weight / k`` — classic systematic PPS, but with the
+    random start/ordering replaced by hashing so any engine and any
+    partitioning selects the same rows.
+
+    One window shuffle keyed by stratum computes both the running and the
+    stratum-total sums; selection is then a pure filter. Integer weights
+    keep every comparison exact (no float-sum ordering hazards).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    part = Window.partitionBy(stratum_col)
+    run = part.orderBy(h.asc(), F.col(key_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = F.col(weight_col).cast("long")
+    out = (
+        df.withColumn("__cum", F.sum(w).over(run))
+        .withColumn("__tot", F.sum(w).over(part))
+        .withColumn("__step", F.greatest(F.expr(f"__tot DIV {int(k)}"), F.lit(1)))
+        .filter(F.expr("(__cum - CAST(" + weight_col + " AS BIGINT)) DIV __step < __cum DIV __step"))
+    )
+    return out.select(
+        stratum_col,
+        key_col,
+        w.alias("weight"),
+        F.col("__cum").alias("cum_weight"),
+    )

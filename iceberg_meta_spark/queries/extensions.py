@@ -2304,3 +2304,134 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+from iceberg_meta_spark.pipeline.corpus import bm25_scores  # noqa: E402
+from iceberg_meta_spark.pipeline.sampling import pps_sample  # noqa: E402
+
+_BM25_TERMS = ("hash", "join", "spark", "window", "stream")
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+        WITH corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                        FROM documents),
+        tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+               FROM tok WHERE token IN {_BM25_TERMS!r}
+               GROUP BY doc_id, token),
+        dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tf GROUP BY token),
+        contrib AS (SELECT doc_id,
+                      CAST(floor(((n_docs - df + 0.5) / (df + 0.5))
+                        * ((tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_tokens / n_docs))))
+                        * 1000000) AS BIGINT) AS si
+                    FROM tf JOIN dfreq USING (token), corpus)
+        SELECT doc_id, CAST(sum(si) AS BIGINT) AS score_scaled,
+               CAST(count(*) AS BIGINT) AS n_terms_matched
+        FROM contrib GROUP BY doc_id
+        ORDER BY score_scaled DESC, doc_id LIMIT 25
+    """,
+    doc="BM25 retrieval for a fixed query-term set: tf filtered to query "
+    "terms at the scan, per-term df (<=|terms| rows) and the 1-row corpus "
+    "aggregate both broadcast, top-k via TakeOrdered. IDF uses the raw "
+    "odds (N-df+.5)/(df+.5) instead of its log — log() is libm-dependent "
+    "and breaks cross-engine hash gates; log is monotone so ranking is "
+    "unchanged. Per-term contributions floor-scaled to BIGINT before the "
+    "per-doc sum (no float-sum ordering hazard)",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@register(
+    "pps_documents",
+    oracle="""
+        WITH h AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+                     md5('pps:' || CAST(doc_id AS VARCHAR)) AS hk
+                   FROM documents),
+        c AS (SELECT lang, doc_id, w,
+                sum(w) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(w) OVER (PARTITION BY lang) AS tot
+              FROM h)
+        SELECT lang, doc_id, w AS weight, cum AS cum_weight
+        FROM (SELECT *, greatest(tot // 20, 1) AS step FROM c)
+        WHERE (cum - w) // step < cum // step
+        ORDER BY lang, cum_weight
+    """,
+    doc="Systematic PPS sampling: ~20 docs per language, inclusion "
+    "probability proportional to n_chars — md5-hash ordering replaces the "
+    "random shuffle, running-sum boundary crossings replace the random "
+    "start, so any engine and any partitioning selects the same rows; ONE "
+    "window shuffle keyed by stratum, integer weights throughout",
+)
+def pps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pps_sample(
+        load_table(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        stratum_col="lang",
+        k=20,
+    ).orderBy("lang", "cum_weight")
+
+
+@register(
+    "event_value_outliers",
+    oracle="""
+        WITH ev AS (SELECT event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS s,
+                      CAST(sum(cents * cents) AS BIGINT) AS ss
+               FROM ev GROUP BY event_type),
+        stats AS (SELECT event_type, n, s, ss,
+                    CAST(s AS DOUBLE) / n AS mean,
+                    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS std
+                  FROM st)
+        SELECT ev.event_type, max(n) AS n,
+               CAST(sum(CASE WHEN abs(cents - mean) > 3 * std THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               CAST(floor(max(mean)) AS BIGINT) AS mean_cents,
+               CAST(floor(max(std)) AS BIGINT) AS std_cents
+        FROM ev JOIN stats USING (event_type)
+        GROUP BY ev.event_type ORDER BY ev.event_type
+    """,
+    doc="3-sigma outlier screen per event type: one narrow per-type moment "
+    "aggregate (count/sum/sum-of-squares as exact BIGINTs), broadcast back "
+    "onto the events for the |x-mean| > 3*std flag, second per-type count "
+    "— two passes by necessity (the threshold depends on the global "
+    "moments), both shuffles are per-type partials; all float math derives "
+    "from exact integers via IEEE ops so the gate stays exact",
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("cents * cents")).alias("ss"),
+    )
+    stats = st.withColumn("mean", F.expr("CAST(s AS DOUBLE) / n")).withColumn(
+        "std",
+        F.expr("sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(F.expr("abs(cents - mean) > 3 * std"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.floor(F.max("mean")).cast("long").alias("mean_cents"),
+            F.floor(F.max("std")).cast("long").alias("std_cents"),
+        )
+        .orderBy("event_type")
+    )

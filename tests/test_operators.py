@@ -546,3 +546,18 @@ def test_kernels_handle_empty_inputs(spark):
     ]
     row = fh.collect()[0]
     assert row.file_count == 0
+
+
+def test_event_value_outliers_flags_known_spike(spark, monkeypatch):
+    """3-sigma screen: a 100x spike among tight values is flagged, and only it."""
+    import iceberg_meta_spark.queries.extensions as ext
+
+    base = [(f"t", 100 + (i % 3)) for i in range(50)]  # tight cluster
+    rows = [(t, float(v) / 100) for t, v in base] + [("t", 100.0)]  # 10000 cents
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    monkeypatch.setattr(ext, "load_table", lambda s, d, n: ev)
+    out = ext.event_value_outliers(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 51 and r.n_outliers == 1
+    assert r.mean_cents > 100  # dragged up by the spike

@@ -99,3 +99,51 @@ def test_duplicated_ngram_share_short_docs(spark):
         for r in corpus.duplicated_ngram_share(_docs(spark, rows), n=3).collect()
     }
     assert out[0].n_grams == 0 and out[0].dup_permille == 0
+
+
+def test_bm25_favors_term_dense_docs(spark):
+    from iceberg_meta_spark.pipeline.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash join"),       # dense in query terms
+            (2, "hash filter scan sort"),     # one hit
+            (3, "filter scan sort merge"),    # no hits
+            (4, "join join table table table table table table"),  # long doc, diluted
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_scores(docs, ("hash", "join"), topk=10).collect()
+    got = {r.doc_id: r for r in rows}
+    assert 3 not in got  # no matching term -> no row
+    assert got[1].n_terms_matched == 2
+    # doc 1 (3x hash + join, short) outscores doc 2 (1x hash)
+    assert got[1].score_scaled > got[2].score_scaled
+    # length normalization: doc 4's joins are diluted by its length vs doc 1
+    assert got[1].score_scaled > got[4].score_scaled
+    # ordering contract: desc score, asc doc_id
+    scores = [r.score_scaled for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pps_sample_weighted_and_deterministic(spark):
+    from iceberg_meta_spark.pipeline.sampling import pps_sample
+
+    rows = [(i, "a", 1) for i in range(100)] + [(1000, "a", 500)] + [
+        (i, "b", 10) for i in range(2000, 2050)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = pps_sample(df, "doc_id", "n_chars", "lang", k=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    # uniform stratum b: systematic PPS returns ~k rows (can drift by 1)
+    assert 4 <= len(by["b"]) <= 6
+    # skewed stratum a (one row holds 500/600 of the weight): the heavy row
+    # absorbs most boundary crossings but is emitted ONCE — fewer distinct
+    # rows than k is correct PPS behavior, and the heavy row is ALWAYS in
+    assert any(r.doc_id == 1000 for r in by["a"])
+    assert 2 <= len(by["a"]) <= 5
+    # deterministic across partitionings
+    out2 = pps_sample(df.repartition(13), "doc_id", "n_chars", "lang", k=5).collect()
+    assert {(r.lang, r.doc_id) for r in out2} == {(r.lang, r.doc_id) for r in out}
