@@ -2082,6 +2082,7 @@ _GAP_US = 86_400_000_000  # 24h of per-user silence
 
 @register(
     "user_heartbeat_gaps",
+    tags=("bench",),
     oracle="""
         WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         l AS (SELECT user_id, ts_us,
@@ -2138,7 +2139,7 @@ def _hilbert_oracle() -> str:
 @register(
     "meta_hilbert_layout",
     oracle=_hilbert_oracle(),
-    tags=("maintenance",),
+    tags=("maintenance", "bench"),
     doc="Hilbert-curve clustering plan: the locality-preserving alternative "
     "to meta_zorder_layout — consecutive codes are always grid-adjacent "
     "(no Morton seam jumps), so equal-width code buckets have tighter "
@@ -2314,6 +2315,7 @@ _BM25_TERMS = ("hash", "join", "spark", "window", "stream")
 
 @register(
     "bm25_retrieval",
+    tags=("bench",),
     oracle=f"""
         WITH corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
@@ -2378,6 +2380,238 @@ def pps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratum_col="lang",
         k=20,
     ).orderBy("lang", "cum_weight")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                   FROM events),
+        nxt AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS to_type
+                FROM e),
+        pairs AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                  FROM nxt WHERE to_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+        tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+                FROM pairs GROUP BY from_type)
+        SELECT from_type, to_type, n,
+               CAST(n * 1000000 // t AS BIGINT) AS p_ppm
+        FROM pairs JOIN tot USING (from_type)
+        ORDER BY from_type, to_type
+    """,
+    doc="Markov next-event transition matrix: per-user lead() window "
+    "(key-partitioned, ordered by (ts, event_id) — deterministic under "
+    "duplicate-free ids), pair counts with map-side combine, per-source "
+    "totals broadcast back for integer-ppm probabilities; the "
+    "sequence-mining shape behind funnel discovery",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select("from_type", "to_type", "n", F.expr("n * 1000000 DIV t").alias("p_ppm"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "user_value_twa",
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        seg AS (SELECT user_id, cents, ts_us,
+                  lead(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS next_us
+                FROM e),
+        agg AS (SELECT user_id,
+                  CAST(sum((next_us - ts_us) * cents) AS BIGINT) AS area,
+                  CAST(max(next_us) - min(ts_us) AS BIGINT) AS span_us,
+                  CAST(count(*) AS BIGINT) AS n_segments
+                FROM seg WHERE next_us IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_segments, span_us,
+               CAST(area // span_us AS BIGINT) AS twa_cents
+        FROM agg WHERE span_us > 0 ORDER BY user_id
+    """,
+    doc="Time-weighted average value per user (TimescaleDB time_weight "
+    "shape, LOCF kernel): each observation holds until the next one, so "
+    "the average is sum(duration x value) / total span — one lead() "
+    "window per user then a per-user aggregate; exact BIGINT "
+    "micros x cents arithmetic end to end",
+)
+def user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "user_id", "cents", "ts_us", F.lead("ts_us").over(w).alias("next_us")
+    ).filter(F.col("next_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.expr("(next_us - ts_us) * cents")).alias("area"),
+        (F.max("next_us") - F.min("ts_us")).alias("span_us"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return (
+        agg.filter(F.col("span_us") > 0)
+        .select(
+            "user_id", "n_segments", "span_us", F.expr("area DIV span_us").alias("twa_cents")
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "salted_user_reach",
+    oracle="""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS reach
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Hot-key distinct count via salting: salt = hash(user_id) % 16 "
+    "routes each USER (not row) to a stable salt, so per-(type, salt) "
+    "distinct partials are disjoint and their SUM is the exact distinct "
+    "count — the hot event type's state spreads over 16 reducers instead "
+    "of flooding one. The decomposition a plain countDistinct can't get "
+    "when one key dominates; results identical to the unsalted oracle",
+)
+def salted_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(16)).cast("int")
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.countDistinct("user_id").alias("pr")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pr").alias("reach"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "meta_pruning_preview",
+    oracle=oracle_query(
+        """
+        SELECT (hi < 1200 OR lo > 1500) AS skippable,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(hi - lo) AS BIGINT) AS total_span
+        FROM file_ranges
+        GROUP BY skippable ORDER BY skippable
+        """,
+        "file_ranges",
+    ),
+    tags=("maintenance",),
+    doc="Data-skipping preview for a predicate interval [1200, 1500]: a "
+    "file is skippable iff its min/max range misses the query interval — "
+    "the planning-time estimate of how much IO zone-map pruning saves, "
+    "and the metric a zorder/hilbert rewrite should improve; pure "
+    "map-side flag + 2-group aggregate",
+)
+def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derive(spark, sf_dir, "file_ranges")
+    return (
+        fr.withColumn("skippable", (F.col("hi") < 1200) | (F.col("lo") > 1500))
+        .groupBy("skippable")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("hi") - F.col("lo")).alias("total_span"),
+        )
+        .orderBy("skippable")
+    )
+
+
+@register(
+    "meta_incremental_partition_stats",
+    oracle=oracle_query(
+        """
+        , c1 AS (SELECT part_key, file_path, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(record_count) AS BIGINT) AS record_count,
+                   CAST(sum(file_size_in_bytes) AS BIGINT) AS file_size_in_bytes
+                 FROM meta_files WHERE snapshot_id = 1 GROUP BY part_key, file_path),
+        c2 AS (SELECT part_key, file_path, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(record_count) AS BIGINT) AS record_count,
+                 CAST(sum(file_size_in_bytes) AS BIGINT) AS file_size_in_bytes
+               FROM meta_files WHERE snapshot_id = 2 GROUP BY part_key, file_path),
+        d AS (SELECT part_key,
+                coalesce(c2.n, 0) - coalesce(c1.n, 0) AS d_n,
+                coalesce(c2.record_count, 0) - coalesce(c1.record_count, 0) AS d_record_count,
+                coalesce(c2.file_size_in_bytes, 0) - coalesce(c1.file_size_in_bytes, 0) AS d_file_size_in_bytes
+              FROM c2 FULL JOIN c1 USING (part_key, file_path)
+              WHERE coalesce(c2.n, 0) <> coalesce(c1.n, 0)
+                 OR coalesce(c2.record_count, 0) <> coalesce(c1.record_count, 0)
+                 OR coalesce(c2.file_size_in_bytes, 0) <> coalesce(c1.file_size_in_bytes, 0)),
+        dg AS (SELECT part_key, CAST(sum(d_n) AS BIGINT) AS d_n,
+                 CAST(sum(d_record_count) AS BIGINT) AS d_record_count,
+                 CAST(sum(d_file_size_in_bytes) AS BIGINT) AS d_file_size_in_bytes
+               FROM d GROUP BY part_key),
+        og AS (SELECT part_key, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(record_count) AS BIGINT) AS record_count,
+                 CAST(sum(file_size_in_bytes) AS BIGINT) AS file_size_in_bytes
+               FROM meta_files WHERE snapshot_id = 1 GROUP BY part_key)
+        SELECT part_key,
+               CAST(coalesce(og.n, 0) + coalesce(dg.d_n, 0) AS BIGINT) AS n_files,
+               CAST(coalesce(og.record_count, 0) + coalesce(dg.d_record_count, 0) AS BIGINT) AS records,
+               CAST(coalesce(og.file_size_in_bytes, 0) + coalesce(dg.d_file_size_in_bytes, 0) AS BIGINT) AS bytes,
+               CAST(coalesce(dg.d_n, 0) AS BIGINT) AS d_files,
+               CAST(coalesce(dg.d_record_count, 0) AS BIGINT) AS d_records,
+               CAST(coalesce(dg.d_file_size_in_bytes, 0) AS BIGINT) AS d_bytes
+        FROM og FULL JOIN dg USING (part_key)
+        ORDER BY part_key
+        """,
+        "meta_files",
+    ),
+    tags=("maintenance",),
+    doc="Incremental view maintenance of per-partition stats: the new "
+    "snapshot's numbers computed as old stats + the signed delta of "
+    "changed (partition, file) contributions — the refresh touches only "
+    "the delta frontier (at deployment scale Iceberg hands you exactly the "
+    "new snapshot's manifests), never rescans the old snapshot's wide "
+    "data. SUM/COUNT aggregates only (the self-maintainable class); the "
+    "d_* columns expose how much work the refresh applied. The oracle "
+    "replays the identical algebra, and the unit test pins the result "
+    "equal to a full recompute at the new snapshot",
+)
+def meta_incremental_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.incremental import incremental_group_stats
+
+    files = derive(spark, sf_dir, "meta_files")
+    old = files.filter(F.col("snapshot_id") == 1)
+    new = files.filter(F.col("snapshot_id") == 2)
+    out = incremental_group_stats(
+        old, new, "part_key", "file_path", ("record_count", "file_size_in_bytes")
+    )
+    return out.select(
+        "part_key",
+        F.col("n").alias("n_files"),
+        F.col("record_count").alias("records"),
+        F.col("file_size_in_bytes").alias("bytes"),
+        F.col("d_n").alias("d_files"),
+        F.col("d_record_count").alias("d_records"),
+        F.col("d_file_size_in_bytes").alias("d_bytes"),
+    ).orderBy("part_key")
 
 
 @register(

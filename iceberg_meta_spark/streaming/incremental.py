@@ -1,0 +1,77 @@
+"""Continuously-maintained partition stats: the streaming half of
+``operators/incremental.py``.
+
+A file-arrival stream (Structured Streaming file source, or any stream of
+(part_key, file_path, record_count, file_size_in_bytes) rows) keeps a keyed
+parquet stats table current via ``foreachBatch``: each micro-batch's
+per-partition deltas merge into the stored per-partition totals — the
+materialized-view refresh a 100 TB deployment runs instead of re-aggregating
+the table on every query.
+
+Only SUM/COUNT stats, the self-maintainable class (see the batch kernel's
+docstring); each micro-batch's work is O(batch + touched groups), never
+O(table). The merge-into-parquet idiom (read → union partials → re-aggregate
+→ atomic-ish overwrite) matches ``streaming/cdc.upsert_sink``; a production
+sink with native upsert (Iceberg MERGE) would replace the overwrite."""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stats_merge_sink(
+    state_dir: str,
+    group_col: str = "part_key",
+    sum_cols: tuple[str, ...] = ("record_count", "file_size_in_bytes"),
+):
+    """``foreachBatch`` function folding each micro-batch of file rows into
+    the per-group running stats at ``state_dir``.
+
+    Commutative + associative merges make the result independent of batch
+    boundaries: any replay/regrouping of the same file rows converges to the
+    same totals (the at-least-once caveat: exact-once file delivery is the
+    file source's contract)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = batch.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        try:
+            old = spark.read.parquet(state_dir)
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            merged = partial
+        else:
+            merged = (
+                old.unionByName(partial)
+                .groupBy(group_col)
+                .agg(
+                    F.sum("n_files").alias("n_files"),
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                )
+            )
+        merged.write.mode("overwrite").parquet(state_dir + "__tmp")
+        spark.read.parquet(state_dir + "__tmp").write.mode("overwrite").parquet(state_dir)
+
+    return apply
+
+
+def maintain_stats(
+    files_stream: DataFrame,
+    state_dir: str,
+    group_col: str = "part_key",
+    sum_cols: tuple[str, ...] = ("record_count", "file_size_in_bytes"),
+):
+    """Wire a file-arrival stream into :func:`stats_merge_sink`; returns the
+    started StreamingQuery (caller owns stop())."""
+    return (
+        files_stream.writeStream.outputMode("update")
+        .foreachBatch(stats_merge_sink(state_dir, group_col, sum_cols))
+        .start()
+    )

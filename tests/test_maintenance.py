@@ -256,3 +256,44 @@ def test_ancestry_random_forest_matches_python(spark):
     nodes = spark.createDataFrame(rows, "snapshot_id long, parent_id long")
     got = {(r.snapshot_id, r.root_id, r.depth) for r in ancestry(nodes, 64).collect()}
     assert got == expect
+
+
+def test_incremental_stats_equal_full_recompute(spark):
+    """The incremental-maintenance contract: old stats + delta == full
+    recompute at the new snapshot, including groups that appear/disappear
+    and ids whose contribution CHANGES between snapshots."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.operators.incremental import incremental_group_stats
+
+    old = spark.createDataFrame(
+        [("a", "f1", 10, 100), ("a", "f2", 20, 200), ("b", "f3", 5, 50),
+         ("gone", "f9", 1, 1)],
+        "g string, id string, rc long, fb long",
+    )
+    new = spark.createDataFrame(
+        [("a", "f1", 10, 100),     # unchanged
+         ("a", "f2", 25, 250),     # modified contribution
+         ("a", "f4", 7, 70),       # added
+         ("b", "f3", 5, 50),       # unchanged group b
+         ("c", "f5", 3, 30)],      # brand-new group
+        "g string, id string, rc long, fb long",
+    )
+    out = {
+        r.g: r
+        for r in incremental_group_stats(old, new, "g", "id", ("rc", "fb")).collect()
+    }
+    full = {
+        r.g: r
+        for r in new.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rc").alias("rc"), F.sum("fb").alias("fb"))
+        .collect()
+    }
+    assert set(out) == set(full) | {"gone"}
+    for g, r in full.items():
+        assert (out[g].n, out[g].rc, out[g].fb) == (r.n, r.rc, r.fb), g
+    # the vanished group nets to zero via its delta
+    assert (out["gone"].n, out["gone"].rc, out["gone"].fb) == (0, 0, 0)
+    # delta columns expose the applied work: group b saw none
+    assert (out["b"].d_n, out["b"].d_rc, out["b"].d_fb) == (0, 0, 0)
+    assert out["a"].d_n == 1 and out["a"].d_rc == 12 and out["a"].d_fb == 120

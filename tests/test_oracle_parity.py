@@ -60,3 +60,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"section", "metric", "value"}
+
+
+def test_registry_binds_each_name_to_its_own_function():
+    """Guard against decorator stacking: inserting a new @register+def pair
+    between an existing decorator and its def silently rebinds the existing
+    name to the WRONG function (it keeps working, with the wrong columns).
+    Convention: the registered function is named after the query (a ``_q``
+    suffix is allowed for name-collision avoidance)."""
+    from iceberg_meta_spark.registry import load_all
+
+    for name, spec in load_all().items():
+        fn = spec.spark_fn.__name__
+        assert fn in (name, f"{name}_q"), f"{name!r} bound to function {fn!r}"

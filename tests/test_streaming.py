@@ -334,6 +334,86 @@ def test_streaming_cdc_latest_state(spark):
         q.stop()
 
 
+def test_stats_merge_sink_batch_equivalence(spark, tmp_path):
+    """Folding file batches through the sink in ANY batching converges to
+    the full-recompute stats (commutative/associative merge)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.incremental import stats_merge_sink
+
+    rows = [
+        ("a", f"f{i}", 10 + i, 100 * (i + 1)) for i in range(6)
+    ] + [("b", "g1", 5, 50), ("b", "g2", 7, 70)]
+    schema = "part_key string, file_path string, record_count long, file_size_in_bytes long"
+    full = spark.createDataFrame(rows, schema)
+    expect = {
+        r.part_key: (r.n, r.rc, r.fb)
+        for r in full.groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("record_count").alias("rc"),
+             F.sum("file_size_in_bytes").alias("fb"))
+        .collect()
+    }
+    for split, name in [((3, 5), "s1"), ((1, 2, 4, 7), "s2")]:
+        state = str(tmp_path / name)
+        apply = stats_merge_sink(state)
+        prev = 0
+        for j, hi in enumerate([*split, len(rows)]):
+            apply(spark.createDataFrame(rows[prev:hi], schema), j)
+            prev = hi
+        got = {
+            r.part_key: (r.n_files, r.record_count, r.file_size_in_bytes)
+            for r in spark.read.parquet(state).collect()
+        }
+        assert got == expect, name
+
+
+def test_maintain_stats_live_file_stream(spark, tmp_path):
+    """Live end-to-end: a parquet file-source stream over a growing
+    directory keeps the stats table equal to the full recompute."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.incremental import maintain_stats
+
+    src = str(tmp_path / "files")
+    state = str(tmp_path / "stats")
+    schema = "part_key string, file_path string, record_count long, file_size_in_bytes long"
+    batch1 = [("a", "f1", 10, 100), ("a", "f2", 20, 200), ("b", "f3", 5, 50)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = maintain_stats(stream, state)
+
+    def stats():
+        try:
+            return {
+                r.part_key: (r.n_files, r.record_count, r.file_size_in_bytes)
+                for r in spark.read.parquet(state).collect()
+            }
+        except Exception:
+            return {}
+
+    def wait_for(pred, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: stats().get("a") == (2, 30, 300)), stats()
+        # live append: new files fold in incrementally
+        spark.createDataFrame(
+            [("a", "f4", 1, 10), ("c", "f5", 2, 20)], schema
+        ).write.mode("append").parquet(src)
+        assert wait_for(lambda: stats().get("a") == (3, 31, 310)), stats()
+        assert stats().get("b") == (1, 5, 50) and stats().get("c") == (1, 2, 20)
+    finally:
+        q.stop()
+
+
 def test_heartbeat_gaps_batch_matches_manual(spark):
     from iceberg_meta_spark.streaming.gaps import heartbeat_gaps
 

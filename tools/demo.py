@@ -43,6 +43,7 @@ def main() -> None:
     show("snapshot expiry", api.snapshot_expiry(src, now_us=1713139200000000))
     show("orphan files", api.orphan_files(src, derive(spark, sf_dir, "storage_files")))
     show("z-order plan", api.zorder_plan(src))
+    show("hilbert plan", api.hilbert_plan(src))
     seen = src.snapshots().select("snapshot_id").limit(5)
     show("watch tick (new snapshots)", api.watch(src, seen))
     spark.stop()
