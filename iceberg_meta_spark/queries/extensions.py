@@ -2382,6 +2382,163 @@ def pps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "cum_weight")
 
 
+from iceberg_meta_spark.pipeline.corpus import (  # noqa: E402
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+)
+
+
+@register(
+    "copurchase_pairs",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                    CAST(count(*) AS BIGINT) AS n_orders
+                  FROM items a JOIN items b
+                    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                  GROUP BY part_a, part_b)
+        SELECT part_a, part_b, n_orders FROM pairs
+        WHERE n_orders >= 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    doc="Market-basket co-purchase pairs: distinct (order, part) items "
+    "self-joined WITHIN an order key — the blocked self-join is bounded by "
+    "basket size (quadratic per order, never per corpus), the classic "
+    "item-item co-occurrence shape; map-side combine on the pair counts, "
+    "top-k via TakeOrdered",
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+        WITH m AS (SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR) AS month,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+                   FROM orders GROUP BY month)
+        SELECT month, revenue_cents,
+               CAST(CASE WHEN lag(revenue_cents) OVER (ORDER BY month) IS NULL THEN NULL
+                    ELSE (revenue_cents - lag(revenue_cents) OVER (ORDER BY month)) * 1000000
+                         // lag(revenue_cents) OVER (ORDER BY month) END AS BIGINT) AS growth_ppm
+        FROM m ORDER BY month
+    """,
+    doc="Month-over-month revenue growth: one month-keyed aggregate (the "
+    "wide work) then a lag() window over the MONTH-grain frame — the "
+    "global ordering is over #months rows, metadata-sized, so the "
+    "single-partition window is safe at any data scale; integer-ppm "
+    "growth keeps the gate exact",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+    )
+    prev = F.lag("revenue_cents").over(Window.orderBy("month"))
+    return m.select(
+        "month",
+        "revenue_cents",
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.expr(
+            "(revenue_cents - lag(revenue_cents) OVER (ORDER BY month)) * 1000000"
+            " DIV lag(revenue_cents) OVER (ORDER BY month)"
+        ))
+        .alias("growth_ppm"),
+    ).orderBy("month")
+
+
+@register(
+    "corpus_report",
+    tags=("bench", "composite"),
+    oracle=f"""
+        WITH d AS (SELECT doc_id, text, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents)
+        SELECT 'corpus' AS section, 'doc_count' AS metric,
+               CAST(count(*) AS DOUBLE) AS value FROM d
+        UNION ALL
+        SELECT 'corpus', 'languages', CAST(count(DISTINCT lang) AS DOUBLE) FROM d
+        UNION ALL
+        SELECT 'corpus', 'total_tokens', CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) FROM d
+        UNION ALL
+        SELECT 'dedup', 'exact_dup_docs',
+               CAST(count(*) - count(DISTINCT md5(lower(text))) AS DOUBLE) FROM d
+        UNION ALL
+        SELECT 'dedup', 'dup_head_docs',
+               CAST(count(*) - count(DISTINCT md5(substring(text, 1, 64))) AS DOUBLE) FROM d
+        UNION ALL
+        SELECT 'quality', 'short_docs',
+               CAST(CAST(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) FROM d
+        UNION ALL
+        SELECT 'pii', 'total_redactions',
+               CAST(CAST(sum(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                 + len(regexp_extract_all(text, '{PII_IPV4}'))
+                 + len(regexp_extract_all(text, '{PII_PHONE}'))) AS BIGINT) AS DOUBLE) FROM d
+    """,
+    doc="Composite corpus-health report: the pipeline-side flagship "
+    "mirroring health_report's long (section, metric, value) contract — "
+    "corpus size/languages/token volume, exact- and head-fingerprint dup "
+    "counts, short-doc share input, and total PII redactions, all from "
+    "ONE documents scan (Catalyst dedupes the union's branches); every "
+    "branch is a 1-row aggregate so the union is metadata-sized",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+
+    def metric(section: str, name: str, value) -> DataFrame:
+        return docs.agg(value.cast("double").alias("value")).select(
+            F.lit(section).alias("section"), F.lit(name).alias("metric"), "value"
+        )
+
+    n_redact = (
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+        + F.regexp_count(F.col("text"), F.lit(PII_IPV4))
+        + F.regexp_count(F.col("text"), F.lit(PII_PHONE))
+    )
+    sections = [
+        metric("corpus", "doc_count", F.count(F.lit(1))),
+        metric("corpus", "languages", F.countDistinct("lang")),
+        metric("corpus", "total_tokens", F.sum("n_tokens")),
+        metric(
+            "dedup",
+            "exact_dup_docs",
+            F.count(F.lit(1)) - F.countDistinct(F.md5(F.lower(F.col("text")))),
+        ),
+        metric(
+            "dedup",
+            "dup_head_docs",
+            F.count(F.lit(1)) - F.countDistinct(F.md5(F.substring(F.col("text"), 1, 64))),
+        ),
+        metric(
+            "quality",
+            "short_docs",
+            F.sum(F.when(F.col("n_tokens") < 50, 1).otherwise(0)).cast("long"),
+        ),
+        metric("pii", "total_redactions", F.sum(n_redact.cast("long"))),
+    ]
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 @register(
     "event_transitions",
     oracle="""

@@ -497,3 +497,51 @@ def test_wau_no_self_join_no_window(spark):
     assert "Window" not in p, p
     assert "Generate" in p, p  # the explode
     assert "CartesianProduct" not in p, p
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """BM25: the corpus-sized token stream shuffles once (doc-term
+    partials); df and the 1-row corpus aggregate broadcast; top-k is
+    TakeOrdered, not a global sort."""
+    from iceberg_meta_spark.registry import load_all
+
+    q = load_all()["bm25_retrieval"]
+    p = plan(q.spark_fn(spark, SF))
+    assert "BroadcastExchange" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_pps_sample_single_stratum_window(spark):
+    """PPS: running and total sums share ONE window keyed by the stratum —
+    no global ordering, no second shuffle."""
+    from iceberg_meta_spark.pipeline.sampling import pps_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(pps_sample(docs, "doc_id", "n_chars", "lang", k=5))
+    tree = p.split("\n\n")[0]
+    # running-sum and stratum-total windows have different frames (two
+    # Window nodes) but share ONE stratum-keyed exchange — no re-shuffle
+    assert sum(1 for ln in tree.splitlines() if "Exchange" in ln) == 1, p
+    assert "hashpartitioning(lang" in p, p
+    assert sum(1 for ln in tree.splitlines() if "Window" in ln) == 2, p
+    assert "SinglePartition" not in p, p
+
+
+def test_event_transitions_window_is_user_partitioned(spark):
+    from iceberg_meta_spark.registry import load_all
+
+    q = load_all()["event_transitions"]
+    p = plan(q.spark_fn(spark, SF))
+    assert "hashpartitioning(user_id" in p, p
+
+
+def test_salted_reach_two_stage_aggregate(spark):
+    """Salted distinct count: partials keyed (event_type, salt) then the
+    per-type sum — the hot key's state provably spans 16 reducers."""
+    from iceberg_meta_spark.registry import load_all
+
+    q = load_all()["salted_user_reach"]
+    p = plan(q.spark_fn(spark, SF))
+    assert "__salt" in p, p
+    assert "hashpartitioning(event_type, __salt" in p or "hashpartitioning(event_type#" in p, p
