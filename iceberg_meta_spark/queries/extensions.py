@@ -2390,6 +2390,45 @@ from iceberg_meta_spark.pipeline.corpus import (  # noqa: E402
 
 
 @register(
+    "customer_rolling_revenue",
+    oracle="""
+        WITH d AS (SELECT o_custkey,
+                     CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+                   FROM orders GROUP BY o_custkey, day)
+        SELECT o_custkey, day, day_cents,
+               CAST(sum(day_cents) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d_cents
+        FROM d ORDER BY o_custkey, day
+    """,
+    doc="Rolling 7-day revenue per customer via a RANGE-frame window: "
+    "day-grain pre-aggregation first (the wide work, map-side combined), "
+    "then the RANGE BETWEEN 6 PRECEDING frame over the per-customer "
+    "day-grain rows — value-based framing handles day gaps correctly "
+    "where a ROWS frame would not; window partitions by customer, integer "
+    "cents end to end",
+)
+def customer_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.expr(
+                "CAST(unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("day_cents"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "o_custkey", "day", "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    ).orderBy("o_custkey", "day")
+
+
+@register(
     "copurchase_pairs",
     oracle="""
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -545,3 +545,12 @@ def test_salted_reach_two_stage_aggregate(spark):
     p = plan(q.spark_fn(spark, SF))
     assert "__salt" in p, p
     assert "hashpartitioning(event_type, __salt" in p or "hashpartitioning(event_type#" in p, p
+
+
+def test_top_k_window_gets_group_limit_pushdown(spark):
+    """Spark's WindowGroupLimit: the rank<=k filter pushes INTO the window
+    sort, so each partition keeps only k rows before the full sort — the
+    difference between sorting k rows/group and every row at 10^9 files."""
+    q = load_all()["meta_top_files_per_partition"]
+    p = plan(q.spark_fn(spark, SF))
+    assert "WindowGroupLimit" in p, p
