@@ -2390,6 +2390,30 @@ from iceberg_meta_spark.pipeline.corpus import (  # noqa: E402
 
 
 @register(
+    "events_tumbling_reach",
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+        SELECT ts_us - (ts_us % 3600000000) AS window_start_us,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS reach
+        FROM e GROUP BY window_start_us ORDER BY window_start_us
+    """,
+    doc="Per-hour distinct users (batch twin of "
+    "streaming/windows.streaming_tumbling_reach): exact countDistinct per "
+    "tumbling bucket — the streaming twin swaps in approx_count_distinct "
+    "so per-window state is an HLL sketch (KBs) instead of one entry per "
+    "(window, user), the exact-to-sketch trade the reach/HLL pair already "
+    "documents",
+)
+def events_tumbling_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.streaming.windows import tumbling_reach
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return tumbling_reach(e, 3_600_000_000).orderBy("window_start_us")
+
+
+@register(
     "customer_rolling_revenue",
     oracle="""
         WITH d AS (SELECT o_custkey,

@@ -83,6 +83,31 @@ def streaming_session_counts(
     )
 
 
+def tumbling_reach(events_us: DataFrame, width_us: int) -> DataFrame:
+    """Per-window DISTINCT users (batch; exact, oracle-checkable)."""
+    bucket = (F.col("ts_us") - (F.col("ts_us") % F.lit(width_us))).alias("window_start_us")
+    return events_us.groupBy(bucket).agg(F.countDistinct("user_id").alias("reach"))
+
+
+def streaming_tumbling_reach(
+    events_stream: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of ``tumbling_reach`` with SKETCHED distinct counts.
+
+    Exact streaming distinct keeps one state entry per (window, user) —
+    unbounded in users; ``approx_count_distinct`` keeps an HLL sketch per
+    window (KBs, mergeable across partials), the same exact→sketch swap as
+    the batch ``event_user_reach``/HLL pair. Bounded state at any user
+    cardinality is what makes the distinct query runnable on a firehose.
+    """
+    return (
+        events_stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width).alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("reach_approx"))
+        .select(F.col("w.start").alias("window_start"), "reach_approx")
+    )
+
+
 def streaming_tumbling_counts(
     events_stream: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -546,6 +546,26 @@ def test_kernels_handle_empty_inputs(spark):
     ]
     row = fh.collect()[0]
     assert row.file_count == 0
+    # round-3 kernels
+    from iceberg_meta_spark.operators.incremental import incremental_group_stats
+    from iceberg_meta_spark.operators.maintenance import hilbert_layout
+    from iceberg_meta_spark.pipeline.corpus import bm25_scores
+    from iceberg_meta_spark.pipeline.sampling import pps_sample
+    from iceberg_meta_spark.streaming.gaps import heartbeat_gaps
+
+    assert hilbert_layout(empty_ranges).count() == 0
+    empty_events = spark.createDataFrame([], "user_id long, ts_us long")
+    assert heartbeat_gaps(empty_events, gap_us=100).count() == 0
+    assert (
+        incremental_group_stats(
+            empty_files, empty_files, "part_key", "file_path",
+            ("record_count", "file_size_in_bytes"),
+        ).count()
+        == 0
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string, n_chars long")
+    assert pps_sample(empty_docs, "doc_id", "n_chars", "lang", k=5).count() == 0
+    assert bm25_scores(empty_docs, ("hash", "join")).count() == 0
 
 
 def test_event_value_outliers_flags_known_spike(spark, monkeypatch):

@@ -517,3 +517,44 @@ def test_cdc_upsert_sink_surfaces_corrupt_state(spark, tmp_path):
         apply(b, 0)
     # the corrupt state directory was not clobbered by the failed merge
     assert (state / "part-00000.parquet").read_bytes() == b"not parquet at all"
+
+
+def test_streaming_tumbling_reach_sketch(spark):
+    """Streaming distinct-reach: the HLL-sketched twin tracks the exact
+    per-window distinct count within sketch tolerance on a live stream."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.windows import streaming_tumbling_reach
+
+    # rate stream: user id cycles 0..49 — every window's true reach <= 50
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            (F.col("value") % 50).alias("user_id"),
+        )
+    )
+    out = streaming_tumbling_reach(rate, width="5 seconds", watermark="2 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reach_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT window_start, max(reach_approx) AS r FROM reach_test GROUP BY window_start"
+            ).collect()
+            if any(r.r >= 40 for r in rows):
+                break
+        assert rows, "no windows produced"
+        # HLL tolerance: true reach per full window is 50; sketch within ~10%
+        assert any(40 <= r.r <= 60 for r in rows), rows
+    finally:
+        q.stop()
