@@ -71,7 +71,7 @@ GAP_SCHEMA = StructType(
 _STATE_SCHEMA = StructType([StructField("last_us", LongType())])
 
 
-def _make_update(gap_us: int):
+def _make_update(gap_us: int, timeout_ms: int):
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
@@ -101,7 +101,7 @@ def _make_update(gap_us: int):
             last_us = t
         if last_us is not None:
             state.update((last_us,))
-            state.setTimeoutDuration(60_000)  # 60s of silence => open-gap row
+            state.setTimeoutDuration(timeout_ms)  # silence => open-gap row
         if out_start:
             yield pd.DataFrame(
                 {
@@ -116,18 +116,21 @@ def _make_update(gap_us: int):
 
 
 def silence_stream(
-    events_stream: DataFrame, gap_us: int, key_col: str = "user_id"
+    events_stream: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    timeout_ms: int = 60_000,
 ) -> DataFrame:
     """Streaming gap detector over (key_col, ts_us) rows.
 
     State per key is a single long (last event time); each micro-batch
     closes any gaps its new rows reveal (identical arithmetic to the batch
-    twin), and the processing-time timeout turns persistent silence into an
-    open-ended gap row before expiring the key.
+    twin), and ``timeout_ms`` of processing-time silence turns a quiet key
+    into an open-ended gap row (gap_end_us null) before expiring its state.
     """
     keyed = events_stream.selectExpr(f"{key_col} AS key", "ts_us")
     return keyed.groupBy("key").applyInPandasWithState(
-        _make_update(gap_us),
+        _make_update(gap_us, timeout_ms),
         outputStructType=GAP_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

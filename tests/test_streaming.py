@@ -558,3 +558,44 @@ def test_streaming_tumbling_reach_sketch(spark):
         assert any(40 <= r.r <= 60 for r in rows), rows
     finally:
         q.stop()
+
+
+def test_silence_stream_emits_open_gap_on_timeout(spark):
+    """A key that stops emitting gets an OPEN gap row (gap_end_us null)
+    once the processing-time timeout passes, and its state is expired."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.gaps import silence_stream
+
+    # key 1 emits only while value < 200 (~first second at 200 rps), then
+    # goes silent; key 0 keeps emitting forever
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            (F.col("value") % 2).alias("user_id"),
+            (F.col("value") * 10).alias("ts_us"),
+        )
+        .filter((F.col("user_id") == 0) | (F.col("value") < 200))
+    )
+    out = silence_stream(rate, gap_us=10**12, key_col="user_id", timeout_ms=3000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("open_gap_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM open_gap_test WHERE gap_end_us IS NULL"
+            ).collect()
+        assert rows, "no open-gap row emitted"
+        assert all(r.key == 1 for r in rows), rows  # only the silent key
+        assert all(r.gap_us is None for r in rows)
+    finally:
+        q.stop()
