@@ -2390,6 +2390,42 @@ from iceberg_meta_spark.pipeline.corpus import (  # noqa: E402
 
 
 @register(
+    "events_hourly_unpivot",
+    oracle="""
+        WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type
+                   FROM events),
+        wide AS (SELECT hour,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+                 FROM e GROUP BY hour)
+        SELECT hour, event_type, n FROM wide
+        UNPIVOT (n FOR event_type IN (click, view, purchase))
+        ORDER BY hour, event_type
+    """,
+    doc="Wide-to-long UNPIVOT (melt): the hourly pivot matrix stacked back "
+    "to (hour, event_type, n) rows via DataFrame.unpivot — the inverse of "
+    "events_hourly_pivot, both from one conditional-aggregation pass; "
+    "unpivot is a zero-shuffle row expansion of the already-aggregated "
+    "hour-grain frame",
+)
+def events_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("(ts DIV 1000) DIV 3600000000").alias("hour"), "event_type"
+    )
+    wide = e.groupBy("hour").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+            for t in ("click", "view", "purchase")
+        ]
+    )
+    return (
+        wide.unpivot(["hour"], ["click", "view", "purchase"], "event_type", "n")
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
     "events_tumbling_reach",
     oracle="""
         WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)

@@ -554,3 +554,16 @@ def test_top_k_window_gets_group_limit_pushdown(spark):
     q = load_all()["meta_top_files_per_partition"]
     p = plan(q.spark_fn(spark, SF))
     assert "WindowGroupLimit" in p, p
+
+
+def test_fleet_wide_plan_lint(spark):
+    """Every registered query's plan, swept for the two silent scale
+    killers: cartesian products, and unpartitioned windows fed by a
+    SinglePartition exchange (the every-row-through-one-task funnel).
+    Bounded-by-design exceptions live in tools/plan_lint.py with reasons —
+    adding a query with a global window means either fixing the plan or
+    justifying it there."""
+    import tools.plan_lint as pl
+
+    findings = pl.lint()
+    assert not findings, findings
