@@ -2800,6 +2800,82 @@ def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meta_pruning_after_zorder",
+    oracle=oracle_query(
+        f"""
+        , stats AS (SELECT min(lo) AS lo_min, max(lo) AS lo_max,
+                           min(hi - lo) AS sp_min, max(hi - lo) AS sp_max
+                    FROM file_ranges),
+        scaled AS (SELECT file_path, lo, hi,
+                          CAST((lo - lo_min) * {_Z_TOP} // greatest(lo_max - lo_min, 1) AS BIGINT) AS x,
+                          CAST((hi - lo - sp_min) * {_Z_TOP} // greatest(sp_max - sp_min, 1) AS BIGINT) AS y
+                   FROM file_ranges, stats),
+        rewritten AS (SELECT ({{INTERLEAVE}}) >> {_Z_SHIFT} AS zbucket,
+                             CAST(min(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+                             CAST(count(*) AS BIGINT) AS n_files
+                      FROM scaled GROUP BY zbucket)
+        SELECT (hi < 1200 OR lo > 1500) AS skippable,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n_files) AS BIGINT) AS n_files,
+               CAST(sum(hi - lo) AS BIGINT) AS total_span
+        FROM rewritten GROUP BY skippable ORDER BY skippable
+        """,
+        "file_ranges",
+    ).replace("{INTERLEAVE}", _interleave_expr("x", "y", _Z_BITS)),
+    tags=("maintenance",),
+    doc="Pruning effectiveness AFTER a Z-order rewrite: each zbucket "
+    "becomes one rewritten file whose zone map is the bucket-wide "
+    "[min lo, max hi]; the same [1200, 1500] predicate's skippability "
+    "over the rewritten layout is directly comparable to "
+    "meta_pruning_preview's before-picture — the measurable WHY of the "
+    "clustering planners; one bounds aggregate + map-side codes + "
+    "bucket-grain aggregates",
+)
+def meta_pruning_after_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = derive(spark, sf_dir, "file_ranges")
+    stats = fr.select(F.col("lo"), (F.col("hi") - F.col("lo")).alias("span")).agg(
+        F.min("lo").alias("lo_min"),
+        F.max("lo").alias("lo_max"),
+        F.min("span").alias("sp_min"),
+        F.max("span").alias("sp_max"),
+    )
+    scaled = (
+        fr.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "x",
+            F.expr(f"CAST((lo - lo_min) * {_Z_TOP} DIV greatest(lo_max - lo_min, 1) AS BIGINT)"),
+        )
+        .withColumn(
+            "y",
+            F.expr(
+                f"CAST((hi - lo - sp_min) * {_Z_TOP} DIV greatest(sp_max - sp_min, 1) AS BIGINT)"
+            ),
+        )
+    )
+    rewritten = (
+        scaled.withColumn(
+            "zbucket", F.expr(f"({_interleave_expr('x', 'y', _Z_BITS)}) >> {_Z_SHIFT}")
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+    return (
+        rewritten.withColumn("skippable", (F.col("hi") < 1200) | (F.col("lo") > 1500))
+        .groupBy("skippable")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_files").alias("n_files"),
+            F.sum(F.col("hi") - F.col("lo")).alias("total_span"),
+        )
+        .orderBy("skippable")
+    )
+
+
+@register(
     "meta_incremental_partition_stats",
     oracle=oracle_query(
         """

@@ -565,5 +565,5 @@ def test_fleet_wide_plan_lint(spark):
     justifying it there."""
     import tools.plan_lint as pl
 
-    findings = pl.lint()
+    findings = pl.lint(spark=spark)  # share the fixture session (see lint())
     assert not findings, findings

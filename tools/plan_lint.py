@@ -89,11 +89,16 @@ def _has_global_window(p: str) -> bool:
     return False
 
 
-def lint(sf_dir: str = "/root/testdata/sf0.001") -> list[tuple[str, str]]:
+def lint(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> list[tuple[str, str]]:
     from iceberg_meta_spark.registry import load_all
     from iceberg_meta_spark.session import get_spark
 
-    spark = get_spark("plan-lint", cpus="4")
+    # getOrCreate returns any ACTIVE session, so stopping here would kill a
+    # caller's session (it did: one lint call in CI broke every later test).
+    # Only stop what this function itself created.
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("plan-lint", cpus="4")
     findings: list[tuple[str, str]] = []
     for name, spec in load_all().items():
         try:
@@ -109,7 +114,8 @@ def lint(sf_dir: str = "/root/testdata/sf0.001") -> list[tuple[str, str]]:
             findings.append((name, "CartesianProduct"))
         if name not in SINGLE_PARTITION_ALLOWED and _has_global_window(p):
             findings.append((name, "unpartitioned Window over a SinglePartition exchange"))
-    spark.stop()
+    if own_session:
+        spark.stop()
     return findings
 
 
