@@ -55,3 +55,44 @@ def streaming_attribution_join(
         "click_id",
         "click_time",
     )
+
+
+def streaming_unattributed_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    watermark: str = "10 seconds",
+    max_gap: str = "30 seconds",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase, with null click
+    columns for purchases NO click preceded within ``max_gap`` — the
+    "organic conversion" feed.
+
+    Outer results cannot emit eagerly: a purchase might still find a match
+    until the watermark passes its interval, so the engine holds it in
+    state and emits the null-extended row only once the join window
+    provably closed. Same bounded state as the inner variant; the cost of
+    outer semantics is emission LATENCY (one watermark delay), not state.
+    """
+    p = purchases.withWatermark("event_time", watermark).select(
+        F.col(key).alias("p_key"),
+        F.col("event_time").alias("purchase_time"),
+        "purchase_id",
+    )
+    c = clicks.withWatermark("event_time", watermark).select(
+        F.col(key).alias("c_key"),
+        F.col("event_time").alias("click_time"),
+        "click_id",
+    )
+    cond = (
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("click_time") <= F.col("purchase_time"))
+        & (F.col("click_time") >= F.col("purchase_time") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return p.join(c, cond, "left_outer").select(
+        F.col("p_key").alias(key),
+        "purchase_id",
+        "purchase_time",
+        "click_id",
+        "click_time",
+    )

@@ -215,3 +215,23 @@ def test_compaction_groups_match_greedy_reference(spark, sizes, target):
         off += s
     want = {(g, len(v), sum(v)) for g, v in expect.items()}
     assert got == want
+
+
+@given(bits=st.integers(1, 5))
+@SET
+def test_hilbert_bijection_and_adjacency_any_order(spark, bits):
+    """For every curve order 1..5: hilbert_index is a bijection onto
+    [0, 4^bits) and consecutive codes are grid-adjacent — the invariants
+    that make equal-width code buckets spatially tight at ANY grid size."""
+    from iceberg_meta_spark.operators.maintenance import hilbert_index
+
+    n = 1 << bits
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    pos = {r.hvalue: (r.x, r.y) for r in hilbert_index(cells, bits).collect()}
+    assert sorted(pos) == list(range(n * n))
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )

@@ -599,3 +599,49 @@ def test_silence_stream_emits_open_gap_on_timeout(spark):
         assert all(r.gap_us is None for r in rows)
     finally:
         q.stop()
+
+
+def test_streaming_left_outer_attribution(spark):
+    """LEFT OUTER stream-stream join: users with no clicks (odd user pool
+    disjoint from click users) surface with null click columns once the
+    watermark closes their join window; matched users never do."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.joins import streaming_unattributed_purchases
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    # clicks only for users 0,2; purchases for users 0..3 — users 1,3 can
+    # never match
+    clicks = rate.filter(F.col("value") % 2 == 0).select(
+        (F.col("value") % 4 - F.col("value") % 2).alias("user_id"),  # 0 or 2
+        F.col("timestamp").alias("event_time"),
+        F.col("value").alias("click_id"),
+    )
+    purchases = rate.select(
+        (F.col("value") % 4).alias("user_id"),
+        F.col("timestamp").alias("event_time"),
+        F.col("value").alias("purchase_id"),
+    )
+    out = streaming_unattributed_purchases(
+        purchases, clicks, watermark="2 seconds", max_gap="4 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("outer_attr_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        nulls = []
+        while time.time() < deadline and not nulls:
+            time.sleep(1)
+            nulls = spark.sql(
+                "SELECT DISTINCT user_id FROM outer_attr_test WHERE click_id IS NULL"
+            ).collect()
+        assert nulls, "no null-extended outer rows emitted"
+        assert {r.user_id for r in nulls} <= {1, 3}, nulls
+    finally:
+        q.stop()
