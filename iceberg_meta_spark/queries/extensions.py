@@ -2800,6 +2800,71 @@ def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meta_rollback_plan",
+    oracle=oracle_query(
+        """
+        , cur AS (SELECT file_path, sum(record_count) AS rc,
+                    sum(file_size_in_bytes) AS sz
+                  FROM meta_files WHERE snapshot_id = 2 GROUP BY file_path),
+        tgt AS (SELECT file_path, sum(record_count) AS rc,
+                  sum(file_size_in_bytes) AS sz
+                FROM meta_files WHERE snapshot_id = 1 GROUP BY file_path),
+        d AS (SELECT CASE WHEN cur.file_path IS NULL THEN 'restore'
+                          ELSE 'remove' END AS action,
+                coalesce(tgt.rc, cur.rc) AS rc, coalesce(tgt.sz, cur.sz) AS sz
+              FROM cur FULL JOIN tgt USING (file_path)
+              WHERE cur.file_path IS NULL OR tgt.file_path IS NULL)
+        SELECT action, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(rc) AS BIGINT) AS records,
+               CAST(sum(sz) AS BIGINT) AS bytes
+        FROM d GROUP BY action ORDER BY action
+    """,
+        "meta_files",
+    ),
+    tags=("maintenance",),
+    doc="Rollback plan to a target snapshot: the files to RESTORE (in "
+    "target, not current) and REMOVE (in current, not target) with "
+    "record/byte totals — J1's one-full-outer-join diff pointed backwards, "
+    "summarized as the action list `rollback_to_snapshot` would execute; "
+    "per-path contributions pre-aggregated so duplicate paths can't "
+    "double-classify",
+)
+def meta_rollback_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = derive(spark, sf_dir, "meta_files")
+
+    def contrib(snap: int) -> DataFrame:
+        return (
+            files.filter(F.col("snapshot_id") == snap)
+            .groupBy("file_path")
+            .agg(
+                F.sum("record_count").alias("rc"),
+                F.sum("file_size_in_bytes").alias("sz"),
+            )
+        )
+
+    cur = contrib(2).select("file_path", F.col("rc").alias("c_rc"), F.col("sz").alias("c_sz"))
+    tgt = contrib(1).select("file_path", F.col("rc").alias("t_rc"), F.col("sz").alias("t_sz"))
+    d = (
+        cur.join(tgt, "file_path", "full_outer")
+        .filter(F.col("c_rc").isNull() | F.col("t_rc").isNull())
+        .select(
+            F.when(F.col("c_rc").isNull(), F.lit("restore")).otherwise(F.lit("remove")).alias("action"),
+            F.coalesce("t_rc", "c_rc").alias("rc"),
+            F.coalesce("t_sz", "c_sz").alias("sz"),
+        )
+    )
+    return (
+        d.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("rc").alias("records"),
+            F.sum("sz").alias("bytes"),
+        )
+        .orderBy("action")
+    )
+
+
+@register(
     "meta_pruning_after_zorder",
     oracle=oracle_query(
         f"""
