@@ -16,7 +16,12 @@ from iceberg_meta_spark.operators.partitions import partition_distribution, part
 from iceberg_meta_spark.operators.diff import snapshot_diff, snapshot_diff_summary
 from iceberg_meta_spark.operators.column_stats import column_health, column_health_named
 from iceberg_meta_spark.operators.overlap import overlap_pair_count, overlap_sweepline
-from iceberg_meta_spark.operators.schema import schema_diff, schema_conflicts, schema_field_history
+from iceberg_meta_spark.operators.schema import (
+    schema_compat,
+    schema_conflicts,
+    schema_diff,
+    schema_field_history,
+)
 from iceberg_meta_spark.operators.rollups import (
     format_version_histogram,
     freshness_histogram,

@@ -116,3 +116,49 @@ def schema_conflicts(fields: DataFrame, schema_id: int) -> DataFrame:
         )
         .filter(F.col("n_types") > 1)
     )
+
+
+# Iceberg's legal primitive type promotions (spec "Schema Evolution"):
+# widening only — int->long, float->double, decimal precision growth.
+# Everything else requires a rewrite.
+WIDENINGS: tuple[tuple[str, str], ...] = (
+    ("int", "long"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("decimal(9,2)", "decimal(18,2)"),
+    ("decimal(18,2)", "decimal(38,2)"),
+)
+
+
+def schema_compat(fields: DataFrame, old_id: int, new_id: int) -> DataFrame:
+    """Schema-evolution safety classes per table: can new-schema readers
+    consume old-schema files without a rewrite?
+
+    Builds on :func:`schema_diff` (the J2 full-outer join): each changed
+    field classifies as ``widened`` (the promotion is in Iceberg's legal
+    widening set — old files remain readable), ``renamed`` (name-only
+    change on the stable field id — safe, ids not names bind columns),
+    ``tightened`` (optional->required — existing nulls may violate it),
+    or ``incompatible`` (any other type change — rewrite required);
+    added/removed pass through. One tiny-key aggregate per table.
+    """
+    d = schema_diff(fields, old_id, new_id)
+    widened = F.lit(False)
+    for old_t, new_t in WIDENINGS:
+        widened = widened | ((F.col("old_type") == old_t) & (F.col("new_type") == new_t))
+    cls = (
+        F.when(F.col("change") == "added", "added")
+        .when(F.col("change") == "removed", "removed")
+        .when(F.col("old_type") != F.col("new_type"), F.when(widened, "widened").otherwise("incompatible"))
+        .when(
+            (F.col("old_required") == False) & (F.col("new_required") == True),  # noqa: E712
+            "tightened",
+        )
+        .otherwise("renamed")
+    )
+    return (
+        d.withColumn("compat", cls)
+        .groupBy("table_name", "compat")
+        .agg(F.count(F.lit(1)).alias("n_fields"))
+        .orderBy("table_name", "compat")
+    )

@@ -2799,6 +2799,53 @@ def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIDEN_SQL = " OR ".join(
+    f"(old_type = '{o}' AND new_type = '{n}')"
+    for o, n in (
+        ("int", "long"), ("int", "bigint"), ("float", "double"),
+        ("decimal(9,2)", "decimal(18,2)"), ("decimal(18,2)", "decimal(38,2)"),
+    )
+)
+
+
+@register(
+    "meta_schema_compat",
+    oracle=oracle_query(
+        f"""
+        , o AS (SELECT table_name, field_id, name AS old_name, type AS old_type, required AS old_required
+                FROM meta_schema_fields WHERE schema_id = 1),
+        n AS (SELECT table_name, field_id, name AS new_name, type AS new_type, required AS new_required
+              FROM meta_schema_fields WHERE schema_id = 2),
+        j AS (SELECT coalesce(o.table_name, n.table_name) AS table_name,
+                     old_name, new_name, old_type, new_type, old_required, new_required
+              FROM o FULL OUTER JOIN n ON o.table_name = n.table_name AND o.field_id = n.field_id
+              WHERE old_name IS NULL OR new_name IS NULL
+                 OR old_name <> new_name OR old_type <> new_type OR old_required <> new_required),
+        cls AS (SELECT table_name,
+                  CASE WHEN old_name IS NULL THEN 'added'
+                       WHEN new_name IS NULL THEN 'removed'
+                       WHEN old_type <> new_type THEN
+                         CASE WHEN {_WIDEN_SQL} THEN 'widened' ELSE 'incompatible' END
+                       WHEN old_required = false AND new_required = true THEN 'tightened'
+                       ELSE 'renamed' END AS compat
+                FROM j)
+        SELECT table_name, compat, CAST(count(*) AS BIGINT) AS n_fields
+        FROM cls GROUP BY table_name, compat ORDER BY table_name, compat
+        """,
+        "meta_schema_fields",
+    ),
+    doc="Schema-evolution safety classes per table: each J2 diff row "
+    "classifies as widened (Iceberg's legal promotions — int->long, "
+    "float->double, decimal growth: old files stay readable), renamed "
+    "(safe — field IDs, not names, bind columns), tightened "
+    "(optional->required: existing nulls may violate), or incompatible "
+    "(rewrite required); added/removed pass through. The "
+    "can-readers-upgrade check run before committing a schema change",
+)
+def meta_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.schema_compat(derive(spark, sf_dir, "meta_schema_fields"), old_id=1, new_id=2)
+
+
 @register(
     "meta_rollback_plan",
     oracle=oracle_query(

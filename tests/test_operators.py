@@ -581,3 +581,29 @@ def test_event_value_outliers_flags_known_spike(spark, monkeypatch):
     r = out[0]
     assert r.n == 51 and r.n_outliers == 1
     assert r.mean_cents > 100  # dragged up by the spike
+
+
+def test_schema_compat_classifies_promotions(spark):
+    """All five safety classes from one synthetic evolution: int->long is a
+    legal widening, string->int is not, optional->required tightens,
+    name-only changes are safe renames, add/remove pass through."""
+    from iceberg_meta_spark.operators.schema import schema_compat
+
+    rows = [
+        # (table, schema_id, field_id, name, type, required)
+        ("t", 1, 1, "a", "int", False), ("t", 2, 1, "a", "long", False),      # widened
+        ("t", 1, 2, "b", "string", False), ("t", 2, 2, "b", "int", False),    # incompatible
+        ("t", 1, 3, "c", "string", False), ("t", 2, 3, "c", "string", True),  # tightened
+        ("t", 1, 4, "d", "string", True), ("t", 2, 4, "d2", "string", True),  # renamed
+        ("t", 1, 5, "e", "string", True),                                     # removed
+        ("t", 2, 6, "f", "string", False),                                    # added
+        ("t", 1, 7, "g", "string", True), ("t", 2, 7, "g", "string", True),   # unchanged -> absent
+    ]
+    fields = spark.createDataFrame(
+        rows, "table_name string, schema_id int, field_id int, name string, type string, required boolean"
+    )
+    got = {r.compat: r.n_fields for r in schema_compat(fields, 1, 2).collect()}
+    assert got == {
+        "widened": 1, "incompatible": 1, "tightened": 1,
+        "renamed": 1, "removed": 1, "added": 1,
+    }
