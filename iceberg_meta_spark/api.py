@@ -277,6 +277,48 @@ def schema_version_diff(src: MetadataSource, old_id: int, new_id: int) -> DataFr
     return ops.schema_diff(src.schema_fields(), old_id=old_id, new_id=new_id)
 
 
+def schema_compat(src: MetadataSource, old_id: int, new_id: int) -> DataFrame:
+    """Schema-evolution safety classes (widened / renamed / tightened /
+    incompatible / added / removed) — the can-readers-upgrade check."""
+    return ops.schema_compat(src.schema_fields(), old_id=old_id, new_id=new_id)
+
+
+def rollback_plan(src: MetadataSource, current: int, target: int) -> DataFrame:
+    """Restore/remove action list returning the table to ``target`` — the
+    backwards diff, per-path contributions pre-aggregated."""
+
+    def contrib(snap: int) -> DataFrame:
+        return (
+            src.files(snap)
+            .groupBy("file_path")
+            .agg(
+                F.sum("record_count").alias("rc"),
+                F.sum("file_size_in_bytes").alias("sz"),
+            )
+        )
+
+    cur = contrib(current).select("file_path", F.col("rc").alias("c_rc"), F.col("sz").alias("c_sz"))
+    tgt = contrib(target).select("file_path", F.col("rc").alias("t_rc"), F.col("sz").alias("t_sz"))
+    d = (
+        cur.join(tgt, "file_path", "full_outer")
+        .filter(F.col("c_rc").isNull() | F.col("t_rc").isNull())
+        .select(
+            F.when(F.col("c_rc").isNull(), F.lit("restore")).otherwise(F.lit("remove")).alias("action"),
+            F.coalesce("t_rc", "c_rc").alias("rc"),
+            F.coalesce("t_sz", "c_sz").alias("sz"),
+        )
+    )
+    return (
+        d.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("rc").alias("records"),
+            F.sum("sz").alias("bytes"),
+        )
+        .orderBy("action")
+    )
+
+
 def namespace_overview(tables: DataFrame) -> DataFrame:
     """TUI namespace panel (A9+O6): rollup sorted by size desc."""
     return ops.namespace_rollup(tables).orderBy(F.desc("total_size"))

@@ -2799,6 +2799,46 @@ def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "behavior_cohorts",
+    oracle="""
+        WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY user_id, event_type),
+        sig AS (SELECT user_id,
+                  coalesce(
+                    array_to_string(list_sort(list(event_type) FILTER (n >= 15)), ','),
+                    '') AS signature
+                FROM c GROUP BY user_id)
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_users
+        FROM sig GROUP BY signature
+        ORDER BY n_users DESC, signature
+    """,
+    doc="Behavioral cohorts: each user's HABITUAL event types (>= 15 "
+    "occurrences) sorted and canonicalized to one signature string, users "
+    "counted per signature — the segment-discovery shape; per-(user, type) "
+    "counts collapse map-side first, the collected set is bounded by the "
+    "type vocabulary (bytes per user), and every aggregate combines "
+    "map-side",
+)
+def behavior_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sig = c.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set(F.when(F.col("n") >= 15, F.col("event_type")))),
+            ",",
+        ).alias("signature")
+    )
+    return (
+        sig.groupBy("signature")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "signature")
+    )
+
+
 _WIDEN_SQL = " OR ".join(
     f"(old_type = '{o}' AND new_type = '{n}')"
     for o, n in (
@@ -2877,37 +2917,10 @@ def meta_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double-classify",
 )
 def meta_rollback_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = derive(spark, sf_dir, "meta_files")
+    from iceberg_meta_spark import api
 
-    def contrib(snap: int) -> DataFrame:
-        return (
-            files.filter(F.col("snapshot_id") == snap)
-            .groupBy("file_path")
-            .agg(
-                F.sum("record_count").alias("rc"),
-                F.sum("file_size_in_bytes").alias("sz"),
-            )
-        )
-
-    cur = contrib(2).select("file_path", F.col("rc").alias("c_rc"), F.col("sz").alias("c_sz"))
-    tgt = contrib(1).select("file_path", F.col("rc").alias("t_rc"), F.col("sz").alias("t_sz"))
-    d = (
-        cur.join(tgt, "file_path", "full_outer")
-        .filter(F.col("c_rc").isNull() | F.col("t_rc").isNull())
-        .select(
-            F.when(F.col("c_rc").isNull(), F.lit("restore")).otherwise(F.lit("remove")).alias("action"),
-            F.coalesce("t_rc", "c_rc").alias("rc"),
-            F.coalesce("t_sz", "c_sz").alias("sz"),
-        )
-    )
-    return (
-        d.groupBy("action")
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("rc").alias("records"),
-            F.sum("sz").alias("bytes"),
-        )
-        .orderBy("action")
+    return api.rollback_plan(
+        api.FixtureSource(spark, sf_dir), current=2, target=1
     )
 
 

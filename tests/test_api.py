@@ -95,3 +95,13 @@ def test_maintenance_api_surface(spark):
     assert api.orphan_files(src, storage).count() > 0
     zp = api.zorder_plan(src)
     assert zp.columns == ["file_path", "zvalue", "zbucket"]
+    hp = api.hilbert_plan(src)
+    assert hp.columns == ["file_path", "hvalue", "hbucket"]
+    rb = {r.action: r for r in api.rollback_plan(src, current=2, target=1).collect()}
+    assert set(rb) == {"restore", "remove"}
+    assert all(r.n_files > 0 and r.bytes > 0 for r in rb.values())
+    # rollback of a snapshot onto itself is an empty plan
+    assert api.rollback_plan(src, current=1, target=1).count() == 0
+    sc = api.schema_compat(src, old_id=1, new_id=2)
+    assert sc.columns == ["table_name", "compat", "n_fields"]
+    assert {r.compat for r in sc.collect()} >= {"added", "removed"}

@@ -235,3 +235,42 @@ def test_hilbert_bijection_and_adjacency_any_order(spark, bits):
         abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
         for d in range(n * n - 1)
     )
+
+
+@given(
+    old=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 9), st.integers(0, 50)),
+        max_size=20,
+    ),
+    new=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 9), st.integers(0, 50)),
+        max_size=20,
+    ),
+)
+@SET
+def test_incremental_stats_property(spark, old, new):
+    """old stats + delta == full recompute at the new snapshot, for ANY
+    pair of (group, id, weight) multisets — including duplicate ids,
+    vanishing groups, and brand-new groups."""
+    from iceberg_meta_spark.operators.incremental import incremental_group_stats
+
+    schema = "g string, id int, w long"
+    mk = lambda rows: (
+        spark.createDataFrame([(g, i, w) for g, i, w in rows], schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    out = {
+        r.g: (r.n, r.w)
+        for r in incremental_group_stats(mk(old), mk(new), "g", "id", ("w",)).collect()
+    }
+    expect: dict[str, list[int]] = {}
+    for g, _, w in new:
+        expect.setdefault(g, [0, 0])
+        expect[g][0] += 1
+        expect[g][1] += w
+    for g, (n, w) in expect.items():
+        assert out[g] == (n, w), (g, out.get(g), (n, w))
+    # groups only in OLD must net to exactly zero
+    for g in {g for g, _, _ in old} - set(expect):
+        assert out[g] == (0, 0), (g, out[g])
