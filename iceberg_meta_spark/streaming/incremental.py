@@ -30,16 +30,20 @@ def stats_merge_sink(
     the per-group running stats at ``state_dir``.
 
     Commutative + associative merges make the result independent of batch
-    boundaries: any replay/regrouping of the same file rows converges to the
-    same totals (the at-least-once caveat: exact-once file delivery is the
-    file source's contract)."""
+    boundaries, and the stored high-water ``batch_id`` makes REPLAYS
+    idempotent: after a failure between sink commit and checkpoint commit,
+    Structured Streaming re-delivers the same (batch_id, rows) — the guard
+    sees ``batch_id <= last_batch_id`` and skips, upgrading the sink from
+    at-least-once to effectively exactly-once (the standard foreachBatch
+    idempotence recipe; the batch id travels as a column of the state
+    table, max-aggregated on read, so no side-channel file is needed)."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         partial = batch.groupBy(group_col).agg(
             F.count(F.lit(1)).alias("n_files"),
             *[F.sum(c).alias(c) for c in sum_cols],
-        )
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         try:
             old = spark.read.parquet(state_dir)
         except AnalysisException as exc:
@@ -48,12 +52,15 @@ def stats_merge_sink(
                 raise
             merged = partial
         else:
+            if old.agg(F.max("batch_id")).collect()[0][0] >= batch_id:
+                return  # replayed micro-batch: already folded in
             merged = (
                 old.unionByName(partial)
                 .groupBy(group_col)
                 .agg(
                     F.sum("n_files").alias("n_files"),
                     *[F.sum(c).alias(c) for c in sum_cols],
+                    F.max("batch_id").alias("batch_id"),
                 )
             )
         merged.write.mode("overwrite").parquet(state_dir + "__tmp")

@@ -645,3 +645,26 @@ def test_streaming_left_outer_attribution(spark):
         assert {r.user_id for r in nulls} <= {1, 3}, nulls
     finally:
         q.stop()
+
+
+def test_stats_merge_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay (same batch_id re-delivered after a failure
+    between sink commit and checkpoint commit) must not double-count."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.incremental import stats_merge_sink
+
+    schema = "part_key string, file_path string, record_count long, file_size_in_bytes long"
+    state = str(tmp_path / "state")
+    apply = stats_merge_sink(state)
+    b0 = spark.createDataFrame([("a", "f1", 10, 100)], schema)
+    b1 = spark.createDataFrame([("a", "f2", 5, 50), ("b", "f3", 1, 10)], schema)
+    apply(b0, 0)
+    apply(b1, 1)
+    apply(b1, 1)  # replay of the SAME micro-batch
+    apply(b0, 0)  # stale replay from further back
+    got = {
+        r.part_key: (r.n_files, r.record_count, r.file_size_in_bytes)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {"a": (2, 15, 150), "b": (1, 1, 10)}
