@@ -2800,6 +2800,44 @@ def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promo_discount_revenue",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_delta_cents
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): single-table predicate "
+    "band + one global aggregate — every filter pushes to the parquet "
+    "scan, the whole query is one codegen'd map-reduce with a 1-row "
+    "result; the canonical data-skipping beneficiary (a year-clustered "
+    "layout prunes all other files)",
+)
+def promo_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1997-01-01").cast("date"))
+            & (d < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_delta_cents"),
+        )
+    )
+
+
+@register(
     "behavior_cohorts",
     oracle="""
         WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
