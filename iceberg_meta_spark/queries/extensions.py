@@ -2800,6 +2800,46 @@ def meta_pruning_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "language_id_confusion",
+    oracle="""
+        WITH s AS (SELECT doc_id, lang AS labeled_lang,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['the', 'a', 'of'], x))) AS BIGINT) AS score_en,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['der', 'die', 'das'], x))) AS BIGINT) AS score_de,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['le', 'les', 'une'], x))) AS BIGINT) AS score_fr,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['el', 'los', 'una'], x))) AS BIGINT) AS score_es
+                   FROM documents),
+        p AS (SELECT labeled_lang,
+                CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                     WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                     WHEN score_fr >= score_es THEN 'fr'
+                     ELSE 'es' END AS pred_lang
+              FROM s)
+        SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY labeled_lang, pred_lang
+        ORDER BY labeled_lang, pred_lang
+    """,
+    doc="Classifier-eval confusion matrix: the language-ID heuristic's "
+    "predictions crossed with the labeled language, one count per "
+    "(label, prediction) cell — the model-eval aggregation shape; the "
+    "per-doc scoring is pure map-side expressions, the matrix is a "
+    "|langs|^2-row aggregate",
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.text import language_id
+
+    pred = language_id(load_table(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+@register(
     "promo_discount_revenue",
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_items,
