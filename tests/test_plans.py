@@ -567,3 +567,12 @@ def test_fleet_wide_plan_lint(spark):
 
     findings = pl.lint(spark=spark)  # share the fixture session (see lint())
     assert not findings, findings
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """Q6's whole value is scan-side filtering: discount band and quantity
+    predicates must appear in the parquet PushedFilters."""
+    q = load_all()["promo_discount_revenue"]
+    p = plan(q.spark_fn(spark, SF))
+    pushed = " ".join(line for line in p.splitlines() if "PushedFilters" in line)
+    assert "l_discount" in pushed and "l_quantity" in pushed, p
