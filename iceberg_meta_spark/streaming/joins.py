@@ -96,3 +96,16 @@ def streaming_unattributed_purchases(
         "click_id",
         "click_time",
     )
+
+
+def enrich_stream(events_stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    the STATIC dimension frame (inner, on ``key``).
+
+    Distinct semantics from the stream-stream joins above: the static side
+    needs no watermark and holds no join state — Spark re-evaluates it per
+    micro-batch (so a dim backed by a table picks up slowly-changing
+    updates), and a small dim broadcasts, keeping the stream side
+    shuffle-free. The enrichment shape every event pipeline runs before
+    aggregating."""
+    return events_stream.join(dim, key, "inner")

@@ -668,3 +668,39 @@ def test_stats_merge_sink_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got == {"a": (2, 15, 150), "b": (1, 1, 10)}
+
+
+def test_stream_static_enrichment_join(spark):
+    """Rate stream enriched against a static dimension: every output row
+    carries the dim attributes; keys missing from the dim drop (inner)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.streaming.joins import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro")], "user_id long, tier string"
+    )  # user 2 deliberately absent
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select((F.col("value") % 3).alias("user_id"), F.col("value").alias("event_id"))
+    )
+    out = enrich_stream(rate, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline and len(rows) < 10:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM enrich_test").collect()
+        assert len(rows) >= 10, "no enriched rows"
+        assert all(r.tier == ("free" if r.user_id == 0 else "pro") for r in rows)
+        assert all(r.user_id in (0, 1) for r in rows)  # inner join drops user 2
+    finally:
+        q.stop()
