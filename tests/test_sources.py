@@ -235,3 +235,34 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
     c = spark.read.parquet(p3).select("doc_id", "__shard").orderBy("doc_id").collect()
     base = r1.select("doc_id", "__shard").orderBy("doc_id").collect()
     assert [r["__shard"] for r in c] != [r["__shard"] for r in base]
+
+
+def test_snapshot_log_python_datasource(spark, tmp_path):
+    """The Python DataSource adapter: NDJSON snapshot logs read as a
+    partitioned scan (one task per file), feeding the same snapshot
+    kernels the fixture source feeds."""
+    import json
+
+    from iceberg_meta_spark.operators.snapshots import recent_snapshots
+    from iceberg_meta_spark.sources.pyds import SnapshotLogDataSource
+
+    recs = [
+        {"snapshot_id": i, "parent_id": i - 1 if i else None,
+         "committed_us": 1_000_000 * i, "operation": "append",
+         "added_records": 10 * i, "deleted_records": 0,
+         "total_data_files": i + 1, "total_files_size": 100 * (i + 1)}
+        for i in range(6)
+    ]
+    # two log files -> two input partitions
+    (tmp_path / "a.jsonl").write_text("\n".join(json.dumps(r) for r in recs[:3]))
+    (tmp_path / "b.jsonl").write_text("\n".join(json.dumps(r) for r in recs[3:]))
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    df = spark.read.format("snapshot_log").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r.snapshot_id: r for r in df.collect()}
+    assert len(rows) == 6 and rows[0].parent_id is None
+    assert rows[5].total_files_size == 600
+    # the snapshot kernels run on it unchanged
+    top = recent_snapshots(df, k=2).collect()
+    assert [r.snapshot_id for r in top] == [5, 4]
