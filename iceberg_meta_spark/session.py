@@ -36,6 +36,9 @@ _RUNTIME_CONFS = {
     # so this only fires where it pays — i.e. at the 100 TB deployment scale,
     # not in local tests (test_plans pins injection with lowered thresholds).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Let custom Python DataSources (sources/pyds.py) accept pushed filters
+    # so filtered rows never cross the Python->JVM boundary.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

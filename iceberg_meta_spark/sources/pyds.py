@@ -53,6 +53,39 @@ class _SnapshotLogReader(DataSourceReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("snapshot_log source requires option 'path'")
+        # (op, value) bounds on snapshot_id accepted by pushFilters
+        self._id_bounds: list[tuple[str, int]] = []
+
+    def pushFilters(self, filters):
+        """Accept snapshot_id comparisons; everything else stays in Spark.
+
+        The custom-source half of predicate pushdown: the reader applies
+        accepted bounds while scanning, so filtered rows never cross the
+        Python->JVM boundary — the same contract PushedFilters gives a
+        parquet scan. Per the API, unsupported filters are returned (by
+        reference) for Spark to evaluate post-scan.
+        """
+        from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if col == "snapshot_id" and isinstance(f, (EqualTo, GreaterThan, LessThan)):
+                op = {"EqualTo": "==", "GreaterThan": ">", "LessThan": "<"}[type(f).__name__]
+                self._id_bounds.append((op, f.value))
+            else:
+                yield f  # not pushable: Spark evaluates it after the scan
+
+    def _accept(self, snapshot_id) -> bool:
+        if snapshot_id is None:
+            return not self._id_bounds
+        for op, v in self._id_bounds:
+            if op == "==" and snapshot_id != v:
+                return False
+            if op == ">" and not snapshot_id > v:
+                return False
+            if op == "<" and not snapshot_id < v:
+                return False
+        return True
 
     def partitions(self):
         files = sorted(
@@ -68,6 +101,8 @@ class _SnapshotLogReader(DataSourceReader):
                 if not line:
                     continue
                 rec = json.loads(line)
+                if not self._accept(rec.get("snapshot_id")):
+                    continue
                 yield tuple(rec.get(c) for c in _COLS)
 
 

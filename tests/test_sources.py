@@ -266,3 +266,47 @@ def test_snapshot_log_python_datasource(spark, tmp_path):
     # the snapshot kernels run on it unchanged
     top = recent_snapshots(df, k=2).collect()
     assert [r.snapshot_id for r in top] == [5, 4]
+
+
+def test_snapshot_log_datasource_filter_pushdown(spark, tmp_path):
+    """snapshot_id comparisons push into the custom reader (filtered rows
+    never cross the Python->JVM boundary); non-pushable predicates still
+    evaluate correctly Spark-side."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.sources.pyds import SnapshotLogDataSource
+
+    recs = [
+        {"snapshot_id": i, "parent_id": None, "committed_us": i,
+         "operation": "append" if i % 2 else "overwrite",
+         "added_records": i, "deleted_records": 0,
+         "total_data_files": 1, "total_files_size": 10}
+        for i in range(10)
+    ]
+    (tmp_path / "log.jsonl").write_text("\n".join(json.dumps(r) for r in recs))
+    spark.dataSource.register(SnapshotLogDataSource)
+    df = spark.read.format("snapshot_log").option("path", str(tmp_path)).load()
+
+    got = df.filter((F.col("snapshot_id") > 3) & (F.col("snapshot_id") < 8)).collect()
+    assert sorted(r.snapshot_id for r in got) == [4, 5, 6, 7]
+    # the pushed comparison vanishes from the physical plan (only the
+    # non-pushable isnotnull residual may remain) — the reader applied it,
+    # Spark has nothing comparison-shaped left to evaluate
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.filter(F.col("snapshot_id") > 3).explain()
+    p = buf.getvalue()
+    assert "> 3" not in p, p
+    # a non-pushable predicate stays as a Spark-side Filter
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        df.filter(F.col("operation") == "append").explain()
+    assert "append" in buf2.getvalue()
+    # mixed pushable + non-pushable: both apply
+    got2 = df.filter((F.col("snapshot_id") > 5) & (F.col("operation") == "append")).collect()
+    assert sorted(r.snapshot_id for r in got2) == [7, 9]
