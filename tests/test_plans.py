@@ -293,14 +293,17 @@ def test_token_rarity_broadcasts_vocab(spark):
     assert "CartesianProduct" not in p, p
 
 
-def test_kmeans_assign_is_broadcast_argmax(spark):
-    # each Lloyd round must broadcast the K-row centroid table and reduce
-    # the N x K cosine product with a map-side partial_max argmax — one row
-    # per vector through the shuffle, never an N x K window
+def test_kmeans_assign_is_vectorized_map(spark):
+    # assignment is the Arrow-batched numpy argmax kernel (MLlib-style:
+    # centroids ride in the task closure, the N x K cosine block is a local
+    # matrix product) — a narrow MapInPandas, no join/window/shuffle of the
+    # vector table during assignment; the only joins left in the final plan
+    # are the K-row broadcast of centroid md5s against the cell sizes
     p = plan(load_all()["ann_ivf_train"].spark_fn(spark, SF))
-    assert "BroadcastExchange" in p, p
-    assert "partial_max" in p, p
+    assert "MapInPandas" in p, p
     assert "row_number" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_range_join_is_equi_join(spark):
