@@ -91,7 +91,10 @@ def token_rarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
     corpus expectation is a 1-row aggregate broadcast back (A4's shape).
     """
     tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the distinct-token count table ONCE (an index-build step:
+    # it feeds the vocab cap, the corpus total, and the expected weight —
+    # without this the corpus would be re-tokenized for each consumer)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     vocab = (
         counts.orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(vocab_cap)
