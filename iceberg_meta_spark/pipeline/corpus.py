@@ -282,3 +282,60 @@ def bm25_scores(
         .orderBy(F.desc("score_scaled"), "doc_id")
         .limit(topk)
     )
+
+
+def lm_familiarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
+    """Per-doc bigram language-model familiarity — the CCNet LM-perplexity
+    filter restated with integer-exact arithmetic instead of a platform log().
+
+    A tiny bigram LM is "trained" on the corpus itself: each bigram's weight
+    is its floor-scaled conditional probability
+    ``(cnt(w1 w2) * 1e9) DIV cnt(w1 ·)`` (how often w1 is followed by w2,
+    among all bigrams starting with w1). The model keeps the top-``vocab_cap``
+    bigrams (count desc, bigram asc); everything else scores 0, exactly how a
+    pruned n-gram LM backs off to an OOV floor. A document's
+    ``mean_familiarity`` is the integer mean of its bigram weights;
+    ``low_familiarity`` flags docs below half the corpus-wide expectation —
+    the docs a perplexity filter drops (boilerplate, wrong-language, garbled).
+
+    Scale: the bigram count table is materialized once (index build), the
+    capped model is MBs and **broadcast** onto the exploded bigrams; the only
+    corpus-sized shuffle is the per-doc re-aggregation (one row per doc after
+    map-side combine). Docs with fewer than two tokens have no bigrams and
+    drop out (identically in the oracle's empty generate_series).
+    """
+    bg = docs.select("doc_id", F.explode(_ngrams(_toks(), 2)).alias("bigram"))
+    # index-build step: one tokenize+count pass feeds prefix totals, the
+    # capped model, and the corpus expectation
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    prefix = counts.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.sum("cnt").alias("ptot"))
+    capped = (
+        counts.orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(vocab_cap)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
+    model = prefix.join(F.broadcast(capped), "w1").select(
+        "bigram",
+        F.expr(f"CAST((cnt * {COMMONNESS_SCALE}) DIV ptot AS BIGINT)").alias("w"),
+        "cnt",
+    )
+    scored = (
+        bg.join(F.broadcast(model.select("bigram", "w")), "bigram", "left")
+        .select("doc_id", F.coalesce(F.col("w"), F.lit(0).cast("long")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(sum(w) DIV count(1) AS BIGINT)").alias("mean_familiarity"),
+        )
+    )
+    expected = model.agg(
+        F.expr("CAST(sum(cnt * w) DIV sum(cnt) AS BIGINT)").alias("expected_w")
+    )
+    return scored.crossJoin(F.broadcast(expected)).select(
+        "doc_id",
+        "n_bigrams",
+        "mean_familiarity",
+        (F.col("mean_familiarity") * 2 < F.col("expected_w")).alias("low_familiarity"),
+    )

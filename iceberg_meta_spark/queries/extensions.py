@@ -3204,3 +3204,41 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lm_familiarity",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+               FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+        counts AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+                   FROM bg GROUP BY bigram),
+        prefix AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                     CAST(sum(cnt) AS BIGINT) AS ptot
+                   FROM counts GROUP BY 1),
+        capped AS (SELECT * FROM counts ORDER BY cnt DESC, bigram LIMIT 65536),
+        model AS (SELECT c.bigram,
+                    CAST((c.cnt * 1000000000) // p.ptot AS BIGINT) AS w, c.cnt
+                  FROM capped c
+                  JOIN prefix p ON split_part(c.bigram, ' ', 1) = p.w1),
+        scored AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(COALESCE(m.w, 0)) // count(*) AS BIGINT)
+                       AS mean_familiarity
+                   FROM bg LEFT JOIN model m USING (bigram)
+                   GROUP BY doc_id),
+        exp AS (SELECT CAST(sum(cnt * w) // sum(cnt) AS BIGINT) AS expected_w
+                FROM model)
+        SELECT doc_id, n_bigrams, mean_familiarity,
+               (mean_familiarity * 2 < expected_w) AS low_familiarity
+        FROM scored, exp
+    """,
+    doc="CCNet-style bigram-LM perplexity filter with integer-exact "
+    "conditional probabilities ((cnt(w1 w2) * 1e9) DIV cnt(w1 .)) instead "
+    "of a platform log(): one tokenize+count index-build pass, capped model "
+    "broadcast onto exploded bigrams, per-doc mean familiarity, "
+    "low_familiarity flag vs the broadcast 1-row corpus expectation",
+)
+def lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.lm_familiarity_scores(load_table(spark, sf_dir, "documents"))

@@ -147,3 +147,40 @@ def test_pps_sample_weighted_and_deterministic(spark):
     # deterministic across partitionings
     out2 = pps_sample(df.repartition(13), "doc_id", "n_chars", "lang", k=5).collect()
     assert {(r.lang, r.doc_id) for r in out2} == {(r.lang, r.doc_id) for r in out}
+
+
+def test_lm_familiarity_conditional_probabilities(spark):
+    # corpus: "a b a b" -> bigrams (a b)x2, (b a)x1 ; "a c" -> (a c)x1
+    # prefix totals: a. = 3 (a b, a b, a c), b. = 1 (b a)
+    # weights: w(a b) = (2*1e9) DIV 3 = 666666666 ; w(b a) = 1e9 ; w(a c) = 333333333
+    out = {
+        r.doc_id: r
+        for r in corpus.lm_familiarity_scores(_docs(spark, ["a b a b", "a c"])).collect()
+    }
+    d0, d1 = out[0], out[1]
+    assert d0.n_bigrams == 3
+    # doc0 mean = (666666666 + 1000000000 + 666666666) DIV 3
+    assert d0.mean_familiarity == (666666666 + 1000000000 + 666666666) // 3
+    assert d1.n_bigrams == 1 and d1.mean_familiarity == 333333333
+    # expected_w = (2*666666666 + 1*1000000000 + 1*333333333) DIV 4 = 666666666
+    # low flag: mean*2 < expected -> neither doc here
+    assert not d0.low_familiarity and not d1.low_familiarity
+
+
+def test_lm_familiarity_drops_single_token_docs(spark):
+    out = corpus.lm_familiarity_scores(_docs(spark, ["only", "a b"])).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_lm_familiarity_oov_scores_zero(spark):
+    # cap the model to 1 bigram: only the most frequent (count desc, text asc)
+    # stays; every other bigram backs off to weight 0
+    out = {
+        r.doc_id: r
+        for r in corpus.lm_familiarity_scores(
+            _docs(spark, ["a b a b", "x y"]), vocab_cap=1
+        ).collect()
+    }
+    # kept bigram: (a b) cnt=2; w = (2*1e9) DIV 2 = 1e9 (prefix a. = 2)
+    assert out[0].mean_familiarity == (1000000000 + 0 + 1000000000) // 3
+    assert out[1].mean_familiarity == 0 and out[1].low_familiarity
