@@ -17,14 +17,30 @@ its own file — no driver-side fan-in). Registered under the short name
 The emitted schema matches the ``meta_snapshots`` fixture's core columns,
 so every snapshot kernel (recency, expiry, lineage, watch) runs on it
 unchanged — the point of the pluggable-source design.
+
+The source is also WRITABLE with table-format commit semantics
+(``df.write.format("snapshot_log").mode(...).option("path", dir).save()``):
+each task writes its partition to an invisible ``*.tmp`` file and returns a
+commit message; only the driver-side ``commit`` publishes them (rename to
+``part-*.jsonl`` + a ``_manifest.json`` listing committed files and row
+counts) — the same two-phase protocol an Iceberg snapshot commit uses, so a
+failed job leaves nothing a reader can observe, and ``overwrite`` retires the
+previous file set atomically within the commit.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 SNAPSHOT_LOG_SCHEMA = StructType(
@@ -89,8 +105,10 @@ class _SnapshotLogReader(DataSourceReader):
 
     def partitions(self):
         files = sorted(
-            f for f in os.listdir(self.dir) if f.endswith((".json", ".jsonl"))
-        )
+            f
+            for f in os.listdir(self.dir)
+            if f.endswith((".json", ".jsonl")) and not f.startswith(("_", "."))
+        )  # _manifest.json and dotfiles are metadata, not log data (Hadoop convention)
         # one partition per log file: tasks read disjoint files in parallel
         return [_FilePartition(os.path.join(self.dir, f)) for f in files]
 
@@ -106,8 +124,71 @@ class _SnapshotLogReader(DataSourceReader):
                 yield tuple(rec.get(c) for c in _COLS)
 
 
+class _LogCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, rows: int):
+        self.tmp_name = tmp_name
+        self.rows = rows
+
+
+class _SnapshotLogWriter(DataSourceWriter):
+    """Two-phase NDJSON writer: tasks stage ``.tmp`` files, the driver-side
+    commit publishes them. Mirrors a table-format commit — no torn output is
+    ever visible to ``_SnapshotLogReader`` (which only lists ``*.json[l]``),
+    failed/speculative attempts are swept during commit, and abort removes
+    every staged file."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("snapshot_log sink requires option 'path'")
+        self.overwrite = overwrite
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator) -> _LogCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_name = f"part-{pid:05d}-{uuid.uuid4().hex}.tmp"
+        rows = 0
+        with open(os.path.join(self.dir, tmp_name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {c: row[c] for c in _COLS}
+                fh.write(json.dumps(rec, sort_keys=True) + "\n")
+                rows += 1
+        return _LogCommit(tmp_name, rows)
+
+    def commit(self, messages) -> None:
+        committed = [m for m in messages if m is not None]
+        staged = {m.tmp_name for m in committed}
+        if self.overwrite:  # retire the previous file set inside the commit
+            for f in os.listdir(self.dir):
+                if f.endswith((".json", ".jsonl")) or f == "_manifest.json":
+                    os.remove(os.path.join(self.dir, f))
+        manifest = []
+        for m in committed:
+            final = m.tmp_name[: -len(".tmp")] + ".jsonl"
+            os.rename(os.path.join(self.dir, m.tmp_name), os.path.join(self.dir, final))
+            manifest.append({"file": final, "rows": m.rows})
+        # sweep stray tmp files from failed or speculative attempts
+        for f in os.listdir(self.dir):
+            if f.endswith(".tmp") and f not in staged:
+                os.remove(os.path.join(self.dir, f))
+        with open(os.path.join(self.dir, "_manifest.json"), "w", encoding="utf-8") as fh:
+            json.dump(
+                {"files": sorted(manifest, key=lambda e: e["file"]),
+                 "total_rows": sum(e["rows"] for e in manifest)},
+                fh,
+            )
+
+    def abort(self, messages) -> None:
+        for f in os.listdir(self.dir):
+            if f.endswith(".tmp"):
+                os.remove(os.path.join(self.dir, f))
+
+
 class SnapshotLogDataSource(DataSource):
-    """``spark.read.format("snapshot_log").option("path", dir)``."""
+    """``spark.read.format("snapshot_log").option("path", dir)`` /
+    ``df.write.format("snapshot_log").option("path", dir).save()``."""
 
     @classmethod
     def name(cls) -> str:
@@ -118,3 +199,6 @@ class SnapshotLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SnapshotLogReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _SnapshotLogWriter(self.options, overwrite)

@@ -310,3 +310,70 @@ def test_snapshot_log_datasource_filter_pushdown(spark, tmp_path):
     # mixed pushable + non-pushable: both apply
     got2 = df.filter((F.col("snapshot_id") > 5) & (F.col("operation") == "append")).collect()
     assert sorted(r.snapshot_id for r in got2) == [7, 9]
+
+
+def test_snapshot_log_datasource_writer_roundtrip(spark, tmp_path):
+    """The writable half of the custom source: tasks stage tmp files, the
+    driver commit publishes part-*.jsonl plus a _manifest.json — and the
+    reader round-trips the rows exactly."""
+    import json
+
+    from iceberg_meta_spark.sources.pyds import SnapshotLogDataSource
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    out = str(tmp_path / "log")
+    df = spark.createDataFrame(
+        [(i, i - 1 if i else None, 1_000_000 * i, "append", 10 * i, 0, i + 1, 100 * (i + 1))
+         for i in range(8)],
+        "snapshot_id long, parent_id long, committed_us long, operation string, "
+        "added_records long, deleted_records long, total_data_files long, "
+        "total_files_size long",
+    ).repartition(3)
+    df.write.format("snapshot_log").mode("append").option("path", out).save()
+
+    import os
+
+    files = sorted(os.listdir(out))
+    assert "_manifest.json" in files
+    assert not [f for f in files if f.endswith(".tmp")]
+    manifest = json.loads((tmp_path / "log" / "_manifest.json").read_text())
+    assert manifest["total_rows"] == 8
+    assert {e["file"] for e in manifest["files"]} == {
+        f for f in files if f.endswith(".jsonl")
+    }
+
+    back = spark.read.format("snapshot_log").option("path", out).load()
+    assert {r.snapshot_id: r.total_files_size for r in back.collect()} == {
+        i: 100 * (i + 1) for i in range(8)
+    }
+
+
+def test_snapshot_log_datasource_overwrite_retires_previous_set(spark, tmp_path):
+    import json
+    import os
+
+    from iceberg_meta_spark.sources.pyds import SnapshotLogDataSource
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    out = str(tmp_path / "log")
+    schema = (
+        "snapshot_id long, parent_id long, committed_us long, operation string, "
+        "added_records long, deleted_records long, total_data_files long, "
+        "total_files_size long"
+    )
+    first = spark.createDataFrame(
+        [(i, None, i, "append", 1, 0, 1, 10) for i in range(5)], schema
+    )
+    first.write.format("snapshot_log").mode("append").option("path", out).save()
+    second = spark.createDataFrame(
+        [(100 + i, None, i, "overwrite", 1, 0, 1, 10) for i in range(2)], schema
+    )
+    second.write.format("snapshot_log").mode("overwrite").option("path", out).save()
+
+    back = spark.read.format("snapshot_log").option("path", out).load()
+    assert sorted(r.snapshot_id for r in back.collect()) == [100, 101]
+    manifest = json.loads((tmp_path / "log" / "_manifest.json").read_text())
+    assert manifest["total_rows"] == 2
+    # append after overwrite accumulates
+    first.limit(1).write.format("snapshot_log").mode("append").option("path", out).save()
+    assert spark.read.format("snapshot_log").option("path", out).load().count() == 3
