@@ -1,0 +1,150 @@
+"""Product quantization (PQ): the ANN compression path.
+
+A PQ index splits each vector into ``m`` contiguous subvectors and learns an
+independent k-means codebook per subspace; a vector's code is the tuple of
+its per-subspace cell ids — ``m * log2(K)`` bits instead of ``dims * 32``.
+This module trains the ``m`` codebooks with the same integer-exact Lloyd
+machinery as the IVF coarse quantizer (pipeline/kmeans.py — floor-quantized
+centroids at 1e6, floor-scaled 1e12 dots, deterministic id-sample init), so
+the WHOLE training run carries a hash-gated DuckDB oracle despite being
+iterative.
+
+Scale posture mirrors kmeans.py: ONE localCheckpoint of the corpus-sized
+base (embedding + per-subspace norms and quantized slices), per-subspace
+codebooks live driver-side between rounds (K·m rows, bounded), assignment is
+the Arrow-batched numpy argmax kernel. The final encoding pass computes ALL
+``m`` subspace argmaxes in a single ``mapInPandas`` over one scan — never an
+m-way self-join on vec_id.
+
+Reference parity: the reference engine has no PQ; this is part of the
+training-data-pipeline surface (ANN at 10⁹ vectors needs compressed codes —
+IVF-PQ is the standard pairing with pipeline/similarity.py's IVF probe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.pipeline import kmeans
+from iceberg_meta_spark.pipeline.similarity import SCALE, scaled_dot
+
+QUANT = kmeans.QUANT
+
+
+def _sub_view(base: DataFrame, s: int, dims_sub: int) -> DataFrame:
+    """Project the shared checkpointed base down to one subspace, renamed to
+    the column contract kmeans._assign/_update expect — a narrow projection,
+    nothing recomputed."""
+    lo = s * dims_sub + 1
+    return base.select(
+        "vec_id",
+        F.slice("embedding", lo, dims_sub).alias("embedding"),
+        F.col(f"norm_{s}").alias("norm_s"),
+        F.col(f"q_{s}").alias("q"),
+    )
+
+
+def train_codebooks(
+    emb: DataFrame, m: int = 4, dims: int = 64, centroid_mod: int = 63, iters: int = 1
+) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
+    """(base, codebooks): run ``iters`` Lloyd rounds per subspace.
+
+    ``base`` carries embedding plus per-subspace norms / quantized slices and
+    is checkpointed ONCE; each subspace's refinement reuses it through a
+    narrow projection.
+    """
+    dims_sub = dims // m
+    cols = [F.col("vec_id"), F.col("embedding")]
+    for s in range(m):
+        sl = F.slice("embedding", s * dims_sub + 1, dims_sub)
+        cols.append(scaled_dot(sl, sl).alias(f"norm_{s}"))
+        cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
+    base = emb.select(*cols).localCheckpoint()
+
+    codebooks = []
+    for s in range(m):
+        view = _sub_view(base, s, dims_sub)
+        cent_rows = kmeans._collect_cents(
+            view.filter(F.col("vec_id") % centroid_mod == 1).select(
+                F.col("vec_id").alias("cent_id"), F.col("q").alias("c")
+            )
+        )
+        for _ in range(iters):
+            assign = kmeans._assign(view, cent_rows, with_q=True)
+            cent_rows = kmeans._collect_cents(kmeans._update(assign, dims_sub))
+        codebooks.append(cent_rows)
+    return base, codebooks
+
+
+def pq_codes(
+    emb: DataFrame, m: int = 4, dims: int = 64, centroid_mod: int = 63, iters: int = 1
+) -> DataFrame:
+    """Per-vector PQ code: (vec_id, s0..s{m-1}, code).
+
+    One combined kernel computes every subspace argmax in a single pass over
+    the checkpointed base — same exactness contract as kmeans._assign
+    (floor-scaled integer dots, cosine in f64, ties to the lowest cent_id).
+    """
+    dims_sub = dims // m
+    base, codebooks = train_codebooks(emb, m, dims, centroid_mod, iters)
+
+    preps = []
+    for cent_rows in codebooks:
+        ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+        dq = np.asarray([c for _, c in cent_rows], dtype=np.float64) / QUANT
+        c_norm = np.floor((dq * dq) * SCALE).astype(np.int64).sum(axis=1)
+        preps.append((ids, dq, np.sqrt(c_norm.astype(np.float64))))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for s, (ids, dq, c_sqrt) in enumerate(preps):
+                xs = x[:, s * dims_sub : (s + 1) * dims_sub]
+                n_sqrt = np.sqrt(pdf[f"norm_{s}"].to_numpy().astype(np.float64))
+                dot = (
+                    np.floor((xs[:, None, :] * dq[None, :, :]) * SCALE)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                cos = dot.astype(np.float64) / (n_sqrt[:, None] * c_sqrt[None, :])
+                out[f"s{s}"] = ids[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"s{s} long" for s in range(m))
+    coded = base.select(
+        "vec_id", "embedding", *[f"norm_{s}" for s in range(m)]
+    ).mapInPandas(kernel, schema)
+    return coded.select(
+        "vec_id",
+        *[f"s{s}" for s in range(m)],
+        F.concat_ws("-", *[F.col(f"s{s}").cast("string") for s in range(m)]).alias("code"),
+    )
+
+
+def pq_codebook_summary(
+    emb: DataFrame, m: int = 4, dims: int = 64, centroid_mod: int = 63, iters: int = 1
+) -> DataFrame:
+    """Codebook profile: one row per (subspace, cell) with member count —
+    the balance diagnostic an index build reports (skewed cells mean the
+    codebook wastes bits)."""
+    codes = pq_codes(emb, m, dims, centroid_mod, iters)
+    # unpivot in-row (posexplode) so the encoding kernel runs ONCE and a
+    # single map-side-combined groupBy covers every subspace
+    pairs = codes.select(
+        F.posexplode(F.array(*[F.col(f"s{s}") for s in range(m)])).alias(
+            "subspace", "cell"
+        )
+    )
+    return (
+        pairs.groupBy(F.col("subspace").cast("long").alias("subspace"), "cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("subspace", "cell")
+    )

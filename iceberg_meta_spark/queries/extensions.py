@@ -3242,3 +3242,114 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.lm_familiarity_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pipeline/pq.py): per-subspace Lloyd codebooks +
+# per-vector codes, oracle-unrolled exactly like the IVF k-means above but
+# over embedding slices.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import pq  # noqa: E402
+
+
+def _pq_norm(basename: str) -> str:
+    return f"""(SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1e12) AS BIGINT)) AS BIGINT)
+    FROM (SELECT unnest({basename}.e) AS x) zn)"""
+
+
+def _pq_assign(base: str, cents: str, out: str) -> str:
+    dot = f"""(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * (CAST(xb AS DOUBLE)/1000000.0) * 1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(b.e) AS xa, unnest(c.c) AS xb) zd)"""
+    cn = """(SELECT CAST(sum(CAST(floor((CAST(xc AS DOUBLE)/1000000.0)*(CAST(xc AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(c.c) AS xc) zc)"""
+    return f"""{out} AS (
+        SELECT vec_id, CAST(cent_id AS BIGINT) AS cell FROM (
+            SELECT b.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                     CAST({dot} AS DOUBLE)
+                       / (sqrt(CAST(b.norm_s AS DOUBLE)) * sqrt(CAST({cn} AS DOUBLE)))
+                     DESC, c.cent_id) AS rn
+            FROM {base} b, {cents} c) WHERE rn = 1)"""
+
+
+def _pq_update(base: str, assign: str, out: str, dims_sub: int) -> str:
+    return f"""{out}_s AS (
+        SELECT a.cell, g.i, CAST(sum(b.q[g.i]) // count(*) AS BIGINT) AS s
+        FROM {assign} a JOIN {base} b USING (vec_id), generate_series(1, {dims_sub}) AS g(i)
+        GROUP BY a.cell, g.i),
+    {out} AS (SELECT cell AS cent_id, list(s ORDER BY i) AS c FROM {out}_s GROUP BY cell)"""
+
+
+def _pq_prefix(m: int, dims_sub: int, centroid_mod: int, iters: int) -> list[str]:
+    """Per-subspace unrolled-Lloyd CTE chains, each ending at ``af{s}``."""
+    parts = []
+    for s in range(m):
+        lo, hi = s * dims_sub + 1, (s + 1) * dims_sub
+        bname = f"pb{s}"
+        head = f"""{bname} AS (
+        SELECT b.vec_id, b.embedding[{lo}:{hi}] AS e, 0 AS _z FROM embeddings b),
+    {bname}n AS (
+        SELECT {bname}.vec_id, {bname}.e, {_pq_norm(bname)} AS norm_s,
+               list_transform({bname}.e,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS q
+        FROM {bname}),
+    {bname}c0 AS (SELECT vec_id AS cent_id, q AS c FROM {bname}n
+                  WHERE vec_id % {centroid_mod} = 1)"""
+        parts.append(head)
+        prev = f"{bname}c0"
+        for i in range(iters):
+            parts.append(_pq_assign(f"{bname}n", prev, f"{bname}a{i}"))
+            parts.append(_pq_update(f"{bname}n", f"{bname}a{i}", f"{bname}c{i+1}", dims_sub))
+            prev = f"{bname}c{i+1}"
+        parts.append(_pq_assign(f"{bname}n", prev, f"af{s}"))
+    return parts
+
+
+def _pq_codes_oracle(m: int = 4, dims_sub: int = 16, centroid_mod: int = 63, iters: int = 1) -> str:
+    parts = _pq_prefix(m, dims_sub, centroid_mod, iters)
+    joins = " ".join(f"JOIN af{s} ON af{s}.vec_id = af0.vec_id" for s in range(1, m))
+    cells = ", ".join(f"af{s}.cell AS s{s}" for s in range(m))
+    code = " || '-' || ".join(f"CAST(af{s}.cell AS VARCHAR)" for s in range(m))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT af0.vec_id, {cells}, {code} AS code
+    FROM af0 {joins}"""
+    )
+
+
+@register(
+    "pq_codes",
+    oracle=_pq_codes_oracle(m=4, dims_sub=16, centroid_mod=63, iters=1),
+    doc="Product quantization: 4 independent per-subspace Lloyd codebooks "
+    "(16 dims each, integer-exact like the IVF trainer), then ONE combined "
+    "Arrow kernel encodes every vector's 4 subspace argmax cells in a "
+    "single pass — never an m-way self-join; iterative yet hash-gated",
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pq_codebook_balance",
+    oracle=_pq_codes_oracle(m=4, dims_sub=16, centroid_mod=63, iters=1).replace(
+        """
+    SELECT af0.vec_id, af0.cell AS s0, af1.cell AS s1, af2.cell AS s2, af3.cell AS s3, CAST(af0.cell AS VARCHAR) || '-' || CAST(af1.cell AS VARCHAR) || '-' || CAST(af2.cell AS VARCHAR) || '-' || CAST(af3.cell AS VARCHAR) AS code
+    FROM af0 JOIN af1 ON af1.vec_id = af0.vec_id JOIN af2 ON af2.vec_id = af0.vec_id JOIN af3 ON af3.vec_id = af0.vec_id""",
+        """,
+    pairs AS (SELECT 0 AS subspace, cell FROM af0 UNION ALL
+              SELECT 1, cell FROM af1 UNION ALL
+              SELECT 2, cell FROM af2 UNION ALL
+              SELECT 3, cell FROM af3)
+    SELECT CAST(subspace AS BIGINT) AS subspace, cell,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM pairs GROUP BY subspace, cell ORDER BY subspace, cell""",
+    ),
+    doc="PQ codebook balance diagnostic: member count per (subspace, cell) "
+    "via in-row posexplode of the code columns — one encode pass, one "
+    "map-side-combined groupBy",
+)
+def pq_codebook_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_codebook_summary(load_table(spark, sf_dir, "embeddings"))

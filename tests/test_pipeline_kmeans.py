@@ -105,3 +105,37 @@ def test_semantic_dedup_empty_when_threshold_high(spark):
     ).collect()
     assert sum(r.dup_pairs for r in out) == 0
     assert sum(r.n_vectors for r in out) == 4
+
+
+def test_pq_codes_separable_subspaces(spark):
+    """Two clear clusters in EACH subspace: vectors 0-2 near +1 in both
+    halves, 3-5 near -1. With centroid_mod=3 the init sample is {1, 4} per
+    subspace, so every subspace's codebook separates the two groups."""
+    from iceberg_meta_spark.pipeline import pq
+
+    rows = []
+    for i in range(6):
+        sign = 1.0 if i < 3 else -1.0
+        rows.append((i, [sign + 0.01 * i] * 4))
+    emb = _emb(spark, rows)
+    out = {r.vec_id: r for r in pq.pq_codes(emb, m=2, dims=4, centroid_mod=3, iters=1).collect()}
+    assert len(out) == 6
+    # same-group vectors share codes in every subspace; groups differ
+    assert out[0].code == out[1].code == out[2].code
+    assert out[3].code == out[4].code == out[5].code
+    assert out[0].code != out[3].code
+    # code string mirrors the subspace cells
+    assert out[0].code == f"{out[0].s0}-{out[0].s1}"
+
+
+def test_pq_codebook_balance_counts_sum_to_n(spark):
+    from iceberg_meta_spark.pipeline import pq
+
+    rows = [(i, [((i * 7 + d) % 5) / 5.0 for d in range(4)]) for i in range(12)]
+    bal = pq.pq_codebook_summary(
+        _emb(spark, rows), m=2, dims=4, centroid_mod=5, iters=1
+    ).collect()
+    per_sub = {}
+    for r in bal:
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
+    assert per_sub == {0: 12, 1: 12}
