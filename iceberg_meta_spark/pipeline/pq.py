@@ -81,18 +81,14 @@ def train_codebooks(
     return base, codebooks
 
 
-def pq_codes(
-    emb: DataFrame, m: int = 4, dims: int = 64, centroid_mod: int = 63, iters: int = 1
+def _encode(
+    base: DataFrame, codebooks: list[list[tuple[int, list[int]]]], dims_sub: int
 ) -> DataFrame:
-    """Per-vector PQ code: (vec_id, s0..s{m-1}, code).
-
-    One combined kernel computes every subspace argmax in a single pass over
+    """(vec_id, s0..s{m-1}): every subspace argmax in ONE kernel pass over
     the checkpointed base — same exactness contract as kmeans._assign
     (floor-scaled integer dots, cosine in f64, ties to the lowest cent_id).
     """
-    dims_sub = dims // m
-    base, codebooks = train_codebooks(emb, m, dims, centroid_mod, iters)
-
+    m = len(codebooks)
     preps = []
     for cent_rows in codebooks:
         ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
@@ -119,14 +115,101 @@ def pq_codes(
             yield pd.DataFrame(out)
 
     schema = "vec_id long, " + ", ".join(f"s{s} long" for s in range(m))
-    coded = base.select(
+    return base.select(
         "vec_id", "embedding", *[f"norm_{s}" for s in range(m)]
     ).mapInPandas(kernel, schema)
+
+
+def pq_codes(
+    emb: DataFrame, m: int = 4, dims: int = 64, centroid_mod: int = 63, iters: int = 1
+) -> DataFrame:
+    """Per-vector PQ code: (vec_id, s0..s{m-1}, code)."""
+    dims_sub = dims // m
+    base, codebooks = train_codebooks(emb, m, dims, centroid_mod, iters)
+    coded = _encode(base, codebooks, dims_sub)
     return coded.select(
         "vec_id",
         *[f"s{s}" for s in range(m)],
         F.concat_ws("-", *[F.col(f"s{s}").cast("string") for s in range(m)]).alias("code"),
     )
+
+
+def adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    dims: int = 64,
+    centroid_mod: int = 63,
+    iters: int = 1,
+) -> DataFrame:
+    """Asymmetric distance computation — approximate top-k over PQ codes.
+
+    The payoff of PQ at 10⁹ vectors: the corpus is scanned as m small ints
+    per vector, and each query's similarity to a vector is approximated by
+    table lookups — ``adc(q, x) = Σ_s LUT_q[s][code_s(x)]`` where
+    ``LUT_q[s][cell] = scaled_dot(q_slice_s, centroid_{s,cell})``, the exact
+    integer dot the trainer uses. The LUTs (nq × m × K entries) are baked
+    into the plan as map literals, so scoring is PURE MAP-SIDE expression
+    work over the codes — zero joins, zero shuffles before the per-query
+    top-k window (same shape as brute_force_topk's ranking).
+
+    Ranking is by approximate inner product (adc_s DESC, neighbor_id ASC),
+    self-matches excluded. Returns (query_id, rank, neighbor_id, adc_s).
+    """
+    dims_sub = dims // m
+    base, codebooks = train_codebooks(emb, m, dims, centroid_mod, iters)
+    coded = _encode(base, codebooks, dims_sub)
+
+    # query vectors: a driver-side handful (the broadcast query set of every
+    # ANN kernel here); LUT arithmetic mirrors the assignment kernel exactly
+    qvecs = {
+        r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "embedding").collect()
+    }
+
+    def lut_map(qid: int):
+        entries = []
+        for s, cent_rows in enumerate(codebooks):
+            qs = qvecs[qid][s * dims_sub : (s + 1) * dims_sub]
+            for cid, c in cent_rows:
+                dq = np.asarray(c, dtype=np.float64) / QUANT
+                val = int(np.floor((qs * dq) * SCALE).astype(np.int64).sum())
+                entries.append((f"{s}:{cid}", val))
+        return F.create_map(
+            *[c for kv in entries for c in (F.lit(kv[0]), F.lit(int(kv[1])).cast("long"))]
+        )
+
+    def adc_expr(qid: int):
+        lut = lut_map(qid)
+        return sum(
+            F.element_at(lut, F.concat_ws(":", F.lit(str(s)), F.col(f"s{s}").cast("string")))
+            for s in range(m)
+        )
+
+    scored = coded.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("long").alias("query_id"),
+                        adc_expr(qid).cast("long").alias("adc_s"),
+                    )
+                    for qid in query_ids
+                ]
+            )
+        ).alias("x"),
+    ).select(F.col("x.query_id"), F.col("vec_id").alias("neighbor_id"), F.col("x.adc_s"))
+    from pyspark.sql import Window
+
+    ranked = scored.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("adc_s"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "adc_s")
 
 
 def pq_codebook_summary(

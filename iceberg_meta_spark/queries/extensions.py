@@ -3353,3 +3353,52 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pq_codebook_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_codebook_summary(load_table(spark, sf_dir, "embeddings"))
+
+
+def _adc_oracle(
+    query_ids=(1, 7, 42), k=5, m=4, dims_sub=16, centroid_mod=63, iters=1
+) -> str:
+    """ADC scores rebuilt in SQL: per (query, subspace), each vector's
+    contribution is the exact integer dot of the query slice with the
+    vector's ASSIGNED refined centroid — m × nq union blocks, then a
+    per-query sum + rank."""
+    parts = _pq_prefix(m, dims_sub, centroid_mod, iters)
+    blocks = []
+    for qid in query_ids:
+        for s in range(m):
+            lo, hi = s * dims_sub + 1, (s + 1) * dims_sub
+            dot = f"""(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * (CAST(xb AS DOUBLE)/1000000.0) * 1e12) AS BIGINT)) AS BIGINT)
+                FROM (SELECT unnest(qv.embedding[{lo}:{hi}]) AS xa, unnest(c.c) AS xb) zq)"""
+            blocks.append(
+                f"""SELECT a.vec_id, CAST({qid} AS BIGINT) AS query_id, {dot} AS contrib
+              FROM af{s} a
+              JOIN pb{s}c{iters} c ON c.cent_id = a.cell,
+                   (SELECT embedding FROM embeddings WHERE vec_id = {qid}) qv"""
+            )
+    union = "\n              UNION ALL ".join(blocks)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    contrib AS ({union}),
+    scores AS (SELECT query_id, vec_id AS neighbor_id,
+                 CAST(sum(contrib) AS BIGINT) AS adc_s
+               FROM contrib GROUP BY query_id, vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_s DESC, neighbor_id) AS rank
+               FROM scores WHERE neighbor_id <> query_id)
+    SELECT query_id, rank, neighbor_id, adc_s FROM ranked WHERE rank <= {k}"""
+    )
+
+
+@register(
+    "ann_pq_adc",
+    oracle=_adc_oracle(query_ids=(1, 7, 42), k=5, m=4, dims_sub=16, centroid_mod=63, iters=1),
+    doc="Asymmetric distance computation over PQ codes — the 10^9-vector "
+    "search path: corpus scanned as m small ints per vector, per-query "
+    "similarity via broadcast LUT map-literal lookups (LUT[s][cell] = exact "
+    "integer dot of query slice x refined centroid), pure map-side scoring, "
+    "per-query top-k window; approximate ranking, hash-gated exactly",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.adc_topk(load_table(spark, sf_dir, "embeddings"), query_ids=[1, 7, 42], k=5)

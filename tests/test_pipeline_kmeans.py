@@ -139,3 +139,20 @@ def test_pq_codebook_balance_counts_sum_to_n(spark):
     for r in bal:
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
     assert per_sub == {0: 12, 1: 12}
+
+
+def test_adc_topk_recovers_cluster_neighbors(spark):
+    """On a separable corpus the ADC approximation must put same-cluster
+    vectors at the top: query 1 lives in the +1 cluster (ids 0-2)."""
+    from iceberg_meta_spark.pipeline import pq
+
+    rows = []
+    for i in range(6):
+        sign = 1.0 if i < 3 else -1.0
+        rows.append((i, [sign + 0.01 * i] * 4))
+    out = pq.adc_topk(
+        _emb(spark, rows), query_ids=[1], k=2, m=2, dims=4, centroid_mod=3, iters=1
+    ).collect()
+    assert [r.rank for r in out] == [1, 2]
+    assert {r.neighbor_id for r in out} <= {0, 2}  # own-cluster ids (self excluded)
+    assert all(r.adc_s > 0 for r in out)

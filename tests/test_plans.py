@@ -579,3 +579,13 @@ def test_q6_filters_reach_the_scan(spark):
     p = plan(q.spark_fn(spark, SF))
     pushed = " ".join(line for line in p.splitlines() if "PushedFilters" in line)
     assert "l_discount" in pushed and "l_quantity" in pushed, p
+
+
+def test_adc_scoring_is_joinless_map_side(spark):
+    # ADC's promise at scale: after encoding (MapInPandas) the per-query
+    # scores come from baked-in LUT map literals — no join anywhere in the
+    # scoring plan, the only wide op is the per-query top-k window
+    p = plan(load_all()["ann_pq_adc"].spark_fn(spark, SF))
+    assert "MapInPandas" in p, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
