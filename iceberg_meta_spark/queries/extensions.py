@@ -3208,6 +3208,7 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lm_familiarity",
+    tags=("bench",),
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
@@ -3323,6 +3324,7 @@ def _pq_codes_oracle(m: int = 4, dims_sub: int = 16, centroid_mod: int = 63, ite
 @register(
     "pq_codes",
     oracle=_pq_codes_oracle(m=4, dims_sub=16, centroid_mod=63, iters=1),
+    tags=("bench",),
     doc="Product quantization: 4 independent per-subspace Lloyd codebooks "
     "(16 dims each, integer-exact like the IVF trainer), then ONE combined "
     "Arrow kernel encodes every vector's 4 subspace argmax cells in a "
@@ -3394,6 +3396,7 @@ def _adc_oracle(
 @register(
     "ann_pq_adc",
     oracle=_adc_oracle(query_ids=(1, 7, 42), k=5, m=4, dims_sub=16, centroid_mod=63, iters=1),
+    tags=("bench",),
     doc="Asymmetric distance computation over PQ codes — the 10^9-vector "
     "search path: corpus scanned as m small ints per vector, per-query "
     "similarity via broadcast LUT map-literal lookups (LUT[s][cell] = exact "
