@@ -339,3 +339,81 @@ def lm_familiarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
         "mean_familiarity",
         (F.col("mean_familiarity") * 2 < F.col("expected_w")).alias("low_familiarity"),
     )
+
+
+def hybrid_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: tuple[str, ...],
+    query_vec_id: int = 7,
+    topk_bm25: int = 25,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid search: BM25 candidate generation → embedding-cosine rerank →
+    reciprocal-rank fusion. The standard two-stage retrieval pipeline (RAG
+    retrievers, candidate generation for rerankers) composed from the BM25
+    and similarity kernels.
+
+    Stage 1 narrows the corpus to ``topk_bm25`` keyword candidates (BM25's
+    scale posture: query-term filter at the scan, broadcast df/corpus
+    aggregates). Stage 2 touches ONLY the candidates: they broadcast into
+    the embeddings scan (a 10⁹-vector table is filtered by a ≤topk hash
+    join, never scanned into a shuffle), cosine against the single query
+    vector, then RRF with integer arithmetic:
+    ``rrf = (1e6 DIV (rrf_k + bm25_rank)) + (1e6 DIV (rrf_k + cos_rank))``
+    — deterministic cross-engine, no float fusion weights.
+
+    Candidates without an embedding row drop out (they cannot be reranked).
+    All windows run over ≤ topk_bm25 rows — bounded by construction.
+    """
+    from pyspark.sql import Window
+
+    from iceberg_meta_spark.pipeline.similarity import scaled_dot, with_self_norm
+
+    cands = bm25_scores(docs, terms, topk=topk_bm25).withColumn(
+        "bm25_rank",
+        F.row_number().over(Window.orderBy(F.desc("score_scaled"), F.asc("doc_id"))),
+    )
+    base = with_self_norm(emb)
+    qv = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("norm_s").alias("q_norm")
+    )
+    reranked = (
+        base.join(F.broadcast(cands), base["vec_id"] == cands["doc_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "score_scaled",
+            (
+                scaled_dot(F.col("embedding"), F.col("q_emb")).cast("double")
+                / (
+                    F.sqrt(F.col("norm_s").cast("double"))
+                    * F.sqrt(F.col("q_norm").cast("double"))
+                )
+            ).alias("cos"),
+        )
+        .withColumn(
+            "cos_rank",
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
+        )
+    )
+    scale = 1_000_000
+    fused = reranked.select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.expr(f"CAST({scale} DIV ({rrf_k} + bm25_rank) + {scale} DIV ({rrf_k} + cos_rank) AS BIGINT)").alias(
+            "rrf_scaled"
+        ),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))),
+        )
+        .select("rank", "doc_id", "bm25_rank", "cos_rank", "rrf_scaled")
+    )

@@ -3405,3 +3405,65 @@ def _adc_oracle(
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.adc_topk(load_table(spark, sf_dir, "embeddings"), query_ids=[1, 7, 42], k=5)
+
+
+@register(
+    "hybrid_retrieval",
+    oracle=f"""
+        WITH corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                        FROM documents),
+        tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+               FROM tok WHERE token IN {_BM25_TERMS!r}
+               GROUP BY doc_id, token),
+        dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tf GROUP BY token),
+        contrib AS (SELECT doc_id,
+                      CAST(floor(((n_docs - df + 0.5) / (df + 0.5))
+                        * ((tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (total_tokens / n_docs))))
+                        * 1000000) AS BIGINT) AS si
+                    FROM tf JOIN dfreq USING (token), corpus),
+        bm AS (SELECT doc_id, CAST(sum(si) AS BIGINT) AS score_scaled
+               FROM contrib GROUP BY doc_id
+               ORDER BY score_scaled DESC, doc_id LIMIT 25),
+        cands AS (SELECT doc_id, score_scaled,
+                    row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS bm25_rank
+                  FROM bm),
+        norms AS (SELECT vec_id, embedding,
+                    (SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1e12) AS BIGINT)) AS BIGINT)
+                     FROM (SELECT unnest(embedding) AS x) zn) AS norm_s
+                  FROM embeddings),
+        qv AS (SELECT embedding AS q_emb, norm_s AS q_norm FROM norms WHERE vec_id = 7),
+        rer AS (SELECT c.doc_id, c.bm25_rank,
+                  CAST((SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE)*CAST(xb AS DOUBLE)*1e12) AS BIGINT)) AS BIGINT)
+                        FROM (SELECT unnest(n.embedding) AS xa, unnest(q.q_emb) AS xb) zd) AS DOUBLE)
+                    / (sqrt(CAST(n.norm_s AS DOUBLE)) * sqrt(CAST(q.q_norm AS DOUBLE))) AS cos
+                FROM cands c JOIN norms n ON n.vec_id = c.doc_id, qv q),
+        ranked AS (SELECT doc_id, bm25_rank,
+                     row_number() OVER (ORDER BY cos DESC, doc_id) AS cos_rank
+                   FROM rer),
+        fused AS (SELECT doc_id, bm25_rank, cos_rank,
+                    CAST(1000000 // (60 + bm25_rank) + 1000000 // (60 + cos_rank) AS BIGINT)
+                      AS rrf_scaled
+                  FROM ranked)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(cos_rank AS BIGINT) AS cos_rank, rrf_scaled
+        FROM fused ORDER BY rrf_scaled DESC, doc_id LIMIT 10
+    """,
+    doc="Two-stage hybrid search (RAG retriever shape): BM25 keyword "
+    "candidates -> candidates broadcast into the embeddings scan (the "
+    "10^9-vector table is filtered by a <=25-row hash join, never "
+    "shuffled) -> cosine rerank vs one query vector -> integer reciprocal-"
+    "rank fusion; every window runs over <=25 candidate rows",
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.hybrid_retrieval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        query_vec_id=7,
+    )

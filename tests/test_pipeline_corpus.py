@@ -184,3 +184,29 @@ def test_lm_familiarity_oov_scores_zero(spark):
     # kept bigram: (a b) cnt=2; w = (2*1e9) DIV 2 = 1e9 (prefix a. = 2)
     assert out[0].mean_familiarity == (1000000000 + 0 + 1000000000) // 3
     assert out[1].mean_familiarity == 0 and out[1].low_familiarity
+
+
+def test_hybrid_retrieval_fuses_bm25_and_cosine(spark):
+    """Handcrafted corpus: doc 0 is the keyword hit, doc 1 is the semantic
+    hit; RRF must surface both, and a doc missing its embedding row is
+    dropped (it cannot be reranked)."""
+    docs = _docs(spark, ["hash join spark", "query engine", "hash hash", "noise"])
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            # doc 2 has NO embedding row
+            (3, [0.0, 1.0]),
+            (9, [1.0, 0.05]),  # the query vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = corpus.hybrid_retrieval(
+        docs, emb, terms=("hash", "join"), query_vec_id=9, topk_bm25=3, k=5
+    ).collect()
+    # BM25 candidates: docs 0 and 2 (doc 2 dropped: no embedding) — doc 0 survives
+    ids = [r.doc_id for r in out]
+    assert 0 in ids and 2 not in ids and 3 not in ids
+    r0 = next(r for r in out if r.doc_id == 0)
+    assert r0.rank == 1 and r0.rrf_scaled > 0
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, len(out) + 1))
