@@ -36,27 +36,19 @@ from iceberg_meta_spark.pipeline.similarity import SCALE, scaled_dot
 QUANT = kmeans.QUANT
 
 
-def _sub_view(base: DataFrame, s: int, dims_sub: int) -> DataFrame:
-    """Project the shared checkpointed base down to one subspace, renamed to
-    the column contract kmeans._assign/_update expect — a narrow projection,
-    nothing recomputed."""
-    lo = s * dims_sub + 1
-    return base.select(
-        "vec_id",
-        F.slice("embedding", lo, dims_sub).alias("embedding"),
-        F.col(f"norm_{s}").alias("norm_s"),
-        F.col(f"q_{s}").alias("q"),
-    )
-
-
 def train_codebooks(
     emb: DataFrame, m: int = 4, dims: int = 64, centroid_mod: int = 63, iters: int = 1
 ) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
-    """(base, codebooks): run ``iters`` Lloyd rounds per subspace.
+    """(base, codebooks): run ``iters`` Lloyd rounds per subspace — but every
+    subspace advances in the SAME pass over the data.
 
     ``base`` carries embedding plus per-subspace norms / quantized slices and
-    is checkpointed ONCE; each subspace's refinement reuses it through a
-    narrow projection.
+    is checkpointed ONCE. Each round is one combined kernel (all m argmaxes,
+    q slices carried through the narrow map) feeding ONE unpivoted
+    (subspace, cell) integer-mean aggregate — so a Lloyd round costs one scan
+    and one shuffle regardless of m, and one driver collect retrieves every
+    codebook (K·m rows, bounded). The per-subspace math is identical to
+    training each codebook separately; only the scheduling is fused.
     """
     dims_sub = dims // m
     cols = [F.col("vec_id"), F.col("embedding")]
@@ -66,27 +58,56 @@ def train_codebooks(
         cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
     base = emb.select(*cols).localCheckpoint()
 
-    codebooks = []
-    for s in range(m):
-        view = _sub_view(base, s, dims_sub)
-        cent_rows = kmeans._collect_cents(
-            view.filter(F.col("vec_id") % centroid_mod == 1).select(
-                F.col("vec_id").alias("cent_id"), F.col("q").alias("c")
-            )
+    # one collect seeds every subspace's centroid sample
+    init = base.filter(F.col("vec_id") % centroid_mod == 1).select(
+        "vec_id", *[f"q_{s}" for s in range(m)]
+    )
+    seeds = sorted((r["vec_id"], [list(r[f"q_{s}"]) for s in range(m)]) for r in init.collect())
+    codebooks = [[(vid, qs[s]) for vid, qs in seeds] for s in range(m)]
+
+    for _ in range(iters):
+        coded = _encode(base, codebooks, dims_sub, carry_q=True)
+        # unpivot (subspace, cell, q-slice) in-row, then ONE map-side-combined
+        # aggregate produces every subspace's per-cell integer means
+        pairs = coded.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"s{s}").alias("cell"), F.col(f"q_{s}").alias("q")
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("subspace", "x")
         )
-        for _ in range(iters):
-            assign = kmeans._assign(view, cent_rows, with_q=True)
-            cent_rows = kmeans._collect_cents(kmeans._update(assign, dims_sub))
-        codebooks.append(cent_rows)
+        sums = pairs.groupBy("subspace", F.col("x.cell").alias("cell")).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("x.q"), i + 1)).alias(f"c{i}")
+                for i in range(dims_sub)
+            ],
+        )
+        mean = F.array(*[F.expr(f"CAST(c{i} DIV n AS BIGINT)") for i in range(dims_sub)])
+        rows = sums.select("subspace", "cell", mean.alias("c")).collect()
+        codebooks = [
+            sorted((r["cell"], list(r["c"])) for r in rows if r["subspace"] == s)
+            for s in range(m)
+        ]
     return base, codebooks
 
 
 def _encode(
-    base: DataFrame, codebooks: list[list[tuple[int, list[int]]]], dims_sub: int
+    base: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    dims_sub: int,
+    carry_q: bool = False,
 ) -> DataFrame:
-    """(vec_id, s0..s{m-1}): every subspace argmax in ONE kernel pass over
-    the checkpointed base — same exactness contract as kmeans._assign
-    (floor-scaled integer dots, cosine in f64, ties to the lowest cent_id).
+    """(vec_id, s0..s{m-1}[, q_0..q_{m-1}]): every subspace argmax in ONE
+    kernel pass over the checkpointed base — same exactness contract as
+    kmeans._assign (floor-scaled integer dots, cosine in f64, ties to the
+    lowest cent_id). ``carry_q`` passes the quantized slices through the
+    narrow map so the centroid update aggregates the kernel output directly.
     """
     m = len(codebooks)
     preps = []
@@ -112,12 +133,17 @@ def _encode(
                 )
                 cos = dot.astype(np.float64) / (n_sqrt[:, None] * c_sqrt[None, :])
                 out[f"s{s}"] = ids[np.argmax(cos, axis=1)]
+            if carry_q:
+                for s in range(len(preps)):
+                    out[f"q_{s}"] = pdf[f"q_{s}"]
             yield pd.DataFrame(out)
 
     schema = "vec_id long, " + ", ".join(f"s{s} long" for s in range(m))
-    return base.select(
-        "vec_id", "embedding", *[f"norm_{s}" for s in range(m)]
-    ).mapInPandas(kernel, schema)
+    cols = ["vec_id", "embedding"] + [f"norm_{s}" for s in range(m)]
+    if carry_q:
+        schema += ", " + ", ".join(f"q_{s} array<long>" for s in range(m))
+        cols += [f"q_{s}" for s in range(m)]
+    return base.select(*cols).mapInPandas(kernel, schema)
 
 
 def pq_codes(
