@@ -704,3 +704,52 @@ def test_stream_static_enrichment_join(spark):
         assert all(r.user_id in (0, 1) for r in rows)  # inner join drops user 2
     finally:
         q.stop()
+
+
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """Batch-train / stream-apply: codebooks trained offline encode a live
+    parquet stream of embeddings bit-identically to the batch encoder."""
+    import time
+
+    from iceberg_meta_spark.pipeline import pq
+    from iceberg_meta_spark.streaming.encode import encode_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, codebooks = pq.train_codebooks(emb, m=4, dims=64, centroid_mod=63, iters=1)
+    expected = {
+        r.vec_id: r.code for r in pq.pq_codes(emb, centroid_mod=63, iters=1).collect()
+    }
+
+    src = str(tmp_path / "embs")
+    # first half lands before the stream starts, second half arrives live
+    emb.filter("vec_id < 250").write.mode("append").parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>, label int").parquet(src)
+    got: dict[int, str] = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            got[r.vec_id] = r.code
+
+    q = (
+        encode_stream(stream.select("vec_id", "embedding"), codebooks)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: len(got) >= 250), len(got)
+        emb.filter("vec_id >= 250").write.mode("append").parquet(src)
+        assert wait_for(lambda: len(got) == len(expected)), len(got)
+        assert got == expected
+    finally:
+        q.stop()
