@@ -156,3 +156,41 @@ def test_adc_topk_recovers_cluster_neighbors(spark):
     assert [r.rank for r in out] == [1, 2]
     assert {r.neighbor_id for r in out} <= {0, 2}  # own-cluster ids (self excluded)
     assert all(r.adc_s > 0 for r in out)
+
+
+def test_adc_recall_on_clustered_corpus(spark):
+    """ADC must preserve neighbor ranking when neighborhoods are resolvable
+    at codebook granularity: 15 well-separated clusters of 6 vectors, one
+    Lloyd seed per cluster — a query's exact top-5 are its 5 same-cluster
+    peers, and ADC recall@5 vs exact brute force is >= 0.8. (Finer-than-cell
+    ranking is unresolvable by construction for ANY product quantizer: all
+    cell members share a code.)"""
+    import numpy as np
+
+    from iceberg_meta_spark.pipeline import pq
+
+    def pattern(c):
+        # half 1: binary code of c (distinct for every cluster); half 2: scrambled
+        h1 = [1.0 if (c >> b) & 1 else -1.0 for b in range(4)]
+        h2 = [1.0 if ((c * 5 + 3) >> b) & 1 else -1.0 for b in range(4)]
+        return h1 + h2
+
+    rows = []
+    for i in range(1, 91):  # ids 1..90; cluster = (id-1)//6; seeds 1,7,...,85 — one per cluster
+        c = (i - 1) // 6
+        noise = [((i * 13 + d * 7) % 11 - 5) / 250.0 for d in range(8)]
+        rows.append((i, [pattern(c)[d] + noise[d] for d in range(8)]))
+    emb = _emb(spark, rows)
+    qid = 2  # cluster 0; its 5 peers are ids 1, 3, 4, 5, 6
+    out = pq.adc_topk(emb, query_ids=[qid], k=5, m=2, dims=8, centroid_mod=6, iters=1).collect()
+    adc_top = {r.neighbor_id for r in out}
+
+    X = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    q = X[ids == qid][0]
+    exact = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    mask = ids != qid
+    exact_top = set(ids[mask][np.argsort(-exact[mask])][:5])
+    assert exact_top == {1, 3, 4, 5, 6}  # the construction holds
+    recall = len(adc_top & exact_top) / 5
+    assert recall >= 0.8, (recall, adc_top, exact_top)
