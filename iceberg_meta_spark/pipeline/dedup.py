@@ -76,6 +76,23 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2)
     return wide.select("doc_id", F.posexplode("sig").alias("seed", "mh"))
 
 
+def minhash_band_rows(
+    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2, band_size: int = 2
+) -> DataFrame:
+    """(doc_id, sig, band_idx, band_key): one row per document per LSH band —
+    the indexable unit shared by the batch pair join and the streaming
+    ingest-dedup signature store (streaming/lsh.py)."""
+    n_bands_total = num_hashes // band_size
+    wide = minhash_signature_arrays(docs, num_hashes, shingle_k)
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", *[F.col("sig")[b * band_size + r] for r in range(band_size)])
+            for b in range(n_bands_total)
+        ]
+    )
+    return wide.select("doc_id", "sig", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -96,15 +113,7 @@ def minhash_lsh_pairs(
     signature arrays, so the estimation joins move one row per doc, not one
     per (doc, seed).
     """
-    n_bands_total = num_hashes // band_size
-    wide = minhash_signature_arrays(docs, num_hashes, shingle_k)
-    band_keys = F.array(
-        *[
-            F.concat_ws("|", *[F.col("sig")[b * band_size + r] for r in range(band_size)])
-            for b in range(n_bands_total)
-        ]
-    )
-    bands = wide.select("doc_id", "sig", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    bands = minhash_band_rows(docs, num_hashes, shingle_k, band_size)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_key"
     )

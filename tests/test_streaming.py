@@ -753,3 +753,63 @@ def test_streaming_pq_encode_matches_batch(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_lsh_near_dup_at_ingest(spark, tmp_path):
+    """Ingest dedup: batch-2 docs are flagged against batch-1's signature
+    store (kind=history) and within their own micro-batch (kind=batch);
+    unique docs are not flagged."""
+    import time
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "sigs")
+    dups = str(tmp_path / "dups")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    from iceberg_meta_spark.streaming.lsh import near_dup_stream
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different content about spark query planning internals"
+    spark.createDataFrame([(1, t1), (2, t2)], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = near_dup_stream(stream, store, dups, ck)
+
+    def read_dups():
+        try:
+            return {
+                (r.doc_id, r.dup_of, r.kind): r.n_bands
+                for r in spark.read.parquet(dups).collect()
+            }
+        except Exception:
+            return None
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: read_dups() is not None), "first batch never flushed"
+        assert read_dups() == {}  # two unique docs: nothing flagged
+        # batch 2: doc 3 re-delivers doc 1's text (history dup);
+        # docs 4+5 duplicate each other inside the batch; doc 6 unique
+        t3 = "fresh unique text having no overlap with anything previously seen"
+        spark.createDataFrame(
+            [(3, t1), (4, t3 + " variant"), (5, t3 + " variant"), (6, "lone wolf doc")],
+            schema,
+        ).write.mode("append").parquet(src)
+        assert wait_for(lambda: read_dups() and (3, 1, "history") in read_dups()), read_dups()
+        got = read_dups()
+        assert (5, 4, "batch") in got, got
+        flagged_docs = {k[0] for k in got}
+        assert 6 not in flagged_docs and 2 not in flagged_docs
+        # the store accumulated both batches' band rows
+        sig_docs = {r.doc_id for r in spark.read.parquet(store).collect()}
+        assert sig_docs == {1, 2, 3, 4, 5, 6}
+    finally:
+        q.stop()
