@@ -84,6 +84,13 @@ def _assign(
     for arbitrary base columns (semantic_dedup carries embedding/norm_s so
     the in-cell pair join needs no back-join to fetch vectors).
     """
+    carry = tuple(c for c in carry if c != "vec_id" and not (with_q and c == "q"))
+    types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    schema = "vec_id long, cell long"
+    for c in (["q"] if with_q else []) + list(carry):
+        schema += f", {c} {types[c]}"
+    if not cent_rows:  # empty corpus → empty centroid sample → no cells
+        return base.sparkSession.createDataFrame([], schema)
     ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
     dq = np.asarray([c for _, c in cent_rows], dtype=np.float64) / QUANT  # K×dims
     c_norm = np.floor((dq * dq) * SCALE).astype(np.int64).sum(axis=1)
@@ -115,13 +122,8 @@ def _assign(
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    carry = tuple(c for c in carry if c != "vec_id" and not (with_q and c == "q"))
     cols = ["vec_id", "embedding", "norm_s"]
     cols += [c for c in (["q"] if with_q else []) + list(carry) if c not in cols]
-    types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
-    schema = "vec_id long, cell long"
-    for c in (["q"] if with_q else []) + list(carry):
-        schema += f", {c} {types[c]}"
     return base.select(*cols).mapInPandas(kernel, schema)
 
 

@@ -110,6 +110,11 @@ def _encode(
     narrow map so the centroid update aggregates the kernel output directly.
     """
     m = len(codebooks)
+    schema = "vec_id long, " + ", ".join(f"s{s} long" for s in range(m))
+    if carry_q:
+        schema += ", " + ", ".join(f"q_{s} array<long>" for s in range(m))
+    if any(not cb for cb in codebooks):  # empty corpus → empty codebooks
+        return base.sparkSession.createDataFrame([], schema)
     preps = []
     for cent_rows in codebooks:
         ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
@@ -138,10 +143,8 @@ def _encode(
                     out[f"q_{s}"] = pdf[f"q_{s}"]
             yield pd.DataFrame(out)
 
-    schema = "vec_id long, " + ", ".join(f"s{s} long" for s in range(m))
     cols = ["vec_id", "embedding"] + [f"norm_{s}" for s in range(m)]
     if carry_q:
-        schema += ", " + ", ".join(f"q_{s} array<long>" for s in range(m))
         cols += [f"q_{s}" for s in range(m)]
     return base.select(*cols).mapInPandas(kernel, schema)
 
@@ -203,6 +206,11 @@ def adc_topk(
         r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
         for r in emb.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "embedding").collect()
     }
+    query_ids = [q for q in query_ids if q in qvecs]  # absent queries have no answers
+    if not query_ids or any(not cb for cb in codebooks):
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adc_s long"
+        )
 
     def lut_map(qid: int):
         entries = []

@@ -194,3 +194,26 @@ def test_adc_recall_on_clustered_corpus(spark):
     assert exact_top == {1, 3, 4, 5, 6}  # the construction holds
     recall = len(adc_top & exact_top) / 5
     assert recall >= 0.8, (recall, adc_top, exact_top)
+
+
+def test_round3_kernels_handle_empty_inputs(spark):
+    """Schema-stable empties for the round-3 kernels: no rows, correct
+    columns, no crashes (mirrors the maintenance empty-input sweep)."""
+    from iceberg_meta_spark.pipeline import pq
+    from iceberg_meta_spark.pipeline.corpus import hybrid_retrieval, lm_familiarity_scores
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    out = pq.pq_codes(empty_emb, m=2, dims=4, centroid_mod=3, iters=1)
+    assert out.columns == ["vec_id", "s0", "s1", "code"] and out.count() == 0
+    assert pq.pq_codebook_summary(empty_emb, m=2, dims=4, centroid_mod=3).count() == 0
+    adc = pq.adc_topk(empty_emb, query_ids=[1], k=3, m=2, dims=4, centroid_mod=3)
+    assert adc.columns == ["query_id", "rank", "neighbor_id", "adc_s"] and adc.count() == 0
+    lm = lm_familiarity_scores(empty_docs)
+    assert lm.columns == ["doc_id", "n_bigrams", "mean_familiarity", "low_familiarity"]
+    assert lm.count() == 0
+    hy = hybrid_retrieval(empty_docs, empty_emb, terms=("x",), query_vec_id=1)
+    assert hy.columns == ["rank", "doc_id", "bm25_rank", "cos_rank", "rrf_scaled"]
+    assert hy.count() == 0
