@@ -161,3 +161,41 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.orderBy(F.desc("rank_scaled"), "node")
+
+
+def leakage_safe_splits(
+    docs: DataFrame, k: int = 3, test_256: int = 26, val_256: int = 26, salt: str = "split"
+) -> DataFrame:
+    """Train/validation/test assignment that near-duplicates can never
+    straddle: the split is a function of the doc's duplicate-CLUSTER id, not
+    the doc id — a test doc's near-dup leaking into train is the classic
+    eval-contamination failure, and hashing the connected-component label
+    makes it structurally impossible (transitively linked docs share the
+    label, hence the split).
+
+    Deterministic md5 bucketing (first 2 hex digits vs a hex threshold, the
+    ``sampling.stratified_sample`` trick) replaces the RNG: ``test_256`` and
+    ``val_256`` are rates in 256ths. Singleton docs (no dup edges) use their
+    own doc_id as the split key. Returns (doc_id, split_key, split).
+
+    Scale: the component labeling is the bounded min-label propagation of
+    :func:`connected_components` (star edges, diameter ≈2); the split
+    assignment itself is one left join + pure map-side hashing.
+    """
+    from iceberg_meta_spark.pipeline.sampling import _hex2
+
+    cc = connected_components(fingerprint_edges(docs, k))
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("split_key"))
+    )
+    b = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("split_key").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(b < F.lit(_hex2(test_256)), "test")
+        .when(b < F.lit(_hex2(test_256 + val_256)), "validation")
+        .otherwise("train")
+    )
+    return labeled.select("doc_id", "split_key", split.alias("split"))

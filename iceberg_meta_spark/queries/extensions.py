@@ -3467,3 +3467,46 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_TERMS,
         query_vec_id=7,
     )
+
+
+@register(
+    "corpus_splits",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keys AS (
+            SELECT doc_id, md5(concat('p|', array_to_string(t[1:3], ' '))) AS fp
+            FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   md5(concat('s|', array_to_string(
+                        list_reverse(list_slice(list_reverse(t), 1, 3)), ' '))) AS fp
+            FROM toks),
+        reps AS (SELECT fp, min(doc_id) AS rep FROM keys GROUP BY fp),
+        e0 AS (SELECT DISTINCT k.doc_id AS src, r.rep AS dst
+               FROM keys k JOIN reps r USING (fp) WHERE k.doc_id <> r.rep),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+        cc AS (SELECT node, min(lab) AS lab FROM walk GROUP BY node),
+        labeled AS (SELECT d.doc_id, coalesce(cc.lab, d.doc_id) AS split_key
+                    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        bucketed AS (SELECT doc_id, split_key,
+                       substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 2) AS b
+                     FROM labeled)
+        SELECT doc_id, split_key,
+               CASE WHEN b < '1a' THEN 'test'
+                    WHEN b < '34' THEN 'validation'
+                    ELSE 'train' END AS split
+        FROM bucketed
+    """,
+    doc="Leakage-safe train/val/test splits: the split hashes the doc's "
+    "duplicate-CLUSTER label (connected components over fingerprint star "
+    "edges), so near-duplicates structurally cannot straddle splits — the "
+    "eval-decontamination guarantee; singletons hash their own id; md5 "
+    "hex-threshold bucketing at 26/256 test + 26/256 validation, no RNG",
+)
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.leakage_safe_splits(load_table(spark, sf_dir, "documents"))

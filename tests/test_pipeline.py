@@ -411,3 +411,29 @@ def test_doc_quantiles_approx_close_to_exact(spark):
         # at 10k accuracy on sf0.01 group sizes the sketch lands on an
         # actual data value adjacent to the interpolated exact quantile
         assert abs(approx[k] - v) <= max(0.05 * max(abs(v), 1.0), 2.0), (k, v, approx[k])
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark):
+    """Transitively-linked near-dups must land in the same split: A~B share
+    a 3-token prefix, B~C share a 3-token suffix — all three get one split.
+    Unlinked docs split independently and all three split values appear
+    over a spread of singleton ids."""
+    from iceberg_meta_spark.pipeline.graph import leakage_safe_splits
+
+    rows = [
+        (1, "alpha beta gamma one two three"),
+        (2, "alpha beta gamma nine eight seven"),   # prefix-links to 1
+        (3, "other start text nine eight seven"),   # suffix-links to 2
+    ] + [(100 + i, f"unique{i} u{i}x u{i}y u{i}z filler{i} end{i}") for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in leakage_safe_splits(docs).collect()}
+    assert len(out) == 43
+    assert out[1].split_key == out[2].split_key == out[3].split_key == 1
+    assert out[1].split == out[2].split == out[3].split
+    # singletons use their own id as key; rates 26+26/256 over 40 ids should
+    # produce a train majority and at least one non-train assignment
+    singles = [out[100 + i].split for i in range(40)]
+    assert singles.count("train") > 25
