@@ -197,3 +197,62 @@ def domain_mix_temperature(docs: DataFrame, budget: int = 100_000) -> DataFrame:
         # real corpus sizes and the oracle must replay bit-identically.
         F.expr(f"CAST(({int(budget)} * w) DIV total_w AS BIGINT)").alias("alloc_docs"),
     )
+
+
+def embedding_drift(emb: DataFrame, threshold: float = 0.995, dims: int = 64) -> DataFrame:
+    """Per-label embedding distribution-shift monitor: cosine between the
+    label's centroid in two id-interleaved cohorts (vec_id parity stands in
+    for the reference/current snapshot split a deployment would feed — e.g.
+    last week's embeddings vs this week's).
+
+    Training/serving skew shows up as centroid drift long before accuracy
+    metrics move; this is the monitoring query a feature-store pipeline runs
+    per model input. Integer-exact: centroids are per-cohort means of
+    1e6-quantized components (the kmeans convention), the cosine comes from
+    floor-scaled exact dots — hash-gated like every other kernel.
+
+    Scale: one map-side-combined groupBy (2 rows per label through the
+    shuffle), then a label self-join of the tiny centroid table. Returns
+    (label, n_ref, n_cur, centroid_cos, drifted).
+    """
+    from iceberg_meta_spark.pipeline.similarity import scaled_dot
+
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")
+    )
+    g = (
+        emb.select("label", (F.col("vec_id") % 2).alias("cohort"), q.alias("qv"))
+        .groupBy("label", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dims)],
+        )
+        .select(
+            "label",
+            "cohort",
+            "n",
+            F.array(*[F.expr(f"CAST(s{i} DIV n AS BIGINT)") for i in range(dims)]).alias("c"),
+        )
+    )
+    dq = lambda col: F.transform(col, lambda x: x.cast("double") / 1_000_000)  # noqa: E731
+    a = g.filter(F.col("cohort") == 0).select(
+        "label", F.col("n").alias("n_ref"), F.col("c").alias("c0")
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        "label", F.col("n").alias("n_cur"), F.col("c").alias("c1")
+    )
+    dot = scaled_dot(dq(F.col("c0")), dq(F.col("c1"))).cast("double")
+    n0 = scaled_dot(dq(F.col("c0")), dq(F.col("c0"))).cast("double")
+    n1 = scaled_dot(dq(F.col("c1")), dq(F.col("c1"))).cast("double")
+    cos = dot / (F.sqrt(n0) * F.sqrt(n1))
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(cos, 6).alias("centroid_cos"),
+            (cos < threshold).alias("drifted"),
+        )
+        .orderBy("label")
+    )

@@ -3510,3 +3510,46 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.leakage_safe_splits(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_drift",
+    oracle="""
+        WITH q AS (SELECT label, vec_id % 2 AS cohort,
+                     list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qv
+                   FROM embeddings),
+        qi AS (SELECT label, cohort, g.i,
+                 CAST(sum(qv[g.i]) // count(*) AS BIGINT) AS s
+               FROM q, generate_series(1, 64) AS g(i)
+               GROUP BY label, cohort, g.i),
+        cnt AS (SELECT label, cohort, CAST(count(*) AS BIGINT) AS n
+                FROM q GROUP BY label, cohort),
+        cent AS (SELECT label, cohort, list(s ORDER BY i) AS c
+                 FROM qi GROUP BY label, cohort),
+        pair AS (SELECT a.label, ca.n AS n_ref, cb.n AS n_cur,
+                   a.c AS c0, b.c AS c1
+                 FROM cent a
+                 JOIN cent b ON b.label = a.label AND a.cohort = 0 AND b.cohort = 1
+                 JOIN cnt ca ON ca.label = a.label AND ca.cohort = 0
+                 JOIN cnt cb ON cb.label = a.label AND cb.cohort = 1),
+        scored AS (SELECT label, n_ref, n_cur,
+                     CAST((SELECT CAST(sum(CAST(floor((CAST(xa AS DOUBLE)/1000000.0)*(CAST(xb AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+                           FROM (SELECT unnest(c0) AS xa, unnest(c1) AS xb) zd) AS DOUBLE)
+                     / (sqrt(CAST((SELECT CAST(sum(CAST(floor((CAST(x0 AS DOUBLE)/1000000.0)*(CAST(x0 AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+                                   FROM (SELECT unnest(c0) AS x0) z0) AS DOUBLE))
+                        * sqrt(CAST((SELECT CAST(sum(CAST(floor((CAST(x1 AS DOUBLE)/1000000.0)*(CAST(x1 AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+                                   FROM (SELECT unnest(c1) AS x1) z1) AS DOUBLE))) AS cos
+                   FROM pair)
+        SELECT label, n_ref, n_cur, round(cos, 6) AS centroid_cos,
+               cos < 0.995 AS drifted
+        FROM scored ORDER BY label
+    """,
+    doc="Per-label embedding distribution-shift monitor: cosine between "
+    "id-parity cohort centroids (integer means of 1e6-quantized "
+    "components, exact scaled dots) — the training/serving-skew query a "
+    "feature-store pipeline schedules; 2 rows per label through the one "
+    "shuffle, tiny centroid self-join after",
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.embedding_drift(load_table(spark, sf_dir, "embeddings"))

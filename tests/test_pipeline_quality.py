@@ -103,3 +103,23 @@ def test_dedup_clusters_transitive(spark):
     out = graph.dedup_clusters(df).collect()
     assert len(out) == 1
     assert out[0].cluster_id == 0 and out[0].n_docs == 3 and out[0].max_doc_id == 2
+
+
+def test_embedding_drift_detects_shifted_cohort(spark):
+    """Labels whose odd-id (current) vectors rotate away from the even-id
+    (reference) vectors must flag drifted; an unshifted label must not."""
+    from iceberg_meta_spark.pipeline.quality import embedding_drift
+
+    rows = []
+    for i in range(40):
+        # label 0: both cohorts near [1, 0] — no drift (ids 100..139, mixed parity)
+        rows.append((100 + i, [1.0, 0.01 * (i % 3)], 0))
+    for i in range(40):
+        # label 1: even ids near [1, 0], odd ids near [0, 1] — hard drift
+        vec = [1.0, 0.02] if (200 + i) % 2 == 0 else [0.02, 1.0]
+        rows.append((200 + i, vec, 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in embedding_drift(emb, dims=2).collect()}
+    assert not out[0].drifted and out[0].centroid_cos > 0.99
+    assert out[1].drifted and out[1].centroid_cos < 0.9
+    assert out[1].n_ref + out[1].n_cur == 40
