@@ -4,7 +4,9 @@
 
 Drives the LLM-pipeline surface the way a curation job would — quality
 scoring, exact dedup (keep-min-id), MinHash near-dup report, PII scrub,
-temperature mixing, context-window chunking, deterministic sharded export —
+leakage-safe train/val/test splits, temperature mixing, context-window
+chunking, PQ codebook training + ADC sanity probe, deterministic sharded
+export —
 each stage a pure DataFrame transform from `iceberg_meta_spark.pipeline`,
 composed lazily and materialized per show(). The batch mirror of a
 production curation DAG; every kernel here also has an oracle-gated
@@ -66,7 +68,13 @@ def main() -> None:
     # 3. PII screen
     show("PII scan", pii_scrub(survivors).filter(F.col("n_redactions") > 0))
 
-    # 4. temperature mixing: per-language deterministic rates
+    # 4. leakage-safe splits: near-dup clusters never straddle train/val/test
+    from iceberg_meta_spark.pipeline.graph import leakage_safe_splits
+
+    splits = leakage_safe_splits(survivors)
+    show("split sizes", splits.groupBy("split").count())
+
+    # 4b. temperature mixing: per-language deterministic rates
     mixed = stratified_sample(
         survivors, "doc_id", "lang",
         rates_256={"en": 128, "de": 256, "fr": 256, "es": 256, "zh": 256},
@@ -77,7 +85,14 @@ def main() -> None:
     chunks = chunk_documents(mixed)
     show("chunks", chunks.select("doc_id", "chunk_id", "chunk_len"))
 
-    # 6. deterministic sharded export (reproducible order from the salt)
+    # 6. embedding side: PQ codebooks + an ADC probe for the retrieval index
+    from iceberg_meta_spark.pipeline.pq import adc_topk, pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    show("PQ codes", pq_codes(emb).select("vec_id", "code"))
+    show("ADC top-3 for query 1", adc_topk(emb, query_ids=[1], k=3))
+
+    # 7. deterministic sharded export (reproducible order from the salt)
     export = chunks.withColumn("key", F.concat_ws(":", "doc_id", "chunk_id"))
     write_training_shards(export, out_dir, n_shards=4)
     print(f"\n== shards written to {out_dir} ==")
