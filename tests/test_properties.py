@@ -274,3 +274,46 @@ def test_incremental_stats_property(spark, old, new):
     # groups only in OLD must net to exactly zero
     for g in {g for g, _, _ in old} - set(expect):
         assert out[g] == (0, 0), (g, out[g])
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=3, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_leakage_safe_splits_never_straddle_fingerprint_links(spark, texts):
+    # For ANY corpus: two docs sharing a 3-token prefix or suffix must land
+    # in the same split (transitively). Tiny vocab forces heavy collisions.
+    from iceberg_meta_spark.pipeline.graph import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    split = {r.doc_id: r.split for r in leakage_safe_splits(docs).collect()}
+    assert len(split) == len(texts)
+
+    # independent reference clustering: union-find over prefix/suffix keys
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    keys: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for key in ("p|" + " ".join(toks[:3]), "s|" + " ".join(toks[-3:])):
+            if key in keys:
+                parent[find(i)] = find(keys[key])
+            else:
+                keys[key] = i
+    for i in range(len(texts)):
+        assert split[i] == split[find(i)], (i, find(i), texts)
