@@ -3553,3 +3553,57 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (pipeline/bpe.py): the tokenizer-building loop,
+# unrolled like the Lloyd/PageRank kernels so it stays hash-gated. The
+# oracle replays the greedy leftmost merge fold with list_reduce over
+# singleton-wrapped elements (the accumulator must be list-typed).
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import bpe  # noqa: E402
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    parts = ["r0 AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents)"]
+    for r in range(1, rounds + 1):
+        prev = f"r{r-1}"
+        parts.append(
+            f"""p{r} AS (SELECT a[u.i] AS pa, a[u.i+1] AS pb, CAST(count(*) AS BIGINT) AS pair_count
+        FROM {prev}, UNNEST(generate_series(1, len(a)-1)) AS u(i) GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{r} AS (SELECT pa, pb, pa || '+' || pb AS m, pair_count
+        FROM p{r} ORDER BY pair_count DESC, pa, pb LIMIT 1)"""
+        )
+        parts.append(
+            f"""r{r} AS (SELECT doc_id,
+          list_reduce(list_transform({prev}.a, e -> [e]),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b{r}.pa AND x[1] = b{r}.pb
+                        THEN list_append(acc[1:len(acc)-1], b{r}.m)
+                        ELSE list_append(acc, x[1]) END) AS a
+        FROM {prev}, b{r})"""
+        )
+        parts.append(
+            f"s{r} AS (SELECT CAST(sum(len(a)) AS BIGINT) AS symbols_after FROM r{r})"
+        )
+    selects = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, b{r}.m AS merged_pair, "
+        f"b{r}.pair_count, s{r}.symbols_after FROM b{r}, s{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n        {selects}\n        ORDER BY merge_round"
+
+
+@register(
+    "bpe_merge_training",
+    oracle=_bpe_oracle(rounds=3),
+    doc="BPE-style merge training at token granularity (the subword-"
+    "tokenizer build loop): per round, one in-row pair count + a 1-row "
+    "TakeOrdered winner broadcast back + a greedy leftmost map-side merge "
+    "fold over every sequence; 3 unrolled rounds, deterministic tie-break, "
+    "hash-gated like the other iterative kernels",
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe.bpe_merges(load_table(spark, sf_dir, "documents"), rounds=3)
