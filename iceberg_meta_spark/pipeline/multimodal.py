@@ -171,3 +171,68 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_bytes": sizes})
 
     return assets.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def chunk_fingerprints(assets: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """(asset_id, chunk_idx, chunk_md5): fixed-size chunk hashes of the raw
+    payload — the storage-dedup signal (content-defined chunking simplified
+    to fixed windows), computed WITHOUT decoding the media.
+
+    Both engines chunk the hex encoding of the payload (2 chars/byte) because
+    md5 over raw blobs isn't portable SQL; the hashes are identical either
+    way since the hex string determines the bytes.
+    """
+    cc = chunk_bytes * 2
+    return (
+        assets.select(
+            "asset_id",
+            F.hex(F.col("payload")).alias("hx"),
+            F.expr(f"CAST((length(hex(payload)) + {cc - 1}) DIV {cc} AS BIGINT)").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("chunk_idx"),
+            "hx",
+        )
+        .select(
+            "asset_id",
+            "chunk_idx",
+            F.md5(F.substring(F.col("hx"), F.col("chunk_idx") * cc + 1, cc)).alias("chunk_md5"),
+        )
+    )
+
+
+def near_dup_assets(
+    assets: DataFrame, chunk_bytes: int = 64, min_share_permille: int = 500
+) -> DataFrame:
+    """Media near-duplicate pairs by chunk-hash overlap: assets sharing at
+    least ``min_share_permille``/1000 of the smaller asset's distinct chunk
+    hashes. Candidate pairs come from an equi-join on the chunk hash — the
+    shingle-join shape, never an all-pairs byte comparison; identical
+    payloads score 1000.
+
+    Returns (asset_a, asset_b, shared_chunks, overlap_permille).
+    """
+    fp = chunk_fingerprints(assets, chunk_bytes).select("asset_id", "chunk_md5").distinct()
+    counts = fp.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = fp.select(F.col("asset_id").alias("asset_a"), "chunk_md5")
+    b = fp.select(F.col("asset_id").alias("asset_b"), "chunk_md5")
+    shared = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .groupBy("asset_a", "asset_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    ca = counts.select(F.col("asset_id").alias("asset_a"), F.col("n_chunks").alias("n_a"))
+    cb = counts.select(F.col("asset_id").alias("asset_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        shared.join(ca, "asset_a")
+        .join(cb, "asset_b")
+        .withColumn(
+            "overlap_permille",
+            F.expr("CAST((shared_chunks * 1000) DIV least(n_a, n_b) AS BIGINT)"),
+        )
+        .filter(F.col("overlap_permille") >= min_share_permille)
+        .select("asset_a", "asset_b", "shared_chunks", "overlap_permille")
+    )

@@ -3607,3 +3607,45 @@ def _bpe_oracle(rounds: int = 3) -> str:
 )
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merges(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
+from iceberg_meta_spark.pipeline import multimodal  # noqa: E402
+
+
+@register(
+    "multimodal_near_dup",
+    oracle="""
+        WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx
+                   FROM documents),
+        c AS (SELECT asset_id,
+                CAST((length(hx) + 127) // 128 AS BIGINT) AS n
+              FROM a),
+        fp AS (SELECT DISTINCT a.asset_id,
+                 md5(substring(a.hx, u.i * 128 + 1, 128)) AS chunk_md5
+               FROM a JOIN c USING (asset_id),
+                    UNNEST(generate_series(0, c.n - 1)) AS u(i)
+               WHERE c.n > 0),
+        counts AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_chunks
+                   FROM fp GROUP BY asset_id),
+        shared AS (SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+                     CAST(count(*) AS BIGINT) AS shared_chunks
+                   FROM fp x JOIN fp y USING (chunk_md5)
+                   WHERE x.asset_id < y.asset_id
+                   GROUP BY 1, 2)
+        SELECT s.asset_a, s.asset_b, s.shared_chunks,
+               CAST((s.shared_chunks * 1000) // least(ca.n_chunks, cb.n_chunks) AS BIGINT)
+                 AS overlap_permille
+        FROM shared s
+        JOIN counts ca ON ca.asset_id = s.asset_a
+        JOIN counts cb ON cb.asset_id = s.asset_b
+        WHERE (s.shared_chunks * 1000) // least(ca.n_chunks, cb.n_chunks) >= 500
+    """,
+    doc="Media near-duplicate pairs WITHOUT decoding: fixed-window chunk "
+    "hashes of the raw payload (the storage-dedup signal), candidate pairs "
+    "from a chunk-hash equi-join — shingle-join shape, never all-pairs "
+    "byte comparison; overlap_permille vs the smaller asset, identical "
+    "payloads score 1000",
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.near_dup_assets(assets)

@@ -437,3 +437,26 @@ def test_leakage_safe_splits_keep_clusters_together(spark):
     # produce a train majority and at least one non-train assignment
     singles = [out[100 + i].split for i in range(40)]
     assert singles.count("train") > 25
+
+
+def test_multimodal_chunk_near_dup(spark):
+    """Identical payloads score 1000; a payload sharing its first half with
+    another crosses the 500-permille gate; unrelated assets don't pair."""
+    from pyspark.sql import functions as SF
+
+    from iceberg_meta_spark.pipeline.multimodal import near_dup_assets
+
+    base = "A" * 64 + "B" * 64  # exactly 2 distinct chunks of 64 bytes
+    rows = [
+        (1, base),
+        (2, base),                       # identical -> 1000
+        (3, "A" * 64 + "C" * 64),        # shares 1 of 2 distinct chunks -> 500
+        (4, "D" * 128),                  # unrelated
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, text string").select(
+        "asset_id", SF.encode("text", "utf-8").alias("payload")
+    )
+    out = {(r.asset_a, r.asset_b): r for r in near_dup_assets(assets).collect()}
+    assert out[(1, 2)].overlap_permille == 1000
+    assert out[(1, 3)].overlap_permille == 500 and out[(2, 3)].overlap_permille == 500
+    assert all(4 not in k for k in out)
