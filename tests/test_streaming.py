@@ -394,7 +394,7 @@ def test_maintain_stats_live_file_stream(spark, tmp_path):
         except Exception:
             return {}
 
-    def wait_for(pred, timeout=60):
+    def wait_for(pred, timeout=120):
         deadline = time.time() + timeout
         while time.time() < deadline:
             if pred():
