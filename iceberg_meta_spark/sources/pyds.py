@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -186,9 +187,70 @@ class _SnapshotLogWriter(DataSourceWriter):
                 os.remove(os.path.join(self.dir, f))
 
 
+class _SnapshotLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: the directory is an append-only log
+    (files are only ever added, each file only ever grows — exactly what the
+    writer's two-phase commit produces), so the stream offset is
+    ``{filename: lines_consumed}``. Each micro-batch reads every line past
+    its file's consumed count; ``readBetweenOffsets`` replays a batch
+    deterministically from the same counters during recovery.
+
+    The simple (driver-side) reader variant is the right fit here: snapshot
+    logs are metadata-sized. A data-scale stream would implement the
+    partition-planning ``DataSourceStreamReader`` instead — same offset
+    model, one partition per (file, line-range)."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("snapshot_log stream requires option 'path'")
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if f.endswith((".json", ".jsonl")) and not f.startswith(("_", "."))
+        )
+
+    def _read_rows(self, consumed: dict, limits: dict | None):
+        """Rows past ``consumed`` per file (up to ``limits`` if given),
+        plus the new per-file line counters."""
+        end = dict(consumed)
+        rows = []
+        names = self._files() if limits is None else sorted(limits)
+        for name in names:
+            start_line = consumed.get(name, 0)
+            stop_line = None if limits is None else limits.get(name, 0)
+            n = start_line
+            with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+                for i, line in enumerate(fh):
+                    if i < start_line or (stop_line is not None and i >= stop_line):
+                        continue
+                    line = line.strip()
+                    n = i + 1
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    rows.append(tuple(rec.get(c) for c in _COLS))
+            end[name] = max(n, stop_line or 0) if stop_line is not None else n
+        return rows, end
+
+    def read(self, start: dict):
+        rows, end = self._read_rows(start.get("files", {}), None)
+        return iter(rows), {"files": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._read_rows(start.get("files", {}), end.get("files", {}))
+        return iter(rows)
+
+
 class SnapshotLogDataSource(DataSource):
     """``spark.read.format("snapshot_log").option("path", dir)`` /
-    ``df.write.format("snapshot_log").option("path", dir).save()``."""
+    ``df.write.format("snapshot_log").option("path", dir).save()`` /
+    ``spark.readStream.format("snapshot_log").option("path", dir)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -202,3 +264,6 @@ class SnapshotLogDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _SnapshotLogWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SnapshotLogStreamReader(self.options)

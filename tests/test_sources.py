@@ -377,3 +377,53 @@ def test_snapshot_log_datasource_overwrite_retires_previous_set(spark, tmp_path)
     # append after overwrite accumulates
     first.limit(1).write.format("snapshot_log").mode("append").option("path", out).save()
     assert spark.read.format("snapshot_log").option("path", out).load().count() == 3
+
+
+def test_snapshot_log_datasource_stream_reader(spark, tmp_path):
+    """Streaming half of the custom source: new log files AND new lines in
+    existing files arrive as micro-batch rows exactly once."""
+    import json as _json
+    import time
+
+    from iceberg_meta_spark.sources.pyds import SnapshotLogDataSource
+
+    def rec(i):
+        return {"snapshot_id": i, "parent_id": None, "committed_us": i,
+                "operation": "append", "added_records": 1, "deleted_records": 0,
+                "total_data_files": 1, "total_files_size": 10}
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(rec(i)) for i in (1, 2)) + "\n")
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    seen: list[int] = []
+
+    q = (
+        spark.readStream.format("snapshot_log")
+        .option("path", str(d))
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: seen.extend(r.snapshot_id for r in b.collect()))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_for(pred, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: sorted(seen) == [1, 2]), seen
+        # grow an existing file AND add a new one mid-stream
+        with open(d / "a.jsonl", "a", encoding="utf-8") as fh:
+            fh.write(_json.dumps(rec(3)) + "\n")
+        (d / "b.jsonl").write_text(_json.dumps(rec(4)) + "\n")
+        assert wait_for(lambda: sorted(seen) == [1, 2, 3, 4]), seen
+        assert len(seen) == 4  # exactly once, no replays
+    finally:
+        q.stop()
