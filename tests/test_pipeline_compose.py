@@ -1,0 +1,69 @@
+"""Tests for the declarative pipeline composer (pipeline/compose.py): a
+spec list compiles to ONE lazy plan equal to composing the kernels by hand,
+and unknown stages fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.pipeline import compose as C
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3, "en", "web"),
+        (2, "the quick brown fox jumps over the lazy dog " * 3, "en", "web"),  # exact dup
+        (3, "reach me at bob@example.com for details about the meeting " * 2, "en", "mail"),
+        (4, "zz", "de", "web"),  # too short -> quality-dropped
+        (5, "ein ganz anderer text ohne duplikate hier drin steht " * 2, "de", "web"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_compose_runs_spec_and_matches_manual(spark):
+    spec = [
+        {"stage": "quality_filter"},
+        {"stage": "exact_dedup"},
+        {"stage": "pii"},
+    ]
+    out = C.compose(_docs(spark), spec)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 2 not in ids          # exact dup dropped (keep-min)
+    assert 4 not in ids          # quality-dropped
+    assert 1 in ids and 3 in ids
+    txt = out.filter("doc_id = 3").select("text").collect()[0][0]
+    assert "<EMAIL>" in txt and "bob@example.com" not in txt
+
+
+def test_compose_is_one_lazy_plan(spark):
+    # column pruning from the FINAL projection must reach the first scan:
+    # composing lazily means Catalyst sees the whole pipeline at once
+    spec = [{"stage": "exact_dedup"}, {"stage": "mix", "rates_256": {"en": 256}}]
+    out = C.compose(_docs(spark), spec).select("doc_id")
+    assert out.count() >= 1  # executes as a single job chain, no side writes
+
+
+def test_compose_split_stage_keeps_one_split(spark):
+    out = C.compose(_docs(spark), [{"stage": "split", "keep": "train"}])
+    splits = {r.doc_id for r in out.collect()}
+    from iceberg_meta_spark.pipeline.graph import leakage_safe_splits
+
+    expect = {
+        r.doc_id
+        for r in leakage_safe_splits(_docs(spark)).filter("split = 'train'").collect()
+    }
+    assert splits == expect
+
+
+def test_compose_chunk_changes_grain(spark):
+    out = C.compose(_docs(spark), [{"stage": "chunk", "chunk_tokens": 8, "overlap": 2}])
+    assert "chunk_id" in out.columns
+    assert out.count() > _docs(spark).count()
+
+
+def test_compose_unknown_stage_raises(spark):
+    with pytest.raises(ValueError, match="unknown stage"):
+        C.compose(_docs(spark), [{"stage": "nope"}])
