@@ -317,3 +317,53 @@ def test_leakage_safe_splits_never_straddle_fingerprint_links(spark, texts):
                 keys[key] = i
     for i in range(len(texts)):
         assert split[i] == split[find(i)], (i, find(i), texts)
+
+
+def _bpe_reference(texts: list[str], rounds: int) -> list[tuple[str, int, int]]:
+    """Pure-Python BPE reference: (merged_pair, pair_count, symbols_after)."""
+    seqs = [t.split(" ") for t in texts]
+    out = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (pa, pb), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = pa + "+" + pb
+        new_seqs = []
+        for s in seqs:
+            ns: list[str] = []
+            for x in s:
+                if ns and ns[-1] == pa and x == pb:
+                    ns[-1] = merged
+                else:
+                    ns.append(x)
+            new_seqs.append(ns)
+        seqs = new_seqs
+        out.append((merged, c, sum(len(s) for s in seqs)))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_bpe_merges_match_python_reference(spark, texts):
+    # tiny alphabet forces repeated pairs, overlaps ('a a a'), and ties —
+    # the fold must agree with a direct greedy-leftmost implementation
+    from iceberg_meta_spark.pipeline import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merged_pair, r.pair_count, r.symbols_after)
+        for r in bpe.bpe_merges(docs, rounds=2).orderBy("merge_round").collect()
+    ]
+    assert got == _bpe_reference(texts, 2), (texts, got)
