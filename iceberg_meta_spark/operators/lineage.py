@@ -70,3 +70,43 @@ def ancestry(nodes: DataFrame, max_depth: int = 1 << 20) -> DataFrame:
     return state.select(
         "snapshot_id", F.col("anc").alias("root_id"), "depth"
     ).orderBy("snapshot_id")
+
+
+def files_asof(files: DataFrame, nodes: DataFrame, as_of: int) -> DataFrame:
+    """Time-travel state reconstruction: the per-partition file inventory
+    VISIBLE at snapshot ``as_of`` — files whose adding snapshot is an
+    ancestor of (or is) ``as_of`` in the lineage forest.
+
+    Membership comes from the pointer-doubled :func:`ancestry` frame: X is
+    an ancestor of S iff they share a root and ``depth(X) <= depth(S)`` —
+    exact for forests of parent CHAINS (Iceberg lineage without branch
+    forks; a forked history would need the pairwise closure instead, at
+    O(N·D) rows — metadata-sized either way).
+
+    Scale: ancestry is log-depth self-joins on the metadata-sized snapshot
+    log; the visibility test then broadcasts the 1-row as-of anchor and
+    semi-filters the file table by (root, depth) — the big file frame is
+    scanned once, no per-file lineage walk.
+    """
+    anc = ancestry(nodes)
+    anchor = anc.filter(F.col("snapshot_id") == as_of).select(
+        F.col("root_id").alias("as_of_root"), F.col("depth").alias("as_of_depth")
+    )
+    visible_snaps = (
+        anc.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("root_id") == F.col("as_of_root"))
+            & (F.col("depth") <= F.col("as_of_depth"))
+        )
+        .select("snapshot_id")
+    )
+    return (
+        files.join(F.broadcast(visible_snaps), "snapshot_id")
+        .groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_size_in_bytes").alias("total_bytes"),
+            F.sum("record_count").alias("total_records"),
+        )
+        .orderBy("part_key")
+    )

@@ -3649,3 +3649,59 @@ from iceberg_meta_spark.pipeline import multimodal  # noqa: E402
 def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.near_dup_assets(assets)
+
+
+# ---------------------------------------------------------------------------
+# Time-travel state reconstruction (operators/lineage.py::files_asof).
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.operators.lineage import files_asof  # noqa: E402
+from iceberg_meta_spark.sources.fixtures import cte_sql, derive  # noqa: E402
+
+
+@register(
+    "meta_files_asof",
+    oracle="WITH RECURSIVE meta_files AS ("
+    + cte_sql("meta_files", "duckdb")
+    + """),
+        nodes AS (
+            SELECT event_id AS snapshot_id,
+                   CASE WHEN event_id % 64 = 0 THEN NULL
+                        ELSE event_id - 1 END AS parent_id
+            FROM events),
+        walk AS (
+            SELECT snapshot_id, snapshot_id AS cur, 0 AS depth FROM nodes
+            UNION ALL
+            SELECT w.snapshot_id, n.parent_id, w.depth + 1
+            FROM walk w JOIN nodes n ON n.snapshot_id = w.cur
+            WHERE n.parent_id IS NOT NULL),
+        anc AS (SELECT w.snapshot_id, w.cur AS root_id, w.depth
+                FROM walk w JOIN nodes n ON n.snapshot_id = w.cur
+                WHERE n.parent_id IS NULL),
+        anchor AS (SELECT root_id AS as_of_root, depth AS as_of_depth
+                   FROM anc WHERE snapshot_id = 1),
+        visible AS (SELECT a.snapshot_id FROM anc a, anchor
+                    WHERE a.root_id = anchor.as_of_root
+                      AND a.depth <= anchor.as_of_depth)
+        SELECT part_key, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(file_size_in_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(record_count) AS BIGINT) AS total_records
+        FROM meta_files JOIN visible USING (snapshot_id)
+        GROUP BY part_key ORDER BY part_key
+    """,
+    doc="Time-travel state reconstruction: the per-partition file inventory "
+    "visible AS OF snapshot 1 — visibility from the pointer-doubled lineage "
+    "frame (ancestor iff same root and depth <= as-of depth; exact for "
+    "chain forests), the file table scanned ONCE and semi-filtered by the "
+    "broadcast visible-snapshot set; the oracle replays the walk with a "
+    "recursive CTE",
+)
+def meta_files_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = derive(spark, sf_dir, "meta_files")
+    nodes = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("snapshot_id"),
+        F.when(F.col("event_id") % 64 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") - 1)
+        .alias("parent_id"),
+    )
+    return files_asof(files, nodes, as_of=1)

@@ -607,3 +607,34 @@ def test_schema_compat_classifies_promotions(spark):
         "widened": 1, "incompatible": 1, "tightened": 1,
         "renamed": 1, "removed": 1, "added": 1,
     }
+
+
+def test_files_asof_reconstruction(spark):
+    """Time travel over a branched forest: as-of mid-chain sees exactly the
+    ancestor snapshots' files; a different root's files never leak in."""
+    from iceberg_meta_spark.operators.lineage import files_asof
+
+    # chain A: 1 <- 2 <- 3 ; chain B: 10 <- 11
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (10, None), (11, 10)],
+        "snapshot_id long, parent_id long",
+    )
+    files = spark.createDataFrame(
+        [
+            (1, "p0", "f1", 10, 100),
+            (2, "p0", "f2", 20, 200),
+            (2, "p1", "f3", 30, 300),
+            (3, "p0", "f4", 40, 400),
+            (11, "p0", "f9", 99, 999),  # other lineage
+        ],
+        "snapshot_id long, part_key string, file_path string, record_count long, "
+        "file_size_in_bytes long",
+    )
+    asof2 = {r.part_key: r for r in files_asof(files, nodes, as_of=2).collect()}
+    assert asof2["p0"].n_files == 2 and asof2["p0"].total_bytes == 300
+    assert asof2["p1"].n_files == 1
+    asof3 = {r.part_key: r for r in files_asof(files, nodes, as_of=3).collect()}
+    assert asof3["p0"].n_files == 3 and asof3["p0"].total_records == 70
+    # chain B's files appear only under chain B anchors
+    asof11 = {r.part_key: r for r in files_asof(files, nodes, as_of=11).collect()}
+    assert asof11["p0"].n_files == 1 and asof11["p0"].total_bytes == 999
