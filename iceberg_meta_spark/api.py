@@ -378,3 +378,15 @@ def hilbert_plan(src: MetadataSource, n_buckets: int = 16) -> DataFrame:
     """Hilbert-curve rewrite buckets: the locality-preserving alternative
     to :func:`zorder_plan` (consecutive codes are always grid-adjacent)."""
     return ops.hilbert_layout(src.file_ranges(), n_buckets=n_buckets)
+
+
+def files_asof(src: MetadataSource, as_of: int) -> DataFrame:
+    """Time-travel reconstruction: the per-partition file inventory visible
+    at snapshot ``as_of`` (lineage-driven visibility — see
+    operators/lineage.files_asof). The reference reads only the CURRENT
+    snapshot's file list; this is the as-of generalization its users ask
+    for first."""
+    from iceberg_meta_spark.operators.lineage import files_asof as _fa
+
+    nodes = src.snapshots().select("snapshot_id", "parent_id")
+    return _fa(src.files(), nodes, as_of=as_of)

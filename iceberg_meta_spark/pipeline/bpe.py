@@ -104,3 +104,33 @@ def apply_merges(docs: DataFrame, merges: list[tuple[str, str, str]]) -> DataFra
     for pa, pb, merged in merges:
         arr = _merge_fold(arr, F.lit(pa), F.lit(pb), F.lit(merged))
     return docs.select("doc_id", arr.alias("symbols"))
+
+
+def train_merge_rules(
+    docs: DataFrame, rounds: int = 3, sep: str = "+"
+) -> list[tuple[str, str, str]]:
+    """Collected merge table [(pa, pb, merged)] — one 1-row collect per
+    round (the BPE analog of driver-side k-means centroids); feeds
+    :func:`apply_merges` for the encode step."""
+    arr = docs.select(F.split(F.col("text"), " ").alias("a"))
+    rules: list[tuple[str, str, str]] = []
+    for _ in range(rounds):
+        pairs = arr.select(F.explode(_pairs(F.col("a"))).alias("p")).select(
+            F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+        )
+        rows = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        pa, pb = rows[0]["pa"], rows[0]["pb"]
+        merged = f"{pa}{sep}{pb}"
+        rules.append((pa, pb, merged))
+        arr = arr.select(
+            _merge_fold(F.col("a"), F.lit(pa), F.lit(pb), F.lit(merged)).alias("a")
+        ).localCheckpoint()
+    return rules

@@ -3565,7 +3565,7 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 from iceberg_meta_spark.pipeline import bpe  # noqa: E402
 
 
-def _bpe_oracle(rounds: int = 3) -> str:
+def _bpe_parts(rounds: int = 3) -> list[str]:
     parts = ["r0 AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents)"]
     for r in range(1, rounds + 1):
         prev = f"r{r-1}"
@@ -3588,6 +3588,11 @@ def _bpe_oracle(rounds: int = 3) -> str:
         parts.append(
             f"s{r} AS (SELECT CAST(sum(len(a)) AS BIGINT) AS symbols_after FROM r{r})"
         )
+    return parts
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    parts = _bpe_parts(rounds)
     selects = "\n        UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, b{r}.m AS merged_pair, "
         f"b{r}.pair_count, s{r}.symbols_after FROM b{r}, s{r}"
@@ -3705,3 +3710,25 @@ def meta_files_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent_id"),
     )
     return files_asof(files, nodes, as_of=1)
+
+
+
+
+@register(
+    "bpe_encoded_lengths",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_parts(3))
+    + """
+        SELECT doc_id, CAST(len(a) AS BIGINT) AS n_symbols
+        FROM r3 ORDER BY doc_id""",
+    doc="BPE encode step: per-doc symbol count after applying the 3 trained "
+    "merges (train_merge_rules collects the 1-row winner per round "
+    "driver-side, apply_merges replays them as a map-side fold chain) — "
+    "the compression a tokenizer build reports per document",
+)
+def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe.train_merge_rules(docs, rounds=3)
+    return bpe.apply_merges(docs, rules).select(
+        "doc_id", F.size("symbols").cast("long").alias("n_symbols")
+    ).orderBy("doc_id")
