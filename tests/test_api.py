@@ -105,3 +105,16 @@ def test_maintenance_api_surface(spark):
     sc = api.schema_compat(src, old_id=1, new_id=2)
     assert sc.columns == ["table_name", "compat", "n_fields"]
     assert {r.compat for r in sc.collect()} >= {"added", "removed"}
+
+
+def test_api_files_asof_visibility(spark):
+    """The command-API time-travel view: snapshot 1 sees strictly fewer
+    files than snapshot 2 (its child), never more."""
+    from iceberg_meta_spark import api
+
+    src = api.FixtureSource(spark, "/root/testdata/sf0.001")
+    at1 = {r.part_key: r.n_files for r in api.files_asof(src, as_of=1).collect()}
+    at2 = {r.part_key: r.n_files for r in api.files_asof(src, as_of=2).collect()}
+    assert sum(at1.values()) < sum(at2.values())
+    for k, n in at1.items():
+        assert n <= at2.get(k, 0)
