@@ -3732,3 +3732,38 @@ def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.apply_merges(docs, rules).select(
         "doc_id", F.size("symbols").cast("long").alias("n_symbols")
     ).orderBy("doc_id")
+
+
+from iceberg_meta_spark.operators.snapshots import snapshot_growth  # noqa: E402
+
+
+@register(
+    "meta_snapshot_growth",
+    oracle="WITH meta_snapshots AS ("
+    + cte_sql("meta_snapshots", "duckdb")
+    + """),
+        child AS (SELECT snapshot_id, parent_id, operation,
+                    total_files_size AS size_now,
+                    total_data_files AS files_now,
+                    total_records AS records_now
+                  FROM meta_snapshots),
+        parent AS (SELECT snapshot_id AS parent_id,
+                     total_files_size AS size_prev,
+                     total_data_files AS files_prev,
+                     total_records AS records_prev
+                   FROM meta_snapshots)
+        SELECT c.snapshot_id, c.operation,
+               CAST(c.size_now - p.size_prev AS BIGINT) AS size_delta,
+               CAST(c.files_now - p.files_prev AS BIGINT) AS files_delta,
+               CAST(c.records_now - p.records_prev AS BIGINT) AS records_delta
+        FROM child c JOIN parent p USING (parent_id)
+        ORDER BY abs(c.size_now - p.size_prev) DESC, c.snapshot_id
+        LIMIT 20
+    """,
+    doc="Per-commit storage growth: each snapshot's size/files/records "
+    "delta vs its parent via ONE self-equi-join on the parent pointer — "
+    "deliberately not a cumulative window (a 10^6-commit chain would "
+    "funnel); top-20 largest commits by absolute size delta",
+)
+def meta_snapshot_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snapshot_growth(derive(spark, sf_dir, "meta_snapshots"), k=20)

@@ -638,3 +638,22 @@ def test_files_asof_reconstruction(spark):
     # chain B's files appear only under chain B anchors
     asof11 = {r.part_key: r for r in files_asof(files, nodes, as_of=11).collect()}
     assert asof11["p0"].n_files == 1 and asof11["p0"].total_bytes == 999
+
+
+def test_snapshot_growth_deltas(spark):
+    from iceberg_meta_spark.operators.snapshots import snapshot_growth
+
+    snaps = spark.createDataFrame(
+        [
+            (1, None, "append", 100, 1, 10),
+            (2, 1, "append", 350, 3, 40),     # +250
+            (3, 2, "delete", 50, 1, 5),       # -300 (largest |delta|)
+            (10, None, "append", 7, 1, 1),    # other root, no parent row
+        ],
+        "snapshot_id long, parent_id long, operation string, "
+        "total_files_size long, total_data_files long, total_records long",
+    )
+    out = snapshot_growth(snaps, k=5).collect()
+    assert [r.snapshot_id for r in out] == [3, 2]  # roots have no delta row
+    assert out[0].size_delta == -300 and out[0].files_delta == -2
+    assert out[1].size_delta == 250 and out[1].records_delta == 30
