@@ -417,3 +417,45 @@ def hybrid_retrieval(
         )
         .select("rank", "doc_id", "bm25_rank", "cos_rank", "rrf_scaled")
     )
+
+
+def longest_dup_span(
+    docs: DataFrame, n: int = 8, min_docs: int = 2, k: int = 50
+) -> DataFrame:
+    """Per document, the LONGEST contiguous span of tokens covered by
+    cross-document duplicated ``n``-grams — the "longest duplicate
+    substring" signal (suffix-array output of the exact-substring dedup
+    paper) at n-gram resolution: a run of L consecutive duplicated n-gram
+    positions certifies a duplicated span of ``L + n - 1`` tokens.
+
+    Scale: duplicated-gram detection is the shrinking two-aggregate pipeline
+    of :func:`duplicated_ngram_share`; the run-length step is gaps-and-
+    islands (pos - row_number) with every window PARTITIONED BY doc_id —
+    bounded by document length, never a global funnel.
+    """
+    from pyspark.sql import Window
+
+    toks = _toks()
+    grams = docs.select(
+        "doc_id", F.posexplode(_ngrams(toks, n)).alias("pos", "gram")
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn("island", F.col("pos") - F.row_number().over(w))
+    runs = islands.groupBy("doc_id", "island").agg(F.count(F.lit(1)).alias("run"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("run").cast("long").alias("dup_positions"),
+            F.max("run").cast("long").alias("longest_run"),
+        )
+        .withColumn("span_tokens", (F.col("longest_run") + (n - 1)).cast("long"))
+        .orderBy(F.col("span_tokens").desc(), "doc_id")
+        .limit(k)
+    )

@@ -3767,3 +3767,33 @@ from iceberg_meta_spark.operators.snapshots import snapshot_growth  # noqa: E402
 )
 def meta_snapshot_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_growth(derive(spark, sf_dir, "meta_snapshots"), k=20)
+
+
+@register(
+    "longest_dup_spans",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (SELECT doc_id, u.i - 1 AS pos,
+                    array_to_string(t[u.i:u.i+7], ' ') AS gram
+                  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        dup AS (SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        isl AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM dp),
+        runs AS (SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run
+                 FROM isl GROUP BY doc_id, island)
+        SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_positions,
+               CAST(max(run) AS BIGINT) AS longest_run,
+               CAST(max(run) + 7 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_id
+        ORDER BY span_tokens DESC, doc_id LIMIT 50
+    """,
+    doc="Longest duplicated span per doc (the suffix-array exact-substring "
+    "signal at 8-gram resolution): duplicated-position runs via gaps-and-"
+    "islands, every window partitioned by doc_id — bounded by doc length; "
+    "a run of L consecutive dup positions certifies L+7 duplicated tokens",
+)
+def longest_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.longest_dup_span(load_table(spark, sf_dir, "documents"))

@@ -210,3 +210,22 @@ def test_hybrid_retrieval_fuses_bm25_and_cosine(spark):
     r0 = next(r for r in out if r.doc_id == 0)
     assert r0.rank == 1 and r0.rrf_scaled > 0
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, len(out) + 1))
+
+
+def test_longest_dup_span_finds_planted_run(spark):
+    """Two docs share a 12-token span (5 consecutive 8-gram positions);
+    a third doc is unrelated and reports nothing."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = _docs(
+        spark,
+        [
+            "x1 x2 " + shared + " x3 x4",
+            "y1 " + shared + " y2 y3 y4",
+            " ".join(f"z{i}" for i in range(16)),
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.longest_dup_span(docs, n=8).collect()}
+    assert set(out) == {0, 1}
+    # 12 shared tokens -> 12-8+1 = 5 consecutive dup positions -> span 12
+    assert out[0].longest_run == 5 and out[0].span_tokens == 12
+    assert out[1].longest_run == 5 and out[1].span_tokens == 12
