@@ -275,3 +275,31 @@ def pq_codebook_summary(
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("subspace", "cell")
     )
+
+
+def save_codebooks(
+    spark, codebooks: list[list[tuple[int, list[int]]]], path: str
+) -> None:
+    """Persist the trained codebooks as a (subspace, cent_id, c) parquet
+    table — the index artifact a build job ships to query/ingest jobs
+    (streaming/encode.py consumes the loaded form)."""
+    rows = [
+        (s, cid, c)
+        for s, rows_s in enumerate(codebooks)
+        for cid, c in rows_s
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, cent_id long, c array<long>"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str) -> list[list[tuple[int, list[int]]]]:
+    """Inverse of :func:`save_codebooks`; subspaces come back sorted with
+    each codebook in ascending cent_id order (the argmax tie-break
+    contract)."""
+    rows = spark.read.parquet(path).collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books: list[list[tuple[int, list[int]]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append((r["cent_id"], list(r["c"])))
+    return [sorted(b) for b in books]

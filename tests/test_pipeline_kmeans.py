@@ -217,3 +217,22 @@ def test_round3_kernels_handle_empty_inputs(spark):
     hy = hybrid_retrieval(empty_docs, empty_emb, terms=("x",), query_vec_id=1)
     assert hy.columns == ["rank", "doc_id", "bm25_rank", "cos_rank", "rrf_scaled"]
     assert hy.count() == 0
+
+
+def test_pq_codebook_persistence_roundtrip(spark, tmp_path):
+    """Train -> save -> load -> encode must equal encoding with the
+    in-memory codebooks bit for bit (the index-shipping lifecycle)."""
+    from iceberg_meta_spark.pipeline import pq
+
+    rows = [(i, [((i * 7 + d) % 5) / 5.0 for d in range(4)]) for i in range(20)]
+    emb = _emb(spark, rows)
+    base, books = pq.train_codebooks(emb, m=2, dims=4, centroid_mod=5, iters=1)
+    path = str(tmp_path / "pq_index")
+    pq.save_codebooks(spark, books, path)
+    loaded = pq.load_codebooks(spark, path)
+    assert loaded == [sorted(b) for b in books]
+    direct = {r.vec_id: r for r in pq._encode(base, books, 2).collect()}
+    via_disk = {r.vec_id: r for r in pq._encode(base, loaded, 2).collect()}
+    assert {k: (v.s0, v.s1) for k, v in direct.items()} == {
+        k: (v.s0, v.s1) for k, v in via_disk.items()
+    }
