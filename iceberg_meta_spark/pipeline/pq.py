@@ -303,3 +303,209 @@ def load_codebooks(spark, path: str) -> list[list[tuple[int, list[int]]]]:
     for r in rows:
         books[r["subspace"]].append((r["cent_id"], list(r["c"])))
     return [sorted(b) for b in books]
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    ivf_mod: int = 31,
+    ivf_iters: int = 1,
+    m: int = 4,
+    dims: int = 64,
+    pq_mod: int = 63,
+    pq_iters: int = 1,
+):
+    """The full ANN index build: one frame of (vec_id, cell, s0..s{m-1}) —
+    IVF coarse cell over the full vector plus the m PQ subspace codes —
+    computed in a SINGLE kernel pass over one checkpointed base.
+
+    Returns (index_df, ivf_cent_rows, codebooks). This is the table a
+    deployment persists (partitioned by cell): probes prune to nprobe
+    cells, ADC ranks inside them without touching raw vectors.
+    """
+    dims_sub = dims // m
+    cols = [F.col("vec_id"), F.col("embedding"),
+            scaled_dot(F.col("embedding"), F.col("embedding")).alias("norm_full"),
+            kmeans._quantize(F.col("embedding")).alias("q_full")]
+    for s in range(m):
+        sl = F.slice("embedding", s * dims_sub + 1, dims_sub)
+        cols.append(scaled_dot(sl, sl).alias(f"norm_{s}"))
+        cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
+    base = emb.select(*cols).localCheckpoint()
+
+    # IVF training on the full vector (kmeans contract via projection)
+    ivf_view = base.select(
+        "vec_id", "embedding", F.col("norm_full").alias("norm_s"), F.col("q_full").alias("q")
+    )
+    ivf_cents = kmeans._collect_cents(
+        ivf_view.filter(F.col("vec_id") % ivf_mod == 1).select(
+            F.col("vec_id").alias("cent_id"), F.col("q").alias("c")
+        )
+    )
+    for _ in range(ivf_iters):
+        assign = kmeans._assign(ivf_view, ivf_cents, with_q=True)
+        ivf_cents = kmeans._collect_cents(kmeans._update(assign, dims))
+
+    # PQ codebooks per subspace (fused rounds — reuse the training loop
+    # against the shared base by projecting the same column contract)
+    init = base.filter(F.col("vec_id") % pq_mod == 1).select(
+        "vec_id", *[f"q_{s}" for s in range(m)]
+    )
+    seeds = sorted((r["vec_id"], [list(r[f"q_{s}"]) for s in range(m)]) for r in init.collect())
+    codebooks = [[(vid, qs[s]) for vid, qs in seeds] for s in range(m)]
+    for _ in range(pq_iters):
+        coded = _encode(base, codebooks, dims_sub, carry_q=True)
+        pairs = coded.select(
+            F.posexplode(
+                F.array(
+                    *[F.struct(F.col(f"s{s}").alias("cell"), F.col(f"q_{s}").alias("q"))
+                      for s in range(m)]
+                )
+            ).alias("subspace", "x")
+        )
+        sums = pairs.groupBy("subspace", F.col("x.cell").alias("cell")).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(F.col("x.q"), i + 1)).alias(f"c{i}") for i in range(dims_sub)],
+        )
+        mean = F.array(*[F.expr(f"CAST(c{i} DIV n AS BIGINT)") for i in range(dims_sub)])
+        rows = sums.select("subspace", "cell", mean.alias("c")).collect()
+        codebooks = [
+            sorted((r["cell"], list(r["c"])) for r in rows if r["subspace"] == s)
+            for s in range(m)
+        ]
+
+    # ONE combined kernel: IVF cell + all subspace codes per vector
+    ivf_ids = np.asarray([cid for cid, _ in ivf_cents], dtype=np.int64)
+    ivf_dq = np.asarray([c for _, c in ivf_cents], dtype=np.float64) / QUANT
+    ivf_cn = np.floor((ivf_dq * ivf_dq) * SCALE).astype(np.int64).sum(axis=1)
+    ivf_csqrt = np.sqrt(ivf_cn.astype(np.float64))
+    preps = []
+    for cent_rows in codebooks:
+        ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+        dq = np.asarray([c for _, c in cent_rows], dtype=np.float64) / QUANT
+        cn = np.floor((dq * dq) * SCALE).astype(np.int64).sum(axis=1)
+        preps.append((ids, dq, np.sqrt(cn.astype(np.float64))))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            dot = np.floor((x[:, None, :] * ivf_dq[None, :, :]) * SCALE).astype(np.int64).sum(axis=2)
+            nf = np.sqrt(pdf["norm_full"].to_numpy().astype(np.float64))
+            cos = dot.astype(np.float64) / (nf[:, None] * ivf_csqrt[None, :])
+            out["cell"] = ivf_ids[np.argmax(cos, axis=1)]
+            for s, (ids, dq, c_sqrt) in enumerate(preps):
+                xs = x[:, s * dims_sub : (s + 1) * dims_sub]
+                ns = np.sqrt(pdf[f"norm_{s}"].to_numpy().astype(np.float64))
+                d = np.floor((xs[:, None, :] * dq[None, :, :]) * SCALE).astype(np.int64).sum(axis=2)
+                cs = d.astype(np.float64) / (ns[:, None] * c_sqrt[None, :])
+                out[f"s{s}"] = ids[np.argmax(cs, axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, cell long, " + ", ".join(f"s{s} long" for s in range(m))
+    index_df = base.select(
+        "vec_id", "embedding", "norm_full", *[f"norm_{s}" for s in range(m)]
+    ).mapInPandas(kernel, schema)
+    return index_df, ivf_cents, codebooks
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    ivf_mod: int = 31,
+    m: int = 4,
+    dims: int = 64,
+    pq_mod: int = 63,
+) -> DataFrame:
+    """IVF-PQ search — the billion-scale ANN pairing: the IVF cell prunes
+    candidates to ``nprobe`` probed cells per query, ADC ranks ONLY those
+    candidates from their compact codes. Scoring touches no raw vectors:
+    probed-cell membership is a map-side IN over the broadcast probe set and
+    the ADC lookups are plan-baked map literals (see :func:`adc_topk`).
+
+    Returns (query_id, rank, neighbor_id, adc_s) — rank over probed cells
+    by (adc_s DESC, neighbor_id), self excluded.
+    """
+    dims_sub = dims // m
+    index_df, ivf_cents, codebooks = build_ivf_pq_index(
+        emb, ivf_mod=ivf_mod, ivf_iters=1, m=m, dims=dims, pq_mod=pq_mod, pq_iters=1
+    )
+    qvecs = {
+        r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "embedding").collect()
+    }
+    query_ids = [q for q in query_ids if q in qvecs]
+    if not query_ids or not ivf_cents or any(not cb for cb in codebooks):
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adc_s long"
+        )
+
+    ivf_ids = np.asarray([cid for cid, _ in ivf_cents], dtype=np.int64)
+    ivf_dq = np.asarray([c for _, c in ivf_cents], dtype=np.float64) / QUANT
+    ivf_cn = np.floor((ivf_dq * ivf_dq) * SCALE).astype(np.int64).sum(axis=1)
+
+    def probed_cells(qid: int) -> list[int]:
+        q = qvecs[qid]
+        dot = np.floor((q[None, :] * ivf_dq) * SCALE).astype(np.int64).sum(axis=1)
+        qn = np.floor((q * q) * SCALE).astype(np.int64).sum()
+        cos = dot.astype(np.float64) / (
+            np.sqrt(float(qn)) * np.sqrt(ivf_cn.astype(np.float64))
+        )
+        order = sorted(range(len(ivf_ids)), key=lambda i: (-cos[i], ivf_ids[i]))
+        return [int(ivf_ids[i]) for i in order[:nprobe]]
+
+    def lut_map(qid: int):
+        entries = []
+        for s, cent_rows in enumerate(codebooks):
+            qs = qvecs[qid][s * dims_sub : (s + 1) * dims_sub]
+            for cid, c in cent_rows:
+                dq = np.asarray(c, dtype=np.float64) / QUANT
+                val = int(np.floor((qs * dq) * SCALE).astype(np.int64).sum())
+                entries.append((f"{s}:{cid}", val))
+        return F.create_map(
+            *[c for kv in entries for c in (F.lit(kv[0]), F.lit(int(kv[1])).cast("long"))]
+        )
+
+    def adc_expr(qid: int):
+        lut = lut_map(qid)
+        return sum(
+            F.element_at(lut, F.concat_ws(":", F.lit(str(s)), F.col(f"s{s}").cast("string")))
+            for s in range(m)
+        )
+
+    scored = index_df.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("long").alias("query_id"),
+                        adc_expr(qid).cast("long").alias("adc_s"),
+                        F.col("cell").isin(probed_cells(qid)).alias("probed"),
+                    )
+                    for qid in query_ids
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        F.col("x.query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("x.adc_s"),
+        F.col("x.probed"),
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.filter(F.col("probed") & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("adc_s"), F.asc("neighbor_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "adc_s")

@@ -3797,3 +3797,72 @@ def meta_snapshot_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def longest_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.longest_dup_span(load_table(spark, sf_dir, "documents"))
+
+
+def _ivf_pq_oracle(query_ids=(1, 7, 42), k=5, nprobe=2, ivf_mod=31, m=4, dims_sub=16, pq_mod=63) -> str:
+    """IVF-PQ search unrolled: the full-vector IVF chain (_km_prefix, 1
+    round) + the per-subspace PQ chains (_pq_prefix) + per-query probed
+    cells + ADC contributions restricted to probed candidates."""
+    km = _km_prefix(1, ivf_mod)
+    km[0] = km[0].removeprefix("WITH ")  # _km_prefix embeds the WITH keyword
+    parts = km + _pq_prefix(m, dims_sub, pq_mod, 1)
+    qdot = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * (CAST(xb AS DOUBLE)/1000000.0) * 1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(q.embedding) AS xa, unnest(c.c) AS xb) zq)"""
+    cn = """(SELECT CAST(sum(CAST(floor((CAST(xc AS DOUBLE)/1000000.0)*(CAST(xc AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(c.c) AS xc) zc)"""
+    for qid in query_ids:
+        parts.append(
+            f"""probed{qid} AS (
+        SELECT cent_id AS cell FROM (
+            SELECT c.cent_id,
+                   row_number() OVER (ORDER BY
+                     CAST({qdot} AS DOUBLE)
+                       / (sqrt(CAST(q.norm_s AS DOUBLE)) * sqrt(CAST({cn} AS DOUBLE)))
+                     DESC, c.cent_id) AS rn
+            FROM c1 c, (SELECT embedding, norm_s FROM base WHERE vec_id = {qid}) q)
+        WHERE rn <= {nprobe})"""
+        )
+    blocks = []
+    for qid in query_ids:
+        for s in range(m):
+            lo, hi = s * dims_sub + 1, (s + 1) * dims_sub
+            dot = f"""(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * (CAST(xb AS DOUBLE)/1000000.0) * 1e12) AS BIGINT)) AS BIGINT)
+                FROM (SELECT unnest(qv.embedding[{lo}:{hi}]) AS xa, unnest(c.c) AS xb) zd)"""
+            blocks.append(
+                f"""SELECT a.vec_id, CAST({qid} AS BIGINT) AS query_id, {dot} AS contrib
+              FROM af a
+              JOIN probed{qid} p ON p.cell = a.cell
+              JOIN af{s} ps ON ps.vec_id = a.vec_id
+              JOIN pb{s}c1 c ON c.cent_id = ps.cell,
+                   (SELECT embedding FROM embeddings WHERE vec_id = {qid}) qv"""
+            )
+    union = "\n              UNION ALL ".join(blocks)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    contrib AS ({union}),
+    scores AS (SELECT query_id, vec_id AS neighbor_id,
+                 CAST(sum(contrib) AS BIGINT) AS adc_s
+               FROM contrib GROUP BY query_id, vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_s DESC, neighbor_id) AS rank
+               FROM scores WHERE neighbor_id <> query_id)
+    SELECT query_id, rank, neighbor_id, adc_s FROM ranked WHERE rank <= {k}"""
+    )
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=_ivf_pq_oracle(),
+    doc="IVF-PQ search, the billion-scale ANN pairing: the full-vector IVF "
+    "cell prunes candidates to nprobe probed cells per query (probe set "
+    "computed against the K-row centroid table), ADC ranks only those "
+    "candidates from their compact codes — scoring touches no raw vectors; "
+    "ONE combined kernel builds (vec_id, cell, s0..s3) as the index table. "
+    "Fully unrolled hash-gated oracle",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[1, 7, 42], k=5, nprobe=2
+    )

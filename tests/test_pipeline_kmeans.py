@@ -236,3 +236,26 @@ def test_pq_codebook_persistence_roundtrip(spark, tmp_path):
     assert {k: (v.s0, v.s1) for k, v in direct.items()} == {
         k: (v.s0, v.s1) for k, v in via_disk.items()
     }
+
+
+def test_ivf_pq_probes_prune_and_rank(spark):
+    """Separable clusters: the probe restricts candidates to the query's
+    nearest cells and ADC ranks in-cluster neighbors first; with nprobe
+    covering all cells the result superset grows, never shrinks."""
+    from iceberg_meta_spark.pipeline import pq
+
+    rows = []
+    for i in range(1, 13):  # ids 1..12, cluster = (id-1)//6; seeds 1, 7 (mod 6)
+        c = (i - 1) // 6
+        pat = [1.0, -1.0, 1.0, 1.0] if c == 0 else [-1.0, 1.0, -1.0, 1.0]
+        rows.append((i, [pat[d] + ((i * 11 + d) % 7 - 3) / 100.0 for d in range(4)]))
+    emb = _emb(spark, rows)
+    narrow = pq.ivf_pq_topk(
+        emb, query_ids=[2], k=3, nprobe=1, ivf_mod=6, m=2, dims=4, pq_mod=6
+    ).collect()
+    assert {r.neighbor_id for r in narrow} <= set(range(1, 7)) - {2}  # own cluster only
+    wide = pq.ivf_pq_topk(
+        emb, query_ids=[2], k=10, nprobe=2, ivf_mod=6, m=2, dims=4, pq_mod=6
+    ).collect()
+    assert {r.neighbor_id for r in narrow} <= {r.neighbor_id for r in wide}
+    assert len(wide) > len(narrow)
