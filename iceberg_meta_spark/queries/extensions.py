@@ -3855,6 +3855,7 @@ def _ivf_pq_oracle(query_ids=(1, 7, 42), k=5, nprobe=2, ivf_mod=31, m=4, dims_su
 @register(
     "ann_ivf_pq",
     oracle=_ivf_pq_oracle(),
+    tags=("bench",),
     doc="IVF-PQ search, the billion-scale ANN pairing: the full-vector IVF "
     "cell prunes candidates to nprobe probed cells per query (probe set "
     "computed against the K-row centroid table), ADC ranks only those "
