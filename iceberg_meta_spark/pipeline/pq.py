@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.pipeline import kmeans
-from iceberg_meta_spark.pipeline.similarity import SCALE, scaled_dot
+from iceberg_meta_spark.pipeline.similarity import SCALE, scaled_dot, with_self_norm
 
 QUANT = kmeans.QUANT
 
@@ -509,3 +509,62 @@ def ivf_pq_topk(
         )
     )
     return ranked.filter(F.col("rank") <= k).select("query_id", "rank", "neighbor_id", "adc_s")
+
+
+def ivf_pq_refined_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    ivf_mod: int = 31,
+    m: int = 4,
+    dims: int = 64,
+    pq_mod: int = 63,
+) -> DataFrame:
+    """The complete production ANN path: IVF probe → ADC shortlist → EXACT
+    refinement. ADC ranking is approximate (quantization error); real
+    deployments take an ADC shortlist (``shortlist`` ≥ k) and re-score just
+    those rows against the raw vectors — the refinement join touches
+    ``nq × shortlist`` rows however large the corpus is, so the exact pass
+    costs nothing at scale while recovering exact-cosine ordering within
+    the probed region.
+
+    Returns (query_id, rank, neighbor_id, cos_sim) ranked by exact cosine.
+    """
+    from pyspark.sql import Window
+
+    cand = ivf_pq_topk(
+        emb, query_ids, k=shortlist, nprobe=nprobe, ivf_mod=ivf_mod,
+        m=m, dims=dims, pq_mod=pq_mod,
+    ).select("query_id", "neighbor_id")
+    base = with_self_norm(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_s").alias("q_norm"),
+    )
+    refined = (
+        base.join(F.broadcast(cand), base["vec_id"] == cand["neighbor_id"])
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                scaled_dot(F.col("q_emb"), F.col("embedding")).cast("double")
+                / (
+                    F.sqrt(F.col("q_norm").cast("double"))
+                    * F.sqrt(F.col("norm_s").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    ranked = refined.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim")
+    )

@@ -259,3 +259,36 @@ def test_ivf_pq_probes_prune_and_rank(spark):
     ).collect()
     assert {r.neighbor_id for r in narrow} <= {r.neighbor_id for r in wide}
     assert len(wide) > len(narrow)
+
+
+def test_ivf_pq_refined_orders_by_exact_cosine(spark):
+    """Refinement must recover exact-cosine order within the probed region:
+    on the resolvable-cluster corpus the refined top-5 equals the exact
+    brute-force top-5 (PQ codes alone cannot rank inside a cell)."""
+    import numpy as np
+
+    from iceberg_meta_spark.pipeline import pq
+
+    def pattern(c):
+        h1 = [1.0 if (c >> b) & 1 else -1.0 for b in range(4)]
+        h2 = [1.0 if ((c * 5 + 3) >> b) & 1 else -1.0 for b in range(4)]
+        return h1 + h2
+
+    rows = []
+    for i in range(1, 91):
+        c = (i - 1) // 6
+        noise = [((i * 13 + d * 7) % 11 - 5) / 250.0 for d in range(8)]
+        rows.append((i, [pattern(c)[d] + noise[d] for d in range(8)]))
+    emb = _emb(spark, rows)
+    qid = 2
+    out = pq.ivf_pq_refined_topk(
+        emb, query_ids=[qid], k=5, shortlist=10, nprobe=2,
+        ivf_mod=6, m=2, dims=8, pq_mod=6,
+    ).collect()
+
+    X = np.array([r[1] for r in rows]); ids = np.array([r[0] for r in rows])
+    q = X[ids == qid][0]
+    exact = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    mask = ids != qid
+    order = ids[mask][np.argsort(-exact[mask])]
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == list(order[:5])
