@@ -292,3 +292,15 @@ def test_ivf_pq_refined_orders_by_exact_cosine(spark):
     mask = ids != qid
     order = ids[mask][np.argsort(-exact[mask])]
     assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == list(order[:5])
+
+
+def test_ann_eval_harness(spark):
+    """The recall harness runs end-to-end at sf0.001 and scores at least
+    the PQ-code variants against the exact baseline; refinement can never
+    score below plain IVF-PQ on the same shortlist region."""
+    import tools.ann_eval as ae
+
+    report = ae.evaluate(spark, "/root/testdata/sf0.001", k=5)
+    scored = {n: r for n, r in report.items() if r["recall_at_k"] is not None}
+    assert {"ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_refined"} <= set(scored)
+    assert scored["ann_ivf_pq_refined"]["recall_at_k"] >= scored["ann_ivf_pq"]["recall_at_k"]
