@@ -813,3 +813,60 @@ def test_streaming_lsh_near_dup_at_ingest(spark, tmp_path):
         assert sig_docs == {1, 2, 3, 4, 5, 6}
     finally:
         q.stop()
+
+
+def test_streaming_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """Reference centroids from the offline snapshot; a same-distribution
+    micro-batch passes, a rotated batch (and a brand-new label) alarm."""
+    import time
+
+    from iceberg_meta_spark.streaming.drift import drift_stream, label_centroids
+
+    schema = "vec_id long, embedding array<float>, label int"
+    ref_rows = [(i, [1.0, 0.01 * (i % 3)], 0) for i in range(30)]
+    reference = label_centroids(spark.createDataFrame(ref_rows, schema), dims=2)
+
+    src = str(tmp_path / "vecs")
+    out = str(tmp_path / "alarms")
+    ck = str(tmp_path / "ck")
+    # batch 1: same distribution, label 0
+    spark.createDataFrame(
+        [(100 + i, [1.0, 0.01 * (i % 3)], 0) for i in range(10)], schema
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = drift_stream(stream, reference, out, ck, threshold=0.995, dims=2)
+
+    def alarms():
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return None
+
+    def wait_for(pred, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: alarms()), alarms()
+        first = next(r for r in alarms() if r.label == 0)
+        assert not first.drifted and first.centroid_cos > 0.999
+        # batch 2: label 0 rotated, label 9 never seen before
+        spark.createDataFrame(
+            [(200 + i, [0.02, 1.0], 0) for i in range(10)]
+            + [(300, [0.5, 0.5], 9)],
+            schema,
+        ).write.mode("append").parquet(src)
+        assert wait_for(
+            lambda: alarms()
+            and any(r.label == 0 and r.drifted for r in alarms())
+            and any(r.label == 9 for r in alarms())
+        ), alarms()
+        new_label = next(r for r in alarms() if r.label == 9)
+        assert new_label.drifted and new_label.centroid_cos is None
+    finally:
+        q.stop()
