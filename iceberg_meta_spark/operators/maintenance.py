@@ -259,3 +259,44 @@ def hilbert_layout(
         .select("file_path", "hvalue", F.expr(f"hvalue >> {shift}").alias("hbucket"))
         .orderBy("hvalue", "file_path")
     )
+
+
+def manifest_rewrite_plan(
+    manifests: DataFrame,
+    target_bytes: int = 8 * 1024 * 1024,
+    small_threshold: int = 1 * 1024 * 1024,
+) -> DataFrame:
+    """Bin-pack small DATA manifests into rewrite groups (Iceberg's
+    ``rewrite_manifests`` action planned declaratively) — many tiny
+    manifests make every scan's metadata phase slow, exactly like small
+    data files make the read phase slow.
+
+    Delete manifests (content != 0) are excluded: rewriting them merges
+    delete scopes, a different action. Grouping mirrors
+    :func:`compaction_plan`: greedy first-fit by deterministic order within
+    (snapshot_id, partition_spec_id) — group = running-start DIV target.
+    """
+    w = (
+        Window.partitionBy("snapshot_id", "partition_spec_id")
+        .orderBy("manifest_path", "manifest_length")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small = manifests.filter(
+        (F.col("content") == 0) & (F.col("manifest_length") < F.lit(small_threshold))
+    )
+    offs = small.withColumn("end_off", F.sum("manifest_length").over(w))
+    grouped = offs.withColumn(
+        "group_id", F.expr(f"(end_off - manifest_length) DIV {int(target_bytes)}")
+    )
+    return (
+        grouped.groupBy("snapshot_id", "partition_spec_id", "group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_manifests"),
+            F.sum("manifest_length").alias("group_bytes"),
+            F.sum(F.col("added_files_count") + F.col("existing_files_count")).alias(
+                "group_files"
+            ),
+        )
+        .filter(F.col("n_manifests") > 1)  # singleton groups gain nothing
+        .orderBy("snapshot_id", "partition_spec_id", "group_id")
+    )

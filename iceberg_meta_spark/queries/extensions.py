@@ -3918,3 +3918,43 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), query_ids=[1, 7, 42], k=5,
         shortlist=20, nprobe=2,
     )
+
+
+from iceberg_meta_spark.operators.maintenance import manifest_rewrite_plan  # noqa: E402
+
+
+@register(
+    "meta_manifest_rewrite",
+    oracle="WITH meta_manifests AS ("
+    + cte_sql("meta_manifests", "duckdb")
+    + """),
+        small AS (SELECT * FROM meta_manifests
+                  WHERE content = 0 AND manifest_length < 1048576),
+        offs AS (SELECT snapshot_id, partition_spec_id, manifest_length,
+                   added_files_count, existing_files_count,
+                   sum(manifest_length) OVER (
+                     PARTITION BY snapshot_id, partition_spec_id
+                     ORDER BY manifest_path, manifest_length
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+                 FROM small),
+        grouped AS (SELECT snapshot_id, partition_spec_id,
+                      (end_off - manifest_length) // 8388608 AS group_id,
+                      manifest_length, added_files_count, existing_files_count
+                    FROM offs)
+        SELECT snapshot_id, partition_spec_id, CAST(group_id AS BIGINT) AS group_id,
+               CAST(count(*) AS BIGINT) AS n_manifests,
+               CAST(sum(manifest_length) AS BIGINT) AS group_bytes,
+               CAST(sum(added_files_count + existing_files_count) AS BIGINT) AS group_files
+        FROM grouped
+        GROUP BY snapshot_id, partition_spec_id, group_id
+        HAVING count(*) > 1
+        ORDER BY snapshot_id, partition_spec_id, group_id
+    """,
+    tags=("maintenance",),
+    doc="Manifest rewrite planning (Iceberg rewrite_manifests): bin-pack "
+    "small data manifests into ~8 MiB rewrite groups per (snapshot, spec) "
+    "— greedy first-fit via one partitioned cumulative-sum window, "
+    "delete manifests excluded, singleton groups dropped",
+)
+def meta_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest_rewrite_plan(derive(spark, sf_dir, "meta_manifests"))

@@ -297,3 +297,32 @@ def test_incremental_stats_equal_full_recompute(spark):
     # delta columns expose the applied work: group b saw none
     assert (out["b"].d_n, out["b"].d_rc, out["b"].d_fb) == (0, 0, 0)
     assert out["a"].d_n == 1 and out["a"].d_rc == 12 and out["a"].d_fb == 120
+
+
+def test_manifest_rewrite_plan_groups_small_data_manifests(spark):
+    from iceberg_meta_spark.operators.maintenance import manifest_rewrite_plan
+
+    mb = 1024 * 1024
+    rows = [
+        # snapshot 1, spec 0: three small data manifests -> one group
+        (1, "m1", 300 * 1024, 0, 0, 5, 2, 0),
+        (1, "m2", 400 * 1024, 0, 0, 3, 1, 0),
+        (1, "m3", 200 * 1024, 0, 0, 2, 0, 0),
+        # small DELETE manifest: excluded
+        (1, "m4", 100 * 1024, 0, 1, 1, 0, 1),
+        # big data manifest: not small
+        (1, "m5", 20 * mb, 0, 0, 9, 9, 0),
+        # snapshot 2: a lone small manifest -> singleton group dropped
+        (2, "m6", 100 * 1024, 0, 0, 1, 0, 0),
+    ]
+    mans = spark.createDataFrame(
+        rows,
+        "snapshot_id long, manifest_path string, manifest_length long, "
+        "partition_spec_id int, content int, added_files_count int, "
+        "existing_files_count int, deleted_files_count int",
+    )
+    out = manifest_rewrite_plan(mans).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.snapshot_id == 1 and g.n_manifests == 3
+    assert g.group_bytes == 900 * 1024 and g.group_files == 5 + 2 + 3 + 1 + 2
