@@ -390,3 +390,11 @@ def files_asof(src: MetadataSource, as_of: int) -> DataFrame:
 
     nodes = src.snapshots().select("snapshot_id", "parent_id")
     return _fa(src.files(), nodes, as_of=as_of)
+
+
+def manifest_rewrite(src: MetadataSource, target_bytes: int = 8 * 1024 * 1024) -> DataFrame:
+    """Manifest rewrite groups (Iceberg rewrite_manifests planning) —
+    the metadata-side sibling of :func:`compaction_plan`."""
+    from iceberg_meta_spark.operators.maintenance import manifest_rewrite_plan
+
+    return manifest_rewrite_plan(src.manifests(), target_bytes=target_bytes)
