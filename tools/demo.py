@@ -44,6 +44,8 @@ def main() -> None:
     show("orphan files", api.orphan_files(src, derive(spark, sf_dir, "storage_files")))
     show("z-order plan", api.zorder_plan(src))
     show("hilbert plan", api.hilbert_plan(src))
+    show("manifest rewrite plan", api.manifest_rewrite(src))
+    show("files as of snapshot 1", api.files_asof(src, as_of=1))
     seen = src.snapshots().select("snapshot_id").limit(5)
     show("watch tick (new snapshots)", api.watch(src, seen))
     spark.stop()
