@@ -3958,3 +3958,41 @@ from iceberg_meta_spark.operators.maintenance import manifest_rewrite_plan  # no
 )
 def meta_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_rewrite_plan(derive(spark, sf_dir, "meta_manifests"))
+
+
+@register(
+    "meta_spec_migration",
+    oracle="WITH meta_manifests AS ("
+    + cte_sql("meta_manifests", "duckdb")
+    + """),
+        per AS (SELECT snapshot_id, partition_spec_id,
+                  CAST(count(*) AS BIGINT) AS n_manifests
+                FROM meta_manifests GROUP BY 1, 2),
+        tot AS (SELECT snapshot_id, CAST(sum(n_manifests) AS BIGINT) AS total
+                FROM per GROUP BY 1)
+        SELECT p.snapshot_id, p.partition_spec_id, p.n_manifests,
+               CAST((p.n_manifests * 1000) // t.total AS BIGINT) AS share_permille
+        FROM per p JOIN tot t USING (snapshot_id)
+        ORDER BY snapshot_id, partition_spec_id
+    """,
+    doc="Partition-evolution rollout tracking: per snapshot, each partition "
+    "spec's manifest count and permille share — the migration-progress "
+    "view after an ALTER TABLE partition change; two shrinking aggregates "
+    "plus an equi-join on the snapshot key, no window",
+)
+def meta_spec_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mans = derive(spark, sf_dir, "meta_manifests")
+    per = mans.groupBy("snapshot_id", "partition_spec_id").agg(
+        F.count(F.lit(1)).alias("n_manifests")
+    )
+    tot = per.groupBy("snapshot_id").agg(F.sum("n_manifests").alias("total"))
+    return (
+        per.join(tot, "snapshot_id")
+        .select(
+            "snapshot_id",
+            "partition_spec_id",
+            "n_manifests",
+            F.expr("CAST((n_manifests * 1000) DIV total AS BIGINT)").alias("share_permille"),
+        )
+        .orderBy("snapshot_id", "partition_spec_id")
+    )
