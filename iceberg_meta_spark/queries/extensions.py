@@ -3996,3 +3996,65 @@ def meta_spec_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snapshot_id", "partition_spec_id")
     )
+
+
+@register(
+    "user_value_pareto",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events GROUP BY user_id),
+        tiled AS (
+            SELECT user_id, total_cents,
+                   ntile(10) OVER (ORDER BY total_cents, user_id) AS decile
+            FROM per_user),
+        per_dec AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(total_cents) AS BIGINT) AS decile_cents
+            FROM tiled GROUP BY decile),
+        tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS total FROM per_dec),
+        cum AS (SELECT decile, n_users, decile_cents,
+                  sum(decile_cents) OVER (ORDER BY decile DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_cents
+                FROM per_dec)
+        SELECT decile, n_users, decile_cents,
+               CAST((decile_cents * 1000) // total AS BIGINT) AS share_permille,
+               CAST((top_cents * 1000) // total AS BIGINT) AS top_share_permille
+        FROM cum, tot ORDER BY decile
+    """,
+    doc="Revenue concentration (the 80/20 view): per exact-ntile decile, "
+    "its permille share of total user value plus the cumulative share held "
+    "by this-and-higher deciles. The only window beyond the decile ntile "
+    "runs over the 10-row per-decile frame — bounded forever",
+)
+def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    tiled = per_user.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("total_cents", "user_id"))
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("total_cents").alias("decile_cents"),
+    )
+    tot = per_dec.agg(F.sum("decile_cents").alias("total"))
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_dec.withColumn("top_cents", F.sum("decile_cents").over(w))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "decile_cents",
+            F.expr("CAST((decile_cents * 1000) DIV total AS BIGINT)").alias("share_permille"),
+            F.expr("CAST((top_cents * 1000) DIV total AS BIGINT)").alias("top_share_permille"),
+        )
+        .orderBy("decile")
+    )

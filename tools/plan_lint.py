@@ -35,6 +35,7 @@ SINGLE_PARTITION_ALLOWED: dict[str, str] = {
     # exact global ntile is the documented driver-side twin; the _approx
     # twin is the deployment path (VERDICT r1 #2 — both ship)
     "user_value_deciles": "exact-ntile twin; user_value_deciles_approx is the scale path",
+    "user_value_pareto": "exact-ntile base (same twin reasoning) + a 10-row decile window",
     # metadata-sized frames: rows bounded independent of data scale
     "meta_snapshot_expiry": "rank over the snapshot log (O(snapshots/table); multi-table partitions by table)",
     "monthly_revenue_growth": "lag over month-grain frame (#months rows)",
