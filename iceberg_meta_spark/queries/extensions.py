@@ -4058,3 +4058,64 @@ def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "events_hourly_anomalies",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        trailed AS (
+            SELECT event_type, window_start_us, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS trail_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS trail_n
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, window_start_us, n, trail_sum,
+               CAST((n * 3000) // trail_sum AS BIGINT) AS deviation_permille
+        FROM trailed
+        WHERE trail_n = 3 AND 2 * n > trail_sum
+        ORDER BY deviation_permille DESC, event_type, window_start_us
+        LIMIT 50
+    """,
+    doc="Hourly traffic anomaly screen: per event type, hours whose count "
+    "exceeds 1.5x the trailing 3-hour average (2n > trailing sum, integer "
+    "exact), deviation in permille of that average; the lag window is "
+    "partitioned by type and bounded by retention hours, never data volume",
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 1000").alias("ts_us"), "event_type"
+    )
+    hourly = (
+        ev.withColumn("window_start_us", F.expr(f"(ts_us DIV {hour_us}) * {hour_us}"))
+        .groupBy("event_type", "window_start_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_us")
+        .rowsBetween(-3, -1)
+    )
+    trailed = hourly.withColumn("trail_sum", F.sum("n").over(w)).withColumn(
+        "trail_n", F.count(F.lit(1)).over(w)
+    )
+    return (
+        trailed.filter((F.col("trail_n") == 3) & (2 * F.col("n") > F.col("trail_sum")))
+        .select(
+            "event_type",
+            "window_start_us",
+            "n",
+            "trail_sum",
+            F.expr("CAST((n * 3000) DIV trail_sum AS BIGINT)").alias("deviation_permille"),
+        )
+        .orderBy(F.desc("deviation_permille"), "event_type", "window_start_us")
+        .limit(50)
+    )
