@@ -4119,3 +4119,42 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("deviation_permille"), "event_type", "window_start_us")
         .limit(50)
     )
+
+
+@register(
+    "events_dow_profile",
+    oracle="""
+        WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+        keyed AS (SELECT ((us // 86400000000) + 4) % 7 AS dow,
+                         (us // 3600000000) % 24 AS hod
+                  FROM ev),
+        cnt AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n
+                FROM keyed GROUP BY dow, hod),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt)
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
+               CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+        FROM cnt, tot ORDER BY dow, hod
+    """,
+    doc="Traffic heat profile by (day-of-week, hour-of-day) with ppm "
+    "share: dow from pure integer epoch math ((days + 4) % 7 — "
+    "engine-portable, unlike dayofweek() whose origin differs between "
+    "Spark and DuckDB); one shrinking aggregate + a broadcast 1-row total",
+)
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(F.expr("ts DIV 1000").alias("us"))
+    keyed = ev.select(
+        F.expr("((us DIV 86400000000) + 4) % 7").alias("dow"),
+        F.expr("(us DIV 3600000000) % 24").alias("hod"),
+    )
+    cnt = keyed.groupBy("dow", "hod").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hod").cast("long").alias("hod"),
+            "n",
+            F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("dow", "hod")
+    )
