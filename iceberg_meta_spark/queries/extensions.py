@@ -4158,3 +4158,63 @@ def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+_SIZE_BUCKETS = (
+    ("lt_1MiB", 0, 1 << 20),
+    ("1_4MiB", 1 << 20, 4 << 20),
+    ("4_16MiB", 4 << 20, 16 << 20),
+    ("16_64MiB", 16 << 20, 64 << 20),
+    ("64_256MiB", 64 << 20, 256 << 20),
+    ("ge_256MiB", 256 << 20, 1 << 62),
+)
+
+
+def _bucket_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} >= {lo} AND {col} < {hi} THEN '{name}'"
+        for name, lo, hi in _SIZE_BUCKETS
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "meta_file_size_histogram",
+    oracle="WITH meta_files AS ("
+    + cte_sql("meta_files", "duckdb")
+    + f"""),
+        b AS (SELECT {_bucket_case('file_size_in_bytes')} AS bucket,
+                     file_size_in_bytes FROM meta_files),
+        cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(file_size_in_bytes) AS BIGINT) AS bucket_bytes
+                FROM b GROUP BY bucket),
+        tot AS (SELECT CAST(sum(n_files) AS BIGINT) AS total FROM cnt)
+        SELECT bucket, n_files, bucket_bytes,
+               CAST((n_files * 1000) // total AS BIGINT) AS share_permille
+        FROM cnt, tot ORDER BY bucket
+    """,
+    doc="File-size distribution in fixed power-of-4 buckets (the files "
+    "dashboard's histogram; small-file pressure at a glance): pure CASE "
+    "bucketing, one shrinking aggregate, broadcast 1-row total",
+)
+def meta_file_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = derive(spark, sf_dir, "meta_files")
+    b = files.select(
+        F.expr(_bucket_case("file_size_in_bytes")).alias("bucket"),
+        "file_size_in_bytes",
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("file_size_in_bytes").alias("bucket_bytes"),
+    )
+    tot = cnt.agg(F.sum("n_files").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_files",
+            "bucket_bytes",
+            F.expr("CAST((n_files * 1000) DIV total AS BIGINT)").alias("share_permille"),
+        )
+        .orderBy("bucket")
+    )
