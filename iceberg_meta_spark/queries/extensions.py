@@ -4218,3 +4218,87 @@ def meta_file_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "meta_partition_fragmentation",
+    oracle="WITH meta_files AS ("
+    + cte_sql("meta_files", "duckdb")
+    + """),
+        per AS (SELECT part_key, CAST(count(*) AS BIGINT) AS n_files,
+                  CAST(sum(file_size_in_bytes) AS BIGINT) AS total_bytes
+                FROM meta_files GROUP BY part_key)
+        SELECT part_key, n_files, total_bytes,
+               CAST(greatest(total_bytes // 134217728, 1) AS BIGINT) AS ideal_files,
+               CAST((n_files * 1000) // greatest(total_bytes // 134217728, 1) AS BIGINT)
+                 AS fragmentation_permille
+        FROM per ORDER BY fragmentation_permille DESC, part_key
+    """,
+    tags=("maintenance",),
+    doc="Partition fragmentation score: actual file count vs the ideal at "
+    "a 128 MiB target (1000 = perfectly sized; higher = small-file "
+    "pressure, the compaction trigger metric); one shrinking aggregate",
+)
+def meta_partition_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = derive(spark, sf_dir, "meta_files")
+    per = files.groupBy("part_key").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("file_size_in_bytes").alias("total_bytes"),
+    )
+    return per.select(
+        "part_key",
+        "n_files",
+        "total_bytes",
+        F.expr("CAST(greatest(total_bytes DIV 134217728, 1) AS BIGINT)").alias("ideal_files"),
+        F.expr(
+            "CAST((n_files * 1000) DIV greatest(total_bytes DIV 134217728, 1) AS BIGINT)"
+        ).alias("fragmentation_permille"),
+    ).orderBy(F.desc("fragmentation_permille"), "part_key")
+
+
+@register(
+    "lang_share_drift",
+    oracle="""
+        WITH keyed AS (SELECT lang, doc_id % 2 AS cohort FROM documents),
+        per AS (SELECT lang, cohort, CAST(count(*) AS BIGINT) AS n
+                FROM keyed GROUP BY lang, cohort),
+        tot AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS total
+                FROM per GROUP BY cohort),
+        shares AS (SELECT p.lang, p.cohort,
+                     CAST((p.n * 1000000) // t.total AS BIGINT) AS ppm
+                   FROM per p JOIN tot t USING (cohort)),
+        piv AS (SELECT a.lang, a.ppm AS ref_ppm, b.ppm AS cur_ppm
+                FROM shares a JOIN shares b
+                  ON a.lang = b.lang AND a.cohort = 0 AND b.cohort = 1)
+        SELECT lang, ref_ppm, cur_ppm,
+               CAST(abs(cur_ppm - ref_ppm) AS BIGINT) AS delta_ppm,
+               abs(cur_ppm - ref_ppm) > 50000 AS drifted
+        FROM piv ORDER BY lang
+    """,
+    doc="Corpus-composition drift: each language's ppm share in the "
+    "reference vs current cohort (doc-id parity stands in for the two "
+    "snapshots), flagged over a 5% absolute shift — the companion monitor "
+    "to embedding_drift for the text side; two shrinking aggregates + "
+    "tiny self-join",
+)
+def lang_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("lang", (F.col("doc_id") % 2).alias("cohort"))
+    per = keyed.groupBy("lang", "cohort").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("cohort").agg(F.sum("n").alias("total"))
+    shares = per.join(tot, "cohort").select(
+        "lang", "cohort", F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("ppm")
+    )
+    a = shares.filter(F.col("cohort") == 0).select("lang", F.col("ppm").alias("ref_ppm"))
+    b = shares.filter(F.col("cohort") == 1).select("lang", F.col("ppm").alias("cur_ppm"))
+    return (
+        a.join(b, "lang")
+        .select(
+            "lang",
+            "ref_ppm",
+            "cur_ppm",
+            F.abs(F.col("cur_ppm") - F.col("ref_ppm")).alias("delta_ppm"),
+            (F.abs(F.col("cur_ppm") - F.col("ref_ppm")) > 50000).alias("drifted"),
+        )
+        .orderBy("lang")
+    )
