@@ -4302,3 +4302,84 @@ def lang_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "meta_commit_cadence",
+    oracle="WITH meta_snapshots AS ("
+    + cte_sql("meta_snapshots", "duckdb")
+    + """),
+        keyed AS (SELECT (committed_us // 3600000000) % 24 AS hod
+                  FROM meta_snapshots),
+        cnt AS (SELECT hod, CAST(count(*) AS BIGINT) AS n_commits
+                FROM keyed GROUP BY hod),
+        tot AS (SELECT CAST(sum(n_commits) AS BIGINT) AS total FROM cnt)
+        SELECT CAST(hod AS BIGINT) AS hod, n_commits,
+               CAST((n_commits * 1000) // total AS BIGINT) AS share_permille
+        FROM cnt, tot ORDER BY hod
+    """,
+    doc="Commit cadence by hour of day over the snapshot log — the ops "
+    "view for scheduling maintenance into quiet windows; integer epoch "
+    "math, one shrinking aggregate",
+)
+def meta_commit_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snaps = derive(spark, sf_dir, "meta_snapshots")
+    keyed = snaps.select(F.expr("(committed_us DIV 3600000000) % 24").alias("hod"))
+    cnt = keyed.groupBy("hod").agg(F.count(F.lit(1)).alias("n_commits"))
+    tot = cnt.agg(F.sum("n_commits").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("hod").cast("long").alias("hod"),
+            "n_commits",
+            F.expr("CAST((n_commits * 1000) DIV total AS BIGINT)").alias("share_permille"),
+        )
+        .orderBy("hod")
+    )
+
+
+@register(
+    "order_value_histogram",
+    oracle="""
+        WITH b AS (SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+                               WHEN o_totalprice < 150000 THEN '50_150k'
+                               WHEN o_totalprice < 300000 THEN '150_300k'
+                               ELSE 'ge_300k' END AS bucket,
+                          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(cents) AS BIGINT) AS bucket_cents
+                FROM b GROUP BY bucket),
+        tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM cnt)
+        SELECT bucket, n_orders, bucket_cents,
+               CAST((n_orders * 1000) // total AS BIGINT) AS share_permille
+        FROM cnt, tot ORDER BY bucket
+    """,
+    doc="Order-value histogram in fixed price buckets with permille "
+    "shares: CASE bucketing, one shrinking aggregate, broadcast total",
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.expr(
+            "CASE WHEN o_totalprice < 50000 THEN 'lt_50k' "
+            "WHEN o_totalprice < 150000 THEN '50_150k' "
+            "WHEN o_totalprice < 300000 THEN '150_300k' "
+            "ELSE 'ge_300k' END"
+        ).alias("bucket"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("bucket_cents")
+    )
+    tot = cnt.agg(F.sum("n_orders").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            "bucket_cents",
+            F.expr("CAST((n_orders * 1000) DIV total AS BIGINT)").alias("share_permille"),
+        )
+        .orderBy("bucket")
+    )
