@@ -82,13 +82,27 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
     }
     # Second scale point (closest to the reference baseline's scenario size):
-    # same session, same plans, different data scale.
+    # same session, same plans, different data scale. TOTAL ONLY — the
+    # driver captures a bounded tail of our output and parses the final
+    # JSON line; a per-query breakdown at two scale points once grew the
+    # line past that buffer and round 3's bench went unparsed.
     if second_dir and os.path.isdir(second_dir) and second_dir != sf_dir:
         t2 = _timed_pass(spark, bench, second_dir)
-        out["scale_points"] = {
-            str(_sf_of(second_dir)): {"value": round(sum(t2.values()), 3), "queries": t2}
-        }
-    print(json.dumps(out), flush=True)
+        out["scale_points"] = {str(_sf_of(second_dir)): {"value": round(sum(t2.values()), 3)}}
+    # Hard length guard for the same reason: if the query surface grows the
+    # line past ~3000 chars, elide the FASTEST per-query entries first (the
+    # slow ones are the signal) and say how many were dropped.
+    line = json.dumps(out)
+    elided = 0
+    while len(line) > 3000 and len(times) > 1:
+        times.pop(min(times, key=times.get))
+        elided += 1
+        out["queries_elided"] = elided
+        line = json.dumps(out)
+    # Leading newline: Spark's console progress bar ends its output with a
+    # bare carriage return; without this the JSON shares a physical line
+    # with progress-bar residue.
+    print("\n" + line, flush=True)
     spark.stop()
 
 

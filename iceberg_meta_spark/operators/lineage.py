@@ -72,34 +72,83 @@ def ancestry(nodes: DataFrame, max_depth: int = 1 << 20) -> DataFrame:
     ).orderBy("snapshot_id")
 
 
+def ancestor_closure(nodes: DataFrame) -> DataFrame:
+    """Full transitive ancestor closure of the lineage forest.
+
+    Returns (snapshot_id, ancestor_id) — one row per (node, strict-or-self
+    ancestor) pair, including the reflexive (X, X) row. Built by relation
+    doubling: R0 = identity ∪ parent edges; each round unions
+    ``R ∘ R`` back in, so depth-D chains close in ceil(log2(D)) joins.
+    O(N·D) output rows — metadata-sized for snapshot logs — and exact on
+    ANY forest shape, forks included (unlike the (root, depth) test).
+    """
+    edges = nodes.select(
+        F.col("snapshot_id"), F.col("parent_id").alias("ancestor_id")
+    ).filter(F.col("ancestor_id").isNotNull())
+    closure = nodes.select(
+        "snapshot_id", F.col("snapshot_id").alias("ancestor_id")
+    ).unionByName(edges).localCheckpoint()
+    while True:
+        hop = closure.select(
+            F.col("snapshot_id").alias("j_id"), F.col("ancestor_id").alias("j_anc")
+        )
+        grown = (
+            closure.join(hop, closure.ancestor_id == hop.j_id)
+            .select("snapshot_id", F.col("j_anc").alias("ancestor_id"))
+            .unionByName(closure)
+            .distinct()
+            .localCheckpoint()
+        )
+        if grown.count() == closure.count():
+            return closure
+        closure = grown
+
+
 def files_asof(files: DataFrame, nodes: DataFrame, as_of: int) -> DataFrame:
     """Time-travel state reconstruction: the per-partition file inventory
     VISIBLE at snapshot ``as_of`` — files whose adding snapshot is an
     ancestor of (or is) ``as_of`` in the lineage forest.
 
-    Membership comes from the pointer-doubled :func:`ancestry` frame: X is
-    an ancestor of S iff they share a root and ``depth(X) <= depth(S)`` —
-    exact for forests of parent CHAINS (Iceberg lineage without branch
-    forks; a forked history would need the pairwise closure instead, at
-    O(N·D) rows — metadata-sized either way).
+    On unbranched parent chains, membership comes from the pointer-doubled
+    :func:`ancestry` frame: X is an ancestor of S iff they share a root and
+    ``depth(X) <= depth(S)`` — log-depth self-joins, one row per node. On a
+    FORKED history (any parent with >1 child: a branch, or rollback then
+    recommit) that test would silently count sibling-branch snapshots, so
+    forks are detected up front (one metadata-sized aggregate) and the exact
+    :func:`ancestor_closure` is used instead — O(N·D) rows, still
+    metadata-sized, correct on any forest.
 
-    Scale: ancestry is log-depth self-joins on the metadata-sized snapshot
-    log; the visibility test then broadcasts the 1-row as-of anchor and
-    semi-filters the file table by (root, depth) — the big file frame is
-    scanned once, no per-file lineage walk.
+    Scale: lineage math touches only the metadata-sized snapshot log; the
+    visibility test then broadcasts the (small) visible-snapshot set and
+    semi-filters the file table — the big file frame is scanned once, no
+    per-file lineage walk.
     """
-    anc = ancestry(nodes)
-    anchor = anc.filter(F.col("snapshot_id") == as_of).select(
-        F.col("root_id").alias("as_of_root"), F.col("depth").alias("as_of_depth")
+    has_fork = not (
+        nodes.filter(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+        .filter(F.col("n_children") > 1)
+        .isEmpty()
     )
-    visible_snaps = (
-        anc.crossJoin(F.broadcast(anchor))
-        .filter(
-            (F.col("root_id") == F.col("as_of_root"))
-            & (F.col("depth") <= F.col("as_of_depth"))
+    if has_fork:
+        visible_snaps = (
+            ancestor_closure(nodes)
+            .filter(F.col("snapshot_id") == as_of)
+            .select(F.col("ancestor_id").alias("snapshot_id"))
         )
-        .select("snapshot_id")
-    )
+    else:
+        anc = ancestry(nodes)
+        anchor = anc.filter(F.col("snapshot_id") == as_of).select(
+            F.col("root_id").alias("as_of_root"), F.col("depth").alias("as_of_depth")
+        )
+        visible_snaps = (
+            anc.crossJoin(F.broadcast(anchor))
+            .filter(
+                (F.col("root_id") == F.col("as_of_root"))
+                & (F.col("depth") <= F.col("as_of_depth"))
+            )
+            .select("snapshot_id")
+        )
     return (
         files.join(F.broadcast(visible_snaps), "snapshot_id")
         .groupBy("part_key")

@@ -144,6 +144,98 @@ def minhash_lsh_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    shingle_k: int = 2,
+    df_cap: int = 8,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT —
+    ``|A∩B| / min(|A|,|B|)`` — the signal Jaccard misses when a small
+    document is quoted inside a much larger one (their union dwarfs the
+    intersection, so Jaccard stays low while containment is ~1).
+
+    Candidate generation is a frequency-capped inverted index (the classic
+    prefix-filter shape of PPJoin-family algorithms): only shingles shared
+    by 2..``df_cap`` documents generate pairs, so a shingle contributes at
+    most df_cap² candidate rows no matter how big the corpus — boilerplate
+    grams that appear everywhere are excluded from candidate generation
+    (they carry no discriminative signal) but still count in the exact
+    intersection, which runs only over the candidates.
+
+    Scale: shingle df is one map-side-combined groupBy; candidates are an
+    equi-join on the rare-shingle key (bounded fan-out by construction);
+    verification is candidate × shingles-per-doc, never block².
+    """
+    sh = _word_shingles(docs, shingle_k)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("shingle")
+    )
+    rare_sh = sh.join(rare, "shingle")
+    cand = (
+        rare_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(rare_sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.round(
+        F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b")), 4
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select("doc_a", "doc_b", "n_inter", cont.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def novel_batch_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental corpus growth: which INCOMING documents are novel vs the
+    existing corpus? A doc is flagged as a duplicate candidate when ANY of
+    its LSH bands collides with a band already present in the corpus —
+    the batch analog of the streaming ingest-dedup probe (streaming/lsh.py),
+    and the shape a crawl pipeline runs nightly: never re-pair the corpus
+    against itself, only probe the new rows against the signature store.
+
+    Scale: the store is the distinct (band_idx, band_key) table — built once
+    and persisted at deployment (here derived inline); the probe is ONE
+    left-semi equi-join of batch band rows against it, so per-night work is
+    O(batch × bands) regardless of corpus size.
+    """
+    store = (
+        minhash_band_rows(corpus, num_hashes, shingle_k, band_size)
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    collided = (
+        minhash_band_rows(batch, num_hashes, shingle_k, band_size)
+        .join(store, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return batch.select("doc_id", "lang").join(collided, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce(F.col("hit"), F.lit(False)).alias("dup_candidate")
+    )
+
+
 def simhash_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash (``bits``-bit) per doc from token md5s; grouped signatures.
 

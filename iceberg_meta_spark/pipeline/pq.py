@@ -298,6 +298,10 @@ def load_codebooks(spark, path: str) -> list[list[tuple[int, list[int]]]]:
     each codebook in ascending cent_id order (the argmax tie-break
     contract)."""
     rows = spark.read.parquet(path).collect()
+    if not rows:
+        # codebooks trained on an empty corpus round-trip as [] (mirrors
+        # the empty-codebook handling in _encode/adc_topk)
+        return []
     m = max(r["subspace"] for r in rows) + 1
     books: list[list[tuple[int, list[int]]]] = [[] for _ in range(m)]
     for r in rows:

@@ -199,6 +199,58 @@ def domain_mix_temperature(docs: DataFrame, budget: int = 100_000) -> DataFrame:
     )
 
 
+def adaptive_quality_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing with CORPUS-ADAPTIVE
+    per-language thresholds: instead of fixed rule constants, each
+    language's quality cutoffs are its own exact p25/p75 of a quality
+    score (stopword density, integer-scaled), and every document lands in
+    head (>= p75), middle, or tail (< p25) — the bucketing CCNet applies
+    to perplexity before keeping head+middle for training.
+
+    Determinism across engines: the score is floor-scaled to a BIGINT
+    (``floor(1e4 * stopwords / tokens)``), and the quantile probes are
+    DYADIC (0.25/0.75) so the linear interpolation ``a + (b-a)*g`` is an
+    exact binary fraction — Spark's percentile() and DuckDB's
+    quantile_cont() produce bit-identical doubles, making the >=/<
+    bucket comparisons hash-stable (thirds would differ in the last ulp).
+
+    Scale: one scan computes scores map-side; per-language boundaries are a
+    tiny aggregate broadcast back over the scored frame; the bucket CASE is
+    map-side. The exact per-group percentile is the documented sort-buffer
+    cliff — at >10⁸ docs/language swap in percentile_approx boundaries (the
+    file-health twin pattern); bucket semantics are unchanged.
+    """
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    # occurrence count (not distinct-present): same integer in any engine
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    score = F.when(n_tokens == 0, F.lit(0)).otherwise(
+        F.floor(F.lit(10_000) * stop.cast("long") / n_tokens)
+    ).cast("long")
+    scored = docs.select("doc_id", "lang", score.alias("q_score"))
+    bounds = scored.groupBy("lang").agg(
+        F.percentile("q_score", [0.25, 0.75]).alias("qs")
+    ).select(
+        "lang", F.col("qs")[0].alias("p25"), F.col("qs")[1].alias("p75")
+    )
+    bucket = (
+        F.when(F.col("q_score") >= F.col("p75"), F.lit("head"))
+        .when(F.col("q_score") < F.col("p25"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .select("lang", bucket.alias("bucket"), "q_score")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q_score").alias("min_score"),
+            F.max("q_score").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def embedding_drift(emb: DataFrame, threshold: float = 0.995, dims: int = 64) -> DataFrame:
     """Per-label embedding distribution-shift monitor: cosine between the
     label's centroid in two id-interleaved cohorts (vec_id parity stands in

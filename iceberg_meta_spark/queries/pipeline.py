@@ -542,3 +542,119 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         rates_256={"en": 128, "zh": 192}, default_256=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: containment dedup, incremental corpus dedup, adaptive
+# quality bucketing.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_containment",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) BETWEEN 2 AND 8),
+        rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM rsh a JOIN rsh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) >= 0.5
+    """,
+    doc="Asymmetric containment near-dup (|A∩B|/min|A|,|B| — catches a small "
+    "doc quoted inside a large one where Jaccard stays low); candidates from "
+    "a frequency-capped inverted index (PPJoin-style prefix filter), exact "
+    "intersection verifies only those pairs",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_k=2, df_cap=8, min_containment=0.5
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH tagged AS (SELECT *, substr(md5(CAST(doc_id AS STRING)), 1, 1) >= 'd' AS is_batch
+                        FROM documents),
+        toks AS (SELECT doc_id, is_batch, string_split(text, ' ') AS t FROM tagged),
+        sized AS (SELECT doc_id, is_batch, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        sh AS (SELECT DISTINCT doc_id, is_batch, concat(t[i], ' ', t[i+1]) AS shingle
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        mh AS (SELECT doc_id, is_batch, seed,
+                      min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
+               FROM sh, generate_series(0, 7) AS s(seed) GROUP BY 1, 2, 3),
+        bands AS (SELECT doc_id, is_batch, seed // 2 AS band_idx,
+                         string_agg(mh, '|' ORDER BY seed) AS band_key
+                  FROM mh GROUP BY doc_id, is_batch, seed // 2),
+        store AS (SELECT DISTINCT band_idx, band_key FROM bands WHERE NOT is_batch),
+        hits AS (SELECT DISTINCT b.doc_id FROM bands b
+                 JOIN store s ON s.band_idx = b.band_idx AND s.band_key = b.band_key
+                 WHERE b.is_batch)
+        SELECT d.doc_id, d.lang,
+               (h.doc_id IS NOT NULL) AS dup_candidate
+        FROM tagged d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.is_batch
+    """,
+    doc="Incremental corpus dedup: the nightly-crawl shape — new-batch docs "
+    "(deterministic ~19% hash split) probe the existing corpus's LSH band "
+    "store with ONE left-semi equi-join; per-night work is O(batch), the "
+    "corpus is never re-paired against itself",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "d"
+    return dedup.novel_batch_docs(
+        docs.filter(~is_batch), docs.filter(is_batch),
+        num_hashes=8, shingle_k=2, band_size=2,
+    )
+
+
+@register(
+    "quality_adaptive_buckets",
+    oracle="""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        sc AS (SELECT doc_id, lang,
+                      CASE WHEN len(t) = 0 THEN 0
+                           ELSE CAST(floor(10000 * len(list_filter(t,
+                                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) / len(t)) AS BIGINT)
+                      END AS q_score
+               FROM toks),
+        b AS (SELECT lang, quantile_cont(q_score, 0.25) AS p25,
+                     quantile_cont(q_score, 0.75) AS p75
+              FROM sc GROUP BY lang)
+        SELECT sc.lang,
+               CASE WHEN q_score >= p75 THEN 'head'
+                    WHEN q_score < p25 THEN 'tail'
+                    ELSE 'middle' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(q_score) AS min_score, max(q_score) AS max_score
+        FROM sc JOIN b ON b.lang = sc.lang
+        GROUP BY 1, 2 ORDER BY sc.lang, bucket
+    """,
+    doc="CCNet head/middle/tail bucketing with corpus-adaptive per-language "
+    "thresholds: exact DYADIC p25/p75 of an integer-scaled stopword-density "
+    "score (dyadic probes interpolate to exact binary fractions — "
+    "bit-identical across engines); boundaries broadcast, bucket CASE "
+    "map-side (pipeline/quality.py)",
+)
+def quality_adaptive_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import quality
+
+    return quality.adaptive_quality_buckets(load_table(spark, sf_dir, "documents"))

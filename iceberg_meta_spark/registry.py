@@ -34,14 +34,6 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # Modules whose import populates the registry.
-#
-# ORDER MATTERS for the driver contract: the driver's correctness gate checks
-# the first 50 registrations in order.  metadata (29) + pipeline (18) +
-# health (1) + commands (2) = exactly 50, so every SURVEY §2 operator and the
-# whole LLM-pipeline family sits inside the checked window.  The TPC-H-shaped
-# breadth queries in ``queries.analytics`` are supplementary and register
-# last; round-2+ additions go in ``queries.extensions`` (loaded last) so they
-# never push a critical query out of the window.
 _OPERATOR_MODULES = [
     "iceberg_meta_spark.queries.metadata",
     "iceberg_meta_spark.queries.pipeline",
@@ -70,7 +62,83 @@ def register(
     return deco
 
 
+# ORDER MATTERS for the driver contract: the driver's correctness gate
+# checks the FIRST 50 registrations in iteration order. With the registry
+# grown far past 50, the window is curated explicitly: every SURVEY §2
+# operator family, the whole mandated LLM-pipeline family, the composite
+# commands, and one headline per major extension family (as-of join, BM25
+# retrieval, IVF-PQ ANN, semantic dedup, corpus composite, maintenance
+# planning). Queries sharing a §2 row with an in-window sibling (e.g. the
+# warehouse CUBE upgrade beside the ROLLUP, the approx file-health twin
+# beside the exact one) yield their slot; they — and everything else —
+# stay under the full-registry local gate (tools/check_oracle.py, committed
+# per-round as CORRECTNESS_FULL_r*.json).
+DRIVER_WINDOW = [
+    # §2 metadata core
+    "meta_file_health",
+    "meta_manifest_health",
+    "meta_partition_distribution",
+    "meta_partition_skew",
+    "meta_snapshot_diff",
+    "meta_snapshot_diff_summary",
+    "meta_column_health",
+    "meta_overlap_sweepline",
+    "meta_schema_diff",
+    "meta_schema_conflicts",
+    "meta_namespace_rollup",
+    "meta_warehouse_rollup",
+    "meta_format_version_histogram",
+    "meta_freshness_histogram",
+    "meta_table_alerts",
+    "meta_stalest_tables",
+    "meta_manifest_row_share",
+    "meta_top_files_per_partition",
+    "meta_recent_snapshots",
+    "meta_latest_snapshot_summary",
+    "meta_watch_new_snapshots",
+    "meta_file_labels",
+    "meta_snapshot_timestamps",
+    # mandated LLM-pipeline family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "dedup_embedding_cosine",
+    "embedding_nearest_in_label",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "training_mix",
+    "corpus_curation",
+    # composite commands (§2.11)
+    "health_report",
+    "summary_report",
+    "snapshot_detail",
+    # extension-family headliners
+    "purchase_click_attribution",
+    "bm25_retrieval",
+    "ann_ivf_pq",
+    "dedup_semantic",
+    "corpus_report",
+    "meta_compaction_plan",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

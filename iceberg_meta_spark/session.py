@@ -69,6 +69,10 @@ def get_spark(app_name: str = "iceberg-meta-spark", cpus: str | None = None) -> 
         .config("spark.sql.files.maxPartitionBytes", "268435456")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-terminated noise that lands in the
+        # driver's bounded output-tail capture right before bench.py's one
+        # JSON line — keep the channel clean.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     return prepare_session(builder.getOrCreate())

@@ -195,6 +195,12 @@ class _SnapshotLogStreamReader(SimpleDataSourceStreamReader):
     its file's consumed count; ``readBetweenOffsets`` replays a batch
     deterministically from the same counters during recovery.
 
+    A batch-mode ``mode('overwrite')`` breaks the append-only premise (it
+    retires committed part files); readers tolerate files named in the
+    offset that have vanished — they are treated as fully consumed — so a
+    stream survives it, but rows are only delivered exactly-once while the
+    directory stays append-only.
+
     The simple (driver-side) reader variant is the right fit here: snapshot
     logs are metadata-sized. A data-scale stream would implement the
     partition-planning ``DataSourceStreamReader`` instead — same offset
@@ -225,7 +231,16 @@ class _SnapshotLogStreamReader(SimpleDataSourceStreamReader):
             start_line = consumed.get(name, 0)
             stop_line = None if limits is None else limits.get(name, 0)
             n = start_line
-            with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+            path = os.path.join(self.dir, name)
+            if not os.path.exists(path):
+                # A file recorded in the offset no longer exists: a
+                # batch-mode ``mode('overwrite')`` on the same directory
+                # retires committed part files. Its lines were consumed by
+                # the batches that recorded them — treat the file as fully
+                # consumed instead of crashing recovery replay.
+                end[name] = max(start_line, stop_line or start_line)
+                continue
+            with open(path, encoding="utf-8") as fh:
                 for i, line in enumerate(fh):
                     if i < start_line or (stop_line is not None and i >= stop_line):
                         continue

@@ -67,7 +67,9 @@ def drift_sink(
     """``foreachBatch`` function: per-label micro-batch centroid vs the
     reference; one row per label seen in the batch, ``drifted`` flagged
     under ``threshold`` (labels absent from the reference flag too — a new
-    label IS a distribution change)."""
+    label IS a distribution change). Reference labels entirely ABSENT from
+    the batch also emit a drifted row (n_batch=0): a vanished input class
+    is the strongest drift signal of all."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -78,6 +80,8 @@ def drift_sink(
             cos = _cos(ref[1], c) if ref else None
             drifted = cos is None or cos < threshold
             rows.append((label, n, ref[0] if ref else None, cos, drifted))
+        for label in sorted(set(reference) - set(cents)):
+            rows.append((label, 0, reference[label][0], None, True))
         out = spark.createDataFrame(
             rows, "label int, n_batch long, n_ref long, centroid_cos double, drifted boolean"
         )

@@ -657,3 +657,28 @@ def test_snapshot_growth_deltas(spark):
     assert [r.snapshot_id for r in out] == [3, 2]  # roots have no delta row
     assert out[0].size_delta == -300 and out[0].files_delta == -2
     assert out[1].size_delta == 250 and out[1].records_delta == 30
+
+
+def test_files_asof_forked_history(spark):
+    """Branched lineage: 1 <- 2 <- 3 and 1 <- 4 fork at snapshot 1. The
+    (root, depth) shortcut would count sibling-branch snapshot 2 (same root,
+    depth(2)=1 <= depth(4)=1) as visible from 4 — the fork guard must route
+    to the exact closure instead."""
+    from iceberg_meta_spark.operators.lineage import ancestor_closure, files_asof
+
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 1)], "snapshot_id long, parent_id long"
+    )
+    files = spark.createDataFrame(
+        [(1, "p0", "f1", 10, 100), (2, "p0", "f2", 20, 200),
+         (3, "p0", "f3", 30, 300), (4, "p0", "f4", 40, 400)],
+        "snapshot_id long, part_key string, file_path string, record_count long, "
+        "file_size_in_bytes long",
+    )
+    at4 = {r.part_key: r for r in files_asof(files, nodes, as_of=4).collect()}
+    assert at4["p0"].n_files == 2 and at4["p0"].total_bytes == 500  # f1 + f4, NOT f2
+    at3 = {r.part_key: r for r in files_asof(files, nodes, as_of=3).collect()}
+    assert at3["p0"].n_files == 3 and at3["p0"].total_bytes == 600  # f1 + f2 + f3
+
+    closure = {(r.snapshot_id, r.ancestor_id) for r in ancestor_closure(nodes).collect()}
+    assert closure == {(1, 1), (2, 2), (2, 1), (3, 3), (3, 2), (3, 1), (4, 4), (4, 1)}

@@ -73,3 +73,14 @@ def test_registry_binds_each_name_to_its_own_function():
     for name, spec in load_all().items():
         fn = spec.spark_fn.__name__
         assert fn in (name, f"{name}_q"), f"{name!r} bound to function {fn!r}"
+
+
+def test_driver_window_is_first_50_and_fully_oracle_gated():
+    """The driver's correctness gate checks the first 50 registrations; the
+    curated DRIVER_WINDOW must come first, intact, and every window query
+    must carry a full DuckDB hash oracle (no rows-only slot wasted)."""
+    from iceberg_meta_spark.registry import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert list(_QUERIES)[:50] == DRIVER_WINDOW
+    assert set(DRIVER_WINDOW) <= set(_ORACLES)

@@ -460,3 +460,51 @@ def test_multimodal_chunk_near_dup(spark):
     assert out[(1, 2)].overlap_permille == 1000
     assert out[(1, 3)].overlap_permille == 500 and out[(2, 3)].overlap_permille == 500
     assert all(4 not in k for k in out)
+
+
+def test_containment_pairs_catch_subset(spark):
+    """A small doc quoted inside a big one: Jaccard is low (union dwarfs the
+    intersection) but containment is 1.0 — and boilerplate shingles shared
+    by more than df_cap docs never generate candidate pairs."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(30))
+    texts = [small, big, "totally different words here now"]
+    # 10 docs sharing ONLY one boilerplate bigram (df=10 > cap) — no pairs
+    texts += [f"common bigram unique{i} tail{i}" for i in range(10)]
+    docs = _docs(spark, texts)
+    pairs = {(r.doc_a, r.doc_b): r for r in
+             dedup.containment_pairs(docs, shingle_k=2, df_cap=8, min_containment=0.5).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)].containment == 1.0 and pairs[(0, 1)].n_inter == 5
+    # sanity: the same pair's Jaccard is well under the containment signal
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in
+           dedup.ngram_jaccard_pairs(docs, shingle_k=2, min_jaccard=0.0).collect()}
+    assert jac.get((0, 1), 0.0) < 0.2
+
+
+def test_novel_batch_docs_probe_store(spark):
+    """Batch docs probing the corpus band store: a near-identical copy of a
+    corpus doc flags as dup_candidate, a genuinely new doc does not."""
+    corpus = _docs(spark, ["the quick brown fox jumps over the lazy dog",
+                           "pack my box with five dozen liquor jugs"])
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+         (101, "completely novel content never seen before anywhere", "en", "s0", 51)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r.dup_candidate for r in
+           dedup.novel_batch_docs(corpus, batch).collect()}
+    assert out == {100: True, 101: False}
+
+
+def test_adaptive_quality_buckets_tertile_semantics(spark):
+    """4 docs with stopword densities 0 / 2500 / 5000 / 10000: dyadic p25
+    lands between the bottom two and p75 between the top two, so buckets
+    split 1 head / 2 middle / 1 tail."""
+    from iceberg_meta_spark.pipeline import quality
+
+    docs = _docs(spark, ["x y z w", "the x y z", "the a x y", "the a of to"])
+    out = {(r.lang, r.bucket): r for r in quality.adaptive_quality_buckets(docs).collect()}
+    assert out[("en", "head")].n_docs == 1 and out[("en", "head")].min_score == 10000
+    assert out[("en", "middle")].n_docs == 2
+    assert out[("en", "tail")].n_docs == 1 and out[("en", "tail")].max_score == 0

@@ -304,3 +304,13 @@ def test_ann_eval_harness(spark):
     scored = {n: r for n, r in report.items() if r["recall_at_k"] is not None}
     assert {"ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_refined"} <= set(scored)
     assert scored["ann_ivf_pq_refined"]["recall_at_k"] >= scored["ann_ivf_pq"]["recall_at_k"]
+
+
+def test_pq_codebook_persistence_empty_roundtrip(spark, tmp_path):
+    """Codebooks trained on an empty corpus round-trip as [] (save writes an
+    empty table; load must not crash on max() of nothing)."""
+    from iceberg_meta_spark.pipeline import pq
+
+    path = str(tmp_path / "pq_empty")
+    pq.save_codebooks(spark, [], path)
+    assert pq.load_codebooks(spark, path) == []

@@ -427,3 +427,39 @@ def test_snapshot_log_datasource_stream_reader(spark, tmp_path):
         assert len(seen) == 4  # exactly once, no replays
     finally:
         q.stop()
+
+
+def test_snapshot_log_stream_tolerates_retired_files(tmp_path):
+    """A batch-mode overwrite retires committed files; a stream whose offset
+    still names them must treat them as fully consumed, not crash (both the
+    forward read and recovery replay paths)."""
+    import json as _json
+
+    from iceberg_meta_spark.sources.pyds import _SnapshotLogStreamReader
+
+    def rec(i):
+        return {"snapshot_id": i, "parent_id": None, "committed_us": i,
+                "operation": "append", "added_records": 1, "deleted_records": 0,
+                "total_data_files": 1, "total_files_size": 10}
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "a.jsonl").write_text(_json.dumps(rec(1)) + "\n" + _json.dumps(rec(2)) + "\n")
+    reader = _SnapshotLogStreamReader({"path": str(d)})
+
+    rows, end = reader.read(reader.initialOffset())
+    assert sorted(r[0] for r in rows) == [1, 2]
+    assert end["files"]["a.jsonl"] == 2
+
+    # overwrite retires a.jsonl, commits b.jsonl
+    (d / "a.jsonl").unlink()
+    (d / "b.jsonl").write_text(_json.dumps(rec(3)) + "\n")
+
+    rows2, end2 = reader.read(end)
+    assert [r[0] for r in rows2] == [3]
+    assert end2["files"]["a.jsonl"] == 2  # retired file stays fully consumed
+
+    # recovery replay across the retirement must not raise and must
+    # deliver only rows from files that still exist
+    replayed = list(reader.readBetweenOffsets(end, end2))
+    assert [r[0] for r in replayed] == [3]

@@ -870,3 +870,24 @@ def test_streaming_drift_monitor_flags_shifted_batch(spark, tmp_path):
         assert new_label.drifted and new_label.centroid_cos is None
     finally:
         q.stop()
+
+
+def test_drift_sink_flags_vanished_label(spark, tmp_path):
+    """A reference label entirely absent from a micro-batch is the strongest
+    drift signal: the sink must emit a drifted row with n_batch=0 for it."""
+    from iceberg_meta_spark.streaming.drift import drift_sink, label_centroids
+
+    ref_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    reference = label_centroids(ref_emb, dims=2)
+    batch = spark.createDataFrame(
+        [(3, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    drift_sink(reference, str(tmp_path / "out"), threshold=0.995, dims=2)(batch, 0)
+    rows = {r.label: r for r in spark.read.parquet(str(tmp_path / "out/batch_id=0")).collect()}
+    assert set(rows) == {0, 1}
+    assert not rows[0].drifted and rows[0].n_batch == 1
+    assert rows[1].drifted and rows[1].n_batch == 0 and rows[1].centroid_cos is None
+    assert rows[1].n_ref == 1
