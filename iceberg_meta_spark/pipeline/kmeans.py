@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from iceberg_meta_spark.pipeline.similarity import SCALE, scaled_dot, with_self_norm
+from iceberg_meta_spark.pipeline.similarity import SCALE, with_self_norm
 
 QUANT = 1_000_000  # centroid component quantization scale
 
@@ -204,48 +204,61 @@ def semantic_dedup(
     removable count (distinct higher-id members of a dup pair — keep-lowest
     survivor rule, matching the exact-dedup convention).
 
-    Scale: the in-cell self-join is quadratic per cell by design — with
+    Scale: the in-cell pair work is quadratic per cell by design — with
     K ≈ √N centroids a cell holds ~√N vectors, so total pair work is ~N^1.5
     spread evenly across cells, each an independent shuffle partition; grow
     K with N to hold cell size constant.
+
+    Physical shape: ONE shuffle (groupBy cell) feeds a grouped Arrow kernel
+    that scores every in-cell pair as a chunked numpy block product and
+    emits the per-cell aggregate row directly — replacing the previous
+    cell⋈cell self-join + pair filter + two aggregates, and swapping the
+    ~230 ns/element interpreted ``zip_with``/``aggregate`` pair expression
+    for vectorized arithmetic.  The kernel floors each elementwise product
+    before summing (``floor((a·b)*1e12)`` per element, int64 sum — the
+    :func:`~iceberg_meta_spark.pipeline.similarity.scaled_dot` contract),
+    so results stay bit-identical to the expression form and the DuckDB
+    oracle.
     """
     base, cent_rows, _ = _refined(emb, centroid_mod, iters, dims)
     # final assignment carries embedding/norm_s through the kernel — the
-    # in-cell pair join below needs no N⋈N back-join to re-fetch vectors
+    # grouped pair kernel below needs no N⋈N back-join to re-fetch vectors
     cellv = _assign(base, cent_rows, carry=("embedding", "norm_s"))
-    a = cellv.select(
-        "cell",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm_s").alias("norm_a"),
-    )
-    b = cellv.select(
-        "cell",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm_s").alias("norm_b"),
-    )
-    cos = scaled_dot(F.col("emb_a"), F.col("emb_b")).cast("double") / (
-        F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double"))
-    )
-    hits = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("cell", "vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
-    per_cell = hits.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("dup_pairs"),
-        F.countDistinct("vec_b").alias("removable"),
-    )
-    sizes = cellv.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+    def cell_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        row = {"cell": [key[0]], "n_vectors": [n], "dup_pairs": [0], "removable": [0]}
+        if n > 1:
+            # pair order (vec_a < vec_b) = upper triangle after a vec_id sort
+            pdf = pdf.sort_values("vec_id")
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n_sqrt = np.sqrt(pdf["norm_s"].to_numpy().astype(np.float64))
+            d = x.shape[1]
+            hit_b = np.zeros(n, dtype=bool)
+            pairs = 0
+            step = max(1, 50_000_000 // max(1, n * d))
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                dot = (
+                    np.floor((x[lo:hi, None, :] * x[None, :, :]) * SCALE)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                # dot / (sqrt(na)*sqrt(nb)) — the exact operation order of
+                # similarity.cosine and the oracle (reciprocal-multiply is
+                # NOT bit-identical and could flip threshold-edge pairs)
+                cos = dot.astype(np.float64) / (n_sqrt[lo:hi, None] * n_sqrt[None, :])
+                hits = cos >= threshold
+                # keep only the strict upper triangle of the full matrix
+                hits &= np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+                pairs += int(hits.sum())
+                hit_b |= hits.any(axis=0)
+            row["dup_pairs"] = [pairs]
+            row["removable"] = [int(hit_b.sum())]
+        return pd.DataFrame(row)
+
     return (
-        sizes.join(per_cell, "cell", "left")
-        .select(
-            "cell",
-            "n_vectors",
-            F.coalesce(F.col("dup_pairs"), F.lit(0).cast("long")).alias("dup_pairs"),
-            F.coalesce(F.col("removable"), F.lit(0).cast("long")).alias("removable"),
-        )
+        cellv.groupBy("cell")
+        .applyInPandas(cell_kernel, "cell long, n_vectors long, dup_pairs long, removable long")
         .orderBy("cell")
     )
