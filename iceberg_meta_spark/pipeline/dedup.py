@@ -32,41 +32,49 @@ def exact_dup_groups(docs: DataFrame, prefix_tokens: int = 3) -> DataFrame:
     )
 
 
-def _word_shingles(docs: DataFrame, k: int, distinct: bool = True) -> DataFrame:
-    """k-word shingles per doc: (doc_id, shingle).
+def _word_shingles(
+    docs: DataFrame, k: int, distinct: bool = True, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """k-word shingles per doc: (doc_id[, carry...], shingle).
 
     ``distinct=True`` (set semantics, one shuffle) feeds Jaccard kernels;
     MinHash skips it — min() is duplicate-insensitive, so deduplicating first
     would add a full shuffle of every shingle row for nothing.
     """
     toks = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
+    base = docs.select("doc_id", *carry, toks.alias("toks")).withColumn("n", F.size("toks"))
     base = base.filter(F.col("n") >= k)
     idx = F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("i")
-    exploded = base.select("doc_id", "toks", idx)
+    exploded = base.select("doc_id", *carry, "toks", idx)
     parts = [F.element_at("toks", F.col("i") + j) for j in range(k)]
-    out = exploded.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+    out = exploded.select("doc_id", *carry, F.concat_ws(" ", *parts).alias("shingle"))
     return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
-def minhash_signature_arrays(docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2) -> DataFrame:
-    """(doc_id, sig: array<string>): all ``num_hashes`` MinHashes in ONE
-    aggregate pass over the shingles.
+def minhash_signature_arrays(
+    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, carry...], sig: array<string>): all ``num_hashes`` MinHashes
+    in ONE aggregate pass over the shingles.
 
     Hash family: md5(seed ':' shingle), min taken lexicographically on the
     hex digest — deterministic and identical in any engine. Computing every
     seed's md5 inline (codegen'd CPU) and min-aggregating them side by side
     shuffles each shingle row once — not once per seed, which multiplies
     shuffle volume by ``num_hashes`` at 10⁹ docs.
+
+    ``carry`` columns (functionally dependent on doc_id, e.g. ``source``)
+    join the groupBy key and ride through — downstream consumers get doc
+    metadata without an N⋈N back-join against the corpus.
     """
-    sh = _word_shingles(docs, shingle_k, distinct=False)
+    sh = _word_shingles(docs.select("doc_id", "text", *carry), shingle_k, distinct=False, carry=carry)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
-    wide = sh.groupBy("doc_id").agg(*mins)
+    wide = sh.groupBy("doc_id", *carry).agg(*mins)
     return wide.select(
-        "doc_id", F.array(*[F.col(f"mh_{s}") for s in range(num_hashes)]).alias("sig")
+        "doc_id", *carry, F.array(*[F.col(f"mh_{s}") for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -77,20 +85,26 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2)
 
 
 def minhash_band_rows(
-    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2, band_size: int = 2
+    docs: DataFrame,
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+    band_size: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, sig, band_idx, band_key): one row per document per LSH band —
-    the indexable unit shared by the batch pair join and the streaming
-    ingest-dedup signature store (streaming/lsh.py)."""
+    """(doc_id[, carry...], sig, band_idx, band_key): one row per document per
+    LSH band — the indexable unit shared by the batch pair join and the
+    streaming ingest-dedup signature store (streaming/lsh.py)."""
     n_bands_total = num_hashes // band_size
-    wide = minhash_signature_arrays(docs, num_hashes, shingle_k)
+    wide = minhash_signature_arrays(docs, num_hashes, shingle_k, carry=carry)
     band_keys = F.array(
         *[
             F.concat_ws("|", *[F.col("sig")[b * band_size + r] for r in range(band_size)])
             for b in range(n_bands_total)
         ]
     )
-    return wide.select("doc_id", "sig", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    return wide.select(
+        "doc_id", *carry, "sig", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
 
 
 def minhash_lsh_pairs(
@@ -233,6 +247,50 @@ def novel_batch_docs(
     )
     return batch.select("doc_id", "lang").join(collided, "doc_id", "left").select(
         "doc_id", "lang", F.coalesce(F.col("hit"), F.lit(False)).alias("dup_candidate")
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+    band_size: int = 2,
+) -> DataFrame:
+    """Cross-source duplication audit: how much does each pair of sources
+    (crawls, dumps, vendors) duplicate each other?  One row per unordered
+    source pair with the count of distinct LSH near-dup candidate pairs
+    spanning them — the matrix a curation team reads before paying to
+    ingest (or re-weight) an overlapping source.  Diagonal rows
+    (source_x = source_y) measure within-source redundancy.
+
+    Scale: the ``source`` tag rides the band rows through the equi-join the
+    same way signatures do (it joins the minhash groupBy key — functionally
+    dependent on doc_id, so group cardinality is unchanged), so candidates
+    arrive already labeled: no back-join of the pair list against the
+    corpus.  The pair-distinct and the matrix rollup aggregate candidate
+    pairs, a set LSH already bounded far below N².
+    """
+    bands = minhash_band_rows(docs, num_hashes, shingle_k, band_size, carry=("source",))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), "band_idx", "band_key"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("dup_pairs"))
+        .orderBy("source_x", "source_y")
     )
 
 

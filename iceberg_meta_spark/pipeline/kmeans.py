@@ -262,3 +262,79 @@ def semantic_dedup(
         .applyInPandas(cell_kernel, "cell long, n_vectors long, dup_pairs long, removable long")
         .orderBy("cell")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    centroid_mod: int = 31,
+    iters: int = 2,
+    dims: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate KNN graph: exact top-``k`` cosine neighbors per vector
+    WITHIN its refined k-means cell — the neighbor structure SemDeDup-style
+    curation, diversity sampling, and graph-based ANN indexes (NN-descent
+    seeds, NSW entry layers) all start from.  The cell is the candidate
+    blocker, so edge candidates are ~N·cellsize instead of N².
+
+    Returns (vec_id, rank, neighbor_id, cos_sim): rank 1..k by
+    (cos DESC, neighbor_id ASC), self excluded; vectors alone in their cell
+    contribute no rows.  Cell-boundary neighbors are missed by construction
+    (the accepted IVF trade-off; raise ``iters``/probe count to recover).
+
+    Scale: same shape as :func:`semantic_dedup` — ONE shuffle groups each
+    cell onto an executor, a chunked numpy kernel scores the in-cell block
+    and keeps k rows per vector; ~N^1.5 work total at K ≈ √N, no driver
+    funnel, no global window (ranking happens inside the cell kernel).
+    The floor-scaled arithmetic matches ``similarity.scaled_dot`` bit for
+    bit, so the edge list is hash-comparable across engines.
+    """
+    base, cent_rows, _ = _refined(emb, centroid_mod, iters, dims)
+    cellv = _assign(base, cent_rows, carry=("embedding", "norm_s"))
+
+    def cell_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "rank": [], "neighbor_id": [], "cos": []}).astype(
+                {"vec_id": "int64", "rank": "int32", "neighbor_id": "int64", "cos": "float64"}
+            )
+        # column order = vec_id ascending, so a STABLE descending-cos sort
+        # breaks ties toward the lower neighbor id
+        pdf = pdf.sort_values("vec_id")
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vids = pdf["vec_id"].to_numpy()
+        n_sqrt = np.sqrt(pdf["norm_s"].to_numpy().astype(np.float64))
+        d = x.shape[1]
+        kk = min(k, n - 1)
+        out_v, out_r, out_n, out_c = [], [], [], []
+        step = max(1, 50_000_000 // max(1, n * d))
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            dot = (
+                np.floor((x[lo:hi, None, :] * x[None, :, :]) * SCALE)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            cos = dot.astype(np.float64) / (n_sqrt[lo:hi, None] * n_sqrt[None, :])
+            cos[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf  # self
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(vids[lo:hi], kk)
+            out_v.append(rows)
+            out_r.append(np.tile(np.arange(1, kk + 1, dtype=np.int32), hi - lo))
+            out_n.append(vids[order].ravel())
+            out_c.append(np.take_along_axis(cos, order, axis=1).ravel())
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "rank": np.concatenate(out_r),
+                "neighbor_id": np.concatenate(out_n),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        cellv.groupBy("cell")
+        .applyInPandas(cell_kernel, "vec_id long, rank int, neighbor_id long, cos double")
+        .select("vec_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("vec_id", "rank")
+    )

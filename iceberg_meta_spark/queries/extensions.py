@@ -480,6 +480,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_graph_oracle(iters: int = 2, centroid_mod: int = 31, k: int = 3) -> str:
+    pair_dot = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE)*CAST(xb AS DOUBLE)*1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(x.embedding) AS xa, unnest(y.embedding) AS xb) zp)"""
+    parts = _km_prefix(iters, centroid_mod)
+    parts.append(
+        f"""cellv AS (SELECT a.cell, b.vec_id, b.embedding, b.norm_s
+               FROM af a JOIN base b USING (vec_id)),
+    scored AS (SELECT x.vec_id, y.vec_id AS neighbor_id,
+                      CAST({pair_dot} AS DOUBLE)
+                        / (sqrt(CAST(x.norm_s AS DOUBLE)) * sqrt(CAST(y.norm_s AS DOUBLE))) AS cos
+               FROM cellv x JOIN cellv y
+                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+    ranked AS (SELECT vec_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= {k} ORDER BY vec_id, rank"""
+    )
+
+
+@register(
+    "knn_graph",
+    oracle=_knn_graph_oracle(iters=2, centroid_mod=31, k=3),
+    doc="Approximate KNN graph: exact top-3 cosine neighbors per vector "
+    "within its refined k-means cell (the seed structure for SemDeDup-style "
+    "curation, diversity sampling, and NN-descent/NSW index builds). One "
+    "shuffle groups cells; a chunked numpy kernel scores the in-cell block "
+    "and ranks inside the kernel — no global window, ~N^1.5 total work at "
+    "K ~ sqrt(N)",
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans.knn_graph(
+        load_table(spark, sf_dir, "embeddings"), centroid_mod=31, iters=2, dims=64, k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom operators the brief names that Spark lacks natively: bucketed range
 # join (operators/rangejoin.py) and hypertable-style hierarchical time
@@ -4382,4 +4422,71 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n_orders * 1000) DIV total AS BIGINT)").alias("share_permille"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4: windowed heavy hitters (batch exact; streaming/heavy.py holds the
+# space-saving sketch twin for unbounded streams).
+# ---------------------------------------------------------------------------
+
+_HH_HOUR_US = 3_600_000_000
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=f"""
+        WITH cnt AS (SELECT (epoch_us(ts) // {_HH_HOUR_US}) * {_HH_HOUR_US} AS window_start_us,
+                            user_id, CAST(count(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1, 2),
+        tot AS (SELECT window_start_us, CAST(sum(n_events) AS BIGINT) AS window_events
+                FROM cnt GROUP BY 1),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY window_start_us
+                                                ORDER BY n_events DESC, user_id) AS rank
+                   FROM cnt)
+        SELECT r.window_start_us, r.rank, r.user_id, r.n_events,
+               CAST((r.n_events * 1000) // t.window_events AS BIGINT) AS share_permille
+        FROM ranked r JOIN tot t USING (window_start_us)
+        WHERE r.rank <= 3 ORDER BY window_start_us, rank
+    """,
+    doc="Windowed heavy hitters: exact top-3 users per tumbling hour with "
+    "permille share of window traffic. Salted two-phase top-k: per-user "
+    "counts (one map-side-combined aggregate), LOCAL top-k inside each "
+    "(window, user_id%32) salt slice, then a final window over only 32*k "
+    "survivors per hour — no hour ever funnels its full user census through "
+    "one sort partition. Streaming twin: streaming/heavy.py space-saving "
+    "sketch (bounded state per window)",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win_start = F.expr(
+        f"((ts DIV 1000) DIV {_HH_HOUR_US}) * {_HH_HOUR_US}"
+    ).alias("window_start_us")
+    cnt = ev.select(win_start, "user_id").groupBy("window_start_us", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = cnt.groupBy("window_start_us").agg(F.sum("n_events").alias("window_events"))
+    # local top-k within each salt slice: the global top-k of complete
+    # per-user counts is preserved under ANY user partitioning
+    salted = Window.partitionBy(
+        "window_start_us", F.col("user_id") % 32
+    ).orderBy(F.desc("n_events"), F.asc("user_id"))
+    survivors = (
+        cnt.withColumn("lr", F.row_number().over(salted)).filter(F.col("lr") <= 3).drop("lr")
+    )
+    final = Window.partitionBy("window_start_us").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= 3)
+        .join(tot, "window_start_us")
+        .select(
+            "window_start_us",
+            "rank",
+            "user_id",
+            "n_events",
+            F.expr("CAST((n_events * 1000) DIV window_events AS BIGINT)").alias("share_permille"),
+        )
+        .orderBy("window_start_us", "rank")
     )

@@ -72,6 +72,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_overlap_matrix",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
+               FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band_idx,
+                         string_agg(mh, '|' ORDER BY seed) AS band_key
+                  FROM mh GROUP BY doc_id, seed // 2),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+        labeled AS (SELECT least(da.source, db.source) AS source_x,
+                           greatest(da.source, db.source) AS source_y
+                    FROM pairs p
+                    JOIN documents da ON da.doc_id = p.doc_a
+                    JOIN documents db ON db.doc_id = p.doc_b)
+        SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS dup_pairs
+        FROM labeled GROUP BY 1, 2 ORDER BY source_x, source_y
+    """,
+    doc="Cross-source duplication matrix: distinct LSH near-dup candidate "
+    "pairs per unordered source pair (diagonal = within-source redundancy) "
+    "— the audit a curation team reads before ingesting or re-weighting an "
+    "overlapping crawl. Source tags ride the band rows through the "
+    "equi-join (grouped with the functionally-dependent doc_id key), so "
+    "candidates arrive labeled with no corpus back-join",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, shingle_k=2, band_size=2
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
         WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

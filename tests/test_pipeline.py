@@ -508,3 +508,18 @@ def test_adaptive_quality_buckets_tertile_semantics(spark):
     assert out[("en", "head")].n_docs == 1 and out[("en", "head")].min_score == 10000
     assert out[("en", "middle")].n_docs == 2
     assert out[("en", "tail")].n_docs == 1 and out[("en", "tail")].max_score == 0
+
+
+def test_source_overlap_matrix_counts_cross_source_pairs(spark):
+    """Two near-identical docs split across crawls A/B land in the (A, B)
+    cell; the unrelated doc contributes nothing; source pair is unordered
+    (least/greatest canonicalization)."""
+    t = "the quick brown fox jumps over the lazy dog every single day"
+    docs = _docs(
+        spark,
+        [t, t + " indeed", "completely unrelated content about query planners"],
+        sources=["crawl_b", "crawl_a", "crawl_a"],
+    )
+    out = {(r.source_x, r.source_y): r.dup_pairs
+           for r in dedup.source_overlap_matrix(docs).collect()}
+    assert out == {("crawl_a", "crawl_b"): 1}

@@ -314,3 +314,33 @@ def test_pq_codebook_persistence_empty_roundtrip(spark, tmp_path):
     path = str(tmp_path / "pq_empty")
     pq.save_codebooks(spark, [], path)
     assert pq.load_codebooks(spark, path) == []
+
+
+def test_knn_graph_ranks_in_cell_neighbors(spark):
+    """Two separable clusters (centroid_mod=3 seeds one per cluster): each
+    vector's top neighbor is its nearest in-cell sibling, ranks are dense
+    from 1, self edges are excluded, and no edge crosses cells."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.05]),
+        (5, [0.0, 0.1, 0.9, 0.0]),
+    ]
+    out = kmeans.knn_graph(_emb(spark, rows), centroid_mod=3, iters=1, dims=4, k=2).collect()
+    by_vec = {}
+    for r in out:
+        assert r.vec_id != r.neighbor_id
+        by_vec.setdefault(r.vec_id, []).append(r)
+    x_cluster, y_cluster = {0, 1, 2}, {3, 4, 5}
+    for vid, edges in by_vec.items():
+        ranks = [e.rank for e in sorted(edges, key=lambda e: e.rank)]
+        assert ranks == list(range(1, len(edges) + 1))
+        # cos_sim non-increasing with rank
+        sims = [e.cos_sim for e in sorted(edges, key=lambda e: e.rank)]
+        assert sims == sorted(sims, reverse=True)
+        side = x_cluster if vid in x_cluster else y_cluster
+        assert all(e.neighbor_id in side for e in edges)
+    # 0 and 1 are near-parallel: each is the other's rank-1 neighbor
+    assert by_vec[0][0].neighbor_id == 1 and by_vec[1][0].neighbor_id == 0

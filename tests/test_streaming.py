@@ -891,3 +891,83 @@ def test_drift_sink_flags_vanished_label(spark, tmp_path):
     assert not rows[0].drifted and rows[0].n_batch == 1
     assert rows[1].drifted and rows[1].n_batch == 0 and rows[1].centroid_cos is None
     assert rows[1].n_ref == 1
+
+
+def test_streaming_heavy_hitters_live(spark):
+    """Space-saving top-k over a skewed rate stream: the 60%-share user must
+    hold rank 1, and with distinct users <= m no eviction ever happens, so
+    every estimate is exact (err_bound = 0)."""
+    import time
+
+    from iceberg_meta_spark.streaming.heavy import window_heavy_hitters
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.unix_micros(F.col("timestamp")).alias("ts_us"),
+            F.when(F.col("value") % 10 < 6, F.lit(1))
+            .otherwise(F.col("value") % 10)
+            .cast("long")
+            .alias("user_id"),
+        )
+    )
+    out = window_heavy_hitters(rate, m=8, k=3)
+    q = (
+        out.writeStream.format("memory").queryName("hh_test").outputMode("update").start()
+    )
+    try:
+        deadline = time.time() + 45
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM hh_test WHERE rank = 1 ORDER BY est_count DESC LIMIT 1"
+            ).collect()
+            done = bool(rows) and rows[0].user_id == 1 and rows[0].est_count > 100
+        assert done
+        # distinct users (5) <= m (8): sketch is exact, all error bounds zero
+        assert spark.sql("SELECT max(err_bound) AS e FROM hh_test").collect()[0].e == 0
+    finally:
+        q.stop()
+
+
+def test_space_saving_eviction_bounds():
+    """Direct sketch-merge check at m=2: the minimum counter is evicted, the
+    newcomer inherits its count as err_bound, and every estimate overcounts
+    the true frequency by at most err_bound."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.heavy import _make_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    update = _make_update(m=2, k=2, timeout_ms=1000)
+    st = FakeState()
+    b1 = pd.DataFrame({"user_id": [10] * 5 + [20] * 3})
+    out1 = pd.concat(update((3_600_000_000,), iter([b1]), st))
+    assert list(out1.user_id) == [10, 20]
+    assert list(out1.est_count) == [5, 3] and list(out1.err_bound) == [0, 0]
+
+    # user 30 arrives: evicts the min counter (20, count 3) and inherits it
+    b2 = pd.DataFrame({"user_id": [30] * 2})
+    out2 = pd.concat(update((3_600_000_000,), iter([b2]), st))
+    assert list(out2.user_id) == [10, 30]
+    assert list(out2.est_count) == [5, 5]  # 30's est = 3 (floor) + 2 (seen)
+    assert list(out2.err_bound) == [0, 3]  # overcount bound = evicted count
+    # space-saving invariant: est - err <= true count <= est
+    assert out2.est_count[1] - out2.err_bound[1] == 2
