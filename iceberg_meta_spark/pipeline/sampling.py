@@ -109,3 +109,58 @@ def pps_sample(
         w.alias("weight"),
         F.col("__cum").alias("cum_weight"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-shaped importance weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): score every raw document by how much its hashed
+    n-gram feature distribution looks like a TARGET domain's, so the corpus
+    can be resampled toward the target without training a classifier.
+
+    Features are hashed bigrams (md5 → ``buckets`` buckets, the paper's
+    hashed n-gram space); the target here is the ``target_lang`` slice of
+    the corpus itself (any doc predicate works the same way).  Per bucket,
+    the importance ratio is add-1-smoothed ``(target_count+1)/(raw_count+1)``
+    floor-scaled to BIGINT; a document's importance is the integer mean of
+    the ratio over its bigram OCCURRENCES.  The paper sums per-feature
+    LOG-ratios — a platform ``log()`` would break cross-engine hash parity,
+    so the scaled linear ratio stands in: per-feature monotone, same
+    keep/drop ordering for the resampling step, integer-exact everywhere.
+
+    Scale: the bucket tables are ``buckets`` rows built by one map-side-
+    combined aggregate each (the raw pass also counts the target slice —
+    one corpus scan total); the ratio table is KBs and **broadcast** onto
+    the exploded bigram stream; the only corpus-sized shuffle is the
+    per-doc mean (map-side combine, one row per doc on the wire).
+    """
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "lang", toks.alias("t")).filter(F.size("t") >= 2)
+    idx = F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+    bigram = F.concat_ws(
+        " ", F.element_at("t", F.col("i")), F.element_at("t", F.col("i") + 1)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(bigram), 1, 3), 16, 10).cast("long") % buckets
+    ).alias("bucket")
+    bk = base.select("doc_id", "lang", "t", idx).select("doc_id", "lang", bucket)
+    freqs = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("tc"),
+    )
+    ratio = freqs.select(
+        "bucket", F.expr(f"CAST(((tc + 1) * {scale}) DIV (rc + 1) AS BIGINT)").alias("r")
+    )
+    return (
+        bk.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr("CAST(sum(r) DIV count(1) AS BIGINT)").alias("importance"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4490,3 +4490,41 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us", "rank")
     )
+
+
+@register(
+    "events_value_quantiles",
+    oracle=f"""
+        WITH ev AS (SELECT (epoch_us(ts) // {_HH_HOUR_US}) * {_HH_HOUR_US} AS window_start_us,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events)
+        SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+               quantile_cont(cents, 0.25) AS p25,
+               quantile_cont(cents, 0.5) AS p50,
+               quantile_cont(cents, 0.75) AS p75
+        FROM ev GROUP BY 1 ORDER BY window_start_us
+    """,
+    doc="Per-window value quantiles: exact p25/p50/p75 of integer cents per "
+    "tumbling hour. DYADIC probes only — the interpolation a+(b-a)*g lands "
+    "on exact binary fractions, so Spark percentile() and DuckDB "
+    "quantile_cont() are bit-identical (the adaptive-buckets trick). Exact "
+    "per-group percentile is the documented sort-buffer cliff; the "
+    "deployment twin is percentile_approx per window (same plan shape), "
+    "and the STREAMING twin is streaming/quantiles.py's bounded histogram "
+    "state",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"((ts DIV 1000) DIV {_HH_HOUR_US}) * {_HH_HOUR_US}").alias("window_start_us"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        ev.groupBy("window_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile("cents", 0.25).alias("p25"),
+            F.percentile("cents", 0.5).alias("p50"),
+            F.percentile("cents", 0.75).alias("p75"),
+        )
+        .orderBy("window_start_us")
+    )

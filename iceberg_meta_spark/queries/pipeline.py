@@ -695,3 +695,40 @@ def quality_adaptive_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline import quality
 
     return quality.adaptive_quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_importance",
+    oracle="""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, lang, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        bg AS (SELECT doc_id, lang, concat(t[i], ' ', t[i+1]) AS bigram
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        bk AS (SELECT doc_id, lang,
+                      ((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(md5(bigram), 3, 1)) - 1)) % 1024
+                        AS bucket
+               FROM bg),
+        freqs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc,
+                         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+                  FROM bk GROUP BY bucket),
+        ratio AS (SELECT bucket, CAST(((tc + 1) * 1000000) // (rc + 1) AS BIGINT) AS r
+                  FROM freqs)
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(r) // count(*) AS BIGINT) AS importance
+        FROM bk JOIN ratio USING (bucket)
+        GROUP BY doc_id, lang ORDER BY doc_id
+    """,
+    doc="DSIR-shaped data selection (Xie et al. 2023): hashed-bigram "
+    "importance ratio (target=en slice, add-1 smoothing, floor-scaled "
+    "BIGINT instead of platform log) averaged per doc; bucket tables are "
+    "one-scan map-side aggregates, the KB ratio table broadcasts, per-doc "
+    "mean is the only corpus shuffle",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import sampling
+
+    return sampling.dsir_importance(
+        load_table(spark, sf_dir, "documents"), target_lang="en", buckets=1024
+    )

@@ -523,3 +523,29 @@ def test_source_overlap_matrix_counts_cross_source_pairs(spark):
     out = {(r.source_x, r.source_y): r.dup_pairs
            for r in dedup.source_overlap_matrix(docs).collect()}
     assert out == {("crawl_a", "crawl_b"): 1}
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs sharing bigrams with the en target slice score higher than a doc
+    whose features never occur in the target: the smoothed ratio is ~0 for
+    never-in-target buckets and large for target-dominated ones."""
+    from iceberg_meta_spark.pipeline import sampling
+
+    docs = _docs(
+        spark,
+        [
+            "machine learning models train on curated data",
+            "machine learning models need curated data",
+            "vino rojo con queso y pan fresco",
+        ],
+        langs=["en", "en", "es"],
+    )
+    out = {r.doc_id: r for r in sampling.dsir_importance(docs, target_lang="en").collect()}
+    assert set(out) == {0, 1, 2}
+    # en docs' buckets are target-dominated (ratio ~ scale); the es doc's
+    # buckets have tc=0 (ratio ~ scale/2 at rc=1 -> (0+1)*1e6/(1+1))
+    assert out[0].importance > out[2].importance
+    assert out[1].importance > out[2].importance
+    # ~scale/2 plus at most a couple of hash-bucket collisions with en docs
+    assert out[2].importance <= 700_000
+    assert out[0].importance >= 900_000

@@ -971,3 +971,79 @@ def test_space_saving_eviction_bounds():
     assert list(out2.err_bound) == [0, 3]  # overcount bound = evicted count
     # space-saving invariant: est - err <= true count <= est
     assert out2.est_count[1] - out2.err_bound[1] == 2
+
+
+def test_streaming_window_quantiles_live(spark):
+    """Histogram-sketch quantiles over a rate stream of known values
+    (cents = 100..899 uniform): every reported bound must sit in the
+    power-of-2 bin containing the true quantile, and the positional
+    guarantee p25 <= p50 <= p75 must hold."""
+    import time
+
+    from iceberg_meta_spark.streaming.quantiles import window_value_quantiles
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.unix_micros(F.col("timestamp")).alias("ts_us"),
+            (F.col("value") % 800 + 100).cast("long").alias("cents"),
+        )
+    )
+    out = window_value_quantiles(rate)
+    q = out.writeStream.format("memory").queryName("q_test").outputMode("update").start()
+    try:
+        deadline = time.time() + 45
+        row = None
+        while time.time() < deadline and row is None:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM q_test WHERE n_events > 400 ORDER BY n_events DESC LIMIT 1"
+            ).collect()
+            row = rows[0] if rows else None
+        assert row is not None
+        assert row.p25_ub <= row.p50_ub <= row.p75_ub
+        # uniform 100..899: p25 ~ 300 (bin ub 511), p75 ~ 700 (bin ub 1023)
+        assert row.p25_ub in (255, 511)
+        assert row.p75_ub in (511, 1023)
+    finally:
+        q.stop()
+
+
+def test_histogram_quantile_positions():
+    """Direct bin math: with 8 values in known bins the quantile positions
+    resolve to the exact bin upper bounds, and order-insensitivity holds
+    (two different batch splits build the identical histogram)."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.quantiles import _update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    vals = [1, 2, 3, 4, 100, 200, 300, 1000]
+    st1 = FakeState()
+    out1 = pd.concat(_update((0,), iter([pd.DataFrame({"cents": vals})]), st1))
+    st2 = FakeState()
+    for v in reversed(vals):
+        out2 = pd.concat(_update((0,), iter([pd.DataFrame({"cents": [v]})]), st2))
+    assert st1.val == st2.val  # order-insensitive state
+    assert out1.n_events[0] == out2.n_events[0] == 8
+    # p25 position 2.75 -> 3rd value (3, bin [2,4) ub 3); p50 position 4.5
+    # -> 5th value (100, bin [64,128) ub 127); p75 -> 300 (bin ub 511)
+    assert out1.p25_ub[0] == 3
+    assert out1.p50_ub[0] == 127
+    assert out1.p75_ub[0] == 511
