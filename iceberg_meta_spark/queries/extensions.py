@@ -4528,3 +4528,46 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+from iceberg_meta_spark.operators.bloom import bloom_semi_join  # noqa: E402
+
+
+@register(
+    "bloom_semi_revenue",
+    oracle="""
+        WITH hot AS (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000)
+        SELECT l.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT o_orderkey FROM hot)
+        GROUP BY 1 ORDER BY l.l_returnflag
+    """,
+    doc="Bloom-prefiltered semi join (operators/bloom.py): urgent high-value "
+    "orders are aggregated into a 4096-bit md5-positioned filter (one "
+    "m/64-row aggregate), baked into the plan as a literal, and applied "
+    "MAP-SIDE to lineitem before the exact left-semi backstop - only "
+    "probable matches reach the shuffle, false positives never reach the "
+    "result; the oracle is the plain semi join because the filter is "
+    "semantically transparent",
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") >= 150000)
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    kept = bloom_semi_join(li, hot, "l_orderkey", m_bits=65536, k=3)
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

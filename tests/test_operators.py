@@ -682,3 +682,38 @@ def test_files_asof_forked_history(spark):
 
     closure = {(r.snapshot_id, r.ancestor_id) for r in ancestor_closure(nodes).collect()}
     assert closure == {(1, 1), (2, 2), (2, 1), (3, 3), (3, 2), (3, 1), (4, 4), (4, 1)}
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    """Every build-side key must pass its own filter (no false negatives —
+    the Bloom contract); with m sized at ~100 bits/key the miss-side pass
+    rate is far below 1, so the prefilter genuinely shrinks the shuffle."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", m_bits=8192, k=3)
+    assert len(words) == 128 and any(w != 0 for w in words)
+    hits = keys.filter(bloom_might_contain(F.col("k"), words, 3)).count()
+    assert hits == 100  # no false negatives, ever
+    misses = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    fp = misses.filter(bloom_might_contain(F.col("k"), words, 3)).count()
+    assert fp < 100  # ~(1-e^{-kn/m})^k ~ 0.004% at these sizes; <5% is slack
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """The Bloom prefilter is semantically transparent: result equals the
+    plain left-semi join even though false positives pass the prefilter."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    small = spark.range(0, 500, 7).select(F.col("id").alias("k"))
+    out = bloom_semi_join(big, small, "k", m_bits=256, k=3)  # tiny m -> many FPs
+    expect = big.join(small, "k", "left_semi")
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in expect.collect())
+    # the prefilter sits on the probe side BEFORE the semi join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
