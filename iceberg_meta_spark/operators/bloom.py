@@ -12,8 +12,11 @@ JVM ``bloom_filter_agg`` expression is not exposed to SQL users).
 
 Everything is expression-only and deterministic:
 
-- position p_i(key) = first 8 md5 hex chars of ``i ':' key`` mod m —
-  k independent uniform positions any engine reproduces;
+- position p_i(key) = ``(h1 + i·h2) mod m`` with h1/h2 two xxhash64
+  seeds of the key (Kirsch-Mitzenmacher double hashing — k positions
+  from two native long hashes, no string casts, no md5; xxhash64 is
+  Spark-deterministic, which is all a semantically-transparent filter
+  needs — the ORACLE never sees the hash);
 - build: explode the k positions, ``bit_or(1 << (p % 64))`` grouped by
   word index ``p div 64`` — ONE map-side-combined aggregate producing
   m/64 longs (the driver collect of those words is the broadcast);
@@ -40,14 +43,15 @@ def _one_shl(nbits: Column) -> Column:
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    return [
-        (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8), 16, 10)
-            .cast("long")
-            % m_bits
-        )
-        for i in range(k)
-    ]
+    """k positions via Kirsch-Mitzenmacher double hashing: ``(h1 + i*h2)
+    mod m`` over two xxhash64 seeds — two native long hashes per row
+    total (no md5, no string casts), which is what keeps the probe a
+    cheap codegen'd map over the big side."""
+    # reduce each hash mod m BEFORE combining: the combined value stays
+    # < (k+1)*m, so the ANSI-mode long addition can never overflow
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("long") for i in range(k)]
 
 
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3) -> list[int]:
@@ -71,7 +75,10 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3) -
 def bloom_might_contain(key: Column, words: list[int], k: int = 3) -> Column:
     """True iff all k positions of ``key`` are set in the literal filter."""
     m_bits = len(words) * 64
-    lit = F.array(*[F.lit(w).cast("long") for w in words])
+    # ONE array Literal (F.lit on the list), not CreateArray of m/64 scalar
+    # literals — CreateArray is re-evaluated per input row, which turns the
+    # probe into rows × m/64 work; a Literal is built once per plan
+    lit = F.lit([int(w) for w in words]).cast("array<bigint>")
     checks = [
         (
             F.element_at(lit, ((p / 64).cast("long") + 1).cast("int")).bitwiseAND(

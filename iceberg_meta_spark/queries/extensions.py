@@ -506,6 +506,7 @@ def _knn_graph_oracle(iters: int = 2, centroid_mod: int = 31, k: int = 3) -> str
 
 @register(
     "knn_graph",
+    tags=("bench",),
     oracle=_knn_graph_oracle(iters=2, centroid_mod=31, k=3),
     doc="Approximate KNN graph: exact top-3 cosine neighbors per vector "
     "within its refined k-means cell (the seed structure for SemDeDup-style "
@@ -4435,6 +4436,7 @@ _HH_HOUR_US = 3_600_000_000
 
 @register(
     "events_heavy_hitters",
+    tags=("bench",),
     oracle=f"""
         WITH cnt AS (SELECT (epoch_us(ts) // {_HH_HOUR_US}) * {_HH_HOUR_US} AS window_start_us,
                             user_id, CAST(count(*) AS BIGINT) AS n_events
@@ -4535,6 +4537,7 @@ from iceberg_meta_spark.operators.bloom import bloom_semi_join  # noqa: E402
 
 @register(
     "bloom_semi_revenue",
+    tags=("bench",),
     oracle="""
         WITH hot AS (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000)

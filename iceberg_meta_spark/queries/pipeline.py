@@ -73,6 +73,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_overlap_matrix",
+    tags=("bench",),
     oracle="""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
@@ -699,6 +700,7 @@ def quality_adaptive_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dsir_importance",
+    tags=("bench",),
     oracle="""
         WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, lang, t, len(t) AS n FROM toks WHERE len(t) >= 2),
