@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _project(df: DataFrame, columns: Sequence[str] | None) -> DataFrame:
@@ -131,3 +132,59 @@ def overwrite_partitions_iceberg(df: DataFrame, table: str) -> None:
 
     _require_runtime(df.sparkSession)
     df.writeTo(table).overwritePartitions()
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    bits: int = 16,
+    n_files: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Z-order-clustered rewrite — the sink the layout PLANNERS
+    (operators/maintenance.py zorder_layout / hilbert_layout, which only
+    *score* a layout) feed: physically rewrite rows so each output file is
+    range-local in BOTH (xcol, ycol), the OPTIMIZE ... ZORDER BY shape.
+
+    Mechanics: min-max-normalize both columns to ``bits``-wide grid
+    coordinates (one tiny bounds aggregate, broadcast), Morton-interleave
+    them (the planner's exact ``_interleave_expr``), then
+    ``repartitionByRange(n_files)`` on the z-value + sort within each
+    partition before writing.  Range partitioning keeps files balanced AND
+    z-contiguous — a plain ``repartition`` would hash z-locality away; a
+    global ``orderBy`` would funnel everything through one sort only to
+    re-split it.  Per-file min/max zone maps then prune multi-column range
+    predicates (``meta_pruning_after_zorder`` measures exactly this
+    payoff).
+
+    Scale: bounds are one shrinking aggregate; the write is one range
+    shuffle + local sorts — the same cost as any sorted rewrite.
+    """
+    from iceberg_meta_spark.operators.maintenance import _interleave_expr
+
+    bounds = df.agg(
+        F.min(xcol).alias("xlo"), F.max(xcol).alias("xhi"),
+        F.min(ycol).alias("ylo"), F.max(ycol).alias("yhi"),
+    )
+    grid = (1 << bits) - 1
+    norm = (
+        lambda c, lo, hi: F.expr(
+            f"CAST(CASE WHEN {hi} = {lo} THEN 0 ELSE (({c} - {lo}) * {grid}) DIV ({hi} - {lo}) END AS BIGINT)"
+        )
+    )
+    z = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__zx", norm(xcol, "xlo", "xhi")
+    ).withColumn("__zy", norm(ycol, "ylo", "yhi")).withColumn(
+        "__z", F.expr(_interleave_expr("__zx", "__zy", bits))
+    ).drop("xlo", "xhi", "ylo", "yhi", "__zx", "__zy")
+    out = (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    w = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

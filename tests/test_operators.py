@@ -717,3 +717,35 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     # the prefilter sits on the probe side BEFORE the semi join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_udtf_parse_props_parity_and_error_recovery(spark):
+    """§2.10 UDTF surface: LATERAL parse_props matches the expression-based
+    extraction on well-formed rows, and malformed rows yield a tagged error
+    row instead of failing the task."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.functions.tablefuncs import register_table_functions
+
+    register_table_functions(spark)
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "z": 2}'), (2, '{"k": 9}'), (3, "not json"),
+         (4, "[1,2]"), (5, '{"k": "text"}'), (6, None)],
+        "event_id long, props string",
+    )
+    df.createOrReplaceTempView("props_rows")
+    out = spark.sql(
+        "SELECT e.event_id, p.key, p.value, p.error "
+        "FROM props_rows e, LATERAL parse_props(e.props) p ORDER BY e.event_id, p.key"
+    ).collect()
+    good = [(r.event_id, r.key, r.value) for r in out if r.error is None]
+    assert good == [(1, "k", 7), (1, "z", 2), (2, "k", 9)]
+    errs = {r.event_id: r.error for r in out if r.error is not None}
+    assert errs == {3: "JSONDecodeError", 4: "NotAnObject", 5: "NonNumericValue"}
+    assert all(r.event_id != 6 for r in out)  # NULL props expand to no rows
+    # parity with the hot-path expression extraction on the parseable rows
+    expr = df.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+    ).where(F.col("k").isNotNull()).collect()
+    assert {(r.event_id, r.k) for r in expr} == {(e, v) for e, k, v in good if k == "k"}

@@ -463,3 +463,47 @@ def test_snapshot_log_stream_tolerates_retired_files(tmp_path):
     # deliver only rows from files that still exist
     replayed = list(reader.readBetweenOffsets(end, end2))
     assert [r[0] for r in replayed] == [3]
+
+
+def test_write_clustered_zorder_files_are_range_local(spark, tmp_path):
+    """The clustered rewrite puts both dimensions' ranges local per file:
+    every file's (x, y) bounding box must cover far less than the full
+    domain, and a 2-D range predicate must be prunable to a file subset
+    via parquet footer min/max (the zone-map payoff the planner scores)."""
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.sources.sinks import write_clustered
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),
+        ((F.col("id") * 40503 + 17) % n).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, "x", "y", bits=12, n_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert set(back.columns) == {"x", "y", "payload"}  # no helper columns leak
+
+    import glob
+    spans = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        t = papq.read_table(f, columns=["x", "y"])
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        spans.append(((max(xs) - min(xs)), (max(ys) - min(ys))))
+    assert len(spans) >= 8
+    # z-clustering: the MEDIAN per-file span in each dimension is a
+    # fraction of the n-wide domain (unclustered random files span ~n)
+    med_x = sorted(s[0] for s in spans)[len(spans) // 2]
+    med_y = sorted(s[1] for s in spans)[len(spans) // 2]
+    assert med_x < n * 0.6 and med_y < n * 0.6
+    # a small 2-D box prunes most files on footer min/max alone
+    qx, qy = n // 8, n // 8
+    hit = sum(1 for f in sorted(glob.glob(out + "/part-*.parquet"))
+              if (lambda t: min(t["x"].to_pylist()) <= qx and max(t["x"].to_pylist()) >= 0
+                  and min(t["y"].to_pylist()) <= qy and max(t["y"].to_pylist()) >= 0)(
+                      papq.read_table(f, columns=["x", "y"])))
+    assert hit < len(spans)
