@@ -4574,3 +4574,88 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "audience_overlap",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        reach AS (SELECT event_type, CAST(count(*) AS BIGINT) AS reach FROM ut GROUP BY 1),
+        inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(count(*) AS BIGINT) AS both_users
+                  FROM ut a JOIN ut b
+                    ON a.user_id = b.user_id AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+        SELECT i.type_a, i.type_b, ra.reach AS reach_a, rb.reach AS reach_b,
+               i.both_users,
+               CAST((i.both_users * 1000) // (ra.reach + rb.reach - i.both_users) AS BIGINT)
+                 AS jaccard_permille
+        FROM inter i
+        JOIN reach ra ON ra.event_type = i.type_a
+        JOIN reach rb ON rb.event_type = i.type_b
+        ORDER BY type_a, type_b
+    """,
+    doc="Audience-overlap matrix (exact): distinct users per event-type "
+    "pair with Jaccard permille. One (user,type) distinct shuffle, then a "
+    "user-keyed self-join whose fan-out is bounded by the type vocabulary "
+    "(<= |types|^2 rows per user). The HLL twin (audience_overlap_hll) is "
+    "the 10^9-user path: KB sketches per type, mergeable, no user-keyed "
+    "join at all",
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    reach = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("reach"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    ra = reach.select(F.col("event_type").alias("type_a"), F.col("reach").alias("reach_a"))
+    rb = reach.select(F.col("event_type").alias("type_b"), F.col("reach").alias("reach_b"))
+    return (
+        inter.join(F.broadcast(ra), "type_a")
+        .join(F.broadcast(rb), "type_b")
+        .select(
+            "type_a", "type_b", "reach_a", "reach_b", "both_users",
+            F.expr(
+                "CAST((both_users * 1000) DIV (reach_a + reach_b - both_users) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "audience_overlap_hll",
+    doc="Audience-overlap matrix, sketched: one Datasketches HLL per event "
+    "type (hll_sketch_agg - KB of mergeable state, map-side combined), "
+    "pairwise hll_union + inclusion-exclusion for the intersection "
+    "estimate. ZERO user-keyed joins or shuffles of user rows - the path "
+    "that survives 10^9 distinct users. Approximate by construction: "
+    "rows-only gate; the exact twin (audience_overlap) carries the hash "
+    "oracle and the unit test pins sketch-vs-exact tolerance",
+)
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("reach_est"),
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"),
+                  F.col("reach_est").alias("reach_a_est"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"),
+                  F.col("reach_est").alias("reach_b_est"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("type_a") < F.col("type_b"))
+    union_est = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).cast("long")
+    return pairs.select(
+        "type_a", "type_b", "reach_a_est", "reach_b_est",
+        union_est.alias("union_est"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("reach_a_est") + F.col("reach_b_est") - union_est).cast("long"),
+        ).alias("both_users_est"),
+    ).orderBy("type_a", "type_b")

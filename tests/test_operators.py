@@ -749,3 +749,22 @@ def test_udtf_parse_props_parity_and_error_recovery(spark):
         F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
     ).where(F.col("k").isNotNull()).collect()
     assert {(r.event_id, r.k) for r in expr} == {(e, v) for e, k, v in good if k == "k"}
+
+
+def test_audience_overlap_hll_tracks_exact(spark):
+    """The sketched overlap matrix must track the exact one: same pair set,
+    reaches and intersections within HLL tolerance (lgK=12 default ->
+    ~1.6% relative standard error; 10% slack here)."""
+    import os
+
+    from iceberg_meta_spark.registry import load_all
+
+    qs = load_all()
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    exact = {(r.type_a, r.type_b): r for r in qs["audience_overlap"].spark_fn(spark, sf).collect()}
+    est = {(r.type_a, r.type_b): r for r in qs["audience_overlap_hll"].spark_fn(spark, sf).collect()}
+    assert set(exact) == set(est)
+    for k, e in exact.items():
+        s = est[k]
+        assert abs(s.reach_a_est - e.reach_a) <= max(3, 0.1 * e.reach_a)
+        assert abs(s.both_users_est - e.both_users) <= max(5, 0.2 * e.both_users)
