@@ -741,3 +741,77 @@ def meta_snapshot_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
             display.format_timestamp_us(F.col("committed_us")).alias("committed_str"),
         )
     )
+
+
+@register(
+    "meta_changed_partitions",
+    oracle=oracle_query(
+        f"""
+        , po AS (SELECT part_key, CAST(count(*) AS BIGINT) AS files,
+                        CAST(sum(record_count) AS BIGINT) AS rows_,
+                        CAST(sum(file_size_in_bytes) AS BIGINT) AS bytes_
+                 FROM meta_files WHERE {{old_pred}} GROUP BY part_key),
+        pn AS (SELECT part_key, CAST(count(*) AS BIGINT) AS files,
+                      CAST(sum(record_count) AS BIGINT) AS rows_,
+                      CAST(sum(file_size_in_bytes) AS BIGINT) AS bytes_
+               FROM meta_files WHERE {{new_pred}} GROUP BY part_key)
+        SELECT coalesce(po.part_key, pn.part_key) AS part_key,
+               CASE WHEN po.part_key IS NULL THEN 'new'
+                    WHEN pn.part_key IS NULL THEN 'dropped'
+                    ELSE 'changed' END AS status,
+               coalesce(pn.files, 0) - coalesce(po.files, 0) AS file_delta,
+               coalesce(pn.rows_, 0) - coalesce(po.rows_, 0) AS row_delta,
+               coalesce(pn.bytes_, 0) - coalesce(po.bytes_, 0) AS byte_delta
+        FROM po FULL OUTER JOIN pn USING (part_key)
+        WHERE po.part_key IS NULL OR pn.part_key IS NULL
+           OR po.files <> pn.files OR po.rows_ <> pn.rows_ OR po.bytes_ <> pn.bytes_
+        ORDER BY part_key
+        """.format(old_pred=_OLD_PRED_SQL, new_pred=_NEW_PRED_SQL),
+        "meta_files",
+    ),
+    doc="Incremental-processing trigger: which PARTITIONS changed between "
+    "two snapshots (new/dropped/changed + file/row/byte deltas) — the set a "
+    "downstream incremental job re-reads instead of the whole table. Both "
+    "sides aggregate to partition grain BEFORE the full-outer join, so the "
+    "join touches partition-count rows, never file-count",
+)
+def meta_changed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _diff_inputs(spark, sf_dir)
+
+    def pgrain(df: DataFrame) -> DataFrame:
+        return df.groupBy("part_key").agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("record_count").alias("rows_"),
+            F.sum("file_size_in_bytes").alias("bytes_"),
+        )
+    po = pgrain(old).select(
+        F.col("part_key"), F.col("files").alias("of"), F.col("rows_").alias("or_"),
+        F.col("bytes_").alias("ob"),
+    )
+    pn = pgrain(new).select(
+        F.col("part_key"), F.col("files").alias("nf"), F.col("rows_").alias("nr"),
+        F.col("bytes_").alias("nb"),
+    )
+    j = po.join(pn, "part_key", "full_outer")
+    status = (
+        F.when(F.col("of").isNull(), F.lit("new"))
+        .when(F.col("nf").isNull(), F.lit("dropped"))
+        .otherwise(F.lit("changed"))
+    )
+    changed = (
+        F.col("of").isNull() | F.col("nf").isNull()
+        | (F.col("of") != F.col("nf")) | (F.col("or_") != F.col("nr"))
+        | (F.col("ob") != F.col("nb"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        j.filter(changed)
+        .select(
+            "part_key",
+            status.alias("status"),
+            (F.coalesce(F.col("nf"), z) - F.coalesce(F.col("of"), z)).alias("file_delta"),
+            (F.coalesce(F.col("nr"), z) - F.coalesce(F.col("or_"), z)).alias("row_delta"),
+            (F.coalesce(F.col("nb"), z) - F.coalesce(F.col("ob"), z)).alias("byte_delta"),
+        )
+        .orderBy("part_key")
+    )

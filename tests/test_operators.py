@@ -768,3 +768,34 @@ def test_audience_overlap_hll_tracks_exact(spark):
         s = est[k]
         assert abs(s.reach_a_est - e.reach_a) <= max(3, 0.1 * e.reach_a)
         assert abs(s.both_users_est - e.both_users) <= max(5, 0.2 * e.both_users)
+
+
+def test_join_cardinality_estimate_tracks_truth(spark):
+    """Correlated sampling keeps whole keys, so the per-key na*nb products
+    survive sampling and the scaled estimate lands near the true join size
+    (independent sampling would collapse toward zero at these rates)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.operators.estimate import estimate_join_cardinality
+
+    # 2000 orders x ~4 lines each through 500 keys, mild skew via %7
+    a = spark.range(2000).select((F.col("id") % 500).alias("k"))
+    b = spark.range(8000).select(((F.col("id") * 13) % 500).alias("k"), F.col("id").alias("v"))
+    truth = a.join(b, "k").count()
+    est = estimate_join_cardinality(a, b, "k", rate_256=64)  # 1/4 of key space
+    assert est["sampled_keys"] > 50
+    assert abs(est["estimate"] - truth) / truth < 0.35
+    # diagnostics are well-formed
+    assert est["sampled_pairs"] > 0 and est["scale"] == 4.0
+    assert 0 < est["top_key_share_pct"] <= 100.0
+
+
+def test_join_cardinality_empty_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.operators.estimate import estimate_join_cardinality
+
+    a = spark.range(100).select(F.col("id").alias("k"))
+    b = spark.range(1000, 1100).select(F.col("id").alias("k"))
+    est = estimate_join_cardinality(a, b, "k", rate_256=128)
+    assert est["estimate"] == 0 and est["top_key_share_pct"] == 0.0
