@@ -367,3 +367,91 @@ def test_bpe_merges_match_python_reference(spark, texts):
         for r in bpe.bpe_merges(docs, rounds=2).orderBy("merge_round").collect()
     ]
     assert got == _bpe_reference(texts, 2), (texts, got)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driver-side sketch property tests."""
+
+    exists = False
+    hasTimedOut = False
+
+    def update(self, v):
+        self.exists, self.val = True, v
+
+    @property
+    def get(self):
+        return self.val
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self.exists = False
+
+
+@given(
+    data=st.lists(st.integers(0, 30), min_size=1, max_size=120),
+    m=st.integers(2, 8),
+    cuts=st.lists(st.integers(0, 119), max_size=4),
+)
+@SET
+def test_space_saving_invariants(data, m, cuts):
+    """Space-saving guarantees, any stream, any batch split: (1) every
+    estimate brackets the true count (est - err <= true <= est); (2) every
+    item with true frequency > N/m is tracked."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.heavy import _make_update
+
+    update = _make_update(m=m, k=m, timeout_ms=1000)
+    st_ = _FakeState()
+    bounds = sorted({0, len(data), *[c for c in cuts if c <= len(data)]})
+    out = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        if hi > lo:
+            out = pd.concat(update((0,), iter([pd.DataFrame({"user_id": data[lo:hi]})]), st_))
+    true = {u: data.count(u) for u in set(data)}
+    n = len(data)
+    tracked = dict(zip(out.user_id, zip(out.est_count, out.err_bound)))
+    for u, (est, err) in tracked.items():
+        assert est - err <= true.get(int(u), 0) <= est
+    for u, c in true.items():
+        if c > n / m:
+            assert u in tracked  # heavy hitters are never evicted for good
+@given(
+    vals=st.lists(st.integers(0, 10**9), min_size=1, max_size=150),
+    cuts=st.lists(st.integers(0, 149), max_size=4),
+)
+@SET
+def test_histogram_quantile_upper_bounds(vals, cuts):
+    """Histogram-sketch quantiles, any stream, any batch split: each
+    reported bound >= the true continuous quantile, bounds are monotone
+    across probes, and the final state is split-invariant."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.quantiles import _update
+
+    def run(chunks):
+        s = _FakeState()
+        out = None
+        for ch in chunks:
+            if len(ch):
+                out = pd.concat(_update((0,), iter([pd.DataFrame({"cents": ch})]), s))
+        return s.val, out
+
+    bounds = sorted({0, len(vals), *[c for c in cuts if c <= len(vals)]})
+    state_a, out = run([vals[lo:hi] for lo, hi in zip(bounds, bounds[1:])])
+    state_b, _ = run([vals])
+    assert state_a == state_b  # order/split-insensitive counters
+
+    def true_q(q):
+        srt = sorted(vals)
+        pos = q * (len(srt) - 1)
+        lo_i = int(pos)
+        hi_i = min(lo_i + 1, len(srt) - 1)
+        return srt[lo_i] + (srt[hi_i] - srt[lo_i]) * (pos - lo_i)
+
+    row = out.iloc[0]
+    assert row.p25_ub <= row.p50_ub <= row.p75_ub
+    for col, q in (("p25_ub", 0.25), ("p50_ub", 0.5), ("p75_ub", 0.75)):
+        assert row[col] >= true_q(q)
