@@ -734,3 +734,80 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_importance(
         load_table(spark, sf_dir, "documents"), target_lang="en", buckets=1024
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+        WITH s AS (SELECT doc_id,
+                          CASE WHEN substr(md5('naive:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                                 THEN 'test'
+                               WHEN substr(md5('naive:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+                                 THEN 'validation'
+                               ELSE 'train' END AS split
+                   FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
+               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+        mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
+               FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 2 AS band_idx,
+                         string_agg(mh, '|' ORDER BY seed) AS band_key
+                  FROM mh GROUP BY doc_id, seed // 2),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+        leaks AS (SELECT least(sa.split, sb.split) AS split_x,
+                         greatest(sa.split, sb.split) AS split_y,
+                         p.doc_a, p.doc_b
+                  FROM pairs p
+                  JOIN s sa ON sa.doc_id = p.doc_a
+                  JOIN s sb ON sb.doc_id = p.doc_b
+                  WHERE sa.split <> sb.split)
+        SELECT split_x, split_y, CAST(count(*) AS BIGINT) AS leaky_pairs,
+               CAST(count(DISTINCT doc_b) AS BIGINT) AS contaminated_docs
+        FROM leaks GROUP BY 1, 2 ORDER BY split_x, split_y
+    """,
+    doc="Eval-hygiene audit: LSH near-dup pairs that STRADDLE a naive "
+    "per-doc hash split (the split people actually ship) - per split pair, "
+    "leaky pairs and distinct contaminated higher-id docs. Nonzero rows "
+    "here are exactly why corpus_splits hashes the duplicate-CLUSTER label "
+    "instead; the split tag rides the band rows through the equi-join "
+    "(carry), no corpus back-join",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.concat(F.lit("naive:"), F.col("doc_id").cast("string"))), 1, 2)
+    split = (
+        F.when(b < "1a", F.lit("test")).when(b < "34", F.lit("validation")).otherwise(F.lit("train"))
+    )
+    tagged = docs.withColumn("split", split)
+    bands = dedup.minhash_band_rows(tagged, 8, 2, 2, carry=("split",))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"),
+                     "band_idx", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"),
+                      "band_idx", "band_key")
+    pairs = (
+        a.join(bb, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+        .distinct()
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return (
+        pairs.select(
+            F.least("split_a", "split_b").alias("split_x"),
+            F.greatest("split_a", "split_b").alias("split_y"),
+            "doc_a", "doc_b",
+        )
+        .groupBy("split_x", "split_y")
+        .agg(
+            F.count(F.lit(1)).alias("leaky_pairs"),
+            F.countDistinct("doc_b").alias("contaminated_docs"),
+        )
+        .orderBy("split_x", "split_y")
+    )

@@ -549,3 +549,24 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     # ~scale/2 plus at most a couple of hash-bucket collisions with en docs
     assert out[2].importance <= 700_000
     assert out[0].importance >= 900_000
+
+
+def test_split_leakage_audit_flags_cross_split_neardups(spark):
+    """doc 0 hashes to train, doc 1 to test under the naive per-doc split;
+    making them near-identical must produce a (test, train) leak row, and
+    the contaminated doc is the higher id of the pair."""
+    from iceberg_meta_spark.registry import load_all
+
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [t, t + " extra", "completely different planner text here"])
+    docs.createOrReplaceTempView("__leak_docs")
+
+    import iceberg_meta_spark.queries.pipeline as qp
+    from unittest.mock import patch
+
+    with patch.object(qp, "load_table", lambda spark_, sf, name: docs):
+        out = {(r.split_x, r.split_y): r
+               for r in qp.split_leakage_audit(spark, "unused").collect()}
+    assert ("test", "train") in out
+    leak = out[("test", "train")]
+    assert leak.leaky_pairs == 1 and leak.contaminated_docs == 1
