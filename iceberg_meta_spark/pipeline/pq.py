@@ -488,7 +488,13 @@ def ivf_pq_topk(
                 *[
                     F.struct(
                         F.lit(qid).cast("long").alias("query_id"),
-                        adc_expr(qid).cast("long").alias("adc_s"),
+                        # CaseWhen evaluates lazily per row: rows outside the
+                        # probed cells (the vast majority at scale — that IS
+                        # the IVF prune) never pay the m map lookups
+                        F.when(
+                            F.col("cell").isin(probed_cells(qid)),
+                            adc_expr(qid).cast("long"),
+                        ).alias("adc_s"),
                         F.col("cell").isin(probed_cells(qid)).alias("probed"),
                     )
                     for qid in query_ids

@@ -24,6 +24,10 @@ def duck():
 # Only genuinely non-portable ops may omit the oracle (the driver records
 # their weaker rows-only check). Each entry must name its exact-twin gate.
 ROWS_ONLY = {
+    # Datasketches HLL estimates are engine-specific; exact twin
+    # audience_overlap is oracle-gated and test_audience_overlap_hll_tracks_exact
+    # pins the sketch within tolerance of it.
+    "audience_overlap_hll",
     # percentile_approx sketch values are engine-specific; exact twin
     # meta_file_health is oracle-gated and test_file_health_approx_matches_exact
     # pins the two together.
