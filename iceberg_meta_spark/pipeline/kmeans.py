@@ -55,6 +55,20 @@ def _quantize(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
 
 
+def _compact(base: DataFrame, threshold: int = 100_000, target: int = 8) -> DataFrame:
+    """Task-count right-sizing for a materialized (localCheckpointed) frame:
+    an iterative trainer re-reads its base once per Lloyd round, and when
+    the base is metadata-scale (a quantizer trained on a sample, test
+    fixtures) 32-way parallelism costs more in task/Arrow-worker overhead
+    per round than the compute is worth. The count is cheap — the
+    checkpoint is already materialized — and at data scale it exceeds the
+    threshold, making this a no-op (the analog of AQE's post-shuffle
+    coalescing for the scan side, which AQE cannot touch)."""
+    if base.count() < threshold:
+        return base.coalesce(target)
+    return base
+
+
 def _collect_cents(cents: DataFrame) -> list[tuple[int, list[int]]]:
     """Materialize the K-row centroid table driver-side, sorted by cent_id
     ascending (the tie-break order the assignment argmax relies on)."""
@@ -146,7 +160,7 @@ def _refined(
     ``base`` is localCheckpointed once (reused by every round); each round's
     K-row centroid table is collected to the driver — the collect IS the
     round's materialization, replacing a checkpoint job."""
-    base = (
+    base = _compact(
         with_self_norm(emb)
         .select("vec_id", "embedding", "norm_s", _quantize(F.col("embedding")).alias("q"))
         .localCheckpoint()

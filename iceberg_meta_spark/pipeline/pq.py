@@ -56,7 +56,7 @@ def train_codebooks(
         sl = F.slice("embedding", s * dims_sub + 1, dims_sub)
         cols.append(scaled_dot(sl, sl).alias(f"norm_{s}"))
         cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
-    base = emb.select(*cols).localCheckpoint()
+    base = kmeans._compact(emb.select(*cols).localCheckpoint())
 
     # one collect seeds every subspace's centroid sample
     init = base.filter(F.col("vec_id") % centroid_mod == 1).select(
@@ -334,7 +334,7 @@ def build_ivf_pq_index(
         sl = F.slice("embedding", s * dims_sub + 1, dims_sub)
         cols.append(scaled_dot(sl, sl).alias(f"norm_{s}"))
         cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
-    base = emb.select(*cols).localCheckpoint()
+    base = kmeans._compact(emb.select(*cols).localCheckpoint())
 
     # IVF training on the full vector (kmeans contract via projection)
     ivf_view = base.select(
