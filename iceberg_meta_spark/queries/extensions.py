@@ -4659,3 +4659,59 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("reach_a_est") + F.col("reach_b_est") - union_est).cast("long"),
         ).alias("both_users_est"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "events_seasonal_backtest",
+    oracle=f"""
+        WITH hourly AS (SELECT event_type,
+                               (epoch_us(ts) // {_HH_HOUR_US}) AS hr,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+        joined AS (SELECT a.event_type, a.hr, a.n AS actual,
+                          s.n AS seasonal_pred, p.n AS naive_pred
+                   FROM hourly a
+                   JOIN hourly s ON s.event_type = a.event_type AND s.hr = a.hr - 24
+                   JOIN hourly p ON p.event_type = a.event_type AND p.hr = a.hr - 1)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(abs(actual - seasonal_pred)) AS BIGINT) AS seasonal_abs_err,
+               CAST(sum(abs(actual - naive_pred)) AS BIGINT) AS naive_abs_err,
+               CAST((sum(abs(actual - seasonal_pred)) * 1000)
+                    // greatest(sum(abs(actual - naive_pred)), 1) AS BIGINT)
+                 AS mase_permille
+        FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Forecast-baseline backtest: per event type, seasonal-naive "
+    "(t-24h) vs naive (t-1h) hourly-count predictions scored by total "
+    "absolute error and their permille ratio (integer MASE - under 1000 "
+    "means daily seasonality is real signal, the go/no-go a forecasting "
+    "pipeline checks before training anything). One hourly aggregate then "
+    "two self-equi-joins on the (type, hour) key - the aggregate output "
+    "is hours x types rows, bounded regardless of event count",
+)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.expr(f"(ts DIV 1000) DIV {_HH_HOUR_US}").alias("hr"), "event_type")
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hourly.select("event_type", "hr", F.col("n").alias("actual"))
+    s = hourly.select("event_type", (F.col("hr") + 24).alias("hr"), F.col("n").alias("seasonal_pred"))
+    p = hourly.select("event_type", (F.col("hr") + 1).alias("hr"), F.col("n").alias("naive_pred"))
+    joined = a.join(s, ["event_type", "hr"]).join(p, ["event_type", "hr"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.abs(F.col("actual") - F.col("seasonal_pred"))).alias("seasonal_abs_err"),
+            F.sum(F.abs(F.col("actual") - F.col("naive_pred"))).alias("naive_abs_err"),
+        )
+        .select(
+            "event_type", "n_hours", "seasonal_abs_err", "naive_abs_err",
+            F.expr(
+                "CAST((seasonal_abs_err * 1000) DIV greatest(naive_abs_err, 1) AS BIGINT)"
+            ).alias("mase_permille"),
+        )
+        .orderBy("event_type")
+    )

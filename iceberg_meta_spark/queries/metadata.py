@@ -815,3 +815,50 @@ def meta_changed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_key")
     )
+
+
+@register(
+    "meta_concurrent_commits",
+    oracle=oracle_query(
+        """
+        , forks AS (SELECT parent_id, CAST(count(*) AS BIGINT) AS n_children
+                    FROM meta_snapshots WHERE parent_id IS NOT NULL
+                    GROUP BY parent_id HAVING count(*) > 1)
+        SELECT f.parent_id, f.n_children,
+               CAST(min(s.snapshot_id) AS BIGINT) AS first_child,
+               CAST(max(s.snapshot_id) AS BIGINT) AS last_child,
+               CAST(count(DISTINCT s.operation) AS BIGINT) AS n_operations,
+               CAST(sum(CASE WHEN s.operation IN ('overwrite', 'delete')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS destructive_children
+        FROM forks f JOIN meta_snapshots s ON s.parent_id = f.parent_id
+        GROUP BY f.parent_id, f.n_children ORDER BY f.parent_id
+        """,
+        "meta_snapshots",
+    ),
+    doc="Commit-conflict surface: fork points in the snapshot lineage (a "
+    "parent with >1 child = concurrent writers raced on one base snapshot "
+    "— the optimistic-concurrency retry signal; a destructive child on a "
+    "fork is the rollback-vs-branch case files_asof guards). One "
+    "metadata-sized aggregate + a self-equi-join on the fork keys",
+)
+def meta_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snaps = derive(spark, sf_dir, "meta_snapshots")
+    forks = (
+        snaps.filter(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+        .filter(F.col("n_children") > 1)
+    )
+    return (
+        snaps.join(F.broadcast(forks), "parent_id")
+        .groupBy("parent_id", "n_children")
+        .agg(
+            F.min("snapshot_id").alias("first_child"),
+            F.max("snapshot_id").alias("last_child"),
+            F.countDistinct("operation").alias("n_operations"),
+            F.sum(
+                F.when(F.col("operation").isin("overwrite", "delete"), 1).otherwise(0)
+            ).alias("destructive_children"),
+        )
+        .orderBy("parent_id")
+    )

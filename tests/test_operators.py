@@ -799,3 +799,30 @@ def test_join_cardinality_empty_and_disjoint(spark):
     b = spark.range(1000, 1100).select(F.col("id").alias("k"))
     est = estimate_join_cardinality(a, b, "k", rate_256=128)
     assert est["estimate"] == 0 and est["top_key_share_pct"] == 0.0
+
+
+def test_concurrent_commits_detects_forks(spark):
+    """A parent with two children is a fork (concurrent writers); chains
+    produce no rows. Destructive children are counted for the
+    rollback-vs-branch triage."""
+    from unittest.mock import patch
+
+    import iceberg_meta_spark.queries.metadata as qm
+
+    snaps = spark.createDataFrame(
+        [
+            (1, None, "append"),
+            (2, 1, "append"),
+            (3, 2, "append"),      # chain so far
+            (4, 2, "overwrite"),   # fork at parent 2, destructive child
+            (5, 4, "append"),
+        ],
+        "snapshot_id long, parent_id long, operation string",
+    )
+    with patch.object(qm, "derive", lambda spark_, sf, name: snaps):
+        rows = qm.meta_concurrent_commits(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.parent_id == 2 and r.n_children == 2
+    assert (r.first_child, r.last_child) == (3, 4)
+    assert r.n_operations == 2 and r.destructive_children == 1
