@@ -308,3 +308,60 @@ def embedding_drift(emb: DataFrame, threshold: float = 0.995, dims: int = 64) ->
         )
         .orderBy("label")
     )
+
+
+def weak_label_votes(docs: DataFrame) -> DataFrame:
+    """Weak supervision (Snorkel shape): several cheap labeling functions
+    vote per document; the aggregate emits the majority label, an integer
+    confidence, and the disagreement rank an active-learning loop samples
+    from. Three LFs here label "keep for training" (+1) / "drop" (-1) /
+    abstain (0):
+
+    - LF1 stopword density: >= 8% of tokens are stopwords -> keep; zero
+      stopwords in a >= 5-token doc -> drop; else abstain.
+    - LF2 length: >= 30 tokens -> keep; < 8 -> drop; else abstain.
+    - LF3 uppercase-start share: docs where > half the tokens start
+      uppercase (shouting/boilerplate) -> drop; abstains otherwise.
+
+    Majority vote over non-abstaining LFs; ties and all-abstain ->
+    'abstain'. ``n_disagree`` counts minority votes — the docs worth a
+    human label first. Everything is one map-side expression pass plus one
+    shrinking aggregate per (label, n_votes) for the summary-free variant;
+    here we emit per-doc rows (the artifact a labeling pipeline joins on).
+    """
+    toks = _toks()
+    n = F.size(toks).cast("long")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("long")
+    upper = F.size(
+        F.filter(toks, lambda x: (F.length(x) > 0) & (x.substr(1, 1) == F.upper(x.substr(1, 1))) & ~x.substr(1, 1).rlike("[0-9]"))
+    ).cast("long")
+    lf1 = (
+        F.when(n == 0, F.lit(0))
+        .when(stop * 100 >= n * 8, F.lit(1))
+        .when((stop == 0) & (n >= 5), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    lf2 = F.when(n >= 30, F.lit(1)).when(n < 8, F.lit(-1)).otherwise(F.lit(0))
+    lf3 = F.when((n > 0) & (upper * 2 > n), F.lit(-1)).otherwise(F.lit(0))
+    base = docs.select(
+        "doc_id", "lang", lf1.alias("lf1"), lf2.alias("lf2"), lf3.alias("lf3")
+    )
+    total = F.col("lf1") + F.col("lf2") + F.col("lf3")
+    n_votes = (
+        F.abs(F.col("lf1")) + F.abs(F.col("lf2")) + F.abs(F.col("lf3"))
+    ).cast("long")
+    label = (
+        F.when(total > 0, F.lit("keep"))
+        .when(total < 0, F.lit("drop"))
+        .otherwise(F.lit("abstain"))
+    )
+    # minority votes = votes cast against the majority sign
+    n_disagree = F.when(
+        total != 0, (n_votes - F.abs(total)) / 2
+    ).otherwise(n_votes / 2).cast("long")
+    return base.select(
+        "doc_id", "lang", "lf1", "lf2", "lf3",
+        label.alias("label"),
+        n_votes.alias("n_votes"),
+        n_disagree.alias("n_disagree"),
+    ).orderBy("doc_id")

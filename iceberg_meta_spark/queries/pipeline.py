@@ -811,3 +811,46 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_x", "split_y")
     )
+
+
+@register(
+    "weak_label_vote",
+    oracle="""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        feats AS (SELECT doc_id, lang,
+                         CAST(len(t) AS BIGINT) AS n,
+                         CAST(len(list_filter(t,
+                              x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stop,
+                         CAST(len(list_filter(t,
+                              x -> len(x) > 0 AND substr(x, 1, 1) = upper(substr(x, 1, 1))
+                                   AND NOT regexp_matches(substr(x, 1, 1), '[0-9]'))) AS BIGINT)
+                           AS upper_
+                  FROM toks),
+        lfs AS (SELECT doc_id, lang,
+                       CASE WHEN n = 0 THEN 0
+                            WHEN stop * 100 >= n * 8 THEN 1
+                            WHEN stop = 0 AND n >= 5 THEN -1
+                            ELSE 0 END AS lf1,
+                       CASE WHEN n >= 30 THEN 1 WHEN n < 8 THEN -1 ELSE 0 END AS lf2,
+                       CASE WHEN n > 0 AND upper_ * 2 > n THEN -1 ELSE 0 END AS lf3
+                FROM feats)
+        SELECT doc_id, lang, lf1, lf2, lf3,
+               CASE WHEN lf1 + lf2 + lf3 > 0 THEN 'keep'
+                    WHEN lf1 + lf2 + lf3 < 0 THEN 'drop'
+                    ELSE 'abstain' END AS label,
+               CAST(abs(lf1) + abs(lf2) + abs(lf3) AS BIGINT) AS n_votes,
+               CAST(CASE WHEN lf1 + lf2 + lf3 <> 0
+                         THEN (abs(lf1) + abs(lf2) + abs(lf3) - abs(lf1 + lf2 + lf3)) // 2
+                         ELSE (abs(lf1) + abs(lf2) + abs(lf3)) // 2 END AS BIGINT) AS n_disagree
+        FROM lfs ORDER BY doc_id
+    """,
+    doc="Weak supervision (Snorkel shape): three cheap labeling functions "
+    "(stopword density, length, uppercase-start share) vote keep/drop/"
+    "abstain per doc; majority label + minority-vote count (the "
+    "active-learning disagreement rank). Pure map-side expression pass - "
+    "no shuffle at all before the ordered emit",
+)
+def weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import quality
+
+    return quality.weak_label_votes(load_table(spark, sf_dir, "documents"))

@@ -570,3 +570,23 @@ def test_split_leakage_audit_flags_cross_split_neardups(spark):
     assert ("test", "train") in out
     leak = out[("test", "train")]
     assert leak.leaky_pairs == 1 and leak.contaminated_docs == 1
+
+
+def test_weak_label_votes_majority_and_disagreement(spark):
+    from iceberg_meta_spark.pipeline import quality
+
+    docs = _docs(
+        spark,
+        [
+            # LF1 keep (2/9 stopwords), LF2 abstain (9 toks), LF3 abstain -> keep
+            "the cat sat on a mat with nine tokens",
+            # LF1 drop (0 stopwords, >=5 toks), LF2 drop (<8), LF3 abstain -> drop
+            "alpha beta gamma delta epsilon",
+            # LF1 keep (density), LF2 drop (7 toks): 1 vs 1 -> abstain, 1 disagree
+            "the a of and to xx yy",
+        ],
+    )
+    out = {r.doc_id: r for r in quality.weak_label_votes(docs).collect()}
+    assert out[0].label == "keep" and out[0].n_disagree == 0
+    assert out[1].label == "drop" and (out[1].lf1, out[1].lf2) == (-1, -1)
+    assert out[2].label == "abstain" and out[2].n_votes == 2 and out[2].n_disagree == 1
