@@ -4715,3 +4715,70 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "user_value_ewma",
+    oracle="""
+        WITH ev AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+                           epoch_us(ts) AS ts_us, event_id
+                    FROM events),
+        seqs AS (SELECT user_id,
+                        array_agg(cents ORDER BY ts_us, event_id) AS vals
+                 FROM ev GROUP BY user_id),
+        folded AS (SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+                          list_reduce(vals,
+                              (acc, v) -> (acc // 1099511627776
+                                           + CASE WHEN v > 2 * (acc % 1099511627776)
+                                                  THEN 1 ELSE 0 END) * 1099511627776
+                                          + (v + (acc % 1099511627776) * 7) // 8
+                          ) AS packed
+                   FROM seqs)
+        SELECT user_id, n_events,
+               CAST(packed % 1099511627776 AS BIGINT) AS final_ewma_cents,
+               CAST(packed // 1099511627776 AS BIGINT) AS n_spikes
+        FROM folded ORDER BY user_id
+    """,
+    doc="Per-user EWMA of event value (alpha=1/8, integer arithmetic: "
+    "ewma' = (v + 7*ewma) DIV 8) with spike counting (v > 2*ewma before "
+    "update) - a RECURSIVE per-key fold carried as a full hash oracle by "
+    "packing (spikes, ewma) into one BIGINT accumulator (spikes*2^40 + "
+    "ewma; cents < 2^40 always). The per-key collect+sort is the "
+    "documented memory cliff (exact-percentile family); the deployment "
+    "path is streaming/ewma.py holding O(1) state per key",
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    PACK = 1_099_511_627_776  # 2^40
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "cents"))),
+            lambda x: x["cents"],
+        ).alias("vals")
+    )
+    # seed = first value (ewma := v1, spikes := 0) on BOTH engines:
+    # DuckDB's list_reduce seeds with the list head, Spark's aggregate()
+    # gets it explicitly; every step is BIGINT DIV/% arithmetic so the
+    # recursive fold is bit-identical anywhere
+    folded = seqs.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.expr(
+            f"""aggregate(
+                slice(vals, 2, greatest(size(vals) - 1, 0)),
+                element_at(vals, 1),
+                (acc, v) -> (acc DIV {PACK} + IF(v > 2 * (acc % {PACK}), 1, 0)) * {PACK}
+                            + (v + (acc % {PACK}) * 7) DIV 8
+            )"""
+        ).alias("packed"),
+    )
+    return folded.select(
+        "user_id", "n_events",
+        F.expr(f"packed % {PACK}").alias("final_ewma_cents"),
+        F.expr(f"packed DIV {PACK}").alias("n_spikes"),
+    ).orderBy("user_id")

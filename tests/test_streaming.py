@@ -1047,3 +1047,90 @@ def test_histogram_quantile_positions():
     assert out1.p25_ub[0] == 3
     assert out1.p50_ub[0] == 127
     assert out1.p75_ub[0] == 511
+
+
+def test_streaming_ewma_matches_batch_fold(spark):
+    """The streaming EWMA over an in-order stream must reproduce the batch
+    fold's exact integer trajectory: same final ewma, same spike count,
+    regardless of how the sequence is split into micro-batches."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.ewma import _update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    vals = [100, 110, 90, 500, 120, 100, 2000, 80]  # spikes at 500 and 2000
+
+    def batch_fold(vs):
+        ewma, spikes = vs[0], 0
+        for v in vs[1:]:
+            if v > 2 * ewma:
+                spikes += 1
+            ewma = (v + ewma * 7) // 8
+        return ewma, spikes
+
+    exp_ewma, exp_spikes = batch_fold(vals)
+    for split in (len(vals), 3, 1):  # one batch / chunks of 3 / one-by-one
+        st = FakeState()
+        out = None
+        for lo in range(0, len(vals), split):
+            chunk = vals[lo : lo + split]
+            pdf = pd.DataFrame(
+                {"ts_us": range(lo, lo + len(chunk)),
+                 "event_id": range(lo, lo + len(chunk)),
+                 "cents": chunk}
+            )
+            out = pd.concat(_update((7,), iter([pdf]), st))
+        assert out.final_ewma_cents[0] == exp_ewma, split
+        assert out.n_spikes[0] == exp_spikes == 2, split
+        assert out.n_events[0] == len(vals)
+
+
+def test_streaming_ewma_live(spark):
+    """Live rate-source run: constant value stream -> ewma converges to the
+    value, zero spikes."""
+    import time
+
+    from iceberg_meta_spark.streaming.ewma import user_value_ewma_stream
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(
+            (F.col("value") % 4).alias("user_id"),
+            F.unix_micros(F.col("timestamp")).alias("ts_us"),
+            F.col("value").alias("event_id"),
+            F.lit(250).cast("long").alias("cents"),
+        )
+    )
+    q = (
+        user_value_ewma_stream(rate)
+        .writeStream.format("memory").queryName("ewma_test").outputMode("update").start()
+    )
+    try:
+        deadline = time.time() + 45
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM ewma_test WHERE n_events > 30 AND final_ewma_cents = 250"
+            ).collect()
+            done = len(rows) >= 2
+        assert done
+        assert spark.sql("SELECT max(n_spikes) AS s FROM ewma_test").collect()[0].s == 0
+    finally:
+        q.stop()
