@@ -236,3 +236,65 @@ def near_dup_assets(
         .filter(F.col("overlap_permille") >= min_share_permille)
         .select("asset_a", "asset_b", "shared_chunks", "overlap_permille")
     )
+
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("seg_idx", LongType()),
+        StructField("start_frame", LongType()),
+        StructField("end_frame", LongType()),
+        StructField("seg_energy", LongType()),
+    ]
+)
+
+
+def segment_assets(assets: DataFrame, frame_bytes: int = 16) -> DataFrame:
+    """VAD-style activity segmentation over audio/video payloads: the
+    payload is framed (``frame_bytes`` per frame), each frame's ENERGY is
+    the integer sum of its byte values, and maximal runs of
+    above-average frames (``energy * n_frames > total_energy`` — integer
+    cross-multiplication, no division) become segments — one row per
+    (asset, segment) with frame bounds and the segment's energy sum.
+
+    A real voice-activity/shot-boundary detector replaces the byte-sum
+    energy with a decoder + model inside the SAME Arrow kernel; framing,
+    thresholding, run-merging, schema and the zero-shuffle narrow
+    execution are the production plumbing and are what this tests.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "seg_idx", "start_frame", "end_frame", "seg_energy")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                if len(b) == 0:
+                    continue
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                pad = np.zeros(n_frames * frame_bytes, dtype=np.int64)
+                pad[: len(b)] = b
+                energy = pad.reshape(n_frames, frame_bytes).sum(axis=1)
+                active = energy * n_frames > energy.sum()
+                seg = 0
+                f = 0
+                while f < n_frames:
+                    if active[f]:
+                        start = f
+                        e = 0
+                        while f < n_frames and active[f]:
+                            e += int(energy[f])
+                            f += 1
+                        out["asset_id"].append(int(aid))
+                        out["seg_idx"].append(seg)
+                        out["start_frame"].append(start)
+                        out["end_frame"].append(f - 1)
+                        out["seg_energy"].append(e)
+                        seg += 1
+                    else:
+                        f += 1
+            yield pd.DataFrame(out)
+
+    av = assets.filter(F.col("media_type") != "image")
+    return av.select("asset_id", "payload").mapInPandas(run, SEGMENT_SCHEMA)

@@ -854,3 +854,90 @@ def weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline import quality
 
     return quality.weak_label_votes(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_coverage",
+    oracle="""
+        WITH j AS (SELECT d.doc_id, d.lang, e.vec_id
+                   FROM documents d FULL OUTER JOIN embeddings e
+                     ON e.vec_id = d.doc_id)
+        SELECT coalesce(lang, '<orphan_embedding>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS embedded,
+               CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS missing_embedding,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS orphan_embeddings
+        FROM j GROUP BY 1 ORDER BY lang
+    """,
+    doc="Referential-integrity audit between the text corpus and its "
+    "embedding table (vec_id = doc_id contract): per language, docs with "
+    "and without a vector plus orphan vectors with no document - the "
+    "check an embedding-backfill pipeline runs before and after each "
+    "batch. ONE full-outer equi-join on the id, per-lang rollup map-side "
+    "combined",
+)
+def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    return (
+        j.groupBy(F.coalesce(F.col("lang"), F.lit("<orphan_embedding>")).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1).otherwise(0)
+            ).alias("embedded"),
+            F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0)).alias("missing_embedding"),
+            F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("orphan_embeddings"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "multimodal_segments",
+    oracle="""
+        WITH av AS (SELECT doc_id AS asset_id, text FROM documents
+                    WHERE doc_id % 3 <> 0),
+        chars AS (SELECT asset_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS b
+                  FROM av, generate_series(1, 4096) AS g(i)
+                  WHERE i <= len(text)),
+        frames AS (SELECT asset_id, (i - 1) // 16 AS f,
+                          CAST(sum(b) AS BIGINT) AS e
+                   FROM chars GROUP BY 1, 2),
+        tot AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS nf,
+                       CAST(sum(e) AS BIGINT) AS te
+                FROM frames GROUP BY 1),
+        act AS (SELECT fr.asset_id, fr.f, fr.e
+                FROM frames fr JOIN tot USING (asset_id)
+                WHERE fr.e * tot.nf > tot.te),
+        isl AS (SELECT asset_id, f, e,
+                       f - row_number() OVER (PARTITION BY asset_id ORDER BY f) AS grp
+                FROM act),
+        segs AS (SELECT asset_id, grp, min(f) AS start_frame, max(f) AS end_frame,
+                        CAST(sum(e) AS BIGINT) AS seg_energy
+                 FROM isl GROUP BY 1, 2)
+        SELECT asset_id,
+               CAST(row_number() OVER (PARTITION BY asset_id ORDER BY start_frame) - 1
+                    AS BIGINT) AS seg_idx,
+               CAST(start_frame AS BIGINT) AS start_frame,
+               CAST(end_frame AS BIGINT) AS end_frame, seg_energy
+        FROM segs
+    """,
+    doc="VAD-style activity segmentation over audio/video payloads: 16-byte "
+    "frames, integer byte-sum energy, maximal runs of above-average frames "
+    "(integer cross-multiplied threshold) emitted as segments. A real "
+    "VAD/shot-boundary model swaps into the SAME Arrow kernel; framing, "
+    "run-merging and the zero-shuffle narrow flow are the tested plumbing. "
+    "Oracle rebuilds the runs via SQL islands-and-gaps",
+)
+def multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.segment_assets(
+        multimodal.assets_from_documents(load_table(spark, sf_dir, "documents")),
+        frame_bytes=16,
+    )

@@ -590,3 +590,23 @@ def test_weak_label_votes_majority_and_disagreement(spark):
     assert out[0].label == "keep" and out[0].n_disagree == 0
     assert out[1].label == "drop" and (out[1].lf1, out[1].lf2) == (-1, -1)
     assert out[2].label == "abstain" and out[2].n_votes == 2 and out[2].n_disagree == 1
+
+
+def test_segment_assets_runs_and_bounds(spark):
+    """Hand-built payload with a known energy profile: high-byte runs
+    become segments, low-byte gaps split them, and images are excluded."""
+    docs = spark.createDataFrame(
+        # doc 1 -> audio (1%3==1): 16 low bytes, 32 high, 16 low, 16 high
+        [(1, "\x01" * 16 + "z" * 32 + "\x01" * 16 + "z" * 16, "en", "s0", 80),
+         (3, "z" * 64, "en", "s0", 64)],  # doc 3 -> image: excluded
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from iceberg_meta_spark.pipeline import multimodal as mm
+
+    out = mm.segment_assets(mm.assets_from_documents(docs), frame_bytes=16).collect()
+    by_seg = {(r.asset_id, r.seg_idx): r for r in out}
+    assert set(by_seg) == {(1, 0), (1, 1)}
+    s0, s1 = by_seg[(1, 0)], by_seg[(1, 1)]
+    assert (s0.start_frame, s0.end_frame) == (1, 2)   # the 32 high bytes
+    assert (s1.start_frame, s1.end_frame) == (4, 4)   # the trailing 16
+    assert s0.seg_energy == 2 * 16 * ord("z") and s1.seg_energy == 16 * ord("z")
