@@ -862,3 +862,57 @@ def meta_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("parent_id")
     )
+
+
+@register(
+    "meta_growth_rate",
+    oracle=oracle_query(
+        """
+        , pts AS (SELECT committed_us // 3600000000 AS x, total_files_size AS y
+                  FROM meta_snapshots),
+        lo AS (SELECT min(x) AS x0, min(y) AS y0 FROM pts),
+        c AS (SELECT x - x0 AS x, (y - y0) // 1024 AS y FROM pts, lo),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM c)
+        SELECT n,
+               CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                         ELSE ((n * sxy - sx * sy) * 1024) // (n * sxx - sx * sx)
+                    END AS BIGINT) AS bytes_per_hour,
+               CAST((sy * 1024) // n AS BIGINT) AS mean_growth_bytes
+        FROM s
+        """,
+        "meta_snapshots",
+    ),
+    doc="Capacity planning: least-squares growth rate of total table size "
+    "over the snapshot log (bytes/hour) from the five classic sums in ONE "
+    "shrinking aggregate — no window, no sort. Values center at (min x, "
+    "min y) and y downscales to KiB first (slope is translation-invariant; "
+    "the identical truncation runs in both engines) so every intermediate "
+    "product fits ANSI BIGINT at any realistic log span",
+)
+def meta_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snaps = derive(spark, sf_dir, "meta_snapshots").select(
+        F.expr("committed_us DIV 3600000000").alias("x"),
+        F.col("total_files_size").alias("y"),
+    )
+    lo = snaps.agg(F.min("x").alias("x0"), F.min("y").alias("y0"))
+    c = snaps.crossJoin(F.broadcast(lo)).select(
+        (F.col("x") - F.col("x0")).alias("x"),
+        F.expr("(y - y0) DIV 1024").alias("y"),
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 "
+            "ELSE ((n * sxy - sx * sy) * 1024) DIV (n * sxx - sx * sx) END AS BIGINT)"
+        ).alias("bytes_per_hour"),
+        F.expr("CAST((sy * 1024) DIV n AS BIGINT)").alias("mean_growth_bytes"),
+    )
