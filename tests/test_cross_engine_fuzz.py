@@ -75,10 +75,11 @@ def _run(spark, tmpdir: str, rows) -> None:
 @given(rows=corpora)
 @SET
 def test_doc_kernels_cross_engine_on_random_corpora(spark, tmp_path_factory, rows):
-    from iceberg_meta_spark.sources.parquet import enable_cache
+    from iceberg_meta_spark.sources import parquet
 
-    enable_cache(False)  # each example writes fresh files; never cache them
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)  # each example writes fresh files; never cache them
     try:
         _run(spark, str(tmp_path_factory.mktemp("fuzz")), rows)
     finally:
-        enable_cache(True)
+        parquet.enable_cache(prior)  # restore EXACTLY (plan tests assert raw scans)
