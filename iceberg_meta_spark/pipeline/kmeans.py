@@ -43,7 +43,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.pipeline.similarity import SCALE, with_self_norm
@@ -351,4 +351,99 @@ def knn_graph(
         .applyInPandas(cell_kernel, "vec_id long, rank int, neighbor_id long, cos double")
         .select("vec_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
         .orderBy("vec_id", "rank")
+    )
+
+
+def prototype_stats(
+    emb: DataFrame, centroid_mod: int = 31, iters: int = 2, dims: int = 64
+) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws" shape): rank every vector by cosine to its own
+    refined k-means centroid.  The most prototypical member (max cos) is
+    the cell's medoid-like exemplar; the least prototypical (min cos) is
+    the "hardest" example; in the large-data regime the keep-hard rule
+    retains the ceil(n/2) hardest members per cell.
+
+    Physical shape: the final assignment carries embedding/norm_s through
+    the Arrow kernel (no N⋈N back-join), the K-row centroid table joins by
+    BROADCAST, cos-to-own-centroid is a pure expression (floor-scaled
+    integer products — bit-identical to the oracle), and the per-cell
+    ranking windows all ride ONE hashpartitioning(cell) exchange.
+    """
+    base, cent_rows, _ = _refined(emb, centroid_mod, iters, dims)
+    out_schema = (
+        "cell long, n_vectors long, prototype_id long, hardest_id long, "
+        "n_keep long, min_cos double, max_cos double"
+    )
+    if not cent_rows:
+        return base.sparkSession.createDataFrame([], out_schema)
+    cellv = _assign(base, cent_rows, carry=("embedding", "norm_s"))
+    cdf = base.sparkSession.createDataFrame(
+        [(cid, list(c)) for cid, c in cent_rows], "cell bigint, c array<bigint>"
+    )
+    j = cellv.join(F.broadcast(cdf), "cell")
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(F.col("c"), lambda y: y.cast("double") / F.lit(1e6)),
+            lambda x, y: F.floor(x * y * F.lit(SCALE)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cn = F.aggregate(
+        F.transform(
+            F.col("c"),
+            lambda y: F.floor(
+                (y.cast("double") / F.lit(1e6))
+                * (y.cast("double") / F.lit(1e6))
+                * F.lit(SCALE)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(
+        "cell",
+        "vec_id",
+        (
+            dot.cast("double")
+            / (F.sqrt(F.col("norm_s").cast("double")) * F.sqrt(cn.cast("double")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("cell")
+    ranked = scored.select(
+        "cell",
+        "vec_id",
+        "cos",
+        F.row_number()
+        .over(w.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .alias("rn_proto"),
+        F.row_number()
+        .over(w.orderBy(F.asc("cos"), F.asc("vec_id")))
+        .alias("rn_hard"),
+    )
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.max(F.when(F.col("rn_proto") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("prototype_id"),
+            F.max(F.when(F.col("rn_hard") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("hardest_id"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "prototype_id",
+            "hardest_id",
+            F.expr("(n_vectors + 1) DIV 2").alias("n_keep"),
+            "min_cos",
+            "max_cos",
+        )
+        .orderBy("cell")
     )

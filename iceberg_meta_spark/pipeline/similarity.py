@@ -358,3 +358,72 @@ def hard_negatives(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFram
         "query_id", "q_label", "rank", "negative_id", "neg_label",
         F.round("cos", 6).alias("cos_sim"),
     )
+
+
+def truncated_recall(
+    emb: DataFrame, sample_mod: int = 10, trunc_dims: int = 16
+) -> DataFrame:
+    """Matryoshka prefix-embedding audit: per label, how often the top-1
+    in-label neighbor under the first ``trunc_dims`` dims agrees with the
+    top-1 under the full vector (recall@1 of the cheap prefix index).
+
+    One broadcast of the query sample, one hash partitioning by query_id
+    shared by both row_number windows; integer-exact dots make both argmaxes
+    engine-deterministic.
+    """
+    base = with_self_norm(emb).withColumn(
+        "t_emb", F.slice(F.col("embedding"), 1, trunc_dims)
+    )
+    base = base.withColumn("tnorm_s", scaled_dot(F.col("t_emb"), F.col("t_emb")))
+    q = base.filter(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("t_emb").alias("qt_emb"),
+        F.col("norm_s").alias("q_norm"),
+        F.col("tnorm_s").alias("qt_norm"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos_f = cosine(
+        scaled_dot(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_s")
+    )
+    cos_t = cosine(
+        scaled_dot(F.col("qt_emb"), F.col("t_emb")), F.col("qt_norm"), F.col("tnorm_s")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        F.col("vec_id").alias("neighbor_id"),
+        cos_f.alias("cos_f"),
+        cos_t.alias("cos_t"),
+    )
+    w = Window.partitionBy("query_id")
+    ranked = scored.withColumn(
+        "rank_f",
+        F.row_number().over(w.orderBy(F.desc("cos_f"), F.asc("neighbor_id"))),
+    ).withColumn(
+        "rank_t",
+        F.row_number().over(w.orderBy(F.desc("cos_t"), F.asc("neighbor_id"))),
+    )
+    top = ranked.groupBy("query_id", "label").agg(
+        F.max(F.when(F.col("rank_f") == 1, F.col("neighbor_id"))).alias("nn_full"),
+        F.max(F.when(F.col("rank_t") == 1, F.col("neighbor_id"))).alias("nn_trunc"),
+    )
+    agree = F.sum(
+        F.when(F.col("nn_full") == F.col("nn_trunc"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        top.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            agree.alias("n_top1_agree"),
+        )
+        .withColumn(
+            "recall_at_1",
+            F.round(F.col("n_top1_agree").cast("double") / F.col("n_queries"), 4),
+        )
+        .orderBy("label")
+    )

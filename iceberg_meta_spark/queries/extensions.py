@@ -4782,3 +4782,319 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"packed % {PACK}").alias("final_ewma_cents"),
         F.expr(f"packed DIV {PACK}").alias("n_spikes"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: record linkage, skyline, Matryoshka-recall audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_fuzzy_matches",
+    oracle="""
+        WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer),
+        pairs AS (
+          SELECT a.c_nationkey, a.c_custkey AS key_a, b.c_custkey AS key_b
+          FROM c a JOIN c b
+            ON a.c_custkey < b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 1
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_matched_pairs,
+               CAST(min(key_a * 10000000 + key_b) AS BIGINT) AS sample_pair
+        FROM pairs GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="Record linkage / entity resolution: customer-name pairs within "
+    "edit distance 1, found by SymSpell-style deletion-neighborhood "
+    "blocking — each name emits itself plus its length single-char-deletion "
+    "variants as candidate keys, candidates come from an EQUI-join on those "
+    "keys (recall-complete for distance <= 1: a substitution shares the "
+    "delete-at-the-differing-position variant, an insert/delete shares the "
+    "shorter string itself), then exact levenshtein() verifies. The oracle "
+    "is the independent O(N^2) blocked specification; the Spark side never "
+    "forms the quadratic product, so the shape survives 10^9 names "
+    "(candidate keys are near-unique, hot-key-free). Grouped per nation of "
+    "the lower-keyed customer",
+)
+def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_name").alias("name")
+    )
+    # name itself + every single-char-deletion variant = candidate keys
+    keys = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "name",
+        F.explode(
+            F.expr(
+                "array_union(array(name), transform(sequence(1, length(name)),"
+                " i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"
+            )
+        ).alias("k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+        .where(F.levenshtein("na", "nb") <= 1)
+    )
+    return (
+        cand.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_pairs"),
+            F.min(F.col("key_a") * 10000000 + F.col("key_b"))
+            .cast("long")
+            .alias("sample_pair"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "order_skyline",
+    oracle="""
+        WITH pts AS (
+          SELECT o_orderpriority,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 o_orderdate AS ts,
+                 CAST(min(o_orderkey) AS BIGINT) AS o_orderkey
+          FROM orders GROUP BY 1, 2, 3)
+        SELECT o_orderpriority, price_cents, ts AS o_orderdate, o_orderkey
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.o_orderpriority = p.o_orderpriority
+            AND q.price_cents >= p.price_cents AND q.ts >= p.ts
+            AND (q.price_cents > p.price_cents OR q.ts > p.ts))
+        ORDER BY o_orderpriority, price_cents DESC
+    """,
+    doc="2-D skyline (Pareto frontier) per order priority, maximizing "
+    "(total price, recency): an order is on the skyline iff no other order "
+    "in its priority class is >= on both dimensions and > on one. "
+    "Distinct (price, date) points with the min-orderkey representative. "
+    "The oracle is the independent NOT-EXISTS dominance specification; the "
+    "Spark side is the O(N log N) sort-filter form - running max(date) over "
+    "rows sorted by (price DESC, date DESC) - run TWICE: a local pass "
+    "inside (priority, salt-of-16) partitions prunes dominated points "
+    "map-side-cheap, the global pass over the tiny survivor set finishes. "
+    "skyline(union of local skylines) = skyline(all), so no single "
+    "partition ever sees the full group - the classic distributed-skyline "
+    "decomposition",
+)
+def order_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = (
+        o.groupBy(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.min("o_orderkey").cast("long").alias("o_orderkey"))
+    )
+
+    def _skyline_pass(df: DataFrame, extra_key: list) -> DataFrame:
+        w = (
+            Window.partitionBy("o_orderpriority", *extra_key)
+            .orderBy(F.desc("price_cents"), F.desc("ts"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("prev_max_ts", F.max("ts").over(w))
+            .where(F.col("prev_max_ts").isNull() | (F.col("prev_max_ts") < F.col("ts")))
+            .drop("prev_max_ts")
+        )
+
+    local = _skyline_pass(
+        pts.withColumn("salt", F.pmod(F.hash("o_orderkey"), F.lit(16))), ["salt"]
+    ).drop("salt")
+    sky = _skyline_pass(local, [])
+    return sky.select(
+        "o_orderpriority", "price_cents", F.col("ts").alias("o_orderdate"), "o_orderkey"
+    ).orderBy("o_orderpriority", F.desc("price_cents"))
+
+
+_TNORM_SUBQ = """(SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM unnest(embedding[1:16]) AS u(x))"""
+
+_FULL_NORM_SUBQ = """(SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+             FROM unnest(embedding) AS u(x))"""
+
+
+@register(
+    "matryoshka_recall",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, label, embedding,
+                             embedding[1:16] AS t_emb,
+                             {_FULL_NORM_SUBQ} AS norm_s,
+                             {_TNORM_SUBQ} AS tnorm_s
+                      FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS q_label,
+                     embedding AS q_emb, t_emb AS qt_emb,
+                     norm_s AS q_norm, tnorm_s AS qt_norm
+              FROM base WHERE vec_id % 10 = 0),
+        pairs AS (SELECT q.query_id, q.q_label AS label, b.vec_id AS neighbor_id,
+                    (SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                     FROM (SELECT unnest(q.q_emb) AS xa, unnest(b.embedding) AS xb) z) AS dot_f,
+                    (SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                     FROM (SELECT unnest(q.qt_emb) AS xa, unnest(b.t_emb) AS xb) zt) AS dot_t,
+                    q.q_norm, q.qt_norm, b.norm_s, b.tnorm_s
+                  FROM base b, q WHERE b.label = q.q_label AND b.vec_id <> q.query_id),
+        scored AS (SELECT query_id, label, neighbor_id,
+                     CAST(dot_f AS DOUBLE) / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) AS cos_f,
+                     CAST(dot_t AS DOUBLE) / (sqrt(CAST(qt_norm AS DOUBLE)) * sqrt(CAST(tnorm_s AS DOUBLE))) AS cos_t
+                   FROM pairs),
+        ranked AS (SELECT *,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_f DESC, neighbor_id) AS rank_f,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_t DESC, neighbor_id) AS rank_t
+                   FROM scored),
+        top AS (SELECT query_id, label,
+                       max(CASE WHEN rank_f = 1 THEN neighbor_id END) AS nn_full,
+                       max(CASE WHEN rank_t = 1 THEN neighbor_id END) AS nn_trunc
+                FROM ranked GROUP BY query_id, label)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN nn_full = nn_trunc THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_agree,
+               round(CAST(sum(CASE WHEN nn_full = nn_trunc THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_1
+        FROM top GROUP BY label ORDER BY label
+    """,
+    doc="Matryoshka-representation audit: for a deterministic 10% query "
+    "sample, does the top-1 in-label neighbor under the TRUNCATED first-16-"
+    "dim prefix embedding agree with the top-1 under the full 64 dims? "
+    "Per-label recall@1 of the cheap prefix index - the go/no-go gate for "
+    "serving a shorter Matryoshka prefix at 1/4 the memory. Both rankings "
+    "ride ONE broadcast candidate join and ONE hash partitioning by "
+    "query_id (two row_number windows share the shuffle); dot products are "
+    "integer-exact so the argmax is engine- and partition-order-"
+    "deterministic",
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import similarity as sim
+
+    return sim.truncated_recall(
+        load_table(spark, sf_dir, "embeddings"), sample_mod=10, trunc_dims=16
+    )
+
+
+def _prototype_oracle(iters: int = 2, centroid_mod: int = 31) -> str:
+    dot = """(SELECT CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * (CAST(xb AS DOUBLE)/1000000.0) * 1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(b.embedding) AS xa, unnest(c.c) AS xb) zd)"""
+    cn = """(SELECT CAST(sum(CAST(floor((CAST(xc AS DOUBLE)/1000000.0)*(CAST(xc AS DOUBLE)/1000000.0)*1e12) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest(c.c) AS xc) zc)"""
+    parts = _km_prefix(iters, centroid_mod)
+    parts.append(
+        f"""scored AS (
+        SELECT a.cell, b.vec_id,
+               CAST({dot} AS DOUBLE)
+                 / (sqrt(CAST(b.norm_s AS DOUBLE)) * sqrt(CAST({cn} AS DOUBLE))) AS cos
+        FROM af a JOIN base b ON b.vec_id = a.vec_id
+                  JOIN c{iters} c ON c.cent_id = a.cell),
+    ranked AS (SELECT *,
+                 row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS rn_proto,
+                 row_number() OVER (PARTITION BY cell ORDER BY cos ASC, vec_id) AS rn_hard
+               FROM scored)"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(CASE WHEN rn_proto = 1 THEN vec_id END) AS BIGINT) AS prototype_id,
+           CAST(max(CASE WHEN rn_hard = 1 THEN vec_id END) AS BIGINT) AS hardest_id,
+           CAST((count(*) + 1) // 2 AS BIGINT) AS n_keep,
+           round(min(cos), 6) AS min_cos,
+           round(max(cos), 6) AS max_cos
+    FROM ranked GROUP BY cell ORDER BY cell"""
+    )
+
+
+@register(
+    "prototype_pruning",
+    oracle=_prototype_oracle(iters=2, centroid_mod=31),
+    doc="Prototype-distance data pruning (Sorscher et al. 2022 shape): "
+    "every vector ranked by cosine to its own refined k-means centroid - "
+    "max-cos member is the cell's exemplar, min-cos the hardest example, "
+    "keep-hard rule retains ceil(n/2) per cell in the large-data regime. "
+    "Assignment carries vectors through the Arrow kernel (no back-join), "
+    "K-row centroid table joins broadcast, both ranking windows share one "
+    "hashpartitioning(cell) exchange; integer-exact products keep the "
+    "ranking engine-deterministic",
+)
+def prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline import kmeans as km
+
+    return km.prototype_stats(
+        load_table(spark, sf_dir, "embeddings"), centroid_mod=31, iters=2, dims=64
+    )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+        WITH ch AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                    FROM events WHERE user_id % 50 = 0),
+        ordered AS (SELECT *, lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+                    FROM ch),
+        starts AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us, event_id
+                   FROM ordered
+                   WHERE prev_type IS NULL OR prev_type <> event_type),
+        iv AS (SELECT *, lead(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY valid_from_us, event_id) AS valid_to_us
+               FROM starts)
+        SELECT user_id, state, valid_from_us, valid_to_us,
+               (valid_to_us IS NULL) AS is_current
+        FROM iv ORDER BY user_id, valid_from_us, event_id
+    """,
+    doc="SCD Type-2 dimension build from a change stream: collapse each "
+    "user's event-type runs into validity intervals [valid_from, valid_to) "
+    "with an open-ended current row - the full-history companion to "
+    "cdc_latest_state's latest-only compaction. Gaps-and-islands via one "
+    "lag window, interval close via one lead window, both riding the SAME "
+    "hashpartitioning(user_id) exchange - per-key state only, no global "
+    "window, the shape that survives 10^9 users. Deterministic 2% user "
+    "sample bounds the emitted history",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ch.withColumn("prev_type", F.lag("event_type").over(w))
+    starts = ordered.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    iv = starts.withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us", "event_id")

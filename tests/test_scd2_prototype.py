@@ -1,0 +1,89 @@
+"""Round-4 operators: SCD2 history build and prototype-distance pruning."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.queries.extensions import prototype_pruning, scd2_user_state
+from iceberg_meta_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scd2_intervals_tile_each_user(spark):
+    """Intervals must tile the user's history: exactly one open (current)
+    row per user, each valid_to equals the next interval's valid_from, and
+    consecutive intervals never carry the same state (runs are collapsed)."""
+    rows = scd2_user_state(spark, SF).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        opens = [r for r in ivs if r["valid_to_us"] is None]
+        assert len(opens) == 1 and ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["state"] != b["state"]
+            assert not a["is_current"]
+
+
+def test_scd2_first_interval_starts_at_first_event(spark):
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id") % 50 == 0)
+        .groupBy("user_id")
+        .agg(F.min(F.expr("ts DIV 1000")).alias("first_us"))
+    )
+    first = {r["user_id"]: r["first_us"] for r in ev.collect()}
+    got = scd2_user_state(spark, SF)
+    starts = {
+        r["user_id"]: r["valid_from_us"]
+        for r in got.groupBy("user_id")
+        .agg(F.min("valid_from_us").alias("valid_from_us"))
+        .collect()
+    }
+    assert starts == first
+
+
+def test_scd2_windows_share_one_user_exchange(spark):
+    p = plan(scd2_user_state(spark, SF))
+    n = sum(
+        1 for line in p.splitlines() if "Exchange hashpartitioning(user_id" in line
+    )
+    assert n <= 1, p
+
+
+def test_prototype_pruning_invariants(spark):
+    """Per cell: prototype has the max cos (>= min), hardest the min,
+    n_keep = ceil(n/2), and member counts sum to the corpus size."""
+    rows = prototype_pruning(spark, SF).collect()
+    assert rows
+    total = sum(r["n_vectors"] for r in rows)
+    n_emb = load_table(spark, SF, "embeddings").count()
+    assert total == n_emb
+    for r in rows:
+        assert r["n_keep"] == (r["n_vectors"] + 1) // 2
+        assert r["min_cos"] <= r["max_cos"]
+        if r["n_vectors"] == 1:
+            assert r["prototype_id"] == r["hardest_id"]
+
+
+def test_prototype_centroid_join_is_broadcast(spark):
+    p = plan(prototype_pruning(spark, SF))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # both ranking windows ride one hashpartitioning(cell) exchange
+    n = sum(1 for line in p.splitlines() if "Exchange hashpartitioning(cell" in line)
+    assert n <= 1, p
