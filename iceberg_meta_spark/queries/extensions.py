@@ -4791,6 +4791,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_fuzzy_matches",
+    tags=("bench",),
     oracle="""
         WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer),
         pairs AS (
@@ -4863,6 +4864,7 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_skyline",
+    tags=("bench",),
     oracle="""
         WITH pts AS (
           SELECT o_orderpriority,

@@ -1134,3 +1134,133 @@ def test_streaming_ewma_live(spark):
         assert spark.sql("SELECT max(n_spikes) AS s FROM ewma_test").collect()[0].s == 0
     finally:
         q.stop()
+
+
+def test_streaming_scd2_split_invariant_matches_batch(spark):
+    """Closed intervals from the streaming SCD2 fold + the final open state
+    must equal the batch twin's interval list, for ANY micro-batch split of
+    an in-order change sequence."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.scd2 import _update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def remove(self):
+            self.exists = False
+
+    seq = ["a", "a", "b", "b", "b", "a", "c", "c", "a", "a"]
+    # batch twin semantics: runs -> [state, from, to), open tail
+    expected_closed = []
+    cur, cur_from = None, None
+    for i, s in enumerate(seq):
+        if cur is None:
+            cur, cur_from = s, i
+        elif s != cur:
+            expected_closed.append((cur, cur_from, i))
+            cur, cur_from = s, i
+    for split in (len(seq), 4, 3, 1):
+        st = FakeState()
+        emitted = []
+        for lo in range(0, len(seq), split):
+            chunk = seq[lo : lo + split]
+            pdf = pd.DataFrame(
+                {
+                    "ts_us": range(lo, lo + len(chunk)),
+                    "event_id": range(lo, lo + len(chunk)),
+                    "event_type": chunk,
+                }
+            )
+            for out in _update((7,), iter([pdf]), st):
+                emitted.extend(
+                    zip(out["state"], out["valid_from_us"], out["valid_to_us"])
+                )
+        assert [(s, int(f), int(t)) for s, f, t in emitted] == expected_closed, split
+        # open interval in state matches the batch twin's current row
+        assert st.get[0] == cur and st.get[1] == cur_from, split
+        assert st.get[2] == len(expected_closed), split
+
+
+def test_streaming_scd2_same_state_repeats_emit_nothing(spark):
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.scd2 import _update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def remove(self):
+            self.exists = False
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {"ts_us": [1, 2, 3], "event_id": [1, 2, 3], "event_type": ["x", "x", "x"]}
+    )
+    assert list(_update((1,), iter([pdf]), st)) == []
+    assert st.get == ("x", 1, 0)
+
+
+def test_streaming_scd2_live(spark):
+    """Live rate-source run: users cycle through states, closed intervals
+    accumulate in the sink with strictly increasing interval_seq."""
+    import time
+
+    from iceberg_meta_spark.streaming.scd2 import scd2_stream
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .select(
+            (F.col("value") % 3).alias("user_id"),
+            F.unix_micros(F.col("timestamp")).alias("ts_us"),
+            F.col("value").alias("event_id"),
+            F.concat(F.lit("s"), (F.col("value") % 2).cast("string")).alias(
+                "event_type"
+            ),
+        )
+    )
+    q = (
+        scd2_stream(rate)
+        .writeStream.format("memory")
+        .queryName("scd2_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            n = spark.sql("SELECT count(*) AS n FROM scd2_test").collect()[0].n
+            done = n >= 6
+        assert done
+        rows = spark.sql(
+            "SELECT user_id, interval_seq, valid_from_us, valid_to_us, state "
+            "FROM scd2_test ORDER BY user_id, interval_seq"
+        ).collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for uid, ivs in by_user.items():
+            assert [r.interval_seq for r in ivs] == list(range(1, len(ivs) + 1))
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to_us == b.valid_from_us  # tiling
+                assert a.state != b.state
+    finally:
+        q.stop()
