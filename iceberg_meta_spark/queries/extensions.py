@@ -5100,3 +5100,75 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_us",
         F.col("valid_to_us").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from_us", "event_id")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+        WITH qi AS (SELECT c_nationkey, c_mktsegment,
+                           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                           CAST(count(*) AS BIGINT) AS class_size
+                    FROM customer
+                    GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_rows FROM qi),
+        ks AS (SELECT CAST(unnest([2, 3, 5, 10]) AS BIGINT) AS k)
+        SELECT k.k,
+               CAST(coalesce(sum(CASE WHEN qi.class_size < k.k THEN 1 END), 0) AS BIGINT)
+                 AS n_violating_classes,
+               CAST(coalesce(sum(CASE WHEN qi.class_size < k.k THEN qi.class_size END), 0) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(coalesce(sum(CASE WHEN qi.class_size < k.k THEN qi.class_size END), 0)
+                    * 1000 // max(t.n_rows) AS BIGINT) AS risk_permille
+        FROM ks k CROSS JOIN qi, tot t
+        GROUP BY k.k ORDER BY k.k
+    """,
+    doc="k-anonymity privacy audit over the quasi-identifier tuple "
+    "(nation, market segment, account-balance band): for each re-"
+    "identification threshold k in {2,3,5,10}, the number of QI "
+    "equivalence classes smaller than k and the rows they expose "
+    "(integer permille of the table) - the release-gate metric for "
+    "sharing a derived dataset. ONE groupBy collapses the table to QI "
+    "classes (map-side combine; class count is bounded by the QI "
+    "domain, tiny vs rows); the k-threshold sweep and the 1-row total "
+    "then ride broadcast joins over that class table, so adding "
+    "thresholds costs nothing at 100 TB",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    tot = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
+    ks = qi.sparkSession.createDataFrame([(2,), (3,), (5,), (10,)], "k bigint")
+    sweep = (
+        qi.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("class_size") < F.col("k"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.coalesce(
+                F.sum(F.when(F.col("class_size") < F.col("k"), F.col("class_size"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .select(
+            "k",
+            "n_violating_classes",
+            "n_rows_at_risk",
+            F.expr("n_rows_at_risk * 1000 DIV n_rows").alias("risk_permille"),
+        )
+        .orderBy("k")
+    )
+    return sweep

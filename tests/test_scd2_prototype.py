@@ -87,3 +87,19 @@ def test_prototype_centroid_join_is_broadcast(spark):
     # both ranking windows ride one hashpartitioning(cell) exchange
     n = sum(1 for line in p.splitlines() if "Exchange hashpartitioning(cell" in line)
     assert n <= 1, p
+
+
+def test_k_anonymity_monotone_in_k(spark):
+    """Raising k can only widen the violating set; rows_at_risk is bounded
+    by the table size; permille consistent with the row counts."""
+    from iceberg_meta_spark.queries.extensions import k_anonymity_audit
+
+    rows = sorted(k_anonymity_audit(spark, SF).collect(), key=lambda r: r["k"])
+    n_rows = load_table(spark, SF, "customer").count()
+    assert [r["k"] for r in rows] == [2, 3, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_violating_classes"] <= b["n_violating_classes"]
+        assert a["n_rows_at_risk"] <= b["n_rows_at_risk"]
+    for r in rows:
+        assert 0 <= r["n_rows_at_risk"] <= n_rows
+        assert r["risk_permille"] == r["n_rows_at_risk"] * 1000 // n_rows
