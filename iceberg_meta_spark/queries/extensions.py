@@ -989,7 +989,8 @@ _EXPIRY_NOW_US = NOW_MS * 1000
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
                  FROM small)
         SELECT snapshot_id, part_key,
-               (end_off - file_size_in_bytes) // {_COMPACT_TARGET} AS group_id,
+               CAST((end_off - file_size_in_bytes) // {_COMPACT_TARGET}
+                    AS BIGINT) AS group_id,
                CAST(count(*) AS BIGINT) AS n_files,
                CAST(sum(file_size_in_bytes) AS BIGINT) AS group_bytes,
                CAST(sum(record_count) AS BIGINT) AS group_records
@@ -2402,7 +2403,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                 sum(w) OVER (PARTITION BY lang) AS tot
               FROM h)
-        SELECT lang, doc_id, w AS weight, cum AS cum_weight
+        SELECT lang, doc_id, w AS weight, CAST(cum AS BIGINT) AS cum_weight
         FROM (SELECT *, greatest(tot // 20, 1) AS step FROM c)
         WHERE (cum - w) // step < cum // step
         ORDER BY lang, cum_weight
@@ -4802,7 +4803,10 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c_nationkey,
                CAST(count(*) AS BIGINT) AS n_matched_pairs,
-               CAST(min(key_a * 10000000 + key_b) AS BIGINT) AS sample_pair
+               CAST((min(struct_pack(a := key_a, b := key_b))).a AS BIGINT)
+                   AS sample_key_a,
+               CAST((min(struct_pack(a := key_a, b := key_b))).b AS BIGINT)
+                   AS sample_key_b
         FROM pairs GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     doc="Record linkage / entity resolution: customer-name pairs within "
@@ -4854,9 +4858,15 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_matched_pairs"),
-            F.min(F.col("key_a") * 10000000 + F.col("key_b"))
-            .cast("long")
-            .alias("sample_pair"),
+            # lexicographic struct min, not key_a*C+key_b packing: arithmetic
+            # packing overflows BIGINT once keys approach 10^9 (ADVICE r4)
+            F.min(F.struct(F.col("key_a"), F.col("key_b"))).alias("_p"),
+        )
+        .select(
+            "c_nationkey",
+            "n_matched_pairs",
+            F.col("_p.key_a").alias("sample_key_a"),
+            F.col("_p.key_b").alias("sample_key_b"),
         )
         .orderBy("c_nationkey")
     )

@@ -16,9 +16,12 @@ stream per key the emitted interval sequence is identical to the batch
 twin's closed rows over the same prefix (pinned by the split-invariance
 test). Same-state repeats collapse silently — only transitions write.
 
-State: (state string, valid_from_us long, n_intervals long) per key —
-O(1), engine-checkpointed. No timeout: an SCD2 current row is
-legitimately open forever; expiring it would fabricate a closure.
+State: (state string, valid_from_us long, n_intervals long,
+n_late_dropped long) per key — O(1), engine-checkpointed. No timeout: an
+SCD2 current row is legitimately open forever; expiring it would
+fabricate a closure. Cross-batch late rows (ts_us < the open interval's
+valid_from) are dropped and counted in state rather than emitting an
+inverted interval into the immutable sink.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ STATE_SCHEMA = StructType(
         StructField("cur_state", StringType()),
         StructField("cur_from_us", LongType()),
         StructField("n_closed", LongType()),
+        StructField("n_late_dropped", LongType()),
     ]
 )
 
@@ -52,8 +56,8 @@ STATE_SCHEMA = StructType(
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    cur_state, cur_from, n_closed = (
-        state.get if state.exists else (None, None, 0)
+    cur_state, cur_from, n_closed, n_late = (
+        state.get if state.exists else (None, None, 0, 0)
     )
     closed: list[tuple[str, int, int]] = []
     rows = [pdf for pdf in pdfs if len(pdf)]
@@ -63,11 +67,18 @@ def _update(
             ts_us = int(ts_us)
             if cur_state is None:
                 cur_state, cur_from = ev_state, ts_us
+            elif ts_us < cur_from:
+                # A cross-batch late arrival would close the open interval
+                # with valid_to < valid_from — an inverted row in an
+                # APPEND-ONLY (immutable) sink. Drop it and count it in
+                # state instead of silently corrupting emitted history
+                # (ADVICE r4). The count makes the data loss observable.
+                n_late += 1
             elif ev_state != cur_state:
                 closed.append((cur_state, cur_from, ts_us))
                 cur_state, cur_from = ev_state, ts_us
     if cur_state is not None:
-        state.update((cur_state, int(cur_from), n_closed + len(closed)))
+        state.update((cur_state, int(cur_from), n_closed + len(closed), n_late))
     if closed:
         yield pd.DataFrame(
             {

@@ -111,14 +111,25 @@ def test_skyline_exact_vs_brute_force(spark):
 def test_skyline_windows_are_partitioned(spark):
     # both passes must partition their window (local adds the salt key) —
     # a global unpartitioned window would funnel every order through one task
+    import re
+
+    from tools.plan_lint import _has_global_window
+
     p = plan(order_skyline(spark, SF))
     assert "CartesianProduct" not in p, p
-    assert p.count("Window") >= 2, p
-    for line in p.splitlines():
-        if "Window" in line and "partitionBy" not in line and "Exchange" not in line:
-            continue  # formatted-mode detail lines carry the spec below
+    # structural check: no SinglePartition exchange may feed a Window
+    assert not _has_global_window(p), p
+    # every Window node's Arguments line is [exprs], [partitionSpec],
+    # [orderSpec] — an empty partition spec prints as ", [], [" exactly
+    win_blocks = [
+        b for b in re.split(r"\n(?=\(\d+\) )", p) if re.match(r"\(\d+\) Window", b)
+    ]
+    assert len(win_blocks) >= 2, p
+    for b in win_blocks:
+        arg = next(ln for ln in b.splitlines() if ln.startswith("Arguments:"))
+        assert ", [], [" not in arg, f"unpartitioned window: {arg}"
     # the salt column appears in the first pass's partition spec
-    assert "salt" in p, p
+    assert any("salt" in b for b in win_blocks), p
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,30 @@ def test_registry_binds_each_name_to_its_own_function():
         assert fn in (name, f"{name}_q"), f"{name!r} bound to function {fn!r}"
 
 
+def test_comparator_is_dtype_strict():
+    """Round-4 regression (VERDICT r4 #2): the driver's value hash is
+    dtype-sensitive, so the local mirror must fail an int-vs-float column
+    pair even when every value is numerically equal (2 vs 2.0 — the exact
+    shape of the meta_compaction_plan HUGEINT// bug)."""
+    import pandas as pd
+
+    ints = pd.DataFrame({"g": [1, 2, 3]})
+    floats = pd.DataFrame({"g": [1.0, 2.0, 3.0]})
+    res = compare_frames("int_vs_float", ints, floats)
+    assert not res.ok and "dtype" in res.detail, str(res)
+
+    # object-dtype columns (nullable paths) are judged per-value
+    obj_int = pd.DataFrame({"g": pd.Series([2, None], dtype=object)})
+    obj_float = pd.DataFrame({"g": pd.Series([2.0, None], dtype=object)})
+    res = compare_frames("obj_int_vs_float", obj_int, obj_float)
+    assert not res.ok and "dtype" in res.detail, str(res)
+
+    # identical dtypes still pass, including canonical row-order sorting
+    a = pd.DataFrame({"g": [3, 1, 2]})
+    b = pd.DataFrame({"g": [1, 2, 3]})
+    assert compare_frames("same_ints", a, b).ok
+
+
 def test_driver_window_is_first_50_and_fully_oracle_gated():
     """The driver's correctness gate checks the first 50 registrations; the
     curated DRIVER_WINDOW must come first, intact, and every window query

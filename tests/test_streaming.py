@@ -1214,7 +1214,48 @@ def test_streaming_scd2_same_state_repeats_emit_nothing(spark):
         {"ts_us": [1, 2, 3], "event_id": [1, 2, 3], "event_type": ["x", "x", "x"]}
     )
     assert list(_update((1,), iter([pdf]), st)) == []
-    assert st.get == ("x", 1, 0)
+    assert st.get == ("x", 1, 0, 0)
+
+
+def test_streaming_scd2_late_rows_dropped_not_inverted(spark):
+    """A cross-batch late arrival (ts_us < the open interval's valid_from)
+    must be dropped and counted — NOT close the open interval with
+    valid_to < valid_from (an inverted row in an append-only sink)."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.scd2 import _update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def remove(self):
+            self.exists = False
+
+    st = FakeState()
+    b1 = pd.DataFrame({"ts_us": [10], "event_id": [1], "event_type": ["a"]})
+    assert list(_update((1,), iter([b1]), st)) == []
+    assert st.get == ("a", 10, 0, 0)
+    # batch 2: one late row (ts 5 < open valid_from 10) + one in-order change
+    b2 = pd.DataFrame(
+        {"ts_us": [5, 20], "event_id": [2, 3], "event_type": ["b", "c"]}
+    )
+    out = list(_update((1,), iter([b2]), st))
+    emitted = [
+        (s, int(f), int(t))
+        for o in out
+        for s, f, t in zip(o["state"], o["valid_from_us"], o["valid_to_us"])
+    ]
+    assert emitted == [("a", 10, 20)]  # no inverted ("a", 10, 5) row
+    assert all(f < t for _, f, t in emitted)
+    assert st.get == ("c", 20, 1, 1)  # late row counted, not applied
 
 
 def test_streaming_scd2_live(spark):
