@@ -3,10 +3,12 @@
 Media payloads are opaque ``binary`` columns with a ``media_type`` tag;
 decode / feature-extraction runs as Arrow-batched ``mapInPandas`` (the only
 justified Python-worker hot path — real decoders are C libraries reached via
-pandas). The image/audio libs are NOT in this container, so the actual
-decoders are stubs (``NotImplementedError``) and a deterministic fake
-extractor stands in; the Spark-side plumbing — schema, batching, partition
-flow — is real and tested.
+pandas). Three REAL dependency-free decoders ship: PNM/BMP images, PCM WAV
+audio, and YUV4MPEG2 video — pixel/sample/frame-level decodes, not header
+sniffs. Compressed formats (PNG/JPEG/MP3/MP4) still raise
+``NotImplementedError`` naming the library they need (PIL/ffmpeg are not in
+this container); ``fake_features`` remains the deterministic stand-in for
+payloads that are not media containers at all.
 
 At 100 TB: payloads stay columnar in parquet/Iceberg, mapInPandas streams
 Arrow batches (no row-at-a-time pickling), and feature extraction
@@ -39,17 +41,175 @@ ASSET_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real, dependency-free codecs (no PIL/ffmpeg in this container):
+#   image — binary PPM (P6) / PGM (P5) and uncompressed BMP header parse
+#   audio — RIFF/WAVE PCM (stdlib struct parse)
+#   video — YUV4MPEG2 (y4m: plain-text header + raw frames)
+# Formats PIL/ffmpeg WOULD handle (PNG/JPEG/MP3/MP4…) still raise
+# NotImplementedError with the library named — the honest boundary — but
+# the decode path itself is real and exercised on real containers.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens after the PNM magic
+    (comments starting with ``#`` skipped), plus the offset past the single
+    whitespace byte that terminates the header."""
+    vals: list[int] = []
+    i = 2  # past "P6"/"P5"
+    while len(vals) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals, i + 1  # one whitespace byte ends the header
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real image decode (PIL/OpenCV) — not available in this container."""
-    raise NotImplementedError("image decoding requires PIL/OpenCV; use fake_features")
+    """Decode a binary PNM (P6 RGB / P5 gray) or uncompressed BMP header.
+
+    Returns {width, height, n_channels, pixels(np.uint8 HxWxC)} — a real
+    pixel decode, not a header sniff. Compressed formats name the library
+    they need.
+    """
+    import numpy as np
+
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        ch = 3 if magic == b"P6" else 1
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+        return {"width": w, "height": h, "n_channels": ch, "pixels": px.reshape(h, w, ch)}
+    if magic == b"BM":
+        import struct
+
+        off_bits, hdr_size = struct.unpack_from("<II", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (8, 24, 32):
+            raise NotImplementedError("only uncompressed 8/24/32-bpp BMP")
+        ch = bpp // 8
+        stride = (w * ch + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs(h), offset=off_bits
+        ).reshape(abs(h), stride)[:, : w * ch]
+        if h > 0:  # positive height = bottom-up row order
+            rows = rows[::-1]
+        return {
+            "width": w,
+            "height": abs(h),
+            "n_channels": ch,
+            "pixels": rows.reshape(abs(h), w, ch),
+        }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("PNG decoding requires PIL/OpenCV; use fake_features")
+    raise NotImplementedError("image decoding for this format requires PIL/OpenCV")
 
 
 def decode_audio(payload: bytes) -> dict:
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg; use fake_features")
+    """Decode RIFF/WAVE PCM: {n_channels, sample_rate, n_samples,
+    samples(np.int16 frames×channels)} — a real sample decode via stdlib
+    struct; compressed codecs name the library they need."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("audio decoding for this format requires soundfile/ffmpeg")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("malformed WAV (missing fmt/data chunk)")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV; other codecs need soundfile/ffmpeg")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    n_frames = len(samples) // n_ch
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "samples": samples[: n_frames * n_ch].reshape(n_frames, n_ch),
+    }
 
 
 def decode_video(payload: bytes) -> dict:
-    raise NotImplementedError("video decoding requires ffmpeg; use fake_features")
+    """Decode YUV4MPEG2 (y4m): {width, height, n_frames, frames(list of raw
+    YUV420 planes)} — a real frame split on the one video container that
+    needs no codec. Anything else names ffmpeg."""
+    import numpy as np
+
+    if not payload.startswith(_Y4M_MAGIC):
+        raise NotImplementedError("video decoding for this format requires ffmpeg")
+    nl = payload.index(b"\n")
+    w = h = None
+    for tok in payload[len(_Y4M_MAGIC) : nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    frame_len = w * h * 3 // 2  # C420 (the y4m default)
+    frames = []
+    pos = nl + 1
+    while payload[pos : pos + 5] == b"FRAME":
+        pos = payload.index(b"\n", pos) + 1
+        frames.append(np.frombuffer(payload, dtype=np.uint8, count=frame_len, offset=pos))
+        pos += frame_len
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+
+def encode_ppm(data: bytes, width: int = 32) -> bytes:
+    """Wrap raw bytes into a real binary PPM (P6): 3 bytes/pixel, fixed
+    width, height = however many rows the data fills (zero-padded)."""
+    n_px = max(1, -(-len(data) // 3))
+    height = -(-n_px // width)
+    body = data + b"\x00" * (width * height * 3 - len(data))
+    return b"P6\n%d %d\n255\n" % (width, height) + body
+
+
+def encode_wav(data: bytes, sample_rate: int = 8000) -> bytes:
+    """Wrap raw bytes into a real 16-bit PCM mono WAV (2 bytes/sample,
+    zero-padded to an even length)."""
+    import struct
+
+    body = data + b"\x00" * (len(data) % 2)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(body))
+    return hdr + body
+
+
+def encode_y4m(data: bytes, width: int = 16, height: int = 16) -> bytes:
+    """Wrap raw bytes into a real YUV4MPEG2 stream: C420 frames of
+    width×height, as many frames as the data fills (≥1, zero-padded)."""
+    frame_len = width * height * 3 // 2
+    n_frames = max(1, -(-len(data) // frame_len))
+    body = data + b"\x00" * (n_frames * frame_len - len(data))
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (width, height)]
+    for i in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(body[i * frame_len : (i + 1) * frame_len])
+    return b"".join(out)
 
 
 def fake_features(payload: bytes, media_type: str) -> dict:
@@ -76,6 +236,90 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
         media.alias("media_type"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
+
+
+def media_assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Like :func:`assets_from_documents`, but every payload is a REAL media
+    container (PPM image / PCM WAV / y4m video) carrying the doc's utf-8
+    bytes — so the decode path downstream is the real one, end-to-end.
+    Container synthesis is bytes-in-bytes-out per row: an Arrow-batched
+    kernel, zero shuffle."""
+    base = assets_from_documents(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = {"image": encode_ppm, "audio": encode_wav, "video": encode_y4m}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": [
+                        enc[mt](bytes(p))
+                        for mt, p in zip(pdf["media_type"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return base.mapInPandas(run, base.schema)
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("container_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_rate", LongType()),
+    ]
+)
+
+
+def decode_media_features(assets: DataFrame) -> DataFrame:
+    """REAL decode-based feature extraction: each payload is parsed by the
+    matching dependency-free decoder (PNM/BMP, PCM WAV, y4m) — pixel buffers,
+    sample arrays and frame splits are materialized, then summarized. Audio
+    maps (n_channels, sample_rate, n_samples) onto (width, sample_rate,
+    n_frames); height is 1. Arrow-batched, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                if mt == "image":
+                    d = decode_image(p)
+                    w, h, nf, sr = d["width"], d["height"], 1, 0
+                elif mt == "audio":
+                    d = decode_audio(p)
+                    w, h, nf, sr = d["n_channels"], 1, d["n_samples"], d["sample_rate"]
+                else:
+                    d = decode_video(p)
+                    w, h, nf, sr = d["width"], d["height"], d["n_frames"], 0
+                rows.append((int(aid), mt, len(p), w, h, nf, sr))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return assets.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a decoded PNM/BMP image, re-encoded
+    as binary PPM/PGM — pure numpy index mapping, no PIL."""
+    import numpy as np
+
+    d = decode_image(payload)
+    px = d["pixels"]
+    ys = (np.arange(height) * d["height"]) // height
+    xs = (np.arange(width) * d["width"]) // width
+    out = px[ys][:, xs]
+    magic = b"P6" if d["n_channels"] == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (width, height) + out.tobytes()
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

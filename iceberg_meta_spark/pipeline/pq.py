@@ -163,6 +163,31 @@ def pq_codes(
     )
 
 
+def _adc_sum(qvec, codebooks, dims_sub):
+    """ADC scoring expression for one query: Σ_s LUT_s[code_s].
+
+    One small map literal PER SUBSPACE, keyed by the integer code column
+    directly — integer map probes inside whole-stage codegen. (The first
+    version keyed one big map by a concat_ws(\"s:cid\") string, paying a
+    per-row-per-subspace string build + string hash; at nq×m lookups per
+    corpus row that concat dominated the scan.) Values are the exact
+    floor-scaled integer dots the trainer uses, so results are unchanged.
+    """
+    terms = []
+    for s, cent_rows in enumerate(codebooks):
+        qs = qvec[s * dims_sub : (s + 1) * dims_sub]
+        entries = []
+        for cid, c in cent_rows:
+            dq = np.asarray(c, dtype=np.float64) / QUANT
+            val = int(np.floor((qs * dq) * SCALE).astype(np.int64).sum())
+            entries.append(f"{int(cid)}L, {val}L")
+        terms.append(f"element_at(map({', '.join(entries)}), s{s})")
+    # ONE F.expr per query, not thousands of F.lit Columns: each Column
+    # constructor is a py4j round-trip, and at nq×m×K literals the driver
+    # chatter dominated the whole query (build was 2s+, execution 0.3s)
+    return F.expr(" + ".join(terms))
+
+
 def adc_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -212,24 +237,8 @@ def adc_topk(
             [], "query_id long, rank int, neighbor_id long, adc_s long"
         )
 
-    def lut_map(qid: int):
-        entries = []
-        for s, cent_rows in enumerate(codebooks):
-            qs = qvecs[qid][s * dims_sub : (s + 1) * dims_sub]
-            for cid, c in cent_rows:
-                dq = np.asarray(c, dtype=np.float64) / QUANT
-                val = int(np.floor((qs * dq) * SCALE).astype(np.int64).sum())
-                entries.append((f"{s}:{cid}", val))
-        return F.create_map(
-            *[c for kv in entries for c in (F.lit(kv[0]), F.lit(int(kv[1])).cast("long"))]
-        )
-
     def adc_expr(qid: int):
-        lut = lut_map(qid)
-        return sum(
-            F.element_at(lut, F.concat_ws(":", F.lit(str(s)), F.col(f"s{s}").cast("string")))
-            for s in range(m)
-        )
+        return _adc_sum(qvecs[qid], codebooks, dims_sub)
 
     scored = coded.select(
         "vec_id",
@@ -461,25 +470,10 @@ def ivf_pq_topk(
         order = sorted(range(len(ivf_ids)), key=lambda i: (-cos[i], ivf_ids[i]))
         return [int(ivf_ids[i]) for i in order[:nprobe]]
 
-    def lut_map(qid: int):
-        entries = []
-        for s, cent_rows in enumerate(codebooks):
-            qs = qvecs[qid][s * dims_sub : (s + 1) * dims_sub]
-            for cid, c in cent_rows:
-                dq = np.asarray(c, dtype=np.float64) / QUANT
-                val = int(np.floor((qs * dq) * SCALE).astype(np.int64).sum())
-                entries.append((f"{s}:{cid}", val))
-        return F.create_map(
-            *[c for kv in entries for c in (F.lit(kv[0]), F.lit(int(kv[1])).cast("long"))]
-        )
-
     def adc_expr(qid: int):
-        lut = lut_map(qid)
-        return sum(
-            F.element_at(lut, F.concat_ws(":", F.lit(str(s)), F.col(f"s{s}").cast("string")))
-            for s in range(m)
-        )
+        return _adc_sum(qvecs[qid], codebooks, dims_sub)
 
+    probes = {qid: probed_cells(qid) for qid in query_ids}
     scored = index_df.select(
         "vec_id",
         "cell",
@@ -492,10 +486,10 @@ def ivf_pq_topk(
                         # probed cells (the vast majority at scale — that IS
                         # the IVF prune) never pay the m map lookups
                         F.when(
-                            F.col("cell").isin(probed_cells(qid)),
+                            F.col("cell").isin(probes[qid]),
                             adc_expr(qid).cast("long"),
                         ).alias("adc_s"),
-                        F.col("cell").isin(probed_cells(qid)).alias("probed"),
+                        F.col("cell").isin(probes[qid]).alias("probed"),
                     )
                     for qid in query_ids
                 ]

@@ -40,6 +40,71 @@ METADATA_TABLES = (
 )
 
 
+#: Environment overrides (reference S11, catalog.py:26-33): each var maps to
+#: one catalog property key; a set var wins over the explicit/file value
+#: (catalog.py:92-96 overlays env LAST, even onto CLI flags).
+ENV_VAR_MAP: dict[str, str] = {
+    "ICEBERG_META_CATALOG_URI": "uri",
+    "ICEBERG_META_WAREHOUSE": "warehouse",
+    "ICEBERG_META_S3_ENDPOINT": "s3.endpoint",
+    "ICEBERG_META_S3_ACCESS_KEY": "s3.access-key-id",
+    "ICEBERG_META_S3_SECRET_KEY": "s3.secret-access-key",
+    "ICEBERG_META_S3_REGION": "s3.region",
+}
+
+
+def resolve_placeholders(value: str, env: dict | None = None) -> str:
+    """Expand ``${VAR}`` tokens from the environment (reference F9/S11,
+    catalog.py:60-71); unset variables raise, same as the reference."""
+    import os
+    import re
+
+    environ = os.environ if env is None else env
+
+    def sub(m: "re.Match[str]") -> str:
+        var = m.group(1)
+        if environ.get(var) is None:
+            raise ValueError(f"Environment variable ${{{var}}} referenced in config but not set")
+        return environ[var]
+
+    return re.sub(r"\$\{(\w+)\}", sub, value)
+
+
+def resolve_catalog_props(
+    *,
+    file_props: dict | None = None,
+    env: dict | None = None,
+    **explicit: str | None,
+) -> dict[str, str]:
+    """S11 three-level property resolution, pure function.
+
+    Priority (reference catalog.py:99-142, as implemented — env overlays
+    LAST): ``ICEBERG_META_*`` env vars > explicit kwargs (the CLI analog) >
+    config-file props. File values get ``${VAR}`` expansion and
+    string-coercion (YAML bools lowercase), reference catalog.py:73-88.
+    Explicit keys use property-name kwargs: ``uri=``, ``warehouse=``, plus
+    any dotted key via ``file_props``.
+    """
+    import os
+
+    environ = os.environ if env is None else env
+    props: dict[str, str] = {}
+    for k, v in (file_props or {}).items():
+        if isinstance(v, bool):
+            props[k] = str(v).lower()
+        elif isinstance(v, str):
+            props[k] = resolve_placeholders(v, environ)
+        else:
+            props[k] = str(v)
+    for k, v in explicit.items():
+        if v is not None:
+            props[k] = v
+    for env_key, prop_key in ENV_VAR_MAP.items():
+        if environ.get(env_key):
+            props[prop_key] = environ[env_key]
+    return props
+
+
 def iceberg_session_conf(
     catalog: str,
     *,
@@ -50,29 +115,42 @@ def iceberg_session_conf(
     s3_access_key: str | None = None,
     s3_secret_key: str | None = None,
     extra: dict[str, str] | None = None,
+    file_props: dict | None = None,
+    env: dict | None = None,
 ) -> dict[str, str]:
     """Assemble the session confs for one Iceberg catalog (reference S2/S11:
     CatalogConfig resolution + client-side S3 endpoint override,
     catalog.py:99-161). Pure function — apply with
-    ``SparkSession.builder.config(map=...)`` or validate in tests."""
+    ``SparkSession.builder.config(map=...)`` or validate in tests.
+
+    ``file_props``/``env`` opt into the reference's full three-level
+    resolution (config file with ``${VAR}`` expansion, then explicit kwargs,
+    then ``ICEBERG_META_*`` env overrides winning last); without them the
+    explicit kwargs pass through unchanged. ``env=None`` reads the real
+    environment; pass ``env={}`` for hermetic assembly.
+    """
+    props = resolve_catalog_props(
+        file_props=file_props,
+        env=env,
+        uri=uri,
+        warehouse=warehouse,
+        **{
+            # Client-side S3 overrides (the reference overlays these onto
+            # table IO to dodge unreachable server-returned endpoints,
+            # catalog.py:155-160).
+            "s3.endpoint": s3_endpoint,
+            "s3.access-key-id": s3_access_key,
+            "s3.secret-access-key": s3_secret_key,
+        },
+    )
     base = f"spark.sql.catalog.{catalog}"
     conf: dict[str, str] = {
         "spark.sql.extensions": EXTENSIONS,
         base: SPARK_CATALOG_IMPL,
         f"{base}.type": catalog_type,
     }
-    if uri:
-        conf[f"{base}.uri"] = uri
-    if warehouse:
-        conf[f"{base}.warehouse"] = warehouse
-    # Client-side S3 overrides (the reference overlays these onto table IO to
-    # dodge unreachable server-returned endpoints, catalog.py:155-160).
-    if s3_endpoint:
-        conf[f"{base}.s3.endpoint"] = s3_endpoint
-    if s3_access_key:
-        conf[f"{base}.s3.access-key-id"] = s3_access_key
-    if s3_secret_key:
-        conf[f"{base}.s3.secret-access-key"] = s3_secret_key
+    for k, v in props.items():
+        conf[f"{base}.{k}"] = v
     for k, v in (extra or {}).items():
         conf[f"{base}.{k}"] = v
     return conf

@@ -178,9 +178,91 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_stubs_raise(spark):
+    # unknown/compressed formats still name the library they need
     for fn in (multimodal.decode_image, multimodal.decode_audio, multimodal.decode_video):
         with pytest.raises(NotImplementedError):
             fn(b"payload")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_decode_ppm_real_pixels(spark):
+    import numpy as np
+
+    # 2x2 RGB: red, green / blue, white — hand-built P6
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    d = multimodal.decode_image(b"P6\n2 2\n255\n" + px)
+    assert (d["width"], d["height"], d["n_channels"]) == (2, 2, 3)
+    assert d["pixels"][0, 0].tolist() == [255, 0, 0]
+    assert d["pixels"][1, 1].tolist() == [255, 255, 255]
+    # P5 gray with a comment line in the header
+    g = multimodal.decode_image(b"P5\n# c\n3 1\n255\n" + bytes([7, 8, 9]))
+    assert g["pixels"].reshape(-1).tolist() == [7, 8, 9]
+    # roundtrip through the encoder
+    rt = multimodal.decode_image(multimodal.encode_ppm(b"ab", width=4))
+    assert rt["width"] == 4 and rt["height"] == 1
+    assert rt["pixels"].reshape(-1)[:2].tolist() == [ord("a"), ord("b")]
+    assert int(np.sum(rt["pixels"])) == ord("a") + ord("b")  # zero padding
+
+
+def test_decode_bmp_real_pixels(spark):
+    import struct
+
+    # hand-built 3x2 24-bpp bottom-up BMP (stride pads 9 -> 12 bytes/row)
+    w, h = 3, 2
+    row_bot = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]) + b"\x00\x00\x00"
+    row_top = bytes([10, 11, 12, 13, 14, 15, 16, 17, 18]) + b"\x00\x00\x00"
+    pixel_data = row_bot + row_top  # bottom-up: file order is bottom row first
+    header = (
+        b"BM"
+        + struct.pack("<IHHII", 54 + len(pixel_data), 0, 0, 54, 40)
+        + struct.pack("<iiHHIIiiII", w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    d = multimodal.decode_image(header + pixel_data)
+    assert (d["width"], d["height"], d["n_channels"]) == (3, 2, 3)
+    assert d["pixels"][0, 0].tolist() == [10, 11, 12]  # top row after flip
+    assert d["pixels"][1, 2].tolist() == [7, 8, 9]
+
+
+def test_decode_wav_real_samples(spark):
+    d = multimodal.decode_audio(multimodal.encode_wav(b"abcd", sample_rate=8000))
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000 and d["n_samples"] == 2
+    # little-endian int16 from byte pairs: 'ab' = 0x6261, 'cd' = 0x6463
+    assert d["samples"].reshape(-1).tolist() == [0x6261, 0x6463]
+    # odd payload zero-pads to an even sample boundary
+    assert multimodal.decode_audio(multimodal.encode_wav(b"abc"))["n_samples"] == 2
+
+
+def test_decode_y4m_real_frames(spark):
+    data = bytes(range(256)) * 2  # 512 bytes -> 2 frames of 384 (padded)
+    d = multimodal.decode_video(multimodal.encode_y4m(data, width=16, height=16))
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 16, 2)
+    assert bytes(d["frames"][0]) == data[:384]
+    assert bytes(d["frames"][1][: 512 - 384]) == data[384:]
+    assert all(b == 0 for b in d["frames"][1][512 - 384 :])  # zero padding
+
+
+def test_resize_image_nearest_neighbor(spark):
+    # 2x1 image (left=0, right=255) widened to 4x1: nearest-neighbor keeps
+    # exactly two of each source pixel
+    src = b"P5\n2 1\n255\n" + bytes([0, 255])
+    out = multimodal.decode_image(multimodal.resize_image(src, 4, 1))
+    assert out["pixels"].reshape(-1).tolist() == [0, 0, 255, 255]
+    # downscale 4x1 -> 2x1 picks pixels 0 and 2
+    src4 = b"P5\n4 1\n255\n" + bytes([10, 20, 30, 40])
+    out2 = multimodal.decode_image(multimodal.resize_image(src4, 2, 1))
+    assert out2["pixels"].reshape(-1).tolist() == [10, 30]
+
+
+def test_media_assets_decode_end_to_end(spark):
+    docs = _docs(spark, ["abcd", "efghij", "klmnopq"])
+    assets = multimodal.media_assets_from_documents(docs)
+    rows = {r.asset_id: r for r in multimodal.decode_media_features(assets).collect()}
+    img, aud, vid = rows[0], rows[1], rows[2]
+    assert img.media_type == "image" and (img.width, img.height, img.n_frames) == (32, 1, 1)
+    assert aud.media_type == "audio" and aud.n_frames == 3 and aud.sample_rate == 8000
+    assert vid.media_type == "video" and (vid.width, vid.height, vid.n_frames) == (16, 16, 1)
+    assert vid.container_bytes == 37 + 390
 
 
 def test_multimodal_resize_deterministic(spark):

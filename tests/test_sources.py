@@ -35,9 +35,47 @@ def test_iceberg_session_conf_assembly():
 
 
 def test_iceberg_conf_minimal():
-    conf = ice.iceberg_session_conf("local", catalog_type="hadoop", warehouse="/tmp/wh")
+    conf = ice.iceberg_session_conf(
+        "local", catalog_type="hadoop", warehouse="/tmp/wh", env={}
+    )
     assert "spark.sql.catalog.local.uri" not in conf
     assert conf["spark.sql.catalog.local.warehouse"] == "/tmp/wh"
+
+
+def test_catalog_props_three_level_priority():
+    """S11 resolution (reference catalog.py:99-142): file props resolve
+    ``${VAR}`` placeholders, explicit kwargs override file values, and
+    ICEBERG_META_* env vars overlay LAST — winning even over explicit
+    values, exactly as the reference's _apply_env_overrides does."""
+    env = {
+        "WH_BUCKET": "s3://expanded-wh",
+        "ICEBERG_META_S3_ENDPOINT": "http://env-minio:9000",
+    }
+    props = ice.resolve_catalog_props(
+        file_props={
+            "uri": "http://file-rest:8181",
+            "warehouse": "${WH_BUCKET}",
+            "s3.endpoint": "http://file-minio:9000",
+            "some-flag": True,  # YAML bool coerces to lowercase string
+        },
+        env=env,
+        uri="http://cli-rest:8181",
+    )
+    assert props["uri"] == "http://cli-rest:8181"  # explicit > file
+    assert props["warehouse"] == "s3://expanded-wh"  # ${VAR} expanded
+    assert props["s3.endpoint"] == "http://env-minio:9000"  # env > all
+    assert props["some-flag"] == "true"
+
+    with pytest.raises(ValueError, match="UNSET_VAR"):
+        ice.resolve_catalog_props(file_props={"uri": "${UNSET_VAR}"}, env={})
+
+
+def test_session_conf_env_overlay():
+    env = {"ICEBERG_META_CATALOG_URI": "http://env-rest:9999"}
+    conf = ice.iceberg_session_conf(
+        "prod", uri="http://cli-rest:8181", env=env
+    )
+    assert conf["spark.sql.catalog.prod.uri"] == "http://env-rest:9999"
 
 
 def test_metadata_table_requires_runtime(spark):
