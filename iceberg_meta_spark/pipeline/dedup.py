@@ -369,3 +369,92 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def substring_dup_stats(docs: DataFrame, window_tokens: int = 20) -> DataFrame:
+    """Exact substring-level dedup audit (the suffix-array result of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, recast for Spark): every ``window_tokens``-token sliding window is
+    hashed; a window whose hash appears in >= 2 DISTINCT documents is a
+    duplicated span. Returns per-doc (doc_id, n_windows, n_dup_windows,
+    dup_permille) — the fraction of the document covered by cross-document
+    boilerplate, ordered by doc_id.
+
+    Scale shape: windows are linear in corpus tokens (one explode), span
+    counting is ONE groupBy on the window hash (well-distributed md5 key),
+    the share join is an equi-join on the same hash — never a pair join.
+    Documents shorter than the window are excluded (no full window exists).
+    """
+    w = window_tokens
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= w
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {w}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {w}))))"
+            )
+        ).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        wins.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("CAST(n_dup_windows * 1000 DIV n_windows AS BIGINT)").alias(
+                "dup_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame, window_tokens: int = 20, top_k: int = 20
+) -> DataFrame:
+    """The most widely repeated ``window_tokens``-token spans across the
+    corpus — the "find the boilerplate" companion of
+    :func:`substring_dup_stats`: (rank, n_docs, span), top-k by document
+    count (ties broken by span text for determinism).
+
+    Same linear window explode; the top-k itself is orderBy().limit() —
+    Spark compiles that to TakeOrderedAndProject (per-partition heaps, no
+    global sort, no unpartitioned window over the span set); only the <= k
+    survivors pass through the rank window.
+    """
+    w = window_tokens
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= w
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {w}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {w})))"
+            )
+        ).alias("span"),
+    )
+    counts = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("n_docs"), F.asc("span")).limit(top_k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_docs"), F.asc("span"))),
+    ).select("rank", "n_docs", "span")

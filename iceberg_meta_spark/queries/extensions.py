@@ -5182,3 +5182,67 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k")
     )
     return sweep
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: exact substring-level dedup (Lee et al. 2022 shape).
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import dedup  # noqa: E402
+
+
+@register(
+    "substring_dedup",
+    tags=("bench",),
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        w AS (SELECT doc_id, md5(array_to_string(tok[i+1:i+20], ' ')) AS h
+              FROM t, generate_series(0, 4096) g(i)
+              WHERE len(tok) >= 20 AND i <= len(tok) - 20),
+        c AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY h)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000 // count(*) AS BIGINT) AS dup_permille
+        FROM w JOIN c USING (h)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Exact substring-level dedup audit (the suffix-array result of Lee "
+    "et al. 2022 'Deduplicating Training Data Makes Language Models "
+    "Better', recast relationally): every 20-token sliding window hashed, "
+    "windows present in >=2 distinct docs are duplicated spans; per-doc "
+    "boilerplate coverage in permille. Window explode is linear in corpus "
+    "tokens, span counting is ONE groupBy on the md5 key and the share "
+    "join is the same equi-join — never a doc-pair product, so the shape "
+    "holds on 10^9 docs",
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_dup_stats(
+        load_table(spark, sf_dir, "documents"), window_tokens=20
+    )
+
+
+@register(
+    "boilerplate_spans",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        w AS (SELECT doc_id, array_to_string(tok[i+1:i+20], ' ') AS span
+              FROM t, generate_series(0, 4096) g(i)
+              WHERE len(tok) >= 20 AND i <= len(tok) - 20),
+        c AS (SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        r AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, span) AS rank
+              FROM c)
+        SELECT rank, n_docs, span FROM r WHERE rank <= 20 ORDER BY rank
+    """,
+    doc="Boilerplate mining: the 20 most widely repeated 20-token spans "
+    "(by distinct-document count, span-text tiebreak). Same linear window "
+    "explode as substring_dedup; the >=2-docs filter shrinks the frame to "
+    "true boilerplate before the bounded top-k window",
+)
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.boilerplate_spans(
+        load_table(spark, sf_dir, "documents"), window_tokens=20, top_k=20
+    )

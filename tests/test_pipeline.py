@@ -692,3 +692,51 @@ def test_segment_assets_runs_and_bounds(spark):
     assert (s0.start_frame, s0.end_frame) == (1, 2)   # the 32 high bytes
     assert (s1.start_frame, s1.end_frame) == (4, 4)   # the trailing 16
     assert s0.seg_energy == 2 * 16 * ord("z") and s1.seg_energy == 16 * ord("z")
+
+
+def test_substring_dedup_known_spans(spark):
+    """Two docs share a 6-token run; with window=4 the shared run yields
+    3 duplicated windows in each; the third doc shares nothing."""
+    shared = "q w e r t y"
+    docs = _docs(
+        spark,
+        [
+            f"a b {shared} c d",  # 10 tokens -> 7 windows, 3 dup
+            f"x z {shared} u v",  # 10 tokens -> 7 windows, 3 dup
+            "m n o p a b c d e f",  # 10 tokens -> 7 windows, 0 dup
+        ],
+    )
+    rows = {r.doc_id: r for r in dedup.substring_dup_stats(docs, window_tokens=4).collect()}
+    assert rows[0].n_windows == 7 and rows[0].n_dup_windows == 3
+    assert rows[1].n_windows == 7 and rows[1].n_dup_windows == 3
+    assert rows[2].n_windows == 7 and rows[2].n_dup_windows == 0
+    assert rows[0].dup_permille == 3 * 1000 // 7
+    # docs shorter than the window are excluded entirely
+    short = _docs(spark, ["a b c"])
+    assert dedup.substring_dup_stats(short, window_tokens=4).count() == 0
+
+
+def test_boilerplate_spans_rank_and_plan(spark):
+    docs = _docs(
+        spark,
+        [
+            "s1 s2 s3 s4 tail0 x0",
+            "s1 s2 s3 s4 tail1 x1",
+            "s1 s2 s3 s4 tail2 x2",
+            "t1 t2 t3 t4 tail3 x3",
+            "t1 t2 t3 t4 tail4 x4",
+        ],
+    )
+    out = dedup.boilerplate_spans(docs, window_tokens=4, top_k=5).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert out[0].span == "s1 s2 s3 s4" and out[0].n_docs == 3
+    assert out[1].span == "t1 t2 t3 t4" and out[1].n_docs == 2
+    # the corpus-wide top-k must compile to TakeOrdered, not a global
+    # sort/window over every span
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.boilerplate_spans(docs, window_tokens=4, top_k=5).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -41,6 +41,9 @@ SINGLE_PARTITION_ALLOWED: dict[str, str] = {
     "monthly_revenue_growth": "lag over month-grain frame (#months rows)",
     # two-stage retrieval: every window ranks the <=topk_bm25 candidate set
     "hybrid_retrieval": "rank windows over the <=25-row BM25 candidate set (bounded by construction)",
+    # the span top-k is TakeOrderedAndProject (per-partition heaps); only the
+    # <=20 surviving rows pass through the rank window
+    "boilerplate_spans": "rank window over the <=top_k rows surviving a TakeOrdered limit",
 }
 
 

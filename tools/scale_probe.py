@@ -15,7 +15,12 @@ pure overhead for almost every query and would bias slopes toward 0);
 the low point still prints for context. Output: markdown table on
 stdout — redirect into SCALING.md to commit the audit.
 
-Usage: python tools/scale_probe.py [sf_low sf_mid sf_high]
+Coverage rule (no silent caps): the default run measures bench-tagged
+queries at three scale points; ``--all`` measures EVERY registered query at
+the two largest points so no query ships without an empirical exponent.
+The committed SCALING.md carries both tables.
+
+Usage: python tools/scale_probe.py [--all] [sf_low sf_mid sf_high]
 """
 
 from __future__ import annotations
@@ -47,43 +52,62 @@ def timed(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> None:
-    dirs = sys.argv[1:4] or [
+    args = sys.argv[1:]
+    probe_all = "--all" in args
+    if probe_all:
+        args.remove("--all")
+    dirs = args[:3] or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
+    if probe_all:
+        dirs = dirs[-2:]  # two largest points; full registry, one fit each
     sfs = [float(d.rsplit("sf", 1)[1]) for d in dirs]
     registry = load_all()
-    bench = {n: s for n, s in registry.items() if "bench" in s.tags}
+    selected = (
+        registry if probe_all else {n: s for n, s in registry.items() if "bench" in s.tags}
+    )
     spark = get_spark("scale-probe")
     enable_cache(True)
     for d in dirs:
         for t in BASE_TABLES:
             load_table(spark, d, t)
     rows = []
-    for name, spec in bench.items():
-        ts = [timed(spark, spec.spark_fn, d) for d in dirs]
-        # slope between the two largest points; low point shown for context
-        expo = math.log(ts[2] / ts[1]) / math.log(sfs[2] / sfs[1])
-        rows.append((name, *ts, expo))
-        print(
-            f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {expo:+.2f} |",
-            file=sys.stderr, flush=True,
-        )
+    for name, spec in selected.items():
+        try:
+            ts = [timed(spark, spec.spark_fn, d) for d in dirs]
+        except Exception as exc:
+            print(f"| {name} | ERROR {str(exc).splitlines()[0][:120]} |", file=sys.stderr, flush=True)
+            continue
+        # slope between the two largest points; any lower point is context
+        expo = math.log(ts[-1] / ts[-2]) / math.log(sfs[-1] / sfs[-2])
+        rows.append((name, ts, expo))
+        cells = " | ".join(f"{t:.2f}" for t in ts)
+        print(f"| {name} | {cells} | {expo:+.2f} |", file=sys.stderr, flush=True)
     spark.stop()
 
+    scope = "EVERY registered query" if probe_all else "bench query"
     print(f"# SCALING — empirical wall-time exponents ({', '.join(map(str, sfs))})")
     print()
-    print("Per bench query: warm min-of-2 wall seconds at each scale factor, and the")
-    print("log-log slope fit between the two LARGEST scale points (the low point is")
+    print(f"Per {scope}: warm min-of-2 wall seconds at each scale factor, and the")
+    print("log-log slope fit between the two LARGEST scale points (lower points are")
     print("overhead-dominated). ~0 = overhead-bound, ~1 = linear (the target), >1.3 =")
     print("super-linear — investigate before a real 100x run.")
     print()
-    print(f"| query | sf{sfs[0]} s | sf{sfs[1]} s | sf{sfs[2]} s | exponent |")
-    print("|---|---|---|---|---|")
-    for name, t0, t1, t2, expo in sorted(rows, key=lambda r: -r[4]):
+    hdr = " | ".join(f"sf{s} s" for s in sfs)
+    print(f"| query | {hdr} | exponent |")
+    print("|---|" + "---|" * (len(sfs) + 1))
+    for name, ts, expo in sorted(rows, key=lambda r: -r[2]):
         flag = " ⚠" if expo > 1.3 else ""
-        print(f"| {name}{flag} | {t0:.2f} | {t1:.2f} | {t2:.2f} | {expo:+.2f} |")
+        cells = " | ".join(f"{t:.2f}" for t in ts)
+        print(f"| {name}{flag} | {cells} | {expo:+.2f} |")
+    if probe_all:
+        missing = sorted(set(registry) - {n for n, _, _ in rows})
+        print()
+        print(f"Coverage: {len(rows)}/{len(registry)} registered queries measured.")
+        if missing:
+            print(f"UNMEASURED (errors above): {', '.join(missing)}")
 
 
 if __name__ == "__main__":
