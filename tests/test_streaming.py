@@ -1305,3 +1305,68 @@ def test_streaming_scd2_live(spark):
                 assert a.state != b.state
     finally:
         q.stop()
+
+
+def test_streaming_substring_boilerplate_at_ingest(spark, tmp_path):
+    """Ingest boilerplate scoring: a batch-2 doc repeating a batch-1 span is
+    scored against the window store; in-batch cross-doc repeats count too;
+    fresh docs score 0. Sink and unit kernel share the batch hashing, so
+    stream stats equal a prefix-causal batch recomputation."""
+    import time
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "winstore")
+    stats = str(tmp_path / "stats")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    W = 4
+
+    from iceberg_meta_spark.streaming.substring import substring_dedup_stream
+
+    shared = "q w e r t y"  # 6 tokens -> windows of 4: 3 windows
+    t1 = f"a b {shared} c d"
+    spark.createDataFrame([(1, t1), (2, "m n o p a b c d e f")], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = substring_dedup_stream(stream, store, stats, ck, window_tokens=W)
+
+    def read_stats():
+        try:
+            return {r.doc_id: r for r in spark.read.parquet(stats).collect()}
+        except Exception:
+            return None
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: read_stats() is not None), "first batch never flushed"
+        got = read_stats()
+        # batch 1: no history, no cross-doc repeats -> all zero
+        assert got[1].n_windows == 7 and got[1].n_dup_windows == 0
+        assert got[2].n_dup_windows == 0
+        # batch 2: doc 3 carries the shared span (history dup: 3 windows);
+        # docs 4+5 duplicate each other in-batch; doc 6 is fresh
+        t3 = f"x z {shared} u v"
+        twin = "k1 k2 k3 k4 k5"
+        spark.createDataFrame(
+            [(3, t3), (4, twin), (5, twin), (6, "f1 f2 f3 f4 f5 f6")], schema
+        ).write.mode("append").parquet(src)
+        assert wait_for(lambda: 3 in (read_stats() or {})), read_stats()
+        got = read_stats()
+        assert got[3].n_windows == 7 and got[3].n_dup_windows == 3
+        assert got[3].dup_permille == 3 * 1000 // 7
+        assert got[4].n_dup_windows == 2 and got[5].n_dup_windows == 2  # in-batch
+        assert got[6].n_dup_windows == 0
+        # store accumulated both batches' window rows, partitioned by batch
+        docs_in_store = {r.doc_id for r in spark.read.parquet(store).collect()}
+        assert docs_in_store == {1, 2, 3, 4, 5, 6}
+    finally:
+        q.stop()
