@@ -5246,3 +5246,246 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_spans(
         load_table(spark, sf_dir, "documents"), window_tokens=20, top_k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: winnowing fingerprints (MOSS), linear quality
+# classifier, l-diversity privacy audit.
+# ---------------------------------------------------------------------------
+
+from iceberg_meta_spark.pipeline import classifier, winnow  # noqa: E402
+
+# Shared oracle CTE: winnowed (doc_id, fp) selection at k=8, w=4 — the
+# DuckDB mirror of pipeline/winnow.py:winnowed_fingerprints.
+_WINNOW_SEL = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    g AS (SELECT doc_id, i AS pos, md5(array_to_string(tok[i+1:i+8], ' ')) AS h
+          FROM t, generate_series(0, 4096) s(i)
+          WHERE len(tok) >= 11 AND i <= len(tok) - 8),
+    w AS (SELECT doc_id, pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+          FROM g),
+    sel AS (SELECT DISTINCT doc_id, mn AS fp FROM w WHERE pos >= 3)
+"""
+
+
+@register(
+    "text_winnow_stats",
+    tags=("bench",),
+    oracle=f"""
+        WITH {_WINNOW_SEL},
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected
+                FROM sel GROUP BY doc_id),
+        gr AS (SELECT doc_id, CAST(len(tok) - 7 AS BIGINT) AS n_grams
+               FROM t WHERE len(tok) >= 11)
+        SELECT doc_id, n_grams, n_selected,
+               CAST(n_selected * 1000 // n_grams AS BIGINT) AS density_permille
+        FROM gr JOIN cnt USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD "
+    "2003, the MOSS algorithm): md5-hash every 8-token gram, slide a "
+    "4-gram window, record each window's minimum hash — guarantees any "
+    "shared run of >= 11 tokens yields a shared fingerprint at ~2/(w+1) "
+    "density. Per-doc density audit. Gram hashing is a linear map-side "
+    "explode; the sliding min is ONE doc_id-partitioned window (never "
+    "global); DISTINCT collapses map-side. Holds at 10^9 docs",
+)
+def text_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow.winnow_stats(
+        load_table(spark, sf_dir, "documents"), gram_tokens=8, window=4
+    )
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+        WITH {_WINNOW_SEL},
+        rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 16),
+        k AS (SELECT doc_id, fp FROM sel JOIN rare USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM k a JOIN k b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY doc_a, doc_b
+    """,
+    doc="MOSS match report: document pairs sharing >= 2 winnowed "
+    "fingerprints — the robust-guarantee upgrade over plain fingerprint "
+    "equality (any shared 11-token run is caught, not just whole-doc "
+    "hashes). Pair generation is an equi-join on the fingerprint key "
+    "with a PPJoin-style document-frequency cap (fp in > 16 docs = "
+    "corpus boilerplate, dropped BEFORE the join), so candidates are "
+    "bounded per fingerprint and the shape never goes quadratic",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow.winnow_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        gram_tokens=8,
+        window=4,
+        min_shared=2,
+        df_cap=16,
+    )
+
+
+def _classifier_feature_sql() -> str:
+    return """
+        x AS (
+          SELECT lang,
+                 CAST(1 AS BIGINT) AS f0,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+                 CAST(len(text) AS BIGINT) AS f2,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> list_contains(['the','a','of','and','to'], t)))
+                      AS BIGINT) AS f3,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS f4
+          FROM documents),
+        xy AS (SELECT *, CAST(CASE WHEN f3 * 16 >= f1 AND f1 >= 24
+                              THEN 1 ELSE 0 END AS BIGINT) AS y FROM x)
+    """
+
+
+def _gram_oracle() -> str:
+    cols = [f"f{i}" for i in range(classifier.N_FEATURES)] + ["y"]
+    sums = ", ".join(
+        f"CAST(sum({a} * {b}) AS BIGINT) AS s_{i}_{j}"
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if j >= i
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS i, CAST({j} AS INTEGER) AS j,"
+        f" s_{i}_{j} AS s FROM g"
+        for i in range(len(cols))
+        for j in range(i, len(cols))
+    )
+    return f"""
+        WITH {_classifier_feature_sql()},
+        g AS (SELECT {sums} FROM xy)
+        SELECT i, j, s FROM ({branches}) ORDER BY i, j
+    """
+
+
+@register(
+    "quality_classifier_gram",
+    oracle=_gram_oracle(),
+    doc="Distributed linear-model training, sufficient-statistics form: "
+    "the Gram matrix X^T X and moments X^T y of the 5-feature quality "
+    "design matrix (bias, tokens, chars, stopwords, distinct tokens) "
+    "against the Snorkel-style weak label, as O(d^2) BIGINT-exact sums "
+    "in long format. ONE shrinking aggregate — the corpus contributes "
+    "25 numbers no matter how many exabytes it is; the d x d ridge "
+    "solve (api: train_quality_weights) is driver-side microseconds. "
+    "The canonical shape for linear/logistic filters at 100 TB",
+)
+def quality_classifier_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier.gram_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def _score_sql() -> str:
+    w = classifier.SCORE_WEIGHTS_MICRO
+    terms = " + ".join(f"({w[i]} * f{i})" for i in range(classifier.N_FEATURES))
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "quality_classifier_score",
+    tags=("bench",),
+    oracle=f"""
+        WITH {_classifier_feature_sql()},
+        s AS (SELECT lang, y, {_score_sql()} AS score_micro FROM xy),
+        b AS (SELECT lang, y, score_micro,
+                     CASE WHEN score_micro < 250000 THEN 'drop'
+                          WHEN score_micro < 500000 THEN 'low'
+                          WHEN score_micro < 750000 THEN 'mid'
+                          ELSE 'high' END AS bucket
+              FROM s)
+        SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(sum(CASE WHEN (CASE WHEN score_micro >= {classifier.DECISION_MICRO}
+                                        THEN 1 ELSE 0 END) = y
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                    * 1000 // count(*) AS BIGINT) AS agreement_permille
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    doc="Frozen linear quality filter applied corpus-wide: integer "
+    "micro-scaled dot product of the committed ridge weights (trained "
+    "via quality_classifier_gram) with the 5 per-doc features, bucketed "
+    "into drop/low/mid/high with per-language agreement vs the weak "
+    "rule. Pure whole-stage-codegen column math + one tiny-key "
+    "aggregate — zero joins, zero windows, the 100 TB scoring path",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier.score_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+        WITH qi AS (SELECT c_nationkey,
+                           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                           CAST(count(*) AS BIGINT) AS class_size,
+                           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+                    FROM customer GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_rows FROM qi),
+        ls AS (SELECT CAST(unnest([2, 3, 5]) AS BIGINT) AS l)
+        SELECT ls.l,
+               CAST(coalesce(sum(CASE WHEN qi.n_sensitive < ls.l THEN 1 END), 0) AS BIGINT)
+                 AS n_violating_classes,
+               CAST(coalesce(sum(CASE WHEN qi.n_sensitive < ls.l THEN qi.class_size END), 0) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(coalesce(sum(CASE WHEN qi.n_sensitive < ls.l THEN qi.class_size END), 0)
+                    * 1000 // max(t.n_rows) AS BIGINT) AS risk_permille
+        FROM ls CROSS JOIN qi, tot t
+        GROUP BY ls.l ORDER BY ls.l
+    """,
+    doc="l-diversity privacy audit, the homogeneity-attack companion of "
+    "k_anonymity_audit (Machanavajjhala et al. 2007): a QI class "
+    "(nation, balance band) whose rows all share one sensitive value "
+    "(market segment) leaks it even when k-anonymous. Per l in {2,3,5}: "
+    "classes with < l distinct sensitive values and the rows they "
+    "expose in permille. Same scale shape: ONE groupBy to QI classes "
+    "with count_distinct, threshold sweep broadcast over the class table",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.count_distinct("c_mktsegment").cast("long").alias("n_sensitive"),
+        )
+    )
+    tot = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
+    ls = qi.sparkSession.createDataFrame([(2,), (3,), (5,)], "l bigint")
+    return (
+        qi.crossJoin(F.broadcast(ls))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("l")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_sensitive") < F.col("l"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("n_sensitive") < F.col("l"), F.col("class_size"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .select(
+            "l",
+            "n_violating_classes",
+            "n_rows_at_risk",
+            F.expr("n_rows_at_risk * 1000 DIV n_rows").alias("risk_permille"),
+        )
+        .orderBy("l")
+    )
