@@ -20,12 +20,17 @@ from iceberg_meta_spark.registry import register
 from iceberg_meta_spark.sources.fixtures import SMALL_FILE_THRESHOLD, derive, oracle_query
 
 
-def _metric(section: str, metric: str, value) -> list:
-    return [F.lit(section).alias("section"), F.lit(metric).alias("metric"), value.cast("double").alias("value")]
-
-
 def health_report_df(files: DataFrame, col_stats: DataFrame, manifests: DataFrame, ranges: DataFrame) -> DataFrame:
-    """Long-format health report over metadata-shaped inputs."""
+    """Long-format health report over metadata-shaped inputs.
+
+    Plan shape: each source collapses to ONE single-row aggregate, the five
+    1-row frames cross-join (broadcast — free), and one ``stack`` unpivots
+    the combined row into the 8-row (section, metric, value) report. A
+    union-of-branches formulation re-scans every source once per metric
+    (18 FileScans at 8 branches); this reads files twice (whole-table +
+    per-partition grain) and every other source once — 5 scans total,
+    whatever the metric count grows to.
+    """
     from iceberg_meta_spark.operators.overlap import overlap_sweepline
 
     # Every aggregate is zero-guarded: an empty table produces the all-zero
@@ -60,28 +65,37 @@ def health_report_df(files: DataFrame, col_stats: DataFrame, manifests: DataFram
     )
     ov = overlap_sweepline(ranges)
 
-    sections = [
-        file_metrics.select(*_metric("files", "file_count", F.col("fc"))),
-        file_metrics.select(*_metric("files", "total_size", F.col("ts"))),
-        file_metrics.select(*_metric("files", "small_files", F.col("sf"))),
-        part_metrics.select(*_metric("partitions", "partition_count", F.col("pc"))),
-        part_metrics.select(
-            *_metric(
-                "partitions",
-                "max_skew_ratio",
-                F.when(F.col("avg_fc") == 0, F.lit(0.0)).otherwise(
-                    F.round(F.col("max_fc") / F.col("avg_fc"), 4)
-                ),
-            )
-        ),
-        col_metrics.select(*_metric("columns", "overall_null_pct", F.round(F.col("null_pct"), 4))),
-        man_metrics.select(*_metric("manifests", "delete_manifests", F.col("dm"))),
-        ov.select(*_metric("overlap", "overlapping_files", F.col("overlapping_files"))),
-    ]
-    out = sections[0]
-    for s in sections[1:]:
-        out = out.unionByName(s)
-    return out
+    skew = F.when(F.col("avg_fc") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("max_fc") / F.col("avg_fc"), 4)
+    )
+    combined = (
+        file_metrics.crossJoin(F.broadcast(part_metrics))
+        .crossJoin(F.broadcast(col_metrics))
+        .crossJoin(F.broadcast(man_metrics))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.col("fc").cast("double").alias("v_fc"),
+            F.col("ts").cast("double").alias("v_ts"),
+            F.col("sf").cast("double").alias("v_sf"),
+            F.col("pc").cast("double").alias("v_pc"),
+            skew.cast("double").alias("v_skew"),
+            F.round(F.col("null_pct"), 4).cast("double").alias("v_null"),
+            F.col("dm").cast("double").alias("v_dm"),
+            F.col("overlapping_files").cast("double").alias("v_ov"),
+        )
+    )
+    return combined.selectExpr(
+        """stack(8,
+           'files', 'file_count', v_fc,
+           'files', 'total_size', v_ts,
+           'files', 'small_files', v_sf,
+           'partitions', 'partition_count', v_pc,
+           'partitions', 'max_skew_ratio', v_skew,
+           'columns', 'overall_null_pct', v_null,
+           'manifests', 'delete_manifests', v_dm,
+           'overlap', 'overlapping_files', v_ov
+        ) AS (section, metric, value)"""
+    )
 
 
 @register(

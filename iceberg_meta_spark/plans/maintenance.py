@@ -29,14 +29,6 @@ from iceberg_meta_spark.queries.extensions import (  # noqa: E402
 )
 
 
-def _metric(section: str, metric: str, value) -> list:
-    return [
-        F.lit(section).alias("section"),
-        F.lit(metric).alias("metric"),
-        value.cast("double").alias("value"),
-    ]
-
-
 def maintenance_report_df(
     files: DataFrame, snapshots: DataFrame, storage: DataFrame
 ) -> DataFrame:
@@ -57,21 +49,36 @@ def maintenance_report_df(
     )
     orp = ops.orphan_files(storage, files).agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("file_size_in_bytes"), zero).alias("bytes"),
+        F.coalesce(F.sum("file_size_in_bytes"), zero).alias("obytes"),
     )
-    sections = [
-        comp.select(*_metric("compaction", "rewrite_groups", F.col("groups"))),
-        comp.select(*_metric("compaction", "files_to_rewrite", F.col("files"))),
-        comp.select(*_metric("compaction", "bytes_to_rewrite", F.col("bytes"))),
-        exp.select(*_metric("expiry", "expired_snapshots", F.col("snaps"))),
-        exp.select(*_metric("expiry", "reclaimable_file_refs", F.col("files"))),
-        orp.select(*_metric("orphans", "orphan_files", F.col("n"))),
-        orp.select(*_metric("orphans", "orphan_bytes", F.col("bytes"))),
-    ]
-    out = sections[0]
-    for s in sections[1:]:
-        out = out.unionByName(s)
-    return out
+    # One 1-row frame per planner, cross-joined (broadcast — free) and
+    # unpivoted with a single stack: each planner's subtree executes once,
+    # instead of once per union branch (same restructure as the health
+    # composite — see plans/health.py).
+    combined = (
+        comp.crossJoin(F.broadcast(exp.withColumnsRenamed({"files": "efiles"})))
+        .crossJoin(F.broadcast(orp))
+        .select(
+            F.col("groups").cast("double").alias("v_groups"),
+            F.col("files").cast("double").alias("v_files"),
+            F.col("bytes").cast("double").alias("v_bytes"),
+            F.col("snaps").cast("double").alias("v_snaps"),
+            F.col("efiles").cast("double").alias("v_efiles"),
+            F.col("n").cast("double").alias("v_n"),
+            F.col("obytes").cast("double").alias("v_obytes"),
+        )
+    )
+    return combined.selectExpr(
+        """stack(7,
+           'compaction', 'rewrite_groups', v_groups,
+           'compaction', 'files_to_rewrite', v_files,
+           'compaction', 'bytes_to_rewrite', v_bytes,
+           'expiry', 'expired_snapshots', v_snaps,
+           'expiry', 'reclaimable_file_refs', v_efiles,
+           'orphans', 'orphan_files', v_n,
+           'orphans', 'orphan_bytes', v_obytes
+        ) AS (section, metric, value)"""
+    )
 
 
 @register(
