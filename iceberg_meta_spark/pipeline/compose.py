@@ -10,13 +10,17 @@ stage-by-stage scripts with intermediate writes give up.
 
 Stages (all built on the oracle-gated kernels):
 
-- ``quality_filter``   — keep docs rated in ``keep`` (default good/ok)
-- ``exact_dedup``      — drop exact-hash duplicates, keep-min-id
-- ``cluster_dedup``    — drop transitive near-dup cluster members (CC reps stay)
-- ``pii``              — redact emails/IPs/phones into ``text``
-- ``mix``              — per-stratum deterministic rates in 256ths
-- ``split``            — keep one leakage-safe split (e.g. train)
-- ``chunk``            — context-window chunking (changes the row grain!)
+- ``quality_filter``     — keep docs rated in ``keep`` (default good/ok)
+- ``classifier_filter``  — keep docs the frozen linear classifier scores
+                           >= ``threshold_micro`` (map-side, no join)
+- ``exact_dedup``        — drop exact-hash duplicates, keep-min-id
+- ``cluster_dedup``      — drop transitive near-dup cluster members (CC reps stay)
+- ``winnow_dedup``       — drop the higher-id side of every winnowed-
+                           fingerprint match (MOSS near-dup at doc grain)
+- ``pii``                — redact emails/IPs/phones into ``text``
+- ``mix``                — per-stratum deterministic rates in 256ths
+- ``split``              — keep one leakage-safe split (e.g. train)
+- ``chunk``              — context-window chunking (changes the row grain!)
 
 ``compose(docs, spec)`` returns the composed DataFrame; ``explain_spec``
 pretty-prints the stage list. Specs are plain dicts so they can come from
@@ -104,10 +108,41 @@ def _chunk(df: DataFrame, stage: dict) -> DataFrame:
     )
 
 
+def _classifier_filter(df: DataFrame, stage: dict) -> DataFrame:
+    from iceberg_meta_spark.pipeline.classifier import (
+        DECISION_MICRO,
+        _feature_cols,
+        score_expr,
+    )
+
+    threshold = int(stage.get("threshold_micro", DECISION_MICRO))
+    # pure map-side: features + frozen-weight dot computed inline, no join
+    scored = df.select("*", *_feature_cols()).withColumn("score_micro", score_expr())
+    return scored.filter(F.col("score_micro") >= threshold).select(*df.columns)
+
+
+def _winnow_dedup(df: DataFrame, stage: dict) -> DataFrame:
+    from iceberg_meta_spark.pipeline.winnow import winnow_dup_pairs
+
+    pairs = winnow_dup_pairs(
+        df,
+        gram_tokens=stage.get("gram_tokens", 8),
+        window=stage.get("window", 4),
+        min_shared=stage.get("min_shared", 2),
+        df_cap=stage.get("df_cap", 16),
+    )
+    # doc_a < doc_b in every pair: dropping the doc_b side keeps exactly
+    # the lowest-id member of each matched group
+    dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return df.join(dups, "doc_id", "left_anti")
+
+
 _STAGES = {
     "quality_filter": _quality_filter,
+    "classifier_filter": _classifier_filter,
     "exact_dedup": _exact_dedup,
     "cluster_dedup": _cluster_dedup,
+    "winnow_dedup": _winnow_dedup,
     "pii": _pii,
     "mix": _mix,
     "split": _split,

@@ -67,3 +67,28 @@ def test_compose_chunk_changes_grain(spark):
 def test_compose_unknown_stage_raises(spark):
     with pytest.raises(ValueError, match="unknown stage"):
         C.compose(_docs(spark), [{"stage": "nope"}])
+
+
+def test_compose_classifier_and_winnow_stages(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, base, "en", "web"),
+        (2, base + " extra trailing words", "en", "web"),  # winnow near-dup of 1
+        (3, "completely different " + " ".join(f"zz{i}" for i in range(28)), "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = C.compose(
+        docs,
+        [
+            {"stage": "classifier_filter", "threshold_micro": -10**12},  # keep all
+            {"stage": "winnow_dedup", "gram_tokens": 4, "window": 3},
+        ],
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 3}  # near-dup 2 dropped, min-id 1 kept
+    assert out.columns == docs.columns  # stages preserve the doc grain/schema
+
+    strict = C.compose(docs, [{"stage": "classifier_filter", "threshold_micro": 10**12}])
+    assert strict.count() == 0  # impossible threshold drops everything

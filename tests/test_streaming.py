@@ -1370,3 +1370,53 @@ def test_streaming_substring_boilerplate_at_ingest(spark, tmp_path):
         assert docs_in_store == {1, 2, 3, 4, 5, 6}
     finally:
         q.stop()
+
+
+def test_streaming_quality_score_matches_batch(spark, tmp_path):
+    """Filter-at-ingest: the frozen linear classifier scores a live
+    document stream bit-identically to the batch scoring expression."""
+    import time
+
+    from iceberg_meta_spark.streaming.score import score_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expected = {
+        r.doc_id: (r.score_micro, r.decision)
+        for r in score_stream(docs).collect()
+    }
+
+    src = str(tmp_path / "docs")
+    docs.filter("doc_id < 250").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    got: dict[int, tuple] = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            got[r.doc_id] = (r.score_micro, r.decision)
+
+    q = (
+        score_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: len(got) >= 250), len(got)
+        docs.filter("doc_id >= 250").write.mode("append").parquet(src)
+        assert wait_for(lambda: len(got) == len(expected)), len(got)
+        assert got == expected
+        assert {d for _, d in got.values()} <= {"keep", "drop"}
+    finally:
+        q.stop()
