@@ -398,3 +398,17 @@ def manifest_rewrite(src: MetadataSource, target_bytes: int = 8 * 1024 * 1024) -
     from iceberg_meta_spark.operators.maintenance import manifest_rewrite_plan
 
     return manifest_rewrite_plan(src.manifests(), target_bytes=target_bytes)
+
+
+def delete_plan(
+    src: MetadataSource, field_id: int, subject_keys: list[int]
+) -> DataFrame:
+    """Right-to-be-forgotten planning: the files an equality-delete of
+    ``subject_keys`` in column ``field_id`` must rewrite, judged from
+    per-file zone maps — with per-file rewrite cost. Files whose bounds
+    exclude every key are provably clean and skipped."""
+    from iceberg_meta_spark.operators.maintenance import equality_delete_plan
+
+    return equality_delete_plan(
+        src.column_stats(), src.files(), field_id=field_id, subject_keys=subject_keys
+    )

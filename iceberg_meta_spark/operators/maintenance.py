@@ -300,3 +300,57 @@ def manifest_rewrite_plan(
         .filter(F.col("n_manifests") > 1)  # singleton groups gain nothing
         .orderBy("snapshot_id", "partition_spec_id", "group_id")
     )
+
+
+def equality_delete_plan(
+    col_stats: DataFrame,
+    files: DataFrame,
+    field_id: int,
+    subject_keys: list[int],
+) -> DataFrame:
+    """Right-to-be-forgotten planning: which data files COULD contain any of
+    ``subject_keys`` in column ``field_id``, judged purely from the per-file
+    zone maps (lower/upper bounds) — the file set an equality-delete
+    compaction (or GDPR erasure rewrite) must touch, with its cost.
+
+    Per candidate file: how many subject keys land inside its bound
+    interval, plus the rewrite cost (bytes, rows-upper-bound). Files whose
+    bounds exclude every key are provably clean and never rewritten — the
+    same zone-map argument query-side data skipping makes, applied to
+    deletes.
+
+    Scale shape: the subject-key set is a deletion batch (thousands at
+    most) baked in as an array literal, so the containment check is PURE
+    MAP-SIDE array arithmetic over the stats table — no join, no shuffle;
+    the only exchange attaches file sizes by file_path equi-join. At 10^9
+    files this is one scan of the stats table. For million-key batches,
+    swap the literal for a broadcast range-bucketed join without changing
+    the output contract.
+    """
+    keys = F.array(*[F.lit(int(k)).cast("long") for k in sorted(subject_keys)])
+    hits = (
+        col_stats.where(F.col("field_id") == field_id)
+        .select(
+            "file_path",
+            F.size(
+                F.filter(
+                    keys,
+                    lambda k: (k >= F.col("lower_bound"))
+                    & (k <= F.col("upper_bound")),
+                )
+            )
+            .cast("long")
+            .alias("n_candidate_keys"),
+        )
+        .where(F.col("n_candidate_keys") > 0)
+    )
+    return (
+        hits.join(files.select("file_path", "file_size_in_bytes", "record_count"), "file_path")
+        .select(
+            "file_path",
+            "n_candidate_keys",
+            F.col("file_size_in_bytes").alias("rewrite_bytes"),
+            F.col("record_count").alias("rows_upper_bound"),
+        )
+        .orderBy("file_path")
+    )

@@ -5489,3 +5489,48 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+from iceberg_meta_spark.operators.maintenance import equality_delete_plan  # noqa: E402
+
+_DELETE_FIELD = 3
+_DELETE_KEYS = [40, 750, 1500, 999999]  # one key beyond every bound: provably clean
+
+
+@register(
+    "meta_delete_plan",
+    oracle=oracle_query(
+        f"""
+        , hits AS (
+            SELECT file_path,
+                   CAST(len(list_filter([{", ".join(map(str, _DELETE_KEYS))}],
+                        k -> k >= lower_bound AND k <= upper_bound)) AS BIGINT)
+                     AS n_candidate_keys
+            FROM meta_column_stats WHERE field_id = {_DELETE_FIELD})
+        SELECT h.file_path, h.n_candidate_keys,
+               CAST(f.file_size_in_bytes AS BIGINT) AS rewrite_bytes,
+               CAST(f.record_count AS BIGINT) AS rows_upper_bound
+        FROM hits h JOIN meta_files f USING (file_path)
+        WHERE h.n_candidate_keys > 0
+        ORDER BY h.file_path
+        """,
+        "meta_files",
+        "meta_column_stats",
+    ),
+    tags=("maintenance",),
+    doc="Right-to-be-forgotten / equality-delete planning: the file set a "
+    "GDPR erasure of the subject keys must rewrite, judged purely from "
+    "per-file zone maps (lower/upper bounds) — files whose bounds exclude "
+    "every key are provably clean and skipped, the same zone-map argument "
+    "data skipping makes query-side. The deletion batch is an array "
+    "literal, so containment is pure map-side array arithmetic over the "
+    "stats table (no join, no shuffle); the only exchange attaches "
+    "rewrite costs by file_path. One stats-table scan at any file count",
+)
+def meta_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equality_delete_plan(
+        derive(spark, sf_dir, "meta_column_stats"),
+        derive(spark, sf_dir, "meta_files"),
+        field_id=_DELETE_FIELD,
+        subject_keys=_DELETE_KEYS,
+    )

@@ -326,3 +326,46 @@ def test_manifest_rewrite_plan_groups_small_data_manifests(spark):
     g = out[0]
     assert g.snapshot_id == 1 and g.n_manifests == 3
     assert g.group_bytes == 900 * 1024 and g.group_files == 5 + 2 + 3 + 1 + 2
+
+
+def test_equality_delete_plan_zone_map_semantics(spark):
+    from iceberg_meta_spark.operators.maintenance import equality_delete_plan
+
+    stats = spark.createDataFrame(
+        [
+            ("f1", 3, 10, 20),   # contains 15
+            ("f2", 3, 30, 40),   # contains none
+            ("f3", 3, 0, 100),   # contains 15 AND 99
+            ("f4", 7, 10, 20),   # right range, wrong column
+        ],
+        "file_path string, field_id int, lower_bound long, upper_bound long",
+    )
+    files = spark.createDataFrame(
+        [("f1", 1000, 10), ("f2", 2000, 20), ("f3", 3000, 30), ("f4", 4000, 40)],
+        "file_path string, file_size_in_bytes long, record_count long",
+    )
+    rows = equality_delete_plan(stats, files, field_id=3, subject_keys=[15, 99]).collect()
+    got = {r.file_path: (r.n_candidate_keys, r.rewrite_bytes, r.rows_upper_bound) for r in rows}
+    assert got == {"f1": (1, 1000, 10), "f3": (2, 3000, 30)}
+
+
+def test_equality_delete_plan_is_map_side_containment(spark):
+    from iceberg_meta_spark.operators.maintenance import equality_delete_plan
+
+    stats = spark.createDataFrame(
+        [("f1", 3, 10, 20)],
+        "file_path string, field_id int, lower_bound long, upper_bound long",
+    )
+    files = spark.createDataFrame(
+        [("f1", 1000, 10)], "file_path string, file_size_in_bytes long, record_count long"
+    )
+    plan = (
+        equality_delete_plan(stats, files, field_id=3, subject_keys=[15])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the key-containment test must not be a join: exactly ONE join total
+    # (attaching file sizes), and never a nested-loop/cartesian
+    assert plan.count("Join") <= plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -740,3 +740,20 @@ def test_boilerplate_spans_rank_and_plan(spark):
     with contextlib.redirect_stdout(buf):
         dedup.boilerplate_spans(docs, window_tokens=4, top_k=5).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_dedup_eval_harness(spark):
+    """Near-dup certification: on the sf0.001 corpus, LSH banding must
+    surface every true Jaccard>=0.5 pair (recall 1.0 measured), the
+    verified kernel must equal truth exactly, and winnowing must stay a
+    high-recall perfect-precision detector. A banding/hash regression
+    that silently empties buckets fails here, same contract as ann_eval."""
+    import tools.dedup_eval as de
+
+    report = de.evaluate(spark, "/root/testdata/sf0.001", min_jaccard=0.5)
+    assert report["minhash_lsh_candidates"]["recall"] >= 0.95
+    assert report["minhash_lsh_candidates"]["precision"] >= 0.8
+    assert report["ngram_jaccard_verified"]["recall"] == 1.0
+    assert report["ngram_jaccard_verified"]["precision"] == 1.0
+    assert report["winnowing"]["recall"] >= 0.9
+    assert report["winnowing"]["precision"] >= 0.95
