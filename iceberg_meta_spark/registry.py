@@ -72,7 +72,10 @@ def register(
 # warehouse CUBE upgrade beside the ROLLUP, the approx file-health twin
 # beside the exact one) yield their slot; they — and everything else —
 # stay under the full-registry local gate (tools/check_oracle.py, committed
-# per-round as CORRECTNESS_FULL_r*.json).
+# per-round as CORRECTNESS_FULL_r*.json). r5 rotation: text_winnow_stats +
+# quality_classifier_score (the round's headline families) take the slots
+# of multimodal_frame_sample (family still covered by features/resize) and
+# training_mix (family covered by the corpus_curation composite).
 DRIVER_WINDOW = [
     # §2 metadata core
     "meta_file_health",
@@ -114,8 +117,8 @@ DRIVER_WINDOW = [
     "text_fingerprints",
     "multimodal_features",
     "multimodal_resize",
-    "multimodal_frame_sample",
-    "training_mix",
+    "text_winnow_stats",
+    "quality_classifier_score",
     "corpus_curation",
     # composite commands (§2.11)
     "health_report",
