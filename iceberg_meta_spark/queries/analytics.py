@@ -678,3 +678,94 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "session_paths",
+    oracle="""
+        WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events),
+        lagged AS (
+            SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS prev_ts
+            FROM ev),
+        marked AS (
+            SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM lagged),
+        sess AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_id
+            FROM marked),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts_us, event_id) AS rn
+            FROM sess),
+        paths AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= 3 GROUP BY user_id, session_id),
+        counted AS (
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path),
+        tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM counted)
+        SELECT c.path, c.n_sessions,
+               CAST(c.n_sessions * 1000 // t.total AS BIGINT) AS share_permille
+        FROM counted c, tot t
+        ORDER BY c.n_sessions DESC, c.path
+        LIMIT 20
+    """,
+    tags=("bench",),
+    doc="Path analysis (the Amplitude/GA 'top user journeys' query): the "
+    "first three event types of every 30-minute-gap session, joined "
+    "'a>b>c', counted across sessions with integer permille share — the "
+    "behavioral signature report. Every window (lag, cumulative session "
+    "id, in-session rank) partitions by user_id — sessionization work is "
+    "per-user parallel, never a global ordering; path counting is one "
+    "shrinking groupBy on the path string, the 1-row total broadcasts "
+    "back, and the top-20 compiles to TakeOrderedAndProject (per-"
+    "partition heaps, no global sort). Ties inside a session break on "
+    "event_id in BOTH engines, so paths are engine-deterministic",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(by_user)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    by_sess = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(by_sess)).where(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    tot = counted.agg(F.sum("n_sessions").cast("long").alias("total"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            F.expr("n_sessions * 1000 DIV total").alias("share_permille"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

@@ -46,7 +46,19 @@ corpora = st.lists(
     max_size=12,
 )
 
-QUERIES = ["dedup_exact", "quality_adaptive_buckets", "weak_label_vote"]
+# winnowing exercises the sliding-min/distinct selection right at its
+# 11-token doc-length boundary (corpora cap at 12 tokens); the classifier
+# pair exercises BIGINT product sums and integer bucket edges on degenerate
+# (empty/single-token) docs.
+QUERIES = [
+    "dedup_exact",
+    "quality_adaptive_buckets",
+    "weak_label_vote",
+    "text_winnow_stats",
+    "dedup_winnowing",
+    "quality_classifier_gram",
+    "quality_classifier_score",
+]
 
 
 def _run(spark, tmpdir: str, rows) -> None:

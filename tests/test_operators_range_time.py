@@ -60,3 +60,39 @@ def test_time_rollup_grains_are_consistent(spark):
     days = sum(r.n_events for r in rows if r.grain == "day")
     assert mins == hours == days == 3
     assert 2 * US_MIN == 120_000_000  # sanity on the constants
+
+
+def test_session_paths_known_journeys(spark, tmp_path):
+    # two users; u1 has two sessions (gap > 30 min splits), u2 one session
+    # with >3 events (path truncates to first 3)
+    import iceberg_meta_spark.queries.analytics as A
+
+    rows = [
+        # user 1, session A: view > click
+        (1, 1, "view", 0),
+        (2, 1, "click", 60_000_000),
+        # user 1, session B (2h later): view > click
+        (3, 1, "view", 7_200_000_000),
+        (4, 1, "click", 7_260_000_000),
+        # user 2, one session: view > click > purchase > error (truncated)
+        (5, 2, "view", 0),
+        (6, 2, "click", 30_000_000),
+        (7, 2, "purchase", 90_000_000),
+        (8, 2, "error", 120_000_000),
+    ]
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), uid, et, 1.0, "{}")
+            for eid, uid, et, us in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src = str(tmp_path)
+    ev.write.mode("overwrite").parquet(f"{src}/events.parquet")
+    got = {r.path: (r.n_sessions, r.share_permille) for r in A.session_paths(spark, src).collect()}
+    assert got == {
+        "view>click": (2, 666),
+        "view>click>purchase": (1, 333),
+    }
