@@ -164,3 +164,90 @@ def dsir_importance(
         )
         .orderBy("doc_id")
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    bucket_micro: int = 50_000,
+) -> DataFrame:
+    """Quality-first selection under a per-language token budget — the
+    data-mixing question a training run actually asks ("give me the best
+    ~B tokens per language"), answered the way it must be answered at
+    100 TB: by a SCORE THRESHOLD computed from a histogram, not a global
+    per-language sort.
+
+    The naive form ranks every document per language and takes the prefix
+    cumulative-sum — a per-language global window, and language cardinality
+    is tiny, so at corpus scale that funnels everything through a handful
+    of tasks. Instead:
+
+    1. map-side: per-doc token count + frozen-classifier quality score,
+       bucketed at ``bucket_micro`` granularity (shifted positive so both
+       engines floor identically);
+    2. ONE shrinking aggregate to (lang, bucket) token/doc sums — the
+       histogram, bounded by langs x buckets regardless of corpus size;
+    3. a descending running sum over each language's <= few-hundred
+       buckets (window over the HISTOGRAM, not the corpus) finds the
+       highest-quality bucket prefix fitting the budget;
+    4. the per-language threshold broadcasts back; membership is a
+       map-side comparison.
+
+    Selection granularity is the bucket: the kept set can overshoot the
+    budget by at most one bucket's tokens (the trade that removes the
+    global sort; shrink ``bucket_micro`` to tighten). Returns per-language
+    (thr_bucket, n_docs_kept, tokens_kept, tokens_total, fill_permille),
+    ordered by lang.
+    """
+    from iceberg_meta_spark.pipeline.classifier import _feature_cols, score_expr
+
+    scored = (
+        docs.select("doc_id", "lang", *_feature_cols())
+        .withColumn("score_micro", score_expr())
+        .select(
+            "lang",
+            F.col("f1").alias("n_tokens"),
+            # shift far past any reachable score so the bucket index is
+            # positive in both engines (DIV vs // disagree below zero)
+            F.expr(f"(score_micro + 10000000) DIV {bucket_micro}").alias("bucket"),
+        )
+    )
+    hist = scored.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").cast("long").alias("tok"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    from pyspark.sql import Window
+
+    desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum_tok", F.sum("tok").over(desc))
+    thr = (
+        cum.where(F.col("cum_tok") - F.col("tok") < budget_tokens)
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("thr_bucket"))
+    )
+    totals = hist.groupBy("lang").agg(F.sum("tok").cast("long").alias("tokens_total"))
+    kept = (
+        hist.join(F.broadcast(thr), "lang")
+        .where(F.col("bucket") >= F.col("thr_bucket"))
+        .groupBy("lang", "thr_bucket")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs_kept"),
+            F.sum("tok").cast("long").alias("tokens_kept"),
+        )
+    )
+    return (
+        kept.join(totals, "lang")
+        .select(
+            "lang",
+            "thr_bucket",
+            "n_docs_kept",
+            "tokens_kept",
+            "tokens_total",
+            F.expr(f"tokens_kept * 1000 DIV {budget_tokens}").alias("fill_permille"),
+        )
+        .orderBy("lang")
+    )

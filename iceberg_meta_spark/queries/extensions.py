@@ -5534,3 +5534,57 @@ def meta_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         field_id=_DELETE_FIELD,
         subject_keys=_DELETE_KEYS,
     )
+
+
+from iceberg_meta_spark.pipeline.sampling import token_budget_mix  # noqa: E402
+
+_MIX_BUDGET = 3000  # tokens per language
+_MIX_BUCKET = 50_000  # score-bucket width in micro units
+
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+        WITH {_classifier_feature_sql()},
+        s AS (SELECT lang, f1 AS n_tokens,
+                     ({_score_sql()} + 10000000) // {_MIX_BUCKET} AS bucket
+              FROM xy),
+        hist AS (SELECT lang, bucket,
+                        CAST(sum(n_tokens) AS BIGINT) AS tok,
+                        CAST(count(*) AS BIGINT) AS n_docs
+                 FROM s GROUP BY lang, bucket),
+        cum AS (SELECT *, sum(tok) OVER (PARTITION BY lang ORDER BY bucket DESC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_tok
+                FROM hist),
+        thr AS (SELECT lang, CAST(min(bucket) AS BIGINT) AS thr_bucket
+                FROM cum WHERE cum_tok - tok < {_MIX_BUDGET} GROUP BY lang),
+        totals AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS tokens_total
+                   FROM hist GROUP BY lang),
+        kept AS (SELECT h.lang, t.thr_bucket,
+                        CAST(sum(h.n_docs) AS BIGINT) AS n_docs_kept,
+                        CAST(sum(h.tok) AS BIGINT) AS tokens_kept
+                 FROM hist h JOIN thr t ON h.lang = t.lang
+                 WHERE h.bucket >= t.thr_bucket
+                 GROUP BY h.lang, t.thr_bucket)
+        SELECT k.lang, k.thr_bucket, k.n_docs_kept, k.tokens_kept,
+               tt.tokens_total,
+               CAST(k.tokens_kept * 1000 // {_MIX_BUDGET} AS BIGINT) AS fill_permille
+        FROM kept k JOIN totals tt ON k.lang = tt.lang
+        ORDER BY k.lang
+    """,
+    doc="Quality-first selection under a per-language token budget, the "
+    "100 TB way: a score THRESHOLD from a (lang, score-bucket) histogram "
+    "— map-side scoring, ONE shrinking aggregate to the bounded "
+    "histogram, a running sum over each language's <= few-hundred "
+    "buckets (a window over the HISTOGRAM, never the corpus), threshold "
+    "broadcast back. The naive per-language sort-and-take-prefix is a "
+    "tiny-cardinality-key global window — a funnel at corpus scale; "
+    "bucket granularity bounds budget overshoot by one bucket's tokens",
+)
+def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_mix(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=_MIX_BUDGET,
+        bucket_micro=_MIX_BUCKET,
+    )

@@ -757,3 +757,43 @@ def test_dedup_eval_harness(spark):
     assert report["ngram_jaccard_verified"]["precision"] == 1.0
     assert report["winnowing"]["recall"] >= 0.9
     assert report["winnowing"]["precision"] >= 0.95
+
+
+def test_token_budget_mix_threshold_semantics(spark):
+    """Crafted corpus: high-score docs fill the budget first; the kept set
+    is a bucket-prefix by score, never exceeding budget by more than one
+    bucket, and a huge budget keeps everything."""
+    from iceberg_meta_spark.pipeline.sampling import token_budget_mix
+
+    good = ("the cat and the dog ran to the barn and the yard over and over "
+            "with the wind at the door and a light in the hall to guide the way")
+    bad = "x1 " * 30  # no stopwords -> low score
+    docs = _docs(spark, [good, good, bad.strip()], langs=["en", "en", "en"])
+    # budget fits roughly one good doc (30 tokens): only the top bucket stays
+    out = token_budget_mix(docs, budget_tokens=35, bucket_micro=50_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.lang == "en"
+    assert r.tokens_total > r.tokens_kept >= 35  # partial, covers budget
+    # the two good docs share a bucket: both kept, bad doc excluded
+    assert r.n_docs_kept == 2
+    # huge budget -> everything kept, fill reflects the full corpus
+    all_in = token_budget_mix(docs, budget_tokens=10**9, bucket_micro=50_000).collect()[0]
+    assert all_in.n_docs_kept == 3 and all_in.tokens_kept == all_in.tokens_total
+
+
+def test_token_budget_mix_window_rides_histogram_not_corpus(spark):
+    from iceberg_meta_spark.pipeline.sampling import token_budget_mix
+
+    docs = _docs(spark, ["the a of and to words here today"] * 6)
+    plan = (
+        token_budget_mix(docs, budget_tokens=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only Window sits above the (lang, bucket) histogram aggregate —
+    # never a per-document window; and the threshold joins back broadcast
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
