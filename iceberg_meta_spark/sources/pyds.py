@@ -37,6 +37,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -187,6 +188,84 @@ class _SnapshotLogWriter(DataSourceWriter):
                 os.remove(os.path.join(self.dir, f))
 
 
+class _SnapshotLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half: per-epoch two-phase commit onto the same
+    append-only NDJSON log the batch writer produces (so the stream READER
+    tails what the stream WRITER emits — the source closes its own loop).
+
+    Tasks stage ``.tmp`` files exactly like the batch writer; the
+    driver-side ``commit(messages, batchId)`` renames them to
+    ``stream-e{batchId}-*.jsonl`` and appends to ``_manifest.json``, which
+    also records the committed epoch ids. A REPLAYED epoch (restart after
+    a commit the engine didn't record) is detected there and its staged
+    files are discarded instead of re-published — file-level
+    exactly-once under at-least-once epoch delivery. ``abort`` removes
+    only this attempt's staged files.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("snapshot_log stream sink requires option 'path'")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator) -> _LogCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_name = f"stream-part-{pid:05d}-{uuid.uuid4().hex}.tmp"
+        rows = 0
+        with open(os.path.join(self.dir, tmp_name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {c: row[c] for c in _COLS}
+                fh.write(json.dumps(rec, sort_keys=True) + "\n")
+                rows += 1
+        return _LogCommit(tmp_name, rows)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "_manifest.json")
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path(), encoding="utf-8") as fh:
+                m = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            m = {}
+        m.setdefault("files", [])
+        m.setdefault("epochs", [])
+        return m
+
+    def commit(self, messages, batchId: int) -> None:
+        committed = [m for m in messages if m is not None]
+        manifest = self._load_manifest()
+        if batchId in manifest["epochs"]:
+            # replayed epoch: already published — drop this attempt's staging
+            for m in committed:
+                tmp = os.path.join(self.dir, m.tmp_name)
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            return
+        for i, m in enumerate(committed):
+            final = f"stream-e{batchId:08d}-{i:05d}.jsonl"
+            os.rename(
+                os.path.join(self.dir, m.tmp_name), os.path.join(self.dir, final)
+            )
+            manifest["files"].append({"file": final, "rows": m.rows})
+        manifest["epochs"].append(batchId)
+        manifest["files"].sort(key=lambda e: e["file"])
+        manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+        with open(self._manifest_path(), "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            tmp = os.path.join(self.dir, m.tmp_name)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+
 class _SnapshotLogStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the source: the directory is an append-only log
     (files are only ever added, each file only ever grows — exactly what the
@@ -282,3 +361,6 @@ class SnapshotLogDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return _SnapshotLogStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _SnapshotLogStreamWriter(self.options, overwrite)

@@ -545,3 +545,85 @@ def test_write_clustered_zorder_files_are_range_local(spark, tmp_path):
                   and min(t["y"].to_pylist()) <= qy and max(t["y"].to_pylist()) >= 0)(
                       papq.read_table(f, columns=["x", "y"])))
     assert hit < len(spans)
+
+
+def test_snapshot_log_datasource_stream_writer(spark, tmp_path):
+    """The streaming-sink quadrant of the custom source: a live stream of
+    snapshot rows lands as per-epoch two-phase commits in the same NDJSON
+    log the batch writer produces; the manifest records committed epochs,
+    no .tmp files survive, and the batch reader round-trips every row.
+    Also pins replay idempotence: re-committing an already-recorded epoch
+    publishes nothing."""
+    import json
+    import os
+    import time
+
+    from iceberg_meta_spark.sources.pyds import (
+        SnapshotLogDataSource,
+        _LogCommit,
+        _SnapshotLogStreamWriter,
+    )
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "log")
+    schema = ("snapshot_id long, parent_id long, committed_us long, operation string, "
+              "added_records long, deleted_records long, total_data_files long, "
+              "total_files_size long")
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, i - 1 if i else None, 1_000_000 * i, "append", 10 * i, 0, i + 1, 100 * (i + 1))
+             for i in range(lo, hi)],
+            schema,
+        )
+
+    mk(0, 5).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.writeStream.format("snapshot_log")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def wait_rows(n, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                m = json.loads((tmp_path / "log" / "_manifest.json").read_text())
+                if m.get("total_rows", 0) >= n:
+                    return m
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            time.sleep(0.5)
+        raise AssertionError("stream sink never reached expected rows")
+
+    try:
+        wait_rows(5)
+        mk(5, 9).write.mode("append").parquet(src)
+        manifest = wait_rows(9)
+    finally:
+        q.stop()
+
+    assert manifest["epochs"] and len(manifest["epochs"]) >= 1
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = spark.read.format("snapshot_log").option("path", out).load()
+    assert {r.snapshot_id: r.total_files_size for r in back.collect()} == {
+        i: 100 * (i + 1) for i in range(9)
+    }
+
+    # replayed epoch: stage a file and re-commit an epoch id the manifest
+    # already records — nothing new may be published
+    epoch = manifest["epochs"][0]
+    w = _SnapshotLogStreamWriter({"path": out}, overwrite=False)
+    stale = "stream-part-99999-deadbeef.tmp"
+    (tmp_path / "log" / stale).write_text('{"snapshot_id": 999}\n')
+    before = sorted(os.listdir(out))
+    w.commit([_LogCommit(stale, 1)], epoch)
+    after = sorted(os.listdir(out))
+    assert stale not in after
+    assert [f for f in after if f.endswith(".jsonl")] == [
+        f for f in before if f.endswith(".jsonl")
+    ]
