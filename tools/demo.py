@@ -46,6 +46,10 @@ def main() -> None:
     show("hilbert plan", api.hilbert_plan(src))
     show("manifest rewrite plan", api.manifest_rewrite(src))
     show("files as of snapshot 1", api.files_asof(src, as_of=1))
+    show(
+        "GDPR delete plan (field 3, 3 subject keys)",
+        api.delete_plan(src, field_id=3, subject_keys=[40, 750, 1500]),
+    )
     seen = src.snapshots().select("snapshot_id").limit(5)
     show("watch tick (new snapshots)", api.watch(src, seen))
     spark.stop()
