@@ -85,7 +85,9 @@ def gram_matrix(docs: DataFrame) -> DataFrame:
     for i in range(len(cols)):
         for j in range(i, len(cols)):
             aggs.append(
-                F.sum(F.col(cols[i]) * F.col(cols[j]))
+                # coalesce: an EMPTY corpus yields the all-zero Gram (the
+                # ridge solve then returns the zero weights), never NULLs
+                F.coalesce(F.sum(F.col(cols[i]) * F.col(cols[j])), F.lit(0))
                 .cast("long")
                 .alias(f"s_{i}_{j}")
             )

@@ -5349,7 +5349,7 @@ def _classifier_feature_sql() -> str:
 def _gram_oracle() -> str:
     cols = [f"f{i}" for i in range(classifier.N_FEATURES)] + ["y"]
     sums = ", ".join(
-        f"CAST(sum({a} * {b}) AS BIGINT) AS s_{i}_{j}"
+        f"CAST(coalesce(sum({a} * {b}), 0) AS BIGINT) AS s_{i}_{j}"
         for i, a in enumerate(cols)
         for j, b in enumerate(cols)
         if j >= i

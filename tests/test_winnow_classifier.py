@@ -170,3 +170,20 @@ def test_score_histogram_is_shuffle_lean(spark):
     # tiny-key aggregate + final sort
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_new_kernels_handle_empty_corpus(spark):
+    """Schema-stable zero results on an empty corpus — same contract the
+    maintenance kernels pin. The Gram is all-zero (so the ridge solve
+    returns zero weights), never NULL."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    gram = classifier.gram_matrix(empty).collect()
+    d = classifier.N_FEATURES + 1
+    assert len(gram) == d * (d + 1) // 2
+    assert all(r.s == 0 for r in gram)
+    assert classifier.train_weights(spark, empty) == [0.0] * classifier.N_FEATURES
+    assert classifier.score_histogram(empty).collect() == []
+    assert winnow.winnow_stats(empty).collect() == []
+    assert winnow.winnow_dup_pairs(empty).collect() == []
