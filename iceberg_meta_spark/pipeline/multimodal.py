@@ -43,12 +43,16 @@ ASSET_SCHEMA = StructType(
 
 # ---------------------------------------------------------------------------
 # Real, dependency-free codecs (no PIL/ffmpeg in this container):
-#   image — binary PPM (P6) / PGM (P5) and uncompressed BMP header parse
+#   image — binary PPM (P6) / PGM (P5), uncompressed BMP, and REAL PNG
+#           (stdlib zlib inflate + all five scanline filters; 8-bit
+#           gray/RGB/RGBA, non-interlaced — a genuine compressed
+#           production format, encoder included)
 #   audio — RIFF/WAVE PCM (stdlib struct parse)
 #   video — YUV4MPEG2 (y4m: plain-text header + raw frames)
-# Formats PIL/ffmpeg WOULD handle (PNG/JPEG/MP3/MP4…) still raise
-# NotImplementedError with the library named — the honest boundary — but
-# the decode path itself is real and exercised on real containers.
+# Formats that genuinely need external libs (JPEG/MP3/MP4, palette or
+# interlaced PNG…) still raise NotImplementedError with the library named
+# — the honest boundary — but the decode path itself is real and
+# exercised on real containers.
 # ---------------------------------------------------------------------------
 
 _Y4M_MAGIC = b"YUV4MPEG2 "
@@ -115,8 +119,128 @@ def decode_image(payload: bytes) -> dict:
             "pixels": rows.reshape(abs(h), w, ch),
         }
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decoding requires PIL/OpenCV; use fake_features")
+        return _decode_png(payload)
     raise NotImplementedError("image decoding for this format requires PIL/OpenCV")
+
+
+# --- PNG: a real compressed production format, decoded with nothing but ---
+# --- stdlib zlib + numpy (critical chunks; 8-bit gray/RGB/RGBA;         ---
+# --- all five scanline filters; non-interlaced).                        ---
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    import struct
+
+    off = 8
+    while off + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, off), payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        yield ctype, data
+        off += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> dict:
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = idat = None
+    idat_parts = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+    if ihdr is None or not idat_parts:
+        raise NotImplementedError("malformed PNG (missing IHDR/IDAT)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB/RGBA PNG supported; "
+            "palette/16-bit/interlaced need PIL"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat_parts))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG scanline size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    rec[x] = (line[x] + left) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+                else:
+                    rec[x] = (line[x] + _paeth(int(left), int(up), int(ul))) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": ch,
+        "pixels": out.reshape(h, w, ch),
+    }
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an HxWxC uint8 array (C in {1,3,4}) as a real zlib-compressed
+    PNG (filter 0 per scanline) — stdlib only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_audio(payload: bytes) -> dict:

@@ -797,3 +797,84 @@ def test_token_budget_mix_window_rides_histogram_not_corpus(spark):
     assert plan.count("Window") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_png_roundtrip_and_all_filters(spark):
+    """Real PNG: stdlib-zlib encode -> decode round-trips pixels exactly
+    for gray/RGB/RGBA; and a hand-built PNG using every scanline filter
+    type (None/Sub/Up/Average/Paeth) reconstructs correctly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from iceberg_meta_spark.pipeline import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(13, 7, ch), dtype=np.uint8)
+        d = mm.decode_image(mm.encode_png(px))
+        assert (d["width"], d["height"], d["n_channels"]) == (7, 13, ch)
+        assert np.array_equal(d["pixels"], px)
+
+    # hand-built 3x5 RGB image exercising filters 0..4 (one per row, rows
+    # 0..4), filtered manually per the PNG spec, then decoded back
+    h, w, ch = 5, 3, 3
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        filt = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                filt[x] = cur[x]
+            elif ftype == 1:
+                filt[x] = cur[x] - left
+            elif ftype == 2:
+                filt[x] = cur[x] - up
+            elif ftype == 3:
+                filt[x] = cur[x] - ((left + up) >> 1)
+            else:
+                filt[x] = cur[x] - mm._paeth(int(left), int(up), int(ul))
+        lines.append(bytes([ftype]) + bytes((filt & 0xFF).astype(np.uint8)))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+               + chunk(b"IEND", b""))
+    d = mm.decode_image(payload)
+    assert np.array_equal(d["pixels"], px)
+
+    # unsupported variants still name the boundary honestly
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + chunk(b"IEND", b""))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(bad)
+
+
+def test_png_resize_through_real_decode(spark):
+    """resize_image accepts a PNG payload transparently: decode -> nearest
+    neighbor -> PPM re-encode."""
+    import numpy as np
+
+    from iceberg_meta_spark.pipeline import multimodal as mm
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = mm.resize_image(mm.encode_png(px), width=3, height=2)
+    d = mm.decode_image(out)
+    assert (d["width"], d["height"]) == (3, 2)
+    # nearest-neighbor at 2x downscale picks rows 0,2 and cols 0,2,4
+    assert np.array_equal(d["pixels"], px[::2, ::2][:2, :3])
