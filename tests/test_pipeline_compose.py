@@ -92,3 +92,43 @@ def test_compose_classifier_and_winnow_stages(spark):
 
     strict = C.compose(docs, [{"stage": "classifier_filter", "threshold_micro": 10**12}])
     assert strict.count() == 0  # impossible threshold drops everything
+
+
+def test_compose_full_curation_run_on_real_corpus(spark):
+    """End-to-end curation over the sf0.001 corpus: classifier gate ->
+    exact dedup -> winnow dedup -> PII -> leakage-safe split -> chunk.
+    Pins the pipeline-wide invariants a production run relies on:
+    monotone doc-count reduction at each filter stage, zero surviving
+    exact duplicates, zero surviving winnow matches, and grain change
+    only at the chunk stage."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    gated = C.compose(docs, [{"stage": "classifier_filter"}])
+    n1 = gated.count()
+    assert 0 < n1 < n0  # the frozen filter actually drops something
+
+    deduped = C.compose(docs, [
+        {"stage": "classifier_filter"},
+        {"stage": "exact_dedup"},
+        {"stage": "winnow_dedup"},
+    ])
+    n2 = deduped.count()
+    assert 0 < n2 <= n1
+    # no exact dups survive
+    assert deduped.groupBy(F.md5("text")).count().filter("count > 1").count() == 0
+    # no winnow matches survive among the survivors
+    from iceberg_meta_spark.pipeline.winnow import winnow_dup_pairs
+
+    assert winnow_dup_pairs(deduped).count() == 0
+
+    final = C.compose(docs, [
+        {"stage": "classifier_filter"},
+        {"stage": "exact_dedup"},
+        {"stage": "winnow_dedup"},
+        {"stage": "pii"},
+        {"stage": "split", "keep": "train"},
+        {"stage": "chunk", "chunk_tokens": 32, "overlap": 8},
+    ])
+    rows = final.limit(5).collect()
+    assert rows and "chunk_text" in final.columns  # grain changed at chunk
