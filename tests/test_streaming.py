@@ -1420,3 +1420,70 @@ def test_streaming_quality_score_matches_batch(spark, tmp_path):
         assert {d for _, d in got.values()} <= {"keep", "drop"}
     finally:
         q.stop()
+
+
+def test_streaming_budget_thresholds_match_batch(spark, tmp_path):
+    """Continuously-maintained token-budget thresholds: after the stream
+    absorbs all documents (across multiple micro-batches), the maintained
+    per-language thresholds equal the batch kernel's over the full
+    corpus; a replayed batch_id folds nothing twice."""
+    import time
+
+    from iceberg_meta_spark.pipeline.sampling import token_budget_mix
+    from iceberg_meta_spark.streaming.budget import (
+        budget_merge_sink,
+        maintain_budget_thresholds,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 3000
+    expected = {
+        r.lang: r.thr_bucket
+        for r in token_budget_mix(docs, budget_tokens=budget).collect()
+    }
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "hist")
+    docs.filter("doc_id < 250").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    q = maintain_budget_thresholds(stream, state, budget_tokens=budget)
+
+    def thresholds():
+        try:
+            return {
+                r.lang: r.thr_bucket
+                for r in spark.read.parquet(state + "__thresholds").collect()
+            }
+        except Exception:
+            return {}
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: len(thresholds()) > 0)
+        docs.filter("doc_id >= 250").write.mode("append").parquet(src)
+        assert wait_for(lambda: thresholds() == expected), (
+            thresholds(),
+            expected,
+        )
+    finally:
+        q.stop()
+
+    # replay guard: re-applying an already-folded batch_id changes nothing
+    store_before = spark.read.parquet(state).agg(
+        F.sum("tok"), F.sum("n_docs")
+    ).collect()[0]
+    last_bid = spark.read.parquet(state).agg(F.max("batch_id")).collect()[0][0]
+    budget_merge_sink(state, budget)(docs.limit(10), last_bid)
+    store_after = spark.read.parquet(state).agg(
+        F.sum("tok"), F.sum("n_docs")
+    ).collect()[0]
+    assert tuple(store_before) == tuple(store_after)
