@@ -5588,3 +5588,87 @@ def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=_MIX_BUDGET,
         bucket_micro=_MIX_BUCKET,
     )
+
+
+@register(
+    "privacy_report",
+    oracle="""
+        WITH qi AS (SELECT c_nationkey, c_mktsegment,
+                           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                           CAST(count(*) AS BIGINT) AS class_size
+                    FROM customer GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_rows FROM qi),
+        ldiv AS (SELECT c_nationkey, bal_band,
+                        CAST(sum(class_size) AS BIGINT) AS class_size,
+                        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+                 FROM qi GROUP BY 1, 2),
+        ks AS (SELECT CAST(unnest([2, 3, 5, 10]) AS BIGINT) AS thr),
+        ls AS (SELECT CAST(unnest([2, 3, 5]) AS BIGINT) AS thr),
+        ka AS (SELECT 'k_anonymity' AS audit, k.thr,
+                      CAST(coalesce(sum(CASE WHEN qi.class_size < k.thr THEN 1 END), 0) AS BIGINT)
+                        AS n_violating_classes,
+                      CAST(coalesce(sum(CASE WHEN qi.class_size < k.thr THEN qi.class_size END), 0) AS BIGINT)
+                        AS n_rows_at_risk,
+                      CAST(coalesce(sum(CASE WHEN qi.class_size < k.thr THEN qi.class_size END), 0)
+                           * 1000 // max(t.n_rows) AS BIGINT) AS risk_permille
+               FROM ks k CROSS JOIN qi, tot t GROUP BY k.thr),
+        ld AS (SELECT 'l_diversity' AS audit, l.thr,
+                      CAST(coalesce(sum(CASE WHEN d.n_sensitive < l.thr THEN 1 END), 0) AS BIGINT),
+                      CAST(coalesce(sum(CASE WHEN d.n_sensitive < l.thr THEN d.class_size END), 0) AS BIGINT),
+                      CAST(coalesce(sum(CASE WHEN d.n_sensitive < l.thr THEN d.class_size END), 0)
+                           * 1000 // max(t.n_rows) AS BIGINT)
+               FROM ls l CROSS JOIN ldiv d, tot t GROUP BY l.thr)
+        SELECT * FROM ka UNION ALL SELECT * FROM ld
+        ORDER BY audit, thr
+    """,
+    doc="Composite privacy release gate: the k-anonymity and l-diversity "
+    "sweeps in one long-format result, derived from ONE scan of the "
+    "table — a single groupBy to the fine QI classes (nation, segment, "
+    "band) feeds the k-anonymity sweep directly and re-aggregates to "
+    "the coarse (nation, band) grain for l-diversity (distinct-segment "
+    "counts), with both threshold sweeps and the 1-row total riding "
+    "broadcasts over the bounded class tables",
+)
+def privacy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    tot = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
+    ldiv = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("class_size").cast("long").alias("class_size"),
+        F.count_distinct("c_mktsegment").cast("long").alias("n_sensitive"),
+    )
+
+    def sweep(classes: DataFrame, size_col: str, metric_col: str, audit: str, thresholds: list[int]) -> DataFrame:
+        ts = classes.sparkSession.createDataFrame([(t,) for t in thresholds], "thr bigint")
+        return (
+            classes.crossJoin(F.broadcast(ts))
+            .crossJoin(F.broadcast(tot))
+            .groupBy("thr")
+            .agg(
+                F.coalesce(F.sum(F.when(F.col(metric_col) < F.col("thr"), 1)), F.lit(0))
+                .cast("long")
+                .alias("n_violating_classes"),
+                F.coalesce(
+                    F.sum(F.when(F.col(metric_col) < F.col("thr"), F.col(size_col))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_rows_at_risk"),
+                F.max("n_rows").alias("n_rows"),
+            )
+            .select(
+                F.lit(audit).alias("audit"),
+                "thr",
+                "n_violating_classes",
+                "n_rows_at_risk",
+                F.expr("n_rows_at_risk * 1000 DIV n_rows").alias("risk_permille"),
+            )
+        )
+
+    ka = sweep(qi, "class_size", "class_size", "k_anonymity", [2, 3, 5, 10])
+    ld = sweep(ldiv, "class_size", "n_sensitive", "l_diversity", [2, 3, 5])
+    return ka.unionByName(ld).orderBy("audit", "thr")

@@ -103,3 +103,40 @@ def test_k_anonymity_monotone_in_k(spark):
     for r in rows:
         assert 0 <= r["n_rows_at_risk"] <= n_rows
         assert r["risk_permille"] == r["n_rows_at_risk"] * 1000 // n_rows
+
+
+def test_privacy_report_matches_standalone_audits(spark):
+    """The composite long-format gate must agree row-for-row with the two
+    standalone audits (same QI derivation, same thresholds), and its plan
+    must stay broadcast-only: the class tables are QI-domain-bounded, so
+    no sweep may introduce a shuffled join or cartesian product."""
+    from iceberg_meta_spark.queries.extensions import (
+        k_anonymity_audit,
+        l_diversity_audit,
+        privacy_report,
+    )
+
+    got = {
+        (r["audit"], r["thr"]): (
+            r["n_violating_classes"],
+            r["n_rows_at_risk"],
+            r["risk_permille"],
+        )
+        for r in privacy_report(spark, SF).collect()
+    }
+    assert len(got) == 7
+    for r in k_anonymity_audit(spark, SF).collect():
+        assert got[("k_anonymity", r["k"])] == (
+            r["n_violating_classes"],
+            r["n_rows_at_risk"],
+            r["risk_permille"],
+        )
+    for r in l_diversity_audit(spark, SF).collect():
+        assert got[("l_diversity", r["l"])] == (
+            r["n_violating_classes"],
+            r["n_rows_at_risk"],
+            r["risk_permille"],
+        )
+    p = plan(privacy_report(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
