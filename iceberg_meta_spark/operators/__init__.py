@@ -39,6 +39,7 @@ from iceberg_meta_spark.operators.maintenance import (
     hilbert_index,
     hilbert_layout,
     orphan_files,
+    scan_task_plan,
     snapshot_expiry,
     zorder_layout,
 )

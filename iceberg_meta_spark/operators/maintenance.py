@@ -129,6 +129,69 @@ def orphan_files(storage: DataFrame, metadata_files: DataFrame) -> DataFrame:
     )
 
 
+def scan_task_plan(
+    files: DataFrame,
+    target_bytes: int = 32 * 1024 * 1024,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read-side split planning: per-partition scan-task statistics.
+
+    Mirrors Iceberg's ``TableScan.planFiles`` split step (read.split
+    target size): each data file yields ``ceil(size / target)`` splits,
+    each at most ``target_bytes``. The per-file split count and split
+    sizes are closed-form column arithmetic — NO row explosion — so the
+    whole plan is one scan + one hash aggregate at any file count:
+
+    - ``n_splits``       total read tasks the partition produces
+    - ``ideal_tasks``    ``ceil(partition_bytes / target)`` — the lower
+      bound a perfect packing would reach
+    - ``overhead_splits`` ``n_splits - ideal_tasks`` — extra tasks paid
+      to file boundaries (many small files => high overhead; the signal
+      that feeds :func:`compaction_plan`)
+    - ``max_split_bytes`` the largest single task in the partition (the
+      straggler bound for the scan stage)
+
+    Reference parity note: the reference reports per-file sizes only
+    (formatters.py:263-281); it never plans the read. Split-count math
+    uses integer ``(size + target - 1) DIV target`` so both engines stay
+    BIGINT-exact.
+    """
+    t = int(target_bytes)
+    if snapshot_id is not None:
+        files = files.filter(F.col("snapshot_id") == snapshot_id)
+    per_file = files.select(
+        "part_key",
+        "file_size_in_bytes",
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), (file_size_in_bytes + {t - 1}) DIV {t})"
+        ).alias("n_splits"),
+        F.expr(f"LEAST(file_size_in_bytes, CAST({t} AS BIGINT))").alias(
+            "first_split_bytes"
+        ),
+    )
+    return (
+        per_file.groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("file_size_in_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_splits").cast("long").alias("n_splits"),
+            F.max("first_split_bytes").cast("long").alias("max_split_bytes"),
+        )
+        .select(
+            "part_key",
+            "n_files",
+            "total_bytes",
+            "n_splits",
+            F.expr(f"(total_bytes + {t - 1}) DIV {t}").alias("ideal_tasks"),
+            F.expr(f"n_splits - ((total_bytes + {t - 1}) DIV {t})").alias(
+                "overhead_splits"
+            ),
+            "max_split_bytes",
+        )
+        .orderBy("part_key")
+    )
+
+
 def _interleave_expr(xcol: str, ycol: str, bits: int) -> str:
     """SQL text for bit-interleaving two ``bits``-wide ints (Morton/Z code):
     x occupies even bit positions, y odd. Pure integer arithmetic — the same

@@ -66,9 +66,13 @@ def _weak_label() -> Column:
     )
 
 
-def features_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, f0..f4, y) — the design matrix, one row per doc."""
-    return docs.select("doc_id", "lang", *_feature_cols()).withColumn(
+def features_frame(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, lang, f0..f4, y) — the design matrix, one row per doc.
+
+    ``extra_cols`` carries pass-through columns (e.g. source, n_chars) so
+    downstream consumers never need a doc_id back-join to re-attach them.
+    """
+    return docs.select("doc_id", "lang", *extra_cols, *_feature_cols()).withColumn(
         "y", _weak_label()
     )
 

@@ -5582,7 +5582,7 @@ _MIX_BUCKET = 50_000  # score-bucket width in micro units
     "tiny-cardinality-key global window — a funnel at corpus scale; "
     "bucket granularity bounds budget overshoot by one bucket's tokens",
 )
-def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(
         load_table(spark, sf_dir, "documents"),
         budget_tokens=_MIX_BUDGET,
@@ -5672,3 +5672,147 @@ def privacy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ka = sweep(qi, "class_size", "class_size", "k_anonymity", [2, 3, 5, 10])
     ld = sweep(ldiv, "class_size", "n_sensitive", "l_diversity", [2, 3, 5])
     return ka.unionByName(ld).orderBy("audit", "thr")
+
+
+# ---------------------------------------------------------------------------
+# Round-5: per-source quota capping and read-side scan-task planning.
+# ---------------------------------------------------------------------------
+
+_QUOTA_Q = 3  # max docs kept per source (binds at sf0.01: ~5 docs/source)
+_SPLIT_TARGET = 32 * 1024 * 1024  # Iceberg read.split target-size
+
+
+@register(
+    "source_quota_cap",
+    tags=("bench",),
+    oracle=f"""
+        WITH x AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(1 AS BIGINT) AS f0,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+                 CAST(len(text) AS BIGINT) AS f2,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> list_contains(['the','a','of','and','to'], t)))
+                      AS BIGINT) AS f3,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS f4
+          FROM documents),
+        s AS (SELECT doc_id, source, n_chars, {_score_sql()} AS score_micro FROM x),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY score_micro DESC, doc_id) AS rk FROM s),
+        tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_total,
+                       CAST(sum(n_chars) AS BIGINT) AS chars_total
+                FROM s GROUP BY source),
+        k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                     CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+                     CAST(min(score_micro) AS BIGINT) AS min_kept_score
+              FROM r WHERE rk <= {_QUOTA_Q} GROUP BY source)
+        SELECT t.source, t.n_docs_total, k.n_docs_kept,
+               t.n_docs_total - k.n_docs_kept AS n_docs_dropped,
+               k.chars_kept, t.chars_total, k.min_kept_score
+        FROM tot t JOIN k USING (source)
+        ORDER BY source
+    """,
+    doc="Per-source document quota (the Gopher/CommonCrawl 'domain cap': "
+    "no single site may dominate the corpus): keep at most Q highest-"
+    "classifier-scored docs per source. Salted two-phase top-Q — LOCAL "
+    "top-Q inside each (source, doc_id%32) slice, then a final window "
+    "over only 32*Q survivors per source — so a hot domain holding 10% "
+    "of a 100 TB crawl never funnels its full census through one sort "
+    "task (same skew armor as events_heavy_hitters; top-Q of any "
+    "per-doc score is preserved under doc partitioning). Totals come "
+    "from one map-side-combined aggregate; the final source-grain join "
+    "touches #sources rows, never docs",
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier.features_frame(docs, extra_cols=("source", "n_chars")).select(
+        "doc_id", "source", "n_chars", classifier.score_expr()
+    )
+    local = Window.partitionBy("source", F.col("doc_id") % 32).orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= _QUOTA_Q)
+        .drop("lr")
+    )
+    final = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    kept = (
+        survivors.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= _QUOTA_Q)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.min("score_micro").cast("long").alias("min_kept_score"),
+        )
+    )
+    totals = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_docs_total",
+            "n_docs_kept",
+            (F.col("n_docs_total") - F.col("n_docs_kept")).alias("n_docs_dropped"),
+            "chars_kept",
+            "chars_total",
+            "min_kept_score",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "meta_scan_tasks",
+    tags=("maintenance",),
+    oracle=oracle_query(
+        f"""
+        , per_file AS (
+            SELECT part_key, file_size_in_bytes,
+                   greatest(CAST(1 AS BIGINT),
+                            (file_size_in_bytes + {_SPLIT_TARGET - 1}) // {_SPLIT_TARGET})
+                       AS n_splits,
+                   least(file_size_in_bytes, CAST({_SPLIT_TARGET} AS BIGINT))
+                       AS first_split_bytes
+            FROM meta_files WHERE snapshot_id = 2),
+        agg AS (
+            SELECT part_key,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(file_size_in_bytes) AS BIGINT) AS total_bytes,
+                   CAST(sum(n_splits) AS BIGINT) AS n_splits,
+                   CAST(max(first_split_bytes) AS BIGINT) AS max_split_bytes
+            FROM per_file GROUP BY part_key)
+        SELECT part_key, n_files, total_bytes, n_splits,
+               CAST((total_bytes + {_SPLIT_TARGET - 1}) // {_SPLIT_TARGET} AS BIGINT)
+                   AS ideal_tasks,
+               CAST(n_splits - ((total_bytes + {_SPLIT_TARGET - 1}) // {_SPLIT_TARGET})
+                    AS BIGINT) AS overhead_splits,
+               max_split_bytes
+        FROM agg ORDER BY part_key
+        """,
+        "meta_files",
+    ),
+    doc="Read-side split planning (Iceberg TableScan.planFiles semantics, "
+    "read.split target-size 32 MiB): per-partition scan-task counts for "
+    "the current snapshot — total splits, the ceil(bytes/target) ideal, "
+    "the overhead paid to file boundaries (the read-amplification signal "
+    "that feeds meta_compaction_plan), and the straggler-bounding max "
+    "split. Split math is closed-form integer column arithmetic (no row "
+    "explosion): one scan + one hash aggregate at any file count. The "
+    "reference lists per-file sizes (formatters.py:263-281) but never "
+    "plans the read",
+)
+def meta_scan_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.scan_task_plan(
+        derive(spark, sf_dir, "meta_files"),
+        target_bytes=_SPLIT_TARGET,
+        snapshot_id=2,
+    )

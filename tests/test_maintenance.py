@@ -369,3 +369,72 @@ def test_equality_delete_plan_is_map_side_containment(spark):
     # (attaching file sizes), and never a nested-loop/cartesian
     assert plan.count("Join") <= plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_task_plan_crafted_and_invariants(spark):
+    """Split math on a crafted frame with known answers, then fixture-wide
+    invariants: n_splits >= ideal_tasks >= 1, overhead = splits - ideal,
+    max split never exceeds the target, and no row explosion in the plan
+    (no Generate/Explode node — the split counts are closed-form)."""
+    from iceberg_meta_spark.operators.maintenance import scan_task_plan
+
+    t = 100
+    crafted = spark.createDataFrame(
+        [
+            # part a: 250 -> 3 splits (100,100,50); 90 -> 1 split
+            (1, "f1", "a", 250),
+            (1, "f2", "a", 90),
+            # part b: exactly-at-target 100 -> 1 split; 101 -> 2 splits
+            (1, "f3", "b", 100),
+            (1, "f4", "b", 101),
+        ],
+        "snapshot_id int, file_path string, part_key string, file_size_in_bytes long",
+    )
+    rows = {r["part_key"]: r for r in scan_task_plan(crafted, target_bytes=t).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_files, a.total_bytes, a.n_splits) == (2, 340, 4)
+    assert (a.ideal_tasks, a.overhead_splits, a.max_split_bytes) == (4, 0, 100)
+    assert (b.n_files, b.total_bytes, b.n_splits) == (2, 201, 3)
+    assert (b.ideal_tasks, b.overhead_splits, b.max_split_bytes) == (3, 0, 100)
+
+    target = 32 * 1024 * 1024
+    files = derive(spark, SF, "meta_files")
+    out = scan_task_plan(files, target_bytes=target, snapshot_id=2)
+    assert "Generate" not in plan(out)
+    got = out.collect()
+    assert got
+    n_files_direct = files.filter("snapshot_id = 2").count()
+    assert sum(r.n_files for r in got) == n_files_direct
+    for r in got:
+        assert r.n_splits >= r.ideal_tasks >= 1
+        assert r.overhead_splits == r.n_splits - r.ideal_tasks
+        assert 0 < r.max_split_bytes <= target
+
+
+def test_source_quota_cap_matches_brute_force(spark):
+    """The salted two-phase top-Q must keep exactly the Q best-scored docs
+    per source (score desc, doc_id tie-break) — pinned against a driver-side
+    brute force over the scored corpus."""
+    from iceberg_meta_spark.pipeline import classifier
+    from iceberg_meta_spark.queries.extensions import _QUOTA_Q, source_quota_cap
+    from iceberg_meta_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    scored = classifier.features_frame(docs, extra_cols=("source", "n_chars")).select(
+        "doc_id", "source", "n_chars", classifier.score_expr()
+    )
+    by_source: dict[str, list] = {}
+    for r in scored.collect():
+        by_source.setdefault(r["source"], []).append(r)
+    got = {r["source"]: r for r in source_quota_cap(spark, SF).collect()}
+    assert set(got) == set(by_source)
+    for src, members in by_source.items():
+        members.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
+        kept = members[:_QUOTA_Q]
+        g = got[src]
+        assert g.n_docs_total == len(members)
+        assert g.n_docs_kept == len(kept)
+        assert g.n_docs_dropped == len(members) - len(kept)
+        assert g.chars_kept == sum(r["n_chars"] for r in kept)
+        assert g.chars_total == sum(r["n_chars"] for r in members)
+        assert g.min_kept_score == min(r["score_micro"] for r in kept)
