@@ -15,7 +15,11 @@ from iceberg_meta_spark.operators.file_health import (
 from iceberg_meta_spark.operators.partitions import partition_distribution, partition_skew
 from iceberg_meta_spark.operators.diff import snapshot_diff, snapshot_diff_summary
 from iceberg_meta_spark.operators.column_stats import column_health, column_health_named
-from iceberg_meta_spark.operators.overlap import overlap_pair_count, overlap_sweepline
+from iceberg_meta_spark.operators.overlap import (
+    clustering_depth,
+    overlap_pair_count,
+    overlap_sweepline,
+)
 from iceberg_meta_spark.operators.schema import (
     schema_compat,
     schema_conflicts,

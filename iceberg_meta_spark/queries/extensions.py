@@ -5816,3 +5816,42 @@ def meta_scan_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_bytes=_SPLIT_TARGET,
         snapshot_id=2,
     )
+
+
+@register(
+    "meta_clustering_depth",
+    tags=("maintenance", "bench"),
+    oracle=oracle_query(
+        """
+        , ev AS (SELECT field_id, lower_bound AS v, CAST(1 AS BIGINT) AS delta
+                 FROM meta_column_stats
+                 UNION ALL
+                 SELECT field_id, upper_bound, CAST(-1 AS BIGINT)
+                 FROM meta_column_stats),
+        d AS (SELECT field_id,
+                     sum(delta) OVER (PARTITION BY field_id ORDER BY v, delta DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS depth
+              FROM ev)
+        SELECT field_id,
+               CAST(count(*) // 2 AS BIGINT) AS n_files,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               CAST(sum(depth) * 1000 // count(*) AS BIGINT) AS avg_depth_permille
+        FROM d GROUP BY field_id ORDER BY field_id
+    """,
+        "meta_column_stats",
+    ),
+    doc="Per-column clustering depth from file zone maps — the layout-"
+    "quality metric behind sort/z-order decisions (Delta OPTIMIZE ZORDER "
+    "reports the same number): sweep each field's [lower,upper] bounds as "
+    "+1/-1 events; the running sum is how many files a point query on "
+    "that value must open (max = worst case, 1 = perfectly clustered). "
+    "Scale shape: bucketed two-level running SUM — local prefix sums in "
+    "(field, value-bucket) window partitions plus a bucket-grain net "
+    "prefix broadcast back (the overlap_sweepline trick) — so no field "
+    "ever funnels its full event list through one sort task. The "
+    "reference reads the same bounds (formatters.py:522-540) but never "
+    "derives a layout metric",
+)
+def meta_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.clustering_depth(derive(spark, sf_dir, "meta_column_stats"))

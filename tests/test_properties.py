@@ -455,3 +455,34 @@ def test_histogram_quantile_upper_bounds(vals, cuts):
     assert row.p25_ub <= row.p50_ub <= row.p75_ub
     for col, q in (("p25_ub", 0.25), ("p50_ub", 0.5), ("p75_ub", 0.75)):
         assert row[col] >= true_q(q)
+
+
+@given(iv=intervals)
+@SET
+def test_clustering_depth_matches_bruteforce(spark, iv):
+    """Bucketed two-level running sum ≡ the single global sweep: max and
+    mean event-point depth agree with a driver-side brute force, for any
+    interval set (including shared endpoints, where all +1s apply before
+    -1s — inclusive-bounds semantics)."""
+    from iceberg_meta_spark import operators as ops
+
+    rows = [(7, lo, lo + ln) for lo, ln in iv]
+    events = sorted(
+        [(lo, 1) for _, lo, _ in rows] + [(hi, -1) for _, _, hi in rows],
+        key=lambda e: (e[0], -e[1]),
+    )
+    run, depths = 0, []
+    for _, d in events:
+        run += d
+        depths.append(run)
+    df = spark.createDataFrame(
+        rows, "field_id int, lower_bound long, upper_bound long"
+    )
+    got = ops.clustering_depth(df, bucket_width=64).collect()
+    if not rows:
+        assert got == []
+        return
+    (r,) = got
+    assert r.n_files == len(rows)
+    assert r.max_depth == max(depths)
+    assert r.avg_depth_permille == sum(depths) * 1000 // len(depths)
