@@ -1487,3 +1487,68 @@ def test_streaming_budget_thresholds_match_batch(spark, tmp_path):
         F.sum("tok"), F.sum("n_docs")
     ).collect()[0]
     assert tuple(store_before) == tuple(store_after)
+
+
+def test_streaming_source_quota_matches_batch(spark, tmp_path):
+    """Continuously-maintained per-source quota: after the stream absorbs
+    all documents (across micro-batches), the keep-set store equals the
+    batch kernel's top-Q per source over the full corpus — top-Q is
+    mergeable, so the store IS the batch intermediate. A replayed
+    batch_id folds nothing twice."""
+    import time
+
+    from iceberg_meta_spark.pipeline import classifier
+    from iceberg_meta_spark.streaming.quota import (
+        maintain_source_quota,
+        quota_merge_sink,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Q = 3
+    scored = classifier.features_frame(
+        docs, extra_cols=("source", "n_chars")
+    ).select("doc_id", "source", classifier.score_expr())
+    by_source: dict[str, list] = {}
+    for r in scored.collect():
+        by_source.setdefault(r["source"], []).append(r)
+    expected = set()
+    for members in by_source.values():
+        members.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
+        expected |= {r["doc_id"] for r in members[:Q]}
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "keep")
+    docs.filter("doc_id < 250").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    q = maintain_source_quota(stream, state, Q)
+
+    def kept():
+        try:
+            return {r.doc_id for r in spark.read.parquet(state).collect()}
+        except Exception:
+            return set()
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_for(lambda: len(kept()) > 0)
+        docs.filter("doc_id >= 250").write.mode("append").parquet(src)
+        assert wait_for(lambda: kept() == expected), (
+            len(kept()),
+            len(expected),
+        )
+    finally:
+        q.stop()
+
+    # replay guard: re-applying an already-folded batch_id changes nothing
+    last_bid = spark.read.parquet(state).agg(F.max("batch_id")).collect()[0][0]
+    quota_merge_sink(state, Q)(docs.limit(10), last_bid)
+    assert kept() == expected
