@@ -412,3 +412,27 @@ def delete_plan(
     return equality_delete_plan(
         src.column_stats(), src.files(), field_id=field_id, subject_keys=subject_keys
     )
+
+
+def scan_tasks(
+    src: MetadataSource,
+    target_bytes: int = 32 * 1024 * 1024,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read-side split planning (Iceberg TableScan.planFiles semantics):
+    per-partition scan-task counts, the ceil(bytes/target) ideal, the
+    overhead paid to file boundaries, and the max-split straggler bound."""
+    from iceberg_meta_spark.operators.maintenance import scan_task_plan
+
+    return scan_task_plan(
+        src.files(snapshot_id), target_bytes=target_bytes
+    )
+
+
+def clustering_report(src: MetadataSource) -> DataFrame:
+    """Per-column clustering depth from zone maps (the OPTIMIZE ZORDER
+    metric): max/avg files a point query must open per field — the
+    signal that decides whether :func:`zorder_plan` is worth running."""
+    from iceberg_meta_spark.operators.overlap import clustering_depth
+
+    return clustering_depth(src.column_stats())

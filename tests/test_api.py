@@ -118,3 +118,21 @@ def test_api_files_asof_visibility(spark):
     assert sum(at1.values()) < sum(at2.values())
     for k, n in at1.items():
         assert n <= at2.get(k, 0)
+
+
+def test_scan_tasks_and_clustering_api(spark):
+    from iceberg_meta_spark import api
+
+    src = api.FixtureSource(spark, "/root/testdata/sf0.001")
+    st = api.scan_tasks(src, snapshot_id=2)
+    assert st.columns == [
+        "part_key", "n_files", "total_bytes", "n_splits",
+        "ideal_tasks", "overhead_splits", "max_split_bytes",
+    ]
+    rows = st.collect()
+    assert rows and all(r.n_splits >= r.ideal_tasks >= 1 for r in rows)
+    cd = {r.field_id: r for r in api.clustering_report(src).collect()}
+    assert len(cd) == 16
+    # fixture bounds (partkey-derived, heavily overlapping) are badly
+    # clustered: every field's worst point opens many files
+    assert all(r.max_depth >= 2 and r.avg_depth_permille >= 1000 for r in cd.values())
