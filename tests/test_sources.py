@@ -627,3 +627,57 @@ def test_snapshot_log_datasource_stream_writer(spark, tmp_path):
     assert [f for f in after if f.endswith(".jsonl")] == [
         f for f in before if f.endswith(".jsonl")
     ]
+
+
+def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with ZERO
+    Exchange on either side (co-partitioning proven from the catalog), and
+    sortBy buckets let sort-merge join skip its Sort nodes too."""
+    import contextlib
+    import io
+
+    from iceberg_meta_spark.sources.sinks import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "bkt_orders", "o_orderkey", n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        ),
+        "bkt_lineitem", "o_orderkey", n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    try:
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_lineitem")
+        joined = a.join(b, "o_orderkey")
+        # disable AQE for a stable pre-execution plan (house convention) and
+        # broadcast (a broadcast join would sidestep — and disable — the
+        # bucketed scan; at real scale neither fact side fits a broadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            p = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+        # pre-sorted buckets: no Sort node feeds the join
+        assert "(Sort" not in p.replace("SortMergeJoin", "SMJ"), p
+        # and the result is right
+        expect = (
+            orders.select("o_orderkey")
+            .join(lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
