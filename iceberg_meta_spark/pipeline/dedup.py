@@ -458,3 +458,82 @@ def boilerplate_spans(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("n_docs"), F.asc("span"))),
     ).select("rank", "n_docs", "span")
+
+
+def substring_removal_stats(docs: DataFrame, window_tokens: int = 20) -> DataFrame:
+    """The REMOVAL step of exact substring dedup (Lee et al. 2022 cut,
+    not just the audit): of every duplicated ``window_tokens``-token
+    window (hash in >= 2 distinct docs), the corpus keeps exactly the
+    FIRST occurrence — min (doc_id, position) — and cuts all others; a
+    token is removed when any cut window covers it. Returns per doc
+    (doc_id, n_tokens, n_removed, removed_permille) over the WHOLE
+    corpus (docs with no removable span report 0).
+
+    Mechanics: windows are one linear explode; df + canonical occurrence
+    come from ONE groupBy on the md5 key (min of a (doc_id, pos) struct
+    — no second pass); removed mass is the union length of the cut
+    intervals, computed with the standard sweep — running max of
+    interval ends in a window PARTITIONED BY doc_id, contribution
+    ``max(0, end - max(start, prev_max_end))`` — so per-doc work is
+    linear and no global funnel exists. The final left join restores
+    uncut docs.
+    """
+    w = window_tokens
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    wins = toks.where(F.size("t") >= w).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {w}),"
+                f" i -> struct(i AS i, md5(concat_ws(' ', slice(t, i + 1, {w}))) AS h))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
+    agg = wins.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.min(F.struct("doc_id", "i")).alias("canon"),
+    )
+    cut = (
+        wins.join(agg, "h")
+        .where(
+            (F.col("df") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("i") == F.col("canon.i"))
+            )
+        )
+        .select("doc_id", "i")
+    )
+    from pyspark.sql import Window
+
+    sweep = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = cut.withColumn(
+        "prev_end", F.coalesce(F.max(F.col("i") + w).over(sweep), F.lit(0))
+    ).select(
+        "doc_id",
+        F.greatest(
+            F.lit(0), F.col("i") + w - F.greatest(F.col("i"), F.col("prev_end"))
+        ).alias("c"),
+    )
+    removed = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_removed")
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.expr(
+                "CAST(coalesce(n_removed, 0) * 1000 DIV n_tokens AS BIGINT)"
+            ).alias("removed_permille"),
+        )
+        .orderBy("doc_id")
+    )

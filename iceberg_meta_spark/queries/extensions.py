@@ -5855,3 +5855,51 @@ def meta_scan_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def meta_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.clustering_depth(derive(spark, sf_dir, "meta_column_stats"))
+
+
+@register(
+    "substring_removal",
+    tags=("bench",),
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        w AS (SELECT doc_id, i, md5(array_to_string(tok[i+1:i+20], ' ')) AS h
+              FROM t, generate_series(0, 4096) g(i)
+              WHERE len(tok) >= 20 AND i <= len(tok) - 20),
+        agg AS (SELECT h, count(DISTINCT doc_id) AS df,
+                       min(struct_pack(d := doc_id, i := i)) AS canon
+                FROM w GROUP BY h),
+        cut AS (SELECT w.doc_id, w.i FROM w JOIN agg USING (h)
+                WHERE agg.df >= 2
+                  AND NOT (w.doc_id = (agg.canon).d AND w.i = (agg.canon).i)),
+        cov AS (SELECT doc_id,
+                       greatest(0, i + 20 - greatest(i,
+                           coalesce(max(i + 20) OVER (PARTITION BY doc_id
+                               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0))) AS c
+                FROM cut),
+        rem AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_removed
+                FROM cov GROUP BY doc_id),
+        base AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents)
+        SELECT b.doc_id, b.n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(coalesce(r.n_removed, 0) * 1000 // b.n_tokens AS BIGINT)
+                   AS removed_permille
+        FROM base b LEFT JOIN rem r USING (doc_id)
+        ORDER BY b.doc_id
+    """,
+    doc="The REMOVAL step of exact substring dedup (Lee et al. 2022 cut "
+    "the spans; substring_dedup only audits them): each duplicated "
+    "20-token window keeps its FIRST corpus occurrence — min (doc_id, "
+    "position), chosen inside the SAME df groupBy via a struct min, no "
+    "second pass — and every other occurrence is cut; a token is removed "
+    "when any cut window covers it, so per-doc removed mass is the union "
+    "length of cut intervals via the standard running-max sweep in a "
+    "doc-partitioned window. Linear explode + hash groupBy + equi-join + "
+    "per-doc sweep: no pair product, no global funnel, holds on 10^9 docs",
+)
+def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_removal_stats(
+        load_table(spark, sf_dir, "documents"), window_tokens=20
+    )

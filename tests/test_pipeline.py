@@ -878,3 +878,34 @@ def test_png_resize_through_real_decode(spark):
     assert (d["width"], d["height"]) == (3, 2)
     # nearest-neighbor at 2x downscale picks rows 0,2 and cols 0,2,4
     assert np.array_equal(d["pixels"], px[::2, ::2][:2, :3])
+
+
+def test_substring_removal_keeps_first_occurrence(spark):
+    """Lee-et-al cut semantics on a crafted corpus (window=4): the
+    canonical (lowest doc_id, lowest position) occurrence of each
+    duplicated window survives; every covered token elsewhere is removed,
+    with overlapping cut windows union-counted, not double-counted."""
+    base = "t0 t1 t2 t3 t4 t5"  # 6 tokens
+    docs = _docs(
+        spark,
+        [
+            base,                      # doc 0: canonical — removes nothing
+            base,                      # doc 1: full copy — all 6 tokens cut
+            "t0 t1 t2 t3 u0 u1 u2",    # doc 2: one dup window at pos 0
+            "a b c",                   # doc 3: shorter than the window
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.substring_removal_stats(docs, window_tokens=4).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0].n_removed == 0
+    # doc 1: 3 cut windows at pos 0,1,2, each width 4 — union = 6 tokens
+    assert (rows[1].n_tokens, rows[1].n_removed) == (6, 6)
+    assert rows[1].removed_permille == 1000
+    # doc 2: only the pos-0 window (t0..t3) duplicates -> 4 tokens removed
+    assert (rows[2].n_tokens, rows[2].n_removed) == (7, 4)
+    assert rows[2].removed_permille == 4 * 1000 // 7
+    # doc 3: no full window exists -> reported, zero removed
+    assert (rows[3].n_tokens, rows[3].n_removed) == (3, 0)
