@@ -137,8 +137,54 @@ def _winnow_dedup(df: DataFrame, stage: dict) -> DataFrame:
     return df.join(dups, "doc_id", "left_anti")
 
 
+def _domain_cap(df: DataFrame, stage: dict) -> DataFrame:
+    """Per-source quota (the Gopher/CC domain cap): keep at most Q
+    best-classifier-scored docs per source. Salted two-phase top-Q — no
+    hot-domain sort funnel — then a LeftSemi on doc_id restores the full
+    original rows (the rank runs over a 2-column projection)."""
+    from pyspark.sql import Window
+
+    from iceberg_meta_spark.pipeline import classifier
+
+    q = int(stage.get("q", 1000))
+    scored = classifier.features_frame(df, extra_cols=("source",)).select(
+        "doc_id", "source", classifier.score_expr()
+    )
+    local = Window.partitionBy("source", F.col("doc_id") % 32).orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    final = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    kept = (
+        scored.withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= q)
+        .withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= q)
+        .select("doc_id")
+    )
+    return df.join(kept, "doc_id", "left_semi")
+
+
+def _span_dedup(df: DataFrame, stage: dict) -> DataFrame:
+    """Drop docs whose cross-document duplicated-span coverage (after the
+    keep-first-occurrence cut) exceeds ``max_removed_permille`` — the
+    document-grain consumer of substring_removal_stats; canonical
+    occurrences keep their doc alive."""
+    from iceberg_meta_spark.pipeline.dedup import substring_removal_stats
+
+    limit = int(stage.get("max_removed_permille", 500))
+    stats = substring_removal_stats(
+        df, window_tokens=stage.get("window_tokens", 20)
+    )
+    keep = stats.where(F.col("removed_permille") <= limit).select("doc_id")
+    return df.join(keep, "doc_id", "left_semi")
+
+
 _STAGES = {
     "quality_filter": _quality_filter,
+    "domain_cap": _domain_cap,
+    "span_dedup": _span_dedup,
     "classifier_filter": _classifier_filter,
     "exact_dedup": _exact_dedup,
     "cluster_dedup": _cluster_dedup,

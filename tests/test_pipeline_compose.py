@@ -132,3 +132,46 @@ def test_compose_full_curation_run_on_real_corpus(spark):
     ])
     rows = final.limit(5).collect()
     assert rows and "chunk_text" in final.columns  # grain changed at chunk
+
+
+def test_compose_domain_cap_and_span_dedup_stages(spark):
+    """The two round-5 stages: domain_cap keeps at most Q docs per source
+    (the Q best-scored, verified against the standalone quota kernel) and
+    span_dedup drops docs whose post-cut duplicated-span coverage exceeds
+    the threshold while canonical copies survive."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    capped = C.compose(docs, [{"stage": "domain_cap", "q": 2}])
+    per_source = capped.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 2 for r in per_source)
+    # the kept docs are exactly the quota kernel's keep-set
+    from iceberg_meta_spark.pipeline import classifier
+
+    scored = classifier.features_frame(docs, extra_cols=("source",)).select(
+        "doc_id", "source", classifier.score_expr()
+    )
+    by_source: dict[str, list] = {}
+    for r in scored.collect():
+        by_source.setdefault(r["source"], []).append(r)
+    expected = set()
+    for members in by_source.values():
+        members.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
+        expected |= {r["doc_id"] for r in members[:2]}
+    assert {r.doc_id for r in capped.select("doc_id").collect()} == expected
+
+    # span_dedup: an exact pair — the canonical (lower doc_id) survives a
+    # strict threshold, the copy is fully covered and dropped
+    from iceberg_meta_spark.pipeline.dedup import substring_removal_stats
+
+    pair = docs.limit(0).unionByName(
+        spark.createDataFrame(
+            [
+                (1, " ".join(f"t{i}" for i in range(30)), "en", "s", 30),
+                (2, " ".join(f"t{i}" for i in range(30)), "en", "s", 30),
+                (3, " ".join(f"u{i}" for i in range(30)), "en", "s", 30),
+            ],
+            docs.schema,
+        )
+    )
+    out = C.compose(pair, [{"stage": "span_dedup", "max_removed_permille": 0}])
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 3}
