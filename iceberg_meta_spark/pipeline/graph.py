@@ -199,3 +199,69 @@ def leakage_safe_splits(
         .otherwise("train")
     )
     return labeled.select("doc_id", "split_key", split.alias("split"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient, the
+    degree-orientation way (the standard distributed-triangle algorithm,
+    e.g. Suri & Vassilvitskii WWW'11).
+
+    ``edges`` is canonical undirected: one row per edge with ``a < b``.
+    Orienting every edge from its lower-(degree, id) endpoint to the
+    higher makes the graph acyclic with out-degree O(sqrt(E)) per node,
+    so the wedge join (two out-edges sharing a source) generates
+    O(E^1.5) candidates TOTAL regardless of hub nodes — the naive
+    undirected wedge join explodes as sum(deg^2) and dies on the first
+    celebrity vertex. Each triangle then has exactly one wedge whose
+    closing edge is oriented (lower, higher), so one LeftSemi against
+    the oriented edge set counts every triangle exactly once.
+
+    Returns ONE row: n_nodes, n_edges, n_wedges (undirected, sum of
+    C(deg,2) — the clustering-coefficient denominator), n_triangles,
+    closure_permille = 3·triangles·1000 / wedges.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    # orient from lower (degree, id); a < b already breaks degree ties
+    fwd = F.col("da") < F.col("db")
+    tie = (F.col("da") == F.col("db"))
+    oriented = with_deg.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
+    # the closing edge of a (v1, v2) wedge is oriented min->max in the
+    # SAME (degree, id) order; both candidate orientations are probed
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    ).unionAll(oriented.select(F.col("v").alias("v1"), F.col("u").alias("v2")))
+    tri = wedges.join(closing, ["v1", "v2"], "left_semi")
+    counts = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    tri_n = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(tri_n)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(n_triangles * 3000 DIV n_wedges AS BIGINT) END"
+            ).alias("closure_permille"),
+        )
+    )

@@ -5903,3 +5903,58 @@ def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_removal_stats(
         load_table(spark, sf_dir, "documents"), window_tokens=20
     )
+
+
+from iceberg_meta_spark.pipeline.graph import triangle_stats  # noqa: E402
+
+
+@register(
+    "supplier_triangles",
+    oracle="""
+        WITH raw AS (SELECT DISTINCT least(l_suppkey, (l_partkey % 100) + 1) AS a,
+                            greatest(l_suppkey, (l_partkey % 100) + 1) AS b
+                     FROM lineitem WHERE l_suppkey <> (l_partkey % 100) + 1),
+        alln AS (SELECT a AS node FROM raw UNION ALL SELECT b FROM raw),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM alln GROUP BY node),
+        wd AS (SELECT r.a, r.b, da.d AS da, db.d AS db
+               FROM raw r JOIN deg da ON da.node = r.a JOIN deg db ON db.node = r.b),
+        o AS (SELECT CASE WHEN da <= db THEN a ELSE b END AS u,
+                     CASE WHEN da <= db THEN b ELSE a END AS v FROM wd),
+        w AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+              FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+        c AS (SELECT u AS v1, v AS v2 FROM o UNION ALL SELECT v, u FROM o),
+        agg AS (SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+                       CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_edges,
+                       CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+                       CAST((SELECT count(*) FROM w
+                             WHERE EXISTS (SELECT 1 FROM c
+                                           WHERE c.v1 = w.v1 AND c.v2 = w.v2))
+                            AS BIGINT) AS n_triangles)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(n_triangles * 3000 // n_wedges AS BIGINT)
+               END AS closure_permille
+        FROM agg
+    """,
+    doc="Exact triangle census + global clustering coefficient of the "
+    "supplier co-supply graph (same edge set as supplier_pagerank, "
+    "canonicalized undirected), by DEGREE ORIENTATION (Suri & "
+    "Vassilvitskii WWW'11): orient every edge low-(degree,id) -> high, "
+    "making the wedge self-join O(E^1.5) total — the naive undirected "
+    "wedge join explodes as sum(deg^2) and dies on the first celebrity "
+    "hub; one LeftSemi against the oriented edges closes each triangle "
+    "exactly once (each triangle has exactly one apex pointing at both "
+    "others)",
+)
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dst = (F.col("l_partkey") % 100) + 1
+    edges = (
+        li.select(
+            F.least(F.col("l_suppkey"), dst).alias("a"),
+            F.greatest(F.col("l_suppkey"), dst).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return triangle_stats(edges)

@@ -909,3 +909,43 @@ def test_substring_removal_keeps_first_occurrence(spark):
     assert rows[2].removed_permille == 4 * 1000 // 7
     # doc 3: no full window exists -> reported, zero removed
     assert (rows[3].n_tokens, rows[3].n_removed) == (3, 0)
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Degree-oriented triangle census ≡ itertools brute force on a small
+    random-ish graph with hubs, plus the known K4 answer (4 triangles,
+    closure 1000: every wedge closed)."""
+    import itertools
+
+    from iceberg_meta_spark.pipeline.graph import triangle_stats
+
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    (r,) = triangle_stats(
+        spark.createDataFrame(k4, "a long, b long")
+    ).collect()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.closure_permille == 1000
+
+    # hub-heavy pseudo-random graph (deterministic): node 0 connects to
+    # everyone, plus a sparse ring + chords
+    n = 30
+    edges = {(0, i) for i in range(1, n)}
+    edges |= {(min(i, (i * 7 + 3) % n), max(i, (i * 7 + 3) % n)) for i in range(n)}
+    edges = {(a, b) for a, b in edges if a != b}
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect_tri = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    expect_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    (g,) = triangle_stats(
+        spark.createDataFrame(sorted(edges), "a long, b long")
+    ).collect()
+    assert g.n_edges == len(edges)
+    assert g.n_wedges == expect_wedges
+    assert g.n_triangles == expect_tri
+    assert g.closure_permille == expect_tri * 3000 // expect_wedges
