@@ -589,3 +589,53 @@ def test_adc_scoring_is_joinless_map_side(spark):
     assert "MapInPandas" in p, p
     assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Evidence for the runtime half of the skew story: with the session's
+    skew-join AQE enabled (session.py pins skewJoin.enabled=true), a join
+    whose left side funnels 75% of rows through one key is re-planned at
+    runtime — the FINAL adaptive plan marks the join skew=true, meaning
+    the oversized partition was split across tasks instead of stalling the
+    stage on one straggler. (Salting, used by salted_user_reach and the
+    heavy-hitter kernels, is the plan-time half for aggregates, which AQE
+    skew handling does not cover.) Thresholds are lowered to make local
+    test data 'big'; on a real cluster the defaults (256 MB) bind."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") < 150000, 0)
+            .otherwise(F.col("id") % 5000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000  # every left row matches exactly once
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p, p
+        assert "skew=true" in p, p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
