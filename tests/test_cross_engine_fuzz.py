@@ -58,6 +58,11 @@ QUERIES = [
     "dedup_winnowing",
     "quality_classifier_gram",
     "quality_classifier_score",
+    # round-5: quota ties (duplicate token lists give identical scores ->
+    # the (score, doc_id) tie-break must agree across engines) and the
+    # substring-removal zero/short-doc left-join path
+    "source_quota_cap",
+    "substring_removal",
 ]
 
 
@@ -95,3 +100,45 @@ def test_doc_kernels_cross_engine_on_random_corpora(spark, tmp_path_factory, row
         _run(spark, str(tmp_path_factory.mktemp("fuzz")), rows)
     finally:
         parquet.enable_cache(prior)  # restore EXACTLY (plan tests assert raw scans)
+
+
+long_corpora = st.lists(
+    st.lists(st.sampled_from(WORDS[:4]), min_size=20, max_size=28),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(rows=long_corpora)
+@SET
+def test_substring_removal_cross_engine_on_long_corpora(spark, tmp_path_factory, rows):
+    """Docs long enough to hold 20-token windows, drawn from a 4-word pool
+    so cross-document window collisions actually occur: the keep-first cut
+    and interval-union sweep must agree across engines, including canonical
+    selection under many identical windows."""
+    from iceberg_meta_spark.sources import parquet
+
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_rm"))
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), "en", "s0", len(" ".join(toks)))
+         for i, toks in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "documents.parquet")
+    )
+    qs = load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmpdir}/documents.parquet/*.parquet')"
+    )
+    try:
+        sdf = qs["substring_removal"].spark_fn(spark, tmpdir).toPandas()
+        ddf = con.execute(qs["substring_removal"].oracle).df()
+        res = compare_frames("substring_removal", sdf, ddf)
+        assert res.ok, f"{res.detail} on corpus {rows!r}"
+    finally:
+        con.close()
+        parquet.enable_cache(prior)
