@@ -427,3 +427,59 @@ def truncated_recall(
         )
         .orderBy("label")
     )
+
+
+def lsh_recall_audit(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Recall@k of LSH candidate generation vs the exact top-k, per query
+    — the ANN quality metric, computed inside the engine (and hash-gated
+    by its DuckDB oracle, unlike an external eval script).
+
+    Recall here judges the CANDIDATE SET (did the true neighbors land in
+    the probed bucket?), the quantity bucketing actually risks — in-bucket
+    ranking is exact. Exact side: one broadcast-query scan; candidate
+    side: the same bucket equi-join as retrieval; the audit itself is a
+    LeftSemi + two tiny per-query aggregates. Scale cost ≈ one retrieval
+    pass + one exact pass over the probe set.
+    """
+    exact = brute_force_topk(emb, query_ids, k).select("query_id", "neighbor_id")
+    base = emb.select(
+        "vec_id", sign_bucket(F.col("embedding"), planes, dims).alias("bucket")
+    )
+    qb = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+    )
+    cand = (
+        base.join(F.broadcast(qb), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = (
+        exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    spark = emb.sparkSession
+    qframe = spark.createDataFrame([(int(i),) for i in query_ids], "query_id bigint")
+    return (
+        qframe.join(n_cand, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).cast("long").alias("n_exact"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"CAST(coalesce(n_hits, 0) * 1000 DIV {k} AS BIGINT)").alias(
+                "recall_permille"
+            ),
+        )
+        .orderBy("query_id")
+    )

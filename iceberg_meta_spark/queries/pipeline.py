@@ -986,3 +986,56 @@ def multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.assets_from_documents(load_table(spark, sf_dir, "documents")),
         frame_bytes=16,
     )
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+        WITH base AS (SELECT vec_id, embedding, {_NORM_SUBQ} AS norm_s,
+                             {_BUCKET_SQL} AS bucket
+                      FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm_s AS q_norm,
+                     bucket AS q_bucket
+              FROM base WHERE vec_id IN (1, 3, 7, 11, 42)),
+        pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id, {_DOT_SUBQ} AS dot_s,
+                         q.q_norm, b.norm_s
+                  FROM base b, q WHERE b.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(dot_s AS DOUBLE)
+                                  / (sqrt(CAST(q_norm AS DOUBLE)) * sqrt(CAST(norm_s AS DOUBLE))) DESC,
+                                  neighbor_id) AS rank
+                   FROM pairs),
+        exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+        cand AS (SELECT q.query_id, b.vec_id AS neighbor_id
+                 FROM base b, q
+                 WHERE b.bucket = q.q_bucket AND b.vec_id <> q.query_id),
+        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM exact e JOIN cand c
+                   ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+                 GROUP BY e.query_id),
+        cc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+               FROM cand GROUP BY query_id)
+        SELECT q.query_id, CAST(5 AS BIGINT) AS n_exact,
+               CAST(coalesce(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+        FROM q LEFT JOIN cc ON cc.query_id = q.query_id
+        LEFT JOIN hits h ON h.query_id = q.query_id
+        ORDER BY q.query_id
+    """,
+    doc="ANN quality as a first-class ENGINE query (tools/ann_eval.py "
+    "measures it externally; this hash-gates it): recall@5 of LSH "
+    "sign-bucket candidate generation vs the exact cosine top-5, per "
+    "query. Candidate-set recall is the quantity bucketing risks — "
+    "in-bucket ranking is exact. One broadcast-query exact pass + the "
+    "same bucket equi-join as retrieval + a LeftSemi and two per-query "
+    "aggregates; every term integer-exact or rank-deterministic",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_recall_audit(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=[1, 3, 7, 11, 42],
+        k=5,
+        planes=4,
+    )

@@ -949,3 +949,21 @@ def test_triangle_stats_matches_bruteforce(spark):
     assert g.n_wedges == expect_wedges
     assert g.n_triangles == expect_tri
     assert g.closure_permille == expect_tri * 3000 // expect_wedges
+
+
+def test_lsh_recall_audit_invariants(spark):
+    """Per-query recall accounting must be internally consistent, and
+    adding hyperplanes can only shrink (or hold) each query's candidate
+    set — buckets refine."""
+    from iceberg_meta_spark.pipeline.similarity import lsh_recall_audit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = [1, 3, 7, 11, 42]
+    r4 = {r.query_id: r for r in lsh_recall_audit(emb, ids, k=5, planes=4).collect()}
+    assert set(r4) == set(ids)
+    for r in r4.values():
+        assert 0 <= r.n_hits <= min(r.n_exact, r.n_candidates)
+        assert r.recall_permille == r.n_hits * 1000 // r.n_exact
+    r6 = {r.query_id: r for r in lsh_recall_audit(emb, ids, k=5, planes=6).collect()}
+    for q in ids:
+        assert r6[q].n_candidates <= r4[q].n_candidates
