@@ -75,7 +75,12 @@ def register(
 # per-round as CORRECTNESS_FULL_r*.json). r5 rotation: text_winnow_stats +
 # quality_classifier_score (the round's headline families) take the slots
 # of multimodal_frame_sample (family still covered by features/resize) and
-# training_mix (family covered by the corpus_curation composite).
+# training_mix (family covered by the corpus_curation composite);
+# late-r5, substring_removal (the Lee-et-al CUT) takes
+# meta_snapshot_diff_summary's slot (J1 stays represented by the stronger
+# 20k-row meta_snapshot_diff) and privacy_report (k-anonymity +
+# l-diversity composite) takes corpus_report's (documents composites stay
+# represented by corpus_curation).
 DRIVER_WINDOW = [
     # §2 metadata core
     "meta_file_health",
@@ -83,7 +88,7 @@ DRIVER_WINDOW = [
     "meta_partition_distribution",
     "meta_partition_skew",
     "meta_snapshot_diff",
-    "meta_snapshot_diff_summary",
+    "substring_removal",
     "meta_column_health",
     "meta_overlap_sweepline",
     "meta_schema_diff",
@@ -129,7 +134,7 @@ DRIVER_WINDOW = [
     "bm25_retrieval",
     "ann_ivf_pq",
     "dedup_semantic",
-    "corpus_report",
+    "privacy_report",
     "meta_compaction_plan",
 ]
 
