@@ -248,7 +248,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     counts = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     nodes = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+        # coalesce: an empty graph reports the all-zero row, never NULLs
+        F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
     )
     tri_n = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return (

@@ -967,3 +967,14 @@ def test_lsh_recall_audit_invariants(spark):
     r6 = {r.query_id: r for r in lsh_recall_audit(emb, ids, k=5, planes=6).collect()}
     for q in ids:
         assert r6[q].n_candidates <= r4[q].n_candidates
+
+
+def test_triangle_stats_empty_graph_all_zero(spark):
+    from iceberg_meta_spark.pipeline.graph import triangle_stats
+
+    (r,) = triangle_stats(
+        spark.createDataFrame([], "a long, b long")
+    ).collect()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles, r.closure_permille) == (
+        0, 0, 0, 0, 0,
+    )
