@@ -50,6 +50,8 @@ def main() -> None:
         "GDPR delete plan (field 3, 3 subject keys)",
         api.delete_plan(src, field_id=3, subject_keys=[40, 750, 1500]),
     )
+    show("scan tasks (read-side split plan)", api.scan_tasks(src, snapshot_id=2))
+    show("clustering depth (zone-map layout audit)", api.clustering_report(src))
     seen = src.snapshots().select("snapshot_id").limit(5)
     show("watch tick (new snapshots)", api.watch(src, seen))
     spark.stop()

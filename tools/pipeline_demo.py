@@ -65,6 +65,22 @@ def main() -> None:
         minhash_lsh_pairs(survivors).select("doc_a", "doc_b", "est_jaccard"),
     )
 
+    # 2b. substring-level span removal audit (Lee et al. keep-first cut)
+    from iceberg_meta_spark.pipeline.dedup import substring_removal_stats
+
+    show(
+        "substring-span removal (top removed)",
+        substring_removal_stats(survivors)
+        .filter(F.col("n_removed") > 0)
+        .orderBy(F.desc("removed_permille")),
+    )
+
+    # 2c. domain cap: at most Q best-classifier-scored docs per source
+    from iceberg_meta_spark.pipeline import compose as C
+
+    capped = C.compose(survivors, [{"stage": "domain_cap", "q": 3}])
+    show("per-source doc counts after domain cap", capped.groupBy("source").count())
+
     # 3. PII screen
     show("PII scan", pii_scrub(survivors).filter(F.col("n_redactions") > 0))
 
