@@ -826,3 +826,37 @@ def test_concurrent_commits_detects_forks(spark):
     assert r.parent_id == 2 and r.n_children == 2
     assert (r.first_child, r.last_child) == (3, 4)
     assert r.n_operations == 2 and r.destructive_children == 1
+
+
+def test_render_presentation_layer(spark):
+    """F12 chrome: bars, plurals, traffic-light colors, and the aligned
+    table with its hard display cap (collects max_rows+1, never more)."""
+    from iceberg_meta_spark.functions import render
+
+    assert render.plural(1, "file") == "1 file"
+    assert render.plural(3, "file") == "3 files"
+    assert render.bar(0, 10, width=4) == "    "
+    assert render.bar(10, 10, width=4) == "████"
+    assert render.bar(5, 10, width=4).startswith("██")
+    assert len(render.bar(3, 7, width=12)) == 12
+    assert render.bar(5, 0, width=4) == "    "  # degenerate max: empty, no raise
+
+    assert render.threshold_color(1, warn=5, alert=9) == "green"
+    assert render.threshold_color(6, warn=5, alert=9) == "yellow"
+    assert render.threshold_color(9, warn=5, alert=9) == "red"
+    assert render.colorize("x", "red") == "\x1b[31mx\x1b[0m"
+    assert render.colorize("x", "red", enabled=False) == "x"
+    assert render.colorize("x", None) == "x"
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 20), ("d", 5)], "part string, n long"
+    ).orderBy("part")
+    out = render.render_table(df, max_rows=3, bar_col="n", bar_width=8)
+    lines = out.splitlines()
+    assert lines[0].split() == ["part", "n", "n_bar"]
+    assert len(lines) == 2 + 3 + 1  # header + sep + 3 rows + truncation note
+    assert lines[-1] == "... (3 rows shown; more exist)"
+    # bar of the in-view max (40) is full width
+    assert "████████" in [l for l in lines if l.startswith("b")][0]
+    # no truncation note when everything fits
+    assert "more exist" not in render.render_table(df, max_rows=10)
