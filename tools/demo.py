@@ -51,6 +51,14 @@ def main() -> None:
         api.delete_plan(src, field_id=3, subject_keys=[40, 750, 1500]),
     )
     show("scan tasks (read-side split plan)", api.scan_tasks(src, snapshot_id=2))
+    from iceberg_meta_spark.functions import render
+
+    print("\n== partition sizes, rendered (F12 chrome) ==")
+    print(
+        render.render_table(
+            api.partition_health(src), max_rows=5, bar_col="total_size"
+        )
+    )
     show("clustering depth (zone-map layout audit)", api.clustering_report(src))
     seen = src.snapshots().select("snapshot_id").limit(5)
     show("watch tick (new snapshots)", api.watch(src, seen))
