@@ -251,3 +251,58 @@ def token_budget_mix(
         )
         .orderBy("lang")
     )
+
+
+def score_percentiles(docs: DataFrame, bucket_micro: int = 50_000) -> DataFrame:
+    """Corpus-relative score normalization — each document's frozen-
+    classifier score as a permille percentile of the whole corpus — the
+    threshold-free companion of :func:`token_budget_mix` (mix recipes and
+    curricula want "top 10% quality" to mean the same thing across
+    corpora whose raw score ranges differ).
+
+    The 100 TB shape: a global ``percent_rank`` window is a single-
+    partition sort of the corpus. Instead the CDF is computed on the
+    BOUNDED score histogram: map-side bucketing, ONE shrinking aggregate
+    to bucket counts, an ascending running sum over the few-hundred-row
+    bucket table, and a broadcast join back. Documents in the same bucket
+    share a percentile (the strictly-below-bucket mass) — the documented
+    granularity trade, tightened by shrinking ``bucket_micro``; the
+    approximation is DETERMINISTIC, so the DuckDB oracle hash-gates it
+    exactly.
+    """
+    from pyspark.sql import Window
+
+    from iceberg_meta_spark.pipeline.classifier import _feature_cols, score_expr
+
+    scored = (
+        docs.select("doc_id", "lang", *_feature_cols())
+        .withColumn("score_micro", score_expr())
+        .select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            F.expr(f"(score_micro + 10000000) DIV {int(bucket_micro)}").alias(
+                "bucket"
+            ),
+        )
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    asc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cdf = hist.select(
+        "bucket",
+        F.coalesce(F.sum("n_docs").over(asc), F.lit(0)).alias("n_below"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("n_docs").alias("n_total"))))
+    return (
+        scored.join(F.broadcast(cdf), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            F.expr("CAST(n_below * 1000 DIV n_total AS BIGINT)").alias(
+                "pct_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -5958,3 +5958,51 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+from iceberg_meta_spark.pipeline.sampling import score_percentiles  # noqa: E402
+
+
+@register(
+    "quality_score_percentiles",
+    oracle=f"""
+        WITH x AS (
+          SELECT doc_id, lang,
+                 CAST(1 AS BIGINT) AS f0,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+                 CAST(len(text) AS BIGINT) AS f2,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> list_contains(['the','a','of','and','to'], t)))
+                      AS BIGINT) AS f3,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS f4
+          FROM documents),
+        s AS (SELECT doc_id, lang, {_score_sql()} AS score_micro FROM x),
+        b AS (SELECT doc_id, lang, score_micro,
+                     (score_micro + 10000000) // {_MIX_BUCKET} AS bucket
+              FROM s),
+        hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM b GROUP BY bucket),
+        cdf AS (SELECT bucket,
+                       CAST(coalesce(sum(n_docs) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS n_below,
+                       CAST(sum(n_docs) OVER () AS BIGINT) AS n_total
+                FROM hist)
+        SELECT b.doc_id, b.lang, b.score_micro,
+               CAST(c.n_below * 1000 // c.n_total AS BIGINT) AS pct_permille
+        FROM b JOIN cdf c USING (bucket)
+        ORDER BY b.doc_id
+    """,
+    doc="Corpus-relative quality normalization: each doc's frozen-"
+    "classifier score as a permille percentile of the corpus (so 'top "
+    "10% quality' means the same across corpora with different raw "
+    "ranges). The 100 TB shape: NO global percent_rank window — the CDF "
+    "comes from the bounded score HISTOGRAM (one shrinking aggregate, a "
+    "running sum over few-hundred bucket rows, broadcast back); same-"
+    "bucket docs share the strictly-below mass, a deterministic "
+    "granularity trade the oracle hash-gates exactly",
+)
+def quality_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_percentiles(
+        load_table(spark, sf_dir, "documents"), bucket_micro=_MIX_BUCKET
+    )

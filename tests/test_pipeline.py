@@ -978,3 +978,29 @@ def test_triangle_stats_empty_graph_all_zero(spark):
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles, r.closure_permille) == (
         0, 0, 0, 0, 0,
     )
+
+
+def test_score_percentiles_semantics(spark):
+    """Percentile = strictly-below-bucket mass: monotone in score, same
+    bucket ⇒ same percentile, the lowest bucket sits at 0, and the top
+    doc's percentile equals 1000*(n_below_its_bucket)/n."""
+    from iceberg_meta_spark.pipeline.sampling import score_percentiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = score_percentiles(docs, bucket_micro=50_000).collect()
+    n = len(rows)
+    assert n == docs.count()
+    by_bucket: dict[int, set] = {}
+    for r in rows:
+        b = (r.score_micro + 10_000_000) // 50_000
+        by_bucket.setdefault(b, set()).add(r.pct_permille)
+    # one percentile per bucket
+    assert all(len(p) == 1 for p in by_bucket.values())
+    order = sorted(by_bucket)
+    pcts = [next(iter(by_bucket[b])) for b in order]
+    assert pcts == sorted(pcts)  # monotone in bucket
+    assert pcts[0] == 0
+    # top bucket: strictly-below mass = n - its own size
+    sizes = {b: sum(1 for r in rows if (r.score_micro + 10_000_000) // 50_000 == b)
+             for b in order}
+    assert pcts[-1] == (n - sizes[order[-1]]) * 1000 // n
