@@ -436,3 +436,35 @@ def clustering_report(src: MetadataSource) -> DataFrame:
     from iceberg_meta_spark.operators.overlap import clustering_depth
 
     return clustering_depth(src.column_stats())
+
+
+def doctor(
+    spark: SparkSession | None = None,
+    *,
+    catalog: str = "local",
+    catalog_type: str = "rest",
+    file_props: dict | None = None,
+    env: dict | None = None,
+) -> DataFrame:
+    """`iceberg-meta doctor` (reference cli.py:453-570): config /
+    environment / connectivity diagnostics as a DataFrame of
+    (section, check, status, detail) rows plus the one-line verdict in
+    ``df.attrs``-style via a final ('summary', 'verdict', ...) row.
+
+    The checklist itself is a pure function (``sources.iceberg.
+    doctor_checks``); this wrapper only lifts the handful of rows into a
+    DataFrame — diagnostics are driver-sized by nature.
+    """
+    checks = ice.doctor_checks(
+        catalog=catalog,
+        catalog_type=catalog_type,
+        file_props=file_props,
+        env=env,
+        spark=spark,
+    )
+    checks = checks + [("summary", "verdict", "info", ice.doctor_summary(checks))]
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("doctor needs a SparkSession to build the report frame")
+    return spark.createDataFrame(checks, "section string, check string, status string, detail string")

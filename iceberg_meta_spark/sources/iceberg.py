@@ -377,3 +377,124 @@ def manifests_frame(spark: SparkSession, table: str) -> DataFrame:
         F.col("existing_data_files_count").alias("existing_files_count"),
         F.col("deleted_data_files_count").alias("deleted_files_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Doctor: config / environment / connectivity diagnostics (reference
+# `iceberg-meta doctor`, cli.py:453-570). Pure function over (file_props,
+# env, optional session) -> check rows; the api.doctor wrapper lifts the
+# rows into a DataFrame. Statuses mirror the reference's ✓/!/✗ plus a
+# "skip" for gated probes the environment cannot run.
+# ---------------------------------------------------------------------------
+
+_SENSITIVE = ("secret", "password", "token", "key")
+
+
+def _mask(var: str, value: str) -> str:
+    """Reference cli.py:524-525: sensitive values display first-4 + ***."""
+    if any(s in var.lower() for s in _SENSITIVE):
+        return value[:4] + "***"
+    return value
+
+
+def doctor_checks(
+    *,
+    catalog: str = "local",
+    catalog_type: str = "rest",
+    file_props: dict | None = None,
+    env: dict | None = None,
+    spark: SparkSession | None = None,
+) -> list[tuple[str, str, str, str]]:
+    """Run the doctor checklist -> [(section, check, status, detail)].
+
+    Sections mirror the reference command (cli.py:453-570): config file,
+    environment variables (both ``${VAR}`` placeholders referenced by the
+    config and the ``ICEBERG_META_*`` override set), catalog-conf
+    resolution, and connectivity. Connectivity here is the Spark analog:
+    is the Iceberg runtime jar on the classpath, and does ``SHOW
+    NAMESPACES`` answer — each gated and reported as ``skip`` when the
+    prerequisite is absent rather than failing the whole report.
+
+    Pure function: pass ``env={}``/``file_props=None`` for hermetic tests;
+    ``spark=None`` skips the live probes.
+    """
+    import os
+    import re
+
+    environ = os.environ if env is None else env
+    checks: list[tuple[str, str, str, str]] = []
+
+    # -- config file (reference cli.py:482-499) --
+    if file_props is None:
+        checks.append(("config", "config_file", "warn", "no config passed — explicit kwargs only"))
+    elif not file_props:
+        checks.append(("config", "config_file", "warn", "config present but empty"))
+    else:
+        checks.append(("config", "config_file", "ok", f"{len(file_props)} propertie(s) configured"))
+
+    # -- ${VAR} placeholders the config references (cli.py:511-529) --
+    referenced: set[str] = set()
+    for v in (file_props or {}).values():
+        if isinstance(v, str):
+            referenced.update(re.findall(r"\$\{(\w+)\}", v))
+    if not referenced:
+        checks.append(("env", "placeholders", "ok", "no ${VAR} placeholders used in config"))
+    for var in sorted(referenced):
+        val = environ.get(var)
+        if val:
+            checks.append(("env", f"${{{var}}}", "ok", _mask(var, val)))
+        else:
+            checks.append(("env", f"${{{var}}}", "fail", "referenced in config but not set"))
+
+    # -- ICEBERG_META_* override set (S11 overlay, catalog.py:26-33) --
+    for env_key, prop_key in ENV_VAR_MAP.items():
+        if environ.get(env_key):
+            checks.append(("env", env_key, "ok", f"overrides '{prop_key}' = {_mask(env_key, environ[env_key])}"))
+
+    # -- catalog-conf resolution (cli.py:536-540) --
+    try:
+        conf = iceberg_session_conf(
+            catalog, catalog_type=catalog_type, file_props=file_props, env=environ
+        )
+        checks.append(("catalog", "resolve", "ok", f"conf resolved for catalog '{catalog}' ({len(conf)} keys)"))
+        base = f"spark.sql.catalog.{catalog}"
+        if catalog_type == "rest" and f"{base}.uri" not in conf:
+            checks.append(("catalog", "uri", "fail", "rest catalog has no uri"))
+        if f"{base}.warehouse" not in conf:
+            checks.append(("catalog", "warehouse", "warn", "no warehouse configured"))
+    except ValueError as exc:
+        checks.append(("catalog", "resolve", "fail", str(exc)))
+        conf = None
+
+    # -- connectivity (cli.py:541-551; Spark analog: jar + SHOW NAMESPACES) --
+    if spark is None:
+        checks.append(("connect", "runtime_jar", "skip", "no SparkSession passed"))
+    elif not has_iceberg_runtime(spark):
+        checks.append(
+            ("connect", "runtime_jar", "fail",
+             "Iceberg Spark runtime not on the classpath; add "
+             "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages")
+        )
+    else:
+        checks.append(("connect", "runtime_jar", "ok", "Iceberg runtime on classpath"))
+        if conf is not None:
+            try:
+                tables = list_all_tables(spark, catalog)
+                n_ns = tables.select("namespace").distinct().count()
+                n_tbl = tables.count()
+                checks.append(("connect", "catalog", "ok", f"connected — {n_ns} namespace(s), {n_tbl} table(s)"))
+            except Exception as exc:  # noqa: BLE001 — the report IS the handler
+                checks.append(("connect", "catalog", "fail", f"connection failed: {exc}"))
+    return checks
+
+
+def doctor_summary(checks: list[tuple[str, str, str, str]]) -> str:
+    """One-line verdict (reference cli.py:556-570)."""
+    fails = sum(1 for _, _, s, _ in checks if s == "fail")
+    warns = sum(1 for _, _, s, _ in checks if s == "warn")
+    total = len(checks)
+    if fails:
+        return f"{fails} problem(s) found out of {total} checks"
+    if warns:
+        return f"all clear with {warns} warning(s)"
+    return "everything looks good"

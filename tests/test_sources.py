@@ -681,3 +681,64 @@ def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+# --- doctor (reference cli.py:453-570) --------------------------------------
+
+
+def test_doctor_hermetic_all_clear():
+    checks = ice.doctor_checks(
+        file_props={"uri": "http://rest:8181", "warehouse": "s3://wh"}, env={}
+    )
+    by = {(s, c): (st, d) for s, c, st, d in checks}
+    assert by[("config", "config_file")][0] == "ok"
+    assert by[("catalog", "resolve")][0] == "ok"
+    # no session passed -> connectivity is skipped, not failed
+    assert by[("connect", "runtime_jar")][0] == "skip"
+    assert ice.doctor_summary(checks) == "everything looks good"
+
+
+def test_doctor_flags_unset_placeholder_and_masks_secrets():
+    checks = ice.doctor_checks(
+        file_props={
+            "uri": "${CAT_URI}",
+            "s3.secret-access-key": "${S3_SECRET}",
+        },
+        env={"S3_SECRET": "supersecretvalue"},
+    )
+    by = {c: (st, d) for _, c, st, d in checks}
+    assert by["${CAT_URI}"][0] == "fail"
+    # set + sensitive -> masked first-4 display (reference cli.py:524-525)
+    assert by["${S3_SECRET}"] == ("ok", "supe***")
+    # unresolvable config -> catalog resolution fails too
+    assert by["resolve"][0] == "fail"
+    assert "problem" in ice.doctor_summary(checks)
+
+
+def test_doctor_env_overlay_and_missing_rest_uri():
+    checks = ice.doctor_checks(
+        catalog_type="rest",
+        file_props={},
+        env={"ICEBERG_META_WAREHOUSE": "s3://wh-from-env"},
+    )
+    by = {c: (st, d) for _, c, st, d in checks}
+    assert by["ICEBERG_META_WAREHOUSE"][0] == "ok"
+    assert "warehouse" in by["ICEBERG_META_WAREHOUSE"][1]
+    # env provides warehouse but nothing provides uri -> rest catalog fails
+    assert by["uri"][0] == "fail"
+    assert "warehouse" not in {c for _, c, st, _ in checks if st == "warn"}
+
+
+def test_doctor_dataframe_report_without_jar(spark):
+    from iceberg_meta_spark import api
+
+    df = api.doctor(
+        spark,
+        file_props={"uri": "http://rest:8181", "warehouse": "s3://wh"},
+        env={},
+    )
+    rows = {(r.section, r.check): r.status for r in df.collect()}
+    assert df.columns == ["section", "check", "status", "detail"]
+    # live session + no Iceberg jar in this container -> explicit fail row
+    assert rows[("connect", "runtime_jar")] == "fail"
+    assert rows[("summary", "verdict")] == "info"

@@ -20,7 +20,11 @@ queries at three scale points; ``--all`` measures EVERY registered query at
 the two largest points so no query ships without an empirical exponent.
 The committed SCALING.md carries both tables.
 
-Usage: python tools/scale_probe.py [--all] [sf_low sf_mid sf_high]
+Usage: python tools/scale_probe.py [--all] [--only a,b,c] [sf_low sf_mid sf_high]
+
+``--only`` measures just the named queries at the two largest points with
+the identical protocol — for appending rows for newly registered queries
+without re-sweeping the whole registry.
 """
 
 from __future__ import annotations
@@ -56,18 +60,29 @@ def main() -> None:
     probe_all = "--all" in args
     if probe_all:
         args.remove("--all")
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     dirs = args[:3] or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
-    if probe_all:
+    if probe_all or only:
         dirs = dirs[-2:]  # two largest points; full registry, one fit each
     sfs = [float(d.rsplit("sf", 1)[1]) for d in dirs]
     registry = load_all()
-    selected = (
-        registry if probe_all else {n: s for n, s in registry.items() if "bench" in s.tags}
-    )
+    if only:
+        unknown = only - set(registry)
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {', '.join(sorted(unknown))}")
+        selected = {n: s for n, s in registry.items() if n in only}
+    elif probe_all:
+        selected = registry
+    else:
+        selected = {n: s for n, s in registry.items() if "bench" in s.tags}
     spark = get_spark("scale-probe")
     enable_cache(True)
     for d in dirs:
