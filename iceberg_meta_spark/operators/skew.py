@@ -62,3 +62,71 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     )
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias("n"))
+
+
+def key_skew_profile(df: DataFrame, key: str, salt_cap: int = 64) -> DataFrame:
+    """Pre-flight shuffle-key diagnosis: ONE summary row quantifying how
+    skewed ``key``'s row distribution is, with a partitioning
+    recommendation.
+
+    The decision A4's partition-skew detector makes for Iceberg partitions,
+    generalized to any join/groupBy key: before shuffling 100 TB on ``key``,
+    measure whether one key would funnel a disproportionate share of rows
+    through a single reducer, and if so how many salts spread it flat.
+
+    Metrics (all from one groupBy(key).count() + one single-row aggregate —
+    two shrinking shuffles, no sort, no window):
+
+    - ``max_over_avg`` — max key count over the uniform share ``n/k``; the
+      direct "hottest reducer vs ideal" ratio AQE's skew threshold uses.
+    - ``eff_keys`` — inverse Herfindahl ``n² / Σcnt²``: the number of
+      equal-size keys that would produce the same concentration (rational
+      arithmetic, no log/entropy — reproducible across engines).
+    - ``top_key`` / ``top_share`` — the single heaviest key (ties broken by
+      key value, deterministically).
+    - ``recommendation`` / ``salt_n`` — 'salt' with ``ceil(max_over_avg)``
+      salts (capped) when the hot key exceeds 8× the uniform share;
+      'pre-aggregate or broadcast' when the key space itself is tiny
+      (< 1000 keys — every reducer count is a hot spot at scale); else
+      'hash-partition as-is'.
+    """
+    cnts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cnts.agg(
+        F.lit(key).alias("key_col"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.max(F.struct(F.col("cnt"), F.col("k"))).getField("k").alias("top_key"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    ).select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "top_key",
+        F.round(F.col("max_cnt") / (F.col("n_rows") / F.col("n_keys")), 4).alias("max_over_avg"),
+        # n_rows is a single already-reduced value: cast before squaring so
+        # the product can't overflow long at petabyte row counts. sum_sq
+        # stays integer-exact (the per-key counts this profiles fit long
+        # squared comfortably below ~3e9 rows per key).
+        F.round(F.col("n_rows").cast("double") * F.col("n_rows") / F.col("sum_sq"), 2).alias("eff_keys"),
+        F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top_share"),
+        F.when(
+            F.col("max_cnt") * F.col("n_keys") > 8 * F.col("n_rows"),
+            F.lit("salt"),
+        )
+        .when(F.col("n_keys") < 1000, F.lit("pre-aggregate or broadcast"))
+        .otherwise(F.lit("hash-partition as-is"))
+        .alias("recommendation"),
+        F.when(
+            F.col("max_cnt") * F.col("n_keys") > 8 * F.col("n_rows"),
+            F.least(
+                F.lit(salt_cap).cast("long"),
+                F.ceil(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows")),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("salt_n"),
+    )

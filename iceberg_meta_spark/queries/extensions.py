@@ -6006,3 +6006,70 @@ def quality_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_percentiles(
         load_table(spark, sf_dir, "documents"), bucket_micro=_MIX_BUCKET
     )
+
+
+def _skew_profile_sql(table: str, key: str) -> str:
+    """DuckDB mirror of one key_skew_profile row (operators/skew.py)."""
+    return f"""
+        SELECT '{key}' AS key_col,
+               CAST((SELECT sum(cnt) FROM c_{key}) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM c_{key}) AS BIGINT) AS n_keys,
+               CAST((SELECT max(cnt) FROM c_{key}) AS BIGINT) AS max_cnt,
+               (SELECT k FROM c_{key} ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key,
+               round((SELECT max(cnt) FROM c_{key})
+                     / ((SELECT sum(cnt) FROM c_{key}) / (SELECT count(*) FROM c_{key})), 4)
+                   AS max_over_avg,
+               round(CAST((SELECT sum(cnt) FROM c_{key}) AS DOUBLE)
+                     * (SELECT sum(cnt) FROM c_{key})
+                     / (SELECT sum(cnt * cnt) FROM c_{key}), 2) AS eff_keys,
+               round((SELECT max(cnt) FROM c_{key})
+                     / CAST((SELECT sum(cnt) FROM c_{key}) AS DOUBLE), 6) AS top_share,
+               CASE WHEN (SELECT max(cnt) FROM c_{key}) * (SELECT count(*) FROM c_{key})
+                         > 8 * (SELECT sum(cnt) FROM c_{key}) THEN 'salt'
+                    WHEN (SELECT count(*) FROM c_{key}) < 1000
+                         THEN 'pre-aggregate or broadcast'
+                    ELSE 'hash-partition as-is' END AS recommendation,
+               CAST(CASE WHEN (SELECT max(cnt) FROM c_{key}) * (SELECT count(*) FROM c_{key})
+                              > 8 * (SELECT sum(cnt) FROM c_{key})
+                         THEN least(64, CAST(ceil(CAST((SELECT max(cnt) FROM c_{key}) AS DOUBLE)
+                              * (SELECT count(*) FROM c_{key})
+                              / (SELECT sum(cnt) FROM c_{key})) AS BIGINT))
+                         ELSE 0 END AS BIGINT) AS salt_n
+    """
+
+
+@register(
+    "shuffle_key_skew_profile",
+    oracle=f"""
+        WITH c_user_id AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+                           FROM events GROUP BY 1),
+             c_event_type AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS cnt
+                              FROM events GROUP BY 1),
+             c_l_suppkey AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS cnt
+                             FROM lineitem GROUP BY 1)
+        SELECT * FROM ({_skew_profile_sql('events', 'user_id')})
+        UNION ALL SELECT * FROM ({_skew_profile_sql('events', 'event_type')})
+        UNION ALL SELECT * FROM ({_skew_profile_sql('lineitem', 'l_suppkey')})
+        ORDER BY key_col
+    """,
+    tags=("bench",),
+    doc="Pre-flight shuffle-key skew diagnosis (operators/skew.py:"
+    "key_skew_profile): for each candidate join/groupBy key, ONE summary "
+    "row — hottest-key-over-uniform-share ratio (AQE's skew signal), "
+    "inverse-Herfindahl effective key count, the heavy key itself, and a "
+    "salt/broadcast/as-is recommendation with the salt count sized from "
+    "the measured ratio. Decide the partitioning strategy from two "
+    "shrinking aggregates BEFORE shuffling 100 TB on the wrong key; no "
+    "sort, no window, no collect",
+)
+def shuffle_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.skew import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = (
+        key_skew_profile(ev, "user_id")
+        .unionByName(key_skew_profile(ev, "event_type"))
+        .unionByName(key_skew_profile(li, "l_suppkey"))
+    )
+    return prof.orderBy("key_col")

@@ -326,6 +326,52 @@ def test_salted_count_matches_groupby(spark):
     assert got == {"a": 97, "b": 3}
 
 
+def test_key_skew_profile_recommends_salting_for_hot_key(spark):
+    from iceberg_meta_spark.operators.skew import key_skew_profile
+
+    # 'hot' holds 900 of 1000 rows over 101 keys: max/avg ~ 90.9
+    df = spark.createDataFrame(
+        [("hot",)] * 900 + [(f"k{i:03d}",) for i in range(100)], "key string"
+    )
+    row = key_skew_profile(df, "key").collect()[0]
+    assert row.key_col == "key"
+    assert (row.n_rows, row.n_keys, row.max_cnt) == (1000, 101, 900)
+    assert row.top_key == "hot"
+    assert abs(row.max_over_avg - 90.9) < 0.01
+    # Herfindahl: 1000^2 / (900^2 + 100*1) = 1.23 effective keys
+    assert abs(row.eff_keys - 1.23) < 0.01
+    assert row.recommendation == "salt"
+    # ceil(90.9) = 91 capped at 64
+    assert row.salt_n == 64
+
+
+def test_key_skew_profile_uniform_and_tiny_keyspace(spark):
+    from iceberg_meta_spark.operators.skew import key_skew_profile
+
+    uniform = spark.createDataFrame(
+        [(f"k{i:04d}",) for i in range(2000)] * 2, "key string"
+    )
+    r = key_skew_profile(uniform, "key").collect()[0]
+    assert r.recommendation == "hash-partition as-is"
+    assert r.salt_n == 0
+    assert r.max_over_avg == 1.0
+    assert r.eff_keys == 2000.0
+
+    tiny = spark.createDataFrame([("a",), ("b",), ("b",)], "key string")
+    t = key_skew_profile(tiny, "key").collect()[0]
+    assert t.recommendation == "pre-aggregate or broadcast"
+    # ties on cnt break by key value, deterministically (max struct)
+    assert t.top_key == "b"
+
+
+def test_key_skew_profile_top_key_tie_is_deterministic(spark):
+    from iceberg_meta_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([("a",), ("z",), ("m",)], "key string")
+    # all counts tie at 1 -> greatest key wins (ORDER BY cnt DESC, k DESC)
+    assert key_skew_profile(df, "key").collect()[0].top_key == "z"
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
