@@ -130,3 +130,74 @@ def key_skew_profile(df: DataFrame, key: str, salt_cap: int = 64) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("salt_n"),
     )
+
+
+def join_cardinality_preflight(
+    left: DataFrame, right: DataFrame, key: str, broadcast_row_cap: int = 10_000_000
+) -> DataFrame:
+    """Exact inner-join output size WITHOUT running the join, plus the
+    strategy that output shape calls for.
+
+    |A ⋈ B| on ``key`` is exactly ``Σ_k cntA(k)·cntB(k)`` — computable by
+    joining the two per-key COUNT tables (O(distinct keys) rows through the
+    shuffle, versus O(output) for the join itself; at 100 TB that is the
+    difference between a second and an hour). The same pass yields the
+    hottest output key (the reducer that would receive the most joined
+    rows), the amplification factor vs the larger input, and a
+    broadcast/salt/sort-merge recommendation:
+
+    - ``broadcast`` when one side's ROW COUNT fits the broadcast cap (row
+      proxy for autoBroadcastJoinThreshold — exact bytes are the planner's
+      call);
+    - ``salted sort-merge`` when the hottest key alone would produce > 8×
+      the uniform per-key output share (the join-side analog of
+      :func:`key_skew_profile`'s trigger — AQE splits such partitions at
+      runtime, salting fixes them at plan time);
+    - ``sort-merge as-is`` otherwise.
+
+    One row out: (key_col, left_rows, right_rows, matched_keys, out_rows,
+    max_key_out, top_key, amplification, recommendation).
+    """
+    la = left.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    rb = right.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    lt = left.agg(F.count(F.lit(1)).alias("left_rows"))
+    rt = right.agg(F.count(F.lit(1)).alias("right_rows"))
+    per_key = la.join(rb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("out_k")
+    )
+    agg = per_key.agg(
+        F.lit(key).alias("key_col"),
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.coalesce(F.sum("out_k"), F.lit(0)).alias("out_rows"),
+        F.coalesce(F.max("out_k"), F.lit(0)).alias("max_key_out"),
+        F.max(F.struct(F.col("out_k"), F.col("k"))).getField("k").alias("top_key"),
+    )
+    # three single-row frames: cross joins are 1x1, pure plan glue
+    prof = agg.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(rt))
+    return prof.select(
+        "key_col",
+        "left_rows",
+        "right_rows",
+        "matched_keys",
+        "out_rows",
+        "max_key_out",
+        "top_key",
+        F.round(
+            F.col("out_rows") / F.greatest(F.col("left_rows"), F.col("right_rows")), 4
+        ).alias("amplification"),
+        F.when(
+            F.least(F.col("left_rows"), F.col("right_rows")) <= broadcast_row_cap,
+            F.lit("broadcast smaller side"),
+        )
+        .when(
+            (F.col("matched_keys") > 0)
+            & (F.col("max_key_out") * F.col("matched_keys") > 8 * F.col("out_rows")),
+            F.lit("salted sort-merge"),
+        )
+        .otherwise(F.lit("sort-merge as-is"))
+        .alias("recommendation"),
+    )

@@ -6073,3 +6073,73 @@ def shuffle_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(key_skew_profile(li, "l_suppkey"))
     )
     return prof.orderBy("key_col")
+
+
+def _join_preflight_sql(key_col: str, left_sql: str, right_sql: str, cap: int) -> str:
+    """DuckDB mirror of one join_cardinality_preflight row."""
+    return f"""
+        WITH la AS (SELECT k, count(*) AS ca FROM ({left_sql}) GROUP BY k),
+             rb AS (SELECT k, count(*) AS cb FROM ({right_sql}) GROUP BY k),
+             pk AS (SELECT la.k, ca * cb AS out_k FROM la JOIN rb USING (k)),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+                           CAST(coalesce(sum(out_k), 0) AS BIGINT) AS out_rows,
+                           CAST(coalesce(max(out_k), 0) AS BIGINT) AS max_key_out
+                    FROM pk),
+             lt AS (SELECT CAST(count(*) AS BIGINT) AS left_rows FROM ({left_sql})),
+             rt AS (SELECT CAST(count(*) AS BIGINT) AS right_rows FROM ({right_sql}))
+        SELECT '{key_col}' AS key_col, left_rows, right_rows, matched_keys,
+               out_rows, max_key_out,
+               (SELECT k FROM pk ORDER BY out_k DESC, k DESC LIMIT 1) AS top_key,
+               round(out_rows / CAST(greatest(left_rows, right_rows) AS DOUBLE), 4)
+                   AS amplification,
+               CASE WHEN least(left_rows, right_rows) <= {cap}
+                         THEN 'broadcast smaller side'
+                    WHEN matched_keys > 0 AND max_key_out * matched_keys > 8 * out_rows
+                         THEN 'salted sort-merge'
+                    ELSE 'sort-merge as-is' END AS recommendation
+        FROM ag, lt, rt
+    """
+
+
+@register(
+    "join_cardinality_preflight",
+    oracle=f"""
+        SELECT * FROM ({_join_preflight_sql(
+            'o_orderkey',
+            "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders",
+            "SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem",
+            1000)})
+        UNION ALL
+        SELECT * FROM ({_join_preflight_sql(
+            'l_partkey',
+            "SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem",
+            "SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem",
+            1000)})
+        ORDER BY key_col
+    """,
+    tags=("bench",),
+    doc="Exact join-output cardinality WITHOUT running the join "
+    "(operators/skew.py:join_cardinality_preflight): |A JOIN B| = "
+    "SUM(cntA*cntB) over the two per-key COUNT tables — O(distinct keys) "
+    "through the shuffle instead of O(output). Emits the hottest output "
+    "key (the reducer a skewed join would flood), the amplification vs "
+    "the larger input, and a broadcast/salted/as-is strategy pick. Rows: "
+    "orders-lineitem 1:N and the lineitem self-join on l_partkey "
+    "(a fan-out join whose output is ~30x its input — the case where "
+    "knowing out_rows BEFORE launching matters)",
+)
+def join_cardinality_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.skew import join_cardinality_preflight
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "join_key"
+    )
+    li_ok = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "join_key"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    a = join_cardinality_preflight(
+        orders, li_ok, "join_key", broadcast_row_cap=1000
+    ).withColumn("key_col", F.lit("o_orderkey"))
+    b = join_cardinality_preflight(li, li, "l_partkey", broadcast_row_cap=1000)
+    return a.unionByName(b).orderBy("key_col")

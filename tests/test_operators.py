@@ -372,6 +372,56 @@ def test_key_skew_profile_top_key_tie_is_deterministic(spark):
     assert key_skew_profile(df, "key").collect()[0].top_key == "z"
 
 
+def test_join_preflight_out_rows_equals_real_join(spark):
+    from iceberg_meta_spark.operators.skew import join_cardinality_preflight
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)], "key string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 5 + [("d",)], "key string"
+    )
+    row = join_cardinality_preflight(left, right, "key", broadcast_row_cap=2).collect()[0]
+    assert row.out_rows == left.join(right, "key").count() == 22
+    assert row.matched_keys == 2
+    assert (row.max_key_out, row.top_key) == (12, "a")
+    assert (row.left_rows, row.right_rows) == (6, 10)
+    # neither side fits a 2-row broadcast cap, no 8x hot key -> as-is
+    assert row.recommendation == "sort-merge as-is"
+
+
+def test_join_preflight_broadcast_and_salted_branches(spark):
+    from iceberg_meta_spark.operators.skew import join_cardinality_preflight
+
+    small = spark.createDataFrame([("a",), ("b",)], "key string")
+    big = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "key string")
+    r = join_cardinality_preflight(big, small, "key", broadcast_row_cap=10).collect()[0]
+    assert r.recommendation == "broadcast smaller side"
+
+    # one key produces 100x the output of each of 100 cold keys
+    hot_left = spark.createDataFrame(
+        [("hot",)] * 100 + [(f"k{i:03d}",) for i in range(100)], "key string"
+    )
+    hot_right = spark.createDataFrame(
+        [("hot",)] * 100 + [(f"k{i:03d}",) for i in range(100)], "key string"
+    )
+    s = join_cardinality_preflight(hot_left, hot_right, "key", broadcast_row_cap=10).collect()[0]
+    # out = 100*100 + 100*1 = 10100; max_key_out*matched = 10000*101 > 8*10100
+    assert (s.out_rows, s.max_key_out) == (10100, 10000)
+    assert s.recommendation == "salted sort-merge"
+
+
+def test_join_preflight_disjoint_keys_zero_output(spark):
+    from iceberg_meta_spark.operators.skew import join_cardinality_preflight
+
+    left = spark.createDataFrame([("a",), ("b",)], "key string")
+    right = spark.createDataFrame([("x",), ("y",)], "key string")
+    r = join_cardinality_preflight(left, right, "key", broadcast_row_cap=0).collect()[0]
+    assert (r.matched_keys, r.out_rows, r.max_key_out) == (0, 0, 0)
+    assert r.top_key is None
+    assert r.amplification == 0.0
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
