@@ -6143,3 +6143,54 @@ def join_cardinality_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("key_col", F.lit("o_orderkey"))
     b = join_cardinality_preflight(li, li, "l_partkey", broadcast_row_cap=1000)
     return a.unionByName(b).orderBy("key_col")
+
+
+def _col_profile_sql(col: str, num_expr: str | None, len_expr: str | None) -> str:
+    """DuckDB mirror of one column_profile row over `events`."""
+    num_min = f"CAST(min({num_expr}) AS DOUBLE)" if num_expr else "CAST(NULL AS DOUBLE)"
+    num_max = f"CAST(max({num_expr}) AS DOUBLE)" if num_expr else "CAST(NULL AS DOUBLE)"
+    avg_len = (
+        f"round(CAST(sum({len_expr}) AS DOUBLE) / (count(*) - sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)), 4)"
+        if len_expr
+        else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+        SELECT '{col}' AS "column",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                               / count(*), 6) END AS null_share,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {num_min} AS min_num,
+               {num_max} AS max_num,
+               {avg_len} AS avg_len
+        FROM events
+    """
+
+
+@register(
+    "events_column_profile",
+    oracle=f"""
+        SELECT * FROM ({_col_profile_sql('event_id', 'event_id', None)})
+        UNION ALL SELECT * FROM ({_col_profile_sql('ts', 'epoch_ns(ts)', None)})
+        UNION ALL SELECT * FROM ({_col_profile_sql('user_id', 'user_id', None)})
+        UNION ALL SELECT * FROM ({_col_profile_sql('event_type', None, 'length(event_type)')})
+        UNION ALL SELECT * FROM ({_col_profile_sql('value', 'value', None)})
+        UNION ALL SELECT * FROM ({_col_profile_sql('props', None, 'length(props)')})
+        ORDER BY "column"
+    """,
+    tags=("bench",),
+    doc="ANALYZE-style one-pass column profiler (operators/profile.py): "
+    "every column's null share, EXACT distinct count, numeric/timestamp "
+    "range, and mean string length from a single aggregate over the table "
+    "— the long format comes from exploding an array-of-structs on the "
+    "1-row result, so the table is scanned once, not once per column. "
+    "Exact multi-column distinct plans via EXPAND (the standard ANALYZE "
+    "cost); approx=True swaps HLL++ for the petabyte deployment path",
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.profile import column_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return column_profile(ev).orderBy("column")

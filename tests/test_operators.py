@@ -422,6 +422,56 @@ def test_join_preflight_disjoint_keys_zero_output(spark):
     assert r.amplification == 0.0
 
 
+def test_column_profile_metrics_and_single_scan(spark):
+    from iceberg_meta_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "aa", 2.0), (2, None, 4.0), (2, "bbbb", None), (None, "aa", 8.0)],
+        "k long, s string, v double",
+    )
+    rows = {r.column: r for r in column_profile(df).collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 1
+    assert rows["k"].null_share == 0.25 and rows["k"].n_distinct == 2
+    assert (rows["k"].min_num, rows["k"].max_num) == (1.0, 2.0)
+    assert rows["k"].avg_len is None
+    # string column: numeric range NULL, mean length over NON-NULL values
+    assert rows["s"].min_num is None
+    assert rows["s"].avg_len == round((2 + 4 + 2) / 3, 4)
+    assert rows["v"].n_distinct == 3
+    # one scan: exactly one (expanded) aggregate over the input, no union
+    # of per-column subplans — the long format must come from explode
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        column_profile(df).explain("formatted")
+    import re
+
+    formatted = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan ", formatted)) <= 1, formatted
+    assert "Union" not in formatted, formatted
+
+
+def test_column_profile_empty_table_zero_guard(spark):
+    from iceberg_meta_spark.operators.profile import column_profile
+
+    empty = spark.createDataFrame([], "k long, s string")
+    rows = {r.column: r for r in column_profile(empty).collect()}
+    assert rows["k"].n_rows == 0 and rows["k"].null_share == 0.0
+    assert rows["s"].n_distinct == 0
+
+
+def test_column_profile_approx_mode_close_to_exact(spark):
+    from iceberg_meta_spark.operators.profile import column_profile
+
+    df = spark.range(5000).select((F.col("id") % 977).alias("k"))
+    exact = {r.column: r.n_distinct for r in column_profile(df).collect()}
+    approx = {r.column: r.n_distinct for r in column_profile(df, approx=True).collect()}
+    assert exact["k"] == 977
+    assert abs(approx["k"] - 977) / 977 < 0.1
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
