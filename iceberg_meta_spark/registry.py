@@ -80,7 +80,11 @@ def register(
 # meta_snapshot_diff_summary's slot (J1 stays represented by the stronger
 # 20k-row meta_snapshot_diff) and privacy_report (k-anonymity +
 # l-diversity composite) takes corpus_report's (documents composites stay
-# represented by corpus_curation).
+# represented by corpus_curation); shuffle_key_skew_profile (the r5
+# scale-preflight family: skew diagnosis + join-cardinality pre-flight +
+# column profiler) takes meta_snapshot_timestamps' slot (the S3 snapshot
+# family keeps three in-window representatives: recent_snapshots,
+# latest_snapshot_summary, watch_new_snapshots).
 DRIVER_WINDOW = [
     # §2 metadata core
     "meta_file_health",
@@ -105,7 +109,7 @@ DRIVER_WINDOW = [
     "meta_latest_snapshot_summary",
     "meta_watch_new_snapshots",
     "meta_file_labels",
-    "meta_snapshot_timestamps",
+    "shuffle_key_skew_profile",
     # mandated LLM-pipeline family
     "dedup_exact",
     "dedup_minhash_lsh",
