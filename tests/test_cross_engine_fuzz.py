@@ -142,3 +142,97 @@ def test_substring_removal_cross_engine_on_long_corpora(spark, tmp_path_factory,
     finally:
         con.close()
         parquet.enable_cache(prior)
+
+
+# --- round-5 scale-preflight family -----------------------------------------
+# Random SKEWED key distributions (one pool value deliberately hot) through
+# the skew profiler, the join-cardinality pre-flight, and the column
+# profiler: recommendation branch edges (8x threshold, broadcast cap),
+# max-struct tie-breaks, and null/distinct accounting must agree across
+# engines on inputs nobody hand-picked.
+
+import datetime as _dt
+
+preflight_tables = st.tuples(
+    st.lists(  # events: (user_pool_idx, type_idx, value_q, null_props)
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-8, max_value=8),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(  # lineitem: (orderkey, suppkey, partkey)
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=10),  # orders keys
+)
+
+# pool index 0 is 'hot': drawn ~3x more often than any other by weighting
+_USER_POOL = [0, 0, 0, 1, 2, 3, 4]
+_TYPES = ["click", "view", "buy"]
+_BASE_TS = _dt.datetime(2024, 1, 1)
+
+
+@given(tables=preflight_tables)
+@SET
+def test_preflight_kernels_cross_engine_on_random_tables(spark, tmp_path_factory, tables):
+    from iceberg_meta_spark.sources import parquet
+
+    ev_rows, li_rows, ok_rows = tables
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_pf"))
+    try:
+        events = spark.createDataFrame(
+            [
+                (
+                    i,
+                    _BASE_TS + _dt.timedelta(minutes=i),
+                    _USER_POOL[u],
+                    _TYPES[t],
+                    q / 4.0,
+                    None if drop_props else f"p{i % 3}",
+                )
+                for i, (u, t, q, drop_props) in enumerate(ev_rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        lineitem = spark.createDataFrame(
+            [(ok, sk, pk) for ok, sk, pk in li_rows],
+            "l_orderkey long, l_suppkey long, l_partkey long",
+        )
+        orders = spark.createDataFrame([(k,) for k in ok_rows], "o_orderkey long")
+        for name, df in (("events", events), ("lineitem", lineitem), ("orders", orders)):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmpdir, f"{name}.parquet")
+            )
+        qs = load_all()
+        con = duckdb.connect()
+        for name in ("events", "lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmpdir}/{name}.parquet/*.parquet')"
+            )
+        try:
+            for name in (
+                "shuffle_key_skew_profile",
+                "join_cardinality_preflight",
+                "events_column_profile",
+            ):
+                sdf = qs[name].spark_fn(spark, tmpdir).toPandas()
+                ddf = con.execute(qs[name].oracle).df()
+                res = compare_frames(name, sdf, ddf)
+                assert res.ok, f"{name}: {res.detail} on {tables!r}"
+        finally:
+            con.close()
+    finally:
+        parquet.enable_cache(prior)
