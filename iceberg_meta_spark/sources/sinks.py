@@ -221,3 +221,30 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(list(sort_cols))
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "append",
+    dynamic: bool = True,
+) -> None:
+    """Hive-layout partitioned parquet write with DYNAMIC partition
+    overwrite — the production incremental-load semantics (the parquet
+    analog of :func:`overwrite_partitions_iceberg`'s
+    ``overwritePartitions``).
+
+    With ``mode='overwrite'`` and ``dynamic=True``, only the partitions
+    PRESENT in ``df`` are replaced; untouched partitions survive. Spark's
+    default (``partitionOverwriteMode=static``) silently truncates the
+    whole table first — the classic nightly-backfill data-loss footgun —
+    so the mode is set per-write via ``option()``, never globally, and is
+    scoped to this write only.
+    """
+    writer = df.write.mode(mode)
+    if mode == "overwrite":
+        writer = writer.option(
+            "partitionOverwriteMode", "dynamic" if dynamic else "static"
+        )
+    writer.partitionBy(*partition_cols).parquet(path)

@@ -74,11 +74,20 @@ def maintain_stats(
     state_dir: str,
     group_col: str = "part_key",
     sum_cols: tuple[str, ...] = ("record_count", "file_size_in_bytes"),
+    available_now: bool = False,
 ):
     """Wire a file-arrival stream into :func:`stats_merge_sink`; returns the
-    started StreamingQuery (caller owns stop())."""
-    return (
-        files_stream.writeStream.outputMode("update")
-        .foreachBatch(stats_merge_sink(state_dir, group_col, sum_cols))
-        .start()
+    started StreamingQuery (caller owns stop()).
+
+    ``available_now=True`` runs in backfill mode (``Trigger.AvailableNow``):
+    the query drains exactly the backlog present at start — in rate-limited
+    micro-batches, each merged idempotently by batch_id — then terminates on
+    its own. The catch-up path after an outage or for a first historical
+    load, with the same sink code the continuous query runs.
+    """
+    writer = files_stream.writeStream.outputMode("update").foreachBatch(
+        stats_merge_sink(state_dir, group_col, sum_cols)
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

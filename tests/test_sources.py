@@ -742,3 +742,41 @@ def test_doctor_dataframe_report_without_jar(spark):
     # live session + no Iceberg jar in this container -> explicit fail row
     assert rows[("connect", "runtime_jar")] == "fail"
     assert rows[("summary", "verdict")] == "info"
+
+
+def test_write_partitioned_dynamic_overwrite_preserves_untouched(spark, tmp_path):
+    path = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [("day1", 1, 10.0), ("day1", 2, 20.0), ("day2", 3, 30.0)],
+        "dt string, id long, v double",
+    )
+    sinks.write_partitioned(base, path, ["dt"], mode="overwrite")
+    # re-load day 1 only, with corrected values
+    fix = spark.createDataFrame(
+        [("day1", 1, 11.0), ("day1", 9, 99.0)], "dt string, id long, v double"
+    )
+    sinks.write_partitioned(fix, path, ["dt"], mode="overwrite", dynamic=True)
+    got = {(r.dt, r.id): r.v for r in spark.read.parquet(path).collect()}
+    # day 1 replaced wholesale; day 2 untouched by the dynamic overwrite
+    assert got == {("day1", 1): 11.0, ("day1", 9): 99.0, ("day2", 3): 30.0}
+
+
+def test_write_partitioned_static_overwrite_truncates(spark, tmp_path):
+    path = str(tmp_path / "part_tbl_static")
+    base = spark.createDataFrame(
+        [("day1", 1), ("day2", 2)], "dt string, id long"
+    )
+    sinks.write_partitioned(base, path, ["dt"], mode="overwrite")
+    fix = spark.createDataFrame([("day1", 9)], "dt string, id long")
+    sinks.write_partitioned(fix, path, ["dt"], mode="overwrite", dynamic=False)
+    # static overwrite drops EVERY partition first — the documented footgun
+    assert {(r.dt, r.id) for r in spark.read.parquet(path).collect()} == {("day1", 9)}
+
+
+def test_write_partitioned_append_accumulates(spark, tmp_path):
+    path = str(tmp_path / "part_tbl_app")
+    d1 = spark.createDataFrame([("a", 1)], "k string, id long")
+    d2 = spark.createDataFrame([("a", 2), ("b", 3)], "k string, id long")
+    sinks.write_partitioned(d1, path, ["k"])
+    sinks.write_partitioned(d2, path, ["k"])
+    assert spark.read.parquet(path).count() == 3

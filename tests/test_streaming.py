@@ -1552,3 +1552,38 @@ def test_streaming_source_quota_matches_batch(spark, tmp_path):
     last_bid = spark.read.parquet(state).agg(F.max("batch_id")).collect()[0][0]
     quota_merge_sink(state, Q)(docs.limit(10), last_bid)
     assert kept() == expected
+
+
+def test_maintain_stats_available_now_backfill_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: the query consumes exactly the backlog present
+    at start, terminates on its own, and files landing AFTER termination
+    are not consumed — the bounded catch-up path after an outage, running
+    the identical merge sink as the continuous query."""
+    from iceberg_meta_spark.streaming.incremental import maintain_stats
+
+    src = str(tmp_path / "files")
+    state = str(tmp_path / "stats")
+    schema = "part_key string, file_path string, record_count long, file_size_in_bytes long"
+    spark.createDataFrame(
+        [("a", "f1", 10, 100), ("b", "f2", 5, 50)], schema
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame([("a", "f3", 1, 10)], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = maintain_stats(stream, state, available_now=True)
+    assert q.awaitTermination(120), "availableNow backfill did not terminate"
+    assert not q.isActive
+
+    got = {
+        r.part_key: (r.n_files, r.record_count, r.file_size_in_bytes)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {"a": (2, 11, 110), "b": (1, 5, 50)}
+
+    # a file landing after termination is NOT picked up (backfill is bounded)
+    spark.createDataFrame([("c", "f4", 2, 20)], schema).write.mode("append").parquet(src)
+    import time
+
+    time.sleep(2)
+    got2 = {r.part_key for r in spark.read.parquet(state).collect()}
+    assert "c" not in got2
