@@ -459,3 +459,49 @@ def longest_dup_span(
         .orderBy(F.col("span_tokens").desc(), "doc_id")
         .limit(k)
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc top-``k`` keywords by tf-idf — fully integer-exact.
+
+    IDF uses the BM25 raw-odds form ``(N - df + 0.5) / (df + 0.5)`` (see
+    :func:`bm25_scores`: log() is the one libm-dependent op that breaks
+    cross-engine hash gates; log is monotone so per-doc keyword RANKING is
+    unchanged), restated over integers: ``score_milli =
+    (tf * (2(N-df)+1) * 1000) DIV (2·df+1)`` — no float op anywhere, so
+    ties and orderings replay exactly on any engine.
+
+    Scale: tf is one shuffle on (doc, term); document frequency re-groups
+    the TF TABLE (distinct pairs, far smaller than token instances), and
+    the back-join re-shuffles by term (no broadcast: the rarest terms —
+    exactly the keywords — would be the ones a capped-vocab broadcast
+    drops). The top-k window partitions by doc_id — parallel per doc,
+    never global.
+    """
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr(
+                "CAST((tf * (2 * (n_docs - df) + 1) * 1000) DIV (2 * df + 1) AS BIGINT)"
+            ).alias("tfidf_milli"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_milli").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df", "tfidf_milli")
+    )

@@ -6194,3 +6194,40 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return column_profile(ev).orderBy("column")
+
+
+@register(
+    "doc_keywords",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                          CAST((tf.tf * (2 * (nd.n_docs - dfreq.df) + 1) * 1000)
+                               // (2 * dfreq.df + 1) AS BIGINT) AS tfidf_milli
+                   FROM tf JOIN dfreq USING (token) CROSS JOIN nd),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_milli DESC, token) AS rank
+                   FROM scored)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, tfidf_milli
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+    tags=("bench",),
+    doc="Per-document top-3 keywords by tf-idf (pipeline/corpus.py:"
+    "tfidf_keywords): raw-odds IDF restated over integers — "
+    "(tf*(2(N-df)+1)*1000) DIV (2df+1) — so the ranking is the log-IDF "
+    "ranking (log is monotone) but every tie and every hash replays "
+    "exactly cross-engine. No capped-vocab broadcast: the rarest terms "
+    "ARE the keywords, so df joins back by term (the shuffle carries "
+    "distinct (doc,term) pairs, not token instances); the top-k window "
+    "partitions by doc_id",
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.corpus import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")

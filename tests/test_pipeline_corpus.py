@@ -229,3 +229,30 @@ def test_longest_dup_span_finds_planted_run(spark):
     # 12 shared tokens -> 12-8+1 = 5 consecutive dup positions -> span 12
     assert out[0].longest_run == 5 and out[0].span_tokens == 12
     assert out[1].longest_run == 5 and out[1].span_tokens == 12
+
+
+def test_tfidf_keywords_rare_term_wins_over_ubiquitous(spark):
+    # 'zebra' appears once in one doc; 'the' appears in every doc.
+    docs = _docs(spark, ["the cat zebra", "the cat", "the dog", "the dog"])
+    out = {r.doc_id: r for r in corpus.tfidf_keywords(docs, k=1).collect()}
+    assert out[0].token == "zebra"
+    # integer raw-odds score: tf=1, N=4, df=1 -> (1*(2*3+1)*1000) DIV 3 = 2333
+    assert out[0].tfidf_milli == 2333
+    # doc 1: 'cat' (df=2) beats 'the' (df=4)
+    assert out[1].token == "cat"
+
+
+def test_tfidf_keywords_tf_and_tie_break(spark):
+    docs = _docs(spark, ["b b a", "a b"])
+    out = [(r.rank, r.token) for r in corpus.tfidf_keywords(docs, k=2).collect() if r.doc_id == 0]
+    # both terms have df=2 (same idf); tf=2 ranks 'b' first, then 'a'
+    assert out == [(1, "b"), (2, "a")]
+    # all-tied doc: alphabetical tie-break is deterministic
+    docs2 = _docs(spark, ["z y x"])
+    out2 = [r.token for r in corpus.tfidf_keywords(docs2, k=3).collect()]
+    assert out2 == ["x", "y", "z"]
+
+
+def test_tfidf_keywords_k_caps_output(spark):
+    docs = _docs(spark, ["a b c d e f g h"])
+    assert corpus.tfidf_keywords(docs, k=3).count() == 3
