@@ -44,6 +44,17 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
 
+    # 0. scale pre-flight: diagnose the shuffle keys and price the joins
+    # BEFORE launching anything expensive (operators/skew.py, profile.py)
+    from iceberg_meta_spark.operators.profile import column_profile
+    from iceberg_meta_spark.operators.skew import key_skew_profile
+
+    show("column profile (documents)", column_profile(docs).orderBy("column"), n=6)
+    show(
+        "shuffle-key skew: source / lang",
+        key_skew_profile(docs, "source").unionByName(key_skew_profile(docs, "lang")),
+    )
+
     # 1. quality gate: keep docs the composite rules rate good/ok
     scored = quality_scores(docs)
     kept = docs.join(
@@ -96,6 +107,11 @@ def main() -> None:
         rates_256={"en": 128, "de": 256, "fr": 256, "es": 256, "zh": 256},
     )
     show("mixed corpus by lang", mixed.groupBy("lang").count())
+
+    # 4c. per-doc tf-idf keywords on the final mix (integer raw-odds IDF)
+    from iceberg_meta_spark.pipeline.corpus import tfidf_keywords
+
+    show("tf-idf keywords", tfidf_keywords(mixed, k=2), n=6)
 
     # 5. context-window chunking
     chunks = chunk_documents(mixed)
