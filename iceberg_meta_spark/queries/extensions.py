@@ -6231,3 +6231,67 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "lineitem_correlation_matrix",
+    oracle="""
+        WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                          CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                          CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+                   FROM lineitem),
+        agg AS (SELECT count(*) AS n,
+                       sum(qty) AS s_q, sum(qty * qty) AS ss_q,
+                       sum(price_c) AS s_p, sum(price_c * price_c) AS ss_p,
+                       sum(disc_c) AS s_d, sum(disc_c * disc_c) AS ss_d,
+                       sum(tax_c) AS s_t, sum(tax_c * tax_c) AS ss_t,
+                       sum(qty * price_c) AS s_qp, sum(qty * disc_c) AS s_qd,
+                       sum(qty * tax_c) AS s_qt, sum(price_c * disc_c) AS s_pd,
+                       sum(price_c * tax_c) AS s_pt, sum(disc_c * tax_c) AS s_dt
+                FROM s)
+        SELECT col_x, col_y, CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN (CAST(n AS DOUBLE) * ssx - sx * sx) > 0
+                         AND (CAST(n AS DOUBLE) * ssy - sy * sy) > 0
+                    THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * ssx - sx * sx)
+                                * (CAST(n AS DOUBLE) * ssy - sy * sy)), 6)
+               END AS corr
+        FROM (
+            SELECT 'qty' AS col_x, 'price_c' AS col_y, n,
+                   CAST(s_q AS DOUBLE) AS sx, CAST(ss_q AS DOUBLE) AS ssx,
+                   CAST(s_p AS DOUBLE) AS sy, CAST(ss_p AS DOUBLE) AS ssy,
+                   CAST(s_qp AS DOUBLE) AS sxy FROM agg
+            UNION ALL SELECT 'qty', 'disc_c', n, CAST(s_q AS DOUBLE), CAST(ss_q AS DOUBLE),
+                   CAST(s_d AS DOUBLE), CAST(ss_d AS DOUBLE), CAST(s_qd AS DOUBLE) FROM agg
+            UNION ALL SELECT 'qty', 'tax_c', n, CAST(s_q AS DOUBLE), CAST(ss_q AS DOUBLE),
+                   CAST(s_t AS DOUBLE), CAST(ss_t AS DOUBLE), CAST(s_qt AS DOUBLE) FROM agg
+            UNION ALL SELECT 'price_c', 'disc_c', n, CAST(s_p AS DOUBLE), CAST(ss_p AS DOUBLE),
+                   CAST(s_d AS DOUBLE), CAST(ss_d AS DOUBLE), CAST(s_pd AS DOUBLE) FROM agg
+            UNION ALL SELECT 'price_c', 'tax_c', n, CAST(s_p AS DOUBLE), CAST(ss_p AS DOUBLE),
+                   CAST(s_t AS DOUBLE), CAST(ss_t AS DOUBLE), CAST(s_pt AS DOUBLE) FROM agg
+            UNION ALL SELECT 'disc_c', 'tax_c', n, CAST(s_d AS DOUBLE), CAST(ss_d AS DOUBLE),
+                   CAST(s_t AS DOUBLE), CAST(ss_t AS DOUBLE), CAST(s_dt AS DOUBLE) FROM agg
+        ) ORDER BY col_x, col_y
+    """,
+    tags=("bench",),
+    doc="Pearson correlation for every pair of lineitem's fixed-point "
+    "measures in ONE aggregate pass (operators/stats.py): integer-exact "
+    "sufficient statistics (DECIMAL(38,0) sums — a 100 TB table cannot "
+    "overflow them), k-squared correlations as scalar arithmetic on the "
+    "1-row result. F.corr per pair would scan k(k-1)/2 times and float-"
+    "accumulate in partition order; this is one scan and hash-gate "
+    "deterministic on any partitioning",
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    return correlation_matrix(li, ["qty", "price_c", "disc_c", "tax_c"]).orderBy(
+        "col_x", "col_y"
+    )

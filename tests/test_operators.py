@@ -472,6 +472,42 @@ def test_column_profile_approx_mode_close_to_exact(spark):
     assert abs(approx["k"] - 977) / 977 < 0.1
 
 
+def test_correlation_matrix_matches_numpy_and_edge_cases(spark):
+    from iceberg_meta_spark.operators.stats import correlation_matrix
+
+    xs = [1, 2, 3, 4, 10]
+    ys = [2, 4, 7, 8, 21]
+    zs = [5, 5, 5, 5, 5]  # zero variance
+    df = spark.createDataFrame(list(zip(xs, ys, zs)), "x long, y long, z long")
+    rows = {(r.col_x, r.col_y): r for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    import math
+
+    n = len(xs)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt((n * sum(a * a for a in xs) - sum(xs) ** 2)
+                    * (n * sum(b * b for b in ys) - sum(ys) ** 2))
+    assert rows[("x", "y")].corr == round(num / den, 6)
+    assert rows[("x", "y")].n_rows == 5
+    # zero-variance side -> NULL, not a division error
+    assert rows[("x", "z")].corr is None and rows[("y", "z")].corr is None
+
+
+def test_correlation_matrix_single_scan_plan(spark):
+    import contextlib
+    import io
+    import re
+
+    from iceberg_meta_spark.operators.stats import correlation_matrix
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        correlation_matrix(df, ["a", "b"]).explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan ", p)) <= 1, p
+    assert "Union" not in p and "Join" not in p, p
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
