@@ -6295,3 +6295,72 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(li, ["qty", "price_c", "disc_c", "tax_c"]).orderBy(
         "col_x", "col_y"
     )
+
+
+@register(
+    "purchase_multi_touch",
+    oracle="""
+        WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+                    FROM events),
+        p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_ts,
+                     CAST(floor(value * 1000000) AS BIGINT) AS value_micro
+              FROM ev WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts
+              FROM ev WHERE event_type = 'click'),
+        pairs AS (SELECT p.user_id, p.purchase_id, p.value_micro, c.click_id, c.click_ts
+                  FROM p JOIN c ON p.user_id = c.user_id
+                              AND c.click_ts >= p.p_ts - 3600000000
+                              AND c.click_ts <= p.p_ts),
+        ranked AS (SELECT *,
+                          CAST(row_number() OVER (PARTITION BY purchase_id
+                               ORDER BY click_ts, click_id) AS BIGINT) AS position,
+                          CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+                   FROM pairs),
+        wt AS (SELECT *,
+                      CASE WHEN position = 1
+                           THEN 1000 - (1000 // n_touches) * (n_touches - 1)
+                           ELSE 1000 // n_touches END AS w_linear_milli,
+                      CASE WHEN n_touches = 1 THEN 1000
+                           WHEN n_touches = 2 THEN 500
+                           WHEN position = 1 THEN 400
+                           WHEN position = n_touches THEN 400
+                           WHEN position = 2
+                           THEN 200 - (200 // (n_touches - 2)) * (n_touches - 3)
+                           ELSE 200 // (n_touches - 2) END AS w_ushape_milli
+               FROM ranked)
+        SELECT user_id, purchase_id, click_id, click_ts, position, n_touches,
+               CAST(w_linear_milli AS BIGINT) AS w_linear_milli,
+               CAST(w_ushape_milli AS BIGINT) AS w_ushape_milli,
+               CAST((value_micro * w_linear_milli) // 1000 AS BIGINT) AS credit_linear_micro,
+               CAST((value_micro * w_ushape_milli) // 1000 AS BIGINT) AS credit_ushape_micro
+        FROM wt
+        ORDER BY purchase_id, position
+    """,
+    tags=("bench",),
+    doc="Multi-touch attribution (operators/attribution.py): every click in "
+    "the 1h lookback shares the purchase's value under linear AND 40/20/40 "
+    "U-shape position weights — integer millis summing to EXACTLY 1000 per "
+    "conversion (floor remainder to the earliest touch of its tranche), "
+    "credits = (value*w) DIV 1000 so per-channel rollups replay exactly. "
+    "Candidates from the bucketed range equi-join (never a per-user cross "
+    "product); position windows partition by purchase",
+)
+def purchase_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.attribution import multi_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("ts DIV 1000").alias("ts_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = multi_touch_attribution(
+        clicks, purchases, lookback=3_600_000_000,
+        key="user_id", ts_col="ts_us", id_col="event_id", value_col="value_micro",
+    )
+    return out.orderBy("purchase_id", "position")

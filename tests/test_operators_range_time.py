@@ -96,3 +96,46 @@ def test_session_paths_known_journeys(spark, tmp_path):
         "view>click": (2, 666),
         "view>click>purchase": (1, 333),
     }
+
+
+def _mta(spark, clicks, purchases, lookback=100):
+    from iceberg_meta_spark.operators.attribution import multi_touch_attribution
+
+    c = spark.createDataFrame(clicks, "user_id long, event_id long, ts long")
+    p = spark.createDataFrame(
+        purchases, "user_id long, event_id long, ts long, value_micro long"
+    )
+    return multi_touch_attribution(
+        c, p, lookback=lookback, ts_col="ts", value_col="value_micro"
+    ).collect()
+
+
+def test_multi_touch_weights_sum_to_exactly_1000(spark):
+    # one purchase with n touches, n = 1..6: both models must sum to 1000
+    for n in range(1, 7):
+        clicks = [(1, i, 10 * (i + 1)) for i in range(n)]
+        rows = _mta(spark, clicks, [(1, 100, 100, 1_000_000)])
+        assert len(rows) == n
+        assert sum(r.w_linear_milli for r in rows) == 1000, (n, rows)
+        assert sum(r.w_ushape_milli for r in rows) == 1000, (n, rows)
+
+
+def test_multi_touch_u_shape_position_weights(spark):
+    # n=4: 400 / 100 / 100 / 400 (mid tranche 200 split over 2)
+    clicks = [(1, i, 10 * (i + 1)) for i in range(4)]
+    rows = sorted(_mta(spark, clicks, [(1, 100, 100, 2_000_000)]), key=lambda r: r.position)
+    assert [r.w_ushape_milli for r in rows] == [400, 100, 100, 400]
+    # linear: 250 each; credits floor-exact
+    assert [r.w_linear_milli for r in rows] == [250, 250, 250, 250]
+    assert [r.credit_ushape_micro for r in rows] == [800_000, 200_000, 200_000, 800_000]
+
+
+def test_multi_touch_window_bounds_and_isolation(spark):
+    # click outside the lookback and other-user clicks attract no credit
+    clicks = [(1, 1, 0), (1, 2, 50), (2, 3, 60)]
+    rows = _mta(spark, clicks, [(1, 9, 100, 1_000_000)], lookback=60)
+    assert [r.click_id for r in rows] == [2]  # ts=0 is out (100-60=40), user 2 excluded
+    assert rows[0].n_touches == 1 and rows[0].w_ushape_milli == 1000
+    # boundary click exactly at ts - lookback is INCLUDED (inclusive lo)
+    rows2 = _mta(spark, [(1, 1, 40)], [(1, 9, 100, 1_000_000)], lookback=60)
+    assert [r.click_id for r in rows2] == [1]
