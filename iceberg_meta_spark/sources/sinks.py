@@ -248,3 +248,10 @@ def write_partitioned(
             "partitionOverwriteMode", "dynamic" if dynamic else "static"
         )
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, columns: Sequence[str] | None = None) -> None:
+    """S10 columnar sink, ORC flavor (zlib, Spark's builtin writer) — for
+    downstream consumers pinned to the Hive/ORC toolchain; same projection
+    contract as the JSON/CSV sinks."""
+    _project(df, columns).write.mode("overwrite").orc(path)

@@ -780,3 +780,14 @@ def test_write_partitioned_append_accumulates(spark, tmp_path):
     sinks.write_partitioned(d1, path, ["k"])
     sinks.write_partitioned(d2, path, ["k"])
     assert spark.read.parquet(path).count() == 3
+
+
+def test_write_orc_roundtrip_with_projection(spark, tmp_path):
+    path = str(tmp_path / "orc_out")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    sinks.write_orc(df, path, columns=["id", "v"])
+    back = spark.read.orc(path)
+    assert back.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in back.collect()} == {(1, 1.5), (2, 2.5)}
