@@ -69,3 +69,47 @@ def correlation_matrix(df: DataFrame, cols: list[str], digits: int = 6) -> DataF
         ).alias("p")
     )
     return packed.select("p.*")
+
+
+def grouped_ols(
+    df: DataFrame, keys: list[str], x: str, y: str, digits: int = 6
+) -> DataFrame:
+    """Per-group least-squares line ``y = slope·x + intercept`` + r², from
+    the same exact-integer sufficient statistics as
+    :func:`correlation_matrix`, ONE aggregate per group.
+
+    The grouped-regression shape for trend detection over 10⁹ series: no
+    per-group sort, no window, no model library — five DECIMAL(38,0) sums
+    reduce with map-side combine and the closed-form OLS solution is scalar
+    arithmetic on each group's row. ``x``/``y`` must be integer-valued
+    (scale fixed-point first). Groups with < 2 points or zero x-variance
+    emit NULL slope/intercept/r2.
+    """
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.sum(d(x)).alias("__sx"),
+        F.sum(d(y)).alias("__sy"),
+        F.sum(d(x) * d(x)).alias("__sxx"),
+        F.sum(d(y) * d(y)).alias("__syy"),
+        F.sum(d(x) * d(y)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / var_x
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n_points"),
+        F.when(var_x > 0, F.round(slope, digits)).alias("slope"),
+        F.when(var_x > 0, F.round((sy - slope * sx) / n, digits)).alias("intercept"),
+        F.when(
+            (var_x > 0) & (var_y > 0), F.round(cov * cov / (var_x * var_y), digits)
+        ).alias("r2"),
+    )

@@ -6364,3 +6364,74 @@ def purchase_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id", ts_col="ts_us", id_col="event_id", value_col="value_micro",
     )
     return out.orderBy("purchase_id", "position")
+
+
+@register(
+    "nation_revenue_trend",
+    oracle="""
+        WITH m AS (SELECT n.n_name,
+                          CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+                              AS month_idx,
+                          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                              AS rev_cents
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                                 JOIN nation n ON c.c_nationkey = n.n_nationkey
+                   GROUP BY n.n_name, month_idx),
+        agg AS (SELECT n_name, count(*) AS n, sum(month_idx) AS sx, sum(rev_cents) AS sy,
+                       sum(month_idx * month_idx) AS sxx,
+                       sum(rev_cents * rev_cents) AS syy,
+                       sum(month_idx * rev_cents) AS sxy
+                FROM m GROUP BY n_name)
+        SELECT n_name, CAST(n AS BIGINT) AS n_points,
+               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                    THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+               END AS slope,
+               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                    THEN round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
+                                 - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               END AS intercept,
+               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+                         AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                    THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               END AS r2
+        FROM agg ORDER BY n_name
+    """,
+    tags=("bench",),
+    doc="Per-nation revenue trend: grouped closed-form OLS "
+    "(operators/stats.py:grouped_ols) over monthly revenue-cents points — "
+    "slope/intercept/r² per group from five DECIMAL(38,0) sufficient sums "
+    "in ONE aggregate per group, no per-group sort, no window, no model "
+    "library; dims broadcast onto the orders scan. The trend-detection "
+    "shape that runs unchanged over 10^9 series",
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.stats import grouped_ols
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # nation (25 rows) broadcasts; customer joins hash-partitioned — it is
+    # 1:10 with orders, too big to assume broadcastable at deployment scale
+    # (AQE upgrades it to broadcast at runtime when it does fit)
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    return grouped_ols(monthly, ["n_name"], "month_idx", "rev_cents").orderBy("n_name")

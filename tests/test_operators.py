@@ -508,6 +508,32 @@ def test_correlation_matrix_single_scan_plan(spark):
     assert "Union" not in p and "Join" not in p, p
 
 
+def test_grouped_ols_matches_closed_form(spark):
+    from iceberg_meta_spark.operators.stats import grouped_ols
+
+    # group g: y = 3x + 10 exactly -> slope 3, intercept 10, r2 = 1
+    pts = [("g", x, 3 * x + 10) for x in (1, 2, 5, 9)]
+    # group h: no x variance -> NULLs; group i: single point -> NULLs
+    pts += [("h", 4, 1), ("h", 4, 9), ("i", 2, 7)]
+    df = spark.createDataFrame(pts, "k string, x long, y long")
+    rows = {r.k: r for r in grouped_ols(df, ["k"], "x", "y").collect()}
+    assert (rows["g"].slope, rows["g"].intercept, rows["g"].r2) == (3.0, 10.0, 1.0)
+    assert rows["g"].n_points == 4
+    assert rows["h"].slope is None and rows["i"].slope is None
+
+    # noisy group: verify against the numpy closed form
+    xs, ys = [1, 2, 3, 4, 5], [2, 1, 4, 3, 7]
+    df2 = spark.createDataFrame([("n", a, b) for a, b in zip(xs, ys)], "k string, x long, y long")
+    r = grouped_ols(df2, ["k"], "x", "y").collect()[0]
+    n = len(xs)
+    cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(a * a for a in xs) - sum(xs) ** 2
+    vy = n * sum(b * b for b in ys) - sum(ys) ** 2
+    assert r.slope == round(cov / vx, 6)
+    assert r.intercept == round((sum(ys) - (cov / vx) * sum(xs)) / n, 6)
+    assert r.r2 == round(cov * cov / (vx * vy), 6)
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
