@@ -6435,3 +6435,82 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grouped_ols(monthly, ["n_name"], "month_idx", "rev_cents").orderBy("n_name")
+
+
+# Benford P(d) = log10(1 + 1/d) as LITERAL decimal text: both engines parse
+# the same 12-digit constant into the same double — no libm log10() at
+# query time, so the hash gate holds (the corpus convention: constants may
+# come from math, expressions may not).
+_BENFORD_P = {
+    1: "0.301029995664",
+    2: "0.176091259056",
+    3: "0.124938736608",
+    4: "0.096910013008",
+    5: "0.079181246048",
+    6: "0.066946789631",
+    7: "0.057991946978",
+    8: "0.051152522447",
+    9: "0.045757490561",
+}
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "orders_benford_audit",
+    oracle=f"""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                      AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+                   FROM orders WHERE o_totalprice > 0),
+        obs AS (SELECT first_digit, CAST(count(*) AS BIGINT) AS n_obs
+                FROM d GROUP BY first_digit),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+        SELECT o.first_digit, o.n_obs,
+               round(CAST(o.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+               round({_BENFORD_CASE}, 6) AS benford_share,
+               round(
+                   (CAST(o.n_obs AS DOUBLE) - t.n * ({_BENFORD_CASE}))
+                   * (CAST(o.n_obs AS DOUBLE) - t.n * ({_BENFORD_CASE}))
+                   / (t.n * ({_BENFORD_CASE})), 6) AS chi2_term
+        FROM obs o CROSS JOIN tot t
+        ORDER BY o.first_digit
+    """,
+    tags=("bench",),
+    doc="Benford first-digit audit over order totals (the fraud / "
+    "fabricated-data screen): observed leading-digit shares vs the "
+    "Benford expectation with per-digit chi-square terms — digits from "
+    "integer cents (no float formatting), expectations as literal "
+    "constants (no query-time libm), ONE tiny groupBy + a 1-row total "
+    "broadcast. Data-quality family: a synthetic-data or unit-mixup "
+    "regression in a revenue column shifts these nine rows immediately",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    p = F.expr(f"CAST(({_BENFORD_CASE}) AS DOUBLE)")
+    exp_n = F.col("n") * p
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("obs_share"),
+            F.round(p, 6).alias("benford_share"),
+            F.round(
+                (F.col("n_obs").cast("double") - exp_n)
+                * (F.col("n_obs").cast("double") - exp_n)
+                / exp_n,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("first_digit")
+    )

@@ -534,6 +534,44 @@ def test_grouped_ols_matches_closed_form(spark):
     assert r.r2 == round(cov * cov / (vx * vy), 6)
 
 
+def test_benford_audit_counts_and_constants(spark, tmp_path):
+    import datetime
+
+    from iceberg_meta_spark.registry import load_all
+    from iceberg_meta_spark.sources import parquet
+
+    # totals with known first digits of round(v*100): 1.23 -> 123 (d=1),
+    # 9.99 -> 999 (d=9), 0.05 -> 5 (d=5), 45.0 -> 4500 (d=4), 19.0 -> 1900
+    vals = [1.23, 9.99, 0.05, 45.0, 19.0]
+    rows = [
+        (i, i, "O", v, datetime.datetime(2024, 1, 1), "1-URGENT")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)
+    try:
+        out = {
+            r.first_digit: r
+            for r in load_all()["orders_benford_audit"]
+            .spark_fn(spark, str(tmp_path))
+            .collect()
+        }
+    finally:
+        parquet.enable_cache(prior)
+    assert {d: r.n_obs for d, r in out.items()} == {1: 2, 4: 1, 5: 1, 9: 1}
+    assert out[1].obs_share == 0.4
+    assert out[1].benford_share == 0.30103  # log10(2) literal, rounded
+    # chi2 term for digit 1: (2 - 5*0.301029995664)^2 / (5*0.301029995664)
+    exp = 5 * 0.301029995664
+    assert out[1].chi2_term == round((2 - exp) ** 2 / exp, 6)
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
