@@ -6514,3 +6514,59 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "events_type_dow_independence",
+    oracle="""
+        WITH keyed AS (SELECT event_type,
+                              CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow
+                       FROM events),
+        obs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_obs
+                FROM keyed GROUP BY event_type, dow),
+        rt AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS row_tot FROM obs GROUP BY event_type),
+        ct AS (SELECT dow, CAST(sum(n_obs) AS BIGINT) AS col_tot FROM obs GROUP BY dow),
+        g AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+        SELECT o.event_type, o.dow, o.n_obs,
+               round(CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n, 6) AS expected,
+               round((o.n_obs - CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n)
+                     * (o.n_obs - CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n)
+                     / (CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n), 6) AS chi2_term
+        FROM obs o JOIN rt r USING (event_type) JOIN ct c USING (dow) CROSS JOIN g
+        ORDER BY o.event_type, o.dow
+    """,
+    tags=("bench",),
+    doc="Chi-square independence audit: the event_type x day-of-week "
+    "contingency table with expected counts under independence and "
+    "per-cell chi-square terms — is behavior day-patterned, or is a "
+    "tracking pipeline duplicating one type on one day? One shrinking "
+    "groupBy; marginals are tiny keyed tables broadcast back onto the "
+    "cells (A4's shape, three ways). dow from integer epoch-day math "
+    "(1970-01-01 = Thursday = 4), no timezone/locale dependence",
+)
+def events_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.expr("((ts DIV 1000) DIV 86400000000 + 4) % 7").cast("long").alias("dow"),
+    )
+    obs = keyed.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = obs.groupBy("event_type").agg(F.sum("n_obs").alias("row_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("n_obs").alias("col_tot"))
+    g = obs.agg(F.sum("n_obs").alias("n"))
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "dow",
+            "n_obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("event_type", "dow")
+    )
