@@ -29,7 +29,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 HOUR_US = 3_600_000_000
 
@@ -123,6 +130,121 @@ def window_heavy_hitters(
         _make_update(m, k, timeout_ms),
         outputStructType=HH_SCHEMA,
         stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+SKEW_SCHEMA = StructType(
+    [
+        StructField("window_start_us", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("top_key", LongType()),
+        StructField("est_count", LongType()),
+        StructField("err_bound", LongType()),
+        StructField("hot_share_milli_lb", LongType()),
+        StructField("alert", BooleanType()),
+    ]
+)
+
+SKEW_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def _make_skew_update(m: int, threshold_milli: int, timeout_ms: int):
+    """Space-saving sketch + an EXACT running row total per window; emits one
+    skew-summary row per (window, micro-batch)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, counts, errs, total = state.get if state.exists else ([], [], [], 0)
+        sketch = {i: [c, e] for i, c, e in zip(ids, counts, errs)}
+        batch: dict[int, int] = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for uid, c in pdf.groupby("key").size().items():
+                batch[int(uid)] = batch.get(int(uid), 0) + int(c)
+        total += sum(batch.values())
+        for uid in sorted(batch):
+            c = batch[uid]
+            if uid in sketch:
+                sketch[uid][0] += c
+            elif len(sketch) < m:
+                sketch[uid] = [c, 0]
+            else:
+                evict = min(sketch, key=lambda u: (sketch[u][0], -u))
+                floor_c = sketch.pop(evict)[0]
+                sketch[uid] = [floor_c + c, floor_c]
+        items = sorted(sketch.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [u for u, _ in items],
+                [ce[0] for _, ce in items],
+                [ce[1] for _, ce in items],
+                int(total),
+            )
+        )
+        state.setTimeoutDuration(timeout_ms)
+        if not items or total == 0:
+            return
+        top_key, (est, err) = items[0]
+        # space-saving guarantees est - err <= true count: the share LOWER
+        # bound can never fire a false alert
+        lb_milli = ((est - err) * 1000) // total
+        yield pd.DataFrame(
+            {
+                "window_start_us": [key[0]],
+                "n_rows": [int(total)],
+                "top_key": [top_key],
+                "est_count": [est],
+                "err_bound": [err],
+                "hot_share_milli_lb": [int(lb_milli)],
+                "alert": [bool(lb_milli >= threshold_milli)],
+            }
+        )
+
+    return update
+
+
+def window_skew_monitor(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    width_us: int = HOUR_US,
+    m: int = 16,
+    threshold_milli: int = 200,
+    timeout_ms: int = 60 * 60 * 1000,
+) -> DataFrame:
+    """Continuously-maintained hot-key skew alarm — the streaming twin of
+    ``operators/skew.py:key_skew_profile``.
+
+    Per tumbling window: the exact running row count, the space-saving top
+    key with its error bound, and the hot key's GUARANTEED share lower
+    bound ``(est - err)·1000 DIV n`` in millis. ``alert`` fires only when
+    that lower bound crosses ``threshold_milli`` — the sketch overcounts,
+    so subtracting the error bound makes a false alarm impossible; a hot
+    key with true share > n/m + threshold is always tracked and eventually
+    fires. State: m counters + one total per active window, O(1) per key
+    space regardless of key cardinality.
+    """
+    keyed = events_stream.select(
+        ((F.col("ts_us") / width_us).cast("long") * width_us).alias("window_start_us"),
+        F.col(key_col).alias("key"),
+    )
+    return keyed.groupBy("window_start_us").applyInPandasWithState(
+        _make_skew_update(m, threshold_milli, timeout_ms),
+        outputStructType=SKEW_SCHEMA,
+        stateStructType=SKEW_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -1587,3 +1587,91 @@ def test_maintain_stats_available_now_backfill_drains_and_stops(spark, tmp_path)
     time.sleep(2)
     got2 = {r.part_key for r in spark.read.parquet(state).collect()}
     assert "c" not in got2
+
+
+def test_streaming_skew_monitor_alerts_on_hot_key(spark):
+    """Hot user holds ~60% of a rate stream: the guaranteed lower-bound
+    share must cross a 400-milli threshold and fire; with distinct keys
+    <= m the sketch is exact so the bound equals the estimate."""
+    import time
+
+    from iceberg_meta_spark.streaming.heavy import window_skew_monitor
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .select(
+            F.unix_micros(F.col("timestamp")).alias("ts_us"),
+            F.when(F.col("value") % 10 < 6, F.lit(1))
+            .otherwise(F.col("value") % 10)
+            .cast("long")
+            .alias("user_id"),
+        )
+    )
+    out = window_skew_monitor(rate, m=8, threshold_milli=400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skewmon_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        row = None
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT * FROM skewmon_test WHERE alert ORDER BY n_rows DESC LIMIT 1"
+            ).collect()
+            if rows and rows[0].n_rows > 100:
+                row = rows[0]
+                break
+        assert row is not None, "no skew alert fired"
+        assert row.top_key == 1
+        # 5 distinct keys <= m=8: exact sketch, zero error, share ~600 milli
+        assert row.err_bound == 0
+        assert 500 <= row.hot_share_milli_lb <= 700, row
+    finally:
+        q.stop()
+
+
+def test_skew_monitor_lower_bound_never_false_alarms():
+    """Direct sketch check at m=2 under eviction churn: the emitted share
+    lower bound must stay <= the true hot share, so an alert implies a
+    genuinely hot key."""
+    import pandas as pd
+
+    from iceberg_meta_spark.streaming.heavy import _make_skew_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    update = _make_skew_update(m=2, threshold_milli=500, timeout_ms=1000)
+    st = FakeState()
+    true_counts: dict[int, int] = {}
+    batches = [
+        [10] * 5 + [20] * 3,
+        [30] * 2,          # evicts 20, inherits its count as error
+        [10] * 4 + [40],   # evicts again; 10 stays hot
+        [10] * 6,
+    ]
+    for b in batches:
+        for u in b:
+            true_counts[u] = true_counts.get(u, 0) + 1
+        out = pd.concat(update((0,), iter([pd.DataFrame({"key": b})]), st))
+        n = sum(true_counts.values())
+        true_hot_milli = max(true_counts.values()) * 1000 // n
+        assert out.n_rows[0] == n  # the total is exact
+        assert out.hot_share_milli_lb[0] <= true_hot_milli, (out, true_counts)
+    # after the hot run, the alert fires and identifies the right key
+    assert bool(out.alert[0]) and out.top_key[0] == 10
