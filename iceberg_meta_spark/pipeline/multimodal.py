@@ -666,3 +666,96 @@ def segment_assets(assets: DataFrame, frame_bytes: int = 16) -> DataFrame:
 
     av = assets.filter(F.col("media_type") != "image")
     return av.select("asset_id", "payload").mapInPandas(run, SEGMENT_SCHEMA)
+
+
+# --- perceptual (content-based) image near-dup over the REAL decode path ---
+
+
+def ahash64(payload: bytes) -> int:
+    """64-bit average hash of a decoded image (PNG/PPM/PGM/BMP — any format
+    :func:`decode_image` handles): downsample the grayscale plane to 8×8 by
+    block means, threshold at the mean.
+
+    The classic perceptual fingerprint: invariant to uniform brightness /
+    contrast scaling (thresholding at the mean removes affine offsets) and
+    stable under mild re-encoding or resizing, unlike the byte-level
+    chunk-hash in :func:`near_dup_assets` which only survives exact reuse.
+    """
+    import numpy as np
+
+    d = decode_image(payload)
+    px = np.asarray(d["pixels"], dtype=np.float64)
+    if px.ndim == 3:  # RGB(A) -> luma (Rec.601 integer-friendly weights)
+        px = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    h, w = px.shape
+    # block-mean downsample to 8x8 via bincount on block ids (no scipy)
+    ys = (np.arange(h) * 8) // max(h, 1)
+    xs = (np.arange(w) * 8) // max(w, 1)
+    block = (ys[:, None] * 8 + xs[None, :]).ravel()
+    sums = np.bincount(block, weights=px.ravel(), minlength=64)
+    cnts = np.bincount(block, minlength=64)
+    means = sums / np.maximum(cnts, 1)
+    bits = (means > means.mean()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def perceptual_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, payload) -> (asset_id, ahash, band0..band3): the 64-bit
+    average hash split into four 16-bit bands for the hamming-LSH join.
+    One Arrow-batched pass; undecodable payloads are dropped (their format
+    names the missing library in decode_image's error)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("asset_id", LongType())]
+        + [StructField(c, LongType()) for c in ("ahash", "band0", "band1", "band2", "band3")]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "ahash", "band0", "band1", "band2", "band3")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    hsh = ahash64(bytes(payload))
+                except NotImplementedError:
+                    continue
+                out["asset_id"].append(int(aid))
+                out["ahash"].append(hsh - (1 << 64) if hsh >= 1 << 63 else hsh)
+                for b in range(4):
+                    out[f"band{b}"].append((hsh >> (16 * b)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def perceptual_near_dup(assets: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Image near-dup pairs by average-hash hamming distance, banded LSH.
+
+    Pigeonhole: two hashes within hamming distance 3 agree EXACTLY on at
+    least one of the four 16-bit bands, so candidates come from four band
+    equi-joins (union) — never an all-pairs product; the exact 64-bit
+    hamming distance then filters candidates to ``max_hamming``. The same
+    band shape as MinHash-LSH, applied to pixels instead of shingles.
+
+    Returns (asset_a, asset_b, hamming) for pairs with at least one equal
+    band AND distance <= max_hamming.
+    """
+    hs = perceptual_hashes(assets)
+    a = hs.select(*[F.col(c).alias(f"{c}_a") for c in hs.columns])
+    b = hs.select(*[F.col(c).alias(f"{c}_b") for c in hs.columns])
+    cand = None
+    for i in range(4):
+        pairs = a.join(b, F.col(f"band{i}_a") == F.col(f"band{i}_b")).filter(
+            F.col("asset_id_a") < F.col("asset_id_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    dist = F.bit_count(F.col("ahash_a").bitwiseXOR(F.col("ahash_b")))
+    return (
+        cand.select(
+            F.col("asset_id_a").alias("asset_a"),
+            F.col("asset_id_b").alias("asset_b"),
+            dist.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1004,3 +1004,46 @@ def test_score_percentiles_semantics(spark):
     sizes = {b: sum(1 for r in rows if (r.score_micro + 10_000_000) // 50_000 == b)
              for b in order}
     assert pcts[-1] == (n - sizes[order[-1]]) * 1000 // n
+
+
+def test_ahash_brightness_invariance_and_discrimination():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # even values so the uint8 halving below is EXACT linear scaling
+    img = (rng.integers(0, 100, size=(16, 16, 3)) * 2).astype(np.uint8)
+    png = multimodal.encode_png(img)
+    # halving brightness scales every block mean and the global mean alike:
+    # the threshold pattern — hence the hash — is unchanged
+    dim = multimodal.encode_png((img // 2).astype(np.uint8))
+    assert multimodal.ahash64(png) == multimodal.ahash64(dim)
+    # an unrelated image lands far away in hamming space
+    other = multimodal.encode_png(rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8))
+    d = bin(multimodal.ahash64(png) ^ multimodal.ahash64(other)).count("1")
+    assert d > 8, d
+
+
+def test_perceptual_near_dup_banded_join(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 100, size=(16, 16, 3)) * 2).astype(np.uint8)
+    variants = [
+        multimodal.encode_png(base),
+        multimodal.encode_png((base // 2).astype(np.uint8)),  # same hash
+        multimodal.encode_png(rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)),
+        b"\xff\xd8\xffJFIF-not-decodable",  # JPEG -> skipped, not fatal
+    ]
+    assets = spark.createDataFrame(
+        list(enumerate(variants)), "asset_id long, payload binary"
+    )
+    pairs = multimodal.perceptual_near_dup(assets, max_hamming=8).collect()
+    assert [(r.asset_a, r.asset_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+    # plan: banded equi-joins only, never a cartesian product
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        multimodal.perceptual_near_dup(assets).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
