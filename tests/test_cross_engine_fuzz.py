@@ -236,3 +236,100 @@ def test_preflight_kernels_cross_engine_on_random_tables(spark, tmp_path_factory
             con.close()
     finally:
         parquet.enable_cache(prior)
+
+
+# --- round-5 statistical kernels ---------------------------------------------
+# The correlation/OLS/Benford/chi-square kernels all claim BIT-identical
+# doubles across engines because every accumulation is integer-exact and
+# only scalar IEEE arithmetic touches floats. Random tables probe that
+# claim where it is weakest: near-zero variances, single-point groups,
+# duplicate x values, tiny row counts.
+
+stat_tables = st.tuples(
+    st.lists(  # lineitem rows: (qty, price_centi_raw, disc, tax)
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=99999),
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # orders rows: (custkey, totalprice_cents, month_offset)
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=1, max_value=10_000_00),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+
+
+@given(tables=stat_tables)
+@SET
+def test_stat_kernels_cross_engine_on_random_tables(spark, tmp_path_factory, tables):
+    import datetime as dt
+
+    from iceberg_meta_spark.sources import parquet
+
+    li_rows, o_rows = tables
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_stat"))
+    try:
+        lineitem = spark.createDataFrame(
+            [
+                (i, float(q), p / 100.0, d / 100.0, t / 100.0)
+                for i, (q, p, d, t) in enumerate(li_rows)
+            ],
+            "l_orderkey long, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double",
+        )
+        base = dt.datetime(1995, 1, 1)
+        orders = spark.createDataFrame(
+            [
+                (i, ck, tp / 100.0, base.replace(year=1995 + mo // 12, month=mo % 12 + 1))
+                for i, (ck, tp, mo) in enumerate(o_rows)
+            ],
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        )
+        customer = spark.createDataFrame(
+            [(k, k % 3) for k in range(5)], "c_custkey long, c_nationkey long"
+        )
+        nation = spark.createDataFrame(
+            [(0, "ALPHA"), (1, "BRAVO"), (2, "CHARLIE")],
+            "n_nationkey long, n_name string",
+        )
+        frames = {
+            "lineitem": lineitem,
+            "orders": orders,
+            "customer": customer,
+            "nation": nation,
+        }
+        for name, df in frames.items():
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmpdir, f"{name}.parquet")
+            )
+        qs = load_all()
+        con = duckdb.connect()
+        for name in frames:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmpdir}/{name}.parquet/*.parquet')"
+            )
+        try:
+            for name in (
+                "lineitem_correlation_matrix",
+                "nation_revenue_trend",
+                "orders_benford_audit",
+            ):
+                sdf = qs[name].spark_fn(spark, tmpdir).toPandas()
+                ddf = con.execute(qs[name].oracle).df()
+                res = compare_frames(name, sdf, ddf)
+                assert res.ok, f"{name}: {res.detail} on {tables!r}"
+        finally:
+            con.close()
+    finally:
+        parquet.enable_cache(prior)

@@ -30,6 +30,15 @@ def main() -> None:
         print(f"\n== {title} ==")
         df.show(n, truncate=False)
 
+    # doctor first, the way the reference CLI onboards a user: config /
+    # env / connectivity checks with a one-line verdict
+    show(
+        "doctor",
+        api.doctor(
+            spark, file_props={"uri": "http://rest:8181", "warehouse": "s3://wh"}, env={}
+        ),
+        n=10,
+    )
     show("summary", api.summary(src))
     show("recent operations", api.recent_operations(src))
     show("health", api.health(src), n=10)
