@@ -161,11 +161,17 @@ def join_cardinality_preflight(
     la = left.groupBy(F.col(key).cast("string").alias("k")).agg(
         F.count(F.lit(1)).alias("ca")
     )
-    rb = right.groupBy(F.col(key).cast("string").alias("k")).agg(
-        F.count(F.lit(1)).alias("cb")
-    )
     lt = left.agg(F.count(F.lit(1)).alias("left_rows"))
-    rt = right.agg(F.count(F.lit(1)).alias("right_rows"))
+    if right is left:
+        # self-join census: reuse the one count table / total instead of
+        # trusting exchange-reuse to dedupe two identical aggregates
+        rb = la.select("k", F.col("ca").alias("cb"))
+        rt = lt.select(F.col("left_rows").alias("right_rows"))
+    else:
+        rb = right.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        rt = right.agg(F.count(F.lit(1)).alias("right_rows"))
     per_key = la.join(rb, "k").select(
         "k", (F.col("ca") * F.col("cb")).alias("out_k")
     )
