@@ -364,6 +364,30 @@ def snapshot_expiry(
     )
 
 
+def retention_plan(
+    src: MetadataSource,
+    *,
+    now_us: int,
+    keep_last: int = 5,
+    keep_all_hours: int = 24,
+    daily_days: int = 30,
+    weekly_weeks: int = 12,
+) -> DataFrame:
+    """GFS tiered-retention dry run: per-snapshot keep/expire verdicts with
+    the reasons each snapshot survives (last-k / recent / daily / weekly).
+    The preview to read before an irreversible expireSnapshots."""
+    from iceberg_meta_spark.operators.maintenance import retention_policy
+
+    return retention_policy(
+        src.snapshots(),
+        now_us=now_us,
+        keep_last=keep_last,
+        keep_all_hours=keep_all_hours,
+        daily_days=daily_days,
+        weekly_weeks=weekly_weeks,
+    )
+
+
 def orphan_files(src: MetadataSource, storage_listing: DataFrame) -> DataFrame:
     """Files in the object-store listing no snapshot tracks."""
     return ops.orphan_files(storage_listing, src.files())

@@ -417,3 +417,91 @@ def equality_delete_plan(
         )
         .orderBy("file_path")
     )
+
+
+def retention_policy(
+    snapshots: DataFrame,
+    *,
+    now_us: int,
+    keep_last: int = 5,
+    keep_all_hours: int = 24,
+    daily_days: int = 30,
+    weekly_weeks: int = 12,
+) -> DataFrame:
+    """GFS (grandfather-father-son) snapshot retention simulation: the
+    standard backup-rotation policy applied to the snapshot log, one
+    verdict row per snapshot with the reasons it is kept.
+
+    Keep when ANY of: among the ``keep_last`` most recent; younger than
+    ``keep_all_hours``; the last snapshot of its UTC day within
+    ``daily_days``; the last snapshot of its ISO week within
+    ``weekly_weeks``. Everything else expires. This generalizes
+    :func:`snapshot_expiry` (keep-last AND max-age) into the tiered
+    retention real warehouses run, and shows WHY each snapshot survives —
+    the dry-run a user wants before an irreversible expire.
+
+    Windows: the recency rank is global over the metadata-sized snapshot
+    log (same bound as snapshot_expiry; multi-table deployments partition
+    it by table). The day/week last-of-period windows are partitioned by
+    their period key. ``now_us`` is required and validated — no
+    wall-clock read, fully deterministic.
+    """
+    if now_us <= 0:
+        raise ValueError(f"now_us must be a positive epoch-microsecond clock, got {now_us}")
+    day_us = 86_400_000_000
+    week_us = 7 * day_us
+    w_recent = Window.orderBy(F.desc("committed_us"), F.desc("snapshot_id"))
+    w_day = Window.partitionBy("day_idx").orderBy(
+        F.desc("committed_us"), F.desc("snapshot_id")
+    )
+    w_week = Window.partitionBy("week_idx").orderBy(
+        F.desc("committed_us"), F.desc("snapshot_id")
+    )
+    keyed = snapshots.select(
+        "snapshot_id",
+        "committed_us",
+        F.expr(f"committed_us DIV {day_us}").alias("day_idx"),
+        F.expr(f"committed_us DIV {week_us}").alias("week_idx"),
+    )
+    flagged = (
+        keyed.withColumn("recency_rank", F.row_number().over(w_recent))
+        .withColumn("day_rank", F.row_number().over(w_day))
+        .withColumn("week_rank", F.row_number().over(w_week))
+        .select(
+            "snapshot_id",
+            "committed_us",
+            "recency_rank",
+            (F.col("recency_rank") <= keep_last).alias("keep_lastk"),
+            (
+                F.col("committed_us") >= now_us - keep_all_hours * 3_600_000_000
+            ).alias("keep_recent"),
+            (
+                (F.col("day_rank") == 1)
+                & (F.col("day_idx") >= now_us // day_us - daily_days)
+            ).alias("keep_daily"),
+            (
+                (F.col("week_rank") == 1)
+                & (F.col("week_idx") >= now_us // week_us - weekly_weeks)
+            ).alias("keep_weekly"),
+        )
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("keep_lastk"), F.lit("last-k")),
+        F.when(F.col("keep_recent"), F.lit("recent")),
+        F.when(F.col("keep_daily"), F.lit("daily")),
+        F.when(F.col("keep_weekly"), F.lit("weekly")),
+    )
+    keep = (
+        F.col("keep_lastk")
+        | F.col("keep_recent")
+        | F.col("keep_daily")
+        | F.col("keep_weekly")
+    )
+    return flagged.select(
+        "snapshot_id",
+        "committed_us",
+        "recency_rank",
+        keep.alias("keep"),
+        F.when(keep, reasons).otherwise(F.lit("expire")).alias("reasons"),
+    )

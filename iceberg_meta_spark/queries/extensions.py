@@ -6570,3 +6570,78 @@ def events_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+_RET_KEEP_LAST = 5
+_RET_ALL_HOURS = 24
+_RET_DAILY_DAYS = 30
+_RET_WEEKLY_WEEKS = 12
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+@register(
+    "meta_retention_policy",
+    oracle=oracle_query(
+        f"""
+        , keyed AS (
+            SELECT snapshot_id, committed_us,
+                   committed_us // {_DAY_US} AS day_idx,
+                   committed_us // {_WEEK_US} AS week_idx
+            FROM meta_snapshots),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY committed_us DESC, snapshot_id DESC)
+                       AS recency_rank,
+                   row_number() OVER (PARTITION BY day_idx
+                       ORDER BY committed_us DESC, snapshot_id DESC) AS day_rank,
+                   row_number() OVER (PARTITION BY week_idx
+                       ORDER BY committed_us DESC, snapshot_id DESC) AS week_rank
+            FROM keyed),
+        flagged AS (
+            SELECT snapshot_id, committed_us,
+                   CAST(recency_rank AS BIGINT) AS recency_rank,
+                   recency_rank <= {_RET_KEEP_LAST} AS keep_lastk,
+                   committed_us >= {_EXPIRY_NOW_US - _RET_ALL_HOURS * 3_600_000_000}
+                       AS keep_recent,
+                   day_rank = 1 AND day_idx >= {_EXPIRY_NOW_US // _DAY_US - _RET_DAILY_DAYS}
+                       AS keep_daily,
+                   week_rank = 1 AND week_idx >= {_EXPIRY_NOW_US // _WEEK_US - _RET_WEEKLY_WEEKS}
+                       AS keep_weekly
+            FROM ranked)
+        SELECT snapshot_id, committed_us, recency_rank,
+               (keep_lastk OR keep_recent OR keep_daily OR keep_weekly) AS keep,
+               CASE WHEN (keep_lastk OR keep_recent OR keep_daily OR keep_weekly)
+                    THEN concat_ws(',',
+                         CASE WHEN keep_lastk THEN 'last-k' END,
+                         CASE WHEN keep_recent THEN 'recent' END,
+                         CASE WHEN keep_daily THEN 'daily' END,
+                         CASE WHEN keep_weekly THEN 'weekly' END)
+                    ELSE 'expire' END AS reasons
+        FROM flagged
+        ORDER BY recency_rank
+        """,
+        "meta_snapshots",
+    ),
+    tags=("maintenance",),
+    doc="GFS (grandfather-father-son) retention simulation over the "
+    "snapshot log (operators/maintenance.py:retention_policy): keep the "
+    "last 5, everything younger than 24h, the last snapshot of each UTC "
+    "day for 30 days, and the last of each week for 12 weeks — one "
+    "verdict row per snapshot with the reasons it survives. The dry-run "
+    "before an irreversible expireSnapshots; generalizes "
+    "meta_snapshot_expiry's keep-last-AND-max-age into tiered retention. "
+    "Day/week last-of-period windows are period-partitioned; the recency "
+    "rank is the same metadata-sized global window snapshot_expiry uses",
+)
+def meta_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.maintenance import retention_policy
+
+    return retention_policy(
+        derive(spark, sf_dir, "meta_snapshots"),
+        now_us=_EXPIRY_NOW_US,
+        keep_last=_RET_KEEP_LAST,
+        keep_all_hours=_RET_ALL_HOURS,
+        daily_days=_RET_DAILY_DAYS,
+        weekly_weeks=_RET_WEEKLY_WEEKS,
+    ).orderBy("recency_rank")

@@ -438,3 +438,42 @@ def test_source_quota_cap_matches_brute_force(spark):
         assert g.chars_kept == sum(r["n_chars"] for r in kept)
         assert g.chars_total == sum(r["n_chars"] for r in members)
         assert g.min_kept_score == min(r["score_micro"] for r in kept)
+
+
+def test_retention_policy_gfs_tiers(spark):
+    from iceberg_meta_spark.operators.maintenance import retention_policy
+
+    DAY = 86_400_000_000
+    now = 100 * DAY
+    # two snapshots on day 99 (yesterday), one per day 95/70, one ancient
+    rows = [
+        (1, 99 * DAY + 1000),      # day 99, older of the two
+        (2, 99 * DAY + 2000),      # day 99, last-of-day
+        (3, 95 * DAY + 500),       # day 95, last-of-day, within 30 days
+        (4, 70 * DAY + 500),       # day 70, last-of-day AND last-of-week 10
+        (5, 1 * DAY + 500),        # ancient: outside every tier
+    ]
+    snaps = spark.createDataFrame(rows, "snapshot_id long, committed_us long")
+    out = {
+        r.snapshot_id: r
+        for r in retention_policy(
+            snaps, now_us=now, keep_last=2, keep_all_hours=24,
+            daily_days=30, weekly_weeks=12,
+        ).collect()
+    }
+    # last-2 = snapshots 2 and 1 (by recency); neither is <24h old (now is
+    # start of day 100, they are from day 99 but >24h? 99*DAY+2000 is within
+    # 24h of 100*DAY -> recent too)
+    assert out[2].keep and "last-k" in out[2].reasons
+    assert "daily" in out[2].reasons  # last of day 99
+    assert out[1].keep and out[1].reasons == "last-k,recent"
+    assert out[3].keep and out[3].reasons == "daily,weekly"
+    # day 70 is outside daily_days=30 (cutoff day 70 >= 100-30) — boundary:
+    # 70 >= 70 -> still daily; and last of week 10 >= 100//7-12=2 -> weekly
+    assert out[4].keep and "weekly" in out[4].reasons
+    assert not out[5].keep and out[5].reasons == "expire"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="now_us"):
+        retention_policy(snaps, now_us=-1)

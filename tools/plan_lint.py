@@ -38,6 +38,7 @@ SINGLE_PARTITION_ALLOWED: dict[str, str] = {
     "user_value_pareto": "exact-ntile base (same twin reasoning) + a 10-row decile window",
     # metadata-sized frames: rows bounded independent of data scale
     "meta_snapshot_expiry": "rank over the snapshot log (O(snapshots/table); multi-table partitions by table)",
+    "meta_retention_policy": "same snapshot-log recency rank as snapshot_expiry (metadata-sized; partition by table at multi-table scale)",
     "monthly_revenue_growth": "lag over month-grain frame (#months rows)",
     # two-stage retrieval: every window ranks the <=topk_bm25 candidate set
     "hybrid_retrieval": "rank windows over the <=25-row BM25 candidate set (bounded by construction)",
