@@ -192,9 +192,17 @@ def join_cardinality_preflight(
         "out_rows",
         "max_key_out",
         "top_key",
-        F.round(
-            F.col("out_rows") / F.greatest(F.col("left_rows"), F.col("right_rows")), 4
-        ).alias("amplification"),
+        # greatest() is 0 only when BOTH inputs are empty: emit 0.0 rather
+        # than tripping ANSI divide-by-zero on the empty-partition day
+        F.when(
+            F.greatest(F.col("left_rows"), F.col("right_rows")) > 0,
+            F.round(
+                F.col("out_rows") / F.greatest(F.col("left_rows"), F.col("right_rows")),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("amplification"),
         F.when(
             F.least(F.col("left_rows"), F.col("right_rows")) <= broadcast_row_cap,
             F.lit("broadcast smaller side"),

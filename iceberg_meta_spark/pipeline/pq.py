@@ -386,6 +386,15 @@ def build_ivf_pq_index(
             for s in range(m)
         ]
 
+    # empty corpus (or an empty training sample): no centroids exist, so
+    # the numpy preps below would be 1-D empties — return the schema-stable
+    # empty index instead (ivf_pq_topk's not-ivf_cents guard handles it)
+    if not ivf_cents or any(not cb for cb in codebooks):
+        empty_schema = "vec_id long, cell long, " + ", ".join(
+            f"s{s} long" for s in range(m)
+        )
+        return emb.sparkSession.createDataFrame([], empty_schema), ivf_cents, codebooks
+
     # ONE combined kernel: IVF cell + all subspace codes per vector
     ivf_ids = np.asarray([cid for cid, _ in ivf_cents], dtype=np.int64)
     ivf_dq = np.asarray([c for _, c in ivf_cents], dtype=np.float64) / QUANT

@@ -6090,8 +6090,9 @@ def _join_preflight_sql(key_col: str, left_sql: str, right_sql: str, cap: int) -
         SELECT '{key_col}' AS key_col, left_rows, right_rows, matched_keys,
                out_rows, max_key_out,
                (SELECT k FROM pk ORDER BY out_k DESC, k DESC LIMIT 1) AS top_key,
-               round(out_rows / CAST(greatest(left_rows, right_rows) AS DOUBLE), 4)
-                   AS amplification,
+               CASE WHEN greatest(left_rows, right_rows) > 0
+                    THEN round(out_rows / CAST(greatest(left_rows, right_rows) AS DOUBLE), 4)
+                    ELSE 0.0 END AS amplification,
                CASE WHEN least(left_rows, right_rows) <= {cap}
                          THEN 'broadcast smaller side'
                     WHEN matched_keys > 0 AND max_key_out * matched_keys > 8 * out_rows

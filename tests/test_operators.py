@@ -1106,3 +1106,33 @@ def test_render_presentation_layer(spark):
     assert "████████" in [l for l in lines if l.startswith("b")][0]
     # no truncation note when everything fits
     assert "more exist" not in render.render_table(df, max_rows=10)
+
+
+def test_empty_partition_day_schema_stable(spark, tmp_path):
+    """The empty-input regressions tools/empty_probe.py found, pinned:
+    an all-empty sf dir must yield schema-stable empty frames, not ANSI
+    divide-by-zero or 1-D numpy arrays (the empty-partition-day failure).
+    The full 223-query sweep lives in tools/empty_probe.py."""
+    from iceberg_meta_spark.registry import load_all
+    from iceberg_meta_spark.sources import parquet
+
+    src = "/root/testdata/sf0.001"
+    for t in ("embeddings", "documents", "events", "lineitem", "orders"):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{t}.parquet"))
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)
+    try:
+        qs = load_all()
+        # the census still emits its two summary rows — zeros, not a
+        # divide-by-zero — because aggregates reduce even over nothing
+        pre = qs["join_cardinality_preflight"].spark_fn(spark, str(tmp_path)).collect()
+        assert len(pre) == 2
+        assert all(r.out_rows == 0 and r.amplification == 0.0 for r in pre)
+        for name in ("ann_ivf_pq", "ann_ivf_pq_refined"):
+            out = qs[name].spark_fn(spark, str(tmp_path))
+            assert out.count() == 0, name
+            assert out.columns, name  # schema survives the empty path
+    finally:
+        parquet.enable_cache(prior)
