@@ -486,3 +486,70 @@ def test_clustering_depth_matches_bruteforce(spark, iv):
     assert r.n_files == len(rows)
     assert r.max_depth == max(depths)
     assert r.avg_depth_permille == sum(depths) * 1000 // len(depths)
+
+
+snapshot_times = st.lists(
+    st.integers(min_value=0, max_value=120 * 86_400_000_000),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@given(times=snapshot_times, daily=st.integers(0, 60), weekly=st.integers(0, 20))
+@SET
+def test_retention_keep_set_is_monotone_in_policy(spark, times, daily, weekly):
+    """Widening any retention tier can only ADD kept snapshots — a policy
+    loosened for safety must never newly expire something (the invariant an
+    operator relies on when editing the config before an expire run)."""
+    from iceberg_meta_spark.operators.maintenance import retention_policy
+
+    snaps = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sorted(times))],
+        "snapshot_id long, committed_us long",
+    )
+    now = 121 * 86_400_000_000
+
+    def kept(**kw):
+        return {
+            r.snapshot_id
+            for r in retention_policy(snaps, now_us=now, **kw).collect()
+            if r.keep
+        }
+
+    base = kept(keep_last=2, keep_all_hours=12, daily_days=daily, weekly_weeks=weekly)
+    wider = kept(
+        keep_last=4, keep_all_hours=48, daily_days=daily + 10, weekly_weeks=weekly + 5
+    )
+    assert base <= wider, (sorted(base - wider), times)
+    assert base, "keep_last>=1 must keep at least one snapshot"
+    # the newest snapshot is always kept (it is recency rank 1)
+    newest_id = len(times) - 1  # ids were assigned in sorted-time order
+    assert newest_id in base
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    hot=st.integers(0, 500),
+)
+@SET
+def test_key_skew_profile_matches_bruteforce(spark, counts, hot):
+    """eff_keys / max_over_avg / top_share against the same formulas computed
+    in plain Python on the histogram — any divergence is an arithmetic bug."""
+    from iceberg_meta_spark.operators.skew import key_skew_profile
+
+    hist = dict(enumerate(counts))
+    if hot:
+        hist[0] = hist.get(0, 0) + hot
+    rows = [(f"k{k:03d}",) for k, c in hist.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "key string")
+    r = key_skew_profile(df, "key").collect()[0]
+    n = sum(hist.values())
+    kct = len(hist)
+    mx = max(hist.values())
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (n, kct, mx)
+    assert r.max_over_avg == round(mx / (n / kct), 4)
+    assert r.eff_keys == round(n * n / sum(c * c for c in hist.values()), 2)
+    assert r.top_share == round(mx / n, 6)
+    # the recommendation trigger is exactly the documented integer predicate
+    assert (r.salt_n > 0) == (mx * kct > 8 * n)
