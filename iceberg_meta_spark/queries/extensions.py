@@ -6646,3 +6646,64 @@ def meta_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily_days=_RET_DAILY_DAYS,
         weekly_weeks=_RET_WEEKLY_WEEKS,
     ).orderBy("recency_rank")
+
+
+_SYNC_DRIFT_MS = 14 * 86_400_000  # tables of one pipeline should commit within 2 weeks
+
+
+@register(
+    "meta_namespace_sync_drift",
+    oracle=oracle_query(
+        f"""
+        , agg AS (
+            SELECT namespace,
+                   CAST(count(*) AS BIGINT) AS n_tables,
+                   CAST(max(last_updated_ms) AS BIGINT) AS newest_ms,
+                   CAST(min(last_updated_ms) AS BIGINT) AS oldest_ms
+            FROM meta_tables GROUP BY namespace),
+        lag AS (
+            SELECT namespace,
+                   (SELECT t.table_name FROM meta_tables t
+                    WHERE t.namespace = agg.namespace
+                    ORDER BY t.last_updated_ms ASC, t.table_name DESC LIMIT 1)
+                       AS laggard_table
+            FROM agg)
+        SELECT agg.namespace, n_tables, newest_ms, oldest_ms,
+               CAST(newest_ms - oldest_ms AS BIGINT) AS drift_ms,
+               lag.laggard_table,
+               newest_ms - oldest_ms > {_SYNC_DRIFT_MS} AS out_of_sync
+        FROM agg JOIN lag USING (namespace)
+        ORDER BY drift_ms DESC, namespace
+        """,
+        "meta_tables",
+    ),
+    tags=("maintenance",),
+    doc="Multi-table sync-drift audit: tables written by one pipeline "
+    "(sharing a namespace) should commit together — the spread between a "
+    "namespace's newest and oldest last-commit, the laggard table by name, "
+    "and an out-of-sync flag. The cross-table consistency check "
+    "meta_stalest_tables (per-table freshness) cannot express; one tiny "
+    "groupBy + a min-struct laggard pick, no window",
+)
+def meta_namespace_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = derive(spark, sf_dir, "meta_tables")
+    agg = t.groupBy("namespace").agg(
+        F.count(F.lit(1)).alias("n_tables"),
+        F.max("last_updated_ms").alias("newest_ms"),
+        F.min("last_updated_ms").alias("oldest_ms"),
+        # laggard = oldest commit; ties broken toward the GREATER name to
+        # mirror ORDER BY ts ASC, name DESC (min-struct on (ts, neg-name)
+        # is not expressible — use max(struct(-ts, name)) instead)
+        F.max(F.struct((-F.col("last_updated_ms")).alias("neg_ts"), F.col("table_name")))
+        .getField("table_name")
+        .alias("laggard_table"),
+    )
+    return agg.select(
+        "namespace",
+        "n_tables",
+        "newest_ms",
+        "oldest_ms",
+        (F.col("newest_ms") - F.col("oldest_ms")).alias("drift_ms"),
+        "laggard_table",
+        ((F.col("newest_ms") - F.col("oldest_ms")) > _SYNC_DRIFT_MS).alias("out_of_sync"),
+    ).orderBy(F.desc("drift_ms"), "namespace")
