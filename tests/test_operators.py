@@ -1136,3 +1136,43 @@ def test_empty_partition_day_schema_stable(spark, tmp_path):
             assert out.columns, name  # schema survives the empty path
     finally:
         parquet.enable_cache(prior)
+
+
+def test_sql_udfs_match_column_functions(spark):
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr): the SQL-callable
+    display functions must equal the Column versions row for row, including
+    the 1024/1000 ladder boundaries and the rounding carry."""
+    from iceberg_meta_spark.functions.sqlfuncs import register_sql_functions
+
+    register_sql_functions(spark)
+    vals = [0, 512, 999, 1000, 1023, 1024, 1536, 10**6 - 1, 10**6,
+            5 * MB + 300 * 1024, 3 * 1024**3, 2_500_000_000, 1024**5 + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    df.createOrReplaceTempView("sqludf_vals")
+    got = spark.sql(
+        "SELECT v, format_bytes(v) AS fb, compact_number(v) AS cn, "
+        "format_net(v - 1024) AS fn, "
+        "truncate_path(concat('/a/', repeat('x', CAST(v % 80 AS INT)), '/f.parquet')) AS tp "
+        "FROM sqludf_vals"
+    ).collect()
+    want = df.select(
+        "v",
+        display.format_bytes(F.col("v")).alias("fb"),
+        display.compact_number(F.col("v")).alias("cn"),
+        display.format_net(F.col("v") - 1024).alias("fn"),
+        display.truncate_path(
+            F.concat(F.lit("/a/"), F.repeat(F.lit("x"), (F.col("v") % 80).cast("int")), F.lit("/f.parquet"))
+        ).alias("tp"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the SQL UDF body is a Catalyst expression: no Python worker appears
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.sql("SELECT format_bytes(v) FROM sqludf_vals").explain("formatted")
+    plan = buf.getvalue()
+    # the body inlines as a Catalyst CASE inside codegen — no Python worker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CASE WHEN" in plan
