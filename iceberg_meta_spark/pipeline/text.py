@@ -133,3 +133,62 @@ def chunk_documents(
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).cast("long").alias("chunk_len"),
     )
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch-style reading-ease per document, integer-exact — the
+    educational-value / complexity signal curation filters use alongside
+    the rule-based quality gates.
+
+    All three Flesch inputs are integer counts from expressions:
+
+    - words       — whitespace tokens;
+    - sentences   — '.', '!', '?' runs (min 1 so headlines don't divide
+      by zero);
+    - syllables   — vowel GROUPS per word ('[aeiouy]+' runs; the classic
+      dictionary-free approximation), min 1 per word.
+
+    The score is Flesch's formula scaled to micro-points and computed
+    with integer division, so it replays exactly on any engine:
+    ``206_835_000 - 1_015_000·words DIV sentences - 84_600_000·syllables
+    DIV words`` (original coefficients 206.835 / 1.015 / 84.6 ×1000,
+    term divisions floored). Buckets follow the standard bands:
+    >= 60 easy, >= 30 standard, else difficult.
+    """
+    toks = _tokens(F.col("text"))
+    words = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    sentences = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0)),
+        F.lit(1),
+    ).cast("long")
+    # vowel groups across the doc = sum over words of per-word groups;
+    # computing on the whole text is identical because spaces break runs
+    vowel_marked = F.regexp_replace(F.lower(F.col("text")), "[aeiouy]+", "V")
+    syllables = F.greatest(
+        (F.length(vowel_marked) - F.length(F.regexp_replace(vowel_marked, "V", ""))).cast("long"),
+        words,  # >= 1 syllable per word
+    )
+    score = (
+        F.lit(206_835_000)
+        - F.lit(1_015) * F.expr("CAST((n_words * 1000) DIV n_sentences AS BIGINT)")
+        - F.lit(84_600) * F.expr("CAST((n_syllables * 1000) DIV n_words AS BIGINT)")
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        score.cast("long").alias("flesch_micro"),
+        F.when(score >= 60_000_000, F.lit("easy"))
+        .when(score >= 30_000_000, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    )

@@ -6707,3 +6707,43 @@ def meta_namespace_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "laggard_table",
         ((F.col("newest_ms") - F.col("oldest_ms")) > _SYNC_DRIFT_MS).alias("out_of_sync"),
     ).orderBy(F.desc("drift_ms"), "namespace")
+
+
+@register(
+    "doc_readability",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS n_words,
+                   CAST(greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                        s -> length(trim(s)) > 0)), 1) AS BIGINT) AS n_sentences,
+                   length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+                       - length(regexp_replace(regexp_replace(lower(text),
+                             '[aeiouy]+', 'V', 'g'), 'V', '', 'g')) AS vgroups
+            FROM documents),
+        syl AS (SELECT doc_id, lang, n_words, n_sentences,
+                       CAST(greatest(vgroups, n_words) AS BIGINT) AS n_syllables
+                FROM base),
+        scored AS (SELECT *,
+                          CAST(206835000
+                               - 1015 * ((n_words * 1000) // n_sentences)
+                               - 84600 * ((n_syllables * 1000) // n_words)
+                               AS BIGINT) AS flesch_micro
+                   FROM syl)
+        SELECT doc_id, lang, n_words, n_sentences, n_syllables, flesch_micro,
+               CASE WHEN flesch_micro >= 60000000 THEN 'easy'
+                    WHEN flesch_micro >= 30000000 THEN 'standard'
+                    ELSE 'difficult' END AS band
+        FROM scored ORDER BY doc_id
+    """,
+    tags=("bench",),
+    doc="Flesch-style readability per document (pipeline/text.py:"
+    "readability_scores): words / sentence-runs / vowel-group syllables "
+    "as integer counts, the classic formula at micro-point scale with "
+    "floored term divisions — the educational-value / complexity signal, "
+    "pure expressions, zero shuffle",
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.text import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -1047,3 +1047,36 @@ def test_perceptual_near_dup_banded_join(spark):
     with contextlib.redirect_stdout(buf):
         multimodal.perceptual_near_dup(assets).explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_readability_known_document(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat. It sat on a mat!", "en", "s0", 29),
+            (1, "no sentence punctuation here", "en", "s0", 28),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text.readability_scores(docs).collect()}
+    d0 = out[0]
+    # 8 words, 2 sentences; vowel groups: The(1) cat(1) sat.(1) It(1) sat(1)
+    # on(1) a(1) mat!(1) = 8
+    assert (d0.n_words, d0.n_sentences, d0.n_syllables) == (8, 2, 8)
+    # 206835000 - 1015*(8000 DIV 2... wait: (8*1000) DIV 2 = 4000) - 84600*1000
+    assert d0.flesch_micro == 206_835_000 - 1_015 * 4_000 - 84_600 * 1_000
+    assert d0.band == "easy"
+    # no punctuation -> one sentence, never a divide-by-zero
+    assert out[1].n_sentences == 1
+
+
+def test_readability_band_ordering_monotone(spark):
+    # denser syllables -> strictly lower score, same shape
+    simple = "a a a a. a a a a."
+    # 'banana' = three vowel RUNS (a-a-a) vs one run per 'a'/'aeiou' word
+    complex_ = "banana banana banana banana. banana banana banana banana."
+    docs = spark.createDataFrame(
+        [(0, simple, "en", "s", 1), (1, complex_, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r.flesch_micro for r in text.readability_scores(docs).collect()}
+    assert out[0] > out[1]
