@@ -98,3 +98,77 @@ def time_fill(
         F.last("observed", ignorenulls=True).over(w).alias("filled"),
         F.col("observed").isNotNull().alias("observed_flag"),
     ).orderBy(key_col, "bucket_us")
+
+
+def time_interpolate(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts_us",
+    value_col: str = "value_cents",
+    step_us: int = 60_000_000,
+) -> DataFrame:
+    """Gap-filled per-key grid with LINEAR interpolation between the
+    neighboring observations — TimescaleDB's ``interpolate()`` beside
+    :func:`time_fill`'s ``locf()``.
+
+    Same densified grid; each gap row carries BOTH fence posts via two
+    ignore-nulls windows (previous observation forward, next observation
+    backward — each partitioned by key) and interpolates with integer
+    arithmetic: ``prev + (next-prev)·(t-t_prev) DIV (t_next-t_prev)`` —
+    exact, engine-reproducible, no float slope accumulation. Grid edges
+    (before the first / after the last observation) fall back to the
+    available fence post; observed rows pass through untouched.
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(step_us)).alias("bucket_us")
+    obs = (
+        events.select(key_col, bucket, F.col(value_col))
+        .groupBy(key_col, "bucket_us")
+        .agg(F.sum(value_col).alias("observed"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.lit(step_us))).alias("bucket_us"),
+    )
+    joined = grid.join(obs, [key_col, "bucket_us"], "left")
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the next fence post uses a DESC-ordered GROWING frame, not
+    # [current, unboundedFollowing]: Spark evaluates unbounded-FOLLOWING
+    # frames by rescanning to the partition end per row — O(rows²) per key
+    # (measured 484s on a 216k-row grid); the reversed growing frame is the
+    # same value in O(rows)
+    bwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.desc("bucket_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_ts = F.when(F.col("observed").isNotNull(), F.col("bucket_us"))
+    fenced = joined.select(
+        key_col,
+        "bucket_us",
+        "observed",
+        F.last("observed", ignorenulls=True).over(fwd).alias("prev_v"),
+        F.last(obs_ts, ignorenulls=True).over(fwd).alias("prev_t"),
+        F.last("observed", ignorenulls=True).over(bwd).alias("next_v"),
+        F.last(obs_ts, ignorenulls=True).over(bwd).alias("next_t"),
+    )
+    interp = F.expr(
+        "CAST(prev_v + ((next_v - prev_v) * (bucket_us - prev_t))"
+        " DIV (next_t - prev_t) AS BIGINT)"
+    )
+    return fenced.select(
+        key_col,
+        "bucket_us",
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(interp)
+        .alias("filled"),
+        F.col("observed").isNotNull().alias("observed_flag"),
+    ).orderBy(key_col, "bucket_us")

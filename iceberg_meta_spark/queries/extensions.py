@@ -6747,3 +6747,60 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline.text import readability_scores
 
     return readability_scores(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "events_minute_interpolate",
+    oracle="""
+        WITH ev AS (SELECT event_type,
+                           epoch_us(ts) - epoch_us(ts) % 60000000 AS bucket_us,
+                           CAST(floor(value * 100) AS BIGINT) AS value_cents
+                    FROM events),
+        obs AS (SELECT event_type, bucket_us, CAST(sum(value_cents) AS BIGINT) AS observed
+                FROM ev GROUP BY event_type, bucket_us),
+        span AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+                 FROM obs GROUP BY event_type),
+        grid AS (SELECT s.event_type, g AS bucket_us
+                 FROM span s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi, 60000000)) g)),
+        j AS (SELECT g.event_type, g.bucket_us, o.observed
+              FROM grid g LEFT JOIN obs o
+                ON o.event_type = g.event_type AND o.bucket_us = g.bucket_us),
+        fenced AS (SELECT event_type, bucket_us, observed,
+               last_value(observed IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               last_value(CASE WHEN observed IS NOT NULL THEN bucket_us END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+               first_value(observed IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               first_value(CASE WHEN observed IS NOT NULL THEN bucket_us END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+               FROM j)
+        SELECT event_type, bucket_us,
+               CAST(CASE WHEN observed IS NOT NULL THEN observed
+                    WHEN prev_v IS NULL THEN next_v
+                    WHEN next_v IS NULL THEN prev_v
+                    ELSE prev_v + ((next_v - prev_v) * (bucket_us - prev_t))
+                         // (next_t - prev_t) END AS BIGINT) AS filled,
+               observed IS NOT NULL AS observed_flag
+        FROM fenced ORDER BY event_type, bucket_us
+    """,
+    doc="Gap-filled minute series with LINEAR interpolation "
+    "(time_bucket_gapfill + interpolate shape, beside the locf twin): "
+    "each gap row carries both fence posts via two ignore-nulls windows "
+    "partitioned by key, and the fill is integer "
+    "prev + (next-prev)*(t-t0) DIV (t1-t0) — exact on any engine; grid "
+    "edges fall back to the available post",
+)
+def events_minute_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.hypertable import time_interpolate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return time_interpolate(ev)

@@ -139,3 +139,43 @@ def test_multi_touch_window_bounds_and_isolation(spark):
     # boundary click exactly at ts - lookback is INCLUDED (inclusive lo)
     rows2 = _mta(spark, [(1, 1, 40)], [(1, 9, 100, 1_000_000)], lookback=60)
     assert [r.click_id for r in rows2] == [1]
+
+
+def test_time_interpolate_linear_fill_and_edges(spark):
+    from iceberg_meta_spark.operators.hypertable import time_interpolate
+
+    # key 'a': observations at buckets 0 (100) and 3 (400): gaps at 1,2
+    # interpolate to 200, 300; key 'b': single point passes through
+    ev = spark.createDataFrame(
+        [("a", 0, 100), ("a", 180_000_000, 400), ("b", 60_000_000, 7)],
+        "event_type string, ts_us long, value_cents long",
+    )
+    out = {
+        (r.event_type, r.bucket_us): (r.filled, r.observed_flag)
+        for r in time_interpolate(ev).collect()
+    }
+    assert out[("a", 0)] == (100, True)
+    assert out[("a", 60_000_000)] == (200, False)
+    assert out[("a", 120_000_000)] == (300, False)
+    assert out[("a", 180_000_000)] == (400, True)
+    assert out[("b", 60_000_000)] == (7, True)
+
+
+def test_time_interpolate_never_uses_unbounded_following_frame(spark):
+    """Spark evaluates [current, unboundedFollowing] frames by rescanning
+    to the partition end per row — O(rows^2) per key (measured 484s on a
+    216k-row grid before the fix). The backward fence post must come from
+    a DESC-ordered GROWING frame instead."""
+    import contextlib
+    import io
+
+    from iceberg_meta_spark.operators.hypertable import time_interpolate
+
+    ev = spark.createDataFrame(
+        [("a", 0, 1), ("a", 600_000_000, 2)],
+        "event_type string, ts_us long, value_cents long",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        time_interpolate(ev).explain("formatted")
+    assert "unboundedfollowing" not in buf.getvalue().lower(), buf.getvalue()
