@@ -121,6 +121,12 @@ def lint(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> list[tuple[str, 
             findings.append((name, "CartesianProduct"))
         if name not in SINGLE_PARTITION_ALLOWED and _has_global_window(p):
             findings.append((name, "unpartitioned Window over a SinglePartition exchange"))
+        # Spark's [CURRENT ROW, UNBOUNDED FOLLOWING] frame rescans to the
+        # partition end per row — O(rows²)/partition (PLANS.md pitfall,
+        # measured 300×). The same value always comes from a DESC-ordered
+        # GROWING frame; flag any plan that compiles the quadratic one.
+        if "currentrow$(), unboundedfollowing$()" in p:
+            findings.append((name, "O(n²) [currentRow, unboundedFollowing] window frame"))
     if own_session:
         spark.stop()
     return findings
