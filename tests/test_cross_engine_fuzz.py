@@ -227,6 +227,10 @@ def test_preflight_kernels_cross_engine_on_random_tables(spark, tmp_path_factory
                 "shuffle_key_skew_profile",
                 "join_cardinality_preflight",
                 "events_column_profile",
+                # gap-fill twins: sparse/duplicate buckets, single-point
+                # keys, and grid edges must fill identically cross-engine
+                "events_minute_locf",
+                "events_minute_interpolate",
             ):
                 sdf = qs[name].spark_fn(spark, tmpdir).toPandas()
                 ddf = con.execute(qs[name].oracle).df()
