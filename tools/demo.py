@@ -50,6 +50,7 @@ def main() -> None:
     show("schema history", api.schema_history(src))
     show("compaction plan", api.compaction_plan(src))
     show("snapshot expiry", api.snapshot_expiry(src, now_us=1713139200000000))
+    show("retention plan (GFS tiers)", api.retention_plan(src, now_us=1713139200000000))
     show("orphan files", api.orphan_files(src, derive(spark, sf_dir, "storage_files")))
     show("z-order plan", api.zorder_plan(src))
     show("hilbert plan", api.hilbert_plan(src))
