@@ -6804,3 +6804,66 @@ def events_minute_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
     )
     return time_interpolate(ev)
+
+
+@register(
+    "event_value_outliers_mad",
+    oracle="""
+        WITH ev AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        med AS (SELECT event_type, median(cents) AS med_cents FROM ev GROUP BY event_type),
+        dev AS (SELECT ev.event_type, abs(ev.cents - m.med_cents) AS adev, ev.cents,
+                       m.med_cents
+                FROM ev JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY event_type)
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(max(d.med_cents), 1) AS med_cents,
+               round(max(a.mad_cents), 1) AS mad_cents,
+               CAST(sum(CASE WHEN abs(d.cents - d.med_cents)
+                              > 3 * 1.4826 * a.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               CAST(sum(CASE WHEN abs(d.cents - d.med_cents)
+                              > 3 * 1.4826 * a.mad_cents THEN 1 ELSE 0 END) * 1000
+                    // count(*) AS BIGINT) AS outlier_permille
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    doc="Robust outlier census per event type: median / MAD with the "
+    "1.4826 normal-consistency constant (|x - med| > 3·1.4826·MAD) — the "
+    "fat-tail detector that keeps working where event_value_outliers' "
+    "3-sigma rule is dragged by the outliers it is hunting. Exact group "
+    "medians (5-key grain; the per-key sort buffer is the documented A1 "
+    "cliff — swap percentile_approx past ~10^8 rows/key); two shrinking "
+    "aggregates with the tiny median/MAD tables joined back",
+)
+def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "cents", "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("cents") - F.col("med_cents")) > 3 * 1.4826 * F.col("mad_cents")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med_cents"), 1).alias("med_cents"),
+            F.round(F.max("mad_cents"), 1).alias("mad_cents"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.expr(
+                "CAST(sum(CASE WHEN abs(cents - med_cents) > 3 * 1.4826 * mad_cents "
+                "THEN 1 ELSE 0 END) * 1000 DIV count(1) AS BIGINT)"
+            ).alias("outlier_permille"),
+        )
+        .orderBy("event_type")
+    )
