@@ -6867,3 +6867,31 @@ def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "meta_file_median_bisect",
+    oracle=oracle_query(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_files,
+               CAST(median(file_size_in_bytes) AS DOUBLE) AS median_size
+        FROM meta_files
+        """,
+        "meta_files",
+    ),
+    doc="EXACT file-size median by histogram refinement (operators/"
+    "selection.py): the third path through the A1 percentile-buffer "
+    "cliff — O(log_1024(range)) column-pruned scans and O(1024) driver "
+    "memory instead of buffering every value (exact twin) or giving up "
+    "exactness (approx twin). Bit-equal to SQL median at any scale; the "
+    "even-count contract averages the two middle order statistics",
+)
+def meta_file_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.selection import exact_median
+
+    files = derive(spark, sf_dir, "meta_files")
+    n = files.filter(F.col("file_size_in_bytes").isNotNull()).count()
+    med = exact_median(files, "file_size_in_bytes")
+    return spark.createDataFrame(
+        [(n, med)], "n_files long, median_size double"
+    )

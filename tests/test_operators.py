@@ -1176,3 +1176,44 @@ def test_sql_udfs_match_column_functions(spark):
     # the body inlines as a Catalyst CASE inside codegen — no Python worker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CASE WHEN" in plan
+
+
+def test_exact_median_bisect_matches_percentile(spark):
+    """Histogram-refinement selection: exact k-th/median in O(log range)
+    scans and O(width) driver memory — the scale path through the A1
+    percentile-buffer cliff. Must equal Spark's exact percentile on odd,
+    even, duplicate-heavy, and huge-range inputs."""
+    import random
+
+    from iceberg_meta_spark.operators.selection import exact_median, kth_smallest
+
+    rng = random.Random(3)
+    cases = [
+        [5],
+        [1, 2],
+        [7, 7, 7, 7],
+        [rng.randrange(0, 2**60) for _ in range(101)],
+        [rng.randrange(-50, 50) for _ in range(100)],
+        sorted(rng.randrange(0, 10) for _ in range(37)),
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        want = df.agg(F.expr("percentile(x, 0.5)")).collect()[0][0]
+        # tiny width forces MANY refinement passes — exercises the recursion
+        assert exact_median(df, "x", width=4) == want, vals
+        s = sorted(vals)
+        for k in (1, len(vals) // 2 + 1, len(vals)):
+            assert kth_smallest(df, "x", k, width=4) == s[k - 1], (vals, k)
+
+
+def test_kth_smallest_rejects_out_of_range(spark):
+    import pytest
+
+    from iceberg_meta_spark.operators.selection import kth_smallest
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    with pytest.raises(ValueError, match="out of range"):
+        kth_smallest(df, "x", 3)
+    empty = spark.createDataFrame([], "x long")
+    with pytest.raises(ValueError, match="out of range"):
+        kth_smallest(empty, "x", 1)
