@@ -6895,3 +6895,83 @@ def meta_file_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, med)], "n_files long, median_size double"
     )
+
+
+@register(
+    "cohort_conversion_wilson",
+    oracle="""
+        WITH ranked AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+                        FROM events),
+        first_ev AS (SELECT user_id, event_type AS acq_type FROM ranked WHERE rn = 1),
+        conv AS (SELECT user_id,
+                        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS converted
+                 FROM events GROUP BY user_id),
+        cohort AS (SELECT f.acq_type,
+                          CAST(count(*) AS BIGINT) AS n_users,
+                          CAST(sum(c.converted) AS BIGINT) AS n_converted
+                   FROM first_ev f JOIN conv c USING (user_id)
+                   GROUP BY f.acq_type),
+        scored AS (SELECT acq_type, n_users, n_converted,
+                          CAST(n_converted AS DOUBLE) / n_users AS p
+                   FROM cohort)
+        SELECT acq_type, n_users, n_converted,
+               round(p, 6) AS rate,
+               round((p + 1.9208 / n_users
+                      - 1.96 * sqrt(p * (1 - p) / n_users
+                                    + 0.9604 / (CAST(n_users AS DOUBLE) * n_users)))
+                     / (1 + 3.8416 / n_users), 6) AS wilson_lb
+        FROM scored
+        ORDER BY wilson_lb DESC, acq_type
+    """,
+    doc="Conversion ranking by the Wilson score lower bound (z=1.96, "
+    "constants as literal text: z²/2=1.9208, z²/4=0.9604, z²=3.8416 — no "
+    "runtime pow): cohorts keyed by each user's FIRST event (acquisition "
+    "action, (ts, event_id)-deterministic), converted = ever purchased. "
+    "Sorting by the LOWER BOUND instead of the raw rate is the standard "
+    "fix for small-cohort rate inflation — a 2/2 cohort ranks below a "
+    "180/300 one. All inputs exact integers; sqrt is correctly-rounded "
+    "IEEE on both engines so the hash gate holds",
+)
+def cohort_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    first_ev = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("acq_type"))
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    )
+    cohort = (
+        first_ev.join(conv, "user_id")
+        .groupBy("acq_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+    )
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    n = F.col("n_users")
+    wilson = (
+        p
+        + F.lit(1.9208) / n
+        - F.lit(1.96)
+        * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n.cast("double") * n))
+    ) / (F.lit(1) + F.lit(3.8416) / n)
+    return cohort.select(
+        "acq_type",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("rate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    ).orderBy(F.desc("wilson_lb"), "acq_type")

@@ -572,6 +572,57 @@ def test_benford_audit_counts_and_constants(spark, tmp_path):
     assert out[1].chi2_term == round((2 - exp) ** 2 / exp, 6)
 
 
+def test_wilson_lower_bound_ranks_small_cohorts_down(spark, tmp_path):
+    """2/2 must rank BELOW 180/300 by the Wilson lower bound even though
+    its raw rate is higher — the whole point of the bound."""
+    import datetime
+
+    from iceberg_meta_spark.registry import load_all
+    from iceberg_meta_spark.sources import parquet
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+
+    def add(uid, ev_type, minute):
+        nonlocal eid
+        rows.append((eid, base + datetime.timedelta(minutes=minute), uid, ev_type, 1.0, "p"))
+        eid += 1
+
+    # 2 users acquired via 'signup', both convert (rate 1.0)
+    for u in (1, 2):
+        add(u, "signup", 0)
+        add(u, "purchase", 5)
+    # 300 users acquired via 'click', 180 convert (rate 0.6)
+    for u in range(10, 310):
+        add(u, "click", 0)
+        if u < 190:
+            add(u, "purchase", 5)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    prior = parquet._CACHE_ENABLED
+    parquet.enable_cache(False)
+    try:
+        out = (
+            load_all()["cohort_conversion_wilson"]
+            .spark_fn(spark, str(tmp_path))
+            .collect()
+        )
+    finally:
+        parquet.enable_cache(prior)
+    by = {r.acq_type: r for r in out}
+    assert by["signup"].rate == 1.0 and by["click"].rate == 0.6
+    # ranked by the bound: click's 0.6 over n=300 beats signup's 1.0 over n=2
+    assert [r.acq_type for r in out] == ["click", "signup"]
+    assert by["click"].wilson_lb > by["signup"].wilson_lb
+    # the bound is strictly below the rate (shrinkage, never inflation)
+    assert by["signup"].wilson_lb < 1.0 and by["click"].wilson_lb < 0.6
+
+
 def test_ivf_probe_finds_in_cluster_neighbors(spark):
     from iceberg_meta_spark.pipeline.similarity import ivf_probe_topk
 
