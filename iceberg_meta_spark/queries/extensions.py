@@ -6975,3 +6975,93 @@ def cohort_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("rate"),
         F.round(wilson, 6).alias("wilson_lb"),
     ).orderBy(F.desc("wilson_lb"), "acq_type")
+
+
+@register(
+    "cohort_ab_ztest",
+    oracle="""
+        WITH ranked AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+                        FROM events),
+        first_ev AS (SELECT user_id, event_type AS acq_type FROM ranked WHERE rn = 1),
+        conv AS (SELECT user_id,
+                        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS converted
+                 FROM events GROUP BY user_id),
+        cohort AS (SELECT f.acq_type,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(c.converted) AS BIGINT) AS k
+                   FROM first_ev f JOIN conv c USING (user_id)
+                   GROUP BY f.acq_type)
+        , pairs AS (
+            SELECT a.acq_type AS cohort_a, b.acq_type AS cohort_b,
+                   a.n AS n_a, b.n AS n_b, a.k AS k_a, b.k AS k_b,
+                   CAST(a.k + b.k AS DOUBLE) / (a.n + b.n) AS pool
+            FROM cohort a JOIN cohort b ON a.acq_type < b.acq_type)
+        SELECT cohort_a, cohort_b, n_a, n_b,
+               round(CAST(k_a AS DOUBLE) / n_a, 6) AS rate_a,
+               round(CAST(k_b AS DOUBLE) / n_b, 6) AS rate_b,
+               CASE WHEN pool > 0 AND pool < 1
+                    THEN round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+                         / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)), 4)
+               END AS z,
+               coalesce(CASE WHEN pool > 0 AND pool < 1
+                    THEN abs((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+                         / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))) > 1.96
+               END, FALSE) AS significant
+        FROM pairs
+        ORDER BY cohort_a, cohort_b
+    """,
+    doc="Two-proportion z-test between every cohort pair (pooled standard "
+    "error, |z| > 1.96 at the 5% level): did acquisition channel A "
+    "genuinely out-convert channel B, or is the gap noise? Completes the "
+    "testing family (chi-square independence, Benford, Wilson ranking) — "
+    "cohort table is tiny so the pair join is trivially bounded; exact "
+    "integer inputs + IEEE sqrt keep the gate",
+)
+def cohort_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    first_ev = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("acq_type"))
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    )
+    cohort = (
+        first_ev.join(conv, "user_id")
+        .groupBy("acq_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("k"))
+    )
+    a = cohort.select(*[F.col(c).alias(f"{c}_a") for c in cohort.columns])
+    b = cohort.select(*[F.col(c).alias(f"{c}_b") for c in cohort.columns])
+    pairs = a.join(b, F.col("acq_type_a") < F.col("acq_type_b"))
+    pa = F.col("k_a").cast("double") / F.col("n_a")
+    pb = F.col("k_b").cast("double") / F.col("n_b")
+    pool = (F.col("k_a") + F.col("k_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    raw_z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate pool (everyone or no one converted): zero pooled variance,
+    # the test is undefined -> NULL z, not-significant, no ANSI div-by-zero
+    defined = (pool > 0) & (pool < 1)
+    z = F.when(defined, raw_z)
+    return pairs.select(
+        F.col("acq_type_a").alias("cohort_a"),
+        F.col("acq_type_b").alias("cohort_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    ).orderBy("cohort_a", "cohort_b")
