@@ -58,14 +58,17 @@ def kth_smallest(df: DataFrame, col: str, k: int, width: int = 1024) -> int:
     return lo
 
 
-def exact_median(df: DataFrame, col: str, width: int = 1024) -> float:
+def exact_median(df: DataFrame, col: str, width: int = 1024) -> float | None:
     """Exact median of an integer column in O(log_width(range)) scans and
     O(width) driver memory — no per-group sort buffer at any scale. Even
     row counts average the two middle order statistics (the SQL median
-    contract), odd counts return the middle one."""
+    contract), odd counts return the middle one. An empty (or all-null)
+    column yields None — SQL ``median`` of no rows is NULL, and the
+    DuckDB-oracle gate on ``meta_file_median_bisect`` checks exactly
+    that on the empty-partition path."""
     n = df.select(col).filter(F.col(col).isNotNull()).count()
     if n == 0:
-        return 0.0
+        return None
     if n % 2 == 1:
         return float(kth_smallest(df, col, (n + 1) // 2, width))
     a = kth_smallest(df, col, n // 2, width)

@@ -80,7 +80,10 @@ def budget_merge_sink(
                 raise
             merged = partial
         else:
-            if old.agg(F.max("batch_id")).collect()[0][0] >= batch_id:
+            # NULL high-water mark (zero-row state table) must not be
+            # compared against batch_id — see quota.py's guard.
+            old_max = old.agg(F.max("batch_id")).collect()[0][0]
+            if old_max is not None and old_max >= batch_id:
                 return  # replayed micro-batch: already folded in
             merged = (
                 old.unionByName(partial)

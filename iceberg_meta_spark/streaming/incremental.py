@@ -52,7 +52,11 @@ def stats_merge_sink(
                 raise
             merged = partial
         else:
-            if old.agg(F.max("batch_id")).collect()[0][0] >= batch_id:
+            # max over a zero-row state table (an empty first micro-batch
+            # still writes the state dir) is NULL — only a non-NULL high
+            # water mark can prove this batch was already folded in.
+            old_max = old.agg(F.max("batch_id")).collect()[0][0]
+            if old_max is not None and old_max >= batch_id:
                 return  # replayed micro-batch: already folded in
             merged = (
                 old.unionByName(partial)
