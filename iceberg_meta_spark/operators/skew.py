@@ -113,18 +113,22 @@ def key_skew_profile(df: DataFrame, key: str, salt_cap: int = 64) -> DataFrame:
         # squared comfortably below ~3e9 rows per key).
         F.round(F.col("n_rows").cast("double") * F.col("n_rows") / F.col("sum_sq"), 2).alias("eff_keys"),
         F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top_share"),
+        # the 8x trigger compares in DOUBLE: max_cnt * n_keys as BIGINT
+        # overflows 2^63 at petabyte scale (1e10-row hot key across 1e9
+        # keys) and would flip the recommendation; the comparison needs no
+        # integer exactness, and the oracle casts the same operand
         F.when(
-            F.col("max_cnt") * F.col("n_keys") > 8 * F.col("n_rows"),
+            F.col("max_cnt").cast("double") * F.col("n_keys") > 8 * F.col("n_rows"),
             F.lit("salt"),
         )
         .when(F.col("n_keys") < 1000, F.lit("pre-aggregate or broadcast"))
         .otherwise(F.lit("hash-partition as-is"))
         .alias("recommendation"),
         F.when(
-            F.col("max_cnt") * F.col("n_keys") > 8 * F.col("n_rows"),
+            F.col("max_cnt").cast("double") * F.col("n_keys") > 8 * F.col("n_rows"),
             F.least(
                 F.lit(salt_cap).cast("long"),
-                F.ceil(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows")),
+                F.ceil(F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")),
             ),
         )
         .otherwise(F.lit(0).cast("long"))
@@ -208,8 +212,12 @@ def join_cardinality_preflight(
             F.lit("broadcast smaller side"),
         )
         .when(
+            # DOUBLE trigger: max_key_out * matched_keys as BIGINT can
+            # exceed 2^63 on petabyte joins (same class as the
+            # key_skew_profile trigger; the oracle casts identically)
             (F.col("matched_keys") > 0)
-            & (F.col("max_key_out") * F.col("matched_keys") > 8 * F.col("out_rows")),
+            & (F.col("max_key_out").cast("double") * F.col("matched_keys")
+               > 8 * F.col("out_rows")),
             F.lit("salted sort-merge"),
         )
         .otherwise(F.lit("sort-merge as-is"))

@@ -699,21 +699,36 @@ def ahash64(payload: bytes) -> int:
     return int((bits << np.arange(64, dtype=np.uint64)).sum())
 
 
-def perceptual_hashes(assets: DataFrame) -> DataFrame:
-    """(asset_id, payload) -> (asset_id, ahash, band0..band3): the 64-bit
-    average hash split into four 16-bit bands for the hamming-LSH join.
-    One Arrow-batched pass; undecodable payloads are dropped (their format
-    names the missing library in decode_image's error)."""
+def _band_bounds(n_bands: int) -> list[tuple[int, int]]:
+    """Split the 64 hash bits into ``n_bands`` contiguous (offset, width)
+    chunks; the first ``64 % n_bands`` bands take the extra bit."""
+    w, rem = divmod(64, n_bands)
+    bounds, off = [], 0
+    for i in range(n_bands):
+        width = w + (1 if i < rem else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
+def perceptual_hashes(assets: DataFrame, n_bands: int = 4) -> DataFrame:
+    """(asset_id, payload) -> (asset_id, ahash, band0..band{n-1}): the
+    64-bit average hash split into ``n_bands`` contiguous bands for the
+    hamming-LSH join. One Arrow-batched pass; undecodable payloads are
+    dropped (their format names the missing library in decode_image's
+    error)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    bounds = _band_bounds(n_bands)
+    cols = ["asset_id", "ahash"] + [f"band{b}" for b in range(n_bands)]
     schema = StructType(
         [StructField("asset_id", LongType())]
-        + [StructField(c, LongType()) for c in ("ahash", "band0", "band1", "band2", "band3")]
+        + [StructField(c, LongType()) for c in cols[1:]]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("asset_id", "ahash", "band0", "band1", "band2", "band3")}
+            out = {k: [] for k in cols}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     hsh = ahash64(bytes(payload))
@@ -721,30 +736,42 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
                     continue
                 out["asset_id"].append(int(aid))
                 out["ahash"].append(hsh - (1 << 64) if hsh >= 1 << 63 else hsh)
-                for b in range(4):
-                    out[f"band{b}"].append((hsh >> (16 * b)) & 0xFFFF)
+                for b, (off, width) in enumerate(bounds):
+                    out[f"band{b}"].append((hsh >> off) & ((1 << width) - 1))
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, schema=schema)
 
 
-def perceptual_near_dup(assets: DataFrame, max_hamming: int = 8) -> DataFrame:
+def perceptual_near_dup(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup pairs by average-hash hamming distance, banded LSH.
 
-    Pigeonhole: two hashes within hamming distance 3 agree EXACTLY on at
-    least one of the four 16-bit bands, so candidates come from four band
-    equi-joins (union) — never an all-pairs product; the exact 64-bit
-    hamming distance then filters candidates to ``max_hamming``. The same
-    band shape as MinHash-LSH, applied to pixels instead of shingles.
+    Pigeonhole: two hashes within hamming distance d agree EXACTLY on at
+    least one of d+1 disjoint bands, so banding into ``max_hamming + 1``
+    bands makes the candidate join COMPLETE for the requested distance —
+    never an all-pairs product; the exact 64-bit hamming distance then
+    filters candidates to ``max_hamming``. The same band shape as
+    MinHash-LSH, applied to pixels instead of shingles.
+
+    The default (3 -> four 16-bit bands) is the 10⁹-asset shape; larger
+    ``max_hamming`` narrows each band, so candidate selectivity degrades
+    (an 8-bit band has only 256 buckets) — recall is still guaranteed,
+    throughput is the price.
 
     Returns (asset_a, asset_b, hamming) for pairs with at least one equal
     band AND distance <= max_hamming.
     """
-    hs = perceptual_hashes(assets)
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming}: bands of <4 bits make the banded "
+            "join quadratic; use embedding near-dup for looser matches"
+        )
+    n_bands = max_hamming + 1
+    hs = perceptual_hashes(assets, n_bands)
     a = hs.select(*[F.col(c).alias(f"{c}_a") for c in hs.columns])
     b = hs.select(*[F.col(c).alias(f"{c}_b") for c in hs.columns])
     cand = None
-    for i in range(4):
+    for i in range(n_bands):
         pairs = a.join(b, F.col(f"band{i}_a") == F.col(f"band{i}_b")).filter(
             F.col("asset_id_a") < F.col("asset_id_b")
         )

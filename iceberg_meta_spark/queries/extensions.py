@@ -139,7 +139,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
         sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS shingle
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 2),
+               FROM sized, UNNEST(range(1, n - 1)) AS g(i)),
         tag AS (SELECT doc_id,
                   substr(md5(concat('eval:', CAST(doc_id AS VARCHAR))), 1, 2) < '18'
                     AS is_eval
@@ -240,7 +240,7 @@ from iceberg_meta_spark.pipeline import corpus  # noqa: E402
         WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT t, len(t) AS n FROM toks WHERE len(t) >= 2),
         grams AS (SELECT concat(t[i], ' ', t[i+1]) AS ngram
-                  FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1)
+                  FROM sized, UNNEST(range(1, n)) AS g(i))
         SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences
         FROM grams GROUP BY ngram
         ORDER BY occurrences DESC, ngram LIMIT 20
@@ -5197,8 +5197,7 @@ from iceberg_meta_spark.pipeline import dedup  # noqa: E402
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         w AS (SELECT doc_id, md5(array_to_string(tok[i+1:i+20], ' ')) AS h
-              FROM t, generate_series(0, 4096) g(i)
-              WHERE len(tok) >= 20 AND i <= len(tok) - 20),
+              FROM t, UNNEST(range(0, greatest(len(tok) - 19, 0))) g(i)),
         c AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY h)
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_windows,
@@ -5229,8 +5228,7 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         w AS (SELECT doc_id, array_to_string(tok[i+1:i+20], ' ') AS span
-              FROM t, generate_series(0, 4096) g(i)
-              WHERE len(tok) >= 20 AND i <= len(tok) - 20),
+              FROM t, UNNEST(range(0, greatest(len(tok) - 19, 0))) g(i)),
         c AS (SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
               FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
         r AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, span) AS rank
@@ -5260,8 +5258,8 @@ from iceberg_meta_spark.pipeline import classifier, winnow  # noqa: E402
 _WINNOW_SEL = """
     t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
     g AS (SELECT doc_id, i AS pos, md5(array_to_string(tok[i+1:i+8], ' ')) AS h
-          FROM t, generate_series(0, 4096) s(i)
-          WHERE len(tok) >= 11 AND i <= len(tok) - 8),
+          FROM t, UNNEST(range(0, greatest(len(tok) - 7, 0))) s(i)
+          WHERE len(tok) >= 11),
     w AS (SELECT doc_id, pos,
                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
@@ -5863,8 +5861,7 @@ def meta_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         w AS (SELECT doc_id, i, md5(array_to_string(tok[i+1:i+20], ' ')) AS h
-              FROM t, generate_series(0, 4096) g(i)
-              WHERE len(tok) >= 20 AND i <= len(tok) - 20),
+              FROM t, UNNEST(range(0, greatest(len(tok) - 19, 0))) g(i)),
         agg AS (SELECT h, count(DISTINCT doc_id) AS df,
                        min(struct_pack(d := doc_id, i := i)) AS canon
                 FROM w GROUP BY h),
@@ -6024,12 +6021,14 @@ def _skew_profile_sql(table: str, key: str) -> str:
                      / (SELECT sum(cnt * cnt) FROM c_{key}), 2) AS eff_keys,
                round((SELECT max(cnt) FROM c_{key})
                      / CAST((SELECT sum(cnt) FROM c_{key}) AS DOUBLE), 6) AS top_share,
-               CASE WHEN (SELECT max(cnt) FROM c_{key}) * (SELECT count(*) FROM c_{key})
+               CASE WHEN CAST((SELECT max(cnt) FROM c_{key}) AS DOUBLE)
+                         * (SELECT count(*) FROM c_{key})
                          > 8 * (SELECT sum(cnt) FROM c_{key}) THEN 'salt'
                     WHEN (SELECT count(*) FROM c_{key}) < 1000
                          THEN 'pre-aggregate or broadcast'
                     ELSE 'hash-partition as-is' END AS recommendation,
-               CAST(CASE WHEN (SELECT max(cnt) FROM c_{key}) * (SELECT count(*) FROM c_{key})
+               CAST(CASE WHEN CAST((SELECT max(cnt) FROM c_{key}) AS DOUBLE)
+                              * (SELECT count(*) FROM c_{key})
                               > 8 * (SELECT sum(cnt) FROM c_{key})
                          THEN least(64, CAST(ceil(CAST((SELECT max(cnt) FROM c_{key}) AS DOUBLE)
                               * (SELECT count(*) FROM c_{key})
@@ -6095,7 +6094,8 @@ def _join_preflight_sql(key_col: str, left_sql: str, right_sql: str, cap: int) -
                     ELSE 0.0 END AS amplification,
                CASE WHEN least(left_rows, right_rows) <= {cap}
                          THEN 'broadcast smaller side'
-                    WHEN matched_keys > 0 AND max_key_out * matched_keys > 8 * out_rows
+                    WHEN matched_keys > 0
+                         AND CAST(max_key_out AS DOUBLE) * matched_keys > 8 * out_rows
                          THEN 'salted sort-merge'
                     ELSE 'sort-merge as-is' END AS recommendation
         FROM ag, lt, rt

@@ -1268,3 +1268,14 @@ def test_kth_smallest_rejects_out_of_range(spark):
     empty = spark.createDataFrame([], "x long")
     with pytest.raises(ValueError, match="out of range"):
         kth_smallest(empty, "x", 1)
+
+
+def test_exact_median_of_empty_is_null(spark):
+    """SQL median of no rows is NULL (round-5 advisory): exact_median must
+    return None for empty/all-null columns, not 0.0 — 0.0 would diverge
+    from the DuckDB median-of-empty on the empty-partition path."""
+    from iceberg_meta_spark.operators.selection import exact_median
+
+    assert exact_median(spark.createDataFrame([], "x long"), "x") is None
+    all_null = spark.createDataFrame([(None,), (None,)], "x long")
+    assert exact_median(all_null, "x") is None

@@ -1039,6 +1039,28 @@ def test_perceptual_near_dup_banded_join(spark):
     )
     pairs = multimodal.perceptual_near_dup(assets, max_hamming=8).collect()
     assert [(r.asset_a, r.asset_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+    # banding is derived from max_hamming so the pigeonhole guarantee
+    # covers the REQUESTED distance (round-5 advisory): d+1 bands mean two
+    # hashes differing in <= d bits always share a band, even when the
+    # differing bits are spread one-per-16-bit-band (the old miss case)
+    for d in (3, 8, 15):
+        bounds = multimodal._band_bounds(d + 1)
+        assert sum(w for _, w in bounds) == 64 and len(bounds) == d + 1
+        h1 = 0x0123456789ABCDEF
+        # flip one bit inside each of the first d bands -> d differing bits,
+        # no two in the same band; band d is untouched and must match
+        h2 = h1
+        for off, _w in bounds[:d]:
+            h2 ^= 1 << off
+        same = [
+            (h1 >> off) & ((1 << w) - 1) == (h2 >> off) & ((1 << w) - 1)
+            for off, w in bounds
+        ]
+        assert any(same), d
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.perceptual_near_dup(assets, max_hamming=16)
     # plan: banded equi-joins only, never a cartesian product
     import contextlib
     import io
