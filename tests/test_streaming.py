@@ -1869,3 +1869,42 @@ def test_replay_guard_sinks_survive_empty_state_table(spark, tmp_path):
     assert kept == {1, 2, 3}  # q=2 per source: web has 2, books has 1
     apply(empty_docs, 2)
     assert {r.doc_id for r in spark.read.parquet(state).collect()} == kept
+
+
+def test_empty_probe_streaming_sweep_runs_end_to_end(spark, tmp_path, capsys):
+    """Pin the round-6 regression: tools/empty_probe.py --streaming shipped
+    with a report loop that unpacked 3 fields from 4-tuples and crashed
+    before printing. Run streaming_main end-to-end (reusing the test
+    session) and assert it reports every sink clean."""
+    import tools.empty_probe as ep
+
+    failures = ep.streaming_main(spark=spark)
+    out = capsys.readouterr().out
+    assert failures == 0
+    assert out.count("[OK  ]") == 7
+    assert "[FAIL]" not in out
+    assert "0 failures / 7 streaming sinks" in out
+
+
+def test_empty_probe_sweep_helper_reports_findings(spark, tmp_path):
+    """run_streaming_sweep returns (names, findings) and surfaces a sink
+    that raises, attributing the failing scenario by name."""
+    import tools.empty_probe as ep
+
+    names, findings = ep.run_streaming_sweep(spark, str(tmp_path / "s"))
+    assert len(names) == 7 and findings == []
+
+    def boom(batch, batch_id):
+        raise ValueError("synthetic failure")
+
+    orig = ep._streaming_sinks
+    ep._streaming_sinks = lambda sp, root: [
+        ("synthetic.boom", boom,
+         sp.range(1).toDF("doc_id"), sp.range(0).toDF("doc_id")),
+    ]
+    try:
+        names, findings = ep.run_streaming_sweep(spark, str(tmp_path / "b"))
+    finally:
+        ep._streaming_sinks = orig
+    assert names == ["synthetic.boom"]
+    assert findings == [("synthetic.boom", "empty-first-batch", "synthetic failure")]

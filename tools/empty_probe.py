@@ -17,7 +17,8 @@ shapes: an empty FIRST micro-batch (writes a zero-row state dir), a merge
 against that empty state store, and an empty batch arriving after
 non-empty state.
 
-Usage: python tools/empty_probe.py [--streaming] [source_sf_dir]
+Usage: python tools/empty_probe.py [source_sf_dir]   (batch-query sweep)
+       python tools/empty_probe.py --streaming       (streaming-sink sweep)
 Exit code = number of failures.
 """
 
@@ -109,18 +110,28 @@ def _streaming_sinks(spark, root: str):
     ]
 
 
-def run_streaming_sweep(spark, root: str) -> list[tuple[str, str, str]]:
+# (scenario-name, which-batch); batch ids run 0..3 so the sequence is
+# empty@0 → rows@1 → empty@2 → rows@3.
+_SCENARIOS = (
+    ("empty-first-batch", "empty"),
+    ("merge-into-empty-state", "rows"),
+    ("empty-after-nonempty-state", "empty"),
+    ("merge-after-empty-batch", "rows"),
+)
+
+
+def run_streaming_sweep(
+    spark, root: str
+) -> tuple[list[str], list[tuple[str, str, str]]]:
     """Drive every sink through empty@0 → rows@1 → empty@2 → rows@3;
-    returns (sink, scenario, error-head) findings (empty list = clean)."""
+    returns (sink-names, findings) where each finding is
+    (sink, scenario, error-head) — empty findings list = clean."""
+    names: list[str] = []
     findings: list[tuple[str, str, str]] = []
     for name, apply_fn, rows, empty in _streaming_sinks(spark, root):
-        for batch_id, (scenario, batch) in enumerate([
-            ("empty-first-batch", None),
-            ("merge-into-empty-state", None),
-            ("empty-after-nonempty-state", None),
-            ("merge-after-empty-batch", None),
-        ]):
-            batch = empty if batch_id in (0, 2) else rows
+        names.append(name)
+        for batch_id, (scenario, kind) in enumerate(_SCENARIOS):
+            batch = empty if kind == "empty" else rows
             try:
                 apply_fn(batch, batch_id)
             except Exception as exc:  # noqa: BLE001 — the report IS the handler
@@ -129,14 +140,18 @@ def run_streaming_sweep(spark, root: str) -> list[tuple[str, str, str]]:
                 if os.environ.get("EMPTY_PROBE_TRACE"):
                     traceback.print_exc()
                 break  # later batches of a crashed sink are meaningless
-    return findings
+    return names, findings
 
 
-def streaming_main(src: str) -> int:
-    spark = get_spark("empty-probe-streaming")
+def streaming_main(spark=None) -> int:
+    """Run the sweep and print one [OK]/[FAIL] line per sink. Pass an
+    existing SparkSession (tests do) to reuse it; otherwise one is created
+    and stopped here."""
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("empty-probe-streaming")
     root = tempfile.mkdtemp(prefix="empty_stream_")
-    findings = run_streaming_sweep(spark, root)
-    names = [n for n, _, _ in _streaming_sinks(spark, root + "_names")]
+    names, findings = run_streaming_sweep(spark, root)
     for n in names:
         bad = [f for f in findings if f[0] == n]
         if bad:
@@ -144,14 +159,15 @@ def streaming_main(src: str) -> int:
         else:
             print(f"[OK  ] {n}", flush=True)
     print(f"\n{len(findings)} failures / {len(names)} streaming sinks")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return len(findings)
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--streaming"]
     if "--streaming" in sys.argv[1:]:
-        return streaming_main(args[0] if args else "/root/testdata/sf0.001")
+        return streaming_main()
     src = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("empty-probe")
     parquet.enable_cache(False)
