@@ -39,7 +39,7 @@ _MINHASH_ORACLE = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
     sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
-           FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+           FROM sized, UNNEST(range(1, n)) AS g(i)),
     mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
            FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // 2 AS band_idx,
@@ -78,7 +78,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
         sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+               FROM sized, UNNEST(range(1, n)) AS g(i)),
         mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
                FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band_idx,
@@ -139,7 +139,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
         sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+               FROM sized, UNNEST(range(1, n)) AS g(i)),
         mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
                FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band_idx,
@@ -501,8 +501,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         v AS (SELECT asset_id, byte_len, byte_len % 24 + 2 AS n_frames FROM a)
         SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
                CAST(greatest(1, byte_len // n_frames) AS BIGINT) AS frame_bytes
-        FROM v, generate_series(0, 4096) AS g(i)
-        WHERE i < n_frames AND i % 4 = 0
+        FROM v, UNNEST(range(0, n_frames)) AS g(i)
+        WHERE i % 4 = 0
     """,
     doc="Multimodal frame sampling: every 4th frame of each video asset, "
     "one row per kept frame (row fan-out inside the Arrow batch)",
@@ -638,7 +638,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
         sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+               FROM sized, UNNEST(range(1, n)) AS g(i)),
         rare AS (SELECT shingle FROM sh GROUP BY shingle
                  HAVING count(*) BETWEEN 2 AND 8),
         rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -677,7 +677,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks AS (SELECT doc_id, is_batch, string_split(text, ' ') AS t FROM tagged),
         sized AS (SELECT doc_id, is_batch, t, len(t) AS n FROM toks WHERE len(t) >= 2),
         sh AS (SELECT DISTINCT doc_id, is_batch, concat(t[i], ' ', t[i+1]) AS shingle
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+               FROM sized, UNNEST(range(1, n)) AS g(i)),
         mh AS (SELECT doc_id, is_batch, seed,
                       min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
                FROM sh, generate_series(0, 7) AS s(seed) GROUP BY 1, 2, 3),
@@ -750,7 +750,7 @@ def quality_adaptive_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, lang, t, len(t) AS n FROM toks WHERE len(t) >= 2),
         bg AS (SELECT doc_id, lang, concat(t[i], ' ', t[i+1]) AS bigram
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+               FROM sized, UNNEST(range(1, n)) AS g(i)),
         bk AS (SELECT doc_id, lang,
                       ((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 256
                        + (strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1) * 16
@@ -794,7 +794,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
         sh AS (SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1]) AS shingle
-               FROM sized, generate_series(1, 4096) AS g(i) WHERE i <= n - 1),
+               FROM sized, UNNEST(range(1, n)) AS g(i)),
         mh AS (SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', shingle))) AS mh
                FROM sh, generate_series(0, 7) AS s(seed) GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 2 AS band_idx,
@@ -950,8 +950,7 @@ def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH av AS (SELECT doc_id AS asset_id, text FROM documents
                     WHERE doc_id % 3 <> 0),
         chars AS (SELECT asset_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS b
-                  FROM av, generate_series(1, 4096) AS g(i)
-                  WHERE i <= len(text)),
+                  FROM av, UNNEST(range(1, len(text) + 1)) AS g(i)),
         frames AS (SELECT asset_id, (i - 1) // 16 AS f,
                           CAST(sum(b) AS BIGINT) AS e
                    FROM chars GROUP BY 1, 2),
