@@ -20,8 +20,8 @@ from iceberg_meta_spark import operators as ops
 from iceberg_meta_spark.registry import register
 from iceberg_meta_spark.sources.fixtures import SMALL_FILE_THRESHOLD, derive, oracle_query
 
-# Mirror the standalone maintenance queries' pinned policy (extensions.py).
-from iceberg_meta_spark.queries.extensions import (  # noqa: E402
+# Mirror the standalone maintenance queries' pinned policy (queries/meta_ext.py).
+from iceberg_meta_spark.queries.meta_ext import (  # noqa: E402
     _COMPACT_TARGET,
     _EXPIRY_KEEP,
     _EXPIRY_MAX_AGE_US,

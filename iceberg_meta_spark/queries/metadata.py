@@ -59,10 +59,11 @@ def meta_file_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "meta_file_health_approx",
-    # No oracle: percentile_approx's sketch is engine-specific, so the
-    # driver records the weaker rows-only check — the exact twin
-    # (meta_file_health) carries the value-hash gate, and
-    # test_file_health_approx_matches_exact pins the two together.
+    # No oracle: percentile_approx's sketch is engine-specific. The driver
+    # records the weaker rows-only check; locally the tolerance_twin contract
+    # gates this against meta_file_health's oracle (tools/check_oracle.py),
+    # and test_file_health_approx_matches_exact pins the two together.
+    tolerance_twin="meta_file_health",
     tags=("bench",),
     doc="A1 at >10^8 files: exact aggregates + percentile_approx median "
     "(mergeable sketch, constant memory) — the scale path for the exact-"

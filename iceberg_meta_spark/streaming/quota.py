@@ -1,5 +1,5 @@
 """Continuously-maintained per-source quota: the streaming half of
-``queries.extensions.source_quota_cap``.
+``queries.text.source_quota_cap``.
 
 The batch kernel keeps the Q best-classifier-scored docs per source (the
 Gopher/CommonCrawl "domain cap"). At ingest that keep-set is a moving

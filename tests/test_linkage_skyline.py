@@ -13,11 +13,8 @@ import io
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.pipeline.similarity import truncated_recall
-from iceberg_meta_spark.queries.extensions import (
-    customer_fuzzy_matches,
-    matryoshka_recall,
-    order_skyline,
-)
+from iceberg_meta_spark.queries.ann import matryoshka_recall
+from iceberg_meta_spark.queries.relational import customer_fuzzy_matches, order_skyline
 from iceberg_meta_spark.sources.parquet import load_table
 
 SF = "/root/testdata/sf0.001"

@@ -416,7 +416,7 @@ def test_source_quota_cap_matches_brute_force(spark):
     per source (score desc, doc_id tie-break) — pinned against a driver-side
     brute force over the scored corpus."""
     from iceberg_meta_spark.pipeline import classifier
-    from iceberg_meta_spark.queries.extensions import _QUOTA_Q, source_quota_cap
+    from iceberg_meta_spark.queries.text import _QUOTA_Q, source_quota_cap
     from iceberg_meta_spark.sources.parquet import load_table
 
     docs = load_table(spark, SF, "documents")

@@ -867,7 +867,7 @@ def test_kernels_handle_empty_inputs(spark):
 
 def test_event_value_outliers_flags_known_spike(spark, monkeypatch):
     """3-sigma screen: a 100x spike among tight values is flagged, and only it."""
-    import iceberg_meta_spark.queries.extensions as ext
+    import iceberg_meta_spark.queries.events as ext
 
     base = [(f"t", 100 + (i % 3)) for i in range(50)]  # tight cluster
     rows = [(t, float(v) / 100) for t, v in base] + [("t", 100.0)]  # 10000 cents

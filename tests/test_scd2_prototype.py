@@ -7,7 +7,8 @@ import io
 
 from pyspark.sql import functions as F
 
-from iceberg_meta_spark.queries.extensions import prototype_pruning, scd2_user_state
+from iceberg_meta_spark.queries.ann import prototype_pruning
+from iceberg_meta_spark.queries.users import scd2_user_state
 from iceberg_meta_spark.sources.parquet import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -92,7 +93,7 @@ def test_prototype_centroid_join_is_broadcast(spark):
 def test_k_anonymity_monotone_in_k(spark):
     """Raising k can only widen the violating set; rows_at_risk is bounded
     by the table size; permille consistent with the row counts."""
-    from iceberg_meta_spark.queries.extensions import k_anonymity_audit
+    from iceberg_meta_spark.queries.privacy import k_anonymity_audit
 
     rows = sorted(k_anonymity_audit(spark, SF).collect(), key=lambda r: r["k"])
     n_rows = load_table(spark, SF, "customer").count()
@@ -110,7 +111,7 @@ def test_privacy_report_matches_standalone_audits(spark):
     standalone audits (same QI derivation, same thresholds), and its plan
     must stay broadcast-only: the class tables are QI-domain-bounded, so
     no sweep may introduce a shuffled join or cartesian product."""
-    from iceberg_meta_spark.queries.extensions import (
+    from iceberg_meta_spark.queries.privacy import (
         k_anonymity_audit,
         l_diversity_audit,
         privacy_report,
