@@ -29,6 +29,14 @@ class QuerySpec:
     oracle: str | None = None
     tags: tuple[str, ...] = ()
     doc: str = ""
+    # For approximate-by-construction queries (sketches) that cannot carry an
+    # engine-portable hash oracle: the EXACT-twin query whose DuckDB oracle
+    # supplies ground truth. tools/check_oracle.py gates the approx result
+    # against the twin's oracle with the same tolerance its unit test pins.
+    # Contract (pinned by test_oracle_parity): every registered query carries
+    # either an oracle or a tolerance_twin — an approx query can't silently
+    # ship ungated.
+    tolerance_twin: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -50,13 +58,17 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    tolerance_twin: str | None = None,
 ) -> Callable:
     """Decorator registering ``fn(spark, sf_dir) -> DataFrame`` as a query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name, spark_fn=fn, oracle=oracle, tags=tags,
+            doc=doc or (fn.__doc__ or ""), tolerance_twin=tolerance_twin,
+        )
         return fn
 
     return deco

@@ -112,3 +112,30 @@ def test_driver_window_is_first_50_and_fully_oracle_gated():
     assert len(DRIVER_WINDOW) == 50
     assert list(_QUERIES)[:50] == DRIVER_WINDOW
     assert set(DRIVER_WINDOW) <= set(_ORACLES)
+
+
+def test_every_query_is_oracle_or_twin_gated():
+    """Registry contract (round-7, VERDICT r6 #7): every registered query
+    carries either a DuckDB hash oracle or a tolerance_twin naming the exact
+    query whose oracle supplies ground truth — a new approximate query can't
+    silently ship ungated. Every declared twin must itself exist, be
+    oracle-gated, and have a comparator gate in tools/check_oracle.py."""
+    from iceberg_meta_spark.registry import load_all
+    from tools.check_oracle import SKETCH_GATES
+
+    specs = load_all()
+    for name, spec in specs.items():
+        assert spec.oracle is not None or spec.tolerance_twin is not None, (
+            f"{name} has neither an oracle nor a tolerance_twin"
+        )
+        if spec.tolerance_twin is not None:
+            assert spec.oracle is None, f"{name} has both oracle and twin"
+            twin = specs.get(spec.tolerance_twin)
+            assert twin is not None, f"{name}: twin {spec.tolerance_twin} not registered"
+            assert twin.oracle is not None, f"{name}: twin {twin.name} has no oracle"
+            assert name in SKETCH_GATES, f"{name}: no comparator gate in check_oracle.py"
+    # and no gate may point at a query that no longer declares a twin
+    for name in SKETCH_GATES:
+        assert specs[name].tolerance_twin is not None, (
+            f"SKETCH_GATES[{name!r}] has no registry-side tolerance_twin"
+        )

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
+from iceberg_meta_spark.registry import load_all
 from iceberg_meta_spark.session import get_spark
 from tools.compare import compare_frames, duckdb_connect
 
@@ -101,12 +102,16 @@ def _gate_audience_overlap(sdf, ddf) -> str | None:
     return None
 
 
-# name -> (exact-twin query whose DuckDB oracle supplies ground truth, gate)
+# name -> comparator gate. The exact-twin query whose DuckDB oracle supplies
+# ground truth comes from the REGISTRY (QuerySpec.tolerance_twin) — the
+# registry contract (test_oracle_parity) requires every oracle-less query to
+# declare its twin, and every declared twin to have a gate here, so a new
+# approx query can't silently ship ungated.
 SKETCH_GATES = {
-    "meta_file_health_approx": ("meta_file_health", _gate_file_health),
-    "user_value_deciles_approx": ("user_value_deciles", _gate_deciles),
-    "doc_length_quantiles_approx": ("doc_length_quantiles", _gate_doc_quantiles),
-    "audience_overlap_hll": ("audience_overlap", _gate_audience_overlap),
+    "meta_file_health_approx": _gate_file_health,
+    "user_value_deciles_approx": _gate_deciles,
+    "doc_length_quantiles_approx": _gate_doc_quantiles,
+    "audience_overlap_hll": _gate_audience_overlap,
 }
 
 
@@ -122,6 +127,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    specs = load_all()
     selected = names or list(qs)
 
     spark = get_spark("check-oracle", cpus="16")
@@ -142,8 +148,9 @@ def main() -> int:
             failed += 1
             continue
         if name not in oracles:
-            if name in SKETCH_GATES:
-                twin, gate = SKETCH_GATES[name]
+            twin = specs[name].tolerance_twin
+            if twin is not None and name in SKETCH_GATES:
+                gate = SKETCH_GATES[name]
                 ddf = None
                 try:
                     ddf = con.execute(oracles[twin]).df()
