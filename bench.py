@@ -5,8 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 ``scale_points`` carries a second timed pass at $SPARK_GRAFT_SECOND_SF_DIR
 (default /root/testdata/sf0.01 — nearest the reference baseline's 50k-row
-scenario; set to an empty string to skip), so each round records how the
-same plans behave at two data scales.
+scenario; set to an empty string to skip), with its own per-query map
+(slowest-first), so each round records how the same plans behave at two
+data scales. ``cold`` carries a first-run pass over every query in a
+dedicated fresh context with the table cache off (the 10 slowest per-query;
+set SPARK_GRAFT_SKIP_COLD=1 to skip), so the artifact supports both
+steady-state and cold readings.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver transfer). JVM/session startup is excluded (BASELINE.md's numbers
@@ -62,12 +66,38 @@ def _timed_pass(spark, bench: dict, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _cold_pass(bench: dict, sf_dir: str, cpus: str) -> dict[str, float]:
+    """First-run wall time per query in a dedicated fresh SparkContext with
+    the table cache OFF: plan compilation + codegen + uncached parquet scans
+    all included. Runs FIRST so no prior pass warms anything it measures
+    (the OS page cache is the one layer we cannot reset)."""
+    spark = get_spark("iceberg-meta-spark-bench-cold", cpus=cpus)
+    enable_cache(False)
+    cold: dict[str, float] = {}
+    for name, spec in bench.items():
+        t0 = time.time()
+        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return cold
+
+
+def _slowest_first(times: dict[str, float], top: int | None = None) -> dict[str, float]:
+    items = sorted(times.items(), key=lambda kv: kv[1], reverse=True)
+    return dict(items[:top] if top else items)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     second_dir = os.environ.get("SPARK_GRAFT_SECOND_SF_DIR", "/root/testdata/sf0.01")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     registry = load_all()
     bench = {name: spec for name, spec in registry.items() if "bench" in spec.tags}
+
+    # Cold pass first (fresh context, cache off), unless skipped.
+    cold: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_COLD", "") != "1":
+        cold = _cold_pass(bench, sf_dir, cpus)
 
     spark = get_spark("iceberg-meta-spark-bench", cpus=cpus)
     # Cache base tables across cores (see module docstring).
@@ -81,23 +111,44 @@ def main() -> None:
         "queries": times,
         "sf": _sf_of(sf_dir),
     }
+    if cold:
+        # Total over ALL queries; per-query map carries the 10 slowest.
+        out["cold"] = {
+            "value": round(sum(cold.values()), 3),
+            "queries": _slowest_first(cold, top=10),
+        }
     # Second scale point (closest to the reference baseline's scenario size):
-    # same session, same plans, different data scale. TOTAL ONLY — the
-    # driver captures a bounded tail of our output and parses the final
-    # JSON line; a per-query breakdown at two scale points once grew the
-    # line past that buffer and round 3's bench went unparsed.
+    # same session, same plans, different data scale. Per-query map is
+    # slowest-first so the length guard below trims the tail (the fast end),
+    # keeping baseline-near per-query regressions visible round-over-round.
+    sp: dict[str, float] = {}
     if second_dir and os.path.isdir(second_dir) and second_dir != sf_dir:
-        t2 = _timed_pass(spark, bench, second_dir)
-        out["scale_points"] = {str(_sf_of(second_dir)): {"value": round(sum(t2.values()), 3)}}
-    # Hard length guard for the same reason: if the query surface grows the
-    # line past ~3000 chars, elide the FASTEST per-query entries first (the
-    # slow ones are the signal) and say how many were dropped.
+        sp = _timed_pass(spark, bench, second_dir)
+        out["scale_points"] = {
+            str(_sf_of(second_dir)): {
+                "value": round(sum(sp.values()), 3),
+                "queries": _slowest_first(sp),
+            }
+        }
+    # Hard length guard: the driver captures a bounded tail of our output and
+    # parses the final JSON line (round 3's bench once went unparsed when the
+    # line outgrew that buffer — ~3000 chars is the proven-safe cap). If the
+    # line passes it, elide the FASTEST per-query entries first (the slow
+    # ones are the signal) — alternating between the primary map and the
+    # scale-point map — and say how many were dropped from each.
     line = json.dumps(out)
-    elided = 0
-    while len(line) > 3000 and len(times) > 1:
-        times.pop(min(times, key=times.get))
-        elided += 1
-        out["queries_elided"] = elided
+    elided = sp_elided = 0
+    while len(line) > 3000 and (len(times) > 1 or len(sp) > 1):
+        if len(times) >= len(sp) and len(times) > 1:
+            times.pop(min(times, key=times.get))
+            elided += 1
+            out["queries_elided"] = elided
+        elif len(sp) > 1:
+            sp.pop(min(sp, key=sp.get))
+            sp_elided += 1
+            sp_key = next(iter(out["scale_points"]))
+            out["scale_points"][sp_key]["queries"] = _slowest_first(sp)
+            out["scale_points"][sp_key]["queries_elided"] = sp_elided
         line = json.dumps(out)
     # Leading newline: Spark's console progress bar ends its output with a
     # bare carriage return; without this the JSON shares a physical line
