@@ -11,7 +11,11 @@ is presentation-side: collect the returned DataFrame or pass it to
 Sources implement the small ``MetadataSource`` protocol. ``FixtureSource``
 derives metadata shapes from the driver's parquet testdata;
 ``IcebergTableSource`` reads a real table's metadata tree through
-``sources/iceberg.py`` when the Iceberg Spark runtime is present.
+``sources/iceberg.py`` when the Iceberg Spark runtime is present;
+``NativeTableSource`` reads the same tree with NO jar and NO pyiceberg —
+spec-derived metadata-JSON + Avro-manifest parsing (``sources/
+iceberg_native.py``), manifests decoded distributed via binaryFile +
+mapInPandas.
 """
 
 from __future__ import annotations
@@ -111,6 +115,63 @@ class IcebergTableSource:
             )
         meta = ice.load_table_metadata(self.spark, self.metadata_location)
         return ice.schema_fields_from_metadata(self.spark, meta, self.table)
+
+
+@dataclass
+class NativeTableSource:
+    """A real Iceberg table's metadata tree WITHOUT the runtime jar:
+    spec-derived parsing of the metadata JSON + Avro manifests
+    (sources/iceberg_native.py). ``table_dir`` is the table root (the
+    directory holding ``metadata/``); ``range_field_id`` names the int/long
+    field whose bounds feed the overlap kernels (J3/W6)."""
+
+    spark: SparkSession
+    table_dir: str
+    range_field_id: int | None = None
+    range_type: str = "long"
+
+    def _md(self) -> dict:
+        if not hasattr(self, "_md_cache"):
+            from iceberg_meta_spark.sources import iceberg_native as nat
+
+            self._md_cache = nat.load_table_metadata(self.spark, self.table_dir)
+        return self._md_cache
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        from iceberg_meta_spark.sources import iceberg_native as nat
+
+        return nat.native_files_frame(self.spark, self.table_dir, snapshot_id, self._md())
+
+    def snapshots(self) -> DataFrame:
+        from iceberg_meta_spark.sources import iceberg_native as nat
+
+        return nat.native_snapshots_frame(self.spark, self.table_dir, self._md())
+
+    def manifests(self) -> DataFrame:
+        from iceberg_meta_spark.sources import iceberg_native as nat
+
+        return nat.native_manifests_frame(self.spark, self.table_dir, metadata=self._md())
+
+    def column_stats(self) -> DataFrame:
+        from iceberg_meta_spark.sources import iceberg_native as nat
+
+        return nat.native_column_stats_typed(self.spark, self.table_dir, metadata=self._md())
+
+    def file_ranges(self) -> DataFrame:
+        from iceberg_meta_spark.sources import iceberg_native as nat
+
+        if self.range_field_id is None:
+            raise ValueError(
+                "NativeTableSource needs range_field_id=<field id> to derive "
+                "file ranges from the manifest bound maps"
+            )
+        return nat.native_file_ranges(
+            self.spark, self.table_dir, self.range_field_id, self.range_type
+        )
+
+    def schema_fields(self) -> DataFrame:
+        name = self.table_dir.rstrip("/").rsplit("/", 1)[-1]
+        return ice.schema_fields_from_metadata(self.spark, self._md(), name)
 
 
 # ---------------------------------------------------------------------------

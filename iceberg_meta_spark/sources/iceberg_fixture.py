@@ -1,0 +1,228 @@
+"""Write a real (spec-conformant) Iceberg v2 metadata tree for tests.
+
+``write_fixture_table`` materializes the full metadata side of an Iceberg
+table — ``vN.metadata.json`` + ``version-hint.text``, one manifest-list
+Avro per snapshot, and per-snapshot manifest Avro files — using the public
+table spec's v2 schemas (iceberg.apache.org/spec §§ Table Metadata,
+Manifest Lists, Manifests, Appendix C Avro schemas) and the pure-Python
+Avro writer in ``sources/avro_py.py``. Data files are metadata-only
+(paths need not exist): every reader under test consumes the metadata
+tree, same as the reference's analytics (it never opens data parquet).
+
+Everything is deterministic (fixed sync marker, arithmetic-derived sizes
+and counts) so tests can pin exact expectations, and the writer is
+independent of the reader module — round-trip tests exercise two separately
+written codec paths plus golden-byte pins against spec examples.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from iceberg_meta_spark.sources.avro_py import write_container
+from iceberg_meta_spark.sources.iceberg_schemas import (
+    MANIFEST_FILE_SCHEMA,
+    _le_long,
+    manifest_entry_schema,
+)
+
+_FIELDS = (  # (field-id, name, type) of the fixture table's schema
+    (1, "region", "string"),
+    (2, "user_id", "long"),
+    (3, "value_cents", "long"),
+    (4, "payload", "string"),
+)
+
+
+def write_fixture_table(
+    base_dir: str,
+    n_snapshots: int = 3,
+    manifests_per_snapshot: int = 2,
+    files_per_manifest: int = 25,
+) -> str:
+    """Write a deterministic Iceberg v2 table at ``base_dir/fixture_table``.
+
+    Shape: snapshot s (1-based) appends ``manifests_per_snapshot`` new
+    manifests; its manifest list carries every manifest up to s, so snapshot
+    s sees ``s * manifests_per_snapshot * files_per_manifest`` live files.
+    Partitioned by identity(region) over 4 regions; per-file record counts /
+    sizes / column stats are closed-form in the file index so tests can pin
+    exact aggregates. Returns the table directory."""
+    table_dir = os.path.join(base_dir, "fixture_table")
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    partition_fields = [
+        {"name": "region", "type": ["null", "string"], "default": None, "field-id": 1000}
+    ]
+    entry_schema = manifest_entry_schema(partition_fields)
+    regions = ("americas", "emea", "apac", "latam")
+
+    manifest_records: list[dict] = []  # manifest_file rows, cumulative
+    snapshots_json: list[dict] = []
+
+    for s in range(1, n_snapshots + 1):
+        added_rows = 0
+        for m in range(manifests_per_snapshot):
+            m_idx = (s - 1) * manifests_per_snapshot + m
+            entries = []
+            for f in range(files_per_manifest):
+                f_idx = m_idx * files_per_manifest + f
+                region = regions[f_idx % len(regions)]
+                record_count = 100 + (f_idx % 7) * 50
+                file_size = (1 + f_idx % 9) * 8 * 1024 * 1024
+                added_rows += record_count
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": s,
+                        "sequence_number": s,
+                        "file_sequence_number": s,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": f"{table_dir}/data/{region}/f{f_idx:05d}.parquet",
+                            "file_format": "PARQUET",
+                            "partition": {"region": region},
+                            "record_count": record_count,
+                            "file_size_in_bytes": file_size,
+                            "column_sizes": [
+                                {"key": fid, "value": file_size // (4 * (fid + 1))}
+                                for fid, _, _ in _FIELDS
+                            ],
+                            "value_counts": [
+                                {"key": fid, "value": record_count} for fid, _, _ in _FIELDS
+                            ],
+                            "null_value_counts": [
+                                {"key": fid, "value": (f_idx + fid) % 5} for fid, _, _ in _FIELDS
+                            ],
+                            "lower_bounds": [
+                                {"key": 2, "value": _le_long(f_idx * 1000)},
+                                {"key": 3, "value": _le_long(f_idx * 10)},
+                            ],
+                            "upper_bounds": [
+                                {"key": 2, "value": _le_long(f_idx * 1000 + 2500)},
+                                {"key": 3, "value": _le_long(f_idx * 10 + 5000)},
+                            ],
+                            "split_offsets": [4],
+                            "sort_order_id": 0,
+                        },
+                    }
+                )
+            manifest_path = os.path.join(meta_dir, f"manifest-{m_idx:04d}.avro")
+            blob = write_container(
+                entry_schema,
+                entries,
+                metadata={
+                    "format-version": b"2",
+                    "content": b"data",
+                    "partition-spec-id": b"0",
+                },
+            )
+            with open(manifest_path, "wb") as fh:
+                fh.write(blob)
+            manifest_records.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": len(blob),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": s,
+                    "min_sequence_number": s,
+                    "added_snapshot_id": s,
+                    "added_files_count": files_per_manifest,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"] for e in entries
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": [
+                        {
+                            "contains_null": False,
+                            "contains_nan": False,
+                            "lower_bound": min(
+                                e["data_file"]["partition"]["region"] for e in entries
+                            ).encode(),
+                            "upper_bound": max(
+                                e["data_file"]["partition"]["region"] for e in entries
+                            ).encode(),
+                        }
+                    ],
+                }
+            )
+        mlist_path = os.path.join(meta_dir, f"snap-{s}-manifest-list.avro")
+        with open(mlist_path, "wb") as fh:
+            fh.write(
+                write_container(
+                    MANIFEST_FILE_SCHEMA,
+                    list(manifest_records),
+                    metadata={"format-version": b"2"},
+                )
+            )
+        total_files = s * manifests_per_snapshot * files_per_manifest
+        snapshots_json.append(
+            {
+                "snapshot-id": s,
+                **({"parent-snapshot-id": s - 1} if s > 1 else {}),
+                "sequence-number": s,
+                "timestamp-ms": 1713139200000 + s * 60_000,
+                "manifest-list": mlist_path,
+                "schema-id": 0,
+                "summary": {
+                    "operation": "append",
+                    "added-records": str(added_rows),
+                    "deleted-records": "0",
+                    "total-data-files": str(total_files),
+                    "total-records": "0",
+                    "total-files-size": "0",
+                },
+            }
+        )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000beef",
+        "location": table_dir,
+        "last-sequence-number": n_snapshots,
+        "last-updated-ms": 1713139200000 + n_snapshots * 60_000,
+        "last-column-id": _FIELDS[-1][0],
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": fid, "name": name, "required": fid <= 2, "type": typ}
+                    for fid, name, typ in _FIELDS
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "region", "transform": "identity", "source-id": 1, "field-id": 1000}
+                ],
+            }
+        ],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": n_snapshots,
+        "snapshots": snapshots_json,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots_json
+        ],
+        "metadata-log": [],
+    }
+    version = n_snapshots  # one metadata version per commit in this fixture
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(metadata, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return table_dir

@@ -1,0 +1,535 @@
+"""Jar-free Iceberg table reader: metadata JSON + Avro manifests, from spec.
+
+Closes the S1/S2 gap (reference catalog.py:145-189 loads tables through
+pyiceberg) WITHOUT the Iceberg Spark runtime jar or pyiceberg, neither of
+which exists in this container: everything here is derived from the public
+Apache Iceberg table spec (iceberg.apache.org/spec — table metadata §
+"Table Metadata", manifest lists § "Manifest Lists", manifests §
+"Manifests", single-value bounds § "Appendix D: Single-value
+serialization") plus the public Avro container spec implemented in
+``sources/avro_py.py``.
+
+Scale shape: the metadata tree fans out as
+``1 metadata.json → 1 manifest list/snapshot → N manifests → M file
+entries``. The first two levels are planning-index-sized (KBs; decoded
+driver-side, same as every engine's planner). The manifest level is
+unbounded — a 100 TB table carries thousands of manifests with millions of
+entries — so manifests decode DISTRIBUTED: ``spark.read.format
+("binaryFile")`` ships each manifest's bytes to an executor and an
+Arrow-batched ``mapInPandas`` runs the pure-Python Avro decoder there, one
+output row per manifest entry. No driver loop ever touches a file entry.
+
+Output frames match the jar-gated readers in ``sources/iceberg.py``
+(``files_frame`` / ``snapshots_frame`` / ``manifests_frame`` /
+``column_stats_frame`` shapes), so every metadata operator in
+``operators/`` consumes a native-read table unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.sources.avro_py import read_container
+
+# ---------------------------------------------------------------------------
+# Table metadata JSON (driver-side: one small file per table)
+# ---------------------------------------------------------------------------
+
+
+def current_metadata_path(spark: SparkSession, table_dir: str) -> str:
+    """Resolve the current metadata file of ``table_dir``.
+
+    Spec resolution order: ``metadata/version-hint.text`` (the
+    HadoopTables/file-system layout) names version N -> ``vN.metadata.json``;
+    without a hint, take the highest-versioned ``*.metadata.json`` (both
+    ``vN.metadata.json`` and the core ``NNNNN-<uuid>.metadata.json`` naming
+    sort correctly by their numeric prefix)."""
+    table_dir = table_dir.rstrip("/")
+    try:
+        hint_rows = spark.read.text(f"{table_dir}/metadata/version-hint.text").collect()
+        hint = "".join(r.value for r in hint_rows).strip()
+        if hint:
+            return f"{table_dir}/metadata/v{int(hint)}.metadata.json"
+    except Exception:
+        pass  # no hint file -> list and take the newest
+    listed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.metadata.json")
+        .load(f"{table_dir}/metadata")
+        .select("path")
+        .collect()
+    )
+    if not listed:
+        raise FileNotFoundError(f"no *.metadata.json under {table_dir}/metadata")
+
+    def version_of(path: str) -> int:
+        stem = path.rsplit("/", 1)[-1].split(".metadata.json")[0]
+        digits = stem.lstrip("v").split("-")[0]
+        return int(digits) if digits.isdigit() else -1
+
+    return max((r.path for r in listed), key=version_of)
+
+
+def load_table_metadata(spark: SparkSession, table_dir: str) -> dict:
+    """Parse the current table-metadata JSON of ``table_dir``."""
+    path = current_metadata_path(spark, table_dir)
+    text = "\n".join(r.value for r in spark.read.text(path).collect())
+    return json.loads(text)
+
+
+def _snapshot(metadata: dict, snapshot_id: int | None) -> dict:
+    snaps = metadata.get("snapshots", [])
+    if snapshot_id is None:
+        snapshot_id = metadata.get("current-snapshot-id")
+    for s in snaps:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise KeyError(f"snapshot {snapshot_id} not in table metadata")
+
+
+# ---------------------------------------------------------------------------
+# Snapshots frame (shape of sources/iceberg.py::snapshots_frame)
+# ---------------------------------------------------------------------------
+
+_SNAP_SCHEMA = (
+    "snapshot_id long, parent_id long, committed_us long, operation string, "
+    "added_records long, deleted_records long, total_data_files long, "
+    "total_records long, total_files_size long"
+)
+
+
+def native_snapshots_frame(
+    spark: SparkSession, table_dir: str, metadata: dict | None = None
+) -> DataFrame:
+    """Snapshot log from table metadata — the S3/S8/A11/A12 input shape.
+    Summary keys per spec § Snapshots (operation + the core metrics)."""
+    md = metadata or load_table_metadata(spark, table_dir)
+
+    def prop(summary: dict, key: str):
+        v = summary.get(key)
+        return int(v) if v is not None else None
+
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s["parent-snapshot-id"]) if s.get("parent-snapshot-id") is not None else None,
+            int(s["timestamp-ms"]) * 1000,
+            (s.get("summary") or {}).get("operation"),
+            prop(s.get("summary") or {}, "added-records"),
+            prop(s.get("summary") or {}, "deleted-records"),
+            prop(s.get("summary") or {}, "total-data-files"),
+            prop(s.get("summary") or {}, "total-records"),
+            prop(s.get("summary") or {}, "total-files-size"),
+        )
+        for s in md.get("snapshots", [])
+    ]
+    return spark.createDataFrame(rows, _SNAP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Manifest list (planning index: KBs per snapshot -> driver decode)
+# ---------------------------------------------------------------------------
+
+
+def _read_avro_file(spark: SparkSession, path: str) -> list:
+    row = spark.read.format("binaryFile").load(path).select("content").head()
+    if row is None:
+        raise FileNotFoundError(path)
+    _, _, records = read_container(bytes(row.content))
+    return records
+
+
+def _mf_int(rec: dict, v2_name: str, v1_name: str) -> int | None:
+    """Manifest-file field with v2 name, falling back to the v1 name
+    (spec renamed added_data_files_count -> added_files_count etc.)."""
+    v = rec.get(v2_name)
+    if v is None:
+        v = rec.get(v1_name)
+    return int(v) if v is not None else None
+
+
+_MANIFESTS_SCHEMA = (
+    "manifest_path string, manifest_length long, partition_spec_id int, "
+    "content int, added_files_count int, existing_files_count int, "
+    "deleted_files_count int, added_snapshot_id long"
+)
+
+
+def native_manifests_frame(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """One row per manifest of a snapshot — the A2/S4 input shape
+    (superset of sources/iceberg.py::manifests_frame: + added_snapshot_id)."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    snap = _snapshot(md, snapshot_id)
+    records = _read_avro_file(spark, snap["manifest-list"])
+    rows = [
+        (
+            r["manifest_path"],
+            int(r["manifest_length"]),
+            int(r.get("partition_spec_id", 0)),
+            int(r.get("content", 0)),
+            _mf_int(r, "added_files_count", "added_data_files_count"),
+            _mf_int(r, "existing_files_count", "existing_data_files_count"),
+            _mf_int(r, "deleted_files_count", "deleted_data_files_count"),
+            int(r["added_snapshot_id"]) if r.get("added_snapshot_id") is not None else None,
+        )
+        for r in records
+    ]
+    return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Manifest entries (unbounded -> distributed binaryFile + mapInPandas)
+# ---------------------------------------------------------------------------
+
+_ENTRY_COLS = (
+    "manifest_path string, status int, snapshot_id long, content int, "
+    "file_path string, file_format string, part_key string, "
+    "record_count long, file_size_in_bytes long"
+)
+
+_STATS_COLS = (
+    "file_path string, field_id int, value_count long, null_count long, "
+    "column_size long, lower_bound binary, upper_bound binary"
+)
+
+
+def _kv_map(value) -> dict[int, object]:
+    """Iceberg encodes map<int, V> in Avro as array<record{key, value}>
+    (spec: Avro does not support non-string map keys). Accept both that and
+    a plain Avro map with stringified keys."""
+    if value is None:
+        return {}
+    if isinstance(value, dict):
+        return {int(k): v for k, v in value.items()}
+    return {int(kv["key"]): kv["value"] for kv in value}
+
+
+def _decode_manifest_entries(content: bytes, path: str) -> Iterator[dict]:
+    _, _, records = read_container(content)
+    for rec in records:
+        df = rec["data_file"]
+        yield {
+            "manifest_path": path,
+            "status": int(rec.get("status", 0)),
+            "snapshot_id": rec.get("snapshot_id"),
+            "entry": rec,
+            "data_file": df,
+        }
+
+
+def _entries_map_fn(pdf_iter):
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        out = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            for e in _decode_manifest_entries(bytes(content), path):
+                df = e["data_file"]
+                part = df.get("partition") or {}
+                out.append(
+                    {
+                        "manifest_path": e["manifest_path"],
+                        "status": e["status"],
+                        "snapshot_id": e["snapshot_id"],
+                        "content": int(df.get("content", 0)),
+                        "file_path": df["file_path"],
+                        "file_format": str(df.get("file_format", "")).upper(),
+                        "part_key": json.dumps(part, sort_keys=True, default=str),
+                        "record_count": int(df["record_count"]),
+                        "file_size_in_bytes": int(df["file_size_in_bytes"]),
+                    }
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[c.split()[0] for c in _ENTRY_COLS.split(", ")],
+        )
+
+
+def _stats_map_fn(pdf_iter):
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        out = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            for e in _decode_manifest_entries(bytes(content), path):
+                if e["status"] == 2:  # DELETED entries carry no live stats
+                    continue
+                df = e["data_file"]
+                vc = _kv_map(df.get("value_counts"))
+                nc = _kv_map(df.get("null_value_counts"))
+                cs = _kv_map(df.get("column_sizes"))
+                lb = _kv_map(df.get("lower_bounds"))
+                ub = _kv_map(df.get("upper_bounds"))
+                for fid in sorted(set(vc) | set(nc) | set(cs)):
+                    out.append(
+                        {
+                            "file_path": df["file_path"],
+                            "field_id": fid,
+                            "value_count": vc.get(fid),
+                            "null_count": nc.get(fid),
+                            "column_size": cs.get(fid),
+                            "lower_bound": bytes(lb[fid]) if fid in lb else None,
+                            "upper_bound": bytes(ub[fid]) if fid in ub else None,
+                        }
+                    )
+        yield pd.DataFrame(
+            out,
+            columns=[c.split()[0] for c in _STATS_COLS.split(", ")],
+        )
+
+
+def _manifest_bytes_df(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None,
+    metadata: dict | None,
+    content: int | None = 0,
+) -> DataFrame:
+    md = metadata or load_table_metadata(spark, table_dir)
+    snap = _snapshot(md, snapshot_id)
+    mlist = _read_avro_file(spark, snap["manifest-list"])
+    paths = [
+        r["manifest_path"]
+        for r in mlist
+        if content is None or int(r.get("content", 0)) == content
+    ]
+    if not paths:
+        return spark.createDataFrame([], "path string, content binary")
+    return (
+        spark.read.format("binaryFile").load(paths).select("path", "content")
+    )
+
+
+def native_entries_frame(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """Every manifest entry of a snapshot (S7 shape: status included), one
+    row per (manifest, data file) — decoded executor-side."""
+    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata)
+    return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS)
+
+
+def native_files_frame(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """Live data files of a snapshot — the A1/A3/A4/J1 input shape
+    (matches sources/iceberg.py::files_frame column-for-column)."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    snap = _snapshot(md, snapshot_id)
+    entries = native_entries_frame(spark, table_dir, snap["snapshot-id"], md)
+    return (
+        entries.where(F.col("status") != 2)  # 2 = DELETED (spec: entry status)
+        .select(
+            F.lit(int(snap["snapshot-id"])).alias("snapshot_id"),
+            "file_path",
+            "file_format",
+            "part_key",
+            "record_count",
+            "file_size_in_bytes",
+        )
+    )
+
+
+def native_column_stats_frame(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """Per-(file, field) stats — the A5/A6 input shape of
+    sources/iceberg.py::column_stats_frame, + raw bound bytes for A7."""
+    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata)
+    return bin_df.mapInPandas(_stats_map_fn, _STATS_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Bound decoding (spec Appendix D: single-value serialization)
+# ---------------------------------------------------------------------------
+
+
+def decode_bound(raw: bytes | None, type_name: str):
+    """Decode one lower/upper bound value: little-endian fixed width for
+    numerics, UTF-8 for strings (spec Appendix D)."""
+    if raw is None:
+        return None
+    t = type_name.lower()
+    if t == "int":
+        return struct.unpack("<i", raw)[0]
+    if t == "long":
+        return struct.unpack("<q", raw)[0]
+    if t == "float":
+        return struct.unpack("<f", raw)[0]
+    if t == "double":
+        return struct.unpack("<d", raw)[0]
+    if t in ("string", "uuid"):
+        return raw.decode("utf-8")
+    if t == "boolean":
+        return raw[0] != 0
+    raise ValueError(f"unsupported bound type {type_name!r}")
+
+
+def native_file_ranges(
+    spark: SparkSession,
+    table_dir: str,
+    field_id: int,
+    type_name: str = "long",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """(file_path, lo, hi) for one field — the J3/W6 overlap-kernel input
+    (jar-path equivalent: normalize_file_ranges over readable_metrics).
+    The bound bytes unpack in the same distributed Arrow pass that decoded
+    the manifests — byte-order arithmetic has no clean builtin-SQL form and
+    the rows are manifest-entry-scale, so this stays executor-side Python."""
+    stats = native_column_stats_frame(spark, table_dir, snapshot_id)
+    stats = stats.where(F.col("field_id") == field_id)
+    if type_name.lower() not in ("int", "long"):
+        raise ValueError("native_file_ranges supports int/long bounds")
+    width = 4 if type_name.lower() == "int" else 8
+
+    def unpack_fn(pdf_iter):
+        import pandas as pd
+        import struct as _s
+
+        fmt = "<i" if width == 4 else "<q"
+        for pdf in pdf_iter:
+            lo = [
+                _s.unpack(fmt, v)[0] if v is not None else None
+                for v in pdf["lower_bound"]
+            ]
+            hi = [
+                _s.unpack(fmt, v)[0] if v is not None else None
+                for v in pdf["upper_bound"]
+            ]
+            yield pd.DataFrame(
+                {"file_path": pdf["file_path"], "lo": lo, "hi": hi}
+            )
+
+    return stats.select("file_path", "lower_bound", "upper_bound").mapInPandas(
+        unpack_fn, "file_path string, lo long, hi long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse walk (S1 analog: recursive catalog scan without a catalog)
+# ---------------------------------------------------------------------------
+
+
+def native_warehouse_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """Walk a filesystem warehouse (``<warehouse>/<namespace>/<table>``
+    layout) and return one row per table: (namespace, table_name, table_dir,
+    format_version, current_snapshot_id, last_updated_ms, snapshot_count) —
+    the S1 input shape of the namespace rollups.
+
+    The jar path walks SHOW NAMESPACES/SHOW TABLES (reference
+    catalog.py:164-189); this native path lists ``*.metadata.json`` files
+    through Spark's filesystem (recursive glob, works on any FS Spark can
+    reach), keeps the newest version per table dir, and parses each —
+    table COUNT is catalog-scale (thousands), so the per-table JSON parse
+    is bounded driver work, same as the reference's walk."""
+    listed = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.metadata.json")
+        .load(warehouse_dir.rstrip("/"))
+        .select("path")
+        .collect()
+    )
+    newest: dict[str, tuple[int, str]] = {}
+    for r in listed:
+        if "/metadata/" not in r.path:
+            continue
+        table_dir = r.path.rsplit("/metadata/", 1)[0]
+        stem = r.path.rsplit("/", 1)[-1].split(".metadata.json")[0]
+        digits = stem.lstrip("v").split("-")[0]
+        version = int(digits) if digits.isdigit() else -1
+        if table_dir not in newest or version > newest[table_dir][0]:
+            newest[table_dir] = (version, r.path)
+    rows = []
+    for table_dir, (_, path) in sorted(newest.items()):
+        text = "\n".join(x.value for x in spark.read.text(path).collect())
+        md = json.loads(text)
+        parts = table_dir.rstrip("/").rsplit("/", 2)
+        namespace, table_name = (parts[-2], parts[-1]) if len(parts) >= 2 else ("", parts[-1])
+        rows.append(
+            (
+                namespace,
+                table_name,
+                table_dir,
+                int(md.get("format-version", 1)),
+                md.get("current-snapshot-id"),
+                md.get("last-updated-ms"),
+                len(md.get("snapshots", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "namespace string, table_name string, table_dir string, "
+        "format_version int, current_snapshot_id long, last_updated_ms long, "
+        "snapshot_count int",
+    )
+
+
+_STATS_TYPED_COLS = (
+    "file_path string, field_id int, value_count long, null_count long, "
+    "column_size long, lower_bound long, upper_bound long"
+)
+
+
+def native_column_stats_typed(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """Column stats with BOUNDS DECODED to long per the table schema's field
+    types (spec Appendix D: int/long bounds are fixed-width little-endian;
+    non-integer fields yield NULL bounds) — the exact input shape of the
+    A5-A7 column-health kernel and the fixture's meta_column_stats. Decoding
+    happens inside the same distributed Arrow pass that parses the
+    manifests."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    schema = next(
+        (s for s in md.get("schemas", []) if s.get("schema-id") == md.get("current-schema-id")),
+        {"fields": []},
+    )
+    int_fields = {
+        int(f["id"]): ("<i" if f["type"] == "int" else "<q")
+        for f in schema["fields"]
+        if f.get("type") in ("int", "long")
+    }
+    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, md)
+
+    def typed_fn(pdf_iter):
+        import pandas as pd
+        import struct as _s
+
+        for pdf in _stats_map_fn(pdf_iter):
+            def dec(col):
+                return [
+                    _s.unpack(int_fields[fid], raw)[0]
+                    if raw is not None and fid in int_fields
+                    else None
+                    for fid, raw in zip(pdf2["field_id"], pdf2[col])
+                ]
+
+            pdf2 = pdf
+            pdf2 = pdf2.assign(lower_bound=dec("lower_bound"), upper_bound=dec("upper_bound"))
+            yield pdf2
+
+    return bin_df.mapInPandas(typed_fn, _STATS_TYPED_COLS)

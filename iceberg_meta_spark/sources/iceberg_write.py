@@ -1,0 +1,239 @@
+"""Jar-free Iceberg append commit (S9's metadata side, from the spec).
+
+``commit_append`` publishes a new snapshot onto a filesystem-layout Iceberg
+v2 table: write one new manifest for the added files, a new manifest list
+(previous snapshot's manifests + the new one), a new ``v(N+1).metadata.json``
+with the appended snapshot entry, then atomically swap
+``metadata/version-hint.text`` — the HadoopTables commit protocol
+(iceberg.apache.org/spec § File System Tables: "an atomic rename of the
+version hint makes the new metadata current"). ``os.replace`` IS that
+atomic rename on POSIX.
+
+Scope, stated plainly: this writes the METADATA tree (what every analytics
+query here consumes); data files are expected to exist already (e.g.
+written by ``df.write.parquet`` to the table's data dir). Against a real
+catalog (REST/Hive/Glue) commits are a CAS on the catalog pointer — that
+path needs the runtime jar and stays gated in ``sources/iceberg.py``. Local
+paths only (the reference's demo writes the same way, demo.py:154-181);
+concurrent writers on the same table dir race on the hint swap exactly as
+HadoopTables document.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+from iceberg_meta_spark.sources.avro_py import write_container
+from iceberg_meta_spark.sources.iceberg_schemas import (
+    MANIFEST_FILE_SCHEMA,
+    manifest_entry_schema,
+)
+
+
+def _bound_bytes(value) -> bytes:
+    """Single-value serialization for bounds (spec Appendix D)."""
+    if isinstance(value, bool):
+        return b"\x01" if value else b"\x00"
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, float):
+        return struct.pack("<d", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, bytes):
+        return value
+    raise ValueError(f"unsupported bound value type: {type(value).__name__}")
+
+
+def _local_path(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def commit_append(
+    table_dir: str,
+    files: list[dict],
+    partition_fields: list[dict] | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Append ``files`` as one new snapshot; returns the new table metadata.
+
+    Each file dict: ``file_path`` (str), ``record_count`` (int),
+    ``file_size_in_bytes`` (int), optional ``partition`` (dict),
+    ``value_counts``/``null_value_counts``/``column_sizes`` (dict
+    field_id->long), ``lower_bounds``/``upper_bounds`` (dict field_id->
+    int/float/str, serialized per spec Appendix D).
+
+    ``timestamp_ms`` is required metadata on the snapshot; pass a pinned
+    value in tests for deterministic output (defaults to last-updated-ms+1
+    so the fixture stays wall-clock-free)."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if int(md.get("format-version", 1)) != 2:
+        raise ValueError("commit_append writes format-version 2 tables only")
+
+    if partition_fields is None:
+        # derive the Avro partition record from the default partition spec:
+        # identity transforms only (the shape this writer supports)
+        spec = next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        types = {f["id"]: f["type"] for f in schema["fields"]}
+        avro_t = {"string": "string", "long": "long", "int": "int",
+                  "double": "double", "boolean": "boolean"}
+        partition_fields = [
+            {
+                "name": f["name"],
+                "type": ["null", avro_t[types[f["source-id"]]]],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+            for f in spec["fields"]
+            if f["transform"] == "identity"
+        ]
+
+    snap_id = max((s["snapshot-id"] for s in md.get("snapshots", [])), default=0) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    parent = md.get("current-snapshot-id")
+
+    def kv_long(d: dict | None):
+        return [{"key": int(k), "value": int(v)} for k, v in sorted((d or {}).items())] or None
+
+    def kv_bytes(d: dict | None):
+        return [
+            {"key": int(k), "value": _bound_bytes(v)} for k, v in sorted((d or {}).items())
+        ] or None
+
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f["file_path"],
+                "file_format": str(f.get("file_format", "PARQUET")).upper(),
+                "partition": f.get("partition") or {
+                    pf["name"]: None for pf in partition_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "column_sizes": kv_long(f.get("column_sizes")),
+                "value_counts": kv_long(f.get("value_counts")),
+                "null_value_counts": kv_long(f.get("null_value_counts")),
+                "lower_bounds": kv_bytes(f.get("lower_bounds")),
+                "upper_bounds": kv_bytes(f.get("upper_bounds")),
+                "split_offsets": None,
+                "sort_order_id": 0,
+            },
+        }
+        for f in files
+    ]
+    commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/{snap_id}")
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    blob = write_container(
+        manifest_entry_schema(partition_fields),
+        entries,
+        metadata={
+            "format-version": b"2",
+            "content": b"data",
+            "partition-spec-id": str(md["default-spec-id"]).encode(),
+        },
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(blob)
+
+    added_rows = sum(int(f["record_count"]) for f in files)
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": len(blob),
+        "partition_spec_id": int(md["default-spec-id"]),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+
+    # previous snapshot's manifests carry over (append = no replacement)
+    prev_manifests: list[dict] = []
+    if parent is not None:
+        from iceberg_meta_spark.sources.avro_py import read_container
+
+        prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+        with open(_local_path(prev["manifest-list"]), "rb") as fh:
+            _, _, prev_manifests = read_container(fh.read())
+        for m in prev_manifests:  # normalize optional fields for re-encode
+            m.setdefault("partitions", None)
+
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(
+            write_container(
+                MANIFEST_FILE_SCHEMA,
+                prev_manifests + [new_manifest],
+                metadata={"format-version": b"2"},
+            )
+        )
+
+    prev_total = int(
+        (next((s for s in md.get("snapshots", []) if s["snapshot-id"] == parent), {})
+         .get("summary", {}) or {}).get("total-data-files", 0)
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        **({"parent-snapshot-id": parent} if parent is not None else {}),
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            "operation": "append",
+            "added-records": str(added_rows),
+            "deleted-records": "0",
+            "added-data-files": str(len(files)),
+            "total-data-files": str(prev_total + len(files)),
+            "total-records": "0",
+            "total-files-size": "0",
+        },
+    }
+    md["snapshots"] = md.get("snapshots", []) + [snapshot]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+            "timestamp-ms": int(md["last-updated-ms"]),
+        }
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+
+    new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+    with open(new_meta, "w") as fh:
+        json.dump(md, fh, indent=1)
+    # two-phase publish: everything above is invisible until this swap
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

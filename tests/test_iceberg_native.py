@@ -1,0 +1,364 @@
+"""Jar-free Iceberg metadata path: Avro codec + native table reader.
+
+The fixture writer (sources/iceberg_fixture.py) and the reader
+(sources/iceberg_native.py via sources/avro_py.py) are independent
+implementations of the public specs — the round-trip tests here therefore
+cross-check two codepaths, and the codec is additionally pinned to the
+Avro spec's own golden bytes so writer+reader can't share a mirrored bug.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.sources.avro_py import (
+    _read_long,
+    _write_long,
+    decode_value,
+    encode_value,
+    read_container,
+    write_container,
+)
+from iceberg_meta_spark.sources.iceberg_fixture import write_fixture_table
+from iceberg_meta_spark.sources.iceberg_native import (
+    decode_bound,
+    load_table_metadata,
+    native_column_stats_frame,
+    native_entries_frame,
+    native_file_ranges,
+    native_files_frame,
+    native_manifests_frame,
+    native_snapshots_frame,
+)
+
+# ---------------------------------------------------------------------------
+# Avro codec (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_avro_zigzag_golden_bytes():
+    """The spec's own zig-zag table: value -> hex."""
+    for val, enc in [
+        (0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+        (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01"),
+    ]:
+        out = bytearray()
+        _write_long(out, val)
+        assert bytes(out) == enc, (val, bytes(out))
+        assert _read_long(io.BytesIO(enc)) == val
+
+
+def test_avro_record_golden_bytes():
+    """The spec's worked example: {'a': 27, 'b': 'foo'} -> 36 06 66 6f 6f."""
+    sch = {
+        "type": "record",
+        "name": "test",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    out = bytearray()
+    encode_value(sch, {"a": 27, "b": "foo"}, out, {})
+    assert bytes(out) == b"\x36\x06foo"
+    assert decode_value(sch, io.BytesIO(bytes(out)), {}) == {"a": 27, "b": "foo"}
+
+
+def test_avro_container_round_trip_all_types_both_codecs():
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {"name": "fx", "type": {"type": "fixed", "name": "fx3", "size": 3}},
+            {"name": "en", "type": {"type": "enum", "name": "col", "symbols": ["RED", "BLUE"]}},
+            {"name": "b", "type": "boolean"},
+            {"name": "by", "type": "bytes"},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    recs = [
+        {"opt": None, "arr": ["x", "y"], "m": {"k": 1.5}, "fx": b"abc",
+         "en": "BLUE", "b": True, "by": b"\x00\x01", "d": -2.25},
+        {"opt": 42, "arr": [], "m": {}, "fx": b"def",
+         "en": "RED", "b": False, "by": b"", "d": 0.0},
+    ]
+    for codec in ("null", "deflate"):
+        schema, meta, got = read_container(write_container(sch, recs, codec=codec))
+        assert got == recs
+        assert meta["avro.codec"] == codec.encode()
+    assert read_container(write_container(sch, []))[2] == []
+
+
+def test_avro_negative_block_count_decode():
+    """Writers may emit a negative item count followed by the block byte
+    size (spec: arrays/maps 'If a block's count is negative...'); the
+    reader must honor it even though our writer never produces it."""
+    sch = {"type": "array", "items": "long"}
+    # block: count=-2 (zigzag 3), size=2 bytes, items 1, 2, then end block 0
+    raw = b"\x03\x04\x02\x04\x00"
+    assert decode_value(sch, io.BytesIO(raw), {}) == [1, 2]
+
+
+def test_avro_reader_rejects_bad_magic_and_codec():
+    with pytest.raises(ValueError, match="magic"):
+        read_container(b"NOPE" + b"\x00" * 32)
+    sch = {"type": "record", "name": "t", "fields": [{"name": "a", "type": "long"}]}
+    blob = write_container(sch, [{"a": 1}])
+    # corrupt the declared codec
+    bad = blob.replace(b"deflate", b"snappyy", 1)
+    with pytest.raises(ValueError, match="codec"):
+        read_container(bad)
+
+
+# ---------------------------------------------------------------------------
+# Native table reader over a spec-conformant fixture tree
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def table_dir(tmp_path_factory):
+    return write_fixture_table(
+        str(tmp_path_factory.mktemp("iceberg")),
+        n_snapshots=3,
+        manifests_per_snapshot=2,
+        files_per_manifest=25,
+    )
+
+
+def test_native_metadata_and_snapshots(spark, table_dir):
+    md = load_table_metadata(spark, table_dir)
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 3
+
+    snaps = native_snapshots_frame(spark, table_dir).orderBy("snapshot_id").collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2, 3]
+    assert snaps[0].parent_id is None and snaps[2].parent_id == 2
+    assert all(r.operation == "append" for r in snaps)
+    assert [r.total_data_files for r in snaps] == [50, 100, 150]
+    # committed_us strictly increasing, micros scale
+    assert snaps[0].committed_us < snaps[1].committed_us < snaps[2].committed_us
+    assert snaps[0].committed_us > 1_000_000_000_000_000
+
+
+def test_native_manifest_list(spark, table_dir):
+    m = native_manifests_frame(spark, table_dir)  # current snapshot = 3
+    rows = m.orderBy("manifest_path").collect()
+    assert len(rows) == 6  # 3 snapshots x 2 manifests, cumulative list
+    assert all(r.added_files_count == 25 and r.content == 0 for r in rows)
+    assert sorted({r.added_snapshot_id for r in rows}) == [1, 2, 3]
+    # at snapshot 1 only its own manifests are visible
+    assert native_manifests_frame(spark, table_dir, snapshot_id=1).count() == 2
+
+
+def test_native_files_frame_matches_closed_form(spark, table_dir):
+    files = native_files_frame(spark, table_dir)
+    rows = files.collect()
+    assert len(rows) == 150
+    assert all(r.snapshot_id == 3 and r.file_format == "PARQUET" for r in rows)
+    # closed-form totals from the fixture's arithmetic:
+    # record_count = 100 + (i % 7) * 50, size = (1 + i % 9) * 8MiB, i in 0..149
+    exp_records = sum(100 + (i % 7) * 50 for i in range(150))
+    exp_bytes = sum((1 + i % 9) * 8 * 1024 * 1024 for i in range(150))
+    agg = files.agg(
+        F.sum("record_count").alias("r"), F.sum("file_size_in_bytes").alias("b")
+    ).collect()[0]
+    assert (agg.r, agg.b) == (exp_records, exp_bytes)
+    # partition rides through as canonical JSON
+    assert json.loads(rows[0].part_key).keys() == {"region"}
+    # snapshot pruning: snapshot 2 sees 100 files
+    assert native_files_frame(spark, table_dir, snapshot_id=2).count() == 100
+
+
+def test_native_files_decode_is_distributed(spark, table_dir):
+    """The manifest decode must be a mapInPandas over binaryFile rows (one
+    task per manifest — never a driver loop): the plan carries both scans."""
+    plan = native_files_frame(spark, table_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "binaryFile" in plan or "BinaryFile" in plan
+
+
+def test_native_entries_and_statuses(spark, table_dir):
+    e = native_entries_frame(spark, table_dir)
+    assert e.where(F.col("status") == 1).count() == 150  # all ADDED
+    assert e.groupBy("manifest_path").count().count() == 6
+
+
+def test_native_column_stats_and_bounds(spark, table_dir):
+    stats = native_column_stats_frame(spark, table_dir)
+    # 150 files x 4 tracked fields
+    assert stats.count() == 600
+    f0 = stats.where(
+        (F.col("file_path").endswith("f00000.parquet")) & (F.col("field_id") == 2)
+    ).collect()[0]
+    assert f0.value_count == 100  # i=0 -> 100 + 0*50
+    assert f0.null_count == 2  # (0 + 2) % 5
+    assert decode_bound(bytes(f0.lower_bound), "long") == 0
+    assert decode_bound(bytes(f0.upper_bound), "long") == 2500
+
+    ranges = native_file_ranges(spark, table_dir, field_id=2).collect()
+    assert len(ranges) == 150
+    by_path = {r.file_path: (r.lo, r.hi) for r in ranges}
+    k = next(p for p in by_path if p.endswith("f00007.parquet"))
+    assert by_path[k] == (7000, 9500)
+
+
+def test_decode_bound_types():
+    assert decode_bound(struct.pack("<i", -7), "int") == -7
+    assert decode_bound(struct.pack("<q", 1 << 40), "long") == 1 << 40
+    assert decode_bound(struct.pack("<d", 2.5), "double") == 2.5
+    assert decode_bound(b"abc", "string") == "abc"
+    assert decode_bound(None, "long") is None
+    with pytest.raises(ValueError):
+        decode_bound(b"x", "decimal(10,2)")
+
+
+def test_native_frames_feed_existing_operators(spark, table_dir):
+    """The point of matching sources/iceberg.py shapes: the §2 kernels run
+    on a native-read REAL metadata tree unchanged."""
+    from iceberg_meta_spark.operators.file_health import file_size_stats
+    from iceberg_meta_spark.operators.partitions import partition_distribution
+
+    files = native_files_frame(spark, table_dir)
+    health = file_size_stats(files, threshold=32 * 1024 * 1024).collect()[0]
+    assert health.file_count == 150
+    # sizes are (1 + i%9) * 8MiB; small files are those < 32MiB -> i%9 in {0,1,2}
+    exp_small = sum(1 for i in range(150) if (1 + i % 9) * 8 < 32)
+    assert health.small_files == exp_small
+
+    dist = partition_distribution(files).collect()
+    assert {r.part_key for r in dist} == {
+        json.dumps({"region": r}, sort_keys=True)
+        for r in ("americas", "emea", "apac", "latam")
+    }
+    assert sum(r.file_count for r in dist) == 150
+
+
+def test_version_hint_fallback(spark, table_dir, tmp_path):
+    """Without version-hint.text the reader takes the highest metadata
+    version it can list."""
+    import shutil
+
+    clone = tmp_path / "clone"
+    shutil.copytree(table_dir, clone)
+    (clone / "metadata" / "version-hint.text").unlink()
+    md = load_table_metadata(spark, str(clone))
+    assert md["current-snapshot-id"] == 3
+
+
+def test_native_warehouse_walk(spark, tmp_path):
+    from iceberg_meta_spark.sources.iceberg_fixture import write_fixture_table as wft
+    from iceberg_meta_spark.sources.iceberg_native import native_warehouse_tables
+    import shutil
+
+    wh = tmp_path / "warehouse"
+    for ns, name in (("analytics", "events"), ("analytics", "users"), ("raw", "logs")):
+        t = wft(str(tmp_path / f"tmp_{ns}_{name}"), n_snapshots=2,
+                manifests_per_snapshot=1, files_per_manifest=5)
+        (wh / ns).mkdir(parents=True, exist_ok=True)
+        shutil.move(t, wh / ns / name)
+
+    tables = native_warehouse_tables(spark, str(wh)).orderBy("namespace", "table_name")
+    rows = tables.collect()
+    assert [(r.namespace, r.table_name) for r in rows] == [
+        ("analytics", "events"), ("analytics", "users"), ("raw", "logs")]
+    assert all(r.format_version == 2 and r.current_snapshot_id == 2
+               and r.snapshot_count == 2 for r in rows)
+
+
+def test_commit_append_publishes_new_snapshot(spark, tmp_path):
+    """S9 metadata side: commit_append -> new snapshot visible to the native
+    reader, previous snapshot still time-travel readable, version hint
+    swapped atomically (v4 metadata on disk)."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=3,
+                                manifests_per_snapshot=2, files_per_manifest=25)
+    new_files = [
+        {
+            "file_path": f"{table}/data/emea/new{i}.parquet",
+            "partition": {"region": "emea"},
+            "record_count": 10 + i,
+            "file_size_in_bytes": 1024 * (i + 1),
+            "value_counts": {1: 10 + i, 2: 10 + i},
+            "null_value_counts": {1: 0, 2: 1},
+            "column_sizes": {1: 100, 2: 200},
+            "lower_bounds": {2: i * 5},
+            "upper_bounds": {2: i * 5 + 100},
+        }
+        for i in range(10)
+    ]
+    md = commit_append(table, new_files, timestamp_ms=1713139200000 + 999_000)
+    assert md["current-snapshot-id"] == 4
+    assert md["last-sequence-number"] == 4
+
+    files = native_files_frame(spark, table)
+    assert files.count() == 160
+    new = files.where(F.col("file_path").contains("new"))
+    assert new.count() == 10
+    assert new.agg(F.sum("record_count")).collect()[0][0] == sum(10 + i for i in range(10))
+    # time travel: snapshot 3 unchanged
+    assert native_files_frame(spark, table, snapshot_id=3).count() == 150
+    # snapshot log + stats flow through
+    snaps = native_snapshots_frame(spark, table).orderBy("snapshot_id").collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2, 3, 4]
+    assert snaps[3].parent_id == 3 and snaps[3].total_data_files == 160
+    stats = native_column_stats_frame(spark, table)
+    row = stats.where(
+        F.col("file_path").endswith("new0.parquet") & (F.col("field_id") == 2)
+    ).collect()[0]
+    assert row.value_count == 10 and row.null_count == 1
+    assert decode_bound(bytes(row.lower_bound), "long") == 0
+    assert decode_bound(bytes(row.upper_bound), "long") == 100
+
+
+def test_commit_append_is_chainable(spark, tmp_path):
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    for k in range(3):
+        commit_append(
+            table,
+            [{"file_path": f"{table}/data/apac/c{k}.parquet",
+              "partition": {"region": "apac"},
+              "record_count": 1, "file_size_in_bytes": 1}],
+        )
+    assert native_files_frame(spark, table).count() == 6
+    snaps = native_snapshots_frame(spark, table).orderBy("snapshot_id").collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2, 3, 4]
+    # timestamps strictly increase even with the defaulted clock-free stamp
+    assert all(a.committed_us < b.committed_us for a, b in zip(snaps, snaps[1:]))
+
+
+def test_api_commands_run_on_native_source(spark, table_dir):
+    """The capstone: the reference's whole command surface (api.py) runs on
+    a REAL Iceberg metadata tree with no runtime jar — NativeTableSource
+    satisfies the MetadataSource protocol end-to-end."""
+    from iceberg_meta_spark import api
+
+    src = api.NativeTableSource(spark, table_dir, range_field_id=2)
+
+    s = src.snapshots()
+    assert api.summary(src).count() >= 1
+    assert api.health(src).count() >= 1
+    fh = api.file_health(src).collect()[0]
+    assert fh.file_count == 150
+    assert api.partition_health(src).count() == 4
+    ch = {r.field_id: r for r in api.column_health(src).collect()}
+    assert set(ch) == {1, 2, 3, 4}
+    assert ch[2].min_lower == 0  # decoded long bounds, not raw bytes
+    assert ch[2].max_upper == 149 * 1000 + 2500
+    assert ch[1].min_lower is None  # string field: bounds not integer-typed
+    assert api.snapshot_detail(src, 3).count() == 1
+    assert api.top_files(src, k=5).count() == 20  # top-5 per partition (W5), 4 regions
+    assert api.schema_history(src).count() == 4  # one schema x 4 fields
+    assert api.compaction_plan(src).count() >= 1
+    assert api.diff(src, 1, 3).count() > 0
+    # layout planning consumes the decoded file ranges
+    assert api.zorder_plan(src).count() == 150
+    _ = s.collect()
