@@ -537,3 +537,46 @@ def substring_removal_stats(docs: DataFrame, window_tokens: int = 20) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_impact(docs: DataFrame, prefix_tokens: int = 3) -> DataFrame:
+    """Per-source dedup decision support: if exact dedup (keep-min-doc-id,
+    same policy as :func:`exact_dup_groups`) ran now, how many docs and
+    tokens would each source lose?
+
+    The report a curation team reads BEFORE spending a cluster-day on the
+    actual rewrite — and the per-source attribution shows which crawl is
+    redundant. Scale shape: one groupBy on the 128-bit fingerprint for the
+    keeper ids, then a key-local equi-join back (both sides hash-partition
+    on dup_key) and one per-source aggregate. No window, no all-pairs.
+    """
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, prefix_tokens)))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        key.alias("dup_key"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    keep = per_doc.groupBy("dup_key").agg(F.min("doc_id").alias("keep_id"))
+    kept = F.col("doc_id") == F.col("keep_id")
+    return (
+        per_doc.join(keep, "dup_key")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("n_tok")).otherwise(0)).cast("long").alias("dropped_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "total_tokens",
+            "kept_tokens",
+            "dropped_tokens",
+            F.expr("dropped_tokens * 1000 DIV total_tokens").alias("savings_permille"),
+        )
+        .orderBy("source")
+    )

@@ -306,3 +306,43 @@ def score_percentiles(docs: DataFrame, bucket_micro: int = 50_000) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def shard_balance(docs: DataFrame, n_shards: int = 16, salt: str = "shard") -> DataFrame:
+    """Training-shard assignment audit: hash-assign every doc to one of
+    ``n_shards`` output shards and report per-shard token load.
+
+    The last mile of a curation pipeline writes N shards for the trainer;
+    hash-mod assignment is the only scheme that needs NO coordination at
+    100 TB (each task routes rows independently — no global sort, no greedy
+    bin packing, no sequential state). This audit answers "is hash-mod
+    balanced ENOUGH?": per shard, docs + tokens + integer permille of total
+    + load vs the perfectly-balanced 1000 (load_permille = tokens * N *
+    1000 / total). Map-side hash + ONE n_shards-row aggregate + a broadcast
+    1-row total; reference has no analog (training-pipeline extension).
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 2), 16, 10)
+        .cast("long") % n_shards
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    per_shard = (
+        docs.select(shard.alias("shard_id"), n_tok.alias("n_tok"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+    )
+    total = per_shard.agg(F.sum("shard_tokens").alias("total_tokens"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            "shard_id",
+            "n_docs",
+            "shard_tokens",
+            F.expr("shard_tokens * 1000 DIV total_tokens").alias("token_share_permille"),
+            F.expr(f"shard_tokens * {int(n_shards)} * 1000 DIV total_tokens").alias("load_permille"),
+        )
+        .orderBy("shard_id")
+    )

@@ -408,3 +408,39 @@ def substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_removal_stats(
         load_table(spark, sf_dir, "documents"), window_tokens=20
     )
+
+
+@register(
+    "dedup_impact",
+    tags=("bench",),
+    oracle="""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                          md5(array_to_string((string_split(text, ' '))[1:3], ' '))
+                            AS dup_key
+                   FROM documents),
+        keep AS (SELECT dup_key, min(doc_id) AS keep_id FROM t GROUP BY dup_key)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS dropped_tokens,
+               CAST(CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) AS BIGINT)
+                    * 1000 // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS savings_permille
+        FROM t JOIN keep USING (dup_key)
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Dedup decision support: per-source docs/tokens that exact dedup "
+    "(keep-min-id, the dedup_exact policy) would drop, with integer permille "
+    "savings — the report read BEFORE spending a cluster-day rewriting; one "
+    "fingerprint groupBy + a key-local join back + one per-source aggregate",
+)
+def dedup_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.dedup import dedup_impact
+
+    return dedup_impact(load_table(spark, sf_dir, "documents"), prefix_tokens=3)

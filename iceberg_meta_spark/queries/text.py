@@ -986,3 +986,38 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline.text import readability_scores
 
     return readability_scores(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "training_shard_balance",
+    tags=("bench",),
+    oracle="""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                          md5(concat('shard:', CAST(doc_id AS VARCHAR))) AS h
+                   FROM documents),
+        a AS (SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 16
+                       AS shard_id,
+                     n_tok
+              FROM t),
+        s AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+              FROM a GROUP BY shard_id),
+        tot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens FROM s)
+        SELECT shard_id, n_docs, shard_tokens,
+               CAST(shard_tokens * 1000 // total_tokens AS BIGINT) AS token_share_permille,
+               CAST(shard_tokens * 16 * 1000 // total_tokens AS BIGINT) AS load_permille
+        FROM s, tot
+        ORDER BY shard_id
+    """,
+    doc="Training-shard assignment audit: hash-mod docs onto 16 shards (the "
+    "only coordination-free routing at 100 TB) and report per-shard token "
+    "load vs the perfectly-balanced 1000 permille — map-side hash, one "
+    "16-row aggregate, one broadcast total; answers whether hash-mod is "
+    "balanced enough before the trainer consumes the shards",
+)
+def training_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.sampling import shard_balance
+
+    return shard_balance(load_table(spark, sf_dir, "documents"), n_shards=16)
