@@ -362,3 +362,39 @@ def test_api_commands_run_on_native_source(spark, table_dir):
     # layout planning consumes the decoded file ranges
     assert api.zorder_plan(src).count() == 150
     _ = s.collect()
+
+
+def test_native_commit_then_watch_detects_new_snapshot(spark, tmp_path):
+    """End-to-end write+watch on the native path: poll_watch over a
+    NativeTableSource's snapshot log detects exactly the snapshot that
+    commit_append publishes between ticks (reference ST1 semantics on a
+    real metadata tree, no jar)."""
+    from iceberg_meta_spark import api
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+    from iceberg_meta_spark.streaming.watch import poll_watch
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    src = api.NativeTableSource(spark, table)
+    detected: list[list[int]] = []
+    tick = {"n": 0}
+
+    def get_snapshots():
+        # NativeTableSource caches the metadata JSON per instance; a watch
+        # loop re-reads the tree each tick, so build a fresh source
+        tick["n"] += 1
+        if tick["n"] == 2:
+            commit_append(table, [{
+                "file_path": f"{table}/data/apac/w0.parquet",
+                "partition": {"region": "apac"},
+                "record_count": 5, "file_size_in_bytes": 64,
+            }])
+        return api.NativeTableSource(spark, table).snapshots()
+
+    def on_new(df):
+        detected.append(sorted(r.snapshot_id for r in df.collect()))
+
+    poll_watch(get_snapshots, on_new, ticks=3)
+    assert detected[0] == [1, 2]      # initial backlog
+    assert detected[1] == [3]          # the commit made between ticks
+    assert detected[2] == []           # tick 3: nothing new
