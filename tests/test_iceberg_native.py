@@ -398,3 +398,57 @@ def test_native_commit_then_watch_detects_new_snapshot(spark, tmp_path):
     assert detected[0] == [1, 2]      # initial backlog
     assert detected[1] == [3]          # the commit made between ticks
     assert detected[2] == []           # tick 3: nothing new
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary records round-trip through the container codec
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+    _REC_SCHEMA = {
+        "type": "record",
+        "name": "prop_rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "opt_l", "type": ["null", "long"], "default": None},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+
+    _records = st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "opt_l": st.none() | st.integers(min_value=-(2**40), max_value=2**40),
+                "s": st.text(max_size=40),
+                "by": st.binary(max_size=40),
+                # doubles round-trip exactly through struct pack/unpack; NaN
+                # breaks dict equality, so draw finite values only
+                "d": st.floats(allow_nan=False, allow_infinity=True),
+                "flag": st.booleans(),
+                "arr": st.lists(st.integers(min_value=-(2**31), max_value=2**31), max_size=8),
+                "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+            }
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(recs=_records, codec=st.sampled_from(["null", "deflate"]))
+    def test_avro_container_property_round_trip(recs, codec):
+        _, _, got = read_container(write_container(_REC_SCHEMA, recs, codec=codec))
+        assert got == recs
