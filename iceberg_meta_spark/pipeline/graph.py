@@ -268,3 +268,46 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("closure_permille"),
         )
     )
+
+
+def near_dedup_impact(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-source impact of TRANSITIVE (near-dup-cluster) dedup: docs/tokens
+    dropped if only each connected component's min-id doc survives.
+
+    The companion report to :func:`dedup.dedup_impact` (exact-key policy):
+    clusters chain prefix/suffix fingerprint links, so a doc can be dropped
+    for matching a doc that itself matched a third — the FineWeb-style
+    cluster-collapse accounting. Scale: star edges (never cliques),
+    min-label propagation (one shuffle per round), then one per-source
+    aggregate; the cluster label IS the keeper id, so no extra keeper join.
+    """
+    cc = connected_components(fingerprint_edges(docs, k))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    labeled = per_doc.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("cluster", F.coalesce(F.col("label"), F.col("doc_id")))
+    kept = F.col("doc_id") == F.col("cluster")
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("n_tok")).otherwise(0)).cast("long").alias("dropped_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "total_tokens",
+            "kept_tokens",
+            "dropped_tokens",
+            F.expr("dropped_tokens * 1000 DIV total_tokens").alias("savings_permille"),
+        )
+        .orderBy("source")
+    )

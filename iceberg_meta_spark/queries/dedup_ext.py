@@ -444,3 +444,56 @@ def dedup_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline.dedup import dedup_impact
 
     return dedup_impact(load_table(spark, sf_dir, "documents"), prefix_tokens=3)
+
+
+@register(
+    "near_dedup_impact",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keys AS (
+            SELECT doc_id, md5(concat('p|', array_to_string(t[1:3], ' '))) AS fp
+            FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   md5(concat('s|', array_to_string(
+                        list_reverse(list_slice(list_reverse(t), 1, 3)), ' '))) AS fp
+            FROM toks),
+        reps AS (SELECT fp, min(doc_id) AS rep FROM keys GROUP BY fp),
+        e0 AS (SELECT DISTINCT k.doc_id AS src, r.rep AS dst
+               FROM keys k JOIN reps r USING (fp) WHERE k.doc_id <> r.rep),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+        cc AS (SELECT node, min(lab) AS lab FROM walk GROUP BY node),
+        labeled AS (SELECT d.doc_id, d.source,
+                           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                           coalesce(cc.lab, d.doc_id) AS cluster
+                    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN doc_id = cluster THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CAST(sum(CASE WHEN doc_id <> cluster THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS dropped_tokens,
+               CAST(CAST(sum(CASE WHEN doc_id <> cluster THEN n_tok ELSE 0 END) AS BIGINT)
+                    * 1000 // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS savings_permille
+        FROM labeled
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Transitive near-dup dedup impact per source: docs/tokens dropped "
+    "if only each fingerprint-cluster's min-id doc survives (the FineWeb "
+    "cluster-collapse accounting, companion to exact-key dedup_impact); "
+    "star edges -> min-label propagation -> one per-source aggregate — the "
+    "cluster label IS the keeper id, no extra keeper join",
+)
+def near_dedup_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.graph import near_dedup_impact
+
+    return near_dedup_impact(load_table(spark, sf_dir, "documents"), k=3)
