@@ -63,6 +63,13 @@ QUERIES = [
     # substring-removal zero/short-doc left-join path
     "source_quota_cap",
     "substring_removal",
+    # round-7: integer permille division on degenerate totals, keep-min
+    # group edges under heavy duplicate corpora (dedup_impact), transitive
+    # min-label vs recursive-CTE closure agreement (near_dedup_impact),
+    # and md5-hex shard arithmetic (training_shard_balance)
+    "dedup_impact",
+    "near_dedup_impact",
+    "training_shard_balance",
 ]
 
 
