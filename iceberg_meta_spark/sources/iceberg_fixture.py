@@ -40,6 +40,7 @@ def write_fixture_table(
     n_snapshots: int = 3,
     manifests_per_snapshot: int = 2,
     files_per_manifest: int = 25,
+    delete_files_last_snapshot: int = 0,
 ) -> str:
     """Write a deterministic Iceberg v2 table at ``base_dir/fixture_table``.
 
@@ -48,7 +49,11 @@ def write_fixture_table(
     s sees ``s * manifests_per_snapshot * files_per_manifest`` live files.
     Partitioned by identity(region) over 4 regions; per-file record counts /
     sizes / column stats are closed-form in the file index so tests can pin
-    exact aggregates. Returns the table directory."""
+    exact aggregates. ``delete_files_last_snapshot`` > 0 additionally gives
+    the FINAL snapshot one delete manifest (content=1) carrying that many
+    position-delete files (spec § Manifests: delete manifests; content=1
+    data_file entries) — the v2 row-level-delete shape the A2/P5 kernels
+    audit. Returns the table directory."""
     table_dir = os.path.join(base_dir, "fixture_table")
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -150,6 +155,63 @@ def write_fixture_table(
                             ).encode(),
                         }
                     ],
+                }
+            )
+        if s == n_snapshots and delete_files_last_snapshot > 0:
+            del_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": s,
+                    "sequence_number": s,
+                    "file_sequence_number": s,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": f"{table_dir}/data/deletes/d{di:04d}.parquet",
+                        "file_format": "PARQUET",
+                        "partition": {"region": regions[di % len(regions)]},
+                        "record_count": 10 * (di + 1),
+                        "file_size_in_bytes": 4096 * (di + 1),
+                        "column_sizes": None,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                    },
+                }
+                for di in range(delete_files_last_snapshot)
+            ]
+            del_path = os.path.join(meta_dir, "manifest-deletes.avro")
+            del_blob = write_container(
+                entry_schema,
+                del_entries,
+                metadata={
+                    "format-version": b"2",
+                    "content": b"deletes",
+                    "partition-spec-id": b"0",
+                },
+            )
+            with open(del_path, "wb") as fh:
+                fh.write(del_blob)
+            manifest_records.append(
+                {
+                    "manifest_path": del_path,
+                    "manifest_length": len(del_blob),
+                    "partition_spec_id": 0,
+                    "content": 1,  # delete manifest
+                    "sequence_number": s,
+                    "min_sequence_number": s,
+                    "added_snapshot_id": s,
+                    "added_files_count": delete_files_last_snapshot,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"] for e in del_entries
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
                 }
             )
         mlist_path = os.path.join(meta_dir, f"snap-{s}-manifest-list.avro")

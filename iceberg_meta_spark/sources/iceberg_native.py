@@ -533,3 +533,17 @@ def native_column_stats_typed(
             yield pdf2
 
     return bin_df.mapInPandas(typed_fn, _STATS_TYPED_COLS)
+
+
+def native_delete_files_frame(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata: dict | None = None,
+) -> DataFrame:
+    """Delete files (position/equality, data_file.content 1/2) of a
+    snapshot, from the snapshot's DELETE manifests (manifest content=1) —
+    the v2 row-level-delete audit input (A2/P5's file-level view). Same
+    distributed decode as the data path."""
+    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata, content=1)
+    return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS).where(F.col("status") != 2)

@@ -452,3 +452,26 @@ if _HAS_HYPOTHESIS:
     def test_avro_container_property_round_trip(recs, codec):
         _, _, got = read_container(write_container(_REC_SCHEMA, recs, codec=codec))
         assert got == recs
+
+
+def test_native_delete_manifests(spark, tmp_path):
+    """v2 row-level deletes: a delete manifest (content=1) rides the
+    manifest list; data files_frame is unaffected; the delete files surface
+    through native_delete_files_frame; the A2 delete-manifest predicate
+    sees it."""
+    from iceberg_meta_spark.sources.iceberg_native import native_delete_files_frame
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=1, files_per_manifest=10,
+                                delete_files_last_snapshot=3)
+    m = native_manifests_frame(spark, table)
+    assert m.count() == 3  # 2 data + 1 delete
+    assert m.where(F.col("content") == 1).count() == 1
+    # data path excludes the delete manifest entirely
+    assert native_files_frame(spark, table).count() == 20
+    dels = native_delete_files_frame(spark, table).collect()
+    assert len(dels) == 3
+    assert all(r.content == 1 and "deletes/" in r.file_path for r in dels)
+    assert sum(r.record_count for r in dels) == 10 + 20 + 30
+    # earlier snapshot has no delete manifests
+    assert native_delete_files_frame(spark, table, snapshot_id=1).count() == 0
