@@ -41,6 +41,7 @@ def write_fixture_table(
     manifests_per_snapshot: int = 2,
     files_per_manifest: int = 25,
     delete_files_last_snapshot: int = 0,
+    evolve_schema: bool = False,
 ) -> str:
     """Write a deterministic Iceberg v2 table at ``base_dir/fixture_table``.
 
@@ -249,8 +250,8 @@ def write_fixture_table(
         "location": table_dir,
         "last-sequence-number": n_snapshots,
         "last-updated-ms": 1713139200000 + n_snapshots * 60_000,
-        "last-column-id": _FIELDS[-1][0],
-        "current-schema-id": 0,
+        "last-column-id": 5 if evolve_schema else _FIELDS[-1][0],
+        "current-schema-id": 1 if evolve_schema else 0,
         "schemas": [
             {
                 "type": "struct",
@@ -260,7 +261,26 @@ def write_fixture_table(
                     for fid, name, typ in _FIELDS
                 ],
             }
-        ],
+        ]
+        + (
+            [
+                {
+                    "type": "struct",
+                    "schema-id": 1,
+                    # spec § Schema Evolution: add a column (new field id),
+                    # widen int->long is NOT shown here — the evolved schema
+                    # drops 'payload' and adds 'score'
+                    "fields": [
+                        {"id": fid, "name": name, "required": fid <= 2, "type": typ}
+                        for fid, name, typ in _FIELDS
+                        if name != "payload"
+                    ]
+                    + [{"id": 5, "name": "score", "required": False, "type": "double"}],
+                }
+            ]
+            if evolve_schema
+            else []
+        ),
         "default-spec-id": 0,
         "partition-specs": [
             {

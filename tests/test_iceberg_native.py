@@ -475,3 +475,22 @@ def test_native_delete_manifests(spark, tmp_path):
     assert sum(r.record_count for r in dels) == 10 + 20 + 30
     # earlier snapshot has no delete manifests
     assert native_delete_files_frame(spark, table, snapshot_id=1).count() == 0
+
+
+def test_native_schema_evolution_diff(spark, tmp_path):
+    """Evolved table metadata (schema-id 0 -> 1: drop payload, add score)
+    flows through NativeTableSource.schema_fields into the J2 schema-diff
+    kernel."""
+    from iceberg_meta_spark import api
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=3,
+                                evolve_schema=True)
+    src = api.NativeTableSource(spark, table)
+    hist = src.schema_fields()
+    assert hist.where(F.col("schema_id") == 0).count() == 4
+    assert hist.where(F.col("schema_id") == 1).count() == 4  # -payload +score
+    diff = api.schema_version_diff(src, 0, 1).collect()
+    changes = {(r.change, r.old_name or r.new_name) for r in diff}
+    assert ("added", "score") in changes
+    assert ("removed", "payload") in changes
