@@ -494,3 +494,120 @@ def test_native_schema_evolution_diff(spark, tmp_path):
     changes = {(r.change, r.old_name or r.new_name) for r in diff}
     assert ("added", "score") in changes
     assert ("removed", "payload") in changes
+
+
+def test_native_reader_handles_v1_tables(spark, tmp_path):
+    """Format-version 1 compatibility: v1 manifest-list field names
+    (added_data_files_count...), v1 manifest entries without
+    content/sequence fields, and the single-'schema' metadata form all
+    decode through the same reader paths."""
+    import os
+
+    from iceberg_meta_spark.sources.avro_py import write_container
+
+    table = str(tmp_path / "v1_table")
+    meta = os.path.join(table, "metadata")
+    os.makedirs(meta)
+
+    entry_schema_v1 = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": "long"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "region", "type": ["null", "string"], "default": None}
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    entries = [
+        {"status": 1, "snapshot_id": 1,
+         "data_file": {"file_path": f"{table}/data/f{i}.parquet",
+                       "file_format": "parquet",
+                       "partition": {"region": "emea"},
+                       "record_count": 11 * (i + 1),
+                       "file_size_in_bytes": 1024}}
+        for i in range(4)
+    ]
+    mpath = os.path.join(meta, "m0.avro")
+    blob = write_container(entry_schema_v1, entries)
+    with open(mpath, "wb") as fh:
+        fh.write(blob)
+
+    mf_schema_v1 = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "added_data_files_count", "type": ["null", "int"], "default": None},
+            {"name": "existing_data_files_count", "type": ["null", "int"], "default": None},
+            {"name": "deleted_data_files_count", "type": ["null", "int"], "default": None},
+        ],
+    }
+    mlist = os.path.join(meta, "snap-1.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(write_container(mf_schema_v1, [{
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": 0, "added_snapshot_id": 1,
+            "added_data_files_count": 4, "existing_data_files_count": 0,
+            "deleted_data_files_count": 0}]))
+
+    md = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": table,
+        "last-updated-ms": 1713139200000,
+        "last-column-id": 1,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "region", "required": True, "type": "string"}]},
+        "partition-spec": [
+            {"name": "region", "transform": "identity", "source-id": 1, "field-id": 1000}],
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1713139200000,
+                       "manifest-list": mlist,
+                       "summary": {"operation": "append"}}],
+    }
+    import json as _json
+
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as fh:
+        _json.dump(md, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    snaps = native_snapshots_frame(spark, table).collect()
+    assert len(snaps) == 1 and snaps[0].operation == "append"
+    m = native_manifests_frame(spark, table).collect()
+    assert len(m) == 1 and m[0].added_files_count == 4 and m[0].content == 0
+    files = native_files_frame(spark, table).collect()
+    assert len(files) == 4
+    assert sum(r.record_count for r in files) == 11 * (1 + 2 + 3 + 4)
+    assert all(r.file_format == "PARQUET" for r in files)  # v1 lowercase normalized
+
+    # v1 'schema' (singular) flows through schema_fields
+    from iceberg_meta_spark import api
+
+    assert api.NativeTableSource(spark, table).schema_fields().count() == 1
