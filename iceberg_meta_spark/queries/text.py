@@ -1021,3 +1021,61 @@ def training_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline.sampling import shard_balance
 
     return shard_balance(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+        WITH t AS (SELECT lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                          CAST(len(text) AS BIGINT) AS n_chars
+                   FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(CAST(sum(n_bytes) AS BIGINT) * 1000
+                    // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS bytes_per_token_milli,
+               CAST(CAST(sum(n_chars) AS BIGINT) * 1000
+                    // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS chars_per_token_milli
+        FROM t
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language: bytes/chars per token in integer "
+    "milli units — the standard multilingual-budget planning table (a lang "
+    "whose fertility is 2x pays 2x the compute per character); pure column "
+    "expressions into one lang-keyed aggregate, no shuffle beyond it",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_bytes = F.octet_length(F.col("text")).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    return (
+        docs.select(
+            "lang",
+            n_tok.alias("n_tok"),
+            n_bytes.alias("n_bytes"),
+            n_chars.alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_bytes",
+            "total_chars",
+            F.expr("total_bytes * 1000 DIV total_tokens").alias("bytes_per_token_milli"),
+            F.expr("total_chars * 1000 DIV total_tokens").alias("chars_per_token_milli"),
+        )
+        .orderBy("lang")
+    )
