@@ -505,3 +505,32 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "token", "tf", "df", "tfidf_milli")
     )
+
+
+def distinct_ngrams(docs: DataFrame, n: int = 2, approx: bool = False) -> DataFrame:
+    """Distinct n-gram count per language — the vocabulary-growth number a
+    corpus report tracks across snapshots (Heaps-law monitoring).
+
+    ``approx=False``: exact count_distinct — one shuffle of distinct
+    (lang, ngram) pairs; the oracle-gated twin. ``approx=True``:
+    ``approx_count_distinct`` (HLL++, mergeable KB-scale state, map-side
+    combined) — the 10^11-ngram path where the exact distinct shuffle IS
+    the job; gated against the exact twin's oracle via the registry
+    tolerance_twin contract.
+    """
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("lang", toks.alias("t")).withColumn("sz", F.size("t"))
+    base = base.filter(F.col("sz") >= n)
+    idx = F.explode(F.sequence(F.lit(1), F.col("sz") - (n - 1))).alias("i")
+    parts = [F.element_at("t", F.col("i") + j) for j in range(n)]
+    grams = base.select("lang", "t", idx).select(
+        "lang", F.concat_ws(" ", *parts).alias("ngram")
+    )
+    counter = (
+        F.approx_count_distinct("ngram") if approx else F.countDistinct("ngram")
+    )
+    return (
+        grams.groupBy("lang")
+        .agg(counter.cast("long").alias("distinct_ngrams"))
+        .orderBy("lang")
+    )

@@ -1079,3 +1079,40 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_distinct_bigrams",
+    oracle="""
+        WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        sized AS (SELECT lang, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        g AS (SELECT DISTINCT lang, concat(t[i], ' ', t[i+1]) AS ngram
+              FROM sized, UNNEST(range(1, n)) AS gi(i))
+        SELECT lang, CAST(count(*) AS BIGINT) AS distinct_ngrams
+        FROM g GROUP BY lang ORDER BY lang
+    """,
+    doc="Distinct bigrams per language (exact): the vocabulary-growth "
+    "number a corpus report tracks across snapshots (Heaps-law monitoring); "
+    "one shuffle of distinct (lang, bigram) pairs — the oracle-gated twin "
+    "of corpus_distinct_bigrams_hll",
+)
+def corpus_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.corpus import distinct_ngrams
+
+    return distinct_ngrams(load_table(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "corpus_distinct_bigrams_hll",
+    oracle=None,  # HLL++ estimates are engine-specific; gated against the
+    # exact twin's oracle with a 10% tolerance (registry tolerance_twin
+    # contract, tools/check_oracle.py).
+    tolerance_twin="corpus_distinct_bigrams",
+    doc="Distinct bigrams per language, sketched: approx_count_distinct "
+    "(HLL++, KB-scale mergeable state, map-side combined) — the "
+    "10^11-ngram path where the exact distinct shuffle IS the job",
+)
+def corpus_distinct_bigrams_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.corpus import distinct_ngrams
+
+    return distinct_ngrams(load_table(spark, sf_dir, "documents"), n=2, approx=True)

@@ -1102,3 +1102,19 @@ def test_readability_band_ordering_monotone(spark):
     )
     out = {r.doc_id: r.flesch_micro for r in text.readability_scores(docs).collect()}
     assert out[0] > out[1]
+
+
+def test_distinct_bigrams_hll_close_to_exact(spark):
+    """The HLL++ twin tracks the exact distinct-bigram count within
+    max(5, 10%) per language — the same bound tools/check_oracle.py's
+    tolerance gate enforces against the DuckDB oracle."""
+    from iceberg_meta_spark.pipeline.corpus import distinct_ngrams
+    from iceberg_meta_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r.lang: r.distinct_ngrams for r in distinct_ngrams(docs, n=2).collect()}
+    est = {r.lang: r.distinct_ngrams
+           for r in distinct_ngrams(docs, n=2, approx=True).collect()}
+    assert set(exact) == set(est)
+    for lang, ex in exact.items():
+        assert abs(est[lang] - ex) <= max(5, 0.1 * ex), (lang, est[lang], ex)

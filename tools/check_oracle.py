@@ -102,6 +102,20 @@ def _gate_audience_overlap(sdf, ddf) -> str | None:
     return None
 
 
+def _gate_distinct_bigrams(sdf, ddf) -> str | None:
+    """corpus_distinct_bigrams_hll: same lang set; HLL++ estimate within
+    max(5, 10%) of the exact distinct count (the unit test pins the same
+    bound)."""
+    s = {r.lang: int(r.distinct_ngrams) for r in sdf.itertuples()}
+    d = {r.lang: int(r.distinct_ngrams) for r in ddf.itertuples()}
+    if set(s) != set(d):
+        return f"lang sets differ: {sorted(s)} vs {sorted(d)}"
+    for k, exact in d.items():
+        if abs(s[k] - exact) > max(5, 0.1 * exact):
+            return f"{k}: hll {s[k]} vs exact {exact} (out of 10% tolerance)"
+    return None
+
+
 # name -> comparator gate. The exact-twin query whose DuckDB oracle supplies
 # ground truth comes from the REGISTRY (QuerySpec.tolerance_twin) — the
 # registry contract (test_oracle_parity) requires every oracle-less query to
@@ -112,6 +126,7 @@ SKETCH_GATES = {
     "user_value_deciles_approx": _gate_deciles,
     "doc_length_quantiles_approx": _gate_doc_quantiles,
     "audience_overlap_hll": _gate_audience_overlap,
+    "corpus_distinct_bigrams_hll": _gate_distinct_bigrams,
 }
 
 
