@@ -471,9 +471,12 @@ def doctor_checks(
         checks.append(("connect", "runtime_jar", "skip", "no SparkSession passed"))
     elif not has_iceberg_runtime(spark):
         checks.append(
-            ("connect", "runtime_jar", "fail",
-             "Iceberg Spark runtime not on the classpath; add "
-             "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages")
+            ("connect", "runtime_jar", "warn",
+             "Iceberg Spark runtime not on the classpath (needed for "
+             "REST/Hive/Glue catalogs); add "
+             "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages. "
+             "Filesystem tables still work via the jar-free native reader "
+             "(api.NativeTableSource)")
         )
     else:
         checks.append(("connect", "runtime_jar", "ok", "Iceberg runtime on classpath"))
