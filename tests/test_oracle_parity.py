@@ -22,31 +22,21 @@ def duck():
 
 
 # Only genuinely non-portable ops may omit the oracle (the driver records
-# their weaker rows-only check). Each entry must name its exact-twin gate.
-ROWS_ONLY = {
-    # Datasketches HLL estimates are engine-specific; exact twin
-    # audience_overlap is oracle-gated and test_audience_overlap_hll_tracks_exact
-    # pins the sketch within tolerance of it.
-    "audience_overlap_hll",
-    # percentile_approx sketch values are engine-specific; exact twin
-    # meta_file_health is oracle-gated and test_file_health_approx_matches_exact
-    # pins the two together.
-    "meta_file_health_approx",
-    # same sketch family: decile boundaries from percentile_approx; exact twin
-    # user_value_deciles is oracle-gated and test_deciles_approx_matches_exact
-    # pins bucket sizes/boundaries to the ntile result.
-    "user_value_deciles_approx",
-    # same sketch family: per-language length quantiles; exact twin
-    # doc_length_quantiles is oracle-gated and
-    # test_doc_quantiles_approx_close_to_exact pins the two together.
-    "doc_length_quantiles_approx",
-}
+# their weaker rows-only check). Since round 7 this is the REGISTRY's
+# tolerance_twin contract, not a hand-maintained list: every oracle-less
+# query must declare its exact twin (test_every_query_is_oracle_or_twin_gated
+# below enforces twin existence, twin oracle, and a check_oracle gate).
+def _rows_only() -> set[str]:
+    from iceberg_meta_spark.registry import load_all
+
+    return {n for n, spec in load_all().items() if spec.tolerance_twin is not None}
 
 
 def test_every_query_has_an_oracle_or_is_documented():
-    missing = set(_QUERIES) - set(_ORACLES) - ROWS_ONLY
+    rows_only = _rows_only()
+    missing = set(_QUERIES) - set(_ORACLES) - rows_only
     assert missing == set(), f"queries without oracle: {missing}"
-    assert ROWS_ONLY <= set(_QUERIES)
+    assert rows_only <= set(_QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
