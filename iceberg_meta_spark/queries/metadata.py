@@ -917,3 +917,70 @@ def meta_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bytes_per_hour"),
         F.expr("CAST((sy * 1024) DIV n AS BIGINT)").alias("mean_growth_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native Iceberg path under the hash gate (r7): these two queries read a
+# REAL spec-conformant Iceberg v2 metadata tree through the jar-free native
+# reader (sources/iceberg_native.py), while the DuckDB oracle computes the
+# same numbers INDEPENDENTLY from the fixture's closed-form arithmetic
+# (record_count = 100 + (i % 7) * 50, size = (1 + i % 9) * 8 MiB, region =
+# regions[i % 4], i in 0..149) — so Avro encode -> decode -> distributed
+# manifest scan -> kernel is value-hash-verified end-to-end every round.
+# They ignore sf_dir by construction: the fixture is self-contained.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "iceberg_native_file_health",
+    oracle=f"""
+        WITH f AS (SELECT (1 + (i % 9)) * 8388608 AS file_size_in_bytes
+                   FROM range(0, 150) t(i))
+        SELECT CAST(count(*) AS BIGINT) AS file_count,
+               CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size,
+               min(file_size_in_bytes) AS min_size,
+               max(file_size_in_bytes) AS max_size,
+               CAST(sum(file_size_in_bytes) AS DOUBLE) / count(*) AS avg_size,
+               CAST(median(file_size_in_bytes) AS DOUBLE) AS median_size,
+               CAST(sum(CASE WHEN file_size_in_bytes < {SMALL_FILE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS small_files,
+               round(CAST(100 AS DOUBLE) * sum(CASE WHEN file_size_in_bytes < {SMALL_FILE_THRESHOLD} THEN 1 ELSE 0 END) / count(*), 4) AS small_pct
+        FROM f
+    """,
+    doc="A1 file-size stats over a REAL Iceberg v2 metadata tree read by "
+    "the jar-free native path (Avro manifests decoded distributed); the "
+    "oracle recomputes the fixture's closed form independently, so the "
+    "whole encode->decode->scan->kernel chain is hash-gated",
+)
+def iceberg_native_file_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_fixture_table
+    from iceberg_meta_spark.sources.iceberg_native import native_files_frame
+
+    return ops.file_size_stats(native_files_frame(spark, default_fixture_table()))
+
+
+@register(
+    "iceberg_native_partition_distribution",
+    oracle="""
+        WITH f AS (SELECT CASE i % 4 WHEN 0 THEN 'americas' WHEN 1 THEN 'emea'
+                               WHEN 2 THEN 'apac' ELSE 'latam' END AS region,
+                          100 + (i % 7) * 50 AS rc,
+                          (1 + (i % 9)) * 8388608 AS sz
+                   FROM range(0, 150) t(i))
+        SELECT concat('{"region": "', region, '"}') AS part_key,
+               CAST(count(*) AS BIGINT) AS file_count,
+               CAST(sum(rc) AS BIGINT) AS record_count,
+               CAST(sum(sz) AS BIGINT) AS total_size
+        FROM f GROUP BY region
+        ORDER BY part_key
+    """,
+    doc="A3 partition distribution over the native-read Iceberg tree: the "
+    "partition struct rides the Avro decode as canonical JSON and groups "
+    "identically to the oracle's independently-derived regions",
+)
+def iceberg_native_partition_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_fixture_table
+    from iceberg_meta_spark.sources.iceberg_native import native_files_frame
+
+    return ops.partition_distribution(
+        native_files_frame(spark, default_fixture_table())
+    ).orderBy("part_key")

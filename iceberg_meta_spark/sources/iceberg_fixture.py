@@ -308,3 +308,23 @@ def write_fixture_table(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return table_dir
+
+
+def default_fixture_table() -> str:
+    """Materialize the default (3 snapshots x 2 manifests x 25 files)
+    fixture table ONCE under the system tmp dir and return its path.
+
+    Registered queries (iceberg_native_file_health / _partition_distribution)
+    read through this so the jar-free native path sits under the driver's
+    hash gate; content is fully deterministic, so rebuilds are idempotent.
+    A completion marker (written last) guards against a half-written tree."""
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_v1")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        table = write_fixture_table(base)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        return table
+    return os.path.join(base, "fixture_table")
