@@ -933,6 +933,7 @@ def meta_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "iceberg_native_file_health",
+    tags=("bench",),  # tracks native Avro-decode throughput round-over-round
     oracle=f"""
         WITH f AS (SELECT (1 + (i % 9)) * 8388608 AS file_size_in_bytes
                    FROM range(0, 150) t(i))
