@@ -311,3 +311,41 @@ def near_dedup_impact(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def cluster_size_histogram(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Near-dup cluster-size distribution INCLUDING singletons — the
+    standard dedup-analysis figure (how much mass sits in giant clusters
+    vs the long tail of unique docs).
+
+    Clustered docs roll up by component label; unclustered docs enter as
+    size-1 clusters via one anti-join count (never materialized per-doc).
+    Output per cluster_size: n_clusters and n_docs (= size * n_clusters).
+    """
+    cc = connected_components(fingerprint_edges(docs, k))
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    singletons = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").cast("long").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("long"), "n_clusters")
+        .unionAll(singletons)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -497,3 +497,50 @@ def near_dedup_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.pipeline.graph import near_dedup_impact
 
     return near_dedup_impact(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keys AS (
+            SELECT doc_id, md5(concat('p|', array_to_string(t[1:3], ' '))) AS fp
+            FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   md5(concat('s|', array_to_string(
+                        list_reverse(list_slice(list_reverse(t), 1, 3)), ' '))) AS fp
+            FROM toks),
+        reps AS (SELECT fp, min(doc_id) AS rep FROM keys GROUP BY fp),
+        e0 AS (SELECT DISTINCT k.doc_id AS src, r.rep AS dst
+               FROM keys k JOIN reps r USING (fp) WHERE k.doc_id <> r.rep),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+        cc AS (SELECT node, min(lab) AS lab FROM walk GROUP BY node),
+        sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM cc GROUP BY lab),
+        hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+                 FROM sizes GROUP BY cluster_size
+                 UNION ALL
+                 SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+                 FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+                 WHERE cc.node IS NULL
+                 HAVING count(*) > 0)
+        SELECT cluster_size,
+               CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+        FROM hist GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    doc="Near-dup cluster-size distribution including singletons — the "
+    "standard dedup-analysis figure (giant-cluster mass vs unique tail); "
+    "min-label components roll up by label, singletons enter via one "
+    "anti-join count, never per-doc materialization",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.pipeline.graph import cluster_size_histogram
+
+    return cluster_size_histogram(load_table(spark, sf_dir, "documents"), k=3)

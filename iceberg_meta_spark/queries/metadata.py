@@ -985,3 +985,45 @@ def iceberg_native_partition_distribution(spark: SparkSession, sf_dir: str) -> D
     return ops.partition_distribution(
         native_files_frame(spark, default_fixture_table())
     ).orderBy("part_key")
+
+
+@register(
+    "iceberg_native_column_health",
+    oracle="""
+        WITH s AS (SELECT i, fid,
+                          100 + (i % 7) * 50 AS value_count,
+                          (i + fid) % 5 AS null_count,
+                          ((1 + i % 9) * 8388608) // (4 * (fid + 1)) AS column_size,
+                          CASE WHEN fid = 2 THEN i * 1000
+                               WHEN fid = 3 THEN i * 10 END AS lo,
+                          CASE WHEN fid = 2 THEN i * 1000 + 2500
+                               WHEN fid = 3 THEN i * 10 + 5000 END AS hi
+                   FROM range(0, 150) t(i), range(1, 5) f(fid)),
+        per_field AS (SELECT fid AS field_id,
+                             CAST(sum(value_count) AS BIGINT) AS value_count,
+                             CAST(sum(null_count) AS BIGINT) AS null_count,
+                             CAST(sum(column_size) AS BIGINT) AS total_bytes,
+                             min(lo) AS min_lower, max(hi) AS max_upper
+                      FROM s GROUP BY fid),
+        tot AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS grand FROM per_field)
+        SELECT field_id, value_count, null_count,
+               round(CAST(100 AS DOUBLE) * null_count / value_count, 4) AS null_pct,
+               total_bytes,
+               round(CAST(100 AS DOUBLE) * total_bytes / grand, 4) AS bytes_pct,
+               min_lower, max_upper
+        FROM per_field, tot
+        ORDER BY field_id
+    """,
+    doc="A5-A7 column health over the native-read Iceberg tree: the Avro "
+    "kv-map stats decode AND the Appendix-D typed bound decode are "
+    "hash-gated against the fixture's independently-recomputed closed form "
+    "(string fields yield NULL bounds on both sides)",
+)
+def iceberg_native_column_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.column_stats import column_health
+    from iceberg_meta_spark.sources.iceberg_fixture import default_fixture_table
+    from iceberg_meta_spark.sources.iceberg_native import native_column_stats_typed
+
+    return column_health(
+        native_column_stats_typed(spark, default_fixture_table())
+    ).orderBy("field_id")
