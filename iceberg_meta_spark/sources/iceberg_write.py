@@ -237,3 +237,135 @@ def commit_append(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def commit_remove_files(
+    table_dir: str,
+    file_paths: set[str] | list[str],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Publish a delete snapshot that removes ``file_paths`` from the table.
+
+    Spec § Manifests: a data file is removed by rewriting the manifests
+    that carry it — removed entries get status=2 (DELETED), survivors get
+    status=0 (EXISTING) with their original snapshot/sequence numbers
+    preserved; untouched manifests ride into the new manifest list as-is.
+    Readers that filter status != 2 (ours, and every engine's live scan)
+    stop seeing the files; previous snapshots still time-travel to them.
+    """
+    targets = set(file_paths)
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if int(md.get("format-version", 1)) != 2:
+        raise ValueError("commit_remove_files writes format-version 2 tables only")
+    parent = md.get("current-snapshot-id")
+    if parent is None:
+        raise ValueError("table has no current snapshot to delete from")
+
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    with open(_local_path(prev["manifest-list"]), "rb") as fh:
+        _, _, prev_manifests = read_container(fh.read())
+
+    snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/rm/{snap_id}")
+
+    new_manifests: list[dict] = []
+    removed = 0
+    removed_rows = 0
+    for mi, m in enumerate(prev_manifests):
+        m.setdefault("partitions", None)
+        mpath = _local_path(m["manifest_path"])
+        with open(mpath, "rb") as fh:
+            entry_schema, mmeta, entries = read_container(fh.read())
+        hit = [e for e in entries if e["data_file"]["file_path"] in targets
+               and e.get("status", 0) != 2]
+        if not hit:
+            new_manifests.append(m)  # untouched manifest rides along
+            continue
+        rewritten = []
+        kept = deleted = 0
+        kept_rows = deleted_rows = 0
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue  # already-deleted entries don't carry forward
+            e = dict(e)
+            if e["data_file"]["file_path"] in targets:
+                e["status"] = 2  # DELETED
+                deleted += 1
+                deleted_rows += int(e["data_file"]["record_count"])
+            else:
+                e["status"] = 0  # EXISTING, provenance preserved
+                kept += 1
+                kept_rows += int(e["data_file"]["record_count"])
+            rewritten.append(e)
+        removed += deleted
+        removed_rows += deleted_rows
+        rpath = os.path.join(meta_dir, f"{commit_uuid}-m{mi}.avro")
+        blob = write_container(entry_schema, rewritten, metadata=dict(mmeta))
+        with open(rpath, "wb") as fh:
+            fh.write(blob)
+        new_manifests.append(
+            {
+                **m,
+                "manifest_path": rpath,
+                "manifest_length": len(blob),
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": deleted,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": deleted_rows,
+            }
+        )
+    if not removed:
+        raise KeyError(f"none of the {len(targets)} paths are live in snapshot {parent}")
+
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
+                                 metadata={"format-version": b"2"}))
+    prev_total = int((prev.get("summary", {}) or {}).get("total-data-files", 0))
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            "operation": "delete",
+            "added-records": "0",
+            "deleted-records": str(removed_rows),
+            "deleted-data-files": str(removed),
+            "total-data-files": str(max(prev_total - removed, 0)),
+            "total-records": "0",
+            "total-files-size": "0",
+        },
+    }
+    md["snapshots"].append(snapshot)
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+    with open(new_meta, "w") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

@@ -611,3 +611,47 @@ def test_native_reader_handles_v1_tables(spark, tmp_path):
     from iceberg_meta_spark import api
 
     assert api.NativeTableSource(spark, table).schema_fields().count() == 1
+
+
+def test_commit_remove_files_publishes_delete_snapshot(spark, tmp_path):
+    """S9 delete side: commit_remove_files rewrites only the touched
+    manifests (removed entries status=2, survivors status=0 with original
+    provenance), the live view shrinks, time travel still sees the files,
+    and a later append chains cleanly on top."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_append, commit_remove_files
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=2, files_per_manifest=10)
+    all_files = [r.file_path for r in
+                 native_files_frame(spark, table).orderBy("file_path").collect()]
+    assert len(all_files) == 40
+    victims = set(all_files[:3] + all_files[-2:])  # spans several manifests
+
+    md = commit_remove_files(table, victims, timestamp_ms=1713139200000 + 500_000)
+    assert md["current-snapshot-id"] == 3
+    assert md["snapshots"][-1]["summary"]["operation"] == "delete"
+
+    live = native_files_frame(spark, table)
+    assert live.count() == 35
+    assert not set(r.file_path for r in live.collect()) & victims
+    # time travel: snapshot 2 still sees all 40
+    assert native_files_frame(spark, table, snapshot_id=2).count() == 40
+    # the delete entries are visible with status=2 at the new snapshot
+    e = native_entries_frame(spark, table)
+    assert e.where(F.col("status") == 2).count() == 5
+    # survivors are EXISTING (0) in rewritten manifests, ADDED (1) in untouched
+    assert e.where(F.col("status") != 2).count() == 35
+
+    # chain an append on top of the delete
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/post_delete.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 7, "file_size_in_bytes": 128,
+    }])
+    assert native_files_frame(spark, table).count() == 36
+    snaps = native_snapshots_frame(spark, table).orderBy("snapshot_id").collect()
+    assert [r.operation for r in snaps] == ["append", "append", "delete", "append"]
+
+    # removing an unknown path is loud, not silent
+    with pytest.raises(KeyError):
+        commit_remove_files(table, {"nope.parquet"})
