@@ -369,3 +369,153 @@ def commit_remove_files(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def commit_delete_files(
+    table_dir: str,
+    delete_files: list[dict],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Publish row-level delete files as one new snapshot (v2 row-level
+    deletes): a DELETE manifest (manifest content=1) carrying position
+    (data_file content=1) or equality (content=2, with equality_ids)
+    delete files rides the new manifest list next to the untouched data
+    manifests — the 'overwrite' shape MERGE/DELETE writers publish.
+
+    Each dict: ``file_path``, ``record_count`` (rows the delete file
+    holds), ``file_size_in_bytes``, optional ``partition``, optional
+    ``equality_ids`` (list[int] -> content=2 equality deletes; absent ->
+    content=1 position deletes).
+    """
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if int(md.get("format-version", 1)) != 2:
+        raise ValueError("row-level deletes require format-version 2")
+    parent = md.get("current-snapshot-id")
+    if parent is None:
+        raise ValueError("table has no current snapshot")
+
+    spec = next(s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"])
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    avro_t = {"string": "string", "long": "long", "int": "int",
+              "double": "double", "boolean": "boolean"}
+    partition_fields = [
+        {"name": f["name"], "type": ["null", avro_t[types[f["source-id"]]]],
+         "default": None, "field-id": f["field-id"]}
+        for f in spec["fields"] if f["transform"] == "identity"
+    ]
+    # manifest_entry schema with equality_ids included (spec field 135)
+    entry_schema = manifest_entry_schema(partition_fields)
+    df_fields = entry_schema["fields"][-1]["type"]["fields"]
+    df_fields.insert(
+        len(df_fields) - 1,
+        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135},
+    )
+
+    snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/del/{snap_id}")
+
+    entries = []
+    for f in delete_files:
+        eq = f.get("equality_ids")
+        entries.append({
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 2 if eq else 1,  # EQUALITY_DELETES / POSITION_DELETES
+                "file_path": f["file_path"],
+                "file_format": str(f.get("file_format", "PARQUET")).upper(),
+                "partition": f.get("partition") or {
+                    pf["name"]: None for pf in partition_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "column_sizes": None,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": [int(i) for i in eq] if eq else None,
+                "sort_order_id": None,
+            },
+        })
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
+    blob = write_container(
+        entry_schema, entries,
+        metadata={"format-version": b"2", "content": b"deletes",
+                  "partition-spec-id": str(md["default-spec-id"]).encode()},
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(blob)
+
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    with open(_local_path(prev["manifest-list"]), "rb") as fh:
+        _, _, prev_manifests = read_container(fh.read())
+    for m in prev_manifests:
+        m.setdefault("partitions", None)
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": len(blob),
+        "partition_spec_id": int(md["default-spec-id"]),
+        "content": 1,  # DELETE manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(int(f["record_count"]) for f in delete_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(write_container(MANIFEST_FILE_SCHEMA,
+                                 prev_manifests + [new_manifest],
+                                 metadata={"format-version": b"2"}))
+    prev_total = int((prev.get("summary", {}) or {}).get("total-data-files", 0))
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            "operation": "overwrite",
+            "added-records": "0",
+            "deleted-records": str(sum(int(f["record_count"]) for f in delete_files)),
+            "added-delete-files": str(len(entries)),
+            "total-data-files": str(prev_total),
+            "total-records": "0",
+            "total-files-size": "0",
+        },
+    }
+    md["snapshots"].append(snapshot)
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

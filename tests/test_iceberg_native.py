@@ -655,3 +655,76 @@ def test_commit_remove_files_publishes_delete_snapshot(spark, tmp_path):
     # removing an unknown path is loud, not silent
     with pytest.raises(KeyError):
         commit_remove_files(table, {"nope.parquet"})
+
+
+def test_commit_delete_files_publishes_row_level_deletes(spark, tmp_path):
+    """S9 row-level-delete side: commit_delete_files adds a DELETE manifest
+    (content=1) with position + equality delete files; the data view is
+    untouched, the delete view surfaces them, and the manifest list shows
+    one content=1 manifest."""
+    from iceberg_meta_spark.sources.iceberg_native import native_delete_files_frame
+    from iceberg_meta_spark.sources.iceberg_write import commit_delete_files
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=8)
+    md = commit_delete_files(table, [
+        {"file_path": f"{table}/data/del/pos0.parquet",
+         "partition": {"region": "emea"}, "record_count": 12,
+         "file_size_in_bytes": 2048},
+        {"file_path": f"{table}/data/del/eq0.parquet",
+         "partition": {"region": "apac"}, "record_count": 3,
+         "file_size_in_bytes": 512, "equality_ids": [2]},
+    ], timestamp_ms=1713139200000 + 700_000)
+    assert md["current-snapshot-id"] == 2
+    assert md["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+    assert native_files_frame(spark, table).count() == 8  # data view untouched
+    dels = {r.file_path: r for r in native_delete_files_frame(spark, table).collect()}
+    assert len(dels) == 2
+    assert dels[f"{table}/data/del/pos0.parquet"].content == 1
+    assert dels[f"{table}/data/del/eq0.parquet"].content == 2
+    m = native_manifests_frame(spark, table)
+    assert m.where(F.col("content") == 1).count() == 1
+    # earlier snapshot has no deletes
+    assert native_delete_files_frame(spark, table, snapshot_id=1).count() == 0
+
+
+def test_native_watch_stream_live_detects_commit(spark, tmp_path):
+    """Live Structured Streaming over the native path: watch_stream polls a
+    NativeTableSource-backed snapshot log; a commit_append published while
+    the query runs is detected in a later micro-batch."""
+    import time
+
+    from iceberg_meta_spark import api
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+    from iceberg_meta_spark.streaming.watch import watch_stream
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    seen: list[int] = []
+
+    def on_new(df):
+        seen.extend(r.snapshot_id for r in df.collect())
+
+    q = watch_stream(
+        spark,
+        lambda: api.NativeTableSource(spark, table).snapshots(),
+        on_new,
+        tick_seconds=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while 1 not in seen and time.time() < deadline:
+            time.sleep(0.5)
+        assert 1 in seen, f"initial snapshot never seen: {seen}"
+        commit_append(table, [{
+            "file_path": f"{table}/data/apac/live.parquet",
+            "partition": {"region": "apac"},
+            "record_count": 1, "file_size_in_bytes": 1,
+        }])
+        while 2 not in seen and time.time() < deadline:
+            time.sleep(0.5)
+        assert 2 in seen, f"committed snapshot never detected: {seen}"
+        assert seen.count(1) == 1 and seen.count(2) == 1  # no re-reports
+    finally:
+        q.stop()
