@@ -75,9 +75,17 @@ def current_metadata_path(spark: SparkSession, table_dir: str) -> str:
     return max((r.path for r in listed), key=version_of)
 
 
-def load_table_metadata(spark: SparkSession, table_dir: str) -> dict:
-    """Parse the current table-metadata JSON of ``table_dir``."""
-    path = current_metadata_path(spark, table_dir)
+def load_table_metadata(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict:
+    """Parse the table-metadata JSON of ``table_dir`` — the current one, or
+    (metadata-version time travel) an explicit older ``vN.metadata.json``:
+    every commit leaves its predecessor in place (the metadata-log), so any
+    historical table state reconstructs from its version file."""
+    if version is not None:
+        path = f"{table_dir.rstrip('/')}/metadata/v{int(version)}.metadata.json"
+    else:
+        path = current_metadata_path(spark, table_dir)
     text = "\n".join(r.value for r in spark.read.text(path).collect())
     return json.loads(text)
 

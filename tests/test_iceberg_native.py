@@ -728,3 +728,30 @@ def test_native_watch_stream_live_detects_commit(spark, tmp_path):
         assert seen.count(1) == 1 and seen.count(2) == 1  # no re-reports
     finally:
         q.stop()
+
+
+def test_metadata_version_time_travel(spark, tmp_path):
+    """Every commit leaves vN.metadata.json behind; loading an explicit
+    older version reconstructs the historical table state (current snapshot
+    AND visible files) even after later appends and deletes."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_append, commit_remove_files
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=1, files_per_manifest=4)
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/x.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 1, "file_size_in_bytes": 1}])
+    victims = {r.file_path for r in
+               native_files_frame(spark, table).limit(2).collect()}
+    commit_remove_files(table, victims)
+
+    # current (v4): 9 - 2 = 7 files
+    assert native_files_frame(spark, table).count() == 7
+    # v2 (the original 2-snapshot fixture): current snapshot 2, 8 files
+    md_v2 = load_table_metadata(spark, table, version=2)
+    assert md_v2["current-snapshot-id"] == 2
+    assert native_files_frame(spark, table, metadata=md_v2).count() == 8
+    # v3 (after the append): 9 files
+    md_v3 = load_table_metadata(spark, table, version=3)
+    assert native_files_frame(spark, table, metadata=md_v3).count() == 9
