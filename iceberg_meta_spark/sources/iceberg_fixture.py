@@ -295,6 +295,11 @@ def write_fixture_table(
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": n_snapshots,
+        "refs": {
+            "main": {"snapshot-id": n_snapshots, "type": "branch"},
+            "audit-base": {"snapshot-id": 1, "type": "tag",
+                           "max-ref-age-ms": 31536000000},
+        },
         "snapshots": snapshots_json,
         "snapshot-log": [
             {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}

@@ -555,3 +555,33 @@ def native_delete_files_frame(
     distributed decode as the data path."""
     bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata, content=1)
     return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS).where(F.col("status") != 2)
+
+
+def native_refs_frame(
+    spark: SparkSession, table_dir: str, metadata: dict | None = None
+) -> DataFrame:
+    """Branches and tags from table metadata (spec § Refs; the ``.refs``
+    metadata table of the jar path): one row per ref with its pinned
+    snapshot and retention knobs. Tables without a refs map (or v1) yield
+    the implicit ``main`` branch at the current snapshot, matching engine
+    behavior."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    refs = md.get("refs") or {}
+    if not refs and md.get("current-snapshot-id") is not None:
+        refs = {"main": {"snapshot-id": md["current-snapshot-id"], "type": "branch"}}
+    rows = [
+        (
+            name,
+            r.get("type", "branch"),
+            int(r["snapshot-id"]),
+            r.get("max-ref-age-ms"),
+            r.get("max-snapshot-age-ms"),
+            r.get("min-snapshots-to-keep"),
+        )
+        for name, r in sorted(refs.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, type string, snapshot_id long, max_ref_age_ms long, "
+        "max_snapshot_age_ms long, min_snapshots_to_keep int",
+    )

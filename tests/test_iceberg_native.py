@@ -755,3 +755,21 @@ def test_metadata_version_time_travel(spark, tmp_path):
     # v3 (after the append): 9 files
     md_v3 = load_table_metadata(spark, table, version=3)
     assert native_files_frame(spark, table, metadata=md_v3).count() == 9
+
+
+def test_native_refs_frame(spark, tmp_path):
+    """Branches/tags (spec § Refs) surface like the jar path's .refs table;
+    a refs-less v1 table yields the implicit main branch."""
+    from iceberg_meta_spark.sources.iceberg_native import native_refs_frame
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=3,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    refs = {r.name: r for r in native_refs_frame(spark, table).collect()}
+    assert set(refs) == {"main", "audit-base"}
+    assert refs["main"].type == "branch" and refs["main"].snapshot_id == 3
+    assert refs["audit-base"].type == "tag" and refs["audit-base"].snapshot_id == 1
+    assert refs["audit-base"].max_ref_age_ms == 31536000000
+    # a tag pins time travel: reading at the tag's snapshot sees 2 files
+    assert native_files_frame(
+        spark, table, snapshot_id=refs["audit-base"].snapshot_id
+    ).count() == 2
