@@ -441,8 +441,11 @@ def native_file_ranges(
 def native_warehouse_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     """Walk a filesystem warehouse (``<warehouse>/<namespace>/<table>``
     layout) and return one row per table: (namespace, table_name, table_dir,
-    format_version, current_snapshot_id, last_updated_ms, snapshot_count) —
-    the S1 input shape of the namespace rollups.
+    format_version, current_snapshot_id, last_updated_ms, snapshot_count,
+    total_files, total_records, total_size) — the totals come from each
+    table's current-snapshot summary (the metadata-only fast path), so the
+    frame feeds api.namespace_overview / warehouse_overview / alerts
+    directly: the full S1 catalog-rollup story, jar-free.
 
     The jar path walks SHOW NAMESPACES/SHOW TABLES (reference
     catalog.py:164-189); this native path lists ``*.metadata.json`` files
@@ -474,22 +477,37 @@ def native_warehouse_tables(spark: SparkSession, warehouse_dir: str) -> DataFram
         md = json.loads(text)
         parts = table_dir.rstrip("/").rsplit("/", 2)
         namespace, table_name = (parts[-2], parts[-1]) if len(parts) >= 2 else ("", parts[-1])
+        cur = md.get("current-snapshot-id")
+        summary = next(
+            (s.get("summary") or {} for s in md.get("snapshots", [])
+             if s["snapshot-id"] == cur),
+            {},
+        )
+
+        def tot(key: str):
+            v = summary.get(key)
+            return int(v) if v is not None else None
+
         rows.append(
             (
                 namespace,
                 table_name,
                 table_dir,
                 int(md.get("format-version", 1)),
-                md.get("current-snapshot-id"),
+                cur,
                 md.get("last-updated-ms"),
                 len(md.get("snapshots", [])),
+                tot("total-data-files"),
+                tot("total-records"),
+                tot("total-files-size"),
             )
         )
     return spark.createDataFrame(
         rows,
         "namespace string, table_name string, table_dir string, "
         "format_version int, current_snapshot_id long, last_updated_ms long, "
-        "snapshot_count int",
+        "snapshot_count int, total_files long, total_records long, "
+        "total_size long",
     )
 
 

@@ -268,6 +268,19 @@ def test_native_warehouse_walk(spark, tmp_path):
         ("analytics", "events"), ("analytics", "users"), ("raw", "logs")]
     assert all(r.format_version == 2 and r.current_snapshot_id == 2
                and r.snapshot_count == 2 for r in rows)
+    assert all(r.total_files == 10 for r in rows)  # 2 snapshots x 1 manifest x 5
+
+    # the frame feeds the namespace/warehouse/alert commands directly (S1
+    # catalog-rollup story jar-free)
+    from iceberg_meta_spark import api
+
+    ns = {r.namespace: r for r in api.namespace_overview(tables).collect()}
+    assert ns["analytics"].table_count == 2 and ns["raw"].table_count == 1
+    assert ns["analytics"].total_files == 20
+    wh_rows = {r.namespace: r for r in api.warehouse_overview(tables).collect()}
+    assert wh_rows["(warehouse)"].total_files == 30  # grand-total level
+    flagged = api.alerts(tables)
+    assert set(flagged.columns) >= {"namespace", "table_name", "is_stale"}
 
 
 def test_commit_append_publishes_new_snapshot(spark, tmp_path):
