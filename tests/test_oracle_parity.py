@@ -129,3 +129,20 @@ def test_every_query_is_oracle_or_twin_gated():
         assert specs[name].tolerance_twin is not None, (
             f"SKETCH_GATES[{name!r}] has no registry-side tolerance_twin"
         )
+
+
+def test_every_registered_query_has_a_scaling_row():
+    """Standing rule (VERDICT r6 #8): no registered query without a scale
+    exponent — every registry name must appear as a SCALING.md table row,
+    so a new query can't ship unmeasured."""
+    import re
+
+    rows = set()
+    for line in open("/root/repo/SCALING.md"):
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|", line)
+        if m:
+            rows.add(m.group(1))
+    from iceberg_meta_spark.registry import load_all
+
+    missing = sorted(set(load_all()) - rows)
+    assert missing == [], f"queries without a SCALING.md row: {missing}"
