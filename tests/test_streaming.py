@@ -1908,3 +1908,26 @@ def test_empty_probe_sweep_helper_reports_findings(spark, tmp_path):
         ep._streaming_sinks = orig
     assert names == ["synthetic.boom"]
     assert findings == [("synthetic.boom", "empty-first-batch", "synthetic failure")]
+
+
+def test_empty_probe_sink_list_tracks_streaming_modules():
+    """tools/empty_probe.py's _streaming_sinks list is maintained by hand
+    ("keep in sync with grep -l 'def apply(batch'"); enforce that: every
+    streaming module defining a foreachBatch apply must have a sweep entry,
+    so a new parquet-state sink can't ship outside the empty-batch sweep."""
+    import inspect
+    import pathlib
+    import re
+
+    import tools.empty_probe as ep
+
+    streaming_dir = pathlib.Path("iceberg_meta_spark/streaming")
+    modules_with_sinks = {
+        p.stem for p in streaming_dir.glob("*.py")
+        if "def apply(batch" in p.read_text()
+    }
+    src = inspect.getsource(ep._streaming_sinks)
+    swept = set(re.findall(r'\("(\w+)\.', src))
+    assert modules_with_sinks == swept, (
+        f"sweep covers {sorted(swept)}, modules define {sorted(modules_with_sinks)}"
+    )
