@@ -87,6 +87,21 @@ def _slowest_first(times: dict[str, float], top: int | None = None) -> dict[str,
     return dict(items[:top] if top else items)
 
 
+def _default_full_path() -> str:
+    """BENCH_FULL_r{N}.json beside this file, N = 1 + the highest driver
+    BENCH_r{N}.json already present (the driver writes its artifact AFTER
+    running us, so the current round's number is absent at run time)."""
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return os.path.join(repo, f"BENCH_FULL_r{max(rounds, default=0) + 1}.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     second_dir = os.environ.get("SPARK_GRAFT_SECOND_SF_DIR", "/root/testdata/sf0.01")
@@ -104,51 +119,84 @@ def main() -> None:
     enable_cache(True)
     times = _timed_pass(spark, bench, sf_dir)
 
-    out = {
-        "metric": "headline-query wall time, noop-sink materialization",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "queries": times,
-        "sf": _sf_of(sf_dir),
-    }
-    if cold:
-        # Total over ALL queries; per-query map carries the 10 slowest.
-        out["cold"] = {
-            "value": round(sum(cold.values()), 3),
-            "queries": _slowest_first(cold, top=10),
-        }
     # Second scale point (closest to the reference baseline's scenario size):
-    # same session, same plans, different data scale. Per-query map is
-    # slowest-first so the length guard below trims the tail (the fast end),
-    # keeping baseline-near per-query regressions visible round-over-round.
+    # same session, same plans, different data scale.
     sp: dict[str, float] = {}
     if second_dir and os.path.isdir(second_dir) and second_dir != sf_dir:
         sp = _timed_pass(spark, bench, second_dir)
-        out["scale_points"] = {
+
+    # FULL artifact first: every per-query number for every section goes to a
+    # committed file (BENCH_FULL_r{N}.json next to the driver's BENCH_r{N}
+    # artifacts; override with SPARK_GRAFT_BENCH_FULL). The stdout line below
+    # is a bounded digest — r7's line outgrew the driver's 2000-char tail
+    # capture and the committed artifact lost its machine-readable headline
+    # ("parsed": null), so totals + top-10s live on stdout and the detail
+    # lives here.
+    full = {
+        "metric": "headline-query wall time, noop-sink materialization",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": _slowest_first(times),
+        "sf": _sf_of(sf_dir),
+    }
+    if cold:
+        full["cold"] = {
+            "value": round(sum(cold.values()), 3),
+            "queries": _slowest_first(cold),
+        }
+    if sp:
+        full["scale_points"] = {
             str(_sf_of(second_dir)): {
                 "value": round(sum(sp.values()), 3),
                 "queries": _slowest_first(sp),
             }
         }
-    # Hard length guard: the driver captures a bounded tail of our output and
-    # parses the final JSON line (round 3's bench once went unparsed when the
-    # line outgrew that buffer — ~3000 chars is the proven-safe cap). If the
-    # line passes it, elide the FASTEST per-query entries first (the slow
-    # ones are the signal) — alternating between the primary map and the
-    # scale-point map — and say how many were dropped from each.
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or _default_full_path()
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:  # never fail the bench over the detail file
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+
+    # Stdout digest: section totals + the 10 slowest per section (the slow
+    # end is the signal; the full maps are in the detail file above).
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": _slowest_first(times, top=10),
+        "n_queries": len(times),
+        "sf": full["sf"],
+        "full": os.path.basename(full_path),
+    }
+    if cold:
+        out["cold"] = {
+            "value": full["cold"]["value"],
+            "queries": _slowest_first(cold, top=10),
+        }
+    if sp:
+        out["scale_points"] = {
+            str(_sf_of(second_dir)): {
+                "value": round(sum(sp.values()), 3),
+                "queries": _slowest_first(sp, top=10),
+            }
+        }
+    # Hard length guard: the driver parses the final JSON line from a
+    # 2000-char tail capture (r7 exceeded it at ~3000; 1800 leaves room for
+    # progress-bar residue sharing the capture). Elide the FASTEST remaining
+    # entries first — alternating between the three per-query digests.
     line = json.dumps(out)
-    elided = sp_elided = 0
-    while len(line) > 3000 and (len(times) > 1 or len(sp) > 1):
-        if len(times) >= len(sp) and len(times) > 1:
-            times.pop(min(times, key=times.get))
-            elided += 1
-            out["queries_elided"] = elided
-        elif len(sp) > 1:
-            sp.pop(min(sp, key=sp.get))
-            sp_elided += 1
-            sp_key = next(iter(out["scale_points"]))
-            out["scale_points"][sp_key]["queries"] = _slowest_first(sp)
-            out["scale_points"][sp_key]["queries_elided"] = sp_elided
+    while len(line) > 1800:
+        maps = [m for m in (
+            out["queries"],
+            out.get("cold", {}).get("queries"),
+            next(iter(out.get("scale_points", {}).values()), {}).get("queries"),
+        ) if m and len(m) > 1]
+        if not maps:
+            break
+        biggest = max(maps, key=len)
+        biggest.pop(min(biggest, key=biggest.get))
         line = json.dumps(out)
     # Leading newline: Spark's console progress bar ends its output with a
     # bare carriage return; without this the JSON shares a physical line

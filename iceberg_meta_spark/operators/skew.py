@@ -106,7 +106,12 @@ def key_skew_profile(df: DataFrame, key: str, salt_cap: int = 64) -> DataFrame:
         "n_keys",
         "max_cnt",
         "top_key",
-        F.round(F.col("max_cnt") / (F.col("n_rows") / F.col("n_keys")), 4).alias("max_over_avg"),
+        # d=2, not 4: max_over_avg is bounded by n_keys (max_cnt <= n_rows),
+        # up to ~1e12 distinct keys at 100 TB — round(x, d) is only
+        # cross-engine-stable while |x|*10^d < 2^52 (past that Spark's
+        # BigDecimal HALF_UP and DuckDB's multiply-round-divide can differ
+        # on the same double), so 1e12 * 1e2 = 1e14 keeps ~45x headroom
+        F.round(F.col("max_cnt") / (F.col("n_rows") / F.col("n_keys")), 2).alias("max_over_avg"),
         # n_rows is a single already-reduced value: cast before squaring so
         # the product can't overflow long at petabyte row counts. sum_sq
         # stays integer-exact (the per-key counts this profiles fit long
@@ -200,9 +205,12 @@ def join_cardinality_preflight(
         # than tripping ANSI divide-by-zero on the empty-partition day
         F.when(
             F.greatest(F.col("left_rows"), F.col("right_rows")) > 0,
+            # d=2: amplification <= min(left_rows, right_rows) (~1e12 at
+            # 100 TB); |x|*10^d must stay under 2^52 for cross-engine
+            # round stability, so 2 digits, not 4
             F.round(
                 F.col("out_rows") / F.greatest(F.col("left_rows"), F.col("right_rows")),
-                4,
+                2,
             ),
         )
         .otherwise(F.lit(0.0))

@@ -72,7 +72,7 @@ def correlation_matrix(df: DataFrame, cols: list[str], digits: int = 6) -> DataF
 
 
 def grouped_ols(
-    df: DataFrame, keys: list[str], x: str, y: str, digits: int = 6
+    df: DataFrame, keys: list[str], x: str, y: str, scale: int = 1000
 ) -> DataFrame:
     """Per-group least-squares line ``y = slope·x + intercept`` + r², from
     the same exact-integer sufficient statistics as
@@ -84,6 +84,19 @@ def grouped_ols(
     arithmetic on each group's row. ``x``/``y`` must be integer-valued
     (scale fixed-point first). Groups with < 2 points or zero x-variance
     emit NULL slope/intercept/r2.
+
+    Output is hash-gate-exact on ANY engine: slope and intercept are
+    fixed-point LONGs (``slope_fp = slope·scale``, ``intercept_fp =
+    intercept·scale``) computed by integer division (truncation toward
+    zero — Spark ``div`` on DECIMAL and DuckDB ``//`` on HUGEINT agree,
+    verified for negative numerators) over the EXACT decimal sufficient
+    statistics. A double-rounded slope/intercept is not portable: at
+    magnitudes ≥ ~1e10 a 6-decimal round demands more significant digits
+    than IEEE-754 double carries, so two engines' last-ULP difference
+    survives the round (caught live by tests/test_cross_engine_fuzz.py on
+    an intercept at ~1.19e9). r² ∈ [0, 1] is magnitude-bounded, so a
+    6-digit double round IS portable there (same convention as
+    :func:`correlation_matrix`'s corr) — it stays a readable double.
     """
     d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
     agg = df.groupBy(*keys).agg(
@@ -94,22 +107,32 @@ def grouped_ols(
         F.sum(d(y) * d(y)).alias("__syy"),
         F.sum(d(x) * d(y)).alias("__sxy"),
     )
-    n = F.col("__n").cast("double")
-    sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    syy = F.col("__syy").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
-    cov = n * sxy - sx * sy
-    slope = cov / var_x
-    return agg.select(
+    # exact integer moments: var_x, var_y, cov never leave DECIMAL(38,0)
+    stats = agg.select(
+        *keys,
+        F.col("__n"),
+        F.col("__sx"),
+        F.col("__sy"),
+        (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).alias("__vx"),
+        (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).alias("__vy"),
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).alias("__cov"),
+    )
+    sc = f"CAST({int(scale)} AS DECIMAL(38,0))"
+    vx_d = F.col("__vx").cast("double")
+    vy_d = F.col("__vy").cast("double")
+    cov_d = F.col("__cov").cast("double")
+    return stats.select(
         *keys,
         F.col("__n").cast("long").alias("n_points"),
-        F.when(var_x > 0, F.round(slope, digits)).alias("slope"),
-        F.when(var_x > 0, F.round((sy - slope * sx) / n, digits)).alias("intercept"),
+        F.when(F.col("__vx") > 0, F.expr(f"(__cov * {sc}) div __vx")).alias(
+            "slope_fp"
+        ),
         F.when(
-            (var_x > 0) & (var_y > 0), F.round(cov * cov / (var_x * var_y), digits)
+            F.col("__vx") > 0,
+            F.expr(f"((__sy * __vx - __cov * __sx) * {sc}) div (__n * __vx)"),
+        ).alias("intercept_fp"),
+        F.when(
+            (F.col("__vx") > 0) & (F.col("__vy") > 0),
+            F.round(cov_d * cov_d / (vx_d * vy_d), 6),
         ).alias("r2"),
     )

@@ -229,7 +229,7 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS o_orderdate
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -238,7 +238,7 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-30'
           AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-30'
         GROUP BY l.l_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS STRING)
-        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
     doc="TPC-H Q3 shape: 3-way join, segment + date-range filters pushed to "
@@ -253,15 +253,17 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date") > F.lit("1996-06-30").cast("date")
     )
     rev_cents = F.sum(
-        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
-    )
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+    ).cast("long")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"))
-        .agg(F.round(rev_cents.cast("double") / 100, 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .agg(rev_cents.alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
@@ -270,7 +272,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
         SELECT n.n_name,
-               round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -292,8 +294,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev_cents = F.sum(
-        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
-    )
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+    ).cast("long")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -301,7 +305,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(rev_cents.cast("double") / 100, 2).alias("revenue"))
+        .agg(rev_cents.alias("revenue_cents"))
     )
 
 

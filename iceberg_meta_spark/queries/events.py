@@ -898,11 +898,15 @@ def purchase_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS row_tot FROM obs GROUP BY event_type),
         ct AS (SELECT dow, CAST(sum(n_obs) AS BIGINT) AS col_tot FROM obs GROUP BY dow),
         g AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
-        SELECT o.event_type, o.dow, o.n_obs,
-               round(CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n, 6) AS expected,
-               round((o.n_obs - CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n)
-                     * (o.n_obs - CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n)
-                     / (CAST(r.row_tot AS DOUBLE) * c.col_tot / g.n), 6) AS chi2_term
+        SELECT event_type, dow, n_obs,
+               CAST((CAST(row_tot AS HUGEINT) * col_tot * 1000)
+                    // CAST(n AS HUGEINT) AS BIGINT) AS expected_milli,
+               round(CAST(CAST(n AS HUGEINT) * n_obs
+                          - CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE)
+                     * CAST(CAST(n AS HUGEINT) * n_obs
+                            - CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(row_tot AS DOUBLE)
+                        * CAST(col_tot AS DOUBLE)), 2) AS chi2_term
         FROM obs o JOIN rt r USING (event_type) JOIN ct c USING (dow) CROSS JOIN g
         ORDER BY o.event_type, o.dow
     """,
@@ -925,7 +929,19 @@ def events_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = obs.groupBy("event_type").agg(F.sum("n_obs").alias("row_tot"))
     ct = obs.groupBy("dow").agg(F.sum("n_obs").alias("col_tot"))
     g = obs.agg(F.sum("n_obs").alias("n"))
-    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    # expected count E = row_tot*col_tot/n is unbounded (up to n), so a
+    # 6-decimal double round is not cross-engine-portable past ~1e10 —
+    # emit it ×1000 fixed-point via exact integer division instead
+    # (DECIMAL(38,0) div == DuckDB HUGEINT //, all operands positive).
+    # chi2_term = (n·n_obs − rt·ct)²/(n·rt·ct): the deviation is built as
+    # an EXACT decimal integer first, then the one division runs in double
+    # with d=2 (chi2_term ≤ n ≤ ~1e12 events at 100 TB → 1e14 < 2^52,
+    # inside the cross-engine round-stability budget)
+    dec = "CAST(n AS DECIMAL(38,0))"
+    dev = (
+        "(CAST(n AS DECIMAL(38,0)) * n_obs"
+        " - CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+    )
     return (
         obs.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow")
@@ -934,9 +950,17 @@ def events_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "dow",
             "n_obs",
-            F.round(expected, 6).alias("expected"),
+            F.expr(
+                f"(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000) div {dec}"
+            ).alias("expected_milli"),
             F.round(
-                (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected, 6
+                F.expr(f"CAST({dev} AS DOUBLE)") * F.expr(f"CAST({dev} AS DOUBLE)")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("row_tot").cast("double")
+                    * F.col("col_tot").cast("double")
+                ),
+                2,
             ).alias("chi2_term"),
         )
         .orderBy("event_type", "dow")

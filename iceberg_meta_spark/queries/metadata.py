@@ -1027,3 +1027,87 @@ def iceberg_native_column_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_health(
         native_column_stats_typed(spark, default_fixture_table())
     ).orderBy("field_id")
+
+
+@register(
+    "iceberg_native_snapshot_diff",
+    oracle="""
+        SELECT 'added' AS change,
+               printf('f%05d.parquet', i) AS file_name,
+               CAST(100 + (i % 7) * 50 AS BIGINT) AS record_count,
+               CAST((1 + i % 9) * 8388608 AS BIGINT) AS file_size_in_bytes
+        FROM range(100, 150) t(i)
+        ORDER BY file_name
+    """,
+    doc="J1 snapshot diff over the native Iceberg tree via METADATA-VERSION "
+    "time travel: v2.metadata.json (current snapshot 2, 100 files) vs "
+    "v3.metadata.json (snapshot 3, 150 files), each resolved through its "
+    "own manifest list and distributed Avro decode — the likeliest "
+    "regression surface (historical-state reconstruction) under the hash "
+    "gate. Oracle recomputes the 50 added files' closed form (f_idx "
+    "100..149) independently; paths reduce to basenames so the result is "
+    "location-independent. Full-outer join on file_path, one shuffle per "
+    "side (operators/diff.py)",
+)
+def iceberg_native_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.diff import snapshot_diff
+    from iceberg_meta_spark.sources.iceberg_fixture import default_fixture_table
+    from iceberg_meta_spark.sources.iceberg_native import (
+        load_table_metadata,
+        native_files_frame,
+    )
+
+    table = default_fixture_table()
+    md_old = load_table_metadata(spark, table, version=2)
+    md_new = load_table_metadata(spark, table, version=3)
+    diff = snapshot_diff(
+        native_files_frame(spark, table, metadata=md_old),
+        native_files_frame(spark, table, metadata=md_new),
+    )
+    return diff.select(
+        "change",
+        F.regexp_extract("file_path", r"([^/]+)$", 1).alias("file_name"),
+        "record_count",
+        "file_size_in_bytes",
+    ).orderBy("file_name")
+
+
+@register(
+    "iceberg_native_delete_audit",
+    oracle="""
+        WITH d AS (SELECT CASE i % 4 WHEN 0 THEN 'americas' WHEN 1 THEN 'emea'
+                               WHEN 2 THEN 'apac' ELSE 'latam' END AS region,
+                          10 * (i + 1) AS rc, 4096 * (i + 1) AS sz
+                   FROM range(0, 6) t(i))
+        SELECT concat('{"region": "', region, '"}') AS part_key,
+               CAST(count(*) AS BIGINT) AS delete_file_count,
+               CAST(sum(rc) AS BIGINT) AS positions_deleted,
+               CAST(sum(sz) AS BIGINT) AS delete_bytes
+        FROM d GROUP BY region
+        ORDER BY part_key
+    """,
+    doc="A2/P5 row-level-delete audit over a native Iceberg tree whose "
+    "final snapshot carries a delete manifest (content=1) with 6 "
+    "position-delete files: per-partition delete-file count, deleted "
+    "position count and bytes, from native_delete_files_frame's "
+    "distributed decode (iceberg_native.py:564) — the v2 merge-on-read "
+    "debt view compaction planning needs. Oracle recomputes the fixture's "
+    "closed form (rc=10(i+1), sz=4096(i+1), region=i%4) independently",
+)
+def iceberg_native_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_fixture_table_with_deletes,
+    )
+    from iceberg_meta_spark.sources.iceberg_native import native_delete_files_frame
+
+    dels = native_delete_files_frame(spark, default_fixture_table_with_deletes())
+    return (
+        dels.where(F.col("content") >= 1)  # 1=position deletes, 2=equality
+        .groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).alias("delete_file_count"),
+            F.sum("record_count").alias("positions_deleted"),
+            F.sum("file_size_in_bytes").alias("delete_bytes"),
+        )
+        .orderBy("part_key")
+    )

@@ -190,7 +190,7 @@ _CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
     oracle=f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
-               round(CAST(sum({_CENTS.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) / 100, 2) AS revenue
+               CAST(sum({_CENTS.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
@@ -237,7 +237,7 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
         )
-        .agg(F.round(F.sum(cents).cast("double") / 100, 2).alias("revenue"))
+        .agg(F.sum(cents.cast("decimal(38,0)")).cast("long").alias("revenue_cents"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -314,7 +314,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_customers",
     oracle="""
         SELECT c.c_custkey, c.c_name,
-               round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                c.c_acctbal, n.n_name
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
@@ -324,7 +324,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-        ORDER BY revenue DESC, c_custkey
+        ORDER BY revenue_cents DESC, c_custkey
         LIMIT 20
     """,
     doc="TPC-H Q10 shape (returned-item top customers): returnflag filter "
@@ -347,9 +347,9 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cus), ords.o_custkey == cus.c_custkey)
         .join(F.broadcast(nat), cus.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(cents).cast("double") / 100, 2).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .agg(F.sum(cents.cast("decimal(38,0)")).cast("long").alias("revenue_cents"))
+        .select("c_custkey", "c_name", "revenue_cents", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
         .limit(20)
     )
 
@@ -1150,45 +1150,47 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue_trend",
     oracle="""
         WITH m AS (SELECT n.n_name,
-                          CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+                          CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS HUGEINT)
                               AS month_idx,
-                          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS HUGEINT)
                               AS rev_cents
                    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                                  JOIN nation n ON c.c_nationkey = n.n_nationkey
                    GROUP BY n.n_name, month_idx),
-        agg AS (SELECT n_name, count(*) AS n, sum(month_idx) AS sx, sum(rev_cents) AS sy,
+        agg AS (SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                       sum(month_idx) AS sx, sum(rev_cents) AS sy,
                        sum(month_idx * month_idx) AS sxx,
                        sum(rev_cents * rev_cents) AS syy,
                        sum(month_idx * rev_cents) AS sxy
-                FROM m GROUP BY n_name)
+                FROM m GROUP BY n_name),
+        s AS (SELECT n_name, n, sx, sy,
+                     n * sxx - sx * sx AS vx,
+                     n * syy - sy * sy AS vy,
+                     n * sxy - sx * sy AS cov
+              FROM agg)
         SELECT n_name, CAST(n AS BIGINT) AS n_points,
-               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
-                    THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-               END AS slope,
-               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
-                    THEN round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
-                                 - CAST(sx AS DOUBLE) * sy)
-                         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
-                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
-               END AS intercept,
-               CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
-                         AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
-                    THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               CASE WHEN vx > 0
+                    THEN CAST((cov * 1000) // vx AS BIGINT) END AS slope_fp,
+               CASE WHEN vx > 0
+                    THEN CAST(((sy * vx - cov * sx) * 1000) // (n * vx) AS BIGINT)
+               END AS intercept_fp,
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+                         / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
                END AS r2
-        FROM agg ORDER BY n_name
+        FROM s ORDER BY n_name
     """,
     tags=("bench",),
     doc="Per-nation revenue trend: grouped closed-form OLS "
     "(operators/stats.py:grouped_ols) over monthly revenue-cents points — "
     "slope/intercept/r² per group from five DECIMAL(38,0) sufficient sums "
     "in ONE aggregate per group, no per-group sort, no window, no model "
-    "library; dims broadcast onto the orders scan. The trend-detection "
-    "shape that runs unchanged over 10^9 series",
+    "library; dims broadcast onto the orders scan. slope_fp/intercept_fp "
+    "are ×1000 fixed-point LONGs from exact integer division (Spark div "
+    "on DECIMAL == DuckDB // on HUGEINT, truncation toward zero) because "
+    "a 6-decimal double round is NOT portable past ~1e10 magnitude (fuzz-"
+    "caught ULP divergence at 1.19e9); r2 ∈ [0,1] stays a bounded double. "
+    "The trend-detection shape that runs unchanged over 10^9 series",
 )
 def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.operators.stats import grouped_ols
@@ -1245,9 +1247,9 @@ _BENFORD_CASE = "CASE first_digit " + " ".join(
                round(CAST(o.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
                round({_BENFORD_CASE}, 6) AS benford_share,
                round(
-                   (CAST(o.n_obs AS DOUBLE) - t.n * ({_BENFORD_CASE}))
-                   * (CAST(o.n_obs AS DOUBLE) - t.n * ({_BENFORD_CASE}))
-                   / (t.n * ({_BENFORD_CASE})), 6) AS chi2_term
+                   (CAST(o.n_obs AS DOUBLE) - t.n * CAST(({_BENFORD_CASE}) AS DOUBLE))
+                   * (CAST(o.n_obs AS DOUBLE) - t.n * CAST(({_BENFORD_CASE}) AS DOUBLE))
+                   / (t.n * CAST(({_BENFORD_CASE}) AS DOUBLE)), 2) AS chi2_term
         FROM obs o CROSS JOIN tot t
         ORDER BY o.first_digit
     """,
@@ -1280,11 +1282,16 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_obs",
             F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("obs_share"),
             F.round(p, 6).alias("benford_share"),
+            # d=2: chi2_term is bounded by n (orders rows, ~1e12 at 100 TB);
+            # round(x, d) is cross-engine-stable only while |x|*10^d < 2^52,
+            # so 6 decimals would overrun at ~1e10 — 2 decimals keeps the
+            # budget (1e14) with headroom. obs_share/benford_share ∈ [0,1]
+            # stay at 6.
             F.round(
                 (F.col("n_obs").cast("double") - exp_n)
                 * (F.col("n_obs").cast("double") - exp_n)
                 / exp_n,
-                6,
+                2,
             ).alias("chi2_term"),
         )
         .orderBy("first_digit")

@@ -110,7 +110,7 @@ def _skew_profile_sql(table: str, key: str) -> str:
                CAST((SELECT max(cnt) FROM c_{key}) AS BIGINT) AS max_cnt,
                (SELECT k FROM c_{key} ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key,
                round((SELECT max(cnt) FROM c_{key})
-                     / ((SELECT sum(cnt) FROM c_{key}) / (SELECT count(*) FROM c_{key})), 4)
+                     / ((SELECT sum(cnt) FROM c_{key}) / (SELECT count(*) FROM c_{key})), 2)
                    AS max_over_avg,
                round(CAST((SELECT sum(cnt) FROM c_{key}) AS DOUBLE)
                      * (SELECT sum(cnt) FROM c_{key})
@@ -184,7 +184,7 @@ def _join_preflight_sql(key_col: str, left_sql: str, right_sql: str, cap: int) -
                out_rows, max_key_out,
                (SELECT k FROM pk ORDER BY out_k DESC, k DESC LIMIT 1) AS top_key,
                CASE WHEN greatest(left_rows, right_rows) > 0
-                    THEN round(out_rows / CAST(greatest(left_rows, right_rows) AS DOUBLE), 4)
+                    THEN round(out_rows / CAST(greatest(left_rows, right_rows) AS DOUBLE), 2)
                     ELSE 0.0 END AS amplification,
                CASE WHEN least(left_rows, right_rows) <= {cap}
                          THEN 'broadcast smaller side'

@@ -111,7 +111,12 @@ DRIVER_WINDOW = [
     "meta_schema_conflicts",
     "meta_namespace_rollup",
     "meta_warehouse_rollup",
-    "meta_format_version_histogram",
+    # r8 rotation: iceberg_native_file_health (the r7 flagship — jar-free
+    # native Avro decode under the hash gate) takes
+    # meta_format_version_histogram's slot (P9/format-version family stays
+    # in-window via meta_table_alerts; the histogram remains under the
+    # full-registry gate).
+    "iceberg_native_file_health",
     "meta_freshness_histogram",
     "meta_table_alerts",
     "meta_stalest_tables",

@@ -244,12 +244,17 @@ def write_fixture_table(
             }
         )
 
-    metadata = {
+    def _metadata_at(version: int) -> dict:
+        """Table metadata as of commit ``version`` (snapshot `version` is
+        current; later snapshots absent) — every commit leaves its
+        vN.metadata.json behind, per spec § Metadata Log, exactly like the
+        native writer (iceberg_write.py) does on real commits."""
+        return {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-00000000beef",
         "location": table_dir,
-        "last-sequence-number": n_snapshots,
-        "last-updated-ms": 1713139200000 + n_snapshots * 60_000,
+        "last-sequence-number": version,
+        "last-updated-ms": 1713139200000 + version * 60_000,
         "last-column-id": 5 if evolve_schema else _FIELDS[-1][0],
         "current-schema-id": 1 if evolve_schema else 0,
         "schemas": [
@@ -294,24 +299,29 @@ def write_fixture_table(
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
-        "current-snapshot-id": n_snapshots,
+        "current-snapshot-id": version,
         "refs": {
-            "main": {"snapshot-id": n_snapshots, "type": "branch"},
+            "main": {"snapshot-id": version, "type": "branch"},
             "audit-base": {"snapshot-id": 1, "type": "tag",
                            "max-ref-age-ms": 31536000000},
         },
-        "snapshots": snapshots_json,
+        "snapshots": snapshots_json[:version],
         "snapshot-log": [
             {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
-            for s in snapshots_json
+            for s in snapshots_json[:version]
         ],
-        "metadata-log": [],
+        "metadata-log": [
+            {"metadata-file": f"{meta_dir}/v{k}.metadata.json",
+             "timestamp-ms": 1713139200000 + k * 60_000}
+            for k in range(1, version)
+        ],
     }
-    version = n_snapshots  # one metadata version per commit in this fixture
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(metadata, fh, indent=1)
+
+    for version in range(1, n_snapshots + 1):
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+            json.dump(_metadata_at(version), fh, indent=1)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+        fh.write(str(n_snapshots))
     return table_dir
 
 
@@ -325,10 +335,30 @@ def default_fixture_table() -> str:
     A completion marker (written last) guards against a half-written tree."""
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_v1")
+    # _v2: the r8 fixture writes one vN.metadata.json per commit (metadata
+    # log + version time travel); the new suffix invalidates any _v1 tree
+    # cached by an earlier round.
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_v2")
     marker = os.path.join(base, "_COMPLETE")
     if not os.path.exists(marker):
         table = write_fixture_table(base)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        return table
+    return os.path.join(base, "fixture_table")
+
+
+def default_fixture_table_with_deletes() -> str:
+    """Like :func:`default_fixture_table`, but the final snapshot carries a
+    delete manifest with 6 position-delete files (di = 0..5: record_count
+    10·(di+1), size 4096·(di+1), region = regions[di % 4]) — the fixture
+    behind the registered native row-level-delete audit query."""
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_del_v2")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        table = write_fixture_table(base, delete_files_last_snapshot=6)
         with open(marker, "w") as fh:
             fh.write("ok")
         return table

@@ -786,3 +786,30 @@ def test_native_refs_frame(spark, tmp_path):
     assert native_files_frame(
         spark, table, snapshot_id=refs["audit-base"].snapshot_id
     ).count() == 2
+
+
+def test_native_warehouse_walk_is_one_distributed_job(spark, tmp_path):
+    """r8: the walk must be ONE binaryFile scan with the JSON parse inside
+    the plan (from_json), not a per-table spark.read.text loop — the plan
+    may contain exactly one scan and no Python boundary."""
+    import io
+    import contextlib
+    import re
+    import shutil
+
+    from iceberg_meta_spark.sources.iceberg_fixture import write_fixture_table as wft
+    from iceberg_meta_spark.sources.iceberg_native import native_warehouse_tables
+
+    wh = tmp_path / "warehouse"
+    t = wft(str(tmp_path / "tmp_t"), n_snapshots=1, manifests_per_snapshot=1,
+            files_per_manifest=2)
+    (wh / "ns").mkdir(parents=True, exist_ok=True)
+    shutil.move(t, wh / "ns" / "t1")
+
+    df = native_warehouse_tables(spark, str(wh))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan ", p)) == 1, p
+    assert "InMemoryTableScan" not in p and "Python" not in p, p

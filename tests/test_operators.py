@@ -517,11 +517,16 @@ def test_grouped_ols_matches_closed_form(spark):
     pts += [("h", 4, 1), ("h", 4, 9), ("i", 2, 7)]
     df = spark.createDataFrame(pts, "k string, x long, y long")
     rows = {r.k: r for r in grouped_ols(df, ["k"], "x", "y").collect()}
-    assert (rows["g"].slope, rows["g"].intercept, rows["g"].r2) == (3.0, 10.0, 1.0)
+    assert (rows["g"].slope_fp, rows["g"].intercept_fp, rows["g"].r2) == (
+        3000,
+        10000,
+        1.0,
+    )
     assert rows["g"].n_points == 4
-    assert rows["h"].slope is None and rows["i"].slope is None
+    assert rows["h"].slope_fp is None and rows["i"].slope_fp is None
 
-    # noisy group: verify against the numpy closed form
+    # noisy group: verify against the integer closed form (trunc-toward-zero
+    # fixed-point division, matching Spark div / DuckDB //)
     xs, ys = [1, 2, 3, 4, 5], [2, 1, 4, 3, 7]
     df2 = spark.createDataFrame([("n", a, b) for a, b in zip(xs, ys)], "k string, x long, y long")
     r = grouped_ols(df2, ["k"], "x", "y").collect()[0]
@@ -529,9 +534,27 @@ def test_grouped_ols_matches_closed_form(spark):
     cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
     vx = n * sum(a * a for a in xs) - sum(xs) ** 2
     vy = n * sum(b * b for b in ys) - sum(ys) ** 2
-    assert r.slope == round(cov / vx, 6)
-    assert r.intercept == round((sum(ys) - (cov / vx) * sum(xs)) / n, 6)
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    assert r.slope_fp == trunc_div(cov * 1000, vx)
+    assert r.intercept_fp == trunc_div((sum(ys) * vx - cov * sum(xs)) * 1000, n * vx)
     assert r.r2 == round(cov * cov / (vx * vy), 6)
+
+    # negative-slope group: trunc-toward-zero on a negative numerator is the
+    # cross-engine contract (Spark div == DuckDB //), pin it explicitly
+    xs3, ys3 = [1, 2, 4], [9, 6, 2]
+    df3 = spark.createDataFrame(
+        [("d", a, b) for a, b in zip(xs3, ys3)], "k string, x long, y long"
+    )
+    r3 = grouped_ols(df3, ["k"], "x", "y").collect()[0]
+    n3 = len(xs3)
+    cov3 = n3 * sum(a * b for a, b in zip(xs3, ys3)) - sum(xs3) * sum(ys3)
+    vx3 = n3 * sum(a * a for a in xs3) - sum(xs3) ** 2
+    assert cov3 < 0
+    assert r3.slope_fp == trunc_div(cov3 * 1000, vx3)
 
 
 def test_benford_audit_counts_and_constants(spark, tmp_path):
@@ -569,7 +592,7 @@ def test_benford_audit_counts_and_constants(spark, tmp_path):
     assert out[1].benford_share == 0.30103  # log10(2) literal, rounded
     # chi2 term for digit 1: (2 - 5*0.301029995664)^2 / (5*0.301029995664)
     exp = 5 * 0.301029995664
-    assert out[1].chi2_term == round((2 - exp) ** 2 / exp, 6)
+    assert out[1].chi2_term == round((2 - exp) ** 2 / exp, 2)
 
 
 def test_wilson_lower_bound_ranks_small_cohorts_down(spark, tmp_path):

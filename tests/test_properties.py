@@ -548,7 +548,7 @@ def test_key_skew_profile_matches_bruteforce(spark, counts, hot):
     kct = len(hist)
     mx = max(hist.values())
     assert (r.n_rows, r.n_keys, r.max_cnt) == (n, kct, mx)
-    assert r.max_over_avg == round(mx / (n / kct), 4)
+    assert r.max_over_avg == round(mx / (n / kct), 2)
     assert r.eff_keys == round(n * n / sum(c * c for c in hist.values()), 2)
     assert r.top_share == round(mx / n, 6)
     # the recommendation trigger is exactly the documented integer predicate
