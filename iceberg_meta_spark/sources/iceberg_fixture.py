@@ -67,9 +67,13 @@ def write_fixture_table(
 
     manifest_records: list[dict] = []  # manifest_file rows, cumulative
     snapshots_json: list[dict] = []
+    running_rows = 0   # real cumulative totals: the summary keys feed the
+    running_bytes = 0  # S1/S3 warehouse rollups, so "0" placeholders would
+    # make every natively-read fixture table report zero records/bytes
 
     for s in range(1, n_snapshots + 1):
         added_rows = 0
+        added_bytes = 0
         for m in range(manifests_per_snapshot):
             m_idx = (s - 1) * manifests_per_snapshot + m
             entries = []
@@ -79,6 +83,7 @@ def write_fixture_table(
                 record_count = 100 + (f_idx % 7) * 50
                 file_size = (1 + f_idx % 9) * 8 * 1024 * 1024
                 added_rows += record_count
+                added_bytes += file_size
                 entries.append(
                     {
                         "status": 1,  # ADDED
@@ -225,6 +230,8 @@ def write_fixture_table(
                 )
             )
         total_files = s * manifests_per_snapshot * files_per_manifest
+        running_rows += added_rows
+        running_bytes += added_bytes
         snapshots_json.append(
             {
                 "snapshot-id": s,
@@ -238,8 +245,8 @@ def write_fixture_table(
                     "added-records": str(added_rows),
                     "deleted-records": "0",
                     "total-data-files": str(total_files),
-                    "total-records": "0",
-                    "total-files-size": "0",
+                    "total-records": str(running_rows),
+                    "total-files-size": str(running_bytes),
                 },
             }
         )
@@ -335,10 +342,10 @@ def default_fixture_table() -> str:
     A completion marker (written last) guards against a half-written tree."""
     import tempfile
 
-    # _v2: the r8 fixture writes one vN.metadata.json per commit (metadata
+    # _v3: the r8 fixture writes one vN.metadata.json per commit (metadata
     # log + version time travel); the new suffix invalidates any _v1 tree
     # cached by an earlier round.
-    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_v2")
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_v3")
     marker = os.path.join(base, "_COMPLETE")
     if not os.path.exists(marker):
         table = write_fixture_table(base)
@@ -355,7 +362,7 @@ def default_fixture_table_with_deletes() -> str:
     behind the registered native row-level-delete audit query."""
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_del_v2")
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_del_v3")
     marker = os.path.join(base, "_COMPLETE")
     if not os.path.exists(marker):
         table = write_fixture_table(base, delete_files_last_snapshot=6)

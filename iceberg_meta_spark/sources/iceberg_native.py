@@ -385,8 +385,13 @@ def decode_bound(raw: bytes | None, type_name: str):
         return struct.unpack("<f", raw)[0]
     if t == "double":
         return struct.unpack("<d", raw)[0]
-    if t in ("string", "uuid"):
+    if t == "string":
         return raw.decode("utf-8")
+    if t == "uuid":
+        # spec Appendix D: uuid serializes as 16-byte big-endian, NOT UTF-8
+        import uuid as _uuid
+
+        return str(_uuid.UUID(bytes=raw))
     if t == "boolean":
         return raw[0] != 0
     raise ValueError(f"unsupported bound type {type_name!r}")

@@ -33,15 +33,22 @@ from iceberg_meta_spark.sources.iceberg_schemas import (
 )
 
 
-def _bound_bytes(value) -> bytes:
-    """Single-value serialization for bounds (spec Appendix D)."""
+def _bound_bytes(value, type_name: str | None = None) -> bytes:
+    """Single-value serialization for bounds (spec Appendix D), sized by
+    the column's DECLARED type: 'int'/'date' bounds are 4-byte LE, not
+    8-byte — the native reader's ``decode_bound(raw, 'int')`` unpacks
+    ``<i`` and raises struct.error on an 8-byte buffer, so width must
+    follow the schema, not the Python value's width."""
+    t = (type_name or "").lower()
     if isinstance(value, bool):
         return b"\x01" if value else b"\x00"
     if isinstance(value, int):
-        return struct.pack("<q", value)
+        return struct.pack("<i" if t in ("int", "date") else "<q", value)
     if isinstance(value, float):
-        return struct.pack("<d", value)
+        return struct.pack("<f" if t == "float" else "<d", value)
     if isinstance(value, str):
+        if t == "uuid":
+            return uuid.UUID(value).bytes  # 16-byte big-endian per spec
         return value.encode("utf-8")
     if isinstance(value, bytes):
         return value
@@ -78,16 +85,17 @@ def commit_append(
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("commit_append writes format-version 2 tables only")
 
+    # field-id -> declared type, for type-correct bound widths (Appendix D)
+    schema = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    types = {f["id"]: f["type"] for f in schema["fields"]}
     if partition_fields is None:
         # derive the Avro partition record from the default partition spec:
         # identity transforms only (the shape this writer supports)
         spec = next(
             s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
         )
-        schema = next(
-            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
-        )
-        types = {f["id"]: f["type"] for f in schema["fields"]}
         avro_t = {"string": "string", "long": "long", "int": "int",
                   "double": "double", "boolean": "boolean"}
         partition_fields = [
@@ -111,7 +119,8 @@ def commit_append(
 
     def kv_bytes(d: dict | None):
         return [
-            {"key": int(k), "value": _bound_bytes(v)} for k, v in sorted((d or {}).items())
+            {"key": int(k), "value": _bound_bytes(v, types.get(int(k)))}
+            for k, v in sorted((d or {}).items())
         ] or None
 
     entries = [
@@ -193,10 +202,16 @@ def commit_append(
             )
         )
 
-    prev_total = int(
-        (next((s for s in md.get("snapshots", []) if s["snapshot-id"] == parent), {})
-         .get("summary", {}) or {}).get("total-data-files", 0)
+    # carry EVERY running total forward from the parent summary, not just
+    # total-data-files — native_snapshots_frame / native_warehouse_tables
+    # surface these as real rollups, so a hardwired "0" would make any
+    # natively-committed table report zero records/bytes in S1/S3 views
+    prev_summary = (
+        next((s for s in md.get("snapshots", []) if s["snapshot-id"] == parent), {})
+        .get("summary", {})
+        or {}
     )
+    added_bytes = sum(int(f["file_size_in_bytes"]) for f in files)
     snapshot = {
         "snapshot-id": snap_id,
         **({"parent-snapshot-id": parent} if parent is not None else {}),
@@ -209,9 +224,16 @@ def commit_append(
             "added-records": str(added_rows),
             "deleted-records": "0",
             "added-data-files": str(len(files)),
-            "total-data-files": str(prev_total + len(files)),
-            "total-records": "0",
-            "total-files-size": "0",
+            "added-files-size": str(added_bytes),
+            "total-data-files": str(
+                int(prev_summary.get("total-data-files", 0)) + len(files)
+            ),
+            "total-records": str(
+                int(prev_summary.get("total-records", 0)) + added_rows
+            ),
+            "total-files-size": str(
+                int(prev_summary.get("total-files-size", 0)) + added_bytes
+            ),
         },
     }
     md["snapshots"] = md.get("snapshots", []) + [snapshot]
@@ -280,6 +302,7 @@ def commit_remove_files(
     new_manifests: list[dict] = []
     removed = 0
     removed_rows = 0
+    removed_bytes = 0
     for mi, m in enumerate(prev_manifests):
         m.setdefault("partitions", None)
         mpath = _local_path(m["manifest_path"])
@@ -301,6 +324,7 @@ def commit_remove_files(
                 e["status"] = 2  # DELETED
                 deleted += 1
                 deleted_rows += int(e["data_file"]["record_count"])
+                removed_bytes += int(e["data_file"]["file_size_in_bytes"])
             else:
                 e["status"] = 0  # EXISTING, provenance preserved
                 kept += 1
@@ -332,7 +356,7 @@ def commit_remove_files(
     with open(mlist_path, "wb") as fh:
         fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
                                  metadata={"format-version": b"2"}))
-    prev_total = int((prev.get("summary", {}) or {}).get("total-data-files", 0))
+    prev_summary = (prev.get("summary", {}) or {})
     snapshot = {
         "snapshot-id": snap_id,
         "parent-snapshot-id": parent,
@@ -345,9 +369,16 @@ def commit_remove_files(
             "added-records": "0",
             "deleted-records": str(removed_rows),
             "deleted-data-files": str(removed),
-            "total-data-files": str(max(prev_total - removed, 0)),
-            "total-records": "0",
-            "total-files-size": "0",
+            "removed-files-size": str(removed_bytes),
+            "total-data-files": str(
+                max(int(prev_summary.get("total-data-files", 0)) - removed, 0)
+            ),
+            "total-records": str(
+                max(int(prev_summary.get("total-records", 0)) - removed_rows, 0)
+            ),
+            "total-files-size": str(
+                max(int(prev_summary.get("total-files-size", 0)) - removed_bytes, 0)
+            ),
         },
     }
     md["snapshots"].append(snapshot)
@@ -487,7 +518,12 @@ def commit_delete_files(
         fh.write(write_container(MANIFEST_FILE_SCHEMA,
                                  prev_manifests + [new_manifest],
                                  metadata={"format-version": b"2"}))
-    prev_total = int((prev.get("summary", {}) or {}).get("total-data-files", 0))
+    # row-level deletes leave the DATA files untouched: total-data-files /
+    # total-records / total-files-size carry over verbatim from the parent
+    # (the logical deletion is tracked by deleted-records and the
+    # total-delete-files counter), so warehouse rollups keep reporting the
+    # table's real size instead of a hardwired 0
+    prev_summary = (prev.get("summary", {}) or {})
     snapshot = {
         "snapshot-id": snap_id,
         "parent-snapshot-id": parent,
@@ -500,14 +536,24 @@ def commit_delete_files(
             "added-records": "0",
             "deleted-records": str(sum(int(f["record_count"]) for f in delete_files)),
             "added-delete-files": str(len(entries)),
-            "total-data-files": str(prev_total),
-            "total-records": "0",
-            "total-files-size": "0",
+            "total-delete-files": str(
+                int(prev_summary.get("total-delete-files", 0)) + len(entries)
+            ),
+            "total-data-files": prev_summary.get("total-data-files", "0"),
+            "total-records": prev_summary.get("total-records", "0"),
+            "total-files-size": prev_summary.get("total-files-size", "0"),
         },
     }
     md["snapshots"].append(snapshot)
     md["snapshot-log"] = md.get("snapshot-log", []) + [
         {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    # metadata-log entry, same as commit_append/commit_remove_files — every
+    # commit must leave the predecessor version discoverable (spec
+    # § Metadata Log); omitting it left a gap after row-level deletes
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
     ]
     md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq

@@ -813,3 +813,114 @@ def test_native_warehouse_walk_is_one_distributed_job(spark, tmp_path):
     p = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Scan ", p)) == 1, p
     assert "InMemoryTableScan" not in p and "Python" not in p, p
+
+
+def test_bound_bytes_widths_follow_declared_type():
+    """Spec Appendix D: bound byte width follows the column's DECLARED type
+    — 'int'/'date' are 4-byte LE, 'float' 4-byte, 'uuid' 16-byte BE — so
+    the writer's output always round-trips through decode_bound."""
+    import uuid as _uuid
+
+    from iceberg_meta_spark.sources.iceberg_write import _bound_bytes
+
+    assert _bound_bytes(-7, "int") == struct.pack("<i", -7)
+    assert _bound_bytes(19000, "date") == struct.pack("<i", 19000)
+    assert _bound_bytes(1 << 40, "long") == struct.pack("<q", 1 << 40)
+    assert _bound_bytes(7) == struct.pack("<q", 7)  # untyped default: long
+    assert _bound_bytes(2.5, "float") == struct.pack("<f", 2.5)
+    assert _bound_bytes(2.5, "double") == struct.pack("<d", 2.5)
+    u = "12345678-1234-5678-1234-567812345678"
+    assert _bound_bytes(u, "uuid") == _uuid.UUID(u).bytes
+    assert decode_bound(_bound_bytes(u, "uuid"), "uuid") == u
+    assert decode_bound(_bound_bytes(-7, "int"), "int") == -7
+    assert decode_bound(_bound_bytes(2.5, "float"), "float") == 2.5
+
+
+def test_commit_append_int_bounds_readable_by_native_reader(spark, tmp_path):
+    """The ADVICE r7 failure scenario: commit_append onto a table with an
+    'int' column must write 4-byte bounds the native typed-stats reader can
+    decode (it unpacks <i and raised struct.error on 8-byte buffers)."""
+    import json as _json
+    import os
+
+    from iceberg_meta_spark.sources.iceberg_native import native_column_stats_typed
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    # declare field 4 as 'int' (the fixture declares it 'string' and writes
+    # no bounds for it, so no pre-existing 8-byte buffers conflict)
+    mp = os.path.join(table, "metadata", "v1.metadata.json")
+    with open(mp) as fh:
+        md = _json.load(fh)
+    for f in md["schemas"][0]["fields"]:
+        if f["id"] == 4:
+            f["type"] = "int"
+    with open(mp, "w") as fh:
+        _json.dump(md, fh)
+
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/i0.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 5, "file_size_in_bytes": 512,
+        "value_counts": {4: 5}, "null_value_counts": {4: 0},
+        "column_sizes": {4: 64},
+        "lower_bounds": {4: -42}, "upper_bounds": {4: 99},
+    }], timestamp_ms=1713139261000)
+
+    typed = native_column_stats_typed(spark, table)
+    row = typed.where(
+        F.col("file_path").endswith("i0.parquet") & (F.col("field_id") == 4)
+    ).collect()[0]
+    assert (row.lower_bound, row.upper_bound) == (-42, 99)
+
+
+def test_commit_chain_carries_running_totals_and_metadata_log(spark, tmp_path):
+    """ADVICE r7: the three commit paths must carry total-records /
+    total-files-size forward (S1/S3 rollups surface them), and EVERY commit
+    — including row-level deletes — must append a metadata-log entry."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        commit_delete_files,
+        commit_remove_files,
+    )
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=4)
+    # fixture closed form: rc = 100+(i%7)*50 -> 100..250 sum 700;
+    # sizes (1+i%9)*8MiB -> (1+2+3+4)*8MiB
+    base_rows, base_bytes = 700, (1 + 2 + 3 + 4) * 8 * 1024 * 1024
+
+    def totals():
+        r = (native_snapshots_frame(spark, table)
+             .orderBy(F.desc("snapshot_id")).limit(1).collect()[0])
+        return r.total_records, r.total_files_size, r.total_data_files
+
+    assert totals() == (base_rows, base_bytes, 4)
+
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/a.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 5, "file_size_in_bytes": 1000,
+    }], timestamp_ms=1713139261000)
+    assert totals() == (base_rows + 5, base_bytes + 1000, 5)
+
+    commit_remove_files(table, {f"{table}/data/emea/a.parquet"},
+                        timestamp_ms=1713139262000)
+    assert totals() == (base_rows, base_bytes, 4)
+
+    commit_delete_files(table, [{
+        "file_path": f"{table}/data/deletes/d0.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 2, "file_size_in_bytes": 128,
+    }], timestamp_ms=1713139263000)
+    # row-level delete: data-file totals carried verbatim, delete tracked
+    assert totals() == (base_rows, base_bytes, 4)
+
+    md = load_table_metadata(spark, table)
+    assert md["snapshots"][-1]["summary"]["total-delete-files"] == "1"
+    # one metadata-log entry per commit: v1->v2 (append), v2->v3 (remove),
+    # v3->v4 (row-level delete; previously missing)
+    log = [e["metadata-file"] for e in md["metadata-log"]]
+    assert [p.rsplit("/", 1)[-1] for p in log] == [
+        "v1.metadata.json", "v2.metadata.json", "v3.metadata.json"]

@@ -189,6 +189,20 @@ def main() -> int:
                 }
                 failed += not ok
                 continue
+            if twin is not None:
+                # a twin-declared query MUST have a comparator gate — falling
+                # through to rows-only would ship a sketch ungated, which the
+                # in-file contract forbids; fail loudly instead
+                err = f"tolerance_twin={twin!r} declared but no SKETCH_GATES entry"
+                print(f"[FAIL] {name}: {err}", flush=True)
+                report[name] = {
+                    "match": False,
+                    "spark_rows": len(sdf),
+                    "oracle_rows": None,
+                    "err": err,
+                }
+                failed += 1
+                continue
             print(f"[ROWS] {name}: {len(sdf)} rows (no oracle; rows-only)", flush=True)
             report[name] = {"match": None, "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle"}
             continue
