@@ -1111,3 +1111,34 @@ def iceberg_native_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_key")
     )
+
+
+@register(
+    "iceberg_native_orphan_scan",
+    oracle="""
+        SELECT file_name, file_size FROM (VALUES
+            ('orphan-000.bin', CAST(100 AS BIGINT)),
+            ('orphan-001.bin', CAST(200 AS BIGINT)),
+            ('stray-manifest.avro', CAST(300 AS BIGINT))
+        ) AS t(file_name, file_size)
+        ORDER BY file_name
+    """,
+    doc="Orphan-file detection EXECUTED on a native Iceberg tree with three "
+    "planted unreferenced files (sources/iceberg_maintenance.py:"
+    "orphan_files_frame): one recursive listing scan anti-joined against "
+    "every path any retained metadata version reaches — metadata JSONs, "
+    "manifest lists, manifests, and the unbounded data-file level via the "
+    "distributed Avro decode. The remove_orphan_files action's detection "
+    "half, hash-gated against the planted closed form",
+)
+def iceberg_native_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_fixture_table_with_orphans,
+    )
+    from iceberg_meta_spark.sources.iceberg_maintenance import orphan_files_frame
+
+    orphans = orphan_files_frame(spark, default_fixture_table_with_orphans())
+    return orphans.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
+        "file_size",
+    ).orderBy("file_name")

@@ -370,3 +370,30 @@ def default_fixture_table_with_deletes() -> str:
             fh.write("ok")
         return table
     return os.path.join(base, "fixture_table")
+
+
+def default_fixture_table_with_orphans() -> str:
+    """Like :func:`default_fixture_table`, plus three PLANTED orphan files
+    no metadata version references — deterministic names/sizes so the
+    registered orphan-scan query has a closed-form oracle:
+    data/americas/orphan-000.bin (100 B), data/emea/orphan-001.bin (200 B),
+    metadata/stray-manifest.avro (300 B)."""
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_orph_v3")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        table = write_fixture_table(base)
+        for rel, size in (
+            ("data/americas/orphan-000.bin", 100),
+            ("data/emea/orphan-001.bin", 200),
+            ("metadata/stray-manifest.avro", 300),
+        ):
+            path = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as fh:
+                fh.write(b"\x00" * size)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        return table
+    return os.path.join(base, "fixture_table")

@@ -1,0 +1,385 @@
+"""Maintenance EXECUTION on the native Iceberg path (jar-free, from the
+public spec) — the action side of the planning queries.
+
+The repo already PLANS maintenance (``meta_compaction_plan``,
+``meta_snapshot_expiry``, ``meta_orphan_files``, ``meta_manifest_rewrite``
+— reference parity: the reference only reports). This module EXECUTES the
+three table-maintenance actions every Iceberg deployment runs, against the
+same HadoopTables-protocol filesystem tables the native writer commits to
+(``iceberg_write.py``: new vN+1.metadata.json + atomic version-hint swap):
+
+- :func:`expire_snapshots` — drop expired snapshots from table metadata
+  (spec § Table Metadata: snapshots/snapshot-log) while keeping everything
+  a ref (branch/tag) pins, and report the manifest-list/manifest files no
+  retained snapshot references (the deletion list).
+- :func:`orphan_files_frame` — DISTRIBUTED orphan detection: one recursive
+  listing scan of the table location anti-joined against every path any
+  retained metadata version can reach. The data-file level (unbounded)
+  rides the same distributed manifest decode as the reader; only
+  planning-index levels (metadata JSONs, manifest lists) touch the driver.
+- :func:`rewrite_manifests` — execute the bin-pack plan
+  (operators/maintenance.py:manifest_rewrite_plan's 8 MiB first-fit
+  shape): merge small data manifests into grouped manifests and publish a
+  ``replace`` snapshot whose manifest list carries the merged manifests
+  plus the untouched ones. Entry provenance is preserved (spec
+  § Manifests: rewritten entries become EXISTING with their original
+  snapshot/sequence numbers).
+
+Scope matches the writer's, stated plainly: local-filesystem table dirs
+(the HadoopTables protocol); catalog-pointer CAS paths stay jar-gated in
+``sources/iceberg.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.sources.avro_py import read_container, write_container
+from iceberg_meta_spark.sources.iceberg_schemas import MANIFEST_FILE_SCHEMA
+from iceberg_meta_spark.sources.iceberg_write import _local_path
+
+
+def _load_md(table_dir: str) -> tuple[dict, int, str]:
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        return json.load(fh), version, meta_dir
+
+
+def _publish(md: dict, version: int, meta_dir: str, ts: int) -> dict:
+    """Write vN+1 + metadata-log entry, then atomically swap the hint."""
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {
+            "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+            "timestamp-ms": int(md["last-updated-ms"]),
+        }
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    return md
+
+
+def _manifest_paths(snapshot: dict) -> list[str]:
+    with open(_local_path(snapshot["manifest-list"]), "rb") as fh:
+        _, _, records = read_container(fh.read())
+    return [r["manifest_path"] for r in records]
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Expire snapshots per Iceberg's ``expire_snapshots`` semantics and
+    publish the shrunken metadata as a new version.
+
+    Retained: the current snapshot, every snapshot a ref (branch/tag) pins,
+    the ``keep_last`` newest by timestamp (if given), and every snapshot at
+    or after ``older_than_ms`` (if given). Returns a dict with
+    ``expired_snapshot_ids`` and ``removable_files`` — the manifest lists
+    and manifests referenced ONLY by expired snapshots (the caller may
+    delete them; the metadata commit itself never deletes data). A no-op
+    (nothing expired) publishes nothing and returns empty lists.
+
+    Snapshot COUNT is planning-index scale (the log every engine replays
+    at commit time), so the retain/expire set computation is bounded
+    driver work; file IO here is manifest LISTS only (KBs per snapshot).
+    """
+    table_dir = _local_path(table_dir.rstrip("/"))
+    md, version, meta_dir = _load_md(table_dir)
+    snaps = md.get("snapshots", [])
+    if not snaps:
+        return {"expired_snapshot_ids": [], "removable_files": []}
+
+    keep: set[int] = set()
+    cur = md.get("current-snapshot-id")
+    if cur is not None:
+        keep.add(int(cur))
+    for ref in (md.get("refs") or {}).values():
+        keep.add(int(ref["snapshot-id"]))
+    if keep_last is not None:
+        newest = sorted(snaps, key=lambda s: int(s["timestamp-ms"]), reverse=True)
+        keep.update(int(s["snapshot-id"]) for s in newest[: int(keep_last)])
+    if older_than_ms is not None:
+        keep.update(
+            int(s["snapshot-id"])
+            for s in snaps
+            if int(s["timestamp-ms"]) >= int(older_than_ms)
+        )
+    expired = [s for s in snaps if int(s["snapshot-id"]) not in keep]
+    if not expired:
+        return {"expired_snapshot_ids": [], "removable_files": []}
+
+    retained = [s for s in snaps if int(s["snapshot-id"]) in keep]
+    # files referenced only by expired snapshots become removable
+    kept_files: set[str] = set()
+    for s in retained:
+        kept_files.add(s["manifest-list"])
+        kept_files.update(_manifest_paths(s))
+    removable: list[str] = []
+    for s in expired:
+        if s["manifest-list"] not in kept_files:
+            removable.append(s["manifest-list"])
+        removable.extend(
+            p for p in _manifest_paths(s) if p not in kept_files
+        )
+
+    expired_ids = {int(s["snapshot-id"]) for s in expired}
+    md["snapshots"] = retained
+    md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", [])
+        if int(e["snapshot-id"]) not in expired_ids
+    ]
+    ts = (
+        int(timestamp_ms)
+        if timestamp_ms is not None
+        else int(md["last-updated-ms"]) + 1
+    )
+    _publish(md, version, meta_dir, ts)
+    return {
+        "expired_snapshot_ids": sorted(expired_ids),
+        "removable_files": sorted(set(removable)),
+    }
+
+
+def _norm(col):
+    """file:///x, file:/x and /x all normalize to /x for the anti-join."""
+    return F.regexp_replace(col, r"^file:/*", "/")
+
+
+def referenced_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Every path ANY retained metadata version can reach, as one column
+    ``path`` — metadata JSONs + hint (driver list, O(versions)), manifest
+    lists (O(snapshots)), manifests (O(manifests), from the planning
+    index), and the UNBOUNDED data/delete-file level via one distributed
+    binaryFile + Arrow decode over the UNIQUE manifest set (deleted
+    entries included: status=2 files stay on disk until expiry)."""
+    from iceberg_meta_spark.sources.iceberg_native import (
+        _entries_map_fn,
+        _ENTRY_COLS,
+    )
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    md, version, meta_dir = _load_md(table_dir)
+
+    driver_paths: set[str] = {
+        os.path.join(meta_dir, "version-hint.text"),
+        os.path.join(meta_dir, f"v{version}.metadata.json"),
+    }
+    for e in md.get("metadata-log", []):
+        driver_paths.add(e["metadata-file"])
+    manifest_paths: set[str] = set()
+    for s in md.get("snapshots", []):
+        driver_paths.add(s["manifest-list"])
+        manifest_paths.update(_manifest_paths(s))
+    driver_paths.update(manifest_paths)
+
+    small = spark.createDataFrame([(p,) for p in sorted(driver_paths)], "path string")
+    if not manifest_paths:
+        return small.select(_norm("path").alias("path"))
+    data_files = (
+        spark.read.format("binaryFile")
+        .load(sorted(manifest_paths))
+        .select("path", "content")
+        .mapInPandas(_entries_map_fn, _ENTRY_COLS)
+        .select(F.col("file_path").alias("path"))
+    )
+    return small.unionByName(data_files).select(_norm("path").alias("path")).distinct()
+
+
+def orphan_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Iceberg's ``remove_orphan_files`` detection, Spark-first: ONE
+    recursive listing scan of the table location LEFT ANTI JOINed against
+    :func:`referenced_files_frame` — rows are files on disk no retained
+    metadata version references (safe to delete after the usual
+    grace-period check, which the CALLER applies: this frame carries
+    modificationTime for exactly that). At 100 TB both sides are
+    distributed scans; the join key is the normalized path."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(table_dir)
+        .select(
+            _norm("path").alias("path"),
+            F.col("length").alias("file_size"),
+            (F.col("modificationTime").cast("long") * 1000).alias("modified_ms"),
+        )
+        # the hint tmp file is commit-protocol scratch, never an orphan
+        .where(~F.col("path").endswith(".version-hint.text.tmp"))
+    )
+    referenced = referenced_files_frame(spark, table_dir)
+    return listing.join(F.broadcast(referenced), "path", "left_anti")
+
+
+def rewrite_manifests(
+    table_dir: str,
+    small_threshold: int = 1 << 20,
+    target_bytes: int = 8 << 20,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Execute Iceberg's ``rewrite_manifests``: first-fit bin-pack every
+    small (< ``small_threshold``) DATA manifest of the current snapshot
+    into ~``target_bytes`` groups, write one merged manifest per group,
+    and publish a ``replace`` snapshot whose manifest list carries the
+    merged manifests plus every untouched one (delete manifests and
+    already-large manifests ride along verbatim).
+
+    Spec § Manifests: rewritten entries keep their original snapshot_id /
+    sequence numbers and become EXISTING (status 0); ADDED/EXISTING both
+    map to EXISTING, DELETED entries do not carry forward. Totals are
+    unchanged (a rewrite moves no data), so the summary carries the parent
+    totals verbatim. Returns {"groups": n, "rewritten": n_manifests,
+    "snapshot_id": new} — {"groups": 0, ...} means nothing to do and no
+    commit was published.
+
+    Group COUNT is bounded (each holds ≥2 manifests of ≤ target size), and
+    each group's working set is ≤ ``target_bytes`` — the per-group merge is
+    bounded work; a deployment with 10⁶ small manifests gets ~10³ groups
+    sequentially here or sharded upstream by the caller.
+    """
+    table_dir = _local_path(table_dir.rstrip("/"))
+    md, version, meta_dir = _load_md(table_dir)
+    parent_id = md.get("current-snapshot-id")
+    if parent_id is None:
+        raise ValueError("table has no current snapshot")
+    parent = next(s for s in md["snapshots"] if s["snapshot-id"] == parent_id)
+    with open(_local_path(parent["manifest-list"]), "rb") as fh:
+        _, _, manifests = read_container(fh.read())
+    for m in manifests:
+        m.setdefault("partitions", None)
+
+    def key(m):  # first-fit order mirrors manifest_rewrite_plan's
+        return (m["manifest_path"], int(m["manifest_length"]))
+
+    small = sorted(
+        (
+            m
+            for m in manifests
+            if int(m.get("content", 0)) == 0
+            and int(m["manifest_length"]) < small_threshold
+        ),
+        key=key,
+    )
+    # first-fit into groups; singleton groups are not worth rewriting
+    groups: list[list[dict]] = []
+    cur_group: list[dict] = []
+    cur_bytes = 0
+    for m in small:
+        if cur_group and cur_bytes + int(m["manifest_length"]) > target_bytes:
+            groups.append(cur_group)
+            cur_group, cur_bytes = [], 0
+        cur_group.append(m)
+        cur_bytes += int(m["manifest_length"])
+    if cur_group:
+        groups.append(cur_group)
+    groups = [g for g in groups if len(g) > 1]
+    if not groups:
+        return {"groups": 0, "rewritten": 0, "snapshot_id": None}
+
+    rewritten_paths = {m["manifest_path"] for g in groups for m in g}
+    snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = (
+        int(timestamp_ms)
+        if timestamp_ms is not None
+        else int(md["last-updated-ms"]) + 1
+    )
+    commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/rewrite/{snap_id}")
+
+    new_manifests = [m for m in manifests if m["manifest_path"] not in rewritten_paths]
+    n_rewritten = 0
+    for gi, group in enumerate(groups):
+        merged: list[dict] = []
+        entry_schema = None
+        mmeta: dict = {}
+        existing_rows = 0
+        min_seq = None
+        for m in group:
+            with open(_local_path(m["manifest_path"]), "rb") as fh:
+                schema, meta, entries = read_container(fh.read())
+            entry_schema = entry_schema or schema
+            mmeta = mmeta or dict(meta)
+            for e in entries:
+                if int(e.get("status", 0)) == 2:
+                    continue  # deleted entries do not carry forward
+                e = dict(e)
+                e["status"] = 0  # EXISTING, provenance preserved
+                merged.append(e)
+                existing_rows += int(e["data_file"]["record_count"])
+            ms = m.get("min_sequence_number")
+            if ms is not None:
+                min_seq = ms if min_seq is None else min(min_seq, ms)
+        n_rewritten += len(group)
+        gpath = os.path.join(meta_dir, f"{commit_uuid}-rw{gi}.avro")
+        blob = write_container(entry_schema, merged, metadata=mmeta)
+        with open(gpath, "wb") as fh:
+            fh.write(blob)
+        new_manifests.append(
+            {
+                "manifest_path": gpath,
+                "manifest_length": len(blob),
+                "partition_spec_id": int(group[0].get("partition_spec_id", 0)),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq if min_seq is not None else seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": len(merged),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": existing_rows,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(
+            write_container(
+                MANIFEST_FILE_SCHEMA, new_manifests, metadata={"format-version": b"2"}
+            )
+        )
+    prev_summary = parent.get("summary", {}) or {}
+    md["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": parent_id,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": mlist_path,
+            "schema-id": md["current-schema-id"],
+            "summary": {
+                "operation": "replace",
+                "added-records": "0",
+                "deleted-records": "0",
+                "manifests-replaced": str(n_rewritten),
+                "manifests-created": str(len(groups)),
+                "total-data-files": prev_summary.get("total-data-files", "0"),
+                "total-records": prev_summary.get("total-records", "0"),
+                "total-files-size": prev_summary.get("total-files-size", "0"),
+            },
+        }
+    )
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id
+    _publish(md, version, meta_dir, ts)
+    return {"groups": len(groups), "rewritten": n_rewritten, "snapshot_id": snap_id}

@@ -249,6 +249,8 @@ def commit_append(
     md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = ts
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
 
     new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
     with open(new_meta, "w") as fh:
@@ -392,6 +394,8 @@ def commit_remove_files(
     md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = ts
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
     new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
     with open(new_meta, "w") as fh:
         json.dump(md, fh, indent=1)
@@ -558,6 +562,8 @@ def commit_delete_files(
     md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = ts
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
     with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
         json.dump(md, fh, indent=1)
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")

@@ -1,0 +1,174 @@
+"""Maintenance EXECUTION on the native Iceberg path (r8):
+expire_snapshots / orphan_files_frame / rewrite_manifests against real
+spec-conformant metadata trees, verified through the native reader."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.sources.iceberg_fixture import write_fixture_table
+from iceberg_meta_spark.sources.iceberg_maintenance import (
+    expire_snapshots,
+    orphan_files_frame,
+    referenced_files_frame,
+    rewrite_manifests,
+)
+from iceberg_meta_spark.sources.iceberg_native import (
+    load_table_metadata,
+    native_files_frame,
+    native_manifests_frame,
+    native_snapshots_frame,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def test_expire_snapshots_keeps_current_and_ref_pinned(spark, tmp_path):
+    """keep_last=2 on a 4-snapshot table: current + newest retained, the
+    'audit-base' TAG pins snapshot 1 (refs always win), so only snapshot 2
+    expires; its manifest list is removable but its manifests are NOT
+    (snapshot 3's cumulative list still references them)."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=3,
+                                manifests_per_snapshot=2, files_per_manifest=5)
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/x.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 1, "file_size_in_bytes": 10,
+    }], timestamp_ms=1713139260000 + 240_000)
+
+    md_before = load_table_metadata(spark, table)
+    mlist_snap2 = next(
+        s["manifest-list"] for s in md_before["snapshots"] if s["snapshot-id"] == 2
+    )
+
+    out = expire_snapshots(table, keep_last=2, timestamp_ms=1713139260000 + 300_000)
+    assert out["expired_snapshot_ids"] == [2]
+    assert out["removable_files"] == [mlist_snap2]
+
+    md = load_table_metadata(spark, table)
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [1, 3, 4]
+    assert [e["snapshot-id"] for e in md["snapshot-log"]] == [1, 3, 4]
+    assert md["current-snapshot-id"] == 4
+    # the shrunken log still drives the reader end to end
+    snaps = native_snapshots_frame(spark, table)
+    assert {r.snapshot_id for r in snaps.collect()} == {1, 3, 4}
+    assert native_files_frame(spark, table).count() == 31
+    # time travel to a RETAINED old snapshot still works
+    assert native_files_frame(spark, table, snapshot_id=1).count() == 10
+
+
+def test_expire_snapshots_noop_publishes_nothing(spark, tmp_path):
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    out = expire_snapshots(table, keep_last=5)
+    assert out == {"expired_snapshot_ids": [], "removable_files": []}
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "2"  # no new version
+
+
+def test_rewrite_manifests_binpacks_and_preserves_results(spark, tmp_path):
+    """Six small data manifests merge into ONE group manifest; the replace
+    snapshot serves the identical file set (count, rows, bytes) and the
+    entries keep EXISTING status with original provenance."""
+    table = write_fixture_table(str(tmp_path), n_snapshots=3,
+                                manifests_per_snapshot=2, files_per_manifest=25)
+    before = native_files_frame(spark, table)
+    b_agg = before.agg(
+        F.count(F.lit(1)), F.sum("record_count"), F.sum("file_size_in_bytes")
+    ).collect()[0]
+
+    out = rewrite_manifests(table, timestamp_ms=1713139260000 + 600_000)
+    assert out["groups"] == 1 and out["rewritten"] == 6
+    assert out["snapshot_id"] == 4
+
+    md = load_table_metadata(spark, table)
+    assert md["current-snapshot-id"] == 4
+    new_snap = md["snapshots"][-1]
+    assert new_snap["summary"]["operation"] == "replace"
+    # totals carried verbatim: a rewrite moves no data
+    assert new_snap["summary"]["total-data-files"] == "150"
+
+    mans = native_manifests_frame(spark, table).collect()
+    assert len(mans) == 1 and mans[0].added_snapshot_id == 4
+
+    after = native_files_frame(spark, table)
+    a_agg = after.agg(
+        F.count(F.lit(1)), F.sum("record_count"), F.sum("file_size_in_bytes")
+    ).collect()[0]
+    assert tuple(a_agg) == tuple(b_agg)
+    assert {r.file_path for r in after.collect()} == {
+        r.file_path for r in before.collect()
+    }
+    # provenance: snapshot_id on entries is the ORIGINAL committing snapshot
+    from iceberg_meta_spark.sources.iceberg_native import native_entries_frame
+
+    entries = native_entries_frame(spark, table)
+    assert entries.where(F.col("status") != 0).count() == 0  # all EXISTING
+    assert {r.snapshot_id for r in entries.select("snapshot_id").distinct().collect()} == {1, 2, 3}
+    # time travel: the pre-rewrite snapshot still serves the old layout
+    assert native_manifests_frame(spark, table, snapshot_id=3).count() == 6
+
+
+def test_rewrite_manifests_noop_when_nothing_small(spark, tmp_path):
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    out = rewrite_manifests(table, small_threshold=1)  # nothing qualifies
+    assert out == {"groups": 0, "rewritten": 0, "snapshot_id": None}
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "1"
+
+
+def test_orphan_files_frame_flags_only_unreferenced(spark, tmp_path):
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    # a clean tree has zero orphans (every metadata/manifest file reachable)
+    assert orphan_files_frame(spark, table).count() == 0
+    # plant two strays
+    os.makedirs(os.path.join(table, "data", "apac"), exist_ok=True)
+    with open(os.path.join(table, "data", "apac", "stray.parquet"), "wb") as fh:
+        fh.write(b"\x00" * 64)
+    with open(os.path.join(table, "metadata", "stray.avro"), "wb") as fh:
+        fh.write(b"\x00" * 32)
+    orphans = orphan_files_frame(spark, table)
+    names = {r.path.rsplit("/", 1)[-1]: r.file_size for r in orphans.collect()}
+    assert names == {"stray.parquet": 64, "stray.avro": 32}
+
+
+def test_expire_then_orphan_scan_flags_dropped_manifest_list(spark, tmp_path):
+    """The full maintenance loop: expire -> the dropped snapshot's manifest
+    list is no longer referenced -> the orphan scan flags exactly it (plus
+    nothing else), matching expire's own removable_files report."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=3,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/y.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 1, "file_size_in_bytes": 10,
+    }], timestamp_ms=1713139260000 + 240_000)
+    out = expire_snapshots(table, keep_last=2, timestamp_ms=1713139260000 + 300_000)
+    assert out["expired_snapshot_ids"] == [2]
+
+    orphans = {r.path for r in orphan_files_frame(spark, table).collect()}
+    removable = {p.replace("file:", "") for p in out["removable_files"]}
+    assert orphans == removable
+
+
+def test_referenced_files_include_deleted_entries_until_expiry(spark, tmp_path):
+    """status=2 (DELETED) entries still reference on-disk files: the orphan
+    scan must NOT flag a just-removed file's path (it only becomes
+    removable once the snapshots referencing it expire)."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_remove_files
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    victim = native_files_frame(spark, table).limit(1).collect()[0].file_path
+    commit_remove_files(table, {victim}, timestamp_ms=1713139260000 + 120_000)
+    refs = {r.path for r in referenced_files_frame(spark, table).collect()}
+    assert victim.replace("file:", "") in refs
