@@ -1142,3 +1142,70 @@ def iceberg_native_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
         "file_size",
     ).orderBy("file_name")
+
+
+def _mor_table_path() -> str:
+    """The MoR fixture's deterministic location (computable WITHOUT building
+    it — oracle SQL strings are assembled at import time)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_mor_v1", "mor_table"
+    )
+
+
+import os  # noqa: E402
+
+_MOR = _mor_table_path()
+
+_MOR_SCAN_SQL = f"""
+        WITH d AS (SELECT id, region, val, filename AS f, file_row_number AS pos
+                   FROM read_parquet(['{_MOR}/data/batch1/*.parquet',
+                                      '{_MOR}/data/batch2/*.parquet'],
+                                     filename=true, file_row_number=true)),
+        pd AS (SELECT file_path, pos FROM read_parquet('{_MOR}/data/deletes_pos/*.parquet')),
+        ed AS (SELECT id FROM read_parquet('{_MOR}/data/deletes_eq/*.parquet'))
+        SELECT d.id, d.region, d.val FROM d
+        WHERE NOT EXISTS (SELECT 1 FROM pd WHERE pd.file_path = d.f AND pd.pos = d.pos)
+          AND d.id NOT IN (SELECT id FROM ed)
+"""
+
+
+@register(
+    "iceberg_native_mor_scan",
+    oracle=_MOR_SCAN_SQL + "        ORDER BY id",
+    doc="Merge-on-read DATA scan of a real native Iceberg table "
+    "(sources/iceberg_scan.py): plan files from the metadata tree, read "
+    "the actual parquet, apply POSITION deletes via the "
+    "_metadata.file_path/row_index hidden columns (anti-join, data_seq <= "
+    "delete_seq) and EQUALITY deletes on the declared equality_ids columns "
+    "(anti-join, data_seq < delete_seq) — the v2 row-level-delete read "
+    "path engines implement. The oracle reads the SAME parquet with "
+    "DuckDB's file_row_number and applies the same deletes in SQL, so the "
+    "whole plan->read->merge chain is value-hash-gated",
+)
+def iceberg_native_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_mor_table
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return scan_table(spark, default_mor_table(spark)).orderBy("id")
+
+
+@register(
+    "iceberg_native_pruned_scan",
+    oracle=_MOR_SCAN_SQL + "          AND d.id BETWEEN 12 AND 18\n        ORDER BY id",
+    doc="Zone-map file pruning UNDER the merge-on-read scan: the (id, 12, "
+    "18) interval against each file's Appendix-D-decoded min/max bounds "
+    "skips batch1 (id in [0,9]) entirely — half the files never open — "
+    "while the result must equal the oracle's full-scan filter exactly "
+    "(pruning is an IO optimization, never a semantics change; the live "
+    "test additionally pins files_pruned=1). The Iceberg scan-planning "
+    "story: predicate -> bounds -> skip, at file granularity",
+)
+def iceberg_native_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_mor_table
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return scan_table(
+        spark, default_mor_table(spark), predicate=("id", 12, 18)
+    ).orderBy("id")

@@ -397,3 +397,88 @@ def default_fixture_table_with_orphans() -> str:
             fh.write("ok")
         return table
     return os.path.join(base, "fixture_table")
+
+
+def default_mor_table(spark) -> str:
+    """A REAL merge-on-read table: actual parquet data files + a native
+    metadata tree committed over them, with both v2 delete shapes.
+
+    4 commits: (1) append batch1 = ids 0..9 (val = 10·id, region by id%3),
+    (2) append batch2 = ids 10..19, (3) position deletes (batch1 pos 0 and
+    3 → ids 0, 3; batch2 pos 5 → id 15), (4) equality deletes on id ∈
+    {7, 12}. A full MoR scan therefore yields ids 0..19 minus
+    {0, 3, 15, 7, 12} — 15 rows, closed-form for the oracle (which reads
+    the SAME parquet with file_row_number and applies the same deletes in
+    SQL). Data file bounds are committed per Appendix D, so the zone-map
+    pruning path has real intervals (batch1 id∈[0,9], batch2 id∈[10,19])."""
+    import glob
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        commit_delete_files,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_mor_v1")
+    table = os.path.join(base, "mor_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+
+    regions = ("americas", "emea", "apac")
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "region", "string"), (3, "val", "long")],
+    )
+
+    def write_batch(name: str, ids: range) -> str:
+        rows = [(i, regions[i % 3], i * 10) for i in ids]
+        (spark.createDataFrame(rows, "id long, region string, val long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(table, "data", name)))
+        [path] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+        return path
+
+    p1 = write_batch("batch1", range(0, 10))
+    commit_append(table, [{
+        "file_path": p1, "record_count": 10,
+        "file_size_in_bytes": os.path.getsize(p1),
+        "value_counts": {1: 10}, "null_value_counts": {1: 0},
+        "column_sizes": {1: os.path.getsize(p1)},
+        "lower_bounds": {1: 0}, "upper_bounds": {1: 9},
+    }], timestamp_ms=1713139200000 + 60_000)
+    p2 = write_batch("batch2", range(10, 20))
+    commit_append(table, [{
+        "file_path": p2, "record_count": 10,
+        "file_size_in_bytes": os.path.getsize(p2),
+        "value_counts": {1: 10}, "null_value_counts": {1: 0},
+        "column_sizes": {1: os.path.getsize(p2)},
+        "lower_bounds": {1: 10}, "upper_bounds": {1: 19},
+    }], timestamp_ms=1713139200000 + 120_000)
+
+    # position delete file (spec: columns file_path, pos)
+    pos_rows = [(p1, 0), (p1, 3), (p2, 5)]
+    (spark.createDataFrame(pos_rows, "file_path string, pos long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(table, "data", "deletes_pos")))
+    [dp] = glob.glob(os.path.join(table, "data", "deletes_pos", "*.parquet"))
+    commit_delete_files(table, [{
+        "file_path": dp, "record_count": 3,
+        "file_size_in_bytes": os.path.getsize(dp),
+    }], timestamp_ms=1713139200000 + 180_000)
+
+    # equality delete file on field id=1
+    (spark.createDataFrame([(7,), (12,)], "id long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(table, "data", "deletes_eq")))
+    [de] = glob.glob(os.path.join(table, "data", "deletes_eq", "*.parquet"))
+    commit_delete_files(table, [{
+        "file_path": de, "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(de),
+        "equality_ids": [1],
+    }], timestamp_ms=1713139200000 + 240_000)
+
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -164,7 +164,7 @@ def _mf_int(rec: dict, v2_name: str, v1_name: str) -> int | None:
 _MANIFESTS_SCHEMA = (
     "manifest_path string, manifest_length long, partition_spec_id int, "
     "content int, added_files_count int, existing_files_count int, "
-    "deleted_files_count int, added_snapshot_id long"
+    "deleted_files_count int, added_snapshot_id long, sequence_number long"
 )
 
 
@@ -189,6 +189,7 @@ def native_manifests_frame(
             _mf_int(r, "existing_files_count", "existing_data_files_count"),
             _mf_int(r, "deleted_files_count", "deleted_data_files_count"),
             int(r["added_snapshot_id"]) if r.get("added_snapshot_id") is not None else None,
+            int(r["sequence_number"]) if r.get("sequence_number") is not None else None,
         )
         for r in records
     ]
@@ -202,7 +203,8 @@ def native_manifests_frame(
 _ENTRY_COLS = (
     "manifest_path string, status int, snapshot_id long, content int, "
     "file_path string, file_format string, part_key string, "
-    "record_count long, file_size_in_bytes long"
+    "record_count long, file_size_in_bytes long, sequence_number long, "
+    "equality_ids array<int>"
 )
 
 _STATS_COLS = (
@@ -244,6 +246,8 @@ def _entries_map_fn(pdf_iter):
             for e in _decode_manifest_entries(bytes(content), path):
                 df = e["data_file"]
                 part = df.get("partition") or {}
+                seq = e["entry"].get("sequence_number")
+                eq = df.get("equality_ids")
                 out.append(
                     {
                         "manifest_path": e["manifest_path"],
@@ -255,6 +259,11 @@ def _entries_map_fn(pdf_iter):
                         "part_key": json.dumps(part, sort_keys=True, default=str),
                         "record_count": int(df["record_count"]),
                         "file_size_in_bytes": int(df["file_size_in_bytes"]),
+                        # null = inherited from the manifest (spec § Manifest
+                        # Entry Fields): the scan planner coalesces with the
+                        # manifest's own sequence_number
+                        "sequence_number": int(seq) if seq is not None else None,
+                        "equality_ids": [int(i) for i in eq] if eq else None,
                     }
                 )
         yield pd.DataFrame(

@@ -571,3 +571,72 @@ def commit_delete_files(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def create_table(
+    table_dir: str,
+    fields: list[tuple[int, str, str]],
+    partition_fields: list[tuple[str, int, int]] | None = None,
+    properties: dict | None = None,
+    timestamp_ms: int = 1713139200000,
+) -> dict:
+    """CREATE TABLE, HadoopTables protocol: write v1.metadata.json (v2
+    format, zero snapshots) + version-hint.text for a new filesystem table.
+
+    ``fields``: (field-id, name, type) of the table schema; required for
+    ids ≤ 2 mirrors the fixture's convention but all fields are optional
+    here. ``partition_fields``: (name, source-field-id, partition-field-id)
+    identity transforms; default unpartitioned. The created table is
+    immediately consumable by the native reader and every commit path."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        raise FileExistsError(f"table already exists at {table_dir}")
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+        "location": table_dir,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(timestamp_ms),
+        "last-column-id": max(fid for fid, _, _ in fields),
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": fid, "name": name, "required": False, "type": typ}
+                    for fid, name, typ in fields
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": n, "transform": "identity", "source-id": sid, "field-id": pfid}
+                    for n, sid, pfid in (partition_fields or [])
+                ],
+            }
+        ],
+        "last-partition-id": max(
+            (pfid for _, _, pfid in (partition_fields or [])), default=999
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties or {"write.format.default": "parquet"},
+        "current-snapshot-id": None,
+        "refs": {},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("1")
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    return md

@@ -1,0 +1,131 @@
+"""Merge-on-read DATA scan (r8, sources/iceberg_scan.py): plan -> read ->
+delete application against real parquet + native metadata trees."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+from iceberg_meta_spark.sources.iceberg_write import (
+    commit_append,
+    commit_delete_files,
+    create_table,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _write_batch(spark, table, name, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(table, "data", name))
+    [p] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+    return p
+
+
+def _mor_table(spark, tmp_path):
+    table = str(tmp_path / "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    p1 = _write_batch(spark, table, "b1", [(i, i * 10) for i in range(5)],
+                      "id long, val long")
+    commit_append(table, [{
+        "file_path": p1, "record_count": 5,
+        "file_size_in_bytes": os.path.getsize(p1),
+        "lower_bounds": {1: 0}, "upper_bounds": {1: 4},
+        "value_counts": {1: 5}, "null_value_counts": {1: 0},
+        "column_sizes": {1: 1},
+    }], timestamp_ms=1713139260000)
+    p2 = _write_batch(spark, table, "b2", [(i, i * 10) for i in range(5, 10)],
+                      "id long, val long")
+    commit_append(table, [{
+        "file_path": p2, "record_count": 5,
+        "file_size_in_bytes": os.path.getsize(p2),
+        "lower_bounds": {1: 5}, "upper_bounds": {1: 9},
+        "value_counts": {1: 5}, "null_value_counts": {1: 0},
+        "column_sizes": {1: 1},
+    }], timestamp_ms=1713139260001)
+    return table, p1, p2
+
+
+def test_scan_without_deletes_reads_all_live_files(spark, tmp_path):
+    table, _, _ = _mor_table(spark, tmp_path)
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == list(range(10))
+    # snapshot time travel scans the historical file set
+    assert sorted(r.id for r in scan_table(spark, table, snapshot_id=1).collect()) == [0, 1, 2, 3, 4]
+    # metadata-version time travel too
+    assert sorted(r.id for r in scan_table(spark, table, version=2).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_position_deletes_hide_exact_rows(spark, tmp_path):
+    table, p1, p2 = _mor_table(spark, tmp_path)
+    dp = _write_batch(spark, table, "del_pos", [(p1, 1), (p2, 0)],
+                      "file_path string, pos long")
+    commit_delete_files(table, [{
+        "file_path": dp, "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(dp),
+    }], timestamp_ms=1713139260002)
+    # b1 pos 1 -> id 1; b2 pos 0 -> id 5
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [0, 2, 3, 4, 6, 7, 8, 9]
+    # the pre-delete snapshot still serves every row
+    assert scan_table(spark, table, snapshot_id=2).count() == 10
+
+
+def test_equality_deletes_are_sequence_strict(spark, tmp_path):
+    """An equality delete hides MATCHING rows from EARLIER sequence numbers
+    only: re-inserting the same key AFTER the delete must be visible —
+    the upsert pattern equality deletes exist for (spec § Row-level
+    deletes: data_seq < delete_seq, strict)."""
+    table, _, _ = _mor_table(spark, tmp_path)
+    de = _write_batch(spark, table, "del_eq", [(3,), (7,)], "id long")
+    commit_delete_files(table, [{
+        "file_path": de, "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(de),
+        "equality_ids": [1],
+    }], timestamp_ms=1713139260002)
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [
+        0, 1, 2, 4, 5, 6, 8, 9]
+
+    # re-insert id=3 with a NEW val in a LATER commit: visible (seq 4 >= 3)
+    p3 = _write_batch(spark, table, "b3", [(3, 999)], "id long, val long")
+    commit_append(table, [{
+        "file_path": p3, "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(p3),
+        "lower_bounds": {1: 3}, "upper_bounds": {1: 3},
+        "value_counts": {1: 1}, "null_value_counts": {1: 0},
+        "column_sizes": {1: 1},
+    }], timestamp_ms=1713139260003)
+    rows = {r.id: r.val for r in scan_table(spark, table).collect()}
+    assert rows[3] == 999  # the upserted row, not the deleted original
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_zone_map_pruning_skips_files_without_changing_results(spark, tmp_path):
+    table, _, _ = _mor_table(spark, tmp_path)
+    plan = plan_scan(spark, table, predicate=("id", 6, 9))
+    assert (plan.files_total, plan.files_pruned) == (2, 1)  # b1 skipped
+    assert sorted(r.id for r in
+                  scan_table(spark, table, predicate=("id", 6, 9)).collect()) == [6, 7, 8, 9]
+    # open-ended intervals prune too
+    assert plan_scan(spark, table, predicate=("id", None, 4)).files_pruned == 1
+    # a file without bounds for the column is conservatively kept
+    p3 = _write_batch(spark, table, "b3", [(100, 1)], "id long, val long")
+    commit_append(table, [{
+        "file_path": p3, "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(p3),
+    }], timestamp_ms=1713139260002)
+    plan2 = plan_scan(spark, table, predicate=("id", 6, 9))
+    assert plan2.files_total == 3 and plan2.files_pruned == 1
+    # ...and the residual filter still excludes its out-of-range rows
+    assert sorted(r.id for r in
+                  scan_table(spark, table, predicate=("id", 6, 9)).collect()) == [6, 7, 8, 9]
+
+
+def test_scan_empty_table_yields_schema_only(spark, tmp_path):
+    table = str(tmp_path / "empty")
+    create_table(table, fields=[(1, "id", "long"), (2, "name", "string")])
+    df = scan_table(spark, table)
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<id:bigint,name:string>"
