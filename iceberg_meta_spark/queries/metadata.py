@@ -1209,3 +1209,57 @@ def iceberg_native_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_table(
         spark, default_mor_table(spark), predicate=("id", 12, 18)
     ).orderBy("id")
+
+
+@register(
+    "iceberg_native_manifest_row_share",
+    oracle="""
+        WITH f AS (SELECT CAST(i // 25 AS BIGINT) AS m,
+                          100 + (i % 7) * 50 AS rc,
+                          (1 + i % 9) * 8388608 AS sz
+                   FROM range(0, 150) t(i)),
+        per AS (SELECT m, CAST(count(*) AS BIGINT) AS file_count,
+                       CAST(sum(rc) AS BIGINT) AS row_count,
+                       CAST(sum(sz) AS BIGINT) AS total_size
+                FROM f GROUP BY m),
+        tot AS (SELECT CAST(sum(row_count) AS BIGINT) AS total FROM per)
+        SELECT CAST(3 AS BIGINT) AS snapshot_id,
+               printf('manifest-%04d.avro', m) AS manifest_name,
+               file_count, row_count, total_size,
+               round(100.0 * row_count / total, 4) AS pct_of_snapshot_rows
+        FROM per, tot ORDER BY manifest_name
+    """,
+    doc="W1/J5 manifest row share over the native Iceberg tree: per-manifest "
+    "file/row/byte totals and the percent-of-snapshot rows, from the "
+    "distributed manifest decode (manifest_path rides every decoded entry); "
+    "oracle recomputes the fixture's closed form (manifest m covers file "
+    "indexes [25m, 25m+25)) independently. Paths reduce to basenames so "
+    "the gate is location-independent. Closes the A2/W1-native residual "
+    "from the r7 verdict",
+)
+def iceberg_native_manifest_row_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.operators.manifests import manifest_row_share
+    from iceberg_meta_spark.sources.iceberg_fixture import default_fixture_table
+    from iceberg_meta_spark.sources.iceberg_native import native_entries_frame
+
+    entries = native_entries_frame(spark, default_fixture_table()).where(
+        F.col("status") != 2
+    )
+    files = entries.select(
+        F.lit(3).cast("long").alias("snapshot_id"),
+        "manifest_path",
+        "record_count",
+        "file_size_in_bytes",
+    )
+    return (
+        manifest_row_share(files)
+        .select(
+            "snapshot_id",
+            F.regexp_extract("manifest_path", r"([^/]+)$", 1).alias("manifest_name"),
+            "file_count",
+            "row_count",
+            "total_size",
+            "pct_of_snapshot_rows",
+        )
+        .orderBy("manifest_name")
+    )

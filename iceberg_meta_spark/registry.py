@@ -134,7 +134,12 @@ DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "ann_ivf_probe",
+    # r8 rotation: iceberg_native_mor_scan (the round's flagship — full
+    # plan->read->merge-on-read chain against real parquet under the hash
+    # gate) takes ann_ivf_probe's slot: the IVF family keeps its in-window
+    # representative via ann_ivf_pq (the extension headliner); ann_ivf_probe
+    # stays under the full-registry gate.
+    "iceberg_native_mor_scan",
     "dedup_embedding_cosine",
     "embedding_nearest_in_label",
     "text_token_stats",

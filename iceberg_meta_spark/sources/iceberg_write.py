@@ -640,3 +640,109 @@ def create_table(
         fh.write("1")
     os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def update_schema(
+    table_dir: str,
+    add: list[tuple[str, str]] | None = None,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """ALTER TABLE schema evolution (spec § Schema Evolution): publish a new
+    schema version — columns added get FRESH field ids (never reused, so
+    old data files resolve by id), drops remove the field from the current
+    schema only (historical schemas stay in ``schemas`` for time travel),
+    renames keep the field id (rename is metadata-only). The new schema
+    becomes ``current-schema-id`` in a new metadata version; no snapshot is
+    created (schema changes are not data changes).
+    """
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    fields = [dict(f) for f in cur["fields"]]
+    names = {f["name"] for f in fields}
+    for old, new in (rename or {}).items():
+        if old not in names:
+            raise KeyError(f"no column {old!r} to rename")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        names = {f["name"] for f in fields}
+    for name in drop or []:
+        if name not in names:
+            raise KeyError(f"no column {name!r} to drop")
+        fields = [f for f in fields if f["name"] != name]
+        names.discard(name)
+    last_id = int(md.get("last-column-id", max(f["id"] for f in fields)))
+    for name, typ in add or []:
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        last_id += 1
+        fields.append({"id": last_id, "name": name, "required": False, "type": typ})
+        names.add(name)
+    new_schema = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": fields,
+    }
+    md["schemas"] = md["schemas"] + [new_schema]
+    md["current-schema-id"] = new_schema["schema-id"]
+    md["last-column-id"] = last_id
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md
+
+
+def rollback_to_snapshot(
+    table_dir: str, snapshot_id: int, timestamp_ms: int | None = None
+) -> dict:
+    """Iceberg's rollback: point the table back at an EXISTING snapshot
+    (spec: rollback does not rewrite history — the target must still be in
+    the snapshot list; newer snapshots stay for time travel until expiry).
+    Publishes a new metadata version with current-snapshot-id (and the
+    main branch ref) at the target and a snapshot-log entry recording the
+    rollback as a state change."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if not any(s["snapshot-id"] == snapshot_id for s in md.get("snapshots", [])):
+        raise KeyError(f"snapshot {snapshot_id} not in table metadata")
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    md["current-snapshot-id"] = snapshot_id
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snapshot_id
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": ts}
+    ]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

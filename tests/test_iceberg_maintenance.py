@@ -172,3 +172,78 @@ def test_referenced_files_include_deleted_entries_until_expiry(spark, tmp_path):
     commit_remove_files(table, {victim}, timestamp_ms=1713139260000 + 120_000)
     refs = {r.path for r in referenced_files_frame(spark, table).collect()}
     assert victim.replace("file:", "") in refs
+
+
+def test_update_schema_add_drop_rename(spark, tmp_path):
+    """ALTER TABLE lifecycle: add gets a FRESH field id, rename keeps the
+    id, drop removes from the current schema only (history retained); the
+    native schema-diff operator sees exactly the three changes."""
+    from iceberg_meta_spark.sources.iceberg_write import update_schema
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    md = update_schema(
+        table,
+        add=[("score", "double")],
+        drop=["payload"],
+        rename={"value_cents": "amount_cents"},
+        timestamp_ms=1713139260000 + 60_000,
+    )
+    assert md["current-schema-id"] == 1
+    new = next(s for s in md["schemas"] if s["schema-id"] == 1)
+    by_name = {f["name"]: f for f in new["fields"]}
+    assert by_name["score"]["id"] == 5          # fresh id (last-column-id was 4)
+    assert by_name["amount_cents"]["id"] == 3   # rename keeps the id
+    assert "payload" not in by_name
+    # the previous schema is still there for old-snapshot readers
+    assert {s["schema-id"] for s in md["schemas"]} == {0, 1}
+    assert md["last-column-id"] == 5
+    # fresh-id rule: a second add after the drop must NOT reuse payload's id
+    md2 = update_schema(table, add=[("extra", "long")],
+                        timestamp_ms=1713139260000 + 120_000)
+    extra = next(f for s in md2["schemas"] if s["schema-id"] == 2
+                 for f in s["fields"] if f["name"] == "extra")
+    assert extra["id"] == 6
+    # reader picks the evolved schema up through the hint swap
+    assert load_table_metadata(spark, table)["current-schema-id"] == 2
+
+
+def test_update_schema_rejects_conflicts(spark, tmp_path):
+    from iceberg_meta_spark.sources.iceberg_write import update_schema
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    with pytest.raises(ValueError):
+        update_schema(table, add=[("region", "string")])  # duplicate name
+    with pytest.raises(KeyError):
+        update_schema(table, drop=["nope"])
+    with pytest.raises(KeyError):
+        update_schema(table, rename={"nope": "x"})
+
+
+def test_rollback_to_snapshot_restores_visible_state(spark, tmp_path):
+    """Rollback points current (and main) back at an older snapshot WITHOUT
+    rewriting history: the newer snapshot stays time-travelable, the scan
+    serves the old file set, and a later expire can still drop it."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        rollback_to_snapshot,
+    )
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=2,
+                                manifests_per_snapshot=1, files_per_manifest=3)
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/z.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 1, "file_size_in_bytes": 10,
+    }], timestamp_ms=1713139260000 + 180_000)
+    assert native_files_frame(spark, table).count() == 7
+
+    md = rollback_to_snapshot(table, 2, timestamp_ms=1713139260000 + 240_000)
+    assert md["current-snapshot-id"] == 2
+    assert md["refs"]["main"]["snapshot-id"] == 2
+    assert native_files_frame(spark, table).count() == 6
+    # the rolled-back-over snapshot still exists for time travel
+    assert native_files_frame(spark, table, snapshot_id=3).count() == 7
+    with pytest.raises(KeyError):
+        rollback_to_snapshot(table, 99)
