@@ -553,3 +553,76 @@ def doctor(
     if spark is None:
         raise RuntimeError("doctor needs a SparkSession to build the report frame")
     return spark.createDataFrame(checks, "section string, check string, status string, detail string")
+
+
+# ---------------------------------------------------------------------------
+# Table lifecycle (r8): DDL, merge-on-read scan, maintenance EXECUTION —
+# the verbs a real deployment runs against filesystem (HadoopTables) trees,
+# all jar-free. Each wraps sources/iceberg_write.py, iceberg_scan.py or
+# iceberg_maintenance.py; see those modules for semantics and spec refs.
+# ---------------------------------------------------------------------------
+
+
+def create_table(table_dir: str, fields, partition_fields=None) -> dict:
+    """CREATE TABLE: fresh v1 metadata + version hint (iceberg_write.py)."""
+    from iceberg_meta_spark.sources.iceberg_write import create_table as _ct
+
+    return _ct(table_dir, fields, partition_fields)
+
+
+def scan(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    version: int | None = None,
+    predicate: tuple | None = None,
+) -> DataFrame:
+    """Merge-on-read DATA scan with zone-map file pruning (iceberg_scan.py):
+    position + equality deletes applied, time travel by snapshot or
+    metadata version."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return scan_table(spark, table_dir, snapshot_id, version, predicate)
+
+
+def alter_schema(table_dir: str, add=None, drop=None, rename=None) -> dict:
+    """ALTER TABLE schema evolution: fresh ids on add, id-stable rename,
+    history-preserving drop (iceberg_write.py:update_schema)."""
+    from iceberg_meta_spark.sources.iceberg_write import update_schema
+
+    return update_schema(table_dir, add=add, drop=drop, rename=rename)
+
+
+def rollback(table_dir: str, snapshot_id: int) -> dict:
+    """Point current (and main) back at an existing snapshot without
+    rewriting history (iceberg_write.py:rollback_to_snapshot)."""
+    from iceberg_meta_spark.sources.iceberg_write import rollback_to_snapshot
+
+    return rollback_to_snapshot(table_dir, snapshot_id)
+
+
+def expire(table_dir: str, keep_last: int | None = None,
+           older_than_ms: int | None = None) -> dict:
+    """EXECUTE snapshot expiry (ref-pinned snapshots always retained);
+    returns expired ids + the now-unreferenced files
+    (iceberg_maintenance.py:expire_snapshots)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import expire_snapshots
+
+    return expire_snapshots(table_dir, keep_last=keep_last,
+                            older_than_ms=older_than_ms)
+
+
+def orphan_scan(spark: SparkSession, table_dir: str) -> DataFrame:
+    """remove_orphan_files detection: one listing scan anti-joined against
+    every reachable path (iceberg_maintenance.py:orphan_files_frame)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import orphan_files_frame
+
+    return orphan_files_frame(spark, table_dir)
+
+
+def rewrite_small_manifests(table_dir: str, target_bytes: int = 8 << 20) -> dict:
+    """EXECUTE the manifest bin-pack: merge small data manifests and publish
+    a replace snapshot (iceberg_maintenance.py:rewrite_manifests)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_manifests
+
+    return rewrite_manifests(table_dir, target_bytes=target_bytes)

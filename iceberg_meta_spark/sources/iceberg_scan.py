@@ -281,7 +281,19 @@ def scan_table(
             cond = cond & (df[c] == eq[f"__eq_{c}"])
         df = df.join(eq, cond, "left_anti")
 
-    out = df.select(*[name for _, name, _ in plan.schema_fields])
+    # schema evolution on read: a column ADDED after a file was written is
+    # absent from that parquet — surface it as NULL of the declared type
+    # (name-based resolution: these files carry no parquet field-id
+    # metadata, the id-based variant of the same rule)
+    present = set(df.columns)
+    out = df.select(
+        *[
+            F.col(name)
+            if name in present
+            else F.lit(None).cast(_ICEBERG_TO_SPARK.get(t, "string")).alias(name)
+            for _, name, t in plan.schema_fields
+        ]
+    )
     if predicate is not None:
         col, lo, hi = predicate  # residual filter on top of file pruning
         if lo is not None:

@@ -247,3 +247,52 @@ def test_rollback_to_snapshot_restores_visible_state(spark, tmp_path):
     assert native_files_frame(spark, table, snapshot_id=3).count() == 7
     with pytest.raises(KeyError):
         rollback_to_snapshot(table, 99)
+
+
+def test_api_lifecycle_end_to_end(spark, tmp_path):
+    """The full table lifecycle through the command API: create -> append
+    -> MoR scan -> alter schema -> rollback -> expire -> orphan scan ->
+    rewrite. One continuous story on one table."""
+    import glob
+
+    from iceberg_meta_spark import api
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = str(tmp_path / "lifecycle")
+    api.create_table(table, fields=[(1, "id", "long"), (2, "v", "long")])
+
+    def add_batch(name, rows):
+        df = spark.createDataFrame(rows, "id long, v long")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(table, "data", name))
+        [p] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+        commit_append(table, [{
+            "file_path": p, "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(p),
+        }], timestamp_ms=1713139260000 + len(rows))
+
+    add_batch("b1", [(1, 10), (2, 20)])
+    add_batch("b2", [(3, 30)])
+    assert sorted(r.id for r in api.scan(spark, table).collect()) == [1, 2, 3]
+
+    md = api.alter_schema(table, add=[("score", "double")])
+    assert md["current-schema-id"] == 1
+    # the scan picks the evolved schema up (new column NULL for old files)
+    assert "score" in api.scan(spark, table).columns
+
+    api.rollback(table, 1)
+    assert sorted(r.id for r in api.scan(spark, table).collect()) == [1, 2]
+
+    out = api.expire(table, keep_last=1)
+    assert out["expired_snapshot_ids"] == [2]
+    # the orphan scan finds expire's metadata-tree removables PLUS the data
+    # file only the expired snapshot referenced (b2's parquet) — the DATA
+    # half of cleanup that expire itself never touches
+    orphans = {r.path for r in api.orphan_scan(spark, table).collect()}
+    removable = {p.replace("file:", "") for p in out["removable_files"]}
+    assert removable <= orphans
+    extra = orphans - removable
+    assert len(extra) == 1 and "/data/b2/" in next(iter(extra))
+
+    res = api.rewrite_small_manifests(table)
+    assert res["groups"] == 0  # one manifest left post-rollback: nothing to merge

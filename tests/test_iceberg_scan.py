@@ -129,3 +129,79 @@ def test_scan_empty_table_yields_schema_only(spark, tmp_path):
     df = scan_table(spark, table)
     assert df.count() == 0
     assert df.schema.simpleString() == "struct<id:bigint,name:string>"
+
+
+# --- randomized MoR semantics fuzz ------------------------------------------
+# hypothesis drives a random commit history (appends, position deletes,
+# equality deletes in arbitrary interleavings) against BOTH the real scan
+# and a 20-line pure-Python model of the spec's visibility rules
+# (pos: data_seq <= delete_seq on exact (file, pos); eq: data_seq <
+# delete_seq on key match). Any divergence is a real sequencing bug.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+history = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=5)),
+        st.tuples(st.just("posdel"),
+                  st.lists(st.tuples(st.integers(0, 2), st.integers(0, 4)),
+                           min_size=1, max_size=3)),
+        st.tuples(st.just("eqdel"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True)),
+    ),
+    min_size=2,
+    max_size=5,
+).filter(lambda ops: ops[0][0] == "append")
+
+
+@given(ops=history)
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_mor_scan_matches_python_model(spark, tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("mor_fuzz")
+    table = str(tmp / "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+
+    model = []  # (file_path, pos, id, val, data_seq), live rows appended here
+    batches = []  # batch file paths in append order
+    seq = 0
+    for bi, (kind, payload) in enumerate(ops):
+        seq += 1
+        if kind == "append":
+            rows = [(int(i), seq * 1000 + p) for p, i in enumerate(payload)]
+            p = _write_batch(spark, table, f"b{bi}", rows, "id long, val long")
+            commit_append(table, [{
+                "file_path": p, "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(p),
+            }], timestamp_ms=1713139260000 + seq)
+            batches.append(p)
+            model.extend((p, pos, i, v, seq) for pos, (i, v) in enumerate(rows))
+        elif kind == "posdel":
+            targets = [(batches[b % len(batches)], pos) for b, pos in payload]
+            dp = _write_batch(spark, table, f"d{bi}",
+                              [(f, int(pos)) for f, pos in targets],
+                              "file_path string, pos long")
+            commit_delete_files(table, [{
+                "file_path": dp, "record_count": len(targets),
+                "file_size_in_bytes": os.path.getsize(dp),
+            }], timestamp_ms=1713139260000 + seq)
+            tset = set(targets)
+            model = [r for r in model
+                     if not ((r[0], r[1]) in tset and r[4] <= seq)]
+        else:  # eqdel
+            de = _write_batch(spark, table, f"e{bi}",
+                              [(int(i),) for i in payload], "id long")
+            commit_delete_files(table, [{
+                "file_path": de, "record_count": len(payload),
+                "file_size_in_bytes": os.path.getsize(de),
+                "equality_ids": [1],
+            }], timestamp_ms=1713139260000 + seq)
+            ids = set(payload)
+            model = [r for r in model if not (r[2] in ids and r[4] < seq)]
+
+    got = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    want = sorted((i, v) for _, _, i, v, _ in model)
+    assert got == want, f"history {ops!r}: scan {got} != model {want}"
