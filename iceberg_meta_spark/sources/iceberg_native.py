@@ -287,7 +287,9 @@ def _stats_map_fn(pdf_iter):
                 cs = _kv_map(df.get("column_sizes"))
                 lb = _kv_map(df.get("lower_bounds"))
                 ub = _kv_map(df.get("upper_bounds"))
-                for fid in sorted(set(vc) | set(nc) | set(cs)):
+                # bounds-only stats are legal (a writer may track min/max
+                # without value counts) — include every field ANY map names
+                for fid in sorted(set(vc) | set(nc) | set(cs) | set(lb) | set(ub)):
                     out.append(
                         {
                             "file_path": df["file_path"],

@@ -205,3 +205,38 @@ def test_mor_scan_matches_python_model(spark, tmp_path_factory, ops):
     got = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
     want = sorted((i, v) for _, _, i, v, _ in model)
     assert got == want, f"history {ops!r}: scan {got} != model {want}"
+
+
+def test_append_dataframe_computes_stats_that_prune(spark, tmp_path):
+    """INSERT INTO with auto-computed stats: append_dataframe writes the
+    parquet, derives per-file record counts / sizes / int-long bounds in
+    one distributed pass, and the committed bounds immediately drive
+    zone-map pruning in the scan planner."""
+    from iceberg_meta_spark.sources.iceberg_write import append_dataframe
+
+    table = str(tmp_path / "ins")
+    create_table(table, fields=[(1, "id", "long"), (2, "name", "string")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                              "id long, name string").coalesce(1),
+        table, timestamp_ms=1713139260000,
+    )
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, f"n{i}") for i in range(100, 110)],
+                              "id long, name string").coalesce(1),
+        table, timestamp_ms=1713139260001,
+    )
+    assert scan_table(spark, table).count() == 20
+    plan = plan_scan(spark, table, predicate=("id", 0, 50))
+    assert (plan.files_total, plan.files_pruned) == (2, 1)
+    assert sorted(r.id for r in
+                  scan_table(spark, table, predicate=("id", 105, 200)).collect()
+                  ) == [105, 106, 107, 108, 109]
+    # committed metadata carries real totals (rows and bytes)
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+
+    md = load_table_metadata(spark, table)
+    assert md["snapshots"][-1]["summary"]["total-records"] == "20"
+    assert int(md["snapshots"][-1]["summary"]["total-files-size"]) > 0
