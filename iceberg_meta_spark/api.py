@@ -626,3 +626,12 @@ def rewrite_small_manifests(table_dir: str, target_bytes: int = 8 << 20) -> dict
     from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_manifests
 
     return rewrite_manifests(table_dir, target_bytes=target_bytes)
+
+
+def insert_into(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
+    """INSERT INTO: write + commit with auto-computed per-file stats/bounds
+    (iceberg_write.py:append_dataframe) — the committed bounds immediately
+    feed scan()'s zone-map pruning."""
+    from iceberg_meta_spark.sources.iceberg_write import append_dataframe
+
+    return append_dataframe(spark, df, table_dir)

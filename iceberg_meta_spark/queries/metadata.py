@@ -1238,28 +1238,32 @@ def iceberg_native_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from the r7 verdict",
 )
 def iceberg_native_manifest_row_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iceberg_meta_spark.operators.manifests import manifest_row_share
     from iceberg_meta_spark.sources.iceberg_fixture import default_fixture_table
     from iceberg_meta_spark.sources.iceberg_native import native_entries_frame
 
     entries = native_entries_frame(spark, default_fixture_table()).where(
         F.col("status") != 2
     )
-    files = entries.select(
-        F.lit(3).cast("long").alias("snapshot_id"),
-        "manifest_path",
-        "record_count",
-        "file_size_in_bytes",
+    # one snapshot is scanned, so the W1 window (partitionBy snapshot_id)
+    # would funnel through a SinglePartition exchange — use the repo's
+    # broadcast-1-row-total join form instead (same numbers, no funnel)
+    per = entries.groupBy("manifest_path").agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum("record_count").alias("row_count"),
+        F.sum("file_size_in_bytes").alias("total_size"),
     )
+    total = per.agg(F.sum("row_count").alias("__total"))
     return (
-        manifest_row_share(files)
+        per.crossJoin(F.broadcast(total))
         .select(
-            "snapshot_id",
+            F.lit(3).cast("long").alias("snapshot_id"),
             F.regexp_extract("manifest_path", r"([^/]+)$", 1).alias("manifest_name"),
             "file_count",
             "row_count",
             "total_size",
-            "pct_of_snapshot_rows",
+            F.round(
+                F.lit(100.0) * F.col("row_count") / F.col("__total"), 4
+            ).alias("pct_of_snapshot_rows"),
         )
         .orderBy("manifest_name")
     )

@@ -61,7 +61,7 @@ def _publish(md: dict, version: int, meta_dir: str, ts: int) -> dict:
         }
     ]
     md["last-updated-ms"] = ts
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
         json.dump(md, fh, indent=1)
     tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(tmp, "w") as fh:

@@ -253,7 +253,7 @@ def commit_append(
         md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
 
     new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
-    with open(new_meta, "w") as fh:
+    with open(new_meta, "x") as fh:
         json.dump(md, fh, indent=1)
     # two-phase publish: everything above is invisible until this swap
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
@@ -397,7 +397,7 @@ def commit_remove_files(
     if "main" in (md.get("refs") or {}):
         md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
     new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
-    with open(new_meta, "w") as fh:
+    with open(new_meta, "x") as fh:
         json.dump(md, fh, indent=1)
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(tmp_hint, "w") as fh:
@@ -564,7 +564,7 @@ def commit_delete_files(
     md["last-updated-ms"] = ts
     if "main" in (md.get("refs") or {}):
         md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
         json.dump(md, fh, indent=1)
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(tmp_hint, "w") as fh:
@@ -701,7 +701,7 @@ def update_schema(
          "timestamp-ms": int(md["last-updated-ms"])}
     ]
     md["last-updated-ms"] = ts
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
         json.dump(md, fh, indent=1)
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(tmp_hint, "w") as fh:
@@ -739,7 +739,7 @@ def rollback_to_snapshot(
          "timestamp-ms": int(md["last-updated-ms"])}
     ]
     md["last-updated-ms"] = ts
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as fh:
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
         json.dump(md, fh, indent=1)
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(tmp_hint, "w") as fh:

@@ -296,3 +296,25 @@ def test_api_lifecycle_end_to_end(spark, tmp_path):
 
     res = api.rewrite_small_manifests(table)
     assert res["groups"] == 0  # one manifest left post-rollback: nothing to merge
+
+
+def test_commit_conflict_raises_instead_of_lost_update(spark, tmp_path):
+    """Optimistic concurrency on the HadoopTables protocol: if another
+    writer already published vN+1, a commit must raise (exclusive create),
+    never silently overwrite the other writer's metadata."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    # simulate the racing winner: v2 already exists
+    with open(os.path.join(table, "metadata", "v2.metadata.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(FileExistsError):
+        commit_append(table, [{
+            "file_path": f"{table}/data/emea/c.parquet",
+            "partition": {"region": "emea"},
+            "record_count": 1, "file_size_in_bytes": 1,
+        }], timestamp_ms=1713139260000)
+    # the loser's failed attempt must NOT have moved the hint
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "1"
