@@ -1267,3 +1267,37 @@ def iceberg_native_manifest_row_share(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("manifest_name")
     )
+
+
+_PART_T = os.path.join(
+    __import__("tempfile").gettempdir(),
+    "iceberg_meta_native_fixture_part_v1",
+    "part_table",
+)
+
+
+@register(
+    "iceberg_native_partition_pruned_scan",
+    oracle=f"""
+        SELECT region, id, val
+        FROM read_parquet('{_PART_T}/data/commit-00002/*/*.parquet',
+                          hive_partitioning=true)
+        WHERE region = 'emea'
+        ORDER BY id
+    """,
+    doc="Partition-pruned scan of an identity-partitioned native table "
+    "inserted via append_dataframe: the predicate prunes at the PARTITION "
+    "level straight from the manifest entries' partition tuples (no stats "
+    "decode, no file open), and the scan re-injects the partition column "
+    "from metadata because Hive-layout files don't carry it. Oracle reads "
+    "the same files with DuckDB's hive_partitioning — the partition-"
+    "metadata round trip (write -> commit -> plan -> prune -> inject) is "
+    "value-hash-gated end to end",
+)
+def iceberg_native_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_partitioned_table
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return scan_table(
+        spark, default_partitioned_table(spark), predicate=("region", "emea", "emea")
+    ).orderBy("id")

@@ -482,3 +482,40 @@ def default_mor_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_partitioned_table(spark) -> str:
+    """An identity-partitioned (region) table inserted via
+    ``append_dataframe``: Hive-layout data files, partition tuples recorded
+    per file in the manifest. 9 rows over 3 regions, id = 1..9, val =
+    100·id — closed-form for the oracle (DuckDB reads the same files with
+    hive_partitioning)."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_part_v1")
+    table = os.path.join(base, "part_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    regions = ("americas", "emea", "apac")
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long"), (3, "val", "long")],
+        partition_fields=[("region", 1, 1000)],
+    )
+    rows = [(regions[i % 3], i, i * 100) for i in range(1, 10)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "region string, id long, val long")
+        .repartition(1),
+        table,
+        timestamp_ms=1713139200000 + 60_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

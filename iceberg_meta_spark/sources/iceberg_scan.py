@@ -30,6 +30,7 @@ oracle's full-scan filter).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,12 +68,13 @@ def _norm_path(p: str) -> str:
 class ScanPlan:
     """Driver-side file index for one snapshot scan."""
 
-    data_files: list[dict]          # path, seq, record_count, size
+    data_files: list[dict]          # path, seq, record_count, size, part
     position_deletes: list[dict]    # path, seq
     equality_deletes: list[dict]    # path, seq, equality_ids
     files_total: int = 0            # live data files before pruning
-    files_pruned: int = 0           # skipped by the zone-map interval
+    files_pruned: int = 0           # skipped by partition + zone-map pruning
     schema_fields: list[tuple[int, str, str]] = field(default_factory=list)
+    partition_cols: list[str] = field(default_factory=list)
 
 
 def _entries_rows(spark: SparkSession, table_dir: str, snap: dict, md: dict, content: int):
@@ -127,11 +129,42 @@ def plan_scan(
             schema_fields=fields,
         )
     snap = _snapshot(md, snapshot_id)
+    # identity-partition column names (source-id -> schema name)
+    id_to_name = {fid: name for fid, name, _ in fields}
+    spec = next(
+        (s for s in md.get("partition-specs", [])
+         if s.get("spec-id") == md.get("default-spec-id")),
+        {"fields": []},
+    )
+    partition_cols = [
+        id_to_name[int(f["source-id"])]
+        for f in spec.get("fields", [])
+        if f.get("transform") == "identity" and int(f["source-id"]) in id_to_name
+    ]
 
     data = _entries_rows(spark, table_dir, snap, md, content=0)
     files_total = len(data)
     files_pruned = 0
-    if predicate is not None and data:
+    if predicate is not None and data and predicate[0] in partition_cols:
+        # PARTITION pruning: the value rides the manifest entry itself
+        # (canonical-JSON part_key) — no stats decode needed, the cheapest
+        # prune an identity-partitioned table offers
+        col, lo, hi = predicate
+
+        def p_survives(part_key: str) -> bool:
+            v = (json.loads(part_key) or {}).get(col)
+            if v is None:
+                return True  # unknown partition value: keep
+            if lo is not None and v < lo:
+                return False
+            if hi is not None and v > hi:
+                return False
+            return True
+
+        kept = [(r, seq) for r, seq in data if p_survives(r.part_key)]
+        files_pruned = files_total - len(kept)
+        data = kept
+    elif predicate is not None and data:
         col, lo, hi = predicate
         fid, ftype = next(
             (fid, t) for fid, name, t in fields if name == col
@@ -189,6 +222,7 @@ def plan_scan(
                 "seq": seq,
                 "record_count": r.record_count,
                 "size": r.file_size_in_bytes,
+                "part": json.loads(r.part_key) if r.part_key else {},
             }
             for r, seq in data
         ],
@@ -197,6 +231,7 @@ def plan_scan(
         files_total=files_total,
         files_pruned=files_pruned,
         schema_fields=fields,
+        partition_cols=partition_cols,
     )
 
 
@@ -230,6 +265,27 @@ def scan_table(
         "__file string, __dseq long",
     )
     df = df.join(F.broadcast(seq_df), "__file")
+
+    # identity-partition columns absent from the parquet itself (Hive-layout
+    # writes keep them in the directory, engines keep them in METADATA):
+    # inject each file's partition value from the plan — this is how real
+    # scans serve partition columns, and it must happen BEFORE delete
+    # application (an equality delete may key on a partition column)
+    types_by_name = {name: t for _, name, t in plan.schema_fields}
+    missing_parts = [c for c in plan.partition_cols if c not in df.columns]
+    if missing_parts:
+        ddl_parts = ", ".join(
+            f"`{c}` {_ICEBERG_TO_SPARK.get(types_by_name.get(c, 'string'), 'string')}"
+            for c in missing_parts
+        )
+        part_df = spark.createDataFrame(
+            [
+                tuple([_norm_path(f["path"])] + [f["part"].get(c) for c in missing_parts])
+                for f in plan.data_files
+            ],
+            f"__file string, {ddl_parts}",
+        )
+        df = df.join(F.broadcast(part_df), "__file")
 
     if plan.position_deletes:
         pd_paths = [_norm_path(d["path"]) for d in plan.position_deletes]

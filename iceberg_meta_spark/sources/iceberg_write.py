@@ -778,11 +778,27 @@ def append_dataframe(
         for f in schema["fields"]
         if f["type"] in ("int", "long") and f["name"] in df.columns
     }
-
+    # identity-partition columns of the default spec that df carries: the
+    # write lays them out Hive-style and the commit records each file's
+    # partition tuple (scan_table re-injects the values from metadata)
+    names = {f["name"] for f in schema["fields"]}
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    spec = next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )
+    part_cols = [
+        id_to_name[f["source-id"]]
+        for f in spec["fields"]
+        if f["transform"] == "identity"
+        and id_to_name.get(f["source-id"]) in df.columns
+    ]
     batch_dir = os.path.join(table_dir, "data", f"commit-{version + 1:05d}")
-    df.write.mode("errorifexists").parquet(batch_dir)
+    writer = df.write.mode("errorifexists")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(batch_dir)
 
-    written = spark.read.parquet(batch_dir)
+    written = spark.read.parquet(batch_dir)  # partition discovery re-adds cols
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name in int_cols:
         aggs.append(F.min(name).alias(f"__lo_{name}"))
@@ -790,15 +806,17 @@ def append_dataframe(
         aggs.append(
             F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"__nn_{name}")
         )
+    part_firsts = [F.first(c).alias(f"__pv_{c}") for c in part_cols]
     per_file = (
         written.groupBy(F.col("_metadata.file_path").alias("__fp"))
-        .agg(*aggs)
+        .agg(*aggs, *part_firsts)
         .collect()
     )
     sizes = {
         r.path: int(r.length)
         for r in spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")  # Hive partition subdirs
         .load(batch_dir)
         .select("path", "length")
         .collect()
@@ -826,5 +844,10 @@ def append_dataframe(
             },
             "lower_bounds": lows,
             "upper_bounds": highs,
+            **(
+                {"partition": {c: r[f"__pv_{c}"] for c in part_cols}}
+                if part_cols
+                else {}
+            ),
         })
     return commit_append(table_dir, files, timestamp_ms=timestamp_ms)

@@ -240,3 +240,51 @@ def test_append_dataframe_computes_stats_that_prune(spark, tmp_path):
     md = load_table_metadata(spark, table)
     assert md["snapshots"][-1]["summary"]["total-records"] == "20"
     assert int(md["snapshots"][-1]["summary"]["total-files-size"]) > 0
+
+
+def test_partitioned_insert_prune_and_scan(spark, tmp_path):
+    """Identity-partitioned table: insert lays the write out Hive-style and
+    commits per-file partition tuples; the planner prunes on the partition
+    VALUE straight from the manifest entry (no stats decode), and the scan
+    re-injects the partition column from metadata (Hive files don't carry
+    it) — including for equality deletes keyed on the partition column."""
+    from iceberg_meta_spark.sources.iceberg_write import append_dataframe
+
+    table = str(tmp_path / "pt")
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long")],
+        partition_fields=[("region", 1, 1000)],
+    )
+    rows = [("emea", 1), ("emea", 2), ("apac", 3), ("americas", 4)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "region string, id long").repartition(1),
+        table, timestamp_ms=1713139260000,
+    )
+    # one file per region (Hive layout), partition recorded in metadata
+    plan = plan_scan(spark, table)
+    assert plan.files_total == 3
+    assert {f["part"]["region"] for f in plan.data_files} == {
+        "emea", "apac", "americas"}
+
+    # partition pruning: only the emea file survives the plan
+    pruned = plan_scan(spark, table, predicate=("region", "emea", "emea"))
+    assert (pruned.files_total, pruned.files_pruned) == (3, 2)
+    got = scan_table(spark, table, predicate=("region", "emea", "emea"))
+    assert sorted((r.region, r.id) for r in got.collect()) == [
+        ("emea", 1), ("emea", 2)]
+
+    # full scan serves the partition column from metadata for every row
+    full = scan_table(spark, table)
+    assert sorted((r.region, r.id) for r in full.collect()) == sorted(rows)
+
+    # an equality delete keyed on the PARTITION column must still apply
+    de = _write_batch(spark, table, "del_eq", [("apac",)], "region string")
+    commit_delete_files(table, [{
+        "file_path": de, "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(de),
+        "equality_ids": [1],
+    }], timestamp_ms=1713139260001)
+    after = scan_table(spark, table)
+    assert sorted(r.id for r in after.collect()) == [1, 2, 4]
