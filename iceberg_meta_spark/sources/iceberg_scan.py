@@ -116,6 +116,11 @@ def plan_scan(
     ``predicate=(column, lo, hi)`` prunes data files by their decoded
     min/max bounds for that column (closed interval; ``None`` for an open
     end). Files without bounds for the column are conservatively kept.
+    Identity-partition columns prune on the partition VALUE from the
+    manifest entry instead (cheaper: no stats decode). Partition-column
+    names resolve against the DEFAULT spec; entries written under an
+    older spec (partition evolution) keep their own part_key shape and
+    are conservatively kept by the value prune (absent key -> survive).
     """
     md = load_table_metadata(spark, table_dir, version=version)
     schema = next(
