@@ -259,7 +259,11 @@ def scan_table(
         return spark.createDataFrame([], ddl)
 
     paths = [_norm_path(f["path"]) for f in plan.data_files]
-    df = spark.read.parquet(*paths).select(
+    # mergeSchema: batches written before a column was added lack it; the
+    # union schema keeps post-evolution batches' VALUES while older files
+    # read NULL — without it Spark samples one file's schema and could
+    # silently drop a newer batch's added column
+    df = spark.read.option("mergeSchema", "true").parquet(*paths).select(
         "*",
         F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/").alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),

@@ -288,3 +288,31 @@ def test_partitioned_insert_prune_and_scan(spark, tmp_path):
     }], timestamp_ms=1713139260001)
     after = scan_table(spark, table)
     assert sorted(r.id for r in after.collect()) == [1, 2, 4]
+
+
+def test_scan_mixed_schema_batches_keeps_new_column_values(spark, tmp_path):
+    """alter-then-insert: a batch written AFTER a column was added carries
+    real values for it; batches written before read NULL — the scan must
+    union the file schemas (mergeSchema), not sample one file's schema and
+    silently drop the newer batch's column."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        update_schema,
+    )
+
+    table = str(tmp_path / "ev")
+    create_table(table, fields=[(1, "id", "long")])
+    append_dataframe(
+        spark, spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+        table, timestamp_ms=1713139260000,
+    )
+    update_schema(table, add=[("score", "double")],
+                  timestamp_ms=1713139260001)
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(3, 0.5), (4, 0.9)], "id long, score double")
+        .coalesce(1),
+        table, timestamp_ms=1713139260002,
+    )
+    rows = {r.id: r.score for r in scan_table(spark, table).collect()}
+    assert rows == {1: None, 2: None, 3: 0.5, 4: 0.9}
