@@ -281,20 +281,33 @@ def scan_table(
     # scans serve partition columns, and it must happen BEFORE delete
     # application (an equality delete may key on a partition column)
     types_by_name = {name: t for _, name, t in plan.schema_fields}
-    missing_parts = [c for c in plan.partition_cols if c not in df.columns]
-    if missing_parts:
+    if plan.partition_cols:
+        # per-FILE resolution: after partition evolution a column can be
+        # physical in old files and Hive-virtual (directory-only) in new
+        # ones, so coalesce the data column with the metadata value
         ddl_parts = ", ".join(
-            f"`{c}` {_ICEBERG_TO_SPARK.get(types_by_name.get(c, 'string'), 'string')}"
-            for c in missing_parts
+            f"`__part_{c}` "
+            f"{_ICEBERG_TO_SPARK.get(types_by_name.get(c, 'string'), 'string')}"
+            for c in plan.partition_cols
         )
         part_df = spark.createDataFrame(
             [
-                tuple([_norm_path(f["path"])] + [f["part"].get(c) for c in missing_parts])
+                tuple(
+                    [_norm_path(f["path"])]
+                    + [f["part"].get(c) for c in plan.partition_cols]
+                )
                 for f in plan.data_files
             ],
             f"__file string, {ddl_parts}",
         )
         df = df.join(F.broadcast(part_df), "__file")
+        for c in plan.partition_cols:
+            src = (
+                F.coalesce(F.col(c), F.col(f"__part_{c}"))
+                if c in df.columns
+                else F.col(f"__part_{c}")
+            )
+            df = df.withColumn(c, src)
 
     if plan.position_deletes:
         pd_paths = [_norm_path(d["path"]) for d in plan.position_deletes]

@@ -851,3 +851,62 @@ def append_dataframe(
             ),
         })
     return commit_append(table_dir, files, timestamp_ms=timestamp_ms)
+
+
+def update_partition_spec(
+    table_dir: str,
+    add_identity: list[str],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Partition evolution (spec § Partition Evolution): publish a NEW
+    default partition spec extending the current one with identity
+    transforms over existing columns. Old data files keep their old spec
+    (manifests are self-describing; readers see each entry's own partition
+    shape), new commits write under the new spec — exactly how engines
+    evolve layout without rewriting data. Partition field ids are fresh
+    (``last-partition-id`` + 1...), never reused. No snapshot is created.
+    """
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: f for f in schema["fields"]}
+    cur_spec = next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )
+    existing_sources = {f["source-id"] for f in cur_spec["fields"]}
+    new_fields = [dict(f) for f in cur_spec["fields"]]
+    last_pid = int(md.get("last-partition-id", 999))
+    for name in add_identity:
+        if name not in by_name:
+            raise KeyError(f"no column {name!r} to partition by")
+        if by_name[name]["id"] in existing_sources:
+            raise ValueError(f"column {name!r} already partitions the table")
+        last_pid += 1
+        new_fields.append(
+            {"name": name, "transform": "identity",
+             "source-id": by_name[name]["id"], "field-id": last_pid}
+        )
+    new_spec = {
+        "spec-id": max(s["spec-id"] for s in md["partition-specs"]) + 1,
+        "fields": new_fields,
+    }
+    md["partition-specs"] = md["partition-specs"] + [new_spec]
+    md["default-spec-id"] = new_spec["spec-id"]
+    md["last-partition-id"] = last_pid
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

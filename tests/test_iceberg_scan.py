@@ -316,3 +316,53 @@ def test_scan_mixed_schema_batches_keeps_new_column_values(spark, tmp_path):
     )
     rows = {r.id: r.score for r in scan_table(spark, table).collect()}
     assert rows == {1: None, 2: None, 3: 0.5, 4: 0.9}
+
+
+def test_partition_spec_evolution_old_files_survive_new_prunes(spark, tmp_path):
+    """Partition evolution: after adding an identity field to the spec, old
+    files keep their old partition shape (self-describing manifests), new
+    commits write under the new spec; pruning on the NEW field prunes new
+    files exactly and conservatively keeps old ones, and pruning on the
+    ORIGINAL field prunes across both generations."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        update_partition_spec,
+    )
+
+    table = str(tmp_path / "pe")
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "source", "string"), (3, "id", "long")],
+        partition_fields=[("region", 1, 1000)],
+    )
+    append_dataframe(
+        spark,
+        spark.createDataFrame(
+            [("emea", "s0", 1), ("apac", "s0", 2)],
+            "region string, source string, id long").repartition(1),
+        table, timestamp_ms=1713139260000,
+    )
+    md = update_partition_spec(table, ["source"], timestamp_ms=1713139260001)
+    assert md["default-spec-id"] == 1
+    assert md["partition-specs"][1]["fields"][-1]["field-id"] == 1001
+    append_dataframe(
+        spark,
+        spark.createDataFrame(
+            [("emea", "s1", 3), ("emea", "s2", 4)],
+            "region string, source string, id long").repartition(1),
+        table, timestamp_ms=1713139260002,
+    )
+
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [1, 2, 3, 4]
+    # NEW-field prune: new-gen s2 file pruned; old-gen files (no 'source'
+    # in their partition tuple) conservatively survive
+    plan = plan_scan(spark, table, predicate=("source", "s1", "s1"))
+    kept = {f["part"].get("source") for f in plan.data_files}
+    assert "s2" not in kept and plan.files_pruned >= 1
+    got = scan_table(spark, table, predicate=("source", "s1", "s1"))
+    assert sorted(r.id for r in got.collect()) == [3]
+    # ORIGINAL-field prune spans both generations
+    plan_r = plan_scan(spark, table, predicate=("region", "emea", "emea"))
+    assert plan_r.files_pruned >= 1  # the apac old-gen file
+    got_r = scan_table(spark, table, predicate=("region", "emea", "emea"))
+    assert sorted(r.id for r in got_r.collect()) == [1, 3, 4]
