@@ -635,3 +635,11 @@ def insert_into(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
     from iceberg_meta_spark.sources.iceberg_write import append_dataframe
 
     return append_dataframe(spark, df, table_dir)
+
+
+def evolve_partitioning(table_dir: str, add_identity: list[str]) -> dict:
+    """Partition evolution: new default spec with added identity fields;
+    old files keep their layout (iceberg_write.py:update_partition_spec)."""
+    from iceberg_meta_spark.sources.iceberg_write import update_partition_spec
+
+    return update_partition_spec(table_dir, add_identity)
