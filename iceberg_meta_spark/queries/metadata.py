@@ -1173,6 +1173,7 @@ _MOR_SCAN_SQL = f"""
 
 @register(
     "iceberg_native_mor_scan",
+    tags=("bench",),  # tracks the plan->read->merge chain round-over-round
     oracle=_MOR_SCAN_SQL + "        ORDER BY id",
     doc="Merge-on-read DATA scan of a real native Iceberg table "
     "(sources/iceberg_scan.py): plan files from the metadata tree, read "
