@@ -643,3 +643,22 @@ def evolve_partitioning(table_dir: str, add_identity: list[str]) -> dict:
     from iceberg_meta_spark.sources.iceberg_write import update_partition_spec
 
     return update_partition_spec(table_dir, add_identity)
+
+
+def remove_orphans(spark: SparkSession, table_dir: str, older_than_ms: int,
+                   dry_run: bool = True) -> dict:
+    """EXECUTE orphan cleanup with the age guard (dry_run by default, like
+    the engine action) — iceberg_maintenance.py:remove_orphans."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        remove_orphans as _ro,
+    )
+
+    return _ro(spark, table_dir, older_than_ms, dry_run=dry_run)
+
+
+def set_table_properties(table_dir: str, set_props: dict | None = None,
+                         unset: list | None = None) -> dict:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES (iceberg_write.py:set_properties)."""
+    from iceberg_meta_spark.sources.iceberg_write import set_properties
+
+    return set_properties(table_dir, set_props, unset)

@@ -383,3 +383,32 @@ def rewrite_manifests(
         md["refs"]["main"]["snapshot-id"] = snap_id
     _publish(md, version, meta_dir, ts)
     return {"groups": len(groups), "rewritten": n_rewritten, "snapshot_id": snap_id}
+
+
+def remove_orphans(
+    spark: SparkSession,
+    table_dir: str,
+    older_than_ms: int,
+    dry_run: bool = True,
+) -> dict:
+    """EXECUTE orphan cleanup: delete the files :func:`orphan_files_frame`
+    flags, guarded by the grace period every engine applies — only files
+    whose modification time is STRICTLY BEFORE ``older_than_ms`` are
+    touched (an in-flight commit's just-written files look orphaned until
+    its hint swap lands; age is the only safe discriminator). ``dry_run``
+    (the default, like Iceberg's action) lists without deleting.
+
+    Returns {"deleted": [paths], "skipped_recent": n}. The deletion loop is
+    driver-side over the flagged list — orphan COUNT after the age filter
+    is cleanup-batch-sized; a pathological backlog can be re-run in
+    batches. Local-filesystem tables only (the writer's documented scope).
+    """
+    rows = orphan_files_frame(spark, table_dir).collect()
+    old = [r for r in rows if r.modified_ms < older_than_ms]
+    if not dry_run:
+        for r in old:
+            os.remove(r.path)
+    return {
+        "deleted": sorted(r.path for r in old),
+        "skipped_recent": len(rows) - len(old),
+    }

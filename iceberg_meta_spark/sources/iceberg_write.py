@@ -910,3 +910,38 @@ def update_partition_spec(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def set_properties(
+    table_dir: str,
+    set_props: dict[str, str] | None = None,
+    unset: list[str] | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: publish updated table
+    properties as a new metadata version (no snapshot; properties are not
+    data). Unknown unset keys are ignored, matching engine behavior."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    props = dict(md.get("properties") or {})
+    props.update({str(k): str(v) for k, v in (set_props or {}).items()})
+    for k in unset or []:
+        props.pop(k, None)
+    md["properties"] = props
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

@@ -318,3 +318,46 @@ def test_commit_conflict_raises_instead_of_lost_update(spark, tmp_path):
     # the loser's failed attempt must NOT have moved the hint
     with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
         assert fh.read().strip() == "1"
+
+
+def test_remove_orphans_respects_grace_period_and_dry_run(spark, tmp_path):
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    from iceberg_meta_spark.sources.iceberg_maintenance import remove_orphans
+
+    stray = os.path.join(table, "data", "stray.bin")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as fh:
+        fh.write(b"\x00" * 16)
+    mtime_ms = int(os.path.getmtime(stray) * 1000)
+
+    # too recent: nothing deleted, counted as skipped
+    out = remove_orphans(spark, table, older_than_ms=mtime_ms - 10_000,
+                         dry_run=False)
+    assert out["deleted"] == [] and out["skipped_recent"] == 1
+    assert os.path.exists(stray)
+    # old enough but dry_run: listed, not deleted
+    out = remove_orphans(spark, table, older_than_ms=mtime_ms + 10_000)
+    assert len(out["deleted"]) == 1 and os.path.exists(stray)
+    # old enough, for real
+    out = remove_orphans(spark, table, older_than_ms=mtime_ms + 10_000,
+                         dry_run=False)
+    assert len(out["deleted"]) == 1 and not os.path.exists(stray)
+    # the table still reads clean afterwards
+    assert native_files_frame(spark, table).count() == 2
+    assert orphan_files_frame(spark, table).count() == 0
+
+
+def test_set_properties_versions_metadata(spark, tmp_path):
+    from iceberg_meta_spark.sources.iceberg_write import set_properties
+
+    table = write_fixture_table(str(tmp_path), n_snapshots=1,
+                                manifests_per_snapshot=1, files_per_manifest=2)
+    md = set_properties(table, {"commit.retry.num-retries": "7"},
+                        unset=["write.format.default", "not-a-key"],
+                        timestamp_ms=1713139260000)
+    assert md["properties"] == {"commit.retry.num-retries": "7"}
+    # published as a new version; the old one remains for history
+    assert load_table_metadata(spark, table)["properties"] == md["properties"]
+    assert load_table_metadata(spark, table, version=1)["properties"][
+        "write.format.default"] == "parquet"
