@@ -662,3 +662,25 @@ def set_table_properties(table_dir: str, set_props: dict | None = None,
     from iceberg_meta_spark.sources.iceberg_write import set_properties
 
     return set_properties(table_dir, set_props, unset)
+
+
+def tag(table_dir: str, name: str, snapshot_id: int | None = None) -> dict:
+    """Create/replace a tag pinned at a snapshot (default: current) —
+    iceberg_write.py:manage_ref. Tags gate expiry and address scan(ref=)."""
+    from iceberg_meta_spark.sources.iceberg_write import manage_ref
+
+    return manage_ref(table_dir, name, snapshot_id, ref_type="tag")
+
+
+def branch(table_dir: str, name: str, snapshot_id: int | None = None) -> dict:
+    """Create/replace a branch ref (iceberg_write.py:manage_ref)."""
+    from iceberg_meta_spark.sources.iceberg_write import manage_ref
+
+    return manage_ref(table_dir, name, snapshot_id, ref_type="branch")
+
+
+def drop_ref(table_dir: str, name: str) -> dict:
+    """Drop a branch/tag (never main) — iceberg_write.py:manage_ref."""
+    from iceberg_meta_spark.sources.iceberg_write import manage_ref
+
+    return manage_ref(table_dir, name, drop=True)

@@ -110,6 +110,7 @@ def plan_scan(
     snapshot_id: int | None = None,
     version: int | None = None,
     predicate: tuple[str, object, object] | None = None,
+    ref: str | None = None,
 ) -> ScanPlan:
     """Build the file index for a snapshot scan; see module docstring.
 
@@ -123,6 +124,14 @@ def plan_scan(
     are conservatively kept by the value prune (absent key -> survive).
     """
     md = load_table_metadata(spark, table_dir, version=version)
+    if ref is not None:
+        # time travel by NAME (spec § Refs): branch/tag -> pinned snapshot
+        refs = md.get("refs") or {}
+        if ref not in refs:
+            raise KeyError(f"no ref {ref!r} on table")
+        if snapshot_id is not None:
+            raise ValueError("pass ref= or snapshot_id=, not both")
+        snapshot_id = int(refs[ref]["snapshot-id"])
     schema = next(
         s for s in md.get("schemas", []) if s.get("schema-id") == md.get("current-schema-id")
     )
@@ -246,11 +255,12 @@ def scan_table(
     snapshot_id: int | None = None,
     version: int | None = None,
     predicate: tuple[str, object, object] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Merge-on-read scan: plan -> read surviving parquet -> apply position
     and equality deletes -> (residual) filter. Returns the table's columns
-    only; helper columns never escape."""
-    plan = plan_scan(spark, table_dir, snapshot_id, version, predicate)
+    only; helper columns never escape. ``ref=`` addresses a branch/tag."""
+    plan = plan_scan(spark, table_dir, snapshot_id, version, predicate, ref)
     ddl = ", ".join(
         f"`{name}` {_ICEBERG_TO_SPARK.get(t, 'string')}"
         for _, name, t in plan.schema_fields

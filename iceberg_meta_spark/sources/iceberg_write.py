@@ -945,3 +945,52 @@ def set_properties(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def manage_ref(
+    table_dir: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+    drop: bool = False,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Branch/tag DDL (spec § Refs): create or replace a named ref pinned
+    at ``snapshot_id`` (default: current), or ``drop`` it. Refs gate
+    snapshot expiry (a pinned snapshot is never expired) and address time
+    travel by name; publishing is the usual new-metadata-version commit.
+    The ``main`` branch cannot be dropped."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError("ref_type must be 'tag' or 'branch'")
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    refs = dict(md.get("refs") or {})
+    if drop:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        if name not in refs:
+            raise KeyError(f"no ref {name!r}")
+        refs.pop(name)
+    else:
+        sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
+        if not any(s["snapshot-id"] == sid for s in md.get("snapshots", [])):
+            raise KeyError(f"snapshot {sid} not in table metadata")
+        refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    md["refs"] = refs
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md

@@ -366,3 +366,36 @@ def test_partition_spec_evolution_old_files_survive_new_prunes(spark, tmp_path):
     assert plan_r.files_pruned >= 1  # the apac old-gen file
     got_r = scan_table(spark, table, predicate=("region", "emea", "emea"))
     assert sorted(r.id for r in got_r.collect()) == [1, 3, 4]
+
+
+def test_refs_ddl_and_scan_by_ref(spark, tmp_path):
+    """Branch/tag DDL + name-addressed time travel: tag the first commit,
+    keep appending, scan the tag -> the historical state; the tag gates
+    expiry (pinned snapshot survives keep_last=1); dropping it releases
+    the pin."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import expire_snapshots
+    from iceberg_meta_spark.sources.iceberg_write import append_dataframe, manage_ref
+
+    table = str(tmp_path / "refs")
+    create_table(table, fields=[(1, "id", "long")])
+    append_dataframe(spark, spark.createDataFrame([(1,), (2,)], "id long")
+                     .coalesce(1), table, timestamp_ms=1713139260000)
+    manage_ref(table, "v1-audit", ref_type="tag", timestamp_ms=1713139260001)
+    append_dataframe(spark, spark.createDataFrame([(3,)], "id long")
+                     .coalesce(1), table, timestamp_ms=1713139260002)
+
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in
+                  scan_table(spark, table, ref="v1-audit").collect()) == [1, 2]
+    with pytest.raises(KeyError):
+        scan_table(spark, table, ref="nope")
+
+    # the tag pins snapshot 1 through expiry
+    out = expire_snapshots(table, keep_last=1, timestamp_ms=1713139260003)
+    assert out["expired_snapshot_ids"] == []
+    # drop the tag -> snapshot 1 becomes expirable
+    manage_ref(table, "v1-audit", drop=True, timestamp_ms=1713139260004)
+    out = expire_snapshots(table, keep_last=1, timestamp_ms=1713139260005)
+    assert out["expired_snapshot_ids"] == [1]
+    with pytest.raises(ValueError):
+        manage_ref(table, "main", drop=True)
