@@ -576,13 +576,14 @@ def scan(
     snapshot_id: int | None = None,
     version: int | None = None,
     predicate: tuple | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Merge-on-read DATA scan with zone-map file pruning (iceberg_scan.py):
-    position + equality deletes applied, time travel by snapshot or
-    metadata version."""
+    """Merge-on-read DATA scan with partition + zone-map file pruning
+    (iceberg_scan.py): position + equality deletes applied, time travel by
+    snapshot id, metadata version, or branch/tag name."""
     from iceberg_meta_spark.sources.iceberg_scan import scan_table
 
-    return scan_table(spark, table_dir, snapshot_id, version, predicate)
+    return scan_table(spark, table_dir, snapshot_id, version, predicate, ref)
 
 
 def alter_schema(table_dir: str, add=None, drop=None, rename=None) -> dict:
