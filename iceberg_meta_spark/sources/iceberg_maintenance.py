@@ -273,18 +273,28 @@ def rewrite_manifests(
         ),
         key=key,
     )
-    # first-fit into groups; singleton groups are not worth rewriting
-    groups: list[list[dict]] = []
-    cur_group: list[dict] = []
-    cur_bytes = 0
+    # first-fit into groups PER PARTITION SPEC: a manifest's Avro entry
+    # schema encodes its spec's partition shape, so merging across specs
+    # would re-encode foreign entries with the wrong partition record
+    # (silently dropping fields or crashing) and stamp the merged manifest
+    # with a spec id its entries don't match — after partition evolution
+    # both specs legitimately coexist in one snapshot
+    by_spec: dict[int, list[dict]] = {}
     for m in small:
-        if cur_group and cur_bytes + int(m["manifest_length"]) > target_bytes:
+        by_spec.setdefault(int(m.get("partition_spec_id", 0)), []).append(m)
+    groups: list[list[dict]] = []
+    for spec_id in sorted(by_spec):
+        cur_group: list[dict] = []
+        cur_bytes = 0
+        for m in by_spec[spec_id]:
+            if cur_group and cur_bytes + int(m["manifest_length"]) > target_bytes:
+                groups.append(cur_group)
+                cur_group, cur_bytes = [], 0
+            cur_group.append(m)
+            cur_bytes += int(m["manifest_length"])
+        if cur_group:
             groups.append(cur_group)
-            cur_group, cur_bytes = [], 0
-        cur_group.append(m)
-        cur_bytes += int(m["manifest_length"])
-    if cur_group:
-        groups.append(cur_group)
+    # singleton groups are not worth rewriting
     groups = [g for g in groups if len(g) > 1]
     if not groups:
         return {"groups": 0, "rewritten": 0, "snapshot_id": None}
@@ -317,6 +327,15 @@ def rewrite_manifests(
                     continue  # deleted entries do not carry forward
                 e = dict(e)
                 e["status"] = 0  # EXISTING, provenance preserved
+                # spec § Sequence Number Inheritance: a null entry seq means
+                # "inherit from MY manifest" and is legal on ADDED entries
+                # only — an EXISTING entry must carry it explicitly, so
+                # materialize the SOURCE manifest's seq before the entry
+                # moves into a manifest with a different (newer) seq
+                if e.get("sequence_number") is None:
+                    e["sequence_number"] = m.get("sequence_number")
+                if e.get("file_sequence_number") is None:
+                    e["file_sequence_number"] = m.get("sequence_number")
                 merged.append(e)
                 existing_rows += int(e["data_file"]["record_count"])
             ms = m.get("min_sequence_number")

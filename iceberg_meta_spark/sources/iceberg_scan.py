@@ -40,7 +40,6 @@ from iceberg_meta_spark.sources.iceberg_native import (
     _manifest_bytes_df,
     _entries_map_fn,
     _ENTRY_COLS,
-    decode_bound,
     load_table_metadata,
     _snapshot,
     _read_avro_file,
@@ -59,9 +58,12 @@ _ICEBERG_TO_SPARK = {
 
 
 def _norm_path(p: str) -> str:
+    """file:///x, file:/x, ///x and /x all normalize to /x — the SAME form
+    the Spark-side ``regexp_replace(r'^file:/*', '/')`` produces, so the
+    ``__file`` equi-joins match engine-written ``file://`` URIs too."""
     while p.startswith("file:"):
         p = p[len("file:"):]
-    return p if p.startswith("/") else "/" + p
+    return "/" + p.lstrip("/")
 
 
 @dataclass
@@ -77,31 +79,130 @@ class ScanPlan:
     partition_cols: list[str] = field(default_factory=list)
 
 
-def _entries_rows(spark: SparkSession, table_dir: str, snap: dict, md: dict, content: int):
-    """Decoded manifest entries (list of Rows) for one manifest content
-    kind, with null entry sequence numbers inherited from the manifest."""
-    # manifest-level sequence numbers (planning index, driver-side)
+_PLAN_COLS = (
+    "file_path string, seq long, record_count long, "
+    "file_size_in_bytes long, part_key string, equality_ids array<int>"
+)
+
+
+def _make_plan_entries_fn(
+    mseq: dict,
+    bounds_pred: tuple | None,
+    part_pred: tuple | None,
+):
+    """Arrow-batched manifest decode that ALSO prunes, executor-side: only
+    live entries that survive the partition-value prune (``part_pred`` =
+    (col, lo, hi) against the entry's own partition tuple) and the zone-map
+    prune (``bounds_pred`` = (field_id, type, lo, hi) against the entry's
+    Appendix-D bounds, decoded in the same pass) are ever emitted — the
+    driver collects a post-prune planning index, never the full file list.
+    Sequence-number inheritance (null entry seq -> manifest seq) happens
+    here too, via the tiny manifest_path -> seq closure map."""
+
+    def fn(pdf_iter):
+        import pandas as pd
+
+        from iceberg_meta_spark.sources.iceberg_native import (
+            _decode_manifest_entries,
+            _kv_map,
+            decode_bound,
+        )
+
+        cols = [c.split()[0] for c in _PLAN_COLS.split(", ")]
+        for pdf in pdf_iter:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for e in _decode_manifest_entries(bytes(content), path):
+                    if e["status"] == 2:
+                        continue  # DELETED entries are not live
+                    dfile = e["data_file"]
+                    part = dfile.get("partition") or {}
+                    if part_pred is not None:
+                        col, lo, hi = part_pred
+                        v = part.get(col)
+                        # unknown/absent value (older spec, null): keep
+                        if v is not None:
+                            if lo is not None and v < lo:
+                                continue
+                            if hi is not None and v > hi:
+                                continue
+                    if bounds_pred is not None:
+                        fid, ftype, lo, hi = bounds_pred
+                        lb = _kv_map(dfile.get("lower_bounds"))
+                        ub = _kv_map(dfile.get("upper_bounds"))
+                        fmin = decode_bound(
+                            bytes(lb[fid]) if fid in lb else None, ftype
+                        )
+                        fmax = decode_bound(
+                            bytes(ub[fid]) if fid in ub else None, ftype
+                        )
+                        # files without bounds cannot be pruned safely
+                        if fmin is not None and fmax is not None:
+                            if lo is not None and fmax < lo:
+                                continue
+                            if hi is not None and fmin > hi:
+                                continue
+                    seq = e["entry"].get("sequence_number")
+                    if seq is None:
+                        seq = mseq.get(path)
+                    eq = dfile.get("equality_ids")
+                    out.append(
+                        {
+                            "file_path": dfile["file_path"],
+                            "seq": int(seq) if seq is not None else 0,
+                            "record_count": int(dfile["record_count"]),
+                            "file_size_in_bytes": int(dfile["file_size_in_bytes"]),
+                            "part_key": json.dumps(part, sort_keys=True, default=str),
+                            "equality_ids": [int(i) for i in eq] if eq else None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def _plan_entries(
+    spark: SparkSession,
+    table_dir: str,
+    snap: dict,
+    md: dict,
+    content: int,
+    bounds_pred: tuple | None = None,
+    part_pred: tuple | None = None,
+):
+    """(surviving live entries, live-entry total) for one manifest content
+    kind. The total comes from the manifest LIST's required added/existing
+    counts (planning index, no decode); decode + prune + seq inheritance
+    all run inside the distributed Arrow pass, so the driver only ever
+    holds post-prune entries."""
+    from iceberg_meta_spark.sources.iceberg_native import _mf_int
+
     mlist = _read_avro_file(spark, snap["manifest-list"])
-    mseq = {
-        r["manifest_path"]: r.get("sequence_number")
-        for r in mlist
-        if (int(r.get("content", 0)) == content)
-    }
+    mine = [r for r in mlist if int(r.get("content", 0)) == content]
+    mseq = {r["manifest_path"]: r.get("sequence_number") for r in mine}
+    live_total: int | None = 0
+    for r in mine:
+        a = _mf_int(r, "added_files_count", "added_data_files_count")
+        x = _mf_int(r, "existing_files_count", "existing_data_files_count")
+        if a is None or x is None:
+            live_total = None  # pre-v2 writer without counts: fall back
+            break
+        live_total += a + x
     bin_df = _manifest_bytes_df(
         spark, table_dir, snap["snapshot-id"], md, content=content
     )
-    rows = (
-        bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS)
-        .where(F.col("status") != 2)
-        .collect()
-    )
-    out = []
-    for r in rows:
-        seq = r.sequence_number
-        if seq is None:
-            seq = mseq.get(r.manifest_path)
-        out.append((r, int(seq) if seq is not None else 0))
-    return out
+    fn = _make_plan_entries_fn(mseq, bounds_pred, part_pred)
+    rows = bin_df.mapInPandas(fn, _PLAN_COLS).collect()
+    if live_total is None:
+        if bounds_pred is None and part_pred is None:
+            live_total = len(rows)
+        else:  # rare: counts absent AND pruning on — one distributed count
+            live_total = (
+                bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS)
+                .where(F.col("status") != 2)
+                .count()
+            )
+    return rows, live_total
 
 
 def plan_scan(
@@ -122,6 +223,11 @@ def plan_scan(
     names resolve against the DEFAULT spec; entries written under an
     older spec (partition evolution) keep their own part_key shape and
     are conservatively kept by the value prune (absent key -> survive).
+
+    Pruning runs INSIDE the distributed manifest decode (r9): the driver
+    collects only the SURVIVING entries — at 10^8 manifest entries the
+    pre-prune list never materializes anywhere; ``files_total`` comes from
+    the manifest list's required added/existing counts instead.
     """
     md = load_table_metadata(spark, table_dir, version=version)
     if ref is not None:
@@ -156,74 +262,31 @@ def plan_scan(
         if f.get("transform") == "identity" and int(f["source-id"]) in id_to_name
     ]
 
-    data = _entries_rows(spark, table_dir, snap, md, content=0)
-    files_total = len(data)
-    files_pruned = 0
-    if predicate is not None and data and predicate[0] in partition_cols:
-        # PARTITION pruning: the value rides the manifest entry itself
-        # (canonical-JSON part_key) — no stats decode needed, the cheapest
-        # prune an identity-partitioned table offers
+    part_pred = bounds_pred = None
+    if predicate is not None and predicate[0] in partition_cols:
+        # PARTITION pruning: the value rides the manifest entry itself —
+        # no stats decode needed, the cheapest prune an identity-
+        # partitioned table offers
+        part_pred = predicate
+    elif predicate is not None:
         col, lo, hi = predicate
+        fid, ftype = next((fid, t) for fid, name, t in fields if name == col)
+        bounds_pred = (fid, ftype, lo, hi)
 
-        def p_survives(part_key: str) -> bool:
-            v = (json.loads(part_key) or {}).get(col)
-            if v is None:
-                return True  # unknown partition value: keep
-            if lo is not None and v < lo:
-                return False
-            if hi is not None and v > hi:
-                return False
-            return True
+    data, live_total = _plan_entries(
+        spark, table_dir, snap, md, content=0,
+        bounds_pred=bounds_pred, part_pred=part_pred,
+    )
+    if predicate is None:
+        files_total, files_pruned = len(data), 0
+    else:
+        files_total = live_total
+        files_pruned = files_total - len(data)
 
-        kept = [(r, seq) for r, seq in data if p_survives(r.part_key)]
-        files_pruned = files_total - len(kept)
-        data = kept
-    elif predicate is not None and data:
-        col, lo, hi = predicate
-        fid, ftype = next(
-            (fid, t) for fid, name, t in fields if name == col
-        )
-        # per-file typed bounds for the predicate column, decoded from the
-        # same distributed stats pass the column-health kernel uses
-        from iceberg_meta_spark.sources.iceberg_native import (
-            _stats_map_fn,
-            _STATS_COLS,
-        )
-
-        bin_df = _manifest_bytes_df(spark, table_dir, snap["snapshot-id"], md)
-        stats = (
-            bin_df.mapInPandas(_stats_map_fn, _STATS_COLS)
-            .where(F.col("field_id") == fid)
-            .select("file_path", "lower_bound", "upper_bound")
-            .collect()
-        )
-        bounds = {
-            r.file_path: (
-                decode_bound(bytes(r.lower_bound) if r.lower_bound is not None else None, ftype),
-                decode_bound(bytes(r.upper_bound) if r.upper_bound is not None else None, ftype),
-            )
-            for r in stats
-        }
-
-        def survives(path: str) -> bool:
-            b = bounds.get(path)
-            if b is None or b[0] is None or b[1] is None:
-                return True  # no bounds -> cannot prune safely
-            fmin, fmax = b
-            if lo is not None and fmax < lo:
-                return False
-            if hi is not None and fmin > hi:
-                return False
-            return True
-
-        kept = [(r, seq) for r, seq in data if survives(r.file_path)]
-        files_pruned = files_total - len(kept)
-        data = kept
-
-    deletes = _entries_rows(spark, table_dir, snap, md, content=1)
+    deletes, _ = _plan_entries(spark, table_dir, snap, md, content=1)
     pos, eq = [], []
-    for r, seq in deletes:
-        d = {"path": r.file_path, "seq": seq}
+    for r in deletes:
+        d = {"path": r.file_path, "seq": r.seq}
         if r.equality_ids:
             d["equality_ids"] = list(r.equality_ids)
             eq.append(d)
@@ -233,12 +296,12 @@ def plan_scan(
         data_files=[
             {
                 "path": r.file_path,
-                "seq": seq,
+                "seq": r.seq,
                 "record_count": r.record_count,
                 "size": r.file_size_in_bytes,
                 "part": json.loads(r.part_key) if r.part_key else {},
             }
-            for r, seq in data
+            for r in data
         ],
         position_deletes=pos,
         equality_deletes=eq,
@@ -249,26 +312,23 @@ def plan_scan(
     )
 
 
-def scan_table(
+def _merged_rows(
     spark: SparkSession,
-    table_dir: str,
-    snapshot_id: int | None = None,
-    version: int | None = None,
-    predicate: tuple[str, object, object] | None = None,
-    ref: str | None = None,
-) -> DataFrame:
-    """Merge-on-read scan: plan -> read surviving parquet -> apply position
-    and equality deletes -> (residual) filter. Returns the table's columns
-    only; helper columns never escape. ``ref=`` addresses a branch/tag."""
-    plan = plan_scan(spark, table_dir, snapshot_id, version, predicate, ref)
-    ddl = ", ".join(
-        f"`{name}` {_ICEBERG_TO_SPARK.get(t, 'string')}"
-        for _, name, t in plan.schema_fields
-    )
-    if not plan.data_files:
-        return spark.createDataFrame([], ddl)
-
-    paths = [_norm_path(f["path"]) for f in plan.data_files]
+    plan: ScanPlan,
+    data_files: list[dict],
+    keep_helpers: bool = False,
+) -> DataFrame | None:
+    """Read ``data_files`` (a subset of ``plan.data_files``) and apply the
+    plan's position + equality deletes — the merge-on-read core shared by
+    :func:`scan_table`, the compaction rewrite (which reads each small-file
+    group through this so pending deletes are ABSORBED), and the changelog
+    scan. Returns None when ``data_files`` is empty. With ``keep_helpers``
+    the ``__file``/``__pos``/``__dseq`` columns survive (the changelog scan
+    joins new delete files against them); otherwise the projection keeps
+    the table's declared columns only."""
+    if not data_files:
+        return None
+    paths = [_norm_path(f["path"]) for f in data_files]
     # mergeSchema: batches written before a column was added lack it; the
     # union schema keeps post-evolution batches' VALUES while older files
     # read NULL — without it Spark samples one file's schema and could
@@ -280,7 +340,7 @@ def scan_table(
     )
     # per-file data sequence number: tiny planning-index map, broadcast
     seq_df = spark.createDataFrame(
-        [(_norm_path(f["path"]), f["seq"]) for f in plan.data_files],
+        [(_norm_path(f["path"]), f["seq"]) for f in data_files],
         "__file string, __dseq long",
     )
     df = df.join(F.broadcast(seq_df), "__file")
@@ -306,7 +366,7 @@ def scan_table(
                     [_norm_path(f["path"])]
                     + [f["part"].get(c) for c in plan.partition_cols]
                 )
-                for f in plan.data_files
+                for f in data_files
             ],
             f"__file string, {ddl_parts}",
         )
@@ -366,7 +426,10 @@ def scan_table(
         )
         cond = df["__dseq"] < eq["__delseq"]  # strict, per spec
         for c in cols:
-            cond = cond & (df[c] == eq[f"__eq_{c}"])
+            # null-safe: an equality delete with NULL in a column deletes
+            # rows whose column IS NULL (spec: "equality delete files ...
+            # null values match"), which plain == would never match
+            cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
         df = df.join(eq, cond, "left_anti")
 
     # schema evolution on read: a column ADDED after a file was written is
@@ -374,14 +437,36 @@ def scan_table(
     # (name-based resolution: these files carry no parquet field-id
     # metadata, the id-based variant of the same rule)
     present = set(df.columns)
-    out = df.select(
-        *[
-            F.col(name)
-            if name in present
-            else F.lit(None).cast(_ICEBERG_TO_SPARK.get(t, "string")).alias(name)
+    cols = [
+        F.col(name)
+        if name in present
+        else F.lit(None).cast(_ICEBERG_TO_SPARK.get(t, "string")).alias(name)
+        for _, name, t in plan.schema_fields
+    ]
+    if keep_helpers:
+        cols += [F.col("__file"), F.col("__pos"), F.col("__dseq")]
+    return df.select(*cols)
+
+
+def scan_table(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    version: int | None = None,
+    predicate: tuple[str, object, object] | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Merge-on-read scan: plan -> read surviving parquet -> apply position
+    and equality deletes -> (residual) filter. Returns the table's columns
+    only; helper columns never escape. ``ref=`` addresses a branch/tag."""
+    plan = plan_scan(spark, table_dir, snapshot_id, version, predicate, ref)
+    out = _merged_rows(spark, plan, plan.data_files)
+    if out is None:
+        ddl = ", ".join(
+            f"`{name}` {_ICEBERG_TO_SPARK.get(t, 'string')}"
             for _, name, t in plan.schema_fields
-        ]
-    )
+        )
+        return spark.createDataFrame([], ddl)
     if predicate is not None:
         col, lo, hi = predicate  # residual filter on top of file pruning
         if lo is not None:

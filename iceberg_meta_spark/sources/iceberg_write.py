@@ -56,7 +56,13 @@ def _bound_bytes(value, type_name: str | None = None) -> bytes:
 
 
 def _local_path(p: str) -> str:
-    return p[len("file:"):] if p.startswith("file:") else p
+    """Strip a ``file:`` scheme for local IO; absolute paths collapse
+    repeated leading slashes (``file:///x`` -> ``/x``, matching the scan
+    side's ``_norm_path``) so paths stored in metadata join cleanly."""
+    if not p.startswith("file:"):
+        return p
+    p = p[len("file:"):]
+    return "/" + p.lstrip("/") if p.startswith("/") else p
 
 
 def commit_append(
@@ -675,9 +681,25 @@ def update_schema(
             if f["name"] == old:
                 f["name"] = new
         names = {f["name"] for f in fields}
+    # Iceberg forbids dropping a column any partition spec sources: the
+    # spec would keep a dangling source-id, partition-value injection and
+    # pruning would silently stop, and equality deletes keyed on the field
+    # would fail to resolve. (Equality-delete key columns carry the same
+    # caveat; delete files name field ids, so a dropped id orphans them.)
+    partition_source_ids = {
+        int(pf["source-id"])
+        for spec in md.get("partition-specs", [])
+        for pf in spec.get("fields", [])
+    }
     for name in drop or []:
         if name not in names:
             raise KeyError(f"no column {name!r} to drop")
+        fid = next(f["id"] for f in fields if f["name"] == name)
+        if int(fid) in partition_source_ids:
+            raise ValueError(
+                f"cannot drop {name!r}: it is a partition source column "
+                f"(field id {fid}) of an existing partition spec"
+            )
         fields = [f for f in fields if f["name"] != name]
         names.discard(name)
     last_id = int(md.get("last-column-id", max(f["id"] for f in fields)))
@@ -823,10 +845,12 @@ def append_dataframe(
     }
 
     def _norm(p: str) -> str:
+        # collapse file:///x and ///x to /x, same as the scan's _norm_path
         while p.startswith("file:"):
             p = p[len("file:"):]
-        return p
+        return "/" + p.lstrip("/") if p.startswith("/") else p
 
+    sizes = {_norm(k): v for k, v in sizes.items()}
     files = []
     for r in per_file:
         path = _norm(r["__fp"])
@@ -837,7 +861,7 @@ def append_dataframe(
         files.append({
             "file_path": path,
             "record_count": int(r["__n"]),
-            "file_size_in_bytes": sizes.get(path) or sizes.get("file:" + path, 0),
+            "file_size_in_bytes": sizes.get(path, 0),
             "value_counts": {fid: int(r["__n"]) for fid in int_cols.values()},
             "null_value_counts": {
                 fid: int(r[f"__nn_{n}"]) for n, fid in int_cols.items()

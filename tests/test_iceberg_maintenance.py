@@ -361,3 +361,153 @@ def test_set_properties_versions_metadata(spark, tmp_path):
     assert load_table_metadata(spark, table)["properties"] == md["properties"]
     assert load_table_metadata(spark, table, version=1)["properties"][
         "write.format.default"] == "parquet"
+
+
+def test_rewrite_manifests_never_merges_across_partition_specs(spark, tmp_path):
+    """Manifests written under different partition specs carry different
+    Avro entry schemas — merging them would re-encode one spec's entries
+    with the other's partition record (silent field loss). The bin-pack
+    must group per spec_id (r9 ADVICE fix)."""
+    from iceberg_meta_spark.sources.avro_py import read_container
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        update_partition_spec,
+    )
+
+    table = str(tmp_path / "t")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long")])
+    ins = lambda rows, ts: append_dataframe(  # noqa: E731
+        spark, spark.createDataFrame(rows, "region string, id long").coalesce(1),
+        table, timestamp_ms=ts)
+    # two commits under spec 0 (unpartitioned), two under spec 1 (region)
+    ins([("emea", 1)], 1713139260000)
+    ins([("emea", 2)], 1713139260001)
+    update_partition_spec(table, ["region"], timestamp_ms=1713139260002)
+    ins([("apac", 3)], 1713139260003)
+    ins([("apac", 4)], 1713139260004)
+    before = sorted(r.id for r in scan_table(spark, table).collect())
+
+    out = rewrite_manifests(table, timestamp_ms=1713139260005)
+    assert out["groups"] == 2  # one merged manifest PER spec, never mixed
+    md, _, _ = _load_md_for_test(table)
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    with open(cur["manifest-list"], "rb") as fh:
+        _, _, manifests = read_container(fh.read())
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            _, meta, entries = read_container(fh.read())
+        # every entry in a merged manifest must carry ITS spec's shape:
+        # spec-1 entries keep their region partition value
+        if int(m.get("partition_spec_id", 0)) == 1:
+            assert all(
+                (e["data_file"].get("partition") or {}).get("region")
+                for e in entries
+            )
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == before
+
+
+def _load_md_for_test(table):
+    from iceberg_meta_spark.sources.iceberg_maintenance import _load_md
+
+    return _load_md(table)
+
+
+def test_rewrite_manifests_materializes_inherited_sequence_numbers(spark, tmp_path):
+    """Engine-written ADDED entries may carry a NULL seq (manifest
+    inheritance). When a rewrite turns them EXISTING, the spec requires the
+    seq be materialized from the SOURCE manifest — otherwise the reader's
+    coalesce inflates data seqs past delete seqs and deleted rows
+    resurrect (r9 ADVICE fix)."""
+    import glob
+
+    from iceberg_meta_spark.sources.avro_py import read_container, write_container
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        commit_delete_files,
+        create_table,
+    )
+
+    table = str(tmp_path / "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+
+    def batch(name, rows):
+        df = spark.createDataFrame(rows, "id long, val long")
+        df.coalesce(1).write.parquet(os.path.join(table, "data", name))
+        [p] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+        return p
+
+    p1 = batch("b1", [(i, i * 10) for i in range(5)])
+    commit_append(table, [{"file_path": p1, "record_count": 5,
+                           "file_size_in_bytes": os.path.getsize(p1)}],
+                  timestamp_ms=1713139260000)
+    p2 = batch("b2", [(i, i * 10) for i in range(5, 10)])
+    commit_append(table, [{"file_path": p2, "record_count": 5,
+                           "file_size_in_bytes": os.path.getsize(p2)}],
+                  timestamp_ms=1713139260001)
+
+    # simulate an engine writer: null the entry seqs (inherited from the
+    # manifest per spec § Sequence Number Inheritance)
+    md, _, _ = _load_md_for_test(table)
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    with open(cur["manifest-list"], "rb") as fh:
+        _, _, manifests = read_container(fh.read())
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            schema, meta, entries = read_container(fh.read())
+        for e in entries:
+            e["sequence_number"] = None
+            e["file_sequence_number"] = None
+        with open(m["manifest_path"], "wb") as fh:
+            fh.write(write_container(schema, entries, metadata=dict(meta)))
+
+    # equality delete at seq 3 hides id=7 (data seq 1/2 < 3)
+    (spark.createDataFrame([(7,)], "id long").coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(table, "data", "del_eq2")))
+    [de2] = glob.glob(os.path.join(table, "data", "del_eq2", "*.parquet"))
+    commit_delete_files(table, [{"file_path": de2, "record_count": 1,
+                                 "file_size_in_bytes": os.path.getsize(de2),
+                                 "equality_ids": [1]}],
+                        timestamp_ms=1713139260002)
+    before = sorted(r.id for r in scan_table(spark, table).collect())
+    assert 7 not in before
+
+    out = rewrite_manifests(table, timestamp_ms=1713139260003)
+    assert out["groups"] == 1 and out["rewritten"] == 2
+    # merged EXISTING entries must carry their ORIGINAL seqs explicitly...
+    md2, _, _ = _load_md_for_test(table)
+    cur2 = next(s for s in md2["snapshots"]
+                if s["snapshot-id"] == md2["current-snapshot-id"])
+    with open(cur2["manifest-list"], "rb") as fh:
+        _, _, manifests2 = read_container(fh.read())
+    merged = [m for m in manifests2 if int(m.get("content", 0)) == 0]
+    assert len(merged) == 1
+    with open(merged[0]["manifest_path"], "rb") as fh:
+        _, _, entries2 = read_container(fh.read())
+    assert sorted(e["sequence_number"] for e in entries2) == [1, 2]
+    # ...so the delete still applies: id=7 must NOT resurrect
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == before
+
+
+def test_update_schema_rejects_partition_source_drop(spark, tmp_path):
+    from iceberg_meta_spark.sources.iceberg_write import (
+        create_table,
+        update_schema,
+    )
+
+    table = str(tmp_path / "t")
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long")],
+        partition_fields=[("region", 1, 1000)],
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        update_schema(table, drop=["region"])
+    # non-source columns still drop fine
+    md = update_schema(table, drop=["id"], timestamp_ms=1713139260001)
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    assert [f["name"] for f in cur["fields"]] == ["region"]
