@@ -1302,3 +1302,46 @@ def iceberg_native_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> Da
     return scan_table(
         spark, default_partitioned_table(spark), predicate=("region", "emea", "emea")
     ).orderBy("id")
+
+
+@register(
+    "iceberg_native_compaction",
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS data_files,
+               CAST(18 AS BIGINT) AS row_count,
+               CAST(1750 AS BIGINT) AS sum_val,
+               CAST(6 AS BIGINT) AS snapshots,
+               CAST(1 AS BIGINT) AS live_delete_files
+    """,
+    doc="Data-file compaction EXECUTED on the native path (sources/"
+    "iceberg_maintenance.py:rewrite_data_files): 4 small files + a pending "
+    "equality delete rewrite into ONE target-sized file through the "
+    "merge-on-read core (deletes APPLIED and absorbed), published as a "
+    "single replace snapshot via commit_rewrite_files. The query reads the "
+    "POST-compaction table state — file count and delete count from the "
+    "scan plan, rows and sum(val) from the actual data scan — against the "
+    "fixture's closed form: 20 rows minus eq-deleted {3, 12} = 18 rows, "
+    "sum_val = 10*(190-15); the dangling delete file stays committed "
+    "(reclaimed by expiry, like the engine's separate "
+    "rewrite_position_delete_files action). Completes the plan->execute "
+    "story of meta_compaction_plan / api.compaction_plan",
+)
+def iceberg_native_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_compaction_table
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_compaction_table(spark)
+    plan = plan_scan(spark, table)
+    n_snapshots = len(load_table_metadata(spark, table)["snapshots"])
+    return scan_table(spark, table).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("val").alias("sum_val"),
+    ).select(
+        F.lit(len(plan.data_files)).cast("long").alias("data_files"),
+        F.col("row_count"),
+        F.col("sum_val"),
+        F.lit(n_snapshots).cast("long").alias("snapshots"),
+        F.lit(len(plan.equality_deletes) + len(plan.position_deletes))
+        .cast("long").alias("live_delete_files"),
+    )

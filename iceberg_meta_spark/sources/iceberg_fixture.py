@@ -519,3 +519,54 @@ def default_partitioned_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_compaction_table(spark) -> str:
+    """A small-file table COMPACTED by ``rewrite_data_files``: 4 append
+    commits (ids 0..19, region = regions[i % 3], val = 10·id, one file
+    each), an equality delete on id ∈ {3, 12}, then the rewrite — so the
+    final state is ONE data file holding the 18 surviving rows at the
+    replace snapshot's sequence number, with the (now dangling) delete
+    file still committed. Closed form for the oracle: data_files=1,
+    row_count=18, sum_val=10·(190−15)=1750, snapshots=6,
+    live_delete_files=1."""
+    import glob
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        commit_delete_files,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_compact_v1")
+    table = os.path.join(base, "compact_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    regions = ("americas", "emea", "apac")
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "region", "string"), (3, "val", "long")],
+    )
+    for b in range(4):
+        rows = [(i, regions[i % 3], i * 10) for i in range(b * 5, b * 5 + 5)]
+        append_dataframe(
+            spark,
+            spark.createDataFrame(rows, "id long, region string, val long")
+            .coalesce(1),
+            table, timestamp_ms=1713139200000 + 60_000 * (b + 1),
+        )
+    (spark.createDataFrame([(3,), (12,)], "id long").coalesce(1)
+     .write.parquet(os.path.join(table, "data", "del_eq")))
+    [de] = glob.glob(os.path.join(table, "data", "del_eq", "*.parquet"))
+    commit_delete_files(table, [{
+        "file_path": de, "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(de), "equality_ids": [1],
+    }], timestamp_ms=1713139200000 + 300_000)
+    out = rewrite_data_files(spark, table, timestamp_ms=1713139200000 + 360_000)
+    assert out["groups"] == 1 and out["added_files"] == 1, out
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

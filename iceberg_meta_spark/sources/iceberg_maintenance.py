@@ -404,6 +404,106 @@ def rewrite_manifests(
     return {"groups": len(groups), "rewritten": n_rewritten, "snapshot_id": snap_id}
 
 
+def rewrite_data_files(
+    spark: SparkSession,
+    table_dir: str,
+    small_threshold: int = 1 << 27,
+    target_bytes: int = 1 << 29,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """EXECUTE Iceberg's ``rewrite_data_files`` (bin-pack strategy): the
+    action half of ``meta_compaction_plan``/``api.compaction_plan`` (the
+    reference only FLAGS compaction, formatters.py:445-462).
+
+    1. Plan the current snapshot (:func:`~iceberg_meta_spark.sources.
+       iceberg_scan.plan_scan`) and pick candidates: live data files under
+       ``small_threshold`` bytes, plus any file a pending row-level delete
+       can apply to (pos: delete_seq >= data_seq; eq: delete_seq >
+       data_seq) — rewriting those ABSORBS the deletes, Iceberg's
+       delete-threshold behavior.
+    2. First-fit bin-pack candidates into ~``target_bytes`` groups PER
+       PARTITION TUPLE (an output file carries exactly one partition
+       value). Groups of one are only kept when delete-affected.
+    3. Read each group through the merge-on-read core so pending deletes
+       are APPLIED and dropped, write one target-sized parquet per group,
+       and commit everything as ONE ``replace`` snapshot
+       (:func:`~iceberg_meta_spark.sources.iceberg_write.
+       commit_rewrite_files`): old files DELETED, new files ADDED at the
+       new sequence number. Served rows are identical pre/post (the
+       tests pin it); time travel still reaches the old layout.
+
+    Dangling delete files (all their targets rewritten) stay committed —
+    they apply to nothing and are reclaimed by snapshot expiry, matching
+    the engine's separate rewrite_position_delete_files action. A no-op
+    (no groups) publishes nothing: {"groups": 0, ...}.
+
+    Group COUNT is bounded (each holds ~target_bytes); the per-group read
+    +write is distributed work, the commit driver work is planning-index
+    scale. Each group coalesces to ONE output task — bounded by
+    target_bytes, the same contract a real compaction job sizes for.
+    """
+    from iceberg_meta_spark.sources.iceberg_scan import _merged_rows, plan_scan
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_rewrite_files,
+        write_dataframe_files,
+    )
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    md, version, meta_dir = _load_md(table_dir)
+    plan = plan_scan(spark, table_dir)
+
+    def delete_affected(f: dict) -> bool:
+        return any(d["seq"] >= f["seq"] for d in plan.position_deletes) or any(
+            d["seq"] > f["seq"] for d in plan.equality_deletes
+        )
+
+    candidates = [
+        f for f in plan.data_files
+        if int(f["size"]) < small_threshold or delete_affected(f)
+    ]
+    # bin-pack per partition tuple, deterministic first-fit by path
+    by_part: dict[str, list[dict]] = {}
+    for f in sorted(candidates, key=lambda f: f["path"]):
+        by_part.setdefault(json.dumps(f["part"], sort_keys=True, default=str), []).append(f)
+    groups: list[list[dict]] = []
+    for part_key in sorted(by_part):
+        cur: list[dict] = []
+        cur_bytes = 0
+        for f in by_part[part_key]:
+            if cur and cur_bytes + int(f["size"]) > target_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += int(f["size"])
+        if cur:
+            groups.append(cur)
+    groups = [g for g in groups if len(g) > 1 or any(delete_affected(f) for f in g)]
+    if not groups:
+        return {"groups": 0, "rewritten_files": 0, "added_files": 0,
+                "snapshot_id": None}
+
+    add_files: list[dict] = []
+    remove_paths: list[str] = []
+    out_root = os.path.join(table_dir, "data", f"compact-{version + 1:05d}")
+    for gi, group in enumerate(groups):
+        rows = _merged_rows(spark, plan, group)  # deletes applied here
+        files = write_dataframe_files(
+            spark, rows.coalesce(1), md, os.path.join(out_root, f"g{gi}")
+        )
+        add_files.extend(files)
+        remove_paths.extend(f["path"] for f in group)
+
+    commit_rewrite_files(table_dir, remove_paths, add_files,
+                         timestamp_ms=timestamp_ms)
+    new_md, _, _ = _load_md(table_dir)
+    return {
+        "groups": len(groups),
+        "rewritten_files": len(remove_paths),
+        "added_files": len(add_files),
+        "snapshot_id": int(new_md["current-snapshot-id"]),
+    }
+
+
 def remove_orphans(
     spark: SparkSession,
     table_dir: str,
@@ -417,17 +517,22 @@ def remove_orphans(
     its hint swap lands; age is the only safe discriminator). ``dry_run``
     (the default, like Iceberg's action) lists without deleting.
 
-    Returns {"deleted": [paths], "skipped_recent": n}. The deletion loop is
-    driver-side over the flagged list — orphan COUNT after the age filter
-    is cleanup-batch-sized; a pathological backlog can be re-run in
-    batches. Local-filesystem tables only (the writer's documented scope).
+    Returns {"deleted": [paths], "skipped_recent": n}. Deletion runs
+    executor-side (``foreachPartition``), so a pathological orphan backlog
+    deletes in parallel without routing paths through the driver; the
+    returned list is the reporting surface (collected bounded, like every
+    render). Local-filesystem tables only (the writer's documented scope —
+    executors share the driver's filesystem in this deployment shape).
     """
-    rows = orphan_files_frame(spark, table_dir).collect()
-    old = [r for r in rows if r.modified_ms < older_than_ms]
+    frame = orphan_files_frame(spark, table_dir)
+    old_df = frame.where(F.col("modified_ms") < F.lit(older_than_ms))
+    deleted = sorted(r.path for r in old_df.select("path").collect())
+    skipped = frame.count() - len(deleted)
     if not dry_run:
-        for r in old:
-            os.remove(r.path)
-    return {
-        "deleted": sorted(r.path for r in old),
-        "skipped_recent": len(rows) - len(old),
-    }
+
+        def _rm(rows):
+            for r in rows:
+                os.remove(r.path)
+
+        old_df.select("path").foreachPartition(_rm)
+    return {"deleted": deleted, "skipped_recent": skipped}

@@ -65,6 +65,75 @@ def _local_path(p: str) -> str:
     return "/" + p.lstrip("/") if p.startswith("/") else p
 
 
+_AVRO_T = {"string": "string", "long": "long", "int": "int",
+           "double": "double", "boolean": "boolean"}
+
+
+def _partition_fields_from_spec(md: dict, types: dict) -> list[dict]:
+    """Avro partition-record fields for the DEFAULT spec's identity
+    transforms — the partition shape this writer supports."""
+    spec = next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )
+    return [
+        {
+            "name": f["name"],
+            "type": ["null", _AVRO_T[types[f["source-id"]]]],
+            "default": None,
+            "field-id": f["field-id"],
+        }
+        for f in spec["fields"]
+        if f["transform"] == "identity"
+    ]
+
+
+def _added_data_entries(
+    files: list[dict],
+    snap_id: int,
+    seq: int,
+    types: dict,
+    partition_fields: list[dict],
+) -> list[dict]:
+    """ADDED (status 1) manifest entries for new DATA files — shared by
+    append, merge, and the compaction rewrite commit."""
+
+    def kv_long(d: dict | None):
+        return [{"key": int(k), "value": int(v)} for k, v in sorted((d or {}).items())] or None
+
+    def kv_bytes(d: dict | None):
+        return [
+            {"key": int(k), "value": _bound_bytes(v, types.get(int(k)))}
+            for k, v in sorted((d or {}).items())
+        ] or None
+
+    return [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": f["file_path"],
+                "file_format": str(f.get("file_format", "PARQUET")).upper(),
+                "partition": f.get("partition") or {
+                    pf["name"]: None for pf in partition_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "column_sizes": kv_long(f.get("column_sizes")),
+                "value_counts": kv_long(f.get("value_counts")),
+                "null_value_counts": kv_long(f.get("null_value_counts")),
+                "lower_bounds": kv_bytes(f.get("lower_bounds")),
+                "upper_bounds": kv_bytes(f.get("upper_bounds")),
+                "split_offsets": None,
+                "sort_order_id": 0,
+            },
+        }
+        for f in files
+    ]
+
+
 def commit_append(
     table_dir: str,
     files: list[dict],
@@ -97,64 +166,14 @@ def commit_append(
     )
     types = {f["id"]: f["type"] for f in schema["fields"]}
     if partition_fields is None:
-        # derive the Avro partition record from the default partition spec:
-        # identity transforms only (the shape this writer supports)
-        spec = next(
-            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
-        )
-        avro_t = {"string": "string", "long": "long", "int": "int",
-                  "double": "double", "boolean": "boolean"}
-        partition_fields = [
-            {
-                "name": f["name"],
-                "type": ["null", avro_t[types[f["source-id"]]]],
-                "default": None,
-                "field-id": f["field-id"],
-            }
-            for f in spec["fields"]
-            if f["transform"] == "identity"
-        ]
+        partition_fields = _partition_fields_from_spec(md, types)
 
     snap_id = max((s["snapshot-id"] for s in md.get("snapshots", [])), default=0) + 1
     seq = int(md.get("last-sequence-number", 0)) + 1
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
     parent = md.get("current-snapshot-id")
 
-    def kv_long(d: dict | None):
-        return [{"key": int(k), "value": int(v)} for k, v in sorted((d or {}).items())] or None
-
-    def kv_bytes(d: dict | None):
-        return [
-            {"key": int(k), "value": _bound_bytes(v, types.get(int(k)))}
-            for k, v in sorted((d or {}).items())
-        ] or None
-
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 0,
-                "file_path": f["file_path"],
-                "file_format": str(f.get("file_format", "PARQUET")).upper(),
-                "partition": f.get("partition") or {
-                    pf["name"]: None for pf in partition_fields
-                },
-                "record_count": int(f["record_count"]),
-                "file_size_in_bytes": int(f["file_size_in_bytes"]),
-                "column_sizes": kv_long(f.get("column_sizes")),
-                "value_counts": kv_long(f.get("value_counts")),
-                "null_value_counts": kv_long(f.get("null_value_counts")),
-                "lower_bounds": kv_bytes(f.get("lower_bounds")),
-                "upper_bounds": kv_bytes(f.get("upper_bounds")),
-                "split_offsets": None,
-                "sort_order_id": 0,
-            },
-        }
-        for f in files
-    ]
+    entries = _added_data_entries(files, snap_id, seq, types, partition_fields)
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/{snap_id}")
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
     blob = write_container(
@@ -269,6 +288,78 @@ def commit_append(
     return md
 
 
+def _mark_removed_in_manifests(
+    prev_manifests: list[dict],
+    targets: set[str],
+    meta_dir: str,
+    commit_uuid,
+) -> tuple[list[dict], int, int, int]:
+    """Rewrite every manifest carrying a ``targets`` path: hit entries get
+    status 2 (DELETED), survivors status 0 (EXISTING) with their original
+    snapshot/sequence numbers — materialized from the manifest when null,
+    since inheritance is ADDED-only per spec. Untouched manifests ride
+    through verbatim. Returns (new_manifests, removed_files, removed_rows,
+    removed_bytes). Shared by DELETE (:func:`commit_remove_files`) and the
+    compaction rewrite (:func:`commit_rewrite_files`)."""
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    new_manifests: list[dict] = []
+    removed = 0
+    removed_rows = 0
+    removed_bytes = 0
+    for mi, m in enumerate(prev_manifests):
+        m.setdefault("partitions", None)
+        mpath = _local_path(m["manifest_path"])
+        with open(mpath, "rb") as fh:
+            entry_schema, mmeta, entries = read_container(fh.read())
+        hit = [e for e in entries if e["data_file"]["file_path"] in targets
+               and e.get("status", 0) != 2]
+        if not hit:
+            new_manifests.append(m)  # untouched manifest rides along
+            continue
+        rewritten = []
+        kept = deleted = 0
+        kept_rows = deleted_rows = 0
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue  # already-deleted entries don't carry forward
+            e = dict(e)
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = m.get("sequence_number")
+            if e.get("file_sequence_number") is None:
+                e["file_sequence_number"] = m.get("sequence_number")
+            if e["data_file"]["file_path"] in targets:
+                e["status"] = 2  # DELETED
+                deleted += 1
+                deleted_rows += int(e["data_file"]["record_count"])
+                removed_bytes += int(e["data_file"]["file_size_in_bytes"])
+            else:
+                e["status"] = 0  # EXISTING, provenance preserved
+                kept += 1
+                kept_rows += int(e["data_file"]["record_count"])
+            rewritten.append(e)
+        removed += deleted
+        removed_rows += deleted_rows
+        rpath = os.path.join(meta_dir, f"{commit_uuid}-m{mi}.avro")
+        blob = write_container(entry_schema, rewritten, metadata=dict(mmeta))
+        with open(rpath, "wb") as fh:
+            fh.write(blob)
+        new_manifests.append(
+            {
+                **m,
+                "manifest_path": rpath,
+                "manifest_length": len(blob),
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": deleted,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": deleted_rows,
+            }
+        )
+    return new_manifests, removed, removed_rows, removed_bytes
+
+
 def commit_remove_files(
     table_dir: str,
     file_paths: set[str] | list[str],
@@ -307,56 +398,9 @@ def commit_remove_files(
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/rm/{snap_id}")
 
-    new_manifests: list[dict] = []
-    removed = 0
-    removed_rows = 0
-    removed_bytes = 0
-    for mi, m in enumerate(prev_manifests):
-        m.setdefault("partitions", None)
-        mpath = _local_path(m["manifest_path"])
-        with open(mpath, "rb") as fh:
-            entry_schema, mmeta, entries = read_container(fh.read())
-        hit = [e for e in entries if e["data_file"]["file_path"] in targets
-               and e.get("status", 0) != 2]
-        if not hit:
-            new_manifests.append(m)  # untouched manifest rides along
-            continue
-        rewritten = []
-        kept = deleted = 0
-        kept_rows = deleted_rows = 0
-        for e in entries:
-            if e.get("status", 0) == 2:
-                continue  # already-deleted entries don't carry forward
-            e = dict(e)
-            if e["data_file"]["file_path"] in targets:
-                e["status"] = 2  # DELETED
-                deleted += 1
-                deleted_rows += int(e["data_file"]["record_count"])
-                removed_bytes += int(e["data_file"]["file_size_in_bytes"])
-            else:
-                e["status"] = 0  # EXISTING, provenance preserved
-                kept += 1
-                kept_rows += int(e["data_file"]["record_count"])
-            rewritten.append(e)
-        removed += deleted
-        removed_rows += deleted_rows
-        rpath = os.path.join(meta_dir, f"{commit_uuid}-m{mi}.avro")
-        blob = write_container(entry_schema, rewritten, metadata=dict(mmeta))
-        with open(rpath, "wb") as fh:
-            fh.write(blob)
-        new_manifests.append(
-            {
-                **m,
-                "manifest_path": rpath,
-                "manifest_length": len(blob),
-                "added_files_count": 0,
-                "existing_files_count": kept,
-                "deleted_files_count": deleted,
-                "added_rows_count": 0,
-                "existing_rows_count": kept_rows,
-                "deleted_rows_count": deleted_rows,
-            }
-        )
+    new_manifests, removed, removed_rows, removed_bytes = (
+        _mark_removed_in_manifests(prev_manifests, targets, meta_dir, commit_uuid)
+    )
     if not removed:
         raise KeyError(f"none of the {len(targets)} paths are live in snapshot {parent}")
 
@@ -404,6 +448,142 @@ def commit_remove_files(
         md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
     new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
     with open(new_meta, "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md
+
+
+def commit_rewrite_files(
+    table_dir: str,
+    remove_paths: set[str] | list[str],
+    add_files: list[dict],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Publish ONE ``replace`` snapshot that atomically removes
+    ``remove_paths`` (compacted-away data files) and adds ``add_files``
+    (their bin-packed replacements) — the commit shape of Iceberg's
+    ``rewrite_data_files`` action. Removed entries become DELETED in
+    rewritten manifests (provenance preserved for survivors); added files
+    get the NEW sequence number, so equality deletes committed earlier
+    correctly stop applying to the rewritten rows (they were applied
+    during the rewrite read) while later deletes still will.
+
+    Totals move honestly: physical rows drop by what the absorbed deletes
+    removed (removed_rows - added_rows); served rows are unchanged — the
+    pre/post scan identity is pinned by the compaction tests."""
+    targets = set(remove_paths)
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if int(md.get("format-version", 1)) != 2:
+        raise ValueError("commit_rewrite_files writes format-version 2 tables only")
+    parent = md.get("current-snapshot-id")
+    if parent is None:
+        raise ValueError("table has no current snapshot to rewrite")
+
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    with open(_local_path(prev["manifest-list"]), "rb") as fh:
+        _, _, prev_manifests = read_container(fh.read())
+
+    snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/rewrite-data/{snap_id}")
+
+    new_manifests, removed, removed_rows, removed_bytes = (
+        _mark_removed_in_manifests(prev_manifests, targets, meta_dir, commit_uuid)
+    )
+    if not removed:
+        raise KeyError(f"none of the {len(targets)} paths are live in snapshot {parent}")
+
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    partition_fields = _partition_fields_from_spec(md, types)
+    entries = _added_data_entries(add_files, snap_id, seq, types, partition_fields)
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-a0.avro")
+    blob = write_container(
+        manifest_entry_schema(partition_fields),
+        entries,
+        metadata={"format-version": b"2", "content": b"data",
+                  "partition-spec-id": str(md["default-spec-id"]).encode()},
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(blob)
+    added_rows = sum(int(f["record_count"]) for f in add_files)
+    added_bytes = sum(int(f["file_size_in_bytes"]) for f in add_files)
+    new_manifests.append({
+        "manifest_path": manifest_path,
+        "manifest_length": len(blob),
+        "partition_spec_id": int(md["default-spec-id"]),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(add_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    })
+
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
+                                 metadata={"format-version": b"2"}))
+    prev_summary = (prev.get("summary", {}) or {})
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            "operation": "replace",
+            "added-records": str(added_rows),
+            "deleted-records": str(removed_rows),
+            "added-data-files": str(len(add_files)),
+            "deleted-data-files": str(removed),
+            "added-files-size": str(added_bytes),
+            "removed-files-size": str(removed_bytes),
+            "total-data-files": str(
+                max(int(prev_summary.get("total-data-files", 0)) - removed, 0)
+                + len(add_files)
+            ),
+            "total-records": str(
+                max(int(prev_summary.get("total-records", 0)) - removed_rows, 0)
+                + added_rows
+            ),
+            "total-files-size": str(
+                max(int(prev_summary.get("total-files-size", 0)) - removed_bytes, 0)
+                + added_bytes
+            ),
+        },
+    }
+    md["snapshots"].append(snapshot)
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
         json.dump(md, fh, indent=1)
     tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(tmp_hint, "w") as fh:
@@ -770,30 +950,20 @@ def rollback_to_snapshot(
     return md
 
 
-def append_dataframe(
-    spark,
-    df,
-    table_dir: str,
-    timestamp_ms: int | None = None,
-) -> dict:
-    """INSERT INTO: write ``df`` as parquet into the table's data dir and
-    commit it with REAL per-file statistics — record counts, byte sizes,
-    and Appendix-D min/max bounds for every int/long column, computed by
-    one distributed pass over the just-written files (groupBy on
-    ``_metadata.file_path``). The committed bounds immediately feed the
-    scan planner's zone-map pruning, so an inserted-then-queried table
-    prunes like an engine-written one.
+def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
+    """Write ``df`` as parquet under ``batch_dir`` (Hive layout when the
+    default spec identity-partitions on columns ``df`` carries) and return
+    the commit-ready file dicts with REAL per-file statistics — record
+    counts, byte sizes, and Appendix-D min/max bounds for every int/long
+    column, computed by one distributed pass over the just-written files
+    (groupBy on ``_metadata.file_path``). Shared by INSERT
+    (:func:`append_dataframe`), MERGE (:func:`merge_into`) and compaction
+    (``iceberg_maintenance.rewrite_data_files``).
 
-    File COUNT per append is bounded by the write's task count (the same
+    File COUNT per write is bounded by the write's task count (the same
     planning-index scale every commit already handles driver-side)."""
     from pyspark.sql import functions as F
 
-    table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
     schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     int_cols = {
         f["name"]: int(f["id"])
@@ -814,7 +984,6 @@ def append_dataframe(
         if f["transform"] == "identity"
         and id_to_name.get(f["source-id"]) in df.columns
     ]
-    batch_dir = os.path.join(table_dir, "data", f"commit-{version + 1:05d}")
     writer = df.write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -874,6 +1043,28 @@ def append_dataframe(
                 else {}
             ),
         })
+    return files
+
+
+def append_dataframe(
+    spark,
+    df,
+    table_dir: str,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """INSERT INTO: write ``df`` into the table's data dir with real
+    per-file statistics (:func:`write_dataframe_files`) and commit the
+    files as one append snapshot. The committed bounds immediately feed
+    the scan planner's zone-map pruning, so an inserted-then-queried
+    table prunes like an engine-written one."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    batch_dir = os.path.join(table_dir, "data", f"commit-{version + 1:05d}")
+    files = write_dataframe_files(spark, df, md, batch_dir)
     return commit_append(table_dir, files, timestamp_ms=timestamp_ms)
 
 

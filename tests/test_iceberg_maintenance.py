@@ -511,3 +511,116 @@ def test_update_schema_rejects_partition_source_drop(spark, tmp_path):
     md = update_schema(table, drop=["id"], timestamp_ms=1713139260001)
     cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     assert [f["name"] for f in cur["fields"]] == ["region"]
+
+
+def _small_file_table(spark, tmp_path, with_deletes=True):
+    """4 small appends (ids 0..19) + optional eq-delete on {3, 12}."""
+    import glob
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        commit_delete_files,
+        create_table,
+    )
+
+    table = str(tmp_path / "compact_t")
+    create_table(table, fields=[(1, "id", "long"), (2, "region", "string"),
+                                (3, "val", "long")])
+    regions = ("americas", "emea", "apac")
+    for b in range(4):
+        rows = [(i, regions[i % 3], i * 10) for i in range(b * 5, b * 5 + 5)]
+        append_dataframe(
+            spark,
+            spark.createDataFrame(rows, "id long, region string, val long")
+            .coalesce(1),
+            table, timestamp_ms=1713139260000 + b,
+        )
+    if with_deletes:
+        (spark.createDataFrame([(3,), (12,)], "id long").coalesce(1)
+         .write.parquet(os.path.join(table, "data", "del_eq")))
+        [de] = glob.glob(os.path.join(table, "data", "del_eq", "*.parquet"))
+        commit_delete_files(table, [{
+            "file_path": de, "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(de), "equality_ids": [1],
+        }], timestamp_ms=1713139260010)
+    return table
+
+
+def test_rewrite_data_files_compacts_and_absorbs_deletes(spark, tmp_path):
+    """The capstone: 4 small files + pending equality deletes compact into
+    ONE file; served rows are IDENTICAL pre/post; the absorbed deletes are
+    gone from the data (new seq > delete seq); time travel still reaches
+    the pre-compaction layout."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = _small_file_table(spark, tmp_path)
+    before = sorted((r.id, r.region, r.val)
+                    for r in scan_table(spark, table).collect())
+    assert len(before) == 18 and 3 not in {r[0] for r in before}
+    pre_snap = 5  # 4 appends + 1 delete commit
+
+    out = rewrite_data_files(spark, table, timestamp_ms=1713139260020)
+    assert out["groups"] == 1
+    assert out["rewritten_files"] == 4 and out["added_files"] == 1
+    assert out["snapshot_id"] == 6
+
+    after = sorted((r.id, r.region, r.val)
+                   for r in scan_table(spark, table).collect())
+    assert after == before  # served rows identical pre/post
+    plan = plan_scan(spark, table)
+    assert len(plan.data_files) == 1  # compacted to one file
+    assert plan.data_files[0]["record_count"] == 18  # deletes absorbed
+    # time travel: the pre-compaction snapshot still serves the old layout
+    old_plan = plan_scan(spark, table, snapshot_id=pre_snap)
+    assert len(old_plan.data_files) == 4
+    assert sorted((r.id, r.region, r.val) for r in
+                  scan_table(spark, table, snapshot_id=pre_snap).collect()) == before
+    # zone-map bounds survive compaction: a prune on id still works
+    assert plan_scan(spark, table, predicate=("id", 100, 200)).files_pruned == 1
+
+
+def test_rewrite_data_files_noop_publishes_nothing(spark, tmp_path):
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+
+    table = _small_file_table(spark, tmp_path, with_deletes=False)
+    # threshold below every file size and no deletes -> nothing to do
+    out = rewrite_data_files(spark, table, small_threshold=1,
+                             timestamp_ms=1713139260020)
+    assert out == {"groups": 0, "rewritten_files": 0, "added_files": 0,
+                   "snapshot_id": None}
+    md, version, _ = _load_md_for_test(table)
+    assert version == 5  # 1 create + 4 appends, no new metadata version
+
+
+def test_rewrite_data_files_partitioned_groups_per_partition(spark, tmp_path):
+    """An identity-partitioned table compacts WITHIN each partition: one
+    output file per partition tuple, values still served from metadata."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    table = str(tmp_path / "part_t")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long")],
+                 partition_fields=[("region", 1, 1000)])
+    for b in range(2):  # 2 commits x 2 regions = 4 files
+        rows = [("emea", b * 10 + 1), ("apac", b * 10 + 2)]
+        append_dataframe(
+            spark,
+            spark.createDataFrame(rows, "region string, id long").coalesce(1),
+            table, timestamp_ms=1713139260000 + b,
+        )
+    before = sorted((r.region, r.id) for r in scan_table(spark, table).collect())
+    out = rewrite_data_files(spark, table, timestamp_ms=1713139260020)
+    assert out["groups"] == 2  # one group per region, never mixed
+    assert out["rewritten_files"] == 4 and out["added_files"] == 2
+    plan = plan_scan(spark, table)
+    assert sorted(f["part"]["region"] for f in plan.data_files) == ["apac", "emea"]
+    assert sorted((r.region, r.id)
+                  for r in scan_table(spark, table).collect()) == before
+    # partition pruning still works on the compacted layout
+    assert plan_scan(spark, table,
+                     predicate=("region", "emea", "emea")).files_pruned == 1
