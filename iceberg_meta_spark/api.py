@@ -685,3 +685,37 @@ def drop_ref(table_dir: str, name: str) -> dict:
     from iceberg_meta_spark.sources.iceberg_write import manage_ref
 
     return manage_ref(table_dir, name, drop=True)
+
+
+def merge(spark: SparkSession, df: DataFrame, table_dir: str,
+          key_cols: list[str]) -> dict:
+    """MERGE INTO (upsert): equality-delete on key_cols + new data files in
+    ONE published snapshot (iceberg_write.py:merge_into)."""
+    from iceberg_meta_spark.sources.iceberg_write import merge_into
+
+    return merge_into(spark, df, table_dir, key_cols)
+
+
+def compact(spark: SparkSession, table_dir: str,
+            small_threshold: int = 1 << 27, target_bytes: int = 1 << 29) -> dict:
+    """EXECUTE data-file compaction: bin-pack small/delete-affected files,
+    absorb pending deletes, publish one replace snapshot
+    (iceberg_maintenance.py:rewrite_data_files) — the action half of
+    compaction_plan()."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+
+    return rewrite_data_files(spark, table_dir,
+                              small_threshold=small_threshold,
+                              target_bytes=target_bytes)
+
+
+def changes(spark: SparkSession, table_dir: str,
+            from_snapshot_id: int | None = None,
+            to_snapshot_id: int | None = None) -> DataFrame:
+    """Native changelog read: row-level (insert | delete) changes between
+    two snapshots (iceberg_scan.py:scan_changes)."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes
+
+    return scan_changes(spark, table_dir,
+                        from_snapshot_id=from_snapshot_id,
+                        to_snapshot_id=to_snapshot_id)

@@ -1345,3 +1345,66 @@ def iceberg_native_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(plan.equality_deletes) + len(plan.position_deletes))
         .cast("long").alias("live_delete_files"),
     )
+
+
+@register(
+    "iceberg_native_changelog",
+    oracle="""
+        SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS id,
+               'apac' AS region, CAST(20 AS BIGINT) AS val
+        UNION ALL
+        SELECT 'delete', 15, 'americas', 150
+        UNION ALL
+        SELECT 'insert', i,
+               CASE i % 3 WHEN 0 THEN 'americas' WHEN 1 THEN 'emea'
+                    ELSE 'apac' END,
+               i * 10
+        FROM range(20, 25) t(i)
+        ORDER BY _change_type, id
+    """,
+    doc="Native changelog read (CDC between snapshots, sources/"
+    "iceberg_scan.py:scan_changes): row-level changes from snapshot 2 to "
+    "current over the 4-commit fixture — rows of files added in the "
+    "interval surface as inserts, rows killed by position/equality delete "
+    "files COMMITTED in the interval surface as deletes (semi-join of the "
+    "FROM-visible rows against only the NEW delete files, the scan's own "
+    "join shapes). The table-format sibling of J1's file diff and the "
+    "row-level upgrade of the reference watch loop (cli.py:980-1023). "
+    "Oracle recomputes the fixture's closed form: inserts ids 20..24, "
+    "deletes {2 (positional), 15 (equality)}",
+)
+def iceberg_native_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_changelog_table
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes
+
+    return scan_changes(
+        spark, default_changelog_table(spark), from_snapshot_id=2
+    ).orderBy("_change_type", "id")
+
+
+@register(
+    "iceberg_native_merge_scan",
+    oracle="""
+        SELECT i AS id,
+               CASE i % 3 WHEN 0 THEN 'americas' WHEN 1 THEN 'emea'
+                    ELSE 'apac' END AS region,
+               CAST(CASE WHEN i >= 5 THEN 1000 + i * 10 ELSE i * 10 END
+                    AS BIGINT) AS val
+        FROM range(0, 13) t(i)
+        ORDER BY id
+    """,
+    doc="MERGE INTO (upsert) on the native write path (sources/"
+    "iceberg_write.py:merge_into -> commit_merge): ONE snapshot carrying "
+    "both an equality-delete manifest on the merge keys and a data "
+    "manifest with the new rows at the same sequence number, so the "
+    "delete hides only the OLD versions (strict data_seq < delete_seq). "
+    "The query scans the post-merge table: ids 0..4 keep their original "
+    "val, 5..9 carry the upserted val, 10..12 are fresh inserts — the "
+    "write-side idiom every CDC consumer needs, value-hash-gated against "
+    "the fixture's closed form",
+)
+def iceberg_native_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_merge_table
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return scan_table(spark, default_merge_table(spark)).orderBy("id")

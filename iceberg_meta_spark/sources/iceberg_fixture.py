@@ -570,3 +570,117 @@ def default_compaction_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_changelog_table(spark) -> str:
+    """A 4-commit history for the native changelog read: (1) append ids
+    0..9, (2) append ids 10..19, (3) ONE delete commit carrying a position
+    delete (batch1 pos 2 -> id 2) AND an equality delete (id 15), (4)
+    append ids 20..24. val = 10·id, region = regions[id % 3] throughout.
+    Changes from snapshot 2 to current: inserts = ids 20..24, deletes =
+    {2, 15} — closed form for the oracle."""
+    import glob
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        commit_delete_files,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_cdc_v1")
+    table = os.path.join(base, "cdc_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    regions = ("americas", "emea", "apac")
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "region", "string"), (3, "val", "long")],
+    )
+
+    def write_batch(name: str, ids: range) -> str:
+        rows = [(i, regions[i % 3], i * 10) for i in ids]
+        (spark.createDataFrame(rows, "id long, region string, val long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(table, "data", name)))
+        [path] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+        return path
+
+    for bi, ids in enumerate((range(0, 10), range(10, 20))):
+        p = write_batch(f"batch{bi + 1}", ids)
+        commit_append(table, [{
+            "file_path": p, "record_count": 10,
+            "file_size_in_bytes": os.path.getsize(p),
+            "lower_bounds": {1: ids.start}, "upper_bounds": {1: ids.stop - 1},
+            "value_counts": {1: 10}, "null_value_counts": {1: 0},
+            "column_sizes": {1: os.path.getsize(p)},
+        }], timestamp_ms=1713139200000 + 60_000 * (bi + 1))
+
+    p1 = glob.glob(os.path.join(table, "data", "batch1", "*.parquet"))[0]
+    (spark.createDataFrame([(p1, 2)], "file_path string, pos long")
+     .coalesce(1).write.parquet(os.path.join(table, "data", "del_pos")))
+    [dp] = glob.glob(os.path.join(table, "data", "del_pos", "*.parquet"))
+    (spark.createDataFrame([(15,)], "id long")
+     .coalesce(1).write.parquet(os.path.join(table, "data", "del_eq")))
+    [de] = glob.glob(os.path.join(table, "data", "del_eq", "*.parquet"))
+    commit_delete_files(table, [
+        {"file_path": dp, "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(dp)},
+        {"file_path": de, "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(de), "equality_ids": [1]},
+    ], timestamp_ms=1713139200000 + 180_000)
+
+    p3 = write_batch("batch3", range(20, 25))
+    commit_append(table, [{
+        "file_path": p3, "record_count": 5,
+        "file_size_in_bytes": os.path.getsize(p3),
+        "lower_bounds": {1: 20}, "upper_bounds": {1: 24},
+        "value_counts": {1: 5}, "null_value_counts": {1: 0},
+        "column_sizes": {1: os.path.getsize(p3)},
+    }], timestamp_ms=1713139200000 + 240_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+def default_merge_table(spark) -> str:
+    """An upsert history for the merge query: append ids 0..9 (val =
+    10·id), then MERGE a batch of ids 5..12 with val = 1000 + 10·id keyed
+    on id — ids 0..4 stay, 5..9 update, 10..12 insert. Closed form for
+    the oracle: val = 10·id for id < 5, 1000 + 10·id for 5 <= id <= 12."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        merge_into,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_merge_v1")
+    table = os.path.join(base, "merge_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    regions = ("americas", "emea", "apac")
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "region", "string"), (3, "val", "long")],
+    )
+    rows = [(i, regions[i % 3], i * 10) for i in range(10)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "id long, region string, val long")
+        .coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    upserts = [(i, regions[i % 3], 1000 + i * 10) for i in range(5, 13)]
+    merge_into(
+        spark,
+        spark.createDataFrame(upserts, "id long, region string, val long")
+        .coalesce(1),
+        table, key_cols=["id"], timestamp_ms=1713139200000 + 120_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

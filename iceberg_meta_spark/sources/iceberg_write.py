@@ -592,6 +592,58 @@ def commit_rewrite_files(
     return md
 
 
+def _delete_manifest_blob(
+    md: dict, delete_files: list[dict], snap_id: int, seq: int
+) -> tuple[bytes, int]:
+    """Encode a content=1 DELETE manifest (position and/or equality delete
+    files) and return (avro blob, entry count) — shared by the standalone
+    delete commit and the merge commit. The entry schema is the data
+    manifest's plus ``equality_ids`` (spec field 135)."""
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    partition_fields = _partition_fields_from_spec(md, types)
+    entry_schema = manifest_entry_schema(partition_fields)
+    df_fields = entry_schema["fields"][-1]["type"]["fields"]
+    df_fields.insert(
+        len(df_fields) - 1,
+        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135},
+    )
+    entries = []
+    for f in delete_files:
+        eq = f.get("equality_ids")
+        entries.append({
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 2 if eq else 1,  # EQUALITY_DELETES / POSITION_DELETES
+                "file_path": f["file_path"],
+                "file_format": str(f.get("file_format", "PARQUET")).upper(),
+                "partition": f.get("partition") or {
+                    pf["name"]: None for pf in partition_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "column_sizes": None,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "equality_ids": [int(i) for i in eq] if eq else None,
+                "sort_order_id": None,
+            },
+        })
+    blob = write_container(
+        entry_schema, entries,
+        metadata={"format-version": b"2", "content": b"deletes",
+                  "partition-spec-id": str(md["default-spec-id"]).encode()},
+    )
+    return blob, len(entries)
+
+
 def commit_delete_files(
     table_dir: str,
     delete_files: list[dict],
@@ -620,63 +672,13 @@ def commit_delete_files(
     if parent is None:
         raise ValueError("table has no current snapshot")
 
-    spec = next(s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"])
-    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
-    types = {f["id"]: f["type"] for f in schema["fields"]}
-    avro_t = {"string": "string", "long": "long", "int": "int",
-              "double": "double", "boolean": "boolean"}
-    partition_fields = [
-        {"name": f["name"], "type": ["null", avro_t[types[f["source-id"]]]],
-         "default": None, "field-id": f["field-id"]}
-        for f in spec["fields"] if f["transform"] == "identity"
-    ]
-    # manifest_entry schema with equality_ids included (spec field 135)
-    entry_schema = manifest_entry_schema(partition_fields)
-    df_fields = entry_schema["fields"][-1]["type"]["fields"]
-    df_fields.insert(
-        len(df_fields) - 1,
-        {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}],
-         "default": None, "field-id": 135},
-    )
-
     snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
     seq = int(md.get("last-sequence-number", 0)) + 1
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/del/{snap_id}")
 
-    entries = []
-    for f in delete_files:
-        eq = f.get("equality_ids")
-        entries.append({
-            "status": 1,
-            "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 2 if eq else 1,  # EQUALITY_DELETES / POSITION_DELETES
-                "file_path": f["file_path"],
-                "file_format": str(f.get("file_format", "PARQUET")).upper(),
-                "partition": f.get("partition") or {
-                    pf["name"]: None for pf in partition_fields
-                },
-                "record_count": int(f["record_count"]),
-                "file_size_in_bytes": int(f["file_size_in_bytes"]),
-                "column_sizes": None,
-                "value_counts": None,
-                "null_value_counts": None,
-                "lower_bounds": None,
-                "upper_bounds": None,
-                "split_offsets": None,
-                "equality_ids": [int(i) for i in eq] if eq else None,
-                "sort_order_id": None,
-            },
-        })
+    blob, n_entries = _delete_manifest_blob(md, delete_files, snap_id, seq)
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
-    blob = write_container(
-        entry_schema, entries,
-        metadata={"format-version": b"2", "content": b"deletes",
-                  "partition-spec-id": str(md["default-spec-id"]).encode()},
-    )
     with open(manifest_path, "wb") as fh:
         fh.write(blob)
 
@@ -695,7 +697,7 @@ def commit_delete_files(
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
+        "added_files_count": n_entries,
         "existing_files_count": 0,
         "deleted_files_count": 0,
         "added_rows_count": sum(int(f["record_count"]) for f in delete_files),
@@ -725,9 +727,9 @@ def commit_delete_files(
             "operation": "overwrite",
             "added-records": "0",
             "deleted-records": str(sum(int(f["record_count"]) for f in delete_files)),
-            "added-delete-files": str(len(entries)),
+            "added-delete-files": str(n_entries),
             "total-delete-files": str(
-                int(prev_summary.get("total-delete-files", 0)) + len(entries)
+                int(prev_summary.get("total-delete-files", 0)) + n_entries
             ),
             "total-data-files": prev_summary.get("total-data-files", "0"),
             "total-records": prev_summary.get("total-records", "0"),
@@ -757,6 +759,194 @@ def commit_delete_files(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def commit_merge(
+    table_dir: str,
+    data_files: list[dict],
+    delete_files: list[dict],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Publish an upsert as ONE snapshot: a DELETE manifest (the equality
+    deletes on the merge keys) AND a DATA manifest (the new rows), both at
+    the same sequence number N — the MERGE INTO commit shape. Per spec the
+    equality delete applies only where data_seq < N (strict), so it hides
+    the OLD rows (seq < N) but never the rows committed WITH it: one
+    metadata transaction, no torn read between delete and insert.
+
+    Summary totals are physical (spec): data files/records/bytes grow by
+    the added files; the logically-replaced rows stay on disk until
+    compaction absorbs them (``rewrite_data_files``)."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if int(md.get("format-version", 1)) != 2:
+        raise ValueError("merge commits require format-version 2")
+    parent = md.get("current-snapshot-id")
+    if parent is None:
+        raise ValueError("table has no current snapshot; use commit_append")
+
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    partition_fields = _partition_fields_from_spec(md, types)
+
+    snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/merge/{snap_id}")
+
+    data_entries = _added_data_entries(data_files, snap_id, seq, types,
+                                       partition_fields)
+    data_blob = write_container(
+        manifest_entry_schema(partition_fields), data_entries,
+        metadata={"format-version": b"2", "content": b"data",
+                  "partition-spec-id": str(md["default-spec-id"]).encode()},
+    )
+    data_mpath = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    with open(data_mpath, "wb") as fh:
+        fh.write(data_blob)
+    del_blob, n_del = _delete_manifest_blob(md, delete_files, snap_id, seq)
+    del_mpath = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
+    with open(del_mpath, "wb") as fh:
+        fh.write(del_blob)
+
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    with open(_local_path(prev["manifest-list"]), "rb") as fh:
+        _, _, prev_manifests = read_container(fh.read())
+    for m in prev_manifests:
+        m.setdefault("partitions", None)
+
+    added_rows = sum(int(f["record_count"]) for f in data_files)
+    added_bytes = sum(int(f["file_size_in_bytes"]) for f in data_files)
+    delete_rows = sum(int(f["record_count"]) for f in delete_files)
+    common = {
+        "partition_spec_id": int(md["default-spec-id"]),
+        "min_sequence_number": seq,
+        "sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    new_manifests = prev_manifests + [
+        {**common, "manifest_path": data_mpath, "manifest_length": len(data_blob),
+         "content": 0, "added_files_count": len(data_files),
+         "added_rows_count": added_rows},
+        {**common, "manifest_path": del_mpath, "manifest_length": len(del_blob),
+         "content": 1, "added_files_count": n_del,
+         "added_rows_count": delete_rows},
+    ]
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
+                                 metadata={"format-version": b"2"}))
+
+    prev_summary = (prev.get("summary", {}) or {})
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            "operation": "overwrite",
+            "added-records": str(added_rows),
+            "deleted-records": str(delete_rows),
+            "added-data-files": str(len(data_files)),
+            "added-delete-files": str(n_del),
+            "added-files-size": str(added_bytes),
+            "total-delete-files": str(
+                int(prev_summary.get("total-delete-files", 0)) + n_del
+            ),
+            "total-data-files": str(
+                int(prev_summary.get("total-data-files", 0)) + len(data_files)
+            ),
+            "total-records": str(
+                int(prev_summary.get("total-records", 0)) + added_rows
+            ),
+            "total-files-size": str(
+                int(prev_summary.get("total-files-size", 0)) + added_bytes
+            ),
+        },
+    }
+    md["snapshots"].append(snapshot)
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md
+
+
+def merge_into(
+    spark,
+    df,
+    table_dir: str,
+    key_cols: list[str],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """MERGE INTO (upsert) on the native path: rows of ``df`` whose
+    ``key_cols`` match existing rows REPLACE them, new keys INSERT,
+    untouched keys stay — all in one published snapshot
+    (:func:`commit_merge`). The write-side idiom every CDC consumer needs:
+    the equality-delete half hides the old versions, the data half carries
+    the new rows at the same sequence number.
+
+    Distributed work: the data write + stats ride
+    :func:`write_dataframe_files`; the delete file is ``df``'s distinct
+    key tuples (bounded by the merge batch, written as one parquet)."""
+    import glob
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
+    missing = [c for c in key_cols if c not in by_name]
+    if missing:
+        raise KeyError(f"merge keys not in table schema: {missing}")
+    equality_ids = [by_name[c] for c in key_cols]
+
+    batch_root = os.path.join(table_dir, "data", f"merge-{version + 1:05d}")
+    data_files = write_dataframe_files(
+        spark, df, md, os.path.join(batch_root, "rows")
+    )
+    keys = df.select(*key_cols).distinct()
+    key_dir = os.path.join(batch_root, "keys")
+    keys.coalesce(1).write.parquet(key_dir)
+    [key_path] = glob.glob(os.path.join(key_dir, "*.parquet"))
+    delete_files = [{
+        "file_path": key_path,
+        "record_count": keys.count(),
+        "file_size_in_bytes": os.path.getsize(key_path),
+        "equality_ids": equality_ids,
+    }]
+    return commit_merge(table_dir, data_files, delete_files,
+                        timestamp_ms=timestamp_ms)
 
 
 def create_table(

@@ -486,3 +486,150 @@ def test_plan_decode_emits_only_surviving_entries(spark, tmp_path):
     plan = plan_scan(spark, table, predicate=("id", 6, 9))
     assert {f["path"] for f in plan.data_files} == {p2}
     assert (plan.files_total, plan.files_pruned) == (2, 1)
+
+
+def _changelog_history(spark, tmp_path):
+    """create(v1) -> append 0..4(v2) -> append 5..9(v3) -> pos+eq delete
+    {1, 7}(v4) -> remove the b1 FILE (v5) -> append 10..12(v6)."""
+    from iceberg_meta_spark.sources.iceberg_write import commit_remove_files
+
+    table = str(tmp_path / "cdc")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    p1 = _write_batch(spark, table, "b1", [(i, i * 10) for i in range(5)],
+                      "id long, val long")
+    commit_append(table, [{"file_path": p1, "record_count": 5,
+                           "file_size_in_bytes": os.path.getsize(p1)}],
+                  timestamp_ms=1713139260000)
+    p2 = _write_batch(spark, table, "b2", [(i, i * 10) for i in range(5, 10)],
+                      "id long, val long")
+    commit_append(table, [{"file_path": p2, "record_count": 5,
+                           "file_size_in_bytes": os.path.getsize(p2)}],
+                  timestamp_ms=1713139260001)
+    dp = _write_batch(spark, table, "del_pos", [(p1, 1)],
+                      "file_path string, pos long")
+    de = _write_batch(spark, table, "del_eq", [(7,)], "id long")
+    commit_delete_files(table, [
+        {"file_path": dp, "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(dp)},
+        {"file_path": de, "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(de), "equality_ids": [1]},
+    ], timestamp_ms=1713139260002)
+    commit_remove_files(table, {p1}, timestamp_ms=1713139260003)
+    p3 = _write_batch(spark, table, "b3", [(i, i * 10) for i in range(10, 13)],
+                      "id long, val long")
+    commit_append(table, [{"file_path": p3, "record_count": 3,
+                           "file_size_in_bytes": os.path.getsize(p3)}],
+                  timestamp_ms=1713139260004)
+    return table
+
+
+def test_scan_changes_all_three_shapes(spark, tmp_path):
+    """Added files -> inserts; NEW delete files -> deletes of the killed
+    rows (as visible at FROM); removed files -> deletes of their
+    FROM-visible rows (already-deleted rows excluded)."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes
+
+    table = _changelog_history(spark, tmp_path)
+    # v3 -> v4: only the delete commit — deletes {1 (pos), 7 (eq)}
+    ch = scan_changes(spark, table, from_version=3, to_version=4).collect()
+    assert sorted((r._change_type, r.id) for r in ch) == [
+        ("delete", 1), ("delete", 7)]
+    # v4 -> v5: b1 removed — its FROM-visible rows {0, 2, 3, 4} (1 was
+    # already deleted at v4, so it must NOT reappear as a change)
+    ch = scan_changes(spark, table, from_version=4, to_version=5).collect()
+    assert sorted((r._change_type, r.id) for r in ch) == [
+        ("delete", 0), ("delete", 2), ("delete", 3), ("delete", 4)]
+    # v5 -> v6: appends only
+    ch = scan_changes(spark, table, from_version=5, to_version=6).collect()
+    assert sorted((r._change_type, r.id) for r in ch) == [
+        ("insert", 10), ("insert", 11), ("insert", 12)]
+    # from == to: no changes, schema intact
+    ch = scan_changes(spark, table, from_version=4, to_version=4)
+    assert ch.count() == 0
+    assert ch.columns == ["id", "val", "_change_type"]
+    # from table creation: everything visible NOW is an insert (b1 was
+    # removed at v5 so its rows are in neither side — net zero)
+    ch = scan_changes(spark, table, from_version=1).collect()
+    assert sorted(r.id for r in ch) == [5, 6, 8, 9, 10, 11, 12]
+    assert {r._change_type for r in ch} == {"insert"}
+
+
+def test_scan_changes_replay_reconstructs_every_state(spark, tmp_path):
+    """The CDC consumer contract: folding scan_changes over consecutive
+    versions reconstructs scan_table's state at every version — and the
+    streaming latest-state kernel (streaming/cdc.py) consumes the same
+    rows to the same end state."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes, scan_table
+    from iceberg_meta_spark.streaming.cdc import latest_state_stream
+
+    table = _changelog_history(spark, tmp_path)
+    state: dict = {}
+    events = []
+    for v in range(2, 7):
+        for r in scan_changes(spark, table,
+                              from_version=v - 1, to_version=v).collect():
+            if r._change_type == "insert":
+                state[r.id] = (r.id, r.val)
+            else:
+                state.pop(r.id)  # KeyError = changelog emitted a bogus delete
+            events.append((r.id, v, r._change_type, r.val))
+        expect = sorted((r.id, r.val)
+                        for r in scan_table(spark, table, version=v).collect())
+        assert sorted(state.values()) == expect, f"diverged at version {v}"
+
+    # live twin: the streaming CDC kernel's struct-max over the SAME events
+    changes = spark.createDataFrame(
+        events, "id long, ts long, _change_type string, val long")
+    latest = latest_state_stream(changes, key_col="id", ts_col="ts",
+                                 payload_cols=("_change_type", "val"))
+    final = {(r.id, r.last_val) for r in latest.collect()
+             if r.last__change_type == "insert"}
+    assert final == set(state.values())
+
+
+def test_merge_into_upserts_in_one_snapshot(spark, tmp_path):
+    """MERGE INTO: matched keys update, new keys insert, untouched keys
+    stay — ONE snapshot, one metadata version; time travel reaches the
+    pre-merge state; a second merge layers correctly; compaction then
+    absorbs the logically-replaced rows."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        merge_into,
+    )
+
+    table = str(tmp_path / "m")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(spark,
+                     spark.createDataFrame([(i, i * 10) for i in range(5)],
+                                           "id long, val long").coalesce(1),
+                     table, timestamp_ms=1713139260000)
+
+    merge_into(spark,
+               spark.createDataFrame([(3, 999), (4, 888), (5, 555), (6, 666)],
+                                     "id long, val long").coalesce(1),
+               table, key_cols=["id"], timestamp_ms=1713139260001)
+    got = {r.id: r.val for r in scan_table(spark, table).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 999, 4: 888, 5: 555, 6: 666}
+    md = load_table_metadata(spark, table)
+    assert len(md["snapshots"]) == 2  # append + ONE merge snapshot
+    assert md["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    # pre-merge time travel
+    pre = {r.id: r.val for r in scan_table(spark, table, snapshot_id=1).collect()}
+    assert pre == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40}
+    # a second merge over the first (re-upsert id 5, insert id 7)
+    merge_into(spark,
+               spark.createDataFrame([(5, 5555), (7, 777)], "id long, val long")
+               .coalesce(1),
+               table, key_cols=["id"], timestamp_ms=1713139260002)
+    got = {r.id: r.val for r in scan_table(spark, table).collect()}
+    assert got[5] == 5555 and got[7] == 777 and got[3] == 999
+    # compaction absorbs every replaced row; served state unchanged
+    out = rewrite_data_files(spark, table, timestamp_ms=1713139260003)
+    assert out["groups"] >= 1
+    assert {r.id: r.val for r in scan_table(spark, table).collect()} == got
+
+    with pytest.raises(KeyError, match="merge keys"):
+        merge_into(spark, spark.createDataFrame([(1, 1)], "id long, val long"),
+                   table, key_cols=["nope"])
