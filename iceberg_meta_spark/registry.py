@@ -122,7 +122,15 @@ DRIVER_WINDOW = [
     "meta_stalest_tables",
     "meta_manifest_row_share",
     "meta_top_files_per_partition",
-    "meta_recent_snapshots",
+    # r9 rotation: iceberg_native_compaction (the round's flagship —
+    # rewrite_data_files EXECUTION: merge-on-read group reads absorbing
+    # pending deletes, one replace snapshot, post-compaction state under
+    # the hash gate) takes meta_recent_snapshots' slot: the S3/O1 snapshot
+    # family keeps three in-window representatives
+    # (meta_latest_snapshot_summary, meta_watch_new_snapshots,
+    # snapshot_detail); meta_recent_snapshots stays under the
+    # full-registry gate.
+    "iceberg_native_compaction",
     "meta_latest_snapshot_summary",
     "meta_watch_new_snapshots",
     "meta_file_labels",
