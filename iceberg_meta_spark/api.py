@@ -719,3 +719,24 @@ def changes(spark: SparkSession, table_dir: str,
     return scan_changes(spark, table_dir,
                         from_snapshot_id=from_snapshot_id,
                         to_snapshot_id=to_snapshot_id)
+
+
+def delete_where(spark: SparkSession, table_dir: str,
+                 predicate: tuple) -> dict:
+    """DELETE FROM ... WHERE col BETWEEN lo AND hi: matching rows resolve
+    to (file, pos) through the merge-on-read scan and publish as one
+    position-delete commit (iceberg_write.py:delete_where)."""
+    from iceberg_meta_spark.sources.iceberg_write import delete_where as _dw
+
+    return _dw(spark, table_dir, predicate)
+
+
+def rewrite_deletes(spark: SparkSession, table_dir: str) -> dict:
+    """EXECUTE rewrite_position_delete_files: drop dangling position-delete
+    files, shrink partially-dangling ones, one replace snapshot
+    (iceberg_maintenance.py:rewrite_position_deletes)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_position_deletes,
+    )
+
+    return rewrite_position_deletes(spark, table_dir)

@@ -1408,3 +1408,62 @@ def iceberg_native_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.sources.iceberg_scan import scan_table
 
     return scan_table(spark, default_merge_table(spark)).orderBy("id")
+
+
+@register(
+    "iceberg_native_delete_where",
+    oracle="""
+        SELECT i AS id, CAST(i * 10 AS BIGINT) AS val
+        FROM range(0, 20) t(i)
+        WHERE i < 5 OR i > 14
+        ORDER BY id
+    """,
+    doc="Row-level DELETE by predicate (sources/iceberg_write.py:"
+    "delete_where): DELETE FROM t WHERE id BETWEEN 5 AND 14 resolves the "
+    "matching rows' physical (file, pos) pairs through the merge-on-read "
+    "scan (file pruning included) and publishes them as ONE position-"
+    "delete commit, sorted by (file, pos) per spec recommendation. The "
+    "query scans the post-delete table against the closed form (ids 0..4 "
+    "and 15..19 survive) — the DELETE verb end-to-end under the hash gate",
+)
+def iceberg_native_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_delete_where_table
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return scan_table(spark, default_delete_where_table(spark)).orderBy("id")
+
+
+@register(
+    "iceberg_native_posdel_rewrite",
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS pos_delete_files,
+               CAST(9 AS BIGINT) AS row_count,
+               CAST(1330 AS BIGINT) AS sum_val
+    """,
+    doc="rewrite_position_delete_files EXECUTED (sources/"
+    "iceberg_maintenance.py:rewrite_position_deletes): after the b1 file "
+    "is removed, the delete file targeting only b1 is DANGLING (dropped) "
+    "and the one targeting b1+b2 is partially dangling (shrunk to its "
+    "live row), published as one replace snapshot via "
+    "commit_rewrite_files(add_content=1). The query reads the POST-"
+    "cleanup state: exactly one position-delete file remains and the "
+    "served rows are unchanged (ids 10..19 minus the still-deleted 12, "
+    "sum_val = 10·(145-12) = 1330) — the dangling-delete debris "
+    "compaction leaves behind, cleaned under the hash gate",
+)
+def iceberg_native_posdel_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_posdel_rewrite_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_posdel_rewrite_table(spark)
+    plan = plan_scan(spark, table)
+    return scan_table(spark, table).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("val").alias("sum_val"),
+    ).select(
+        F.lit(len(plan.position_deletes)).cast("long").alias("pos_delete_files"),
+        F.col("row_count"),
+        F.col("sum_val"),
+    )

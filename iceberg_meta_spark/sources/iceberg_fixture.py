@@ -684,3 +684,98 @@ def default_merge_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_delete_where_table(spark) -> str:
+    """A table DELETEd by predicate: append ids 0..9 and 10..19 (val =
+    10·id), then ``delete_where(id BETWEEN 5 AND 14)`` — the matching rows
+    resolve to (file, pos) through the scan and publish as one
+    position-delete commit. Closed form: surviving ids 0..4 ∪ 15..19."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        delete_where,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_dw_v1")
+    table = os.path.join(base, "dw_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    for bi, ids in enumerate((range(0, 10), range(10, 20))):
+        append_dataframe(
+            spark,
+            spark.createDataFrame([(i, i * 10) for i in ids],
+                                  "id long, val long").coalesce(1),
+            table, timestamp_ms=1713139200000 + 60_000 * (bi + 1),
+        )
+    out = delete_where(spark, table, ("id", 5, 14),
+                       timestamp_ms=1713139200000 + 180_000)
+    assert out["rows_deleted"] == 10, out
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+def default_posdel_rewrite_table(spark) -> str:
+    """A table after ``rewrite_position_deletes``: b1 = ids 0..9 and b2 =
+    ids 10..19 (val = 10·id); position-delete file A targets only b1
+    (pos 0, 3), file B targets b1 (pos 5) AND b2 (pos 2 -> id 12); the b1
+    FILE is then removed, making A fully dangling and B partially; the
+    rewrite drops A and shrinks B to its one live row. Closed form: 1
+    position-delete file, served ids 10..19 minus {12}."""
+    import glob
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        commit_delete_files,
+        commit_remove_files,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_pdr_v1")
+    table = os.path.join(base, "pdr_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+
+    def batch(name, ids):
+        (spark.createDataFrame([(i, i * 10) for i in ids], "id long, val long")
+         .coalesce(1).write.parquet(os.path.join(table, "data", name)))
+        [p] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+        return p
+
+    p1 = batch("b1", range(0, 10))
+    commit_append(table, [{"file_path": p1, "record_count": 10,
+                           "file_size_in_bytes": os.path.getsize(p1)}],
+                  timestamp_ms=1713139200000 + 60_000)
+    p2 = batch("b2", range(10, 20))
+    commit_append(table, [{"file_path": p2, "record_count": 10,
+                           "file_size_in_bytes": os.path.getsize(p2)}],
+                  timestamp_ms=1713139200000 + 120_000)
+    for name, rows, ts in (
+        ("del_a", [(p1, 0), (p1, 3)], 180_000),
+        ("del_b", [(p1, 5), (p2, 2)], 240_000),
+    ):
+        (spark.createDataFrame(rows, "file_path string, pos long")
+         .coalesce(1).write.parquet(os.path.join(table, "data", name)))
+        [dp] = glob.glob(os.path.join(table, "data", name, "*.parquet"))
+        commit_delete_files(table, [{
+            "file_path": dp, "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(dp),
+        }], timestamp_ms=1713139200000 + ts)
+    commit_remove_files(table, {p1}, timestamp_ms=1713139200000 + 300_000)
+    res = rewrite_position_deletes(spark, table,
+                                   timestamp_ms=1713139200000 + 360_000)
+    assert res["dropped"] == 1 and res["rewritten"] == 1, res
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -409,6 +409,7 @@ def rewrite_data_files(
     table_dir: str,
     small_threshold: int = 1 << 27,
     target_bytes: int = 1 << 29,
+    sort_by: str | None = None,
     timestamp_ms: int | None = None,
 ) -> dict:
     """EXECUTE Iceberg's ``rewrite_data_files`` (bin-pack strategy): the
@@ -432,10 +433,19 @@ def rewrite_data_files(
        new sequence number. Served rows are identical pre/post (the
        tests pin it); time travel still reaches the old layout.
 
+    ``sort_by`` switches bin-pack to the SORT strategy: each partition's
+    whole candidate set reads as one group and writes back
+    ``repartitionByRange``-split on the sort column into ~``target_bytes``
+    files — every output file covers a tight value range, so the committed
+    Appendix-D bounds make subsequent zone-map pruning maximally
+    selective (Iceberg's sort-order rewrite, Spark-first: the range
+    exchange IS the sort cluster step).
+
     Dangling delete files (all their targets rewritten) stay committed —
-    they apply to nothing and are reclaimed by snapshot expiry, matching
-    the engine's separate rewrite_position_delete_files action. A no-op
-    (no groups) publishes nothing: {"groups": 0, ...}.
+    they apply to nothing and are dropped by
+    :func:`rewrite_position_deletes` or reclaimed by snapshot expiry,
+    matching the engine's separate rewrite_position_delete_files action.
+    A no-op (no groups) publishes nothing: {"groups": 0, ...}.
 
     Group COUNT is bounded (each holds ~target_bytes); the per-group read
     +write is distributed work, the commit driver work is planning-index
@@ -477,7 +487,15 @@ def rewrite_data_files(
             cur_bytes += int(f["size"])
         if cur:
             groups.append(cur)
-    groups = [g for g in groups if len(g) > 1 or any(delete_affected(f) for f in g)]
+    if sort_by is not None:
+        # SORT strategy: one group per partition (the whole candidate set)
+        # so the range split is global within the partition
+        groups = [g for g in
+                  ([f for f in by_part[pk]] for pk in sorted(by_part))
+                  if len(g) > 1 or any(delete_affected(f) for f in g)]
+    else:
+        groups = [g for g in groups
+                  if len(g) > 1 or any(delete_affected(f) for f in g)]
     if not groups:
         return {"groups": 0, "rewritten_files": 0, "added_files": 0,
                 "snapshot_id": None}
@@ -487,8 +505,13 @@ def rewrite_data_files(
     out_root = os.path.join(table_dir, "data", f"compact-{version + 1:05d}")
     for gi, group in enumerate(groups):
         rows = _merged_rows(spark, plan, group)  # deletes applied here
+        if sort_by is not None:
+            n_out = max(1, -(-sum(int(f["size"]) for f in group) // target_bytes))
+            rows = rows.repartitionByRange(n_out, F.col(sort_by))
+        else:
+            rows = rows.coalesce(1)
         files = write_dataframe_files(
-            spark, rows.coalesce(1), md, os.path.join(out_root, f"g{gi}")
+            spark, rows, md, os.path.join(out_root, f"g{gi}")
         )
         add_files.extend(files)
         remove_paths.extend(f["path"] for f in group)
@@ -500,6 +523,84 @@ def rewrite_data_files(
         "groups": len(groups),
         "rewritten_files": len(remove_paths),
         "added_files": len(add_files),
+        "snapshot_id": int(new_md["current-snapshot-id"]),
+    }
+
+
+def rewrite_position_deletes(
+    spark: SparkSession,
+    table_dir: str,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """EXECUTE Iceberg's ``rewrite_position_delete_files``: drop DANGLING
+    position-delete files (every row targets a data file no longer live —
+    the debris ``rewrite_data_files`` leaves behind) and SHRINK partially-
+    dangling ones to only their live-target rows, published as one
+    ``replace`` snapshot (``commit_rewrite_files(add_content=1)``).
+
+    Detection is distributed: one parquet read over every position-delete
+    file classifies each row's target against the live-path set (a
+    broadcast planning-index frame); only the per-delete-file (live,
+    total) counts reach the driver. Fully-live files ride along untouched.
+    A no-op publishes nothing. Served rows are identical pre/post (the
+    deletes being dropped apply to nothing) — pinned by the tests."""
+    from iceberg_meta_spark.sources.iceberg_scan import _norm_path, plan_scan
+    from iceberg_meta_spark.sources.iceberg_write import commit_rewrite_files
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    _, version, _ = _load_md(table_dir)
+    plan = plan_scan(spark, table_dir)
+    if not plan.position_deletes:
+        return {"dropped": 0, "rewritten": 0, "snapshot_id": None}
+    live_df = spark.createDataFrame(
+        [(_norm_path(f["path"]),) for f in plan.data_files] or [("",)],
+        "target string",
+    )
+    del_paths = [_norm_path(d["path"]) for d in plan.position_deletes]
+    rows = (
+        spark.read.parquet(*del_paths)
+        .select(
+            _norm("file_path").alias("target"),
+            "pos",
+            _norm(F.col("_metadata.file_path")).alias("__dfile"),
+        )
+        .join(F.broadcast(live_df.withColumn("__live", F.lit(1))),
+              "target", "left")
+    )
+    per_file = {
+        r["__dfile"]: (int(r["live"]), int(r["total"]))
+        for r in rows.groupBy("__dfile")
+        .agg(F.sum(F.coalesce(F.col("__live"), F.lit(0))).alias("live"),
+             F.count(F.lit(1)).alias("total"))
+        .collect()
+    }
+    norm_to_orig = {_norm_path(d["path"]): d["path"] for d in plan.position_deletes}
+    dangling = [p for p, (lv, _) in per_file.items() if lv == 0]
+    partial = [p for p, (lv, tot) in per_file.items() if 0 < lv < tot]
+    if not dangling and not partial:
+        return {"dropped": 0, "rewritten": 0, "snapshot_id": None}
+
+    add_files = []
+    if partial:
+        out_dir = os.path.join(table_dir, "data", f"posdel-rw-{version + 1:05d}")
+        (rows.where(F.col("__dfile").isin(partial) & F.col("__live").isNotNull())
+         .select(F.col("target").alias("file_path"), "pos")
+         .sort("file_path", "pos").coalesce(1)
+         .write.parquet(out_dir))
+        import glob
+
+        [np_] = glob.glob(os.path.join(out_dir, "*.parquet"))
+        n = spark.read.parquet(np_).count()
+        add_files.append({
+            "file_path": np_, "record_count": int(n),
+            "file_size_in_bytes": os.path.getsize(np_),
+        })
+    remove = [norm_to_orig.get(p, p) for p in dangling + partial]
+    new_md = commit_rewrite_files(table_dir, remove, add_files,
+                                  timestamp_ms=timestamp_ms, add_content=1)
+    return {
+        "dropped": len(dangling),
+        "rewritten": len(partial),
         "snapshot_id": int(new_md["current-snapshot-id"]),
     }
 

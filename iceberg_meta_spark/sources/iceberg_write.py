@@ -461,19 +461,25 @@ def commit_rewrite_files(
     remove_paths: set[str] | list[str],
     add_files: list[dict],
     timestamp_ms: int | None = None,
+    add_content: int = 0,
 ) -> dict:
     """Publish ONE ``replace`` snapshot that atomically removes
-    ``remove_paths`` (compacted-away data files) and adds ``add_files``
-    (their bin-packed replacements) — the commit shape of Iceberg's
-    ``rewrite_data_files`` action. Removed entries become DELETED in
-    rewritten manifests (provenance preserved for survivors); added files
-    get the NEW sequence number, so equality deletes committed earlier
-    correctly stop applying to the rewritten rows (they were applied
-    during the rewrite read) while later deletes still will.
+    ``remove_paths`` (compacted-away files) and adds ``add_files`` (their
+    rewritten replacements) — the commit shape of Iceberg's
+    ``rewrite_data_files`` / ``rewrite_position_delete_files`` actions.
+    Removed entries become DELETED in rewritten manifests (provenance
+    preserved for survivors); added files get the NEW sequence number, so
+    equality deletes committed earlier correctly stop applying to the
+    rewritten rows (they were applied during the rewrite read) while
+    later deletes still will.
 
-    Totals move honestly: physical rows drop by what the absorbed deletes
-    removed (removed_rows - added_rows); served rows are unchanged — the
-    pre/post scan identity is pinned by the compaction tests."""
+    ``add_content=0`` (default) adds DATA files and moves the data totals
+    honestly: physical rows drop by what the absorbed deletes removed;
+    served rows are unchanged — the pre/post scan identity is pinned by
+    the compaction tests. ``add_content=1`` adds position/equality DELETE
+    files instead (the delete-file rewrite): data totals carry verbatim
+    and ``total-delete-files`` moves by (added - removed); ``add_files``
+    may be empty when every rewritten delete file was fully dangling."""
     targets = set(remove_paths)
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
@@ -507,48 +513,47 @@ def commit_rewrite_files(
     schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     types = {f["id"]: f["type"] for f in schema["fields"]}
     partition_fields = _partition_fields_from_spec(md, types)
-    entries = _added_data_entries(add_files, snap_id, seq, types, partition_fields)
-    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-a0.avro")
-    blob = write_container(
-        manifest_entry_schema(partition_fields),
-        entries,
-        metadata={"format-version": b"2", "content": b"data",
-                  "partition-spec-id": str(md["default-spec-id"]).encode()},
-    )
-    with open(manifest_path, "wb") as fh:
-        fh.write(blob)
     added_rows = sum(int(f["record_count"]) for f in add_files)
     added_bytes = sum(int(f["file_size_in_bytes"]) for f in add_files)
-    new_manifests.append({
-        "manifest_path": manifest_path,
-        "manifest_length": len(blob),
-        "partition_spec_id": int(md["default-spec-id"]),
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(add_files),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": None,
-    })
+    if add_files:
+        if add_content == 0:
+            entries = _added_data_entries(add_files, snap_id, seq, types,
+                                          partition_fields)
+            blob = write_container(
+                manifest_entry_schema(partition_fields),
+                entries,
+                metadata={"format-version": b"2", "content": b"data",
+                          "partition-spec-id": str(md["default-spec-id"]).encode()},
+            )
+        else:
+            blob, _ = _delete_manifest_blob(md, add_files, snap_id, seq)
+        manifest_path = os.path.join(meta_dir, f"{commit_uuid}-a0.avro")
+        with open(manifest_path, "wb") as fh:
+            fh.write(blob)
+        new_manifests.append({
+            "manifest_path": manifest_path,
+            "manifest_length": len(blob),
+            "partition_spec_id": int(md["default-spec-id"]),
+            "content": add_content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(add_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        })
 
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
     with open(mlist_path, "wb") as fh:
         fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
                                  metadata={"format-version": b"2"}))
     prev_summary = (prev.get("summary", {}) or {})
-    snapshot = {
-        "snapshot-id": snap_id,
-        "parent-snapshot-id": parent,
-        "sequence-number": seq,
-        "timestamp-ms": ts,
-        "manifest-list": mlist_path,
-        "schema-id": md["current-schema-id"],
-        "summary": {
+    if add_content == 0:
+        summary = {
             "operation": "replace",
             "added-records": str(added_rows),
             "deleted-records": str(removed_rows),
@@ -568,7 +573,32 @@ def commit_rewrite_files(
                 max(int(prev_summary.get("total-files-size", 0)) - removed_bytes, 0)
                 + added_bytes
             ),
-        },
+        }
+    else:
+        # delete-file rewrite: data totals carry verbatim, only the
+        # delete-file counter moves
+        summary = {
+            "operation": "replace",
+            "added-records": "0",
+            "deleted-records": "0",
+            "added-delete-files": str(len(add_files)),
+            "removed-delete-files": str(removed),
+            "total-delete-files": str(
+                max(int(prev_summary.get("total-delete-files", 0)) - removed, 0)
+                + len(add_files)
+            ),
+            "total-data-files": prev_summary.get("total-data-files", "0"),
+            "total-records": prev_summary.get("total-records", "0"),
+            "total-files-size": prev_summary.get("total-files-size", "0"),
+        }
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": summary,
     }
     md["snapshots"].append(snapshot)
     md["snapshot-log"] = md.get("snapshot-log", []) + [
@@ -947,6 +977,68 @@ def merge_into(
     }]
     return commit_merge(table_dir, data_files, delete_files,
                         timestamp_ms=timestamp_ms)
+
+
+def delete_where(
+    spark,
+    table_dir: str,
+    predicate: tuple[str, object, object],
+    timestamp_ms: int | None = None,
+) -> dict:
+    """DELETE FROM ... WHERE col BETWEEN lo AND hi (the scan's predicate
+    shape, ``None`` for an open end): resolve the matching rows' physical
+    (file, position) pairs through the merge-on-read scan — so rows
+    already hidden by earlier deletes are never re-deleted — and publish
+    them as ONE position-delete commit. The row-level DELETE verb over
+    the same machinery MERGE uses.
+
+    Distributed work: file pruning + the matching scan are the planner's
+    own plan; the delete file is written sorted by (file, pos) per the
+    spec's recommendation. One output file per delete batch (bounded by
+    the matched-row count — the scope a single DELETE statement has);
+    shard upstream for larger sweeps. No matches -> no-op, nothing
+    published, {"rows_deleted": 0, "snapshot_id": None}."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.sources.iceberg_scan import _merged_rows, plan_scan
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+
+    plan = plan_scan(spark, table_dir, predicate=predicate)
+    rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
+    if rows is None:
+        return {"rows_deleted": 0, "snapshot_id": None}
+    col, lo, hi = predicate
+    if lo is not None:
+        rows = rows.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        rows = rows.where(F.col(col) <= F.lit(hi))
+    hits = (
+        rows.select(F.col("__file").alias("file_path"),
+                    F.col("__pos").alias("pos"))
+        .sort("file_path", "pos")
+        .coalesce(1)
+    )
+    del_dir = os.path.join(table_dir, "data", f"delete-{version + 1:05d}")
+    hits.write.parquet(del_dir)
+    [dp] = glob.glob(os.path.join(del_dir, "*.parquet"))
+    n = spark.read.parquet(dp).count()
+    if n == 0:
+        shutil.rmtree(del_dir)
+        return {"rows_deleted": 0, "snapshot_id": None}
+    md = commit_delete_files(table_dir, [{
+        "file_path": dp,
+        "record_count": n,
+        "file_size_in_bytes": os.path.getsize(dp),
+    }], timestamp_ms=timestamp_ms)
+    return {"rows_deleted": int(n),
+            "snapshot_id": int(md["current-snapshot-id"])}
 
 
 def create_table(

@@ -633,3 +633,110 @@ def test_merge_into_upserts_in_one_snapshot(spark, tmp_path):
     with pytest.raises(KeyError, match="merge keys"):
         merge_into(spark, spark.createDataFrame([(1, 1)], "id long, val long"),
                    table, key_cols=["nope"])
+
+
+def test_delete_where_publishes_position_deletes(spark, tmp_path):
+    """DELETE FROM t WHERE id BETWEEN 3 AND 6: the matching rows resolve
+    to physical (file, pos) through the scan (rows already hidden are not
+    re-deleted), publish as ONE position-delete commit, and the table
+    serves the remainder; a no-match delete publishes nothing."""
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+    from iceberg_meta_spark.sources.iceberg_write import delete_where
+
+    table, _, _ = _mor_table(spark, tmp_path)
+    out = delete_where(spark, table, ("id", 3, 6),
+                       timestamp_ms=1713139260002)
+    assert out["rows_deleted"] == 4 and out["snapshot_id"] == 3
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [
+        0, 1, 2, 7, 8, 9]
+    # pre-delete snapshot unaffected
+    assert scan_table(spark, table, snapshot_id=2).count() == 10
+    # deleting the same interval again: nothing left to match -> no-op
+    out2 = delete_where(spark, table, ("id", 3, 6),
+                        timestamp_ms=1713139260003)
+    assert out2 == {"rows_deleted": 0, "snapshot_id": None}
+    assert len(load_table_metadata(spark, table)["snapshots"]) == 3
+    # open-ended predicate
+    out3 = delete_where(spark, table, ("id", 8, None),
+                        timestamp_ms=1713139260004)
+    assert out3["rows_deleted"] == 2
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [
+        0, 1, 2, 7]
+
+
+def test_sort_compaction_tightens_zone_maps(spark, tmp_path):
+    """SORT-strategy compaction: interleaved ids across small files
+    rewrite range-partitioned on id, so each output file covers a tight
+    range and a point-ish predicate prunes most files — same served rows."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import rewrite_data_files
+    from iceberg_meta_spark.sources.iceberg_write import append_dataframe
+
+    table = str(tmp_path / "s")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    # 3 appends with INTERLEAVED ids: every file spans [b, 27+b] so no
+    # pre-compaction prune is possible for a mid-range predicate
+    for b in range(3):
+        rows = [(i * 3 + b, (i * 3 + b) * 10) for i in range(10)]
+        append_dataframe(spark,
+                         spark.createDataFrame(rows, "id long, val long")
+                         .coalesce(1),
+                         table, timestamp_ms=1713139260000 + b)
+    before = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    pre = plan_scan(spark, table, predicate=("id", 25, 29))
+    assert pre.files_pruned == 0  # interleaving defeats zone maps
+
+    file_bytes = plan_scan(spark, table).data_files[0]["size"]
+    out = rewrite_data_files(spark, table, sort_by="id",
+                             target_bytes=file_bytes,  # force a multi-file split
+                             timestamp_ms=1713139260010)
+    assert out["groups"] == 1 and out["added_files"] >= 2
+    after = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    assert after == before
+    post = plan_scan(spark, table, predicate=("id", 25, 29))
+    assert post.files_pruned >= 1  # ranges are tight now
+    assert sorted(r.id for r in
+                  scan_table(spark, table, predicate=("id", 25, 29)).collect()
+                  ) == [25, 26, 27, 28, 29]
+
+
+def test_rewrite_position_deletes_drops_dangling(spark, tmp_path):
+    """After the b1 FILE is removed, the position-delete file that ONLY
+    targeted b1 is dangling and gets dropped; a partially-dangling delete
+    file (targets b1 AND b2) shrinks to its live rows — served rows
+    identical pre/post, delete-file count falls."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import commit_remove_files
+
+    table, p1, p2 = _mor_table(spark, tmp_path)
+    # delete file A: targets b1 only (pos 0 -> id 0)
+    dpa = _write_batch(spark, table, "del_a", [(p1, 0)],
+                       "file_path string, pos long")
+    commit_delete_files(table, [{"file_path": dpa, "record_count": 1,
+                                 "file_size_in_bytes": os.path.getsize(dpa)}],
+                        timestamp_ms=1713139260002)
+    # delete file B: targets b1 (pos 2 -> id 2) AND b2 (pos 1 -> id 6)
+    dpb = _write_batch(spark, table, "del_b", [(p1, 2), (p2, 1)],
+                       "file_path string, pos long")
+    commit_delete_files(table, [{"file_path": dpb, "record_count": 2,
+                                 "file_size_in_bytes": os.path.getsize(dpb)}],
+                        timestamp_ms=1713139260003)
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == [
+        1, 3, 4, 5, 7, 8, 9]
+
+    # drop the b1 FILE: A becomes fully dangling, B partially (its b2
+    # row stays live)
+    commit_remove_files(table, {p1}, timestamp_ms=1713139260004)
+    served = sorted(r.id for r in scan_table(spark, table).collect())
+    assert served == [5, 7, 8, 9]
+
+    res = rewrite_position_deletes(spark, table, timestamp_ms=1713139260005)
+    assert res["dropped"] == 1 and res["rewritten"] == 1
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == served
+    plan = plan_scan(spark, table)
+    # A and B replaced by ONE shrunk delete file with only the live row
+    assert len(plan.position_deletes) == 1
+    # running it again: nothing dangling -> no-op
+    res2 = rewrite_position_deletes(spark, table, timestamp_ms=1713139260006)
+    assert res2 == {"dropped": 0, "rewritten": 0, "snapshot_id": None}
