@@ -638,12 +638,19 @@ def insert_into(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
     return append_dataframe(spark, df, table_dir)
 
 
-def evolve_partitioning(table_dir: str, add_identity: list[str]) -> dict:
-    """Partition evolution: new default spec with added identity fields;
-    old files keep their layout (iceberg_write.py:update_partition_spec)."""
+def evolve_partitioning(
+    table_dir: str,
+    add_identity: list[str] | None = None,
+    add_fields: list[tuple[str, str, str]] | None = None,
+) -> dict:
+    """Partition evolution: new default spec with added identity fields
+    and/or transformed fields — ``add_fields`` tuples are (field_name,
+    transform, source_column), e.g. ``("id_bucket", "bucket[8]", "id")``
+    or ``("ts_month", "month", "event_date")``. Old files keep their
+    layout (iceberg_write.py:update_partition_spec)."""
     from iceberg_meta_spark.sources.iceberg_write import update_partition_spec
 
-    return update_partition_spec(table_dir, add_identity)
+    return update_partition_spec(table_dir, add_identity, add_fields=add_fields)
 
 
 def remove_orphans(spark: SparkSession, table_dir: str, older_than_ms: int,

@@ -1467,3 +1467,117 @@ def iceberg_native_posdel_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("row_count"),
         F.col("sum_val"),
     )
+
+
+@register(
+    "iceberg_native_bucket_pruned_scan",
+    oracle="""
+        SELECT CAST(17 AS BIGINT) AS id, CAST(119 AS BIGINT) AS val,
+               CAST(4 AS BIGINT) AS files_total,
+               CAST(3 AS BIGINT) AS files_pruned
+    """,
+    doc="bucket[4] partition transform end to end (sources/"
+    "iceberg_transforms.py, spec § Partition Transforms + Appendix B): the "
+    "write computes murmur3-seed-0 bucket values with the numpy-vectorized "
+    "8-byte-LE kernel (hash pins: int 34 -> 2017239379, 'iceberg' -> "
+    "1210000089) and lays out 4 Hive dirs; the scan PROJECTS the point "
+    "predicate id = 17 through the transform (bucket prunes equality only "
+    "— hashing destroys order) and opens exactly one file. files_total/"
+    "files_pruned ride the result so the gate pins the PRUNING, not just "
+    "the surviving row (17, 119). The 100-TB join-co-location layout, "
+    "hash-gated",
+)
+def iceberg_native_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_bucket_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_bucket_table(spark)
+    plan = plan_scan(spark, table, predicate=("id", 17, 17))
+    return scan_table(spark, table, predicate=("id", 17, 17)).select(
+        "id", "val",
+        F.lit(plan.files_total).cast("long").alias("files_total"),
+        F.lit(plan.files_pruned).cast("long").alias("files_pruned"),
+    )
+
+
+@register(
+    "iceberg_native_temporal_pruned_scan",
+    tags=("bench",),  # tracks transform-projected pruning round-over-round
+    oracle="""
+        SELECT CAST(CAST(event_date AS DATE) AS VARCHAR) AS event_date,
+               CAST(id AS BIGINT) AS id, CAST(id * 10 AS BIGINT) AS val,
+               CAST(12 AS BIGINT) AS files_total,
+               CAST(9 AS BIGINT) AS files_pruned
+        FROM (
+          SELECT DATE '1970-01-01'
+                   + INTERVAL ((m - 1)) MONTH
+                   + INTERVAL (54 * 12) MONTH
+                   + INTERVAL (d - 1) DAY AS event_date,
+                 (m - 1) * 2 + CASE WHEN d = 5 THEN 1 ELSE 2 END AS id
+          FROM range(1, 13) t(m), (VALUES (5), (20)) v(d)
+        )
+        WHERE event_date BETWEEN DATE '2024-03-10' AND DATE '2024-05-20'
+        ORDER BY id
+    """,
+    doc="month(event_date) partition transform end to end: the write "
+    "derives months-from-1970 ordinals JVM-side ((year-1970)*12 + month-1, "
+    "no UDF) into 12 Hive dirs; the scan projects the date interval "
+    "[2024-03-10, 2024-05-20] endpoint-wise through the monotonic "
+    "transform to ordinals [650, 652] and opens 3 of 12 files. The oracle "
+    "recomputes the fixture's closed form (two rows per 2024 month, the "
+    "5th and the 20th) independently in DuckDB date arithmetic. THE "
+    "standard 100-TB time-series layout (date-partitioned scans), "
+    "hash-gated with pruning counts in the result",
+)
+def iceberg_native_temporal_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from iceberg_meta_spark.sources.iceberg_fixture import default_temporal_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_temporal_table(spark)
+    pred = ("event_date", datetime.date(2024, 3, 10), datetime.date(2024, 5, 20))
+    plan = plan_scan(spark, table, predicate=pred)
+    return (
+        scan_table(spark, table, predicate=pred)
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "id", "val",
+            F.lit(plan.files_total).cast("long").alias("files_total"),
+            F.lit(plan.files_pruned).cast("long").alias("files_pruned"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "iceberg_native_truncate_pruned_scan",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS row_count,
+               CAST(sum(i * 3) AS BIGINT) AS sum_val,
+               CAST(4 AS BIGINT) AS files_total,
+               CAST(2 AS BIGINT) AS files_pruned
+        FROM range(13, 28) t(i)
+    """,
+    doc="truncate[10] partition transform end to end: the write floors ids "
+    "to multiples of 10 JVM-side (v - pmod(v, 10), negative-safe) into 4 "
+    "Hive dirs; the scan projects [13, 27] endpoint-wise through the "
+    "monotonic transform to truncated [10, 20] and opens 2 of 4 files, "
+    "then the residual filter trims the boundary partitions' out-of-range "
+    "rows — projection is conservative, the gate pins that no in-range row "
+    "is lost (15 rows, sum_val = 900) and both pruning counts",
+)
+def iceberg_native_truncate_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_truncate_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_truncate_table(spark)
+    plan = plan_scan(spark, table, predicate=("id", 13, 27))
+    return scan_table(spark, table, predicate=("id", 13, 27)).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("val").alias("sum_val"),
+    ).select(
+        "row_count", "sum_val",
+        F.lit(plan.files_total).cast("long").alias("files_total"),
+        F.lit(plan.files_pruned).cast("long").alias("files_pruned"),
+    )

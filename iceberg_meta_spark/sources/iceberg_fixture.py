@@ -779,3 +779,123 @@ def default_posdel_rewrite_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_bucket_table(spark) -> str:
+    """A ``bucket[4]``-partitioned table (spec § Partition Transforms):
+    ids 1..40, val = 7·id, inserted via ``append_dataframe`` under the
+    spec field ``id_bucket = bucket[4](id)`` — murmur3 seed-0 hashing lays
+    the rows out across 4 Hive dirs (all four non-empty for this id range;
+    bucket_value(17, long, 4) = 3). Closed form for the oracle: a point
+    predicate id = 17 projects to exactly one bucket, so files_total = 4,
+    files_pruned = 3, and one row (17, 119) survives the residual filter."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_bucket_v1")
+    table = os.path.join(base, "bucket_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "val", "long")],
+        partition_fields=[("id_bucket", 1, 1000, "bucket[4]")],
+    )
+    rows = [(i, i * 7) for i in range(1, 41)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "id long, val long").repartition(1),
+        table,
+        timestamp_ms=1713139200000 + 60_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+def default_temporal_table(spark) -> str:
+    """A ``month``-partitioned table: 24 rows, two per month of 2024
+    (event_date = the 5th and the 20th), id 1..24, val = 10·id, under the
+    spec field ``event_month = month(event_date)`` (months-from-1970
+    ordinals 648..659 — 12 Hive dirs, one data file each). Closed form:
+    the predicate event_date ∈ [2024-03-10, 2024-05-20] projects to
+    ordinals [650, 652], so files_total = 12, files_pruned = 9, and the
+    residual filter keeps Mar-20, Apr-5, Apr-20, May-5, May-20 (5 rows)."""
+    import datetime
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_temporal_v1"
+    )
+    table = os.path.join(base, "temporal_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(
+        table,
+        fields=[(1, "event_date", "date"), (2, "id", "long"), (3, "val", "long")],
+        partition_fields=[("event_month", 1, 1000, "month")],
+    )
+    rows = [
+        (datetime.date(2024, m, d), (m - 1) * 2 + (1 if d == 5 else 2),
+         ((m - 1) * 2 + (1 if d == 5 else 2)) * 10)
+        for m in range(1, 13)
+        for d in (5, 20)
+    ]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "event_date date, id long, val long")
+        .repartition(1),
+        table,
+        timestamp_ms=1713139200000 + 60_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+def default_truncate_table(spark) -> str:
+    """A ``truncate[10]``-partitioned table: ids 0..39, val = 3·id, under
+    the spec field ``id_trunc = truncate[10](id)`` (floor-to-multiple —
+    dirs 0/10/20/30, one file each). Closed form: the predicate
+    id ∈ [13, 27] projects to truncated endpoints [10, 20], so
+    files_total = 4, files_pruned = 2, and ids 13..27 survive (15 rows)."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_trunc_v1"
+    )
+    table = os.path.join(base, "trunc_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "val", "long")],
+        partition_fields=[("id_trunc", 1, 1000, "truncate[10]")],
+    )
+    rows = [(i, i * 3) for i in range(0, 40)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "id long, val long").repartition(1),
+        table,
+        timestamp_ms=1713139200000 + 60_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -249,29 +249,52 @@ def plan_scan(
             schema_fields=fields,
         )
     snap = _snapshot(md, snapshot_id)
-    # identity-partition column names (source-id -> schema name)
+    # default-spec partition fields: (field name, transform, source name,
+    # source type); identity sources double as the scan's injection list
     id_to_name = {fid: name for fid, name, _ in fields}
+    type_by_name = {name: t for _, name, t in fields}
     spec = next(
         (s for s in md.get("partition-specs", [])
          if s.get("spec-id") == md.get("default-spec-id")),
         {"fields": []},
     )
-    partition_cols = [
-        id_to_name[int(f["source-id"])]
+    spec_fields = [
+        (f["name"], f.get("transform", "identity"),
+         id_to_name[int(f["source-id"])],
+         type_by_name[id_to_name[int(f["source-id"])]])
         for f in spec.get("fields", [])
-        if f.get("transform") == "identity" and int(f["source-id"]) in id_to_name
+        if int(f["source-id"]) in id_to_name
+    ]
+    partition_cols = [
+        src for _, transform, src, _ in spec_fields if transform == "identity"
     ]
 
     part_pred = bounds_pred = None
-    if predicate is not None and predicate[0] in partition_cols:
-        # PARTITION pruning: the value rides the manifest entry itself —
-        # no stats decode needed, the cheapest prune an identity-
-        # partitioned table offers
-        part_pred = predicate
-    elif predicate is not None:
+    if predicate is not None:
+        from iceberg_meta_spark.sources.iceberg_transforms import project_range
+
         col, lo, hi = predicate
-        fid, ftype = next((fid, t) for fid, name, t in fields if name == col)
-        bounds_pred = (fid, ftype, lo, hi)
+        # PARTITION pruning first (cheapest: the value rides the manifest
+        # entry, no stats decode). For a transformed field the predicate is
+        # PROJECTED through the transform (spec § scan planning: monotonic
+        # transforms map interval endpoints; bucket projects equality only)
+        for fname, transform, src, styp in spec_fields:
+            if src != col:
+                continue
+            proj = project_range(transform, lo, hi, styp)
+            if proj is not None:
+                part_pred = (fname, proj[0], proj[1])
+                break
+        identity_part = part_pred is not None and part_pred[0] == col and any(
+            t == "identity" and s == col for _, t, s, _ in spec_fields
+        )
+        if not identity_part:
+            # zone-map prune on the source column's decoded bounds — layered
+            # UNDER the (coarser) transformed-partition prune when both
+            # apply; identity partitions skip it (value == partition value)
+            fid, ftype = next((fid, t) for fid, name, t in fields if name == col)
+            if ftype in ("int", "long", "float", "double", "string", "boolean"):
+                bounds_pred = (fid, ftype, lo, hi)
 
     data, live_total = _plan_entries(
         spark, table_dir, snap, md, content=0,

@@ -70,20 +70,23 @@ _AVRO_T = {"string": "string", "long": "long", "int": "int",
 
 
 def _partition_fields_from_spec(md: dict, types: dict) -> list[dict]:
-    """Avro partition-record fields for the DEFAULT spec's identity
-    transforms — the partition shape this writer supports."""
+    """Avro partition-record fields for the DEFAULT spec — every spec
+    transform (identity, bucket[N], truncate[W], year/month/day/hour,
+    void) maps to its result's Avro primitive per the spec's transform
+    result types (iceberg_transforms.result_avro_type)."""
+    from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
+
     spec = next(
         s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
     )
     return [
         {
             "name": f["name"],
-            "type": ["null", _AVRO_T[types[f["source-id"]]]],
+            "type": ["null", result_avro_type(f["transform"], types[f["source-id"]])],
             "default": None,
             "field-id": f["field-id"],
         }
         for f in spec["fields"]
-        if f["transform"] == "identity"
     ]
 
 
@@ -1054,8 +1057,19 @@ def create_table(
     ``fields``: (field-id, name, type) of the table schema; required for
     ids ≤ 2 mirrors the fixture's convention but all fields are optional
     here. ``partition_fields``: (name, source-field-id, partition-field-id)
-    identity transforms; default unpartitioned. The created table is
-    immediately consumable by the native reader and every commit path."""
+    identity transforms, or a 4-tuple adding the transform string —
+    ``("id_bucket", 2, 1000, "bucket[4]")``, ``("ts_month", 3, 1001,
+    "month")`` (spec § Partition Transforms; validated at create time).
+    Default unpartitioned. The created table is immediately consumable by
+    the native reader and every commit path."""
+    from iceberg_meta_spark.sources.iceberg_transforms import parse_transform
+
+    pf_norm = []
+    for tup in (partition_fields or []):
+        n, sid, pfid = tup[0], tup[1], tup[2]
+        transform = tup[3] if len(tup) > 3 else "identity"
+        parse_transform(transform)  # reject unknown transforms up front
+        pf_norm.append((n, sid, pfid, transform))
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -1084,13 +1098,13 @@ def create_table(
             {
                 "spec-id": 0,
                 "fields": [
-                    {"name": n, "transform": "identity", "source-id": sid, "field-id": pfid}
-                    for n, sid, pfid in (partition_fields or [])
+                    {"name": n, "transform": t, "source-id": sid, "field-id": pfid}
+                    for n, sid, pfid, t in pf_norm
                 ],
             }
         ],
         "last-partition-id": max(
-            (pfid for _, _, pfid in (partition_fields or [])), default=999
+            (pfid for _, _, pfid, _ in pf_norm), default=999
         ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -1252,21 +1266,36 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         for f in schema["fields"]
         if f["type"] in ("int", "long") and f["name"] in df.columns
     }
-    # identity-partition columns of the default spec that df carries: the
-    # write lays them out Hive-style and the commit records each file's
-    # partition tuple (scan_table re-injects the values from metadata)
-    names = {f["name"] for f in schema["fields"]}
+    # partition columns of the default spec that df carries: the write
+    # lays them out Hive-style and the commit records each file's
+    # partition tuple. Identity fields partition BY the source column
+    # (Spark drops it from the file; scan_table re-injects the value from
+    # metadata). Transformed fields (bucket/truncate/year/month/day/hour)
+    # partition by a DERIVED column computed with the transform's Spark
+    # expression — the source column stays in the data file, only the
+    # derived value rides the directory + manifest partition tuple.
+    from iceberg_meta_spark.sources.iceberg_transforms import spark_expr
+
     id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    type_by_id = {f["id"]: f["type"] for f in schema["fields"]}
     spec = next(
         s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
     )
-    part_cols = [
-        id_to_name[f["source-id"]]
+    # (spec field name, transform, source col, source type), df-carried only
+    part_fields = [
+        (f["name"], f["transform"], id_to_name[f["source-id"]],
+         type_by_id[f["source-id"]])
         for f in spec["fields"]
-        if f["transform"] == "identity"
-        and id_to_name.get(f["source-id"]) in df.columns
+        if id_to_name.get(f["source-id"]) in df.columns
     ]
-    writer = df.write.mode("errorifexists")
+    out_df, part_cols = df, []
+    for fname, transform, src, styp in part_fields:
+        if transform == "identity":
+            part_cols.append(src)
+        else:
+            out_df = out_df.withColumn(fname, spark_expr(transform, src, styp))
+            part_cols.append(fname)
+    writer = out_df.write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(batch_dir)
@@ -1302,6 +1331,25 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         return "/" + p.lstrip("/") if p.startswith("/") else p
 
     sizes = {_norm(k): v for k, v in sizes.items()}
+    # partition values read back through Hive-dir type inference: normalize
+    # to the spec field's declared Avro primitive (a numeric-LOOKING string
+    # partition value must stay a string in the manifest tuple)
+    from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
+
+    pmeta_by_col = {}  # partitionBy col -> (spec field name, avro type)
+    for fname, transform, src, styp in part_fields:
+        col = src if transform == "identity" else fname
+        pmeta_by_col[col] = (fname, result_avro_type(transform, styp))
+
+    def _pcast(v, avro_t: str):
+        if v is None:
+            return None
+        if avro_t in ("int", "long"):
+            return int(v)
+        if avro_t == "string":
+            return str(v)
+        return v
+
     files = []
     for r in per_file:
         path = _norm(r["__fp"])
@@ -1320,7 +1368,13 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
             "lower_bounds": lows,
             "upper_bounds": highs,
             **(
-                {"partition": {c: r[f"__pv_{c}"] for c in part_cols}}
+                {
+                    "partition": {
+                        pmeta_by_col[c][0]: _pcast(r[f"__pv_{c}"],
+                                                   pmeta_by_col[c][1])
+                        for c in part_cols
+                    }
+                }
                 if part_cols
                 else {}
             ),
@@ -1352,17 +1406,23 @@ def append_dataframe(
 
 def update_partition_spec(
     table_dir: str,
-    add_identity: list[str],
+    add_identity: list[str] | None = None,
     timestamp_ms: int | None = None,
+    add_fields: list[tuple[str, str, str]] | None = None,
 ) -> dict:
     """Partition evolution (spec § Partition Evolution): publish a NEW
     default partition spec extending the current one with identity
-    transforms over existing columns. Old data files keep their old spec
-    (manifests are self-describing; readers see each entry's own partition
-    shape), new commits write under the new spec — exactly how engines
-    evolve layout without rewriting data. Partition field ids are fresh
-    (``last-partition-id`` + 1...), never reused. No snapshot is created.
+    transforms over existing columns (``add_identity``) and/or transformed
+    fields (``add_fields`` = (field_name, transform, source_column), e.g.
+    ``("id_bucket", "bucket[8]", "id")``). Old data files keep their old
+    spec (manifests are self-describing; readers see each entry's own
+    partition shape), new commits write under the new spec — exactly how
+    engines evolve layout without rewriting data. Partition field ids are
+    fresh (``last-partition-id`` + 1...), never reused. A (source,
+    transform) pair may appear only once across the new spec. No snapshot
+    is created.
     """
+    from iceberg_meta_spark.sources.iceberg_transforms import parse_transform
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
@@ -1374,18 +1434,25 @@ def update_partition_spec(
     cur_spec = next(
         s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
     )
-    existing_sources = {f["source-id"] for f in cur_spec["fields"]}
+    existing = {(f["source-id"], f["transform"]) for f in cur_spec["fields"]}
     new_fields = [dict(f) for f in cur_spec["fields"]]
     last_pid = int(md.get("last-partition-id", 999))
-    for name in add_identity:
-        if name not in by_name:
-            raise KeyError(f"no column {name!r} to partition by")
-        if by_name[name]["id"] in existing_sources:
-            raise ValueError(f"column {name!r} already partitions the table")
+    additions = [(name, "identity", name) for name in (add_identity or [])]
+    additions += [tuple(t) for t in (add_fields or [])]
+    for fname, transform, src in additions:
+        parse_transform(transform)
+        if src not in by_name:
+            raise KeyError(f"no column {src!r} to partition by")
+        key = (by_name[src]["id"], transform)
+        if key in existing:
+            raise ValueError(
+                f"({src!r}, {transform!r}) already partitions the table"
+            )
+        existing.add(key)
         last_pid += 1
         new_fields.append(
-            {"name": name, "transform": "identity",
-             "source-id": by_name[name]["id"], "field-id": last_pid}
+            {"name": fname, "transform": transform,
+             "source-id": by_name[src]["id"], "field-id": last_pid}
         )
     new_spec = {
         "spec-id": max(s["spec-id"] for s in md["partition-specs"]) + 1,

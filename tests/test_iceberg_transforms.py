@@ -1,0 +1,269 @@
+"""Partition transforms (sources/iceberg_transforms.py): hash pins from
+the public Iceberg spec (Appendix B), transform algebra, predicate
+projection, and the write -> Hive layout -> manifest tuple -> projected
+prune -> scan round trip for bucket / month / truncate tables.
+
+Reference parity: the reference only READS partition tuples (its
+formatters roll up whatever pyiceberg planned); the transform algebra
+itself comes from the Apache Iceberg spec, § Partition Transforms and
+Appendix B (bucket hash requirements)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_meta_spark.sources.iceberg_transforms import (
+    _mm3_long_numpy,
+    apply_value,
+    bucket_value,
+    iceberg_hash_long,
+    iceberg_hash_string,
+    murmur3_x86_32,
+    parse_transform,
+    project_range,
+    result_avro_type,
+)
+
+
+# ---------------------------------------------------------------- hashes
+def test_murmur3_reference_vectors():
+    # general murmur3_x86_32 vectors, seed 0
+    assert murmur3_x86_32(b"") == 0
+    assert murmur3_x86_32(b"hello") == 0x248BFA47
+
+
+def test_spec_appendix_b_bucket_hash_pins():
+    # Iceberg spec Appendix B "Bucket transform requirements" examples
+    assert iceberg_hash_long(34) == 2017239379          # int and long 34
+    assert iceberg_hash_long(17486) == -653330422       # date 2017-11-16
+    assert iceberg_hash_string("iceberg") == 1210000089
+
+
+def test_bucket_value_matches_java_semantics():
+    # (hash & Integer.MAX_VALUE) % N, on the SIGNED hash
+    assert bucket_value(34, "int", 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert bucket_value(17486, "date", 8) == ((-653330422) & 0x7FFFFFFF) % 8
+    assert bucket_value(datetime.date(2017, 11, 16), "date", 8) == \
+        bucket_value(17486, "date", 8)
+    assert bucket_value(None, "long", 4) is None
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=50))
+def test_numpy_kernel_matches_scalar_murmur3(vals):
+    import numpy as np
+
+    vec = [int(x) for x in _mm3_long_numpy(np.array(vals, dtype=np.int64))]
+    assert vec == [iceberg_hash_long(v) for v in vals]
+
+
+# ------------------------------------------------------------ transforms
+def test_parse_transform():
+    assert parse_transform("bucket[16]") == ("bucket", 16)
+    assert parse_transform("truncate[10]") == ("truncate", 10)
+    assert parse_transform("day") == ("day", None)
+    with pytest.raises(ValueError):
+        parse_transform("zorder[2]")
+
+
+def test_truncate_floors_negatives():
+    assert apply_value("truncate[10]", 17, "long") == 10
+    assert apply_value("truncate[10]", -1, "long") == -10
+    assert apply_value("truncate[10]", -10, "long") == -10
+    assert apply_value("truncate[3]", "iceberg", "string") == "ice"
+
+
+def test_temporal_transforms_epoch_relative():
+    d = datetime.date(2024, 3, 15)
+    assert apply_value("year", d, "date") == 54
+    assert apply_value("month", d, "date") == 54 * 12 + 2
+    assert apply_value("day", d, "date") == (d - datetime.date(1970, 1, 1)).days
+    # pre-epoch dates go negative (spec: ordinals from 1970, signed)
+    assert apply_value("day", datetime.date(1969, 12, 31), "date") == -1
+    assert apply_value("month", datetime.date(1969, 12, 31), "date") == -1
+    ts = datetime.datetime(1970, 1, 2, 3, 0, tzinfo=datetime.timezone.utc)
+    assert apply_value("hour", ts, "timestamp") == 27
+
+
+def test_void_and_identity():
+    assert apply_value("void", 42, "long") is None
+    assert apply_value("identity", 42, "long") == 42
+
+
+def test_result_avro_types():
+    assert result_avro_type("bucket[4]", "long") == "int"
+    assert result_avro_type("month", "date") == "int"
+    assert result_avro_type("truncate[10]", "long") == "long"
+    assert result_avro_type("truncate[2]", "string") == "string"
+    assert result_avro_type("identity", "string") == "string"
+
+
+# ------------------------------------------------------------ projection
+def test_project_range_monotonic_transforms():
+    lo, hi = datetime.date(2024, 3, 10), datetime.date(2024, 5, 20)
+    assert project_range("month", lo, hi, "date") == (650, 652)
+    assert project_range("truncate[10]", 13, 27, "long") == (10, 20)
+    assert project_range("identity", "a", "m", "string") == ("a", "m")
+    # open ends stay open
+    assert project_range("truncate[10]", None, 27, "long") == (None, 20)
+
+
+def test_project_range_bucket_equality_only():
+    assert project_range("bucket[4]", 17, 17, "long") == (3, 3)
+    assert project_range("bucket[4]", 1, 5, "long") is None   # range: no prune
+    assert project_range("bucket[4]", None, 5, "long") is None
+    assert project_range("void", 1, 5, "long") is None
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.integers(min_value=-(10**12), max_value=10**12),
+       st.integers(min_value=0, max_value=10**6))
+def test_projection_is_conservative_for_truncate(lo, width):
+    """Every v in [lo, hi] has transform(v) inside the projected interval
+    — the property that makes projected pruning SAFE."""
+    hi = lo + width
+    plo, phi = project_range("truncate[100]", lo, hi, "long")
+    for v in (lo, hi, (lo + hi) // 2):
+        t = apply_value("truncate[100]", v, "long")
+        assert plo <= t <= phi
+
+
+# ---------------------------------------------------- write/scan round trip
+def _fresh(name: str) -> None:
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), name), ignore_errors=True)
+
+
+def test_bucket_table_prunes_to_one_file(spark):
+    from iceberg_meta_spark.sources.iceberg_fixture import default_bucket_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_bucket_table(spark)
+    plan = plan_scan(spark, table, predicate=("id", 17, 17))
+    assert plan.files_total == 4 and plan.files_pruned == 3
+    assert [tuple(r) for r in
+            scan_table(spark, table, predicate=("id", 17, 17)).collect()] \
+        == [(17, 119)]
+    # a RANGE predicate cannot project through bucket: nothing pruned,
+    # result still exact via the residual filter
+    plan2 = plan_scan(spark, table, predicate=("id", 16, 18))
+    rows = scan_table(spark, table, predicate=("id", 16, 18)).orderBy("id")
+    assert [r.id for r in rows.collect()] == [16, 17, 18]
+    assert plan2.files_total == 4
+
+
+def test_temporal_table_prunes_by_projected_months(spark):
+    from iceberg_meta_spark.sources.iceberg_fixture import default_temporal_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_temporal_table(spark)
+    pred = ("event_date", datetime.date(2024, 3, 10), datetime.date(2024, 5, 20))
+    plan = plan_scan(spark, table, predicate=pred)
+    assert plan.files_total == 12 and plan.files_pruned == 9
+    got = [(str(r.event_date), r.id) for r in
+           scan_table(spark, table, predicate=pred).orderBy("id").collect()]
+    assert got == [("2024-03-20", 6), ("2024-04-05", 7), ("2024-04-20", 8),
+                   ("2024-05-05", 9), ("2024-05-20", 10)]
+
+
+def test_truncate_table_residual_filter_trims_boundaries(spark):
+    from iceberg_meta_spark.sources.iceberg_fixture import default_truncate_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_truncate_table(spark)
+    plan = plan_scan(spark, table, predicate=("id", 13, 27))
+    assert plan.files_total == 4 and plan.files_pruned == 2
+    df = scan_table(spark, table, predicate=("id", 13, 27))
+    assert df.count() == 15
+    assert df.agg({"val": "sum"}).collect()[0][0] == 900
+
+
+def test_manifest_partition_tuple_carries_transformed_values(spark):
+    """The bucket value rides the manifest entry (field name = spec field
+    name, Avro int), where the planner's projected prune reads it."""
+    from iceberg_meta_spark.sources.iceberg_fixture import default_bucket_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan
+
+    table = default_bucket_table(spark)
+    plan = plan_scan(spark, table)
+    parts = sorted(f["part"]["id_bucket"] for f in plan.data_files)
+    assert parts == [0, 1, 2, 3]
+
+
+def test_partition_evolution_with_transform(spark):
+    """evolve to bucket[2](id): old files keep their (empty) spec shape and
+    are conservatively kept by the projected prune; new files prune."""
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        update_partition_spec,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_tx_evolve_v1")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark, spark.createDataFrame([(i, i) for i in range(4)],
+                                     "id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000)
+    update_partition_spec(table, add_fields=[("id_bucket", "bucket[2]", "id")],
+                          timestamp_ms=1713139200000 + 120_000)
+    append_dataframe(
+        spark, spark.createDataFrame([(i, i) for i in range(4, 8)],
+                                     "id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 180_000)
+    assert scan_table(spark, table).count() == 8
+    plan = plan_scan(spark, table, predicate=("id", 6, 6))
+    # transformed-partition pruning LAYERS with the zone-map prune: the
+    # wrong-bucket post-evolution file is pruned by the projected bucket
+    # value, and the pre-evolution file (no id_bucket key -> conservatively
+    # kept by the partition prune) is pruned by its id bounds [0, 3]
+    assert plan.files_pruned == 2 and len(plan.data_files) == 1
+    got = scan_table(spark, table, predicate=("id", 6, 6)).collect()
+    assert [tuple(r) for r in got] == [(6, 6)]
+    # and where the bounds DO cover the value, the old file is kept
+    plan2 = plan_scan(spark, table, predicate=("id", 2, 2))
+    assert any("commit-00002" in f["path"] for f in plan2.data_files)
+    assert [tuple(r) for r in
+            scan_table(spark, table, predicate=("id", 2, 2)).collect()] \
+        == [(2, 2)]
+
+
+def test_update_spec_rejects_duplicate_source_transform(spark):
+    from iceberg_meta_spark.sources.iceberg_write import (
+        create_table,
+        update_partition_spec,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_tx_dup_v1")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long")],
+                 partition_fields=[("id_bucket", 1, 1000, "bucket[4]")])
+    with pytest.raises(ValueError, match="already partitions"):
+        update_partition_spec(table,
+                              add_fields=[("b2", "bucket[4]", "id")],
+                              timestamp_ms=1713139200000 + 60_000)
+    # same source, DIFFERENT transform is legal (bucket + truncate)
+    update_partition_spec(table,
+                          add_fields=[("id_trunc", "truncate[10]", "id")],
+                          timestamp_ms=1713139200000 + 120_000)
+
+
+def test_create_table_rejects_unknown_transform():
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_tx_bad_v1")
+    shutil.rmtree(base, ignore_errors=True)
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        create_table(os.path.join(base, "t"), fields=[(1, "id", "long")],
+                     partition_fields=[("z", 1, 1000, "zorder[2]")])
