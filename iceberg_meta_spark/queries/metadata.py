@@ -1581,3 +1581,54 @@ def iceberg_native_truncate_pruned_scan(spark: SparkSession, sf_dir: str) -> Dat
         F.lit(plan.files_total).cast("long").alias("files_total"),
         F.lit(plan.files_pruned).cast("long").alias("files_pruned"),
     )
+
+
+@register(
+    "iceberg_native_stream_backfill",
+    oracle="""
+        SELECT CASE i % 3 WHEN 1 THEN 'emea' WHEN 2 THEN 'apac'
+                          ELSE 'americas' END AS region,
+               CAST(i AS BIGINT) AS id, CAST(i * 100 AS BIGINT) AS val
+        FROM range(1, 10) t(i) ORDER BY id
+    """,
+    doc="Structured Streaming SOURCE over a native table (streaming/"
+    "native_source.py, PySpark Python Data Source API): "
+    "readStream.format('iceberg_native') replays the identity-partitioned "
+    "fixture's append snapshot through availableNow micro-batches into a "
+    "parquet sink — offsets are metadata versions, planning decodes only "
+    "the manifests each new snapshot added, executors read one data file "
+    "per input partition via Arrow RecordBatches, and identity-partition "
+    "values inject as constant arrays (Hive-layout files drop the "
+    "column). The sink's rows must equal the fixture's closed form — the "
+    "row-level LIVE upgrade of the reference watch loop (cli.py:980-1023)"
+    ", hash-gated. Incremental/replace/delete semantics are live-tested "
+    "(tests/test_streaming_native_source.py)",
+)
+def iceberg_native_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_partitioned_table,
+    )
+    from iceberg_meta_spark.streaming.native_source import (
+        register_native_source,
+    )
+
+    table = default_partitioned_table(spark)
+    base = _os.path.join(_tf.gettempdir(), "iceberg_meta_native_stream_bf_v1")
+    sink = _os.path.join(base, "sink")
+    marker = _os.path.join(base, "_COMPLETE")
+    if not _os.path.exists(marker):
+        register_native_source(spark)
+        q = (
+            spark.readStream.format("iceberg_native").option("path", table)
+            .load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(sink).select("region", "id", "val").orderBy("id")

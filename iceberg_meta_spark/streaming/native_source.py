@@ -1,0 +1,252 @@
+"""Structured Streaming SOURCE for native Iceberg tables (PySpark Python
+Data Source API): ``spark.readStream.format("iceberg_native")``.
+
+This is the row-level LIVE twin of the snapshot watch loop (reference
+cli.py:980-1023 detects new snapshots and stops there; streaming/watch.py
+is its batch/streaming port) and the streaming face of ``scan_changes``:
+each micro-batch serves the rows of data files ADDED by snapshots
+committed since the last processed offset — exactly the semantics of
+Iceberg's own Spark streaming read, which serves append snapshots
+incrementally, skips ``replace`` (compaction rewrites no logical rows),
+and refuses ``delete``/``overwrite`` unless told to skip them
+(spark.apache.org docs: streaming-skip-delete-snapshots).
+
+Offsets are METADATA VERSIONS (``{"version": N}``): monotonic, durable in
+the checkpoint, and replayable — vN.metadata.json stays on disk until
+expiry, so a restarted query resumes planning from its checkpointed
+version with no state beyond the offset. Planning walks the snapshots
+added between two versions and decodes ONLY the manifests their
+manifest-lists attribute to those snapshots (``added_snapshot_id``) —
+O(new files) driver work per batch, the same planning-index scale every
+commit path already accepts. Reading is executor-side pyarrow over one
+data file per input partition, Arrow RecordBatches straight into Spark
+(no Python row loop); identity-partition values are injected as constant
+Arrow arrays (Hive-layout files don't carry them), matching scan_table.
+
+Options:
+- ``path`` (required): table directory.
+- ``starting_version``: metadata version to start AFTER (default ``0`` =
+  replay every snapshot from the table's creation; ``latest`` = only new
+  commits from query start).
+- ``skip_deletes``: ``true`` to skip delete/overwrite snapshots instead
+  of failing the query (default ``false``, matching Iceberg's default).
+
+Scope, stated plainly: append-snapshot streaming over filesystem-layout
+tables (the native path's documented scope). Merge-on-read point-in-time
+reads stay with ``scan_table``; row-level interval diffs with
+``scan_changes``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from iceberg_meta_spark.sources.iceberg_scan import _ICEBERG_TO_SPARK
+
+
+class IcebergNativeStreamError(RuntimeError):
+    pass
+
+
+def _local(p: str) -> str:
+    while p.startswith("file:"):
+        p = p[len("file:"):]
+    return "/" + p.lstrip("/") if p.startswith("/") else p
+
+
+def _load_md(table_dir: str, version: int) -> dict | None:
+    path = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _current_version(table_dir: str) -> int:
+    with open(os.path.join(table_dir, "metadata", "version-hint.text")) as fh:
+        return int(fh.read().strip())
+
+
+def _avro_records(path: str) -> list:
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    with open(_local(path), "rb") as fh:
+        _, _, records = read_container(fh.read())
+    return records
+
+
+_ARROW_T = {
+    "boolean": "bool_", "int": "int32", "long": "int64", "float": "float32",
+    "double": "float64", "string": "string", "date": "date32", "binary": "binary",
+}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, part: dict, fields: list, part_cols: list):
+        self.file_path = file_path
+        self.part = part              # manifest partition tuple (field name -> value)
+        self.fields = fields          # [(name, iceberg type)] declared schema
+        self.part_cols = part_cols    # identity partition column names to inject
+
+
+class IcebergNativeStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise IcebergNativeStreamError("option 'path' (table dir) is required")
+        self._table = _local(str(options["path"]).rstrip("/"))
+        self._skip_deletes = str(options.get("skip_deletes", "false")).lower() in (
+            "true", "1", "yes",
+        )
+        self._start_opt = str(options.get("starting_version", "0"))
+
+    # ---- offsets -------------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self._start_opt == "latest":
+            return {"version": _current_version(self._table)}
+        return {"version": int(self._start_opt)}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version(self._table)}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable metadata versions; nothing to clean up
+
+    # ---- planning (driver, O(new files)) --------------------------------
+    def _new_snapshots(self, start_v: int, end_v: int):
+        """Snapshots present at end_v but not at start_v, commit order."""
+        end_md = _load_md(self._table, end_v)
+        if end_md is None:
+            raise IcebergNativeStreamError(
+                f"metadata version v{end_v} missing under {self._table}"
+            )
+        if start_v <= 0:
+            seen: set[int] = set()
+        else:
+            start_md = _load_md(self._table, start_v)
+            if start_md is None:
+                # expired by metadata cleanup: every snapshot still listed
+                # at end_v that predates end_v's log is treated as seen
+                raise IcebergNativeStreamError(
+                    f"checkpointed metadata version v{start_v} no longer "
+                    f"exists (expired); restart with starting_version"
+                )
+            seen = {int(s["snapshot-id"]) for s in start_md.get("snapshots", [])}
+        news = [
+            s for s in end_md.get("snapshots", [])
+            if int(s["snapshot-id"]) not in seen
+        ]
+        news.sort(key=lambda s: (int(s["timestamp-ms"]), int(s["snapshot-id"])))
+        return news, end_md
+
+    def partitions(self, start: dict, end: dict):
+        start_v, end_v = int(start["version"]), int(end["version"])
+        if end_v <= start_v:
+            return [  # empty batch: the API requires >= 1 partition
+                _FilePartition("", {}, [], [])
+            ]
+        news, md = self._new_snapshots(start_v, end_v)
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        fields = [(f["name"], f["type"]) for f in schema["fields"]]
+        id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        spec = next(
+            s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+        )
+        part_cols = {
+            f["name"]: id_to_name.get(int(f["source-id"]))
+            for f in spec.get("fields", [])
+            if f.get("transform") == "identity"
+        }
+        parts: list[_FilePartition] = []
+        for snap in news:
+            op = (snap.get("summary") or {}).get("operation") or "append"
+            if op == "replace":
+                continue  # compaction/rewrite: no logical rows added
+            if op in ("delete", "overwrite"):
+                if self._skip_deletes:
+                    continue
+                raise IcebergNativeStreamError(
+                    f"snapshot {snap['snapshot-id']} is a {op!r} operation; "
+                    "streaming reads serve appends only — set "
+                    "skip_deletes=true to skip, or use scan_changes for "
+                    "row-level diffs"
+                )
+            snap_id = int(snap["snapshot-id"])
+            for m in _avro_records(snap["manifest-list"]):
+                if int(m.get("content", 0)) != 0:
+                    continue
+                if int(m.get("added_snapshot_id", -1)) != snap_id:
+                    continue  # carried-forward manifest: already served
+                for e in _avro_records(m["manifest_path"]):
+                    if int(e.get("status", 0)) != 1:  # ADDED entries only
+                        continue
+                    dfile = e["data_file"]
+                    part = {
+                        src: (dfile.get("partition") or {}).get(pname)
+                        for pname, src in part_cols.items()
+                        if src is not None
+                    }
+                    parts.append(_FilePartition(
+                        _local(dfile["file_path"]), part, fields, list(part),
+                    ))
+        return parts or [_FilePartition("", {}, [], [])]
+
+    # ---- reading (executors, one data file per partition) ----------------
+    def read(self, partition: _FilePartition):
+        if not partition.file_path:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.file_path)
+        n = tbl.num_rows
+        arrays, names = [], []
+        for name, typ in partition.fields:
+            names.append(name)
+            at = getattr(pa, _ARROW_T.get(typ, "string"))()
+            if name in tbl.column_names:
+                arrays.append(tbl.column(name).cast(at).combine_chunks())
+            elif name in partition.part:
+                # identity partition value: Hive-layout files don't carry
+                # the column; inject the manifest tuple's constant
+                arrays.append(pa.array([partition.part[name]] * n, type=at))
+            else:
+                arrays.append(pa.nulls(n, type=at))
+        out = pa.table(arrays, names=names)
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+
+class IcebergNativeDataSource(DataSource):
+    """``spark.dataSource.register(IcebergNativeDataSource)`` then
+    ``spark.readStream.format("iceberg_native").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_native"
+
+    def schema(self) -> str:
+        table = _local(str(self.options["path"]).rstrip("/"))
+        md = _load_md(table, _current_version(table))
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        return ", ".join(
+            f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], 'string')}"
+            for f in schema["fields"]
+        )
+
+    def streamReader(self, schema) -> IcebergNativeStreamReader:
+        return IcebergNativeStreamReader(dict(self.options))
+
+
+def register_native_source(spark) -> None:
+    """Idempotent registration of the 'iceberg_native' streaming format."""
+    spark.dataSource.register(IcebergNativeDataSource)
