@@ -747,3 +747,25 @@ def rewrite_deletes(spark: SparkSession, table_dir: str) -> dict:
     )
 
     return rewrite_position_deletes(spark, table_dir)
+
+
+def analyze(spark: SparkSession, table_dir: str,
+            columns: list[str] | None = None, exact: bool = False,
+            timestamp_ms: int | None = None) -> dict:
+    """ANALYZE TABLE: per-column NDV over the current snapshot (MoR
+    correct) -> Puffin statistics file -> metadata 'statistics' entry
+    (iceberg_stats.py:analyze_table). approx (HLL++) by default — the
+    100-TB path; exact=True for closed-form verification."""
+    from iceberg_meta_spark.sources.iceberg_stats import analyze_table
+
+    return analyze_table(spark, table_dir, columns=columns, exact=exact,
+                         timestamp_ms=timestamp_ms)
+
+
+def table_stats(spark: SparkSession, table_dir: str,
+                snapshot_id: int | None = None) -> DataFrame:
+    """Published statistics as a frame (one row per column blob) — the
+    cost-model read side (iceberg_stats.py:statistics_frame)."""
+    from iceberg_meta_spark.sources.iceberg_stats import statistics_frame
+
+    return statistics_frame(spark, table_dir, snapshot_id=snapshot_id)

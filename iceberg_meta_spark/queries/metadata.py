@@ -1632,3 +1632,31 @@ def iceberg_native_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFram
         with open(marker, "w") as fh:
             fh.write("ok")
     return spark.read.parquet(sink).select("region", "id", "val").orderBy("id")
+
+
+@register(
+    "iceberg_native_table_stats",
+    oracle="""
+        SELECT * FROM (VALUES
+          ('region', 1, CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'ndv-long-v1'),
+          ('id',     2, CAST(7 AS BIGINT), CAST(2 AS BIGINT), 'ndv-long-v1'),
+          ('val',    3, CAST(7 AS BIGINT), CAST(2 AS BIGINT), 'ndv-long-v1')
+        ) t(column_name, field_id, ndv, snapshot_id, blob_type)
+        ORDER BY field_id
+    """,
+    doc="ANALYZE TABLE round trip (sources/iceberg_stats.py + "
+    "iceberg_puffin.py, spec § Table Statistics + the Puffin spec): "
+    "per-column NDV computed over the MERGE-ON-READ scan (the fixture's "
+    "pending DELETE WHERE id∈[4,5] is applied, so ndv(id)=7 not 9), "
+    "written as a Puffin file (PFA1 magic, ndv-long-v1 blobs with the "
+    "engine-readable 'ndv' property), published in the metadata "
+    "'statistics' list, and read BACK through the Puffin parser into the "
+    "cost-model frame. The reference has no statistics story at all; "
+    "hash-gated against the fixture's closed form",
+)
+def iceberg_native_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_stats_table
+    from iceberg_meta_spark.sources.iceberg_stats import statistics_frame
+
+    table = default_stats_table(spark)
+    return statistics_frame(spark, table).orderBy("field_id")

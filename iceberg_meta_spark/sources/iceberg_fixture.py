@@ -899,3 +899,44 @@ def default_truncate_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_stats_table(spark) -> str:
+    """An ANALYZEd table with pending row-level deletes, proving NDV is
+    merge-on-read correct: 9 rows (region = regions[i % 3], id = 1..9,
+    val = 100·id), DELETE WHERE id ∈ [4, 5], then exact ANALYZE. Closed
+    form: served ids {1,2,3,6,7,8,9} -> ndv(region)=3, ndv(id)=7,
+    ndv(val)=7, statistics snapshot = 2 (append, then delete)."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_stats import analyze_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        delete_where,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_stats_v1")
+    table = os.path.join(base, "stats_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    regions = ("americas", "emea", "apac")
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long"), (3, "val", "long")],
+    )
+    rows = [(regions[i % 3], i, i * 100) for i in range(1, 10)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "region string, id long, val long")
+        .coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    delete_where(spark, table, ("id", 4, 5),
+                 timestamp_ms=1713139200000 + 120_000)
+    analyze_table(spark, table, exact=True,
+                  timestamp_ms=1713139200000 + 180_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
