@@ -629,13 +629,25 @@ def rewrite_small_manifests(table_dir: str, target_bytes: int = 8 << 20) -> dict
     return rewrite_manifests(table_dir, target_bytes=target_bytes)
 
 
-def insert_into(spark: SparkSession, df: DataFrame, table_dir: str) -> dict:
+def insert_into(spark: SparkSession, df: DataFrame, table_dir: str,
+                branch: str | None = None) -> dict:
     """INSERT INTO: write + commit with auto-computed per-file stats/bounds
     (iceberg_write.py:append_dataframe) — the committed bounds immediately
-    feed scan()'s zone-map pruning."""
+    feed scan()'s zone-map pruning. ``branch=`` stages the commit on a
+    named branch (write-audit-publish); publish with :func:`publish`."""
     from iceberg_meta_spark.sources.iceberg_write import append_dataframe
 
-    return append_dataframe(spark, df, table_dir)
+    return append_dataframe(spark, df, table_dir, branch=branch)
+
+
+def publish(table_dir: str, from_ref: str, to: str = "main",
+            timestamp_ms: int | None = None) -> dict:
+    """PUBLISH a staged branch (write-audit-publish): fast-forward ``to``
+    onto ``from_ref``'s head — atomic, metadata-only, refused if the
+    target diverged (iceberg_write.py:fast_forward)."""
+    from iceberg_meta_spark.sources.iceberg_write import fast_forward
+
+    return fast_forward(table_dir, to, from_ref, timestamp_ms=timestamp_ms)
 
 
 def evolve_partitioning(

@@ -1660,3 +1660,48 @@ def iceberg_native_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = default_stats_table(spark)
     return statistics_frame(spark, table).orderBy("field_id")
+
+
+@register(
+    "iceberg_native_wap_publish",
+    oracle="""
+        SELECT CAST(10 AS BIGINT) AS row_count,
+               CAST(550 AS BIGINT) AS sum_val,
+               CAST(5 AS BIGINT) AS pre_publish_rows,
+               CAST(10 AS BIGINT) AS audit_rows,
+               CAST(2 AS BIGINT) AS snapshots
+    """,
+    doc="Write-audit-publish on the native path (iceberg_write.py:"
+    "commit_append(branch=...) + fast_forward, spec § Refs; the engine's "
+    "spark.wap.branch + fast_forward procedure): the audit append stages "
+    "a snapshot whose parent is the branch head and advances ONLY the "
+    "branch ref — main readers keep serving 5 rows (pinned by v3 "
+    "metadata-version time travel in this very result) while ref=audit "
+    "serves all 10 — then the publish fast-forwards main atomically "
+    "(metadata-only, ancestor-checked). Gated columns: post-publish scan "
+    "(10 rows / sum 550), the pre-publish main state (5), the staged "
+    "branch view (10), and the snapshot count (2: no rewrite happened)",
+)
+def iceberg_native_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_wap_table
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_wap_table(spark)
+    n_snapshots = len(load_table_metadata(spark, table)["snapshots"])
+    # pre-publish / staged views: plan-level row counts (no deletes in the
+    # fixture, so sum(record_count) IS the row count) — exercises the
+    # version= and ref= resolution paths without two extra full reads
+    pre = sum(f["record_count"]
+              for f in plan_scan(spark, table, version=3).data_files)
+    audit = sum(f["record_count"]
+                for f in plan_scan(spark, table, ref="audit").data_files)
+    return scan_table(spark, table).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("val").alias("sum_val"),
+    ).select(
+        "row_count", "sum_val",
+        F.lit(pre).cast("long").alias("pre_publish_rows"),
+        F.lit(audit).cast("long").alias("audit_rows"),
+        F.lit(n_snapshots).cast("long").alias("snapshots"),
+    )

@@ -940,3 +940,49 @@ def default_stats_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_wap_table(spark) -> str:
+    """A write-audit-publish table: main append (ids 1..5, val = 10·id),
+    a STAGED audit-branch append (ids 6..10) — invisible to main readers —
+    then ``fast_forward("main", "audit")`` publishes. Metadata versions:
+    v1 create, v2 main append, v3 staged branch append, v4 publish.
+    Closed form: post-publish scan = 10 rows / sum_val 550; the v3 time
+    travel still serves the pre-publish 5 rows; ref=audit serves all 10."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        fast_forward,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_wap_v1")
+    table = os.path.join(base, "wap_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long"), (3, "val", "long")],
+    )
+    regions = ("americas", "emea", "apac")
+    append_dataframe(
+        spark,
+        spark.createDataFrame(
+            [(regions[i % 3], i, i * 10) for i in range(1, 6)],
+            "region string, id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    append_dataframe(
+        spark,
+        spark.createDataFrame(
+            [(regions[i % 3], i, i * 10) for i in range(6, 11)],
+            "region string, id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 120_000, branch="audit",
+    )
+    fast_forward(table, "main", "audit",
+                 timestamp_ms=1713139200000 + 180_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -142,6 +142,7 @@ def commit_append(
     files: list[dict],
     partition_fields: list[dict] | None = None,
     timestamp_ms: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Append ``files`` as one new snapshot; returns the new table metadata.
 
@@ -150,6 +151,13 @@ def commit_append(
     ``value_counts``/``null_value_counts``/``column_sizes`` (dict
     field_id->long), ``lower_bounds``/``upper_bounds`` (dict field_id->
     int/float/str, serialized per spec Appendix D).
+
+    ``branch`` (spec § Refs; the write-audit-publish workflow): commit
+    onto a named branch instead of main — the snapshot's parent is the
+    BRANCH head (forking from the current snapshot when the branch is
+    new), only the branch ref advances, and the table's current snapshot
+    stays untouched until :func:`fast_forward` publishes the branch.
+    Readers see the staged rows only via ``ref=branch`` time travel.
 
     ``timestamp_ms`` is required metadata on the snapshot; pass a pinned
     value in tests for deterministic output (defaults to last-updated-ms+1
@@ -174,7 +182,17 @@ def commit_append(
     snap_id = max((s["snapshot-id"] for s in md.get("snapshots", [])), default=0) + 1
     seq = int(md.get("last-sequence-number", 0)) + 1
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
-    parent = md.get("current-snapshot-id")
+    if branch is not None and branch != "main":
+        ref = (md.get("refs") or {}).get(branch)
+        if ref is not None and ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        # branch head if it exists, else fork from the current snapshot
+        parent = (
+            int(ref["snapshot-id"]) if ref is not None
+            else md.get("current-snapshot-id")
+        )
+    else:
+        parent = md.get("current-snapshot-id")
 
     entries = _added_data_entries(files, snap_id, seq, types, partition_fields)
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/{snap_id}")
@@ -265,20 +283,27 @@ def commit_append(
         },
     }
     md["snapshots"] = md.get("snapshots", []) + [snapshot]
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": ts}
-    ]
     md["metadata-log"] = md.get("metadata-log", []) + [
         {
             "metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
             "timestamp-ms": int(md["last-updated-ms"]),
         }
     ]
-    md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = ts
-    if "main" in (md.get("refs") or {}):
-        md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
+    if branch is not None and branch != "main":
+        # staged commit: only the branch ref moves; main readers are
+        # untouched until fast_forward publishes
+        refs = dict(md.get("refs") or {})
+        refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+        md["refs"] = refs
+    else:
+        md["snapshot-log"] = md.get("snapshot-log", []) + [
+            {"snapshot-id": snap_id, "timestamp-ms": ts}
+        ]
+        md["current-snapshot-id"] = snap_id
+        if "main" in (md.get("refs") or {}):
+            md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
 
     new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
     with open(new_meta, "x") as fh:
@@ -1387,12 +1412,15 @@ def append_dataframe(
     df,
     table_dir: str,
     timestamp_ms: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """INSERT INTO: write ``df`` into the table's data dir with real
     per-file statistics (:func:`write_dataframe_files`) and commit the
     files as one append snapshot. The committed bounds immediately feed
     the scan planner's zone-map pruning, so an inserted-then-queried
-    table prunes like an engine-written one."""
+    table prunes like an engine-written one. ``branch=`` stages the
+    commit on a named branch (write-audit-publish); see
+    :func:`commit_append` and :func:`fast_forward`."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
@@ -1401,7 +1429,8 @@ def append_dataframe(
         md = json.load(fh)
     batch_dir = os.path.join(table_dir, "data", f"commit-{version + 1:05d}")
     files = write_dataframe_files(spark, df, md, batch_dir)
-    return commit_append(table_dir, files, timestamp_ms=timestamp_ms)
+    return commit_append(table_dir, files, timestamp_ms=timestamp_ms,
+                         branch=branch)
 
 
 def update_partition_spec(
@@ -1558,3 +1587,75 @@ def manage_ref(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def fast_forward(
+    table_dir: str,
+    name: str,
+    from_ref: str,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Fast-forward branch ``name`` to ``from_ref``'s head — the PUBLISH
+    step of write-audit-publish (the engine's ``fast_forward`` procedure):
+    staged branch commits become visible atomically, with no data or
+    manifest rewrite, ONLY when the target's head is an ancestor of the
+    source's head (a diverged target refuses — publishing would silently
+    drop its commits). Fast-forwarding ``main`` moves the table's current
+    snapshot and appends to the snapshot log. Returns
+    {"updated": bool, "from": old_head, "to": new_head}."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    refs = dict(md.get("refs") or {})
+    if from_ref in refs:
+        src = int(refs[from_ref]["snapshot-id"])
+    elif from_ref == "main" and md.get("current-snapshot-id") is not None:
+        src = int(md["current-snapshot-id"])  # implicit main head
+    else:
+        raise KeyError(f"no ref {from_ref!r} on table")
+    if name == "main":
+        tgt = md.get("current-snapshot-id")
+    elif name in refs:
+        if refs[name].get("type") != "branch":
+            raise ValueError(f"ref {name!r} is a tag; cannot fast-forward")
+        tgt = int(refs[name]["snapshot-id"])
+    else:
+        tgt = None  # creating the branch at the source head
+    if tgt == src:
+        return {"updated": False, "from": tgt, "to": src}
+    by_id = {int(s["snapshot-id"]): s for s in md.get("snapshots", [])}
+    cur, ok = src, tgt is None
+    while cur is not None and not ok:
+        if cur == tgt:
+            ok = True
+            break
+        cur = by_id.get(cur, {}).get("parent-snapshot-id")
+        cur = int(cur) if cur is not None else None
+    if not ok:
+        raise ValueError(
+            f"cannot fast-forward {name!r} ({tgt}) to {from_ref!r} ({src}): "
+            "target head is not an ancestor of the source head"
+        )
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    refs[name] = {"snapshot-id": src, "type": "branch"}
+    md["refs"] = refs
+    if name == "main":
+        md["current-snapshot-id"] = src
+        md["snapshot-log"] = md.get("snapshot-log", []) + [
+            {"snapshot-id": src, "timestamp-ms": ts}
+        ]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return {"updated": True, "from": tgt, "to": src}
