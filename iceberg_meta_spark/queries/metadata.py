@@ -1705,3 +1705,39 @@ def iceberg_native_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(audit).cast("long").alias("audit_rows"),
         F.lit(n_snapshots).cast("long").alias("snapshots"),
     )
+
+
+@register(
+    "iceberg_native_string_pruned_scan",
+    oracle="""
+        SELECT CAST(5 AS BIGINT) AS row_count,
+               CAST(350 AS BIGINT) AS sum_val,
+               CAST(3 AS BIGINT) AS files_total,
+               CAST(2 AS BIGINT) AS files_pruned
+    """,
+    doc="Zone-map pruning on a STRING column (spec Appendix D string "
+    "bounds, metrics-truncated to 16 codepoints with the upper side "
+    "incremented so truncation never drops a matching file): the writer "
+    "records per-file min/max region strings, the planner decodes them "
+    "and prunes both files whose [min,max] cannot contain 'emea' — no "
+    "partitioning involved. Extends the int-bounds prune "
+    "(iceberg_native_pruned_scan) to the second-most-common predicate "
+    "type at 100 TB; hash-gated with pruning counts in the result",
+)
+def iceberg_native_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_string_bounds_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_string_bounds_table(spark)
+    pred = ("region", "emea", "emea")
+    plan = plan_scan(spark, table, predicate=pred)
+    return scan_table(spark, table, predicate=pred).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("val").alias("sum_val"),
+    ).select(
+        "row_count", "sum_val",
+        F.lit(plan.files_total).cast("long").alias("files_total"),
+        F.lit(plan.files_pruned).cast("long").alias("files_pruned"),
+    )

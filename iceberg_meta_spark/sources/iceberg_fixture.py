@@ -986,3 +986,39 @@ def default_wap_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_string_bounds_table(spark) -> str:
+    """A table whose zone-map pruning runs on a STRING column (no
+    partitioning): three appends, one region per file ('americas' ids
+    0..4, 'emea' ids 5..9, 'apac' ids 10..14, val = 10·id). The writer
+    records Appendix-D string bounds, so predicate region = 'emea' prunes
+    both other files ([min,max] disjoint). Closed form: files_total = 3,
+    files_pruned = 2, 5 rows, sum_val = 10·(5+..+9) = 350."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_strb_v1")
+    table = os.path.join(base, "strb_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long"), (3, "val", "long")],
+    )
+    for b, region in enumerate(("americas", "emea", "apac")):
+        rows = [(region, b * 5 + i, (b * 5 + i) * 10) for i in range(5)]
+        append_dataframe(
+            spark,
+            spark.createDataFrame(rows, "region string, id long, val long")
+            .coalesce(1),
+            table, timestamp_ms=1713139200000 + 60_000 * (b + 1),
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

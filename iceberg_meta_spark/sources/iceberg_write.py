@@ -68,6 +68,31 @@ def _local_path(p: str) -> str:
 _AVRO_T = {"string": "string", "long": "long", "int": "int",
            "double": "double", "boolean": "boolean"}
 
+_BOUND_TRUNC = 16  # write.metadata.metrics default-column-metrics length
+
+
+def truncate_lower_bound(s: str, width: int = _BOUND_TRUNC) -> str:
+    """Spec Appendix D metrics truncation, lower side: a prefix is always
+    <= the full value, so plain truncation stays a valid lower bound."""
+    return s[:width]
+
+
+def truncate_upper_bound(s: str, width: int = _BOUND_TRUNC) -> str | None:
+    """Upper side: truncation alone could UNDERSTATE the max (pruning
+    would drop matching files), so the last truncated codepoint is
+    incremented — the result is > every string sharing the prefix. Falls
+    back to None (bound omitted; readers keep the file) when every
+    codepoint is already U+10FFFF."""
+    if len(s) <= width:
+        return s
+    chars = list(s[:width])
+    for i in reversed(range(len(chars))):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            chars[i] = chr(cp + 1)
+            return "".join(chars[:i + 1])
+    return None
+
 
 def _partition_fields_from_spec(md: dict, types: dict) -> list[dict]:
     """Avro partition-record fields for the DEFAULT spec — every spec
@@ -1275,8 +1300,9 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
     """Write ``df`` as parquet under ``batch_dir`` (Hive layout when the
     default spec identity-partitions on columns ``df`` carries) and return
     the commit-ready file dicts with REAL per-file statistics — record
-    counts, byte sizes, and Appendix-D min/max bounds for every int/long
-    column, computed by one distributed pass over the just-written files
+    counts, byte sizes, and Appendix-D min/max bounds for every int/long/
+    string column (string bounds metrics-truncated to 16 codepoints, upper
+    side incremented), computed by one distributed pass over the just-written files
     (groupBy on ``_metadata.file_path``). Shared by INSERT
     (:func:`append_dataframe`), MERGE (:func:`merge_into`) and compaction
     (``iceberg_maintenance.rewrite_data_files``).
@@ -1286,11 +1312,12 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
     from pyspark.sql import functions as F
 
     schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
-    int_cols = {
-        f["name"]: int(f["id"])
+    stat_cols = {
+        f["name"]: (int(f["id"]), f["type"])
         for f in schema["fields"]
-        if f["type"] in ("int", "long") and f["name"] in df.columns
+        if f["type"] in ("int", "long", "string") and f["name"] in df.columns
     }
+    int_cols = {n: fid for n, (fid, t) in stat_cols.items()}
     # partition columns of the default spec that df carries: the write
     # lays them out Hive-style and the commit records each file's
     # partition tuple. Identity fields partition BY the source column
@@ -1378,10 +1405,21 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
     files = []
     for r in per_file:
         path = _norm(r["__fp"])
-        lows = {fid: r[f"__lo_{n}"] for n, fid in int_cols.items()
-                if r[f"__lo_{n}"] is not None}
-        highs = {fid: r[f"__hi_{n}"] for n, fid in int_cols.items()
-                 if r[f"__hi_{n}"] is not None}
+        lows, highs = {}, {}
+        for n, (fid, typ) in stat_cols.items():
+            lo, hi = r[f"__lo_{n}"], r[f"__hi_{n}"]
+            if typ == "string":
+                # spec Appendix D metrics truncation (default length 16):
+                # a truncated LOWER bound is still <= every value; the
+                # UPPER bound truncates then increments the last codepoint
+                # so it stays >= every value — both directions keep the
+                # zone-map prune conservative
+                lo = truncate_lower_bound(lo) if lo is not None else None
+                hi = truncate_upper_bound(hi) if hi is not None else None
+            if lo is not None:
+                lows[fid] = lo
+            if hi is not None:
+                highs[fid] = hi
         files.append({
             "file_path": path,
             "record_count": int(r["__n"]),
