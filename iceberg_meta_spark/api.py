@@ -781,3 +781,14 @@ def table_stats(spark: SparkSession, table_dir: str,
     from iceberg_meta_spark.sources.iceberg_stats import statistics_frame
 
     return statistics_frame(spark, table_dir, snapshot_id=snapshot_id)
+
+
+def set_sort_order(table_dir: str, sort_by: list,
+                   timestamp_ms: int | None = None) -> dict:
+    """ALTER TABLE WRITE ORDERED BY: publish a new default sort order
+    (column names or (column, 'asc'|'desc') tuples). Inserts sort within
+    write tasks; compaction defaults to the SORT strategy
+    (iceberg_write.py:update_sort_order)."""
+    from iceberg_meta_spark.sources.iceberg_write import update_sort_order
+
+    return update_sort_order(table_dir, sort_by, timestamp_ms=timestamp_ms)

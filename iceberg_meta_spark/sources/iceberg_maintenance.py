@@ -460,6 +460,16 @@ def rewrite_data_files(
 
     table_dir = _local_path(table_dir.rstrip("/"))
     md, version, meta_dir = _load_md(table_dir)
+    if sort_by is None:
+        # a table with a declared sort order (WRITE ORDERED BY) compacts
+        # with the SORT strategy by default, like the engine's rewrite
+        from iceberg_meta_spark.sources.iceberg_write import (
+            default_sort_columns,
+        )
+
+        order_cols = default_sort_columns(md)
+        if order_cols:
+            sort_by = order_cols[0][0]  # range-split on the leading column
     plan = plan_scan(spark, table_dir)
 
     def delete_affected(f: dict) -> bool:

@@ -1347,6 +1347,17 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         else:
             out_df = out_df.withColumn(fname, spark_expr(transform, src, styp))
             part_cols.append(fname)
+    # table default sort order: sort WITHIN write tasks (no shuffle) so
+    # every file is internally ordered — tight row-group locality and the
+    # order engines expect from a WRITE ORDERED BY table
+    sort_cols = [
+        (c, d) for c, d in default_sort_columns(md) if c in out_df.columns
+    ]
+    if sort_cols:
+        out_df = out_df.sortWithinPartitions(
+            *[F.col(c).asc() if d == "asc" else F.col(c).desc()
+              for c, d in sort_cols]
+        )
     writer = out_df.write.mode("errorifexists")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
@@ -1541,6 +1552,84 @@ def update_partition_spec(
         fh.write(str(version + 1))
     os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
     return md
+
+
+def update_sort_order(
+    table_dir: str,
+    sort_by: list,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """ALTER TABLE WRITE ORDERED BY (spec § Sort Orders): publish a new
+    sort order — ``sort_by`` is a list of column names or
+    ``(column, "asc"|"desc")`` tuples — and make it the table default.
+    Sort-order ids are fresh, never reused; existing orders stay listed
+    (files reference the order they were written under). No snapshot is
+    created. Consumers: :func:`write_dataframe_files` sorts rows within
+    write tasks by the default order (tight per-file bounds, row-group
+    locality), and ``rewrite_data_files`` uses it as the default SORT
+    compaction strategy. Null ordering follows the spec defaults
+    (asc -> nulls-first, desc -> nulls-last)."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
+    fields = []
+    for item in sort_by:
+        col, direction = (item, "asc") if isinstance(item, str) else item
+        if col not in by_name:
+            raise KeyError(f"no column {col!r} to sort by")
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
+        fields.append({
+            "transform": "identity",
+            "source-id": by_name[col],
+            "direction": direction,
+            "null-order": "nulls-first" if direction == "asc" else "nulls-last",
+        })
+    order = {
+        "order-id": max((o["order-id"] for o in md.get("sort-orders", [])),
+                        default=0) + 1,
+        "fields": fields,
+    }
+    md["sort-orders"] = md.get("sort-orders", []) + [order]
+    md["default-sort-order-id"] = order["order-id"]
+    ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["last-updated-ms"] = ts
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    return md
+
+
+def default_sort_columns(md: dict) -> list[tuple[str, str]]:
+    """The default sort order's identity (column, direction) pairs, [] when
+    unsorted — shared by the write path and SORT compaction."""
+    order = next(
+        (o for o in md.get("sort-orders", [])
+         if o["order-id"] == md.get("default-sort-order-id", 0)),
+        None,
+    )
+    if not order or not order.get("fields"):
+        return []
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    name_by_id = {int(f["id"]): f["name"] for f in schema["fields"]}
+    return [
+        (name_by_id[int(f["source-id"])], f.get("direction", "asc"))
+        for f in order["fields"]
+        if f.get("transform", "identity") == "identity"
+        and int(f["source-id"]) in name_by_id
+    ]
 
 
 def set_properties(
