@@ -792,3 +792,28 @@ def set_sort_order(table_dir: str, sort_by: list,
     from iceberg_meta_spark.sources.iceberg_write import update_sort_order
 
     return update_sort_order(table_dir, sort_by, timestamp_ms=timestamp_ms)
+
+
+def expire_by_policy(table_dir: str, now_ms: int,
+                     timestamp_ms: int | None = None) -> dict:
+    """Property-driven retention: history.expire.max-snapshot-age-ms /
+    min-snapshots-to-keep / max-ref-age-ms applied in one pass
+    (iceberg_maintenance.py:expire_by_policy). now_ms is explicit — no
+    wall clock inside the engine."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        expire_by_policy as _ebp,
+    )
+
+    return _ebp(table_dir, now_ms, timestamp_ms=timestamp_ms)
+
+
+def expire_metadata(table_dir: str, timestamp_ms: int | None = None,
+                    force_keep: int | None = None) -> dict:
+    """Metadata-file cleanup per write.metadata.delete-after-commit
+    properties (iceberg_maintenance.py:expire_metadata_versions)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        expire_metadata_versions,
+    )
+
+    return expire_metadata_versions(table_dir, timestamp_ms=timestamp_ms,
+                                    force_keep=force_keep)

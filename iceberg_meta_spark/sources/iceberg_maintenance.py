@@ -647,3 +647,107 @@ def remove_orphans(
 
         old_df.select("path").foreachPartition(_rm)
     return {"deleted": deleted, "skipped_recent": skipped}
+
+
+def expire_by_policy(
+    table_dir: str,
+    now_ms: int,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Property-driven retention (the engine's unattended expiry): read
+    the table's retention properties and apply them in one pass —
+
+    - ``history.expire.max-ref-age-ms`` (per-ref ``max-ref-age-ms``
+      overrides; ``main`` never expires): branches/tags whose pinned
+      snapshot is older than the limit are DROPPED first, releasing
+      their pins;
+    - ``history.expire.max-snapshot-age-ms`` (default 5 days, Iceberg's
+      own): snapshots older than ``now_ms - max_age`` expire;
+    - ``history.expire.min-snapshots-to-keep`` (default 1): the newest N
+      survive regardless of age.
+
+    ``now_ms`` is explicit (no wall clock in the engine — callers and
+    tests pass time in). Returns the :func:`expire_snapshots` result plus
+    ``dropped_refs`` and the resolved ``policy``."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    md, version, meta_dir = _load_md(table_dir)
+    props = md.get("properties") or {}
+    max_age = int(props.get("history.expire.max-snapshot-age-ms",
+                            5 * 24 * 3600 * 1000))
+    min_keep = int(props.get("history.expire.min-snapshots-to-keep", 1))
+    table_ref_age = props.get("history.expire.max-ref-age-ms")
+    snap_ts = {int(s["snapshot-id"]): int(s["timestamp-ms"])
+               for s in md.get("snapshots", [])}
+
+    dropped_refs: list[str] = []
+    refs = dict(md.get("refs") or {})
+    for name, ref in list(refs.items()):
+        if name == "main":
+            continue
+        limit = ref.get("max-ref-age-ms", table_ref_age)
+        if limit is None:
+            continue
+        ts = snap_ts.get(int(ref["snapshot-id"]))
+        if ts is not None and now_ms - ts > int(limit):
+            refs.pop(name)
+            dropped_refs.append(name)
+    if dropped_refs:
+        md["refs"] = refs
+        ts_pub = (timestamp_ms if timestamp_ms is not None
+                  else int(md["last-updated-ms"]) + 1)
+        _publish(md, version, meta_dir, ts_pub)
+
+    res = expire_snapshots(
+        table_dir,
+        keep_last=min_keep,
+        older_than_ms=now_ms - max_age,
+        timestamp_ms=timestamp_ms,
+    )
+    res["dropped_refs"] = dropped_refs
+    res["policy"] = {
+        "max-snapshot-age-ms": max_age,
+        "min-snapshots-to-keep": min_keep,
+        "max-ref-age-ms": int(table_ref_age) if table_ref_age else None,
+    }
+    return res
+
+
+def expire_metadata_versions(
+    table_dir: str,
+    timestamp_ms: int | None = None,
+    force_keep: int | None = None,
+) -> dict:
+    """Metadata-file cleanup (``write.metadata.delete-after-commit.
+    enabled`` + ``write.metadata.previous-versions-max``, default 100):
+    delete the OLDEST previous ``vN.metadata.json`` files beyond the
+    keep-window and publish a trimmed metadata-log — what engines do on
+    every commit when enabled, exposed as an explicit maintenance verb
+    (the property gates it; ``force_keep=`` overrides for ad-hoc runs).
+    Deleting old versions retires their ``version=`` time travel, exactly
+    like the engine; a no-op (nothing beyond the window, or disabled)
+    publishes nothing."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    md, version, meta_dir = _load_md(table_dir)
+    props = md.get("properties") or {}
+    if force_keep is not None:
+        keep = int(force_keep)
+    elif str(props.get("write.metadata.delete-after-commit.enabled",
+                       "false")).lower() == "true":
+        keep = int(props.get("write.metadata.previous-versions-max", 100))
+    else:
+        return {"deleted": [], "kept": len(md.get("metadata-log", []))}
+    log = md.get("metadata-log", [])
+    excess = log[:-keep] if len(log) > keep else []
+    if not excess:
+        return {"deleted": [], "kept": len(log)}
+    deleted = []
+    for e in excess:
+        p = _local_path(e["metadata-file"])
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(p)
+    md["metadata-log"] = log[len(excess):]
+    ts = (timestamp_ms if timestamp_ms is not None
+          else int(md["last-updated-ms"]) + 1)
+    _publish(md, version, meta_dir, ts)
+    return {"deleted": deleted, "kept": keep}
