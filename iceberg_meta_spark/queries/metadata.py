@@ -1741,3 +1741,37 @@ def iceberg_native_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataF
         F.lit(plan.files_total).cast("long").alias("files_total"),
         F.lit(plan.files_pruned).cast("long").alias("files_pruned"),
     )
+
+
+@register(
+    "iceberg_native_batch_read",
+    oracle="""
+        SELECT i AS id, CAST(i * 10 AS BIGINT) AS val
+        FROM range(0, 20) t(i)
+        WHERE i < 5 OR i > 14
+        ORDER BY id
+    """,
+    doc="Batch face of the Python data source (streaming/native_source.py:"
+    "IcebergNativeBatchReader): spark.read.format('iceberg_native') over "
+    "the DELETE WHERE fixture — one pyarrow read per data file on the "
+    "executors, each applying the position deletes that target it (the "
+    "delete parquet is read executor-side and filtered to the file; it "
+    "never lands on the driver), identity partition values injected. Must "
+    "equal iceberg_native_delete_where's scan_table result and oracle "
+    "exactly: two read paths, one hash gate. Equality deletes refuse with "
+    "a pointer to scan_table (cross-file join semantics)",
+)
+def iceberg_native_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_delete_where_table,
+    )
+    from iceberg_meta_spark.streaming.native_source import (
+        register_native_source,
+    )
+
+    table = default_delete_where_table(spark)
+    register_native_source(spark)
+    return (
+        spark.read.format("iceberg_native").option("path", table).load()
+        .select("id", "val").orderBy("id")
+    )

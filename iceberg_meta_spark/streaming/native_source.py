@@ -44,6 +44,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -224,9 +225,138 @@ class IcebergNativeStreamReader(DataSourceStreamReader):
         return iter(out.to_batches(max_chunksize=1 << 16))
 
 
+class _BatchFilePartition(InputPartition):
+    def __init__(self, file_path: str, part: dict, fields: list,
+                 pos_delete_files: list, seq: int):
+        self.file_path = file_path
+        self.part = part
+        self.fields = fields
+        self.pos_delete_files = pos_delete_files  # [(path, delete_seq)]
+        self.seq = seq
+
+
+class IcebergNativeBatchReader(DataSourceReader):
+    """Batch face of the source: ``spark.read.format("iceberg_native")``.
+
+    Planning reuses :func:`~iceberg_meta_spark.sources.iceberg_scan.
+    plan_scan`'s rules driver-side via the same local decode the stream
+    reader uses; each partition reads ONE data file with pyarrow and
+    applies the POSITION deletes that target it (delete rows are read
+    executor-side and filtered to this file — the delete file never
+    lands on the driver). Equality deletes need cross-file join
+    semantics, so their presence raises with a pointer to ``scan_table``
+    (the full merge-on-read path). Identity-partition values inject as
+    constant arrays, like the stream reader."""
+
+    def __init__(self, options: dict):
+        self._table = _local(str(options["path"]).rstrip("/"))
+        self._snapshot_id = (
+            int(options["snapshot_id"]) if "snapshot_id" in options else None
+        )
+
+    def partitions(self):
+        md = _load_md(self._table, _current_version(self._table))
+        if md.get("current-snapshot-id") is None and self._snapshot_id is None:
+            return [_BatchFilePartition("", {}, [], [], 0)]
+        snap_id = self._snapshot_id or int(md["current-snapshot-id"])
+        snap = next(
+            s for s in md["snapshots"] if int(s["snapshot-id"]) == snap_id
+        )
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        fields = [(f["name"], f["type"]) for f in schema["fields"]]
+        id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        spec = next(
+            s for s in md["partition-specs"]
+            if s["spec-id"] == md["default-spec-id"]
+        )
+        part_cols = {
+            f["name"]: id_to_name.get(int(f["source-id"]))
+            for f in spec.get("fields", [])
+            if f.get("transform") == "identity"
+        }
+        data, pos_dels = [], []
+        for m in _avro_records(snap["manifest-list"]):
+            mseq = m.get("sequence_number")
+            for e in _avro_records(m["manifest_path"]):
+                if int(e.get("status", 0)) == 2:
+                    continue
+                seq = e.get("sequence_number")
+                seq = int(seq) if seq is not None else int(mseq or 0)
+                dfile = e["data_file"]
+                if int(m.get("content", 0)) == 0:
+                    part = {
+                        src: (dfile.get("partition") or {}).get(pname)
+                        for pname, src in part_cols.items()
+                        if src is not None
+                    }
+                    data.append((dfile, part, seq))
+                else:
+                    if dfile.get("equality_ids"):
+                        raise IcebergNativeStreamError(
+                            "table has equality deletes; batch "
+                            "format('iceberg_native') serves position "
+                            "deletes only — use scan_table for the full "
+                            "merge-on-read path"
+                        )
+                    pos_dels.append((_local(dfile["file_path"]), seq))
+        parts = [
+            _BatchFilePartition(
+                _local(d["file_path"]), part, fields,
+                # spec: a position delete applies when data_seq <= del_seq
+                [pd for pd in pos_dels if seq <= pd[1]], seq,
+            )
+            for d, part, seq in data
+        ]
+        return parts or [_BatchFilePartition("", {}, [], [], 0)]
+
+    def read(self, partition: _BatchFilePartition):
+        if not partition.file_path:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.file_path)
+        n = tbl.num_rows
+        if partition.pos_delete_files:
+            dead: set[int] = set()
+            me = partition.file_path
+            for dpath, _seq in partition.pos_delete_files:
+                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                norm = pc.replace_substring_regex(
+                    dt.column("file_path").cast(pa.string()),
+                    pattern="^file:/*", replacement="/",
+                )
+                mask = pc.equal(norm, me)
+                dead.update(
+                    int(p) for p in dt.column("pos").filter(mask).to_pylist()
+                )
+            if dead:
+                keep = [i for i in range(n) if i not in dead]
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
+                n = tbl.num_rows
+        arrays, names = [], []
+        for name, typ in partition.fields:
+            names.append(name)
+            at = getattr(pa, _ARROW_T.get(typ, "string"))()
+            if name in tbl.column_names:
+                arrays.append(tbl.column(name).cast(at).combine_chunks())
+            elif name in partition.part:
+                arrays.append(pa.array([partition.part[name]] * n, type=at))
+            else:
+                arrays.append(pa.nulls(n, type=at))
+        out = pa.table(arrays, names=names)
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+
 class IcebergNativeDataSource(DataSource):
     """``spark.dataSource.register(IcebergNativeDataSource)`` then
-    ``spark.readStream.format("iceberg_native").option("path", dir)``."""
+    ``spark.readStream.format("iceberg_native").option("path", dir)`` for
+    incremental streaming, or ``spark.read.format("iceberg_native")`` for
+    a batch snapshot read (position deletes applied per file;
+    ``snapshot_id`` option time-travels)."""
 
     @classmethod
     def name(cls) -> str:
@@ -245,6 +375,9 @@ class IcebergNativeDataSource(DataSource):
 
     def streamReader(self, schema) -> IcebergNativeStreamReader:
         return IcebergNativeStreamReader(dict(self.options))
+
+    def reader(self, schema) -> IcebergNativeBatchReader:
+        return IcebergNativeBatchReader(dict(self.options))
 
 
 def register_native_source(spark) -> None:

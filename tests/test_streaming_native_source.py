@@ -173,3 +173,47 @@ def test_empty_table_streams_zero_rows(streamed):
     _run_to_parquet(spark, table, sink, ckpt)  # no snapshots at all
     assert not os.path.exists(os.path.join(sink, "_spark_metadata")) or \
         spark.read.parquet(sink).count() == 0
+
+
+def test_batch_read_applies_position_deletes(streamed):
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import delete_where
+
+    spark = streamed
+    table = _fresh("ns_batch_posdel")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long"),
+                                (3, "val", "long")],
+                 partition_fields=[("region", 1, 1000)])
+    _append(spark, table, [("emea", i, i * 10) for i in range(8)], 60_000)
+    delete_where(spark, table, ("id", 2, 4), timestamp_ms=_TS + 120_000)
+    got = (spark.read.format("iceberg_native").option("path", table).load()
+           .orderBy("id").collect())
+    assert [r.id for r in got] == [0, 1, 5, 6, 7]
+    assert {r.region for r in got} == {"emea"}  # partition value injected
+    # matches the merge-on-read scan exactly
+    want = scan_table(spark, table).orderBy("id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # snapshot_id option time-travels to the pre-delete state
+    before = (spark.read.format("iceberg_native").option("path", table)
+              .option("snapshot_id", "1").load().count())
+    assert before == 8
+
+
+def test_batch_read_refuses_equality_deletes(streamed):
+    from iceberg_meta_spark.sources.iceberg_write import merge_into
+
+    spark = streamed
+    table = _fresh("ns_batch_eqdel")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    _append_kv = lambda ids, off: append_dataframe(  # noqa: E731
+        spark,
+        spark.createDataFrame([(i, i) for i in ids], "id long, val long")
+        .coalesce(1), table, timestamp_ms=_TS + off)
+    _append_kv(range(0, 4), 60_000)
+    merge_into(spark,
+               spark.createDataFrame([(2, 99)], "id long, val long")
+               .coalesce(1),
+               table, key_cols=["id"], timestamp_ms=_TS + 120_000)
+    with pytest.raises(Exception, match="equality deletes"):
+        (spark.read.format("iceberg_native").option("path", table)
+         .load().collect())
