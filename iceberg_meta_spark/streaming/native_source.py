@@ -253,6 +253,76 @@ class IcebergNativeBatchReader(DataSourceReader):
         self._snapshot_id = (
             int(options["snapshot_id"]) if "snapshot_id" in options else None
         )
+        self._intervals: dict[str, list] = {}  # col -> [lo, hi] closed
+
+    def pushFilters(self, filters):
+        """File-skipping pushdown (the Iceberg model): comparison filters
+        on a column tighten a per-column closed interval used to PRUNE
+        data files in :meth:`partitions` — and every filter is returned
+        as residual, so Spark still applies it row-level (pruning is an
+        IO optimization layered UNDER an unchanged result, the same
+        contract the scan_table gate pins)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            iv = self._intervals.setdefault(col, [None, None])
+            v = getattr(f, "value", None)
+            if isinstance(f, EqualTo):
+                iv[0] = v if iv[0] is None else max(iv[0], v)
+                iv[1] = v if iv[1] is None else min(iv[1], v)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # strict > prunes with the closed bound (conservative)
+                iv[0] = v if iv[0] is None else max(iv[0], v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                iv[1] = v if iv[1] is None else min(iv[1], v)
+        return filters  # ALL residual: Spark re-applies row-level
+
+    def _survives(self, dfile: dict, part: dict, fields: list) -> bool:
+        """Zone-map + identity-partition-value prune for one file."""
+        if not self._intervals:
+            return True
+        from iceberg_meta_spark.sources.iceberg_native import (
+            _kv_map,
+            decode_bound,
+        )
+
+        type_by_name = dict(fields)
+        fid_by_name = self._fid_by_name  # set by partitions() from the schema
+        for col, (lo, hi) in self._intervals.items():
+            v = part.get(col)
+            if v is not None:
+                if lo is not None and v < lo:
+                    return False
+                if hi is not None and v > hi:
+                    return False
+                continue
+            fid = fid_by_name.get(col)
+            typ = type_by_name.get(col, "")
+            if fid is None or typ not in (
+                "int", "long", "float", "double", "string", "boolean",
+            ):
+                continue
+            lb = _kv_map(dfile.get("lower_bounds"))
+            ub = _kv_map(dfile.get("upper_bounds"))
+            fmin = decode_bound(bytes(lb[fid]) if fid in lb else None, typ)
+            fmax = decode_bound(bytes(ub[fid]) if fid in ub else None, typ)
+            if fmin is None or fmax is None:
+                continue  # no bounds: conservatively keep
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        return True
 
     def partitions(self):
         md = _load_md(self._table, _current_version(self._table))
@@ -267,6 +337,7 @@ class IcebergNativeBatchReader(DataSourceReader):
         )
         fields = [(f["name"], f["type"]) for f in schema["fields"]]
         id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        self._fid_by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
         spec = next(
             s for s in md["partition-specs"]
             if s["spec-id"] == md["default-spec-id"]
@@ -291,7 +362,8 @@ class IcebergNativeBatchReader(DataSourceReader):
                         for pname, src in part_cols.items()
                         if src is not None
                     }
-                    data.append((dfile, part, seq))
+                    if self._survives(dfile, part, fields):
+                        data.append((dfile, part, seq))
                 else:
                     if dfile.get("equality_ids"):
                         raise IcebergNativeStreamError(

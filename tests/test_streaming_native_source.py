@@ -217,3 +217,39 @@ def test_batch_read_refuses_equality_deletes(streamed):
     with pytest.raises(Exception, match="equality deletes"):
         (spark.read.format("iceberg_native").option("path", table)
          .load().collect())
+
+
+def test_batch_pushdown_prunes_files(streamed):
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from iceberg_meta_spark.streaming.native_source import (
+        IcebergNativeBatchReader,
+    )
+
+    spark = streamed
+    table = _fresh("ns_batch_push")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long"),
+                                (3, "val", "long")])
+    _append(spark, table, [("emea", i, i * 10) for i in range(10)], 60_000)
+    _append(spark, table, [("apac", 10 + i, (10 + i) * 10) for i in range(10)],
+            120_000)
+    # unit: the reader prunes partitions from pushed comparison filters
+    r = IcebergNativeBatchReader({"path": table})
+    residual = list(r.pushFilters([GreaterThanOrEqual(("id",), 15),
+                                   LessThan(("id",), 18),
+                                   StringStartsWith(("region",), "a")]))
+    assert len(residual) == 3  # everything residual: Spark re-filters rows
+    assert len(r.partitions()) == 1  # file [0..9] pruned by id bounds
+    # equality on the string column prunes via the truncated string bounds
+    r2 = IcebergNativeBatchReader({"path": table})
+    r2.pushFilters([EqualTo(("region",), "emea")])
+    assert len(r2.partitions()) == 1
+    # e2e: the filtered read returns exactly the right rows
+    got = (spark.read.format("iceberg_native").option("path", table).load()
+           .where("id >= 15 AND id < 18").orderBy("id").collect())
+    assert [r_.id for r_ in got] == [15, 16, 17]
