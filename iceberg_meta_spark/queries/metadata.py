@@ -1775,3 +1775,57 @@ def iceberg_native_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("iceberg_native").option("path", table).load()
         .select("id", "val").orderBy("id")
     )
+
+
+@register(
+    "iceberg_native_history",
+    oracle="""
+        SELECT * FROM (VALUES
+          (CAST(1713139260000 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(NULL AS BIGINT), TRUE),
+          (CAST(1713139320000 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(1 AS BIGINT), TRUE),
+          (CAST(1713139380000 AS BIGINT), CAST(3 AS BIGINT),
+           CAST(2 AS BIGINT), FALSE),
+          (CAST(1713139440000 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(1 AS BIGINT), TRUE)
+        ) t(made_current_at_ms, snapshot_id, parent_id, is_current_ancestor)
+        ORDER BY made_current_at_ms
+    """,
+    doc="The engine's `history` metadata table (SELECT * FROM t.history): "
+    "one row per snapshot-log entry including the rollback RE-LOG of "
+    "snap 2, with is_current_ancestor walking the current snapshot's "
+    "parent chain — snap 3 shows FALSE because the rollback abandoned its "
+    "line (it stays readable by id until expiry). Closed-form gate over "
+    "the rollback fixture's four log entries",
+)
+def iceberg_native_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_rollback_table
+    from iceberg_meta_spark.sources.iceberg_native import native_history_frame
+
+    table = default_rollback_table(spark)
+    return native_history_frame(spark, table).orderBy("made_current_at_ms")
+
+
+@register(
+    "iceberg_native_refs",
+    oracle="""
+        SELECT * FROM (VALUES
+          ('audit', 'branch', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+          ('main',  'branch', CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+        ) t(name, type, snapshot_id, max_ref_age_ms)
+        ORDER BY name
+    """,
+    doc="The engine's `refs` metadata table (SELECT * FROM t.refs) over "
+    "the WAP fixture: after the publish fast-forward, both the audit "
+    "branch and main point at the staged snapshot — the refs surface "
+    "every retention policy and time-travel-by-name resolves against, "
+    "as one queryable frame. Implicit main materializes when no explicit "
+    "ref entry exists yet",
+)
+def iceberg_native_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_wap_table
+    from iceberg_meta_spark.sources.iceberg_native import native_refs_frame
+
+    table = default_wap_table(spark)
+    return native_refs_frame(spark, table).orderBy("name")

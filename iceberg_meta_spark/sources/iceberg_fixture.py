@@ -1022,3 +1022,35 @@ def default_string_bounds_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_rollback_table(spark) -> str:
+    """A rolled-back table for the ``history`` metadata-table gate: three
+    appends (snap 1/2/3 at minutes 1/2/3), then rollback to snap 2 at
+    minute 4. The snapshot log has FOUR entries (the rollback re-logs
+    snap 2); snap 3 is live-but-abandoned (not a current ancestor)."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        rollback_to_snapshot,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_rb_v1")
+    table = os.path.join(base, "rb_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    for b in range(3):
+        rows = [(b * 3 + i, (b * 3 + i) * 10) for i in range(3)]
+        append_dataframe(
+            spark,
+            spark.createDataFrame(rows, "id long, val long").coalesce(1),
+            table, timestamp_ms=1713139200000 + 60_000 * (b + 1),
+        )
+    rollback_to_snapshot(table, 2, timestamp_ms=1713139200000 + 240_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -627,3 +627,66 @@ def native_refs_frame(
         "name string, type string, snapshot_id long, max_ref_age_ms long, "
         "max_snapshot_age_ms long, min_snapshots_to_keep int",
     )
+
+
+# ---------------------------------------------------------------------------
+# History + refs metadata tables (engine `t.history` / `t.refs` parity)
+# ---------------------------------------------------------------------------
+
+_HISTORY_SCHEMA = (
+    "made_current_at_ms long, snapshot_id long, parent_id long, "
+    "is_current_ancestor boolean"
+)
+
+
+def native_history_frame(
+    spark: SparkSession, table_dir: str, metadata: dict | None = None
+) -> DataFrame:
+    """The engine's ``history`` metadata table: one row per snapshot-log
+    entry (every time a snapshot became current, INCLUDING rollbacks
+    re-logging an old snapshot), with ``is_current_ancestor`` marking
+    whether that snapshot is on the CURRENT snapshot's parent chain —
+    false rows are abandoned lines left behind by a rollback. Log length
+    is planning-index scale; the ancestor walk is a driver set-build."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    by_id = {int(s["snapshot-id"]): s for s in md.get("snapshots", [])}
+    ancestors: set[int] = set()
+    cur = md.get("current-snapshot-id")
+    while cur is not None and int(cur) in by_id and int(cur) not in ancestors:
+        ancestors.add(int(cur))
+        cur = by_id[int(cur)].get("parent-snapshot-id")
+    rows = []
+    for e in md.get("snapshot-log", []):
+        sid = int(e["snapshot-id"])
+        snap = by_id.get(sid)
+        parent = snap.get("parent-snapshot-id") if snap else None
+        rows.append((
+            int(e["timestamp-ms"]), sid,
+            int(parent) if parent is not None else None,
+            sid in ancestors,
+        ))
+    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+_REFS_SCHEMA = (
+    "name string, type string, snapshot_id long, max_ref_age_ms long"
+)
+
+
+def native_refs_frame(
+    spark: SparkSession, table_dir: str, metadata: dict | None = None
+) -> DataFrame:
+    """The engine's ``refs`` metadata table: one row per branch/tag (spec
+    § Refs), including the implicit ``main`` branch when no explicit ref
+    entry exists yet."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    refs = dict(md.get("refs") or {})
+    if "main" not in refs and md.get("current-snapshot-id") is not None:
+        refs["main"] = {"snapshot-id": md["current-snapshot-id"],
+                        "type": "branch"}
+    rows = [
+        (name, r.get("type", "branch"), int(r["snapshot-id"]),
+         int(r["max-ref-age-ms"]) if r.get("max-ref-age-ms") else None)
+        for name, r in sorted(refs.items())
+    ]
+    return spark.createDataFrame(rows, _REFS_SCHEMA)
