@@ -1829,3 +1829,36 @@ def iceberg_native_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = default_wap_table(spark)
     return native_refs_frame(spark, table).orderBy("name")
+
+
+@register(
+    "iceberg_native_partitions_table",
+    oracle="""
+        SELECT '{"region": "' || r || '"}' AS partition,
+               CAST(1 AS BIGINT) AS file_count,
+               CAST(3 AS BIGINT) AS row_count
+        FROM (VALUES ('americas'), ('apac'), ('emea')) t(r)
+        ORDER BY partition
+    """,
+    doc="The engine's `partitions` metadata table (SELECT * FROM "
+    "t.partitions) on the native path: per-partition-tuple file/row "
+    "rollups straight from the manifest entries' partition records — no "
+    "data file opens. Over the identity-partitioned fixture (9 rows, 3 "
+    "regions, one Hive file each): 3 partitions x (1 file, 3 rows). "
+    "total_size is layout-dependent (parquet bytes), so the gate pins the "
+    "count columns",
+)
+def iceberg_native_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_partitioned_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_native import (
+        native_partitions_frame,
+    )
+
+    table = default_partitioned_table(spark)
+    return (
+        native_partitions_frame(spark, table)
+        .select("partition", "file_count", "row_count")
+        .orderBy("partition")
+    )

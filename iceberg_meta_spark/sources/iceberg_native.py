@@ -690,3 +690,31 @@ def native_refs_frame(
         for name, r in sorted(refs.items())
     ]
     return spark.createDataFrame(rows, _REFS_SCHEMA)
+
+
+def native_partitions_frame(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The engine's ``partitions`` metadata table: per-partition-tuple
+    file/row/byte rollups of the LIVE data files at one snapshot — the
+    native-table twin of A3's fixture-side partition distribution. The
+    tuple rides each manifest entry, so this is one distributed decode +
+    one groupBy; no data file opens."""
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan
+
+    plan = plan_scan(spark, table_dir, snapshot_id=snapshot_id)
+    rows = [
+        (json.dumps(f["part"], sort_keys=True, default=str),
+         int(f["record_count"]), int(f["size"]))
+        for f in plan.data_files
+    ]
+    df = spark.createDataFrame(
+        rows, "partition string, record_count long, file_size_in_bytes long"
+    )
+    from pyspark.sql import functions as F
+
+    return df.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("file_count"),
+        F.sum("record_count").alias("row_count"),
+        F.sum("file_size_in_bytes").alias("total_size"),
+    )

@@ -87,17 +87,19 @@ _PLAN_COLS = (
 
 def _make_plan_entries_fn(
     mseq: dict,
-    bounds_pred: tuple | None,
-    part_pred: tuple | None,
+    bounds_preds: list[tuple],
+    part_preds: list[tuple],
 ):
     """Arrow-batched manifest decode that ALSO prunes, executor-side: only
-    live entries that survive the partition-value prune (``part_pred`` =
-    (col, lo, hi) against the entry's own partition tuple) and the zone-map
-    prune (``bounds_pred`` = (field_id, type, lo, hi) against the entry's
-    Appendix-D bounds, decoded in the same pass) are ever emitted — the
-    driver collects a post-prune planning index, never the full file list.
-    Sequence-number inheritance (null entry seq -> manifest seq) happens
-    here too, via the tiny manifest_path -> seq closure map."""
+    live entries that survive EVERY partition-value prune (``part_preds``
+    = [(col, lo, hi)] against the entry's own partition tuple) and EVERY
+    zone-map prune (``bounds_preds`` = [(field_id, type, lo, hi)] against
+    the entry's Appendix-D bounds, decoded in the same pass) are ever
+    emitted — the driver collects a post-prune planning index, never the
+    full file list. Predicates AND together (a conjunction prunes a file
+    when ANY conjunct excludes it). Sequence-number inheritance (null
+    entry seq -> manifest seq) happens here too, via the tiny
+    manifest_path -> seq closure map."""
 
     def fn(pdf_iter):
         import pandas as pd
@@ -108,6 +110,34 @@ def _make_plan_entries_fn(
             decode_bound,
         )
 
+        def pruned(dfile: dict, part: dict) -> bool:
+            for col, lo, hi in part_preds:
+                v = part.get(col)
+                # unknown/absent value (older spec, null): keep
+                if v is not None:
+                    if lo is not None and v < lo:
+                        return True
+                    if hi is not None and v > hi:
+                        return True
+            if bounds_preds:
+                lb = _kv_map(dfile.get("lower_bounds"))
+                ub = _kv_map(dfile.get("upper_bounds"))
+                for fid, ftype, lo, hi in bounds_preds:
+                    fmin = decode_bound(
+                        bytes(lb[fid]) if fid in lb else None, ftype
+                    )
+                    fmax = decode_bound(
+                        bytes(ub[fid]) if fid in ub else None, ftype
+                    )
+                    # files without bounds cannot be pruned safely
+                    if fmin is None or fmax is None:
+                        continue
+                    if lo is not None and fmax < lo:
+                        return True
+                    if hi is not None and fmin > hi:
+                        return True
+            return False
+
         cols = [c.split()[0] for c in _PLAN_COLS.split(", ")]
         for pdf in pdf_iter:
             out = []
@@ -117,31 +147,8 @@ def _make_plan_entries_fn(
                         continue  # DELETED entries are not live
                     dfile = e["data_file"]
                     part = dfile.get("partition") or {}
-                    if part_pred is not None:
-                        col, lo, hi = part_pred
-                        v = part.get(col)
-                        # unknown/absent value (older spec, null): keep
-                        if v is not None:
-                            if lo is not None and v < lo:
-                                continue
-                            if hi is not None and v > hi:
-                                continue
-                    if bounds_pred is not None:
-                        fid, ftype, lo, hi = bounds_pred
-                        lb = _kv_map(dfile.get("lower_bounds"))
-                        ub = _kv_map(dfile.get("upper_bounds"))
-                        fmin = decode_bound(
-                            bytes(lb[fid]) if fid in lb else None, ftype
-                        )
-                        fmax = decode_bound(
-                            bytes(ub[fid]) if fid in ub else None, ftype
-                        )
-                        # files without bounds cannot be pruned safely
-                        if fmin is not None and fmax is not None:
-                            if lo is not None and fmax < lo:
-                                continue
-                            if hi is not None and fmin > hi:
-                                continue
+                    if pruned(dfile, part):
+                        continue
                     seq = e["entry"].get("sequence_number")
                     if seq is None:
                         seq = mseq.get(path)
@@ -167,8 +174,8 @@ def _plan_entries(
     snap: dict,
     md: dict,
     content: int,
-    bounds_pred: tuple | None = None,
-    part_pred: tuple | None = None,
+    bounds_preds: list[tuple] = (),
+    part_preds: list[tuple] = (),
 ):
     """(surviving live entries, live-entry total) for one manifest content
     kind. The total comes from the manifest LIST's required added/existing
@@ -191,10 +198,10 @@ def _plan_entries(
     bin_df = _manifest_bytes_df(
         spark, table_dir, snap["snapshot-id"], md, content=content
     )
-    fn = _make_plan_entries_fn(mseq, bounds_pred, part_pred)
+    fn = _make_plan_entries_fn(mseq, list(bounds_preds), list(part_preds))
     rows = bin_df.mapInPandas(fn, _PLAN_COLS).collect()
     if live_total is None:
-        if bounds_pred is None and part_pred is None:
+        if not bounds_preds and not part_preds:
             live_total = len(rows)
         else:  # rare: counts absent AND pruning on — one distributed count
             live_total = (
@@ -210,14 +217,16 @@ def plan_scan(
     table_dir: str,
     snapshot_id: int | None = None,
     version: int | None = None,
-    predicate: tuple[str, object, object] | None = None,
+    predicate: tuple[str, object, object] | list[tuple] | None = None,
     ref: str | None = None,
 ) -> ScanPlan:
     """Build the file index for a snapshot scan; see module docstring.
 
-    ``predicate=(column, lo, hi)`` prunes data files by their decoded
-    min/max bounds for that column (closed interval; ``None`` for an open
-    end). Files without bounds for the column are conservatively kept.
+    ``predicate=(column, lo, hi)`` — or a LIST of such tuples, ANDed —
+    prunes data files by their decoded min/max bounds per column (closed
+    intervals; ``None`` for an open end); a conjunction prunes a file
+    when ANY conjunct excludes it. Files without bounds are
+    conservatively kept.
     Identity-partition columns prune on the partition VALUE from the
     manifest entry instead (cheaper: no stats decode). Partition-column
     names resolve against the DEFAULT spec; entries written under an
@@ -269,21 +278,29 @@ def plan_scan(
         src for _, transform, src, _ in spec_fields if transform == "identity"
     ]
 
-    part_pred = bounds_pred = None
-    if predicate is not None:
+    # a single (col, lo, hi) or a LIST of them (conjunction: AND)
+    predicates = (
+        [] if predicate is None
+        else [predicate] if isinstance(predicate, tuple)
+        else list(predicate)
+    )
+    part_preds, bounds_preds = [], []
+    if predicates:
         from iceberg_meta_spark.sources.iceberg_transforms import project_range
 
-        col, lo, hi = predicate
+    for col, lo, hi in predicates:
         # PARTITION pruning first (cheapest: the value rides the manifest
         # entry, no stats decode). For a transformed field the predicate is
         # PROJECTED through the transform (spec § scan planning: monotonic
         # transforms map interval endpoints; bucket projects equality only)
+        part_pred = None
         for fname, transform, src, styp in spec_fields:
             if src != col:
                 continue
             proj = project_range(transform, lo, hi, styp)
             if proj is not None:
                 part_pred = (fname, proj[0], proj[1])
+                part_preds.append(part_pred)
                 break
         identity_part = part_pred is not None and part_pred[0] == col and any(
             t == "identity" and s == col for _, t, s, _ in spec_fields
@@ -294,13 +311,13 @@ def plan_scan(
             # apply; identity partitions skip it (value == partition value)
             fid, ftype = next((fid, t) for fid, name, t in fields if name == col)
             if ftype in ("int", "long", "float", "double", "string", "boolean"):
-                bounds_pred = (fid, ftype, lo, hi)
+                bounds_preds.append((fid, ftype, lo, hi))
 
     data, live_total = _plan_entries(
         spark, table_dir, snap, md, content=0,
-        bounds_pred=bounds_pred, part_pred=part_pred,
+        bounds_preds=bounds_preds, part_preds=part_preds,
     )
-    if predicate is None:
+    if not predicates:
         files_total, files_pruned = len(data), 0
     else:
         files_total = live_total
@@ -476,7 +493,7 @@ def scan_table(
     table_dir: str,
     snapshot_id: int | None = None,
     version: int | None = None,
-    predicate: tuple[str, object, object] | None = None,
+    predicate: tuple[str, object, object] | list[tuple] | None = None,
     ref: str | None = None,
 ) -> DataFrame:
     """Merge-on-read scan: plan -> read surviving parquet -> apply position
@@ -490,8 +507,12 @@ def scan_table(
             for _, name, t in plan.schema_fields
         )
         return spark.createDataFrame([], ddl)
-    if predicate is not None:
-        col, lo, hi = predicate  # residual filter on top of file pruning
+    predicates = (
+        [] if predicate is None
+        else [predicate] if isinstance(predicate, tuple)
+        else list(predicate)
+    )
+    for col, lo, hi in predicates:  # residual filters on top of pruning
         if lo is not None:
             out = out.where(F.col(col) >= F.lit(lo))
         if hi is not None:

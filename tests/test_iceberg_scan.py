@@ -478,7 +478,7 @@ def test_plan_decode_emits_only_surviving_entries(spark, tmp_path):
     # zone-map prune on id in [6, 9]: b1 (id 0..4) must never be emitted
     fn = _make_plan_entries_fn(
         {m["manifest_path"]: m.get("sequence_number") for m in mlist},
-        bounds_pred=(1, "long", 6, 9), part_pred=None,
+        bounds_preds=[(1, "long", 6, 9)], part_preds=[],
     )
     out = pd.concat(list(fn(iter([pdf]))))
     assert list(out["file_path"]) == [p2]  # b1 pruned inside the decode
@@ -740,3 +740,31 @@ def test_rewrite_position_deletes_drops_dangling(spark, tmp_path):
     # running it again: nothing dangling -> no-op
     res2 = rewrite_position_deletes(spark, table, timestamp_ms=1713139260006)
     assert res2 == {"dropped": 0, "rewritten": 0, "snapshot_id": None}
+
+
+def test_multi_predicate_conjunction_prunes_and_filters(spark, tmp_path):
+    """predicate= accepts a LIST of (col, lo, hi) tuples ANDed together:
+    each conjunct prunes files independently and the residual filter
+    applies all of them."""
+    from iceberg_meta_spark.sources.iceberg_write import append_dataframe
+
+    table = str(tmp_path / "multi")
+    create_table(table, fields=[(1, "id", "long"), (2, "grp", "string"),
+                                (3, "val", "long")])
+    # file A: ids 0..9 grp a..b; file B: ids 10..19 grp c..d
+    for b, grps in ((0, ("a", "b")), (1, ("c", "d"))):
+        rows = [(b * 10 + i, grps[i % 2], i) for i in range(10)]
+        append_dataframe(spark,
+                         spark.createDataFrame(rows, "id long, grp string, val long")
+                         .coalesce(1),
+                         table, timestamp_ms=1713139260000 + b)
+    preds = [("id", 12, 18), ("grp", "c", "c")]
+    plan = plan_scan(spark, table, predicate=preds)
+    assert plan.files_total == 2 and plan.files_pruned == 1  # file A out
+    got = scan_table(spark, table, predicate=preds).orderBy("id").collect()
+    assert [r.id for r in got] == [12, 14, 16, 18]
+    assert {r.grp for r in got} == {"c"}
+    # a contradiction prunes everything
+    plan2 = plan_scan(spark, table,
+                      predicate=[("id", 5, 8), ("grp", "c", "c")])
+    assert len(plan2.data_files) == 0
