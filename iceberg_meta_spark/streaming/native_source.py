@@ -121,12 +121,26 @@ class IcebergNativeStreamReader(DataSourceStreamReader):
 
     # ---- planning (driver, O(new files)) --------------------------------
     def _new_snapshots(self, start_v: int, end_v: int):
-        """Snapshots present at end_v but not at start_v, commit order."""
+        """Snapshots that became MAIN-visible between start_v and end_v, in
+        commit order: present at end_v, absent at start_v, and an ANCESTOR
+        of end_v's current snapshot — a commit STAGED on a branch
+        (write-audit-publish) is not served until its fast-forward publish
+        makes it a main ancestor, exactly like the engine's streaming
+        read of the main branch."""
         end_md = _load_md(self._table, end_v)
         if end_md is None:
             raise IcebergNativeStreamError(
                 f"metadata version v{end_v} missing under {self._table}"
             )
+        def main_ancestors(md: dict) -> set[int]:
+            by_id = {int(s["snapshot-id"]): s for s in md.get("snapshots", [])}
+            out: set[int] = set()
+            cur = md.get("current-snapshot-id")
+            while cur is not None and int(cur) in by_id and int(cur) not in out:
+                out.add(int(cur))
+                cur = by_id[int(cur)].get("parent-snapshot-id")
+            return out
+
         if start_v <= 0:
             seen: set[int] = set()
         else:
@@ -138,10 +152,14 @@ class IcebergNativeStreamReader(DataSourceStreamReader):
                     f"checkpointed metadata version v{start_v} no longer "
                     f"exists (expired); restart with starting_version"
                 )
-            seen = {int(s["snapshot-id"]) for s in start_md.get("snapshots", [])}
+            # seen = what was MAIN-visible at start — a snapshot merely
+            # STAGED (listed but not an ancestor) at start is served when
+            # its publish later makes it an ancestor
+            seen = main_ancestors(start_md)
         news = [
             s for s in end_md.get("snapshots", [])
             if int(s["snapshot-id"]) not in seen
+            and int(s["snapshot-id"]) in main_ancestors(end_md)
         ]
         news.sort(key=lambda s: (int(s["timestamp-ms"]), int(s["snapshot-id"])))
         return news, end_md

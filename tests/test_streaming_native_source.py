@@ -31,12 +31,12 @@ def _fresh(name: str) -> str:
     return os.path.join(base, "t")
 
 
-def _append(spark, table, rows, ts_off):
+def _append(spark, table, rows, ts_off, branch=None):
     append_dataframe(
         spark,
         spark.createDataFrame(rows, "region string, id long, val long")
         .coalesce(1),
-        table, timestamp_ms=_TS + ts_off,
+        table, timestamp_ms=_TS + ts_off, branch=branch,
     )
 
 
@@ -253,3 +253,26 @@ def test_batch_pushdown_prunes_files(streamed):
     got = (spark.read.format("iceberg_native").option("path", table).load()
            .where("id >= 15 AND id < 18").orderBy("id").collect())
     assert [r_.id for r_ in got] == [15, 16, 17]
+
+
+def test_staged_branch_commits_stream_only_after_publish(streamed):
+    """Write-audit-publish x streaming: a commit STAGED on a branch is NOT
+    an ancestor of main, so the stream must not serve it until the
+    fast-forward publish — then it flows in the next batch."""
+    from iceberg_meta_spark.sources.iceberg_write import fast_forward
+
+    spark = streamed
+    table = _fresh("ns_stream_wap")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long"),
+                                (3, "val", "long")])
+    _append(spark, table, [("emea", i, i) for i in range(3)], 60_000)
+    _append(spark, table, [("apac", 10 + i, i) for i in range(3)], 120_000,
+            branch="audit")
+    sink = os.path.join(os.path.dirname(table), "sink")
+    ckpt = os.path.join(os.path.dirname(table), "ckpt")
+    _run_to_parquet(spark, table, sink, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == [0, 1, 2]
+    fast_forward(table, "main", "audit", timestamp_ms=_TS + 180_000)
+    _run_to_parquet(spark, table, sink, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) \
+        == [0, 1, 2, 10, 11, 12]
