@@ -817,3 +817,27 @@ def expire_metadata(table_dir: str, timestamp_ms: int | None = None,
 
     return expire_metadata_versions(table_dir, timestamp_ms=timestamp_ms,
                                     force_keep=force_keep)
+
+
+def write_partition_stats(spark: SparkSession, table_dir: str,
+                          timestamp_ms: int | None = None) -> dict:
+    """Write the partition statistics file for the current snapshot and
+    register it (iceberg_stats.py:write_partition_statistics)."""
+    from iceberg_meta_spark.sources.iceberg_stats import (
+        write_partition_statistics,
+    )
+
+    return write_partition_statistics(spark, table_dir,
+                                      timestamp_ms=timestamp_ms)
+
+
+def partition_stats(spark: SparkSession, table_dir: str,
+                    snapshot_id: int | None = None) -> DataFrame:
+    """Read back a snapshot's registered partition statistics file
+    (iceberg_stats.py:partition_statistics_frame)."""
+    from iceberg_meta_spark.sources.iceberg_stats import (
+        partition_statistics_frame,
+    )
+
+    return partition_statistics_frame(spark, table_dir,
+                                      snapshot_id=snapshot_id)

@@ -1862,3 +1862,51 @@ def iceberg_native_partitions_table(spark: SparkSession, sf_dir: str) -> DataFra
         .select("partition", "file_count", "row_count")
         .orderBy("partition")
     )
+
+
+@register(
+    "iceberg_native_partition_stats_file",
+    oracle="""
+        SELECT '{"region": "' || r || '"}' AS partition,
+               CAST(3 AS BIGINT) AS data_record_count,
+               CAST(1 AS BIGINT) AS data_file_count,
+               CAST(0 AS BIGINT) AS spec_id
+        FROM (VALUES ('americas'), ('apac'), ('emea')) t(r)
+        ORDER BY partition
+    """,
+    doc="Partition statistics FILE round trip (spec § Partition "
+    "Statistics; sources/iceberg_stats.py:write_partition_statistics): "
+    "per-partition rollups of the current snapshot written as one parquet "
+    "under metadata/, registered in the 'partition-statistics' list (one "
+    "entry per snapshot, re-run replaces), and read BACK through the "
+    "registered path — the planner-facing sibling of the live "
+    "iceberg_native_partitions_table (same numbers, now durable). "
+    "total_data_file_size_in_bytes is layout-dependent, so the gate pins "
+    "the count columns + spec_id",
+)
+def iceberg_native_partition_stats_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_partitioned_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_stats import (
+        partition_statistics_frame,
+        write_partition_statistics,
+    )
+
+    table = default_partitioned_table(spark)
+    marker = _os.path.join(
+        _tf.gettempdir(), "iceberg_meta_native_fixture_part_v1", "_PSTATS"
+    )
+    if not _os.path.exists(marker):
+        write_partition_statistics(spark, table,
+                                   timestamp_ms=1713139200000 + 600_000)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        partition_statistics_frame(spark, table)
+        .select("partition", "data_record_count", "data_file_count", "spec_id")
+        .orderBy("partition")
+    )

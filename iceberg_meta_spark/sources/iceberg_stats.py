@@ -162,3 +162,89 @@ def statistics_frame(
                 b["type"],
             ))
     return spark.createDataFrame(rows, _STATS_SCHEMA)
+
+
+def write_partition_statistics(
+    spark: SparkSession,
+    table_dir: str,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Partition statistics file (spec § Partition Statistics): per-
+    partition-tuple rollups of the CURRENT snapshot's live data files —
+    data_record_count / data_file_count / total_data_file_size_in_bytes —
+    written as ONE parquet file under ``metadata/`` and registered in the
+    table metadata's ``partition-statistics`` list (one entry per
+    snapshot, re-run replaces). The partition tuple is stored as its
+    canonical JSON encoding (one string column) so files written under
+    EVOLVED specs coexist in one stats file; engines that want the
+    struct shape project it from the JSON. Rollup input is the plan's
+    post-decode index (planning-index scale), the groupBy is one small
+    Spark aggregate."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan
+    from iceberg_meta_spark.sources.iceberg_write import _local_path
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    if md.get("current-snapshot-id") is None:
+        raise ValueError("cannot write partition statistics: no snapshots")
+    snap_id = int(md["current-snapshot-id"])
+    plan = plan_scan(spark, table_dir)
+    rows = [
+        (json.dumps(f["part"], sort_keys=True, default=str),
+         int(f["record_count"]), int(f["size"]))
+        for f in plan.data_files
+    ]
+    agg = (
+        spark.createDataFrame(
+            rows, "partition string, record_count long, size long")
+        .groupBy("partition")
+        .agg(
+            F.sum("record_count").alias("data_record_count"),
+            F.count(F.lit(1)).alias("data_file_count"),
+            F.sum("size").alias("total_data_file_size_in_bytes"),
+        )
+        .withColumn("spec_id", F.lit(int(md["default-spec-id"])))
+    )
+    out_dir = os.path.join(meta_dir, f"partition-stats-{snap_id}")
+    agg.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    import glob as _glob
+
+    [stats_path] = _glob.glob(os.path.join(out_dir, "*.parquet"))
+    entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": stats_path,
+        "file-size-in-bytes": os.path.getsize(stats_path),
+    }
+    md["partition-statistics"] = [
+        e for e in md.get("partition-statistics", [])
+        if int(e["snapshot-id"]) != snap_id
+    ] + [entry]
+    _publish_metadata(table_dir, md, version, timestamp_ms)
+    return {"snapshot_id": snap_id, "statistics_path": stats_path,
+            "partitions": agg.count()}
+
+
+def partition_statistics_frame(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read back the registered partition statistics file for a snapshot
+    (default: current) — the planner-facing rollup surface."""
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+
+    md = load_table_metadata(spark, table_dir)
+    if snapshot_id is None:
+        snapshot_id = md.get("current-snapshot-id")
+    entry = next(
+        (e for e in md.get("partition-statistics", [])
+         if int(e["snapshot-id"]) == int(snapshot_id)),
+        None,
+    )
+    if entry is None:
+        raise KeyError(f"no partition statistics for snapshot {snapshot_id}")
+    return spark.read.parquet(entry["statistics-path"])

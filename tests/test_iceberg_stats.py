@@ -160,3 +160,51 @@ def test_analyze_validates_inputs(spark):
     with pytest.raises(KeyError, match="no such columns"):
         analyze_table(spark, table, columns=["nope"],
                       timestamp_ms=_TS + 120_000)
+
+
+def test_partition_statistics_round_trip(spark):
+    import json as _json
+
+    from iceberg_meta_spark.sources.iceberg_stats import (
+        partition_statistics_frame,
+        write_partition_statistics,
+    )
+
+    table = _fresh("pstats_rt")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long")],
+                 partition_fields=[("region", 1, 1000)])
+    rows = [(("a", "b")[i % 2], i) for i in range(6)]
+    append_dataframe(
+        spark, spark.createDataFrame(rows, "region string, id long")
+        .coalesce(1), table, timestamp_ms=_TS + 60_000)
+    res = write_partition_statistics(spark, table, timestamp_ms=_TS + 120_000)
+    assert res["partitions"] == 2
+    got = {r.partition: (r.data_record_count, r.data_file_count)
+           for r in partition_statistics_frame(spark, table).collect()}
+    assert got == {'{"region": "a"}': (3, 1), '{"region": "b"}': (3, 1)}
+    # re-run replaces the snapshot's entry instead of stacking
+    write_partition_statistics(spark, table, timestamp_ms=_TS + 180_000)
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    md = _json.load(open(os.path.join(table, "metadata",
+                                      f"v{v}.metadata.json")))
+    assert len(md["partition-statistics"]) == 1
+
+
+def test_partition_statistics_validations(spark):
+    import pytest as _pytest
+
+    from iceberg_meta_spark.sources.iceberg_stats import (
+        partition_statistics_frame,
+        write_partition_statistics,
+    )
+
+    table = _fresh("pstats_bad")
+    create_table(table, fields=[(1, "id", "long")])
+    with _pytest.raises(ValueError, match="no snapshots"):
+        write_partition_statistics(spark, table, timestamp_ms=_TS + 60_000)
+    append_dataframe(
+        spark, spark.createDataFrame([(1,)], "id long").coalesce(1),
+        table, timestamp_ms=_TS + 60_000)
+    with _pytest.raises(KeyError, match="no partition statistics"):
+        partition_statistics_frame(spark, table)
