@@ -151,13 +151,23 @@ def parse_transform(t: str) -> tuple[str, int | None]:
 
 def result_avro_type(transform: str, src_type: str) -> str:
     """Avro primitive for the partition-record field this transform
-    produces (manifest entry encode/decode is schema-driven)."""
+    produces (manifest entry encode/decode is schema-driven). Raises a
+    GUIDED error for unsupported (transform, type) pairs so DDL fails at
+    definition time, not at first commit."""
     kind, _ = parse_transform(transform)
     if kind == "identity":
         from iceberg_meta_spark.sources.iceberg_write import _AVRO_T
 
+        if src_type not in _AVRO_T:
+            hint = (" — partition by day(col) instead (same granularity, "
+                    "prunable)") if src_type == "date" else ""
+            raise ValueError(
+                f"identity partitioning unsupported for type {src_type!r}{hint}"
+            )
         return _AVRO_T[src_type]
     if kind == "truncate":
+        if src_type not in ("int", "long", "string"):
+            raise ValueError(f"truncate unsupported for type {src_type!r}")
         return {"int": "int", "long": "long", "string": "string"}[src_type]
     # bucket / year / month / day / hour / void -> int per spec
     return "int"

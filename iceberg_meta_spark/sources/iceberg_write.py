@@ -1112,13 +1112,16 @@ def create_table(
     "month")`` (spec § Partition Transforms; validated at create time).
     Default unpartitioned. The created table is immediately consumable by
     the native reader and every commit path."""
-    from iceberg_meta_spark.sources.iceberg_transforms import parse_transform
+    from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
 
+    type_by_fid = {fid: typ for fid, _, typ in fields}
     pf_norm = []
     for tup in (partition_fields or []):
         n, sid, pfid = tup[0], tup[1], tup[2]
         transform = tup[3] if len(tup) > 3 else "identity"
-        parse_transform(transform)  # reject unknown transforms up front
+        # reject unknown transforms AND unsupported (transform, type)
+        # pairs at DDL time, not at first commit
+        result_avro_type(transform, type_by_fid.get(sid, "long"))
         pf_norm.append((n, sid, pfid, transform))
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
@@ -1515,12 +1518,16 @@ def update_partition_spec(
     existing = {(f["source-id"], f["transform"]) for f in cur_spec["fields"]}
     new_fields = [dict(f) for f in cur_spec["fields"]]
     last_pid = int(md.get("last-partition-id", 999))
+    from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
+
     additions = [(name, "identity", name) for name in (add_identity or [])]
     additions += [tuple(t) for t in (add_fields or [])]
     for fname, transform, src in additions:
         parse_transform(transform)
         if src not in by_name:
             raise KeyError(f"no column {src!r} to partition by")
+        # reject unsupported (transform, type) pairs at DDL time
+        result_avro_type(transform, by_name[src].get("type", "long"))
         key = (by_name[src]["id"], transform)
         if key in existing:
             raise ValueError(

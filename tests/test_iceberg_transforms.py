@@ -267,3 +267,30 @@ def test_create_table_rejects_unknown_transform():
     with pytest.raises(ValueError, match="unknown partition transform"):
         create_table(os.path.join(base, "t"), fields=[(1, "id", "long")],
                      partition_fields=[("z", 1, 1000, "zorder[2]")])
+
+
+def test_unsupported_transform_type_pairs_fail_at_ddl_time():
+    from iceberg_meta_spark.sources.iceberg_write import (
+        create_table,
+        update_partition_spec,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_tx_ddl_v1")
+    shutil.rmtree(base, ignore_errors=True)
+    t1 = os.path.join(base, "t1")
+    # identity on date: rejected with guidance toward day()
+    with pytest.raises(ValueError, match="day\\(col\\) instead"):
+        create_table(t1, fields=[(1, "d", "date")],
+                     partition_fields=[("d", 1, 1000)])
+    # truncate on date: rejected
+    with pytest.raises(ValueError, match="truncate unsupported"):
+        create_table(t1, fields=[(1, "d", "date")],
+                     partition_fields=[("dt", 1, 1000, "truncate[4]")])
+    # evolution path validates the same way
+    create_table(t1, fields=[(1, "d", "date"), (2, "id", "long")])
+    with pytest.raises(ValueError, match="day\\(col\\) instead"):
+        update_partition_spec(t1, add_identity=["d"],
+                              timestamp_ms=1713139200000 + 60_000)
+    # the guided alternative works
+    update_partition_spec(t1, add_fields=[("d_day", "day", "d")],
+                          timestamp_ms=1713139200000 + 120_000)
