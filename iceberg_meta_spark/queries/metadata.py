@@ -1828,7 +1828,13 @@ def iceberg_native_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.sources.iceberg_native import native_refs_frame
 
     table = default_wap_table(spark)
-    return native_refs_frame(spark, table).orderBy("name")
+    # the long-standing refs frame carries the full retention-knob schema;
+    # the gate pins the engine-table core columns
+    return (
+        native_refs_frame(spark, table)
+        .select("name", "type", "snapshot_id", "max_ref_age_ms")
+        .orderBy("name")
+    )
 
 
 @register(

@@ -635,17 +635,23 @@ def remove_orphans(
     render). Local-filesystem tables only (the writer's documented scope —
     executors share the driver's filesystem in this deployment shape).
     """
-    frame = orphan_files_frame(spark, table_dir)
-    old_df = frame.where(F.col("modified_ms") < F.lit(older_than_ms))
-    deleted = sorted(r.path for r in old_df.select("path").collect())
-    skipped = frame.count() - len(deleted)
-    if not dry_run:
+    # one detection pass: the listing + manifest decode + anti-join is the
+    # expensive part, so pin it before the three consumers (old collect,
+    # recent count, distributed delete) instead of recomputing it per action
+    frame = orphan_files_frame(spark, table_dir).persist()
+    try:
+        old_df = frame.where(F.col("modified_ms") < F.lit(older_than_ms))
+        deleted = sorted(r.path for r in old_df.select("path").collect())
+        skipped = frame.count() - len(deleted)
+        if not dry_run:
 
-        def _rm(rows):
-            for r in rows:
-                os.remove(r.path)
+            def _rm(rows):
+                for r in rows:
+                    os.remove(r.path)
 
-        old_df.select("path").foreachPartition(_rm)
+            old_df.select("path").foreachPartition(_rm)
+    finally:
+        frame.unpersist()
     return {"deleted": deleted, "skipped_recent": skipped}
 
 
@@ -737,7 +743,9 @@ def expire_metadata_versions(
     else:
         return {"deleted": [], "kept": len(md.get("metadata-log", []))}
     log = md.get("metadata-log", [])
-    excess = log[:-keep] if len(log) > keep else []
+    # keep <= 0 means "no previous versions": log[:-0] would be [] and
+    # silently no-op the strictest retention, so slice explicitly
+    excess = list(log) if keep <= 0 else (log[:-keep] if len(log) > keep else [])
     if not excess:
         return {"deleted": [], "kept": len(log)}
     deleted = []

@@ -668,30 +668,6 @@ def native_history_frame(
     return spark.createDataFrame(rows, _HISTORY_SCHEMA)
 
 
-_REFS_SCHEMA = (
-    "name string, type string, snapshot_id long, max_ref_age_ms long"
-)
-
-
-def native_refs_frame(
-    spark: SparkSession, table_dir: str, metadata: dict | None = None
-) -> DataFrame:
-    """The engine's ``refs`` metadata table: one row per branch/tag (spec
-    § Refs), including the implicit ``main`` branch when no explicit ref
-    entry exists yet."""
-    md = metadata or load_table_metadata(spark, table_dir)
-    refs = dict(md.get("refs") or {})
-    if "main" not in refs and md.get("current-snapshot-id") is not None:
-        refs["main"] = {"snapshot-id": md["current-snapshot-id"],
-                        "type": "branch"}
-    rows = [
-        (name, r.get("type", "branch"), int(r["snapshot-id"]),
-         int(r["max-ref-age-ms"]) if r.get("max-ref-age-ms") else None)
-        for name, r in sorted(refs.items())
-    ]
-    return spark.createDataFrame(rows, _REFS_SCHEMA)
-
-
 def native_partitions_frame(
     spark: SparkSession, table_dir: str, snapshot_id: int | None = None
 ) -> DataFrame:

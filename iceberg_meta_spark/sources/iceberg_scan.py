@@ -151,7 +151,11 @@ def _make_plan_entries_fn(
                         continue
                     seq = e["entry"].get("sequence_number")
                     if seq is None:
-                        seq = mseq.get(path)
+                        # inheritance: manifest seq, looked up by NORMALIZED
+                        # path — `path` here is the binaryFile URI
+                        # ('file:/x') while mseq keys come from the raw
+                        # manifest-list strings, so both sides normalize
+                        seq = mseq.get(_norm_path(path))
                     eq = dfile.get("equality_ids")
                     out.append(
                         {
@@ -186,7 +190,8 @@ def _plan_entries(
 
     mlist = _read_avro_file(spark, snap["manifest-list"])
     mine = [r for r in mlist if int(r.get("content", 0)) == content]
-    mseq = {r["manifest_path"]: r.get("sequence_number") for r in mine}
+    mseq = {_norm_path(r["manifest_path"]): r.get("sequence_number")
+            for r in mine}
     live_total: int | None = 0
     for r in mine:
         a = _mf_int(r, "added_files_count", "added_data_files_count")

@@ -143,7 +143,10 @@ def parse_transform(t: str) -> tuple[str, int | None]:
     """'bucket[4]' -> ('bucket', 4); 'day' -> ('day', None)."""
     m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
     if m:
-        return m.group(1), int(m.group(2))
+        width = int(m.group(2))
+        if width < 1:
+            raise ValueError(f"{m.group(1)} width must be >= 1, got {t!r}")
+        return m.group(1), width
     if t in ("identity", "year", "month", "day", "hour", "void"):
         return t, None
     raise ValueError(f"unknown partition transform {t!r}")
@@ -169,6 +172,14 @@ def result_avro_type(transform: str, src_type: str) -> str:
         if src_type not in ("int", "long", "string"):
             raise ValueError(f"truncate unsupported for type {src_type!r}")
         return {"int": "int", "long": "long", "string": "string"}[src_type]
+    if kind == "bucket" and src_type not in ("int", "long", "date", "string"):
+        raise ValueError(f"bucket unsupported for type {src_type!r}")
+    if kind in ("year", "month", "day") and src_type not in ("date", "timestamp"):
+        raise ValueError(f"{kind} transform needs a date/timestamp column, "
+                         f"got {src_type!r}")
+    if kind == "hour" and src_type != "timestamp":
+        raise ValueError(f"hour transform needs a timestamp column, "
+                         f"got {src_type!r}")
     # bucket / year / month / day / hour / void -> int per spec
     return "int"
 
@@ -206,19 +217,25 @@ def spark_expr(transform: str, col: str, src_type: str):
 
             @pandas_udf("int")
             def _bucket_long(s: pd.Series) -> pd.Series:
-                mask = s.notna()
-                out = pd.Series([None] * len(s), dtype="object")
-                if mask.any():
-                    vals = s[mask]
-                    if t == "date":
-                        vals = (
-                            pd.to_datetime(vals) - pd.Timestamp("1970-01-01")
-                        ).dt.days
-                    h = _mm3_long_numpy(vals.astype("int64").to_numpy())
-                    out[mask.to_numpy()] = [(int(x) & 0x7FFFFFFF) % n for x in h]
-                return out.astype("Int64").astype("Int32")
+                vals = s
+                if t == "date":
+                    vals = (
+                        pd.to_datetime(vals) - pd.Timestamp("1970-01-01")
+                    ).dt.days
+                h = _mm3_long_numpy(vals.astype("int64").to_numpy())
+                return pd.Series(
+                    [(int(x) & 0x7FFFFFFF) % n for x in h]
+                ).astype("Int32")
 
-            return _bucket_long(F.col(col))
+            # null-safety OUTSIDE the UDF: coalescing the input keeps the
+            # Arrow batch int64-exact (a null in a long batch would arrive
+            # as float64 and round ids past 2^53 before hashing); the
+            # outer when() restores null partition values for null keys
+            zero = (F.to_date(F.lit("1970-01-01")) if t == "date"
+                    else F.lit(0).cast(t))
+            return F.when(
+                F.col(col).isNull(), F.lit(None).cast("int")
+            ).otherwise(_bucket_long(F.coalesce(F.col(col), zero)))
         if t == "string":
             from pyspark.sql.functions import pandas_udf
 

@@ -89,7 +89,14 @@ def truncate_upper_bound(s: str, width: int = _BOUND_TRUNC) -> str | None:
     for i in reversed(range(len(chars))):
         cp = ord(chars[i])
         if cp < 0x10FFFF:
-            chars[i] = chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # incrementing into the surrogate block yields codepoints
+                # Python cannot UTF-8-encode; skip past it (still greater,
+                # still a valid upper bound) — Iceberg's UnicodeUtil does
+                # the same
+                nxt = 0xE000
+            chars[i] = chr(nxt)
             return "".join(chars[:i + 1])
     return None
 
@@ -1320,7 +1327,6 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         for f in schema["fields"]
         if f["type"] in ("int", "long", "string") and f["name"] in df.columns
     }
-    int_cols = {n: fid for n, (fid, t) in stat_cols.items()}
     # partition columns of the default spec that df carries: the write
     # lays them out Hive-style and the commit records each file's
     # partition tuple. Identity fields partition BY the source column
@@ -1366,7 +1372,18 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(batch_dir)
 
-    written = spark.read.parquet(batch_dir)  # partition discovery re-adds cols
+    # identity-partitioned sources are directory-only in the written files
+    # (Spark drops them); the re-read would re-add them through Hive TYPE
+    # INFERENCE, which corrupts numeric-looking strings ('00123' -> 123).
+    # They are excluded from the stats pass — an identity column's
+    # partition value IS its bound and the planner prunes it by partition,
+    # never by zone map — and partition values are parsed from the FILE
+    # PATH below, preserving the exact written string.
+    identity_srcs = {src for _, tr, src, _ in part_fields if tr == "identity"}
+    stat_cols = {n: v for n, v in stat_cols.items() if n not in identity_srcs}
+    int_cols = {n: fid for n, (fid, _t) in stat_cols.items()}
+
+    written = spark.read.parquet(batch_dir)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name in int_cols:
         aggs.append(F.min(name).alias(f"__lo_{name}"))
@@ -1374,10 +1391,9 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         aggs.append(
             F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"__nn_{name}")
         )
-    part_firsts = [F.first(c).alias(f"__pv_{c}") for c in part_cols]
     per_file = (
         written.groupBy(F.col("_metadata.file_path").alias("__fp"))
-        .agg(*aggs, *part_firsts)
+        .agg(*aggs)
         .collect()
     )
     sizes = {
@@ -1397,9 +1413,13 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         return "/" + p.lstrip("/") if p.startswith("/") else p
 
     sizes = {_norm(k): v for k, v in sizes.items()}
-    # partition values read back through Hive-dir type inference: normalize
-    # to the spec field's declared Avro primitive (a numeric-LOOKING string
-    # partition value must stay a string in the manifest tuple)
+    # partition values parse from the Hive FILE PATH ('.../col=value/...'),
+    # NOT from partition-discovery columns — directory parsing preserves
+    # the exact written string ('00123' stays '00123'; discovery would
+    # type-infer it to 123) and un-escapes Spark's %XX path encoding
+    import re as _re
+    import urllib.parse as _up
+
     from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
 
     pmeta_by_col = {}  # partitionBy col -> (spec field name, avro type)
@@ -1415,6 +1435,17 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         if avro_t == "string":
             return str(v)
         return v
+
+    def _part_from_path(path: str) -> dict:
+        out = {}
+        for c in part_cols:
+            m = _re.search(f"/{_re.escape(c)}=([^/]+)/", path)
+            v = _up.unquote(m.group(1)) if m else None
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                v = None
+            fname, at = pmeta_by_col[c]
+            out[fname] = _pcast(v, at)
+        return out
 
     files = []
     for r in per_file:
@@ -1444,17 +1475,7 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
             },
             "lower_bounds": lows,
             "upper_bounds": highs,
-            **(
-                {
-                    "partition": {
-                        pmeta_by_col[c][0]: _pcast(r[f"__pv_{c}"],
-                                                   pmeta_by_col[c][1])
-                        for c in part_cols
-                    }
-                }
-                if part_cols
-                else {}
-            ),
+            **({"partition": _part_from_path(path)} if part_cols else {}),
         })
     return files
 

@@ -128,3 +128,18 @@ def test_metadata_cleanup_honors_properties(spark):
     # re-run: nothing further beyond the window... (new publish added one)
     res3 = expire_metadata_versions(table, timestamp_ms=_TS + 700_000)
     assert len(res3["deleted"]) <= 2
+
+
+def test_metadata_cleanup_force_keep_zero_deletes_all_previous(spark):
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        expire_metadata_versions,
+    )
+
+    table = _fresh("ret_keep0")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    for b in range(3):
+        _append(spark, table, range(b, b + 1), _TS + b * 60_000)
+    res = expire_metadata_versions(table, timestamp_ms=_TS + 400_000,
+                                   force_keep=0)
+    assert len(res["deleted"]) == 3  # v1..v3 all gone (v4 was current)
+    assert scan_table(spark, table).count() == 3  # table fully readable

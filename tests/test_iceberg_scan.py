@@ -768,3 +768,77 @@ def test_multi_predicate_conjunction_prunes_and_filters(spark, tmp_path):
     plan2 = plan_scan(spark, table,
                       predicate=[("id", 5, 8), ("grp", "c", "c")])
     assert len(plan2.data_files) == 0
+
+
+def test_inherited_sequence_numbers_resolve_via_manifest(spark, tmp_path):
+    """Engine-written tables store ADDED entries with NULL sequence_number
+    (spec § Sequence Number Inheritance: the reader takes the MANIFEST's
+    seq). Nulling every entry seq in an upsert history must not change the
+    scan: the re-inserted key stays visible (its manifest seq 3 > delete
+    seq 2) and the originally deleted keys stay hidden. Regression for the
+    mseq path-normalization bug (binaryFile URIs vs raw manifest-list
+    paths) that silently collapsed inherited seqs to 0."""
+    from iceberg_meta_spark.sources.avro_py import read_container, write_container
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    table, _, _ = _mor_table(spark, tmp_path)
+    de = _write_batch(spark, table, "del_eq", [(3,), (7,)], "id long")
+    commit_delete_files(table, [{
+        "file_path": de, "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(de),
+        "equality_ids": [1],
+    }], timestamp_ms=1713139260002)
+    p3 = _write_batch(spark, table, "b3", [(3, 999)], "id long, val long")
+    commit_append(table, [{
+        "file_path": p3, "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(p3),
+    }], timestamp_ms=1713139260003)
+    want = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    assert (3, 999) in want  # sanity: the upsert is visible pre-rewrite
+
+    # engine-style rewrite: NULL every entry's (file_)sequence_number so
+    # the reader must inherit from the manifest list
+    md = load_table_metadata(spark, table)
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, mlist = read_container(fh.read())
+    for m in mlist:
+        with open(m["manifest_path"], "rb") as fh:
+            schema, meta, entries = read_container(fh.read())
+        for e in entries:
+            e["sequence_number"] = None
+            e["file_sequence_number"] = None
+        with open(m["manifest_path"], "wb") as fh:
+            fh.write(write_container(schema, entries, metadata=meta))
+
+    got = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    assert got == want  # inheritance reconstructs every seq exactly
+
+
+def test_numeric_looking_string_partition_values_stay_exact(spark, tmp_path):
+    """Identity partitioning on a string column whose values LOOK numeric
+    ('00123'): the manifest tuple and the re-injected scan column must
+    carry the exact string — Hive partition-discovery type inference
+    would coerce it to 123 and corrupt both. Regression for the
+    path-parsed partition values in write_dataframe_files."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    table = str(tmp_path / "numstr")
+    create_table(table, fields=[(1, "key", "string"), (2, "id", "long")],
+                 partition_fields=[("key", 1, 1000)])
+    rows = [("00123", 1), ("00123", 2), ("7", 3)]
+    append_dataframe(
+        spark, spark.createDataFrame(rows, "key string, id long").coalesce(1),
+        table, timestamp_ms=1713139260000)
+    plan = plan_scan(spark, table)
+    assert sorted(f["part"]["key"] for f in plan.data_files) == ["00123", "7"]
+    got = sorted((r.key, r.id) for r in scan_table(spark, table).collect())
+    assert got == [("00123", 1), ("00123", 2), ("7", 3)]
+    # partition pruning on the exact string value
+    p = plan_scan(spark, table, predicate=("key", "00123", "00123"))
+    assert p.files_pruned == 1

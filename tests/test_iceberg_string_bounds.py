@@ -113,3 +113,14 @@ def test_string_bounds_recorded_truncated(spark):
     ub = {int(kv["key"]): kv["value"] for kv in dfile["upper_bounds"]}
     assert decode_bound(bytes(lb[1]), "string") == "a" * 16
     assert decode_bound(bytes(ub[1]), "string") == "b" * 15 + "c"
+
+
+def test_upper_bound_skips_surrogate_block():
+    """Incrementing into U+D800..U+DFFF would create a lone surrogate that
+    UTF-8 cannot encode (the commit would crash); the increment jumps to
+    U+E000, which is still a valid upper bound."""
+    s = "a" * 15 + chr(0xD7FF)  # 16th codepoint = last before surrogates
+    up = truncate_upper_bound(s + "zzz")
+    assert up == "a" * 15 + chr(0xE000)
+    assert s + "zzz" <= up
+    up.encode("utf-8")  # must be encodable

@@ -294,3 +294,41 @@ def test_unsupported_transform_type_pairs_fail_at_ddl_time():
     # the guided alternative works
     update_partition_spec(t1, add_fields=[("d_day", "day", "d")],
                           timestamp_ms=1713139200000 + 120_000)
+
+
+def test_bucket_exact_for_huge_nullable_longs(spark):
+    """A null in a long Arrow batch must not demote the batch to float64:
+    ids near 2^63 hash EXACTLY (the null-coalesce + outer when keeps the
+    batch int64), and null keys get a null partition value."""
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.sources.iceberg_transforms import (
+        bucket_value,
+        spark_expr,
+    )
+
+    big = 9_223_372_036_854_775_783  # near 2^63, unrepresentable in float64
+    df = spark.createDataFrame([(big,), (None,), (34,)], "id long")
+    got = [r.b for r in
+           df.select(spark_expr("bucket[16]", "id", "long").alias("b"))
+           .collect()]
+    assert got == [bucket_value(big, "long", 16), None,
+                   bucket_value(34, "long", 16)]
+
+
+def test_transform_ddl_validation_covers_bucket_and_temporal():
+    from iceberg_meta_spark.sources.iceberg_transforms import (
+        parse_transform,
+        result_avro_type,
+    )
+
+    with pytest.raises(ValueError, match="bucket unsupported"):
+        result_avro_type("bucket[4]", "double")
+    with pytest.raises(ValueError, match="date/timestamp"):
+        result_avro_type("month", "long")
+    with pytest.raises(ValueError, match="timestamp column"):
+        result_avro_type("hour", "date")
+    with pytest.raises(ValueError, match="width must be >= 1"):
+        parse_transform("bucket[0]")
+    with pytest.raises(ValueError, match="width must be >= 1"):
+        parse_transform("truncate[0]")
