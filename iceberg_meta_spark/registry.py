@@ -138,7 +138,15 @@ DRIVER_WINDOW = [
     # mandated LLM-pipeline family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # r9 rotation (2): iceberg_native_temporal_pruned_scan — the round's
+    # partition-TRANSFORM flagship (month(event_date) layout, predicate
+    # projected through the transform, pruning counts inside the gated
+    # result; THE standard 100-TB time-series layout) takes
+    # dedup_simhash's slot: the mandated near-dup family keeps FIVE
+    # in-window representatives (exact, minhash-LSH, ngram-jaccard,
+    # embedding-cosine, semantic); simhash stays under the full-registry
+    # gate (CORRECTNESS_FULL_r9).
+    "iceberg_native_temporal_pruned_scan",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
