@@ -1756,10 +1756,12 @@ def iceberg_native_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataF
     "the DELETE WHERE fixture — one pyarrow read per data file on the "
     "executors, each applying the position deletes that target it (the "
     "delete parquet is read executor-side and filtered to the file; it "
-    "never lands on the driver), identity partition values injected. Must "
-    "equal iceberg_native_delete_where's scan_table result and oracle "
-    "exactly: two read paths, one hash gate. Equality deletes refuse with "
-    "a pointer to scan_table (cross-file join semantics)",
+    "never lands on the driver) plus the strictly-later equality deletes "
+    "(null-safe key-tuple anti-set, scan_table's visibility rules), "
+    "identity partition values injected. Must equal "
+    "iceberg_native_delete_where's scan_table result and oracle exactly: "
+    "two read paths, one hash gate; the MERGE-INTO live test pins the "
+    "equality-delete side",
 )
 def iceberg_native_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_meta_spark.sources.iceberg_fixture import (

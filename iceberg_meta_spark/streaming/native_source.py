@@ -245,12 +245,15 @@ class IcebergNativeStreamReader(DataSourceStreamReader):
 
 class _BatchFilePartition(InputPartition):
     def __init__(self, file_path: str, part: dict, fields: list,
-                 pos_delete_files: list, seq: int):
+                 pos_delete_files: list, seq: int,
+                 eq_delete_files: list | None = None):
         self.file_path = file_path
         self.part = part
         self.fields = fields
         self.pos_delete_files = pos_delete_files  # [(path, delete_seq)]
         self.seq = seq
+        # [(path, delete_seq, [eq col names])] with delete_seq > seq
+        self.eq_delete_files = eq_delete_files or []
 
 
 class IcebergNativeBatchReader(DataSourceReader):
@@ -259,12 +262,14 @@ class IcebergNativeBatchReader(DataSourceReader):
     Planning reuses :func:`~iceberg_meta_spark.sources.iceberg_scan.
     plan_scan`'s rules driver-side via the same local decode the stream
     reader uses; each partition reads ONE data file with pyarrow and
-    applies the POSITION deletes that target it (delete rows are read
-    executor-side and filtered to this file — the delete file never
-    lands on the driver). Equality deletes need cross-file join
-    semantics, so their presence raises with a pointer to ``scan_table``
-    (the full merge-on-read path). Identity-partition values inject as
-    constant arrays, like the stream reader."""
+    applies BOTH v2 delete shapes executor-side: position deletes
+    (delete rows read per partition and filtered to this file — never on
+    the driver; data_seq <= delete_seq) and equality deletes (key-tuple
+    anti-set from strictly-later delete files, null-safe via python
+    tuple equality — the same visibility rules as ``scan_table``, whose
+    distributed anti-join remains the mass-delete path).
+    Identity-partition values inject as constant arrays, like the stream
+    reader."""
 
     def __init__(self, options: dict):
         self._table = _local(str(options["path"]).rstrip("/"))
@@ -365,7 +370,7 @@ class IcebergNativeBatchReader(DataSourceReader):
             for f in spec.get("fields", [])
             if f.get("transform") == "identity"
         }
-        data, pos_dels = [], []
+        data, pos_dels, eq_dels = [], [], []
         for m in _avro_records(snap["manifest-list"]):
             mseq = m.get("sequence_number")
             for e in _avro_records(m["manifest_path"]):
@@ -382,20 +387,18 @@ class IcebergNativeBatchReader(DataSourceReader):
                     }
                     if self._survives(dfile, part, fields):
                         data.append((dfile, part, seq))
+                elif dfile.get("equality_ids"):
+                    cols = [id_to_name[int(i)] for i in dfile["equality_ids"]]
+                    eq_dels.append((_local(dfile["file_path"]), seq, cols))
                 else:
-                    if dfile.get("equality_ids"):
-                        raise IcebergNativeStreamError(
-                            "table has equality deletes; batch "
-                            "format('iceberg_native') serves position "
-                            "deletes only — use scan_table for the full "
-                            "merge-on-read path"
-                        )
                     pos_dels.append((_local(dfile["file_path"]), seq))
         parts = [
             _BatchFilePartition(
                 _local(d["file_path"]), part, fields,
                 # spec: a position delete applies when data_seq <= del_seq
                 [pd for pd in pos_dels if seq <= pd[1]], seq,
+                # spec: an equality delete applies STRICTLY later deletes
+                [ed for ed in eq_dels if seq < ed[1]],
             )
             for d, part, seq in data
         ]
@@ -438,6 +441,21 @@ class IcebergNativeBatchReader(DataSourceReader):
             else:
                 arrays.append(pa.nulls(n, type=at))
         out = pa.table(arrays, names=names)
+        # equality deletes (data_seq < delete_seq, spec-strict): kill rows
+        # whose key tuple appears in a later delete file — tuple equality
+        # over python scalars IS null-safe (None == None), matching the
+        # scan path's eqNullSafe. Delete files are read executor-side per
+        # partition; sized for moderate delete sets (mass deletes belong
+        # to scan_table's distributed anti-join)
+        for dpath, _seq, cols in partition.eq_delete_files:
+            dt = pq.read_table(dpath, columns=cols)
+            dead_keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
+            if not dead_keys:
+                continue
+            keys = list(zip(*[out.column(c).to_pylist() for c in cols]))
+            keep = [i for i, k in enumerate(keys) if k not in dead_keys]
+            if len(keep) != out.num_rows:
+                out = out.take(pa.array(keep, type=pa.int64()))
         return iter(out.to_batches(max_chunksize=1 << 16))
 
 
@@ -445,8 +463,8 @@ class IcebergNativeDataSource(DataSource):
     """``spark.dataSource.register(IcebergNativeDataSource)`` then
     ``spark.readStream.format("iceberg_native").option("path", dir)`` for
     incremental streaming, or ``spark.read.format("iceberg_native")`` for
-    a batch snapshot read (position deletes applied per file;
-    ``snapshot_id`` option time-travels)."""
+    a batch snapshot read (position AND equality deletes applied per
+    file; ``snapshot_id`` option time-travels)."""
 
     @classmethod
     def name(cls) -> str:

@@ -199,24 +199,32 @@ def test_batch_read_applies_position_deletes(streamed):
     assert before == 8
 
 
-def test_batch_read_refuses_equality_deletes(streamed):
+def test_batch_read_applies_equality_deletes(streamed):
+    """MERGE INTO leaves an equality delete hiding the OLD row version
+    (strict data_seq < delete_seq): the batch reader must serve the
+    merged state — old (2, 2) hidden, upserted (2, 99) visible because
+    it was committed WITH the delete at the same sequence number — and
+    match scan_table row-for-row."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
     from iceberg_meta_spark.sources.iceberg_write import merge_into
 
     spark = streamed
     table = _fresh("ns_batch_eqdel")
     create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
-    _append_kv = lambda ids, off: append_dataframe(  # noqa: E731
+    append_dataframe(
         spark,
-        spark.createDataFrame([(i, i) for i in ids], "id long, val long")
-        .coalesce(1), table, timestamp_ms=_TS + off)
-    _append_kv(range(0, 4), 60_000)
+        spark.createDataFrame([(i, i) for i in range(4)], "id long, val long")
+        .coalesce(1), table, timestamp_ms=_TS + 60_000)
     merge_into(spark,
-               spark.createDataFrame([(2, 99)], "id long, val long")
-               .coalesce(1),
+               spark.createDataFrame([(2, 99), (10, 100)],
+                                     "id long, val long").coalesce(1),
                table, key_cols=["id"], timestamp_ms=_TS + 120_000)
-    with pytest.raises(Exception, match="equality deletes"):
-        (spark.read.format("iceberg_native").option("path", table)
-         .load().collect())
+    got = (spark.read.format("iceberg_native").option("path", table)
+           .load().orderBy("id").collect())
+    assert [(r.id, r.val) for r in got] == [(0, 0), (1, 1), (2, 99),
+                                            (3, 3), (10, 100)]
+    want = scan_table(spark, table).orderBy("id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
 def test_batch_pushdown_prunes_files(streamed):
