@@ -841,3 +841,21 @@ def partition_stats(spark: SparkSession, table_dir: str,
 
     return partition_statistics_frame(spark, table_dir,
                                       snapshot_id=snapshot_id)
+
+
+def register_table(spark: SparkSession, table_dir: str, name: str,
+                   snapshot_id: int | None = None,
+                   version: int | None = None,
+                   ref: str | None = None) -> DataFrame:
+    """Expose a native table to Spark SQL: creates (or replaces) a temp
+    view ``name`` over the merge-on-read scan, so ``spark.sql("SELECT ...
+    FROM name")`` works like any engine table — time travel via
+    snapshot_id=/version=/ref= pins the view to that state. The view is
+    lazy: Catalyst pushes column pruning and filters into the underlying
+    parquet scan as usual."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    df = scan_table(spark, table_dir, snapshot_id=snapshot_id,
+                    version=version, ref=ref)
+    df.createOrReplaceTempView(name)
+    return df

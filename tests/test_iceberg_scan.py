@@ -842,3 +842,31 @@ def test_numeric_looking_string_partition_values_stay_exact(spark, tmp_path):
     # partition pruning on the exact string value
     p = plan_scan(spark, table, predicate=("key", "00123", "00123"))
     assert p.files_pruned == 1
+
+
+def test_register_table_enables_spark_sql(spark, tmp_path):
+    """api.register_table makes a native table queryable with plain SQL,
+    deletes applied; a ref-pinned view serves the branch state."""
+    from iceberg_meta_spark import api
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        delete_where,
+    )
+
+    table = str(tmp_path / "sqlreg")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(6)],
+                              "id long, val long").coalesce(1),
+        table, timestamp_ms=1713139260000)
+    delete_where(spark, table, ("id", 2, 3), timestamp_ms=1713139260001)
+    api.register_table(spark, table, "native_sql_t")
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(val) AS s FROM native_sql_t"
+    ).collect()[0]
+    assert (got.n, got.s) == (4, (0 + 1 + 4 + 5) * 10)
+    # time-travel view: pre-delete snapshot
+    api.register_table(spark, table, "native_sql_t_v1", snapshot_id=1)
+    assert spark.sql("SELECT count(*) n FROM native_sql_t_v1").collect()[0].n == 6
