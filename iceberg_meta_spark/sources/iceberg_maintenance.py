@@ -155,8 +155,13 @@ def expire_snapshots(
 
 
 def _norm(col):
-    """file:///x, file:/x and /x all normalize to /x for the anti-join."""
-    return F.regexp_replace(col, r"^file:/*", "/")
+    """file:///x, file:/x and /x all normalize to /x for the anti-join,
+    url-decoding the URI layer binaryFile paths add over on-disk names
+    (same canonical form as the scan's _norm_path_col — Hive-escaped
+    partition dirs would otherwise mismatch and be flagged orphan)."""
+    from iceberg_meta_spark.sources.iceberg_scan import _norm_path_col
+
+    return _norm_path_col(col)
 
 
 def referenced_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -180,6 +185,18 @@ def referenced_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
     }
     for e in md.get("metadata-log", []):
         driver_paths.add(e["metadata-file"])
+    # registered STATISTICS files (spec § Table Statistics / § Partition
+    # Statistics) are metadata-reachable, never orphans; the partition
+    # stats parquet rides a Spark-written directory, so protect its
+    # siblings (_SUCCESS marker) too
+    for e in md.get("statistics", []):
+        driver_paths.add(e["statistics-path"])
+    for e in md.get("partition-statistics", []):
+        p = _local_path(e["statistics-path"])
+        driver_paths.add(p)
+        d = os.path.dirname(p)
+        if os.path.isdir(d):
+            driver_paths.update(os.path.join(d, f) for f in os.listdir(d))
     manifest_paths: set[str] = set()
     for s in md.get("snapshots", []):
         driver_paths.add(s["manifest-list"])

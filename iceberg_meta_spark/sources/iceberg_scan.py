@@ -59,11 +59,25 @@ _ICEBERG_TO_SPARK = {
 
 def _norm_path(p: str) -> str:
     """file:///x, file:/x, ///x and /x all normalize to /x — the SAME form
-    the Spark-side ``regexp_replace(r'^file:/*', '/')`` produces, so the
-    ``__file`` equi-joins match engine-written ``file://`` URIs too."""
+    the Spark-side :func:`_norm_path_col` produces, so the ``__file``
+    equi-joins match engine-written ``file://`` URIs too."""
     while p.startswith("file:"):
         p = p[len("file:"):]
     return "/" + p.lstrip("/")
+
+
+def _norm_path_col(col):
+    """Spark-side path canonicalization for ``_metadata.file_path`` and
+    delete-file ``file_path`` columns: strip the ``file:`` scheme AND
+    url-decode one layer — ``_metadata.file_path`` is URI-encoded on top
+    of the on-disk name (a Hive-escaped dir ``k=a%3Db`` reads back as
+    ``k=a%253Db``), while manifests store the on-disk path, which is the
+    form ``spark.read.parquet`` can actually open. Literal ``+`` is
+    protected before ``url_decode`` (which is x-www-form-urlencoded and
+    would turn it into a space)."""
+    c = F.regexp_replace(col, r"^file:/*", "/")
+    c = F.regexp_replace(c, r"\+", "%2B")
+    return F.url_decode(c)
 
 
 @dataclass
@@ -380,7 +394,7 @@ def _merged_rows(
     # silently drop a newer batch's added column
     df = spark.read.option("mergeSchema", "true").parquet(*paths).select(
         "*",
-        F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/").alias("__file"),
+        _norm_path_col(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
     # per-file data sequence number: tiny planning-index map, broadcast
@@ -433,9 +447,9 @@ def _merged_rows(
         pos = (
             spark.read.parquet(*pd_paths)
             .select(
-                F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
+                _norm_path_col(F.col("file_path")).alias("__file"),
                 F.col("pos").alias("__pos"),
-                F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/").alias("__dfile"),
+                _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
             )
             .join(F.broadcast(pd_seq), "__dfile")
             .select("__file", "__pos", "__delseq")
@@ -465,7 +479,7 @@ def _merged_rows(
             spark.read.parquet(*e_paths)
             .select(
                 *[F.col(c).alias(f"__eq_{c}") for c in cols],
-                F.regexp_replace(F.col("_metadata.file_path"), r"^file:/*", "/").alias("__dfile"),
+                _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
             )
             .join(F.broadcast(e_seq), "__dfile")
         )
@@ -597,7 +611,7 @@ def scan_changes(
             pos = (
                 spark.read.parquet(*[_norm_path(d["path"]) for d in new_pos])
                 .select(
-                    F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
+                    _norm_path_col(F.col("file_path")).alias("__file"),
                     F.col("pos").alias("__pos"),
                     F.regexp_replace(
                         F.col("_metadata.file_path"), r"^file:/*", "/"

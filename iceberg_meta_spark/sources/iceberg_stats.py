@@ -227,7 +227,9 @@ def write_partition_statistics(
     ] + [entry]
     _publish_metadata(table_dir, md, version, timestamp_ms)
     return {"snapshot_id": snap_id, "statistics_path": stats_path,
-            "partitions": agg.count()}
+            # count derives from the already-local planning rows: no
+            # second Spark job re-running the rollup pipeline
+            "partitions": len({k for k, _, _ in rows})}
 
 
 def partition_statistics_frame(
@@ -240,6 +242,8 @@ def partition_statistics_frame(
     md = load_table_metadata(spark, table_dir)
     if snapshot_id is None:
         snapshot_id = md.get("current-snapshot-id")
+    if snapshot_id is None:
+        raise ValueError("table has no snapshots (and none was requested)")
     entry = next(
         (e for e in md.get("partition-statistics", [])
          if int(e["snapshot-id"]) == int(snapshot_id)),

@@ -1126,9 +1126,13 @@ def create_table(
     for tup in (partition_fields or []):
         n, sid, pfid = tup[0], tup[1], tup[2]
         transform = tup[3] if len(tup) > 3 else "identity"
+        if sid not in type_by_fid:
+            raise KeyError(
+                f"partition field {n!r}: source-id {sid} matches no column"
+            )
         # reject unknown transforms AND unsupported (transform, type)
         # pairs at DDL time, not at first commit
-        result_avro_type(transform, type_by_fid.get(sid, "long"))
+        result_avro_type(transform, type_by_fid[sid])
         pf_norm.append((n, sid, pfid, transform))
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
@@ -1407,9 +1411,16 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
     }
 
     def _norm(p: str) -> str:
-        # collapse file:///x and ///x to /x, same as the scan's _norm_path
+        # collapse file:///x and ///x to /x AND url-decode the one URI
+        # layer Spark's _metadata/binaryFile paths add on top of the
+        # on-disk name — manifests must store the ON-DISK path (the form
+        # spark.read.parquet can open; Hive-escaped dirs like 'k=a%3Db'
+        # read back as 'k=a%253Db'). unquote leaves literal '+' alone.
+        import urllib.parse as _u
+
         while p.startswith("file:"):
             p = p[len("file:"):]
+        p = _u.unquote(p)
         return "/" + p.lstrip("/") if p.startswith("/") else p
 
     sizes = {_norm(k): v for k, v in sizes.items()}
@@ -1440,6 +1451,9 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         out = {}
         for c in part_cols:
             m = _re.search(f"/{_re.escape(c)}=([^/]+)/", path)
+            # `path` is the _norm'd ON-DISK path (URI layer already
+            # decoded), so ONE unquote inverts the remaining Hive
+            # escaping ('a%3Db' -> 'a=b'); probe-verified
             v = _up.unquote(m.group(1)) if m else None
             if v == "__HIVE_DEFAULT_PARTITION__":
                 v = None

@@ -156,10 +156,11 @@ class IcebergNativeStreamReader(DataSourceStreamReader):
             # STAGED (listed but not an ancestor) at start is served when
             # its publish later makes it an ancestor
             seen = main_ancestors(start_md)
+        end_ancestors = main_ancestors(end_md)  # once, not per candidate
         news = [
             s for s in end_md.get("snapshots", [])
             if int(s["snapshot-id"]) not in seen
-            and int(s["snapshot-id"]) in main_ancestors(end_md)
+            and int(s["snapshot-id"]) in end_ancestors
         ]
         news.sort(key=lambda s: (int(s["timestamp-ms"]), int(s["snapshot-id"])))
         return news, end_md
@@ -447,12 +448,24 @@ class IcebergNativeBatchReader(DataSourceReader):
         # scan path's eqNullSafe. Delete files are read executor-side per
         # partition; sized for moderate delete sets (mass deletes belong
         # to scan_table's distributed anti-join)
+        def _nankey(t):
+            # Spark's eqNullSafe treats NaN = NaN as true; Python tuple
+            # equality would not, so NaN maps to a sentinel
+            return tuple(
+                "__nan__" if isinstance(v, float) and v != v else v
+                for v in t
+            )
+
         for dpath, _seq, cols in partition.eq_delete_files:
             dt = pq.read_table(dpath, columns=cols)
-            dead_keys = set(zip(*[dt.column(c).to_pylist() for c in cols]))
+            dead_keys = {
+                _nankey(t)
+                for t in zip(*[dt.column(c).to_pylist() for c in cols])
+            }
             if not dead_keys:
                 continue
-            keys = list(zip(*[out.column(c).to_pylist() for c in cols]))
+            keys = [_nankey(t)
+                    for t in zip(*[out.column(c).to_pylist() for c in cols])]
             keep = [i for i, k in enumerate(keys) if k not in dead_keys]
             if len(keep) != out.num_rows:
                 out = out.take(pa.array(keep, type=pa.int64()))

@@ -14,6 +14,7 @@ from iceberg_meta_spark.sources.iceberg_maintenance import (
     expire_snapshots,
     orphan_files_frame,
     referenced_files_frame,
+    remove_orphans,
     rewrite_manifests,
 )
 from iceberg_meta_spark.sources.iceberg_native import (
@@ -624,3 +625,36 @@ def test_rewrite_data_files_partitioned_groups_per_partition(spark, tmp_path):
     # partition pruning still works on the compacted layout
     assert plan_scan(spark, table,
                      predicate=("region", "emea", "emea")).files_pruned == 1
+
+
+def test_orphan_scan_protects_registered_statistics_files(spark, tmp_path):
+    """Puffin column stats and partition-statistics parquet are metadata-
+    reachable (spec § Table/Partition Statistics): the orphan scan must
+    never flag them — remove_orphans would otherwise delete files the
+    metadata still points at."""
+    from iceberg_meta_spark.sources.iceberg_stats import (
+        analyze_table,
+        partition_statistics_frame,
+        write_partition_statistics,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    table = str(tmp_path / "statsorph")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, i) for i in range(5)], "id long, val long")
+        .coalesce(1), table, timestamp_ms=1713139260000)
+    analyze_table(spark, table, exact=True, timestamp_ms=1713139260001)
+    write_partition_statistics(spark, table, timestamp_ms=1713139260002)
+    flagged = {r.path for r in orphan_files_frame(spark, table).collect()}
+    assert not any("stats" in p for p in flagged), flagged
+    res = remove_orphans(spark, table, older_than_ms=1 << 60, dry_run=False)
+    # stats files survived the DELETING run
+    assert partition_statistics_frame(spark, table).count() == 1
+    from iceberg_meta_spark.sources.iceberg_stats import statistics_frame
+
+    assert statistics_frame(spark, table).count() == 2

@@ -870,3 +870,26 @@ def test_register_table_enables_spark_sql(spark, tmp_path):
     # time-travel view: pre-delete snapshot
     api.register_table(spark, table, "native_sql_t_v1", snapshot_id=1)
     assert spark.sql("SELECT count(*) n FROM native_sql_t_v1").collect()[0].n == 6
+
+
+def test_hive_special_chars_in_partition_values_round_trip(spark, tmp_path):
+    """'a=b' and '50%' survive the Hive-escape + URI-encode double layer:
+    the manifest tuple carries the exact original string and the scan
+    re-injects it (probe: dir 'k=a%3Db', file_path 'k=a%253Db')."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    table = str(tmp_path / "hivesc")
+    create_table(table, fields=[(1, "k", "string"), (2, "id", "long")],
+                 partition_fields=[("k", 1, 1000)])
+    rows = [("a=b", 1), ("50%", 2), ("plain", 3)]
+    append_dataframe(
+        spark, spark.createDataFrame(rows, "k string, id long").coalesce(1),
+        table, timestamp_ms=1713139260000)
+    plan = plan_scan(spark, table)
+    assert sorted(f["part"]["k"] for f in plan.data_files) \
+        == ["50%", "a=b", "plain"]
+    got = sorted((r.k, r.id) for r in scan_table(spark, table).collect())
+    assert got == [("50%", 2), ("a=b", 1), ("plain", 3)]
