@@ -447,7 +447,11 @@ def _merged_rows(
         pos = (
             spark.read.parquet(*pd_paths)
             .select(
-                _norm_path_col(F.col("file_path")).alias("__file"),
+                # delete files STORE the canonical on-disk path (our writers
+                # record the decoded __file; engines record the manifest
+                # path verbatim): scheme-strip ONLY — url-decoding again
+                # would corrupt Hive-escaped names ('k=a%3Db' -> 'k=a=b')
+                F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
                 F.col("pos").alias("__pos"),
                 _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
             )
@@ -611,7 +615,11 @@ def scan_changes(
             pos = (
                 spark.read.parquet(*[_norm_path(d["path"]) for d in new_pos])
                 .select(
-                    _norm_path_col(F.col("file_path")).alias("__file"),
+                    # delete files STORE the canonical on-disk path (our writers
+                # record the decoded __file; engines record the manifest
+                # path verbatim): scheme-strip ONLY — url-decoding again
+                # would corrupt Hive-escaped names ('k=a%3Db' -> 'k=a=b')
+                F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
                     F.col("pos").alias("__pos"),
                     F.regexp_replace(
                         F.col("_metadata.file_path"), r"^file:/*", "/"

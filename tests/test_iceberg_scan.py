@@ -893,3 +893,27 @@ def test_hive_special_chars_in_partition_values_round_trip(spark, tmp_path):
         == ["50%", "a=b", "plain"]
     got = sorted((r.k, r.id) for r in scan_table(spark, table).collect())
     assert got == [("50%", 2), ("a=b", 1), ("plain", 3)]
+
+
+def test_hive_special_partition_with_position_deletes(spark, tmp_path):
+    """The full MoR chain over a Hive-escaped partition ('a=b'): the data
+    file lives in 'k=a%3Db/', the position delete stores the on-disk
+    path, and the (file, pos) anti-join must kill exactly the targeted
+    row — pins the one-decode-per-layer path canonicalization (a second
+    url-decode on the delete side would break the join)."""
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        delete_where,
+    )
+
+    table = str(tmp_path / "hivedel")
+    create_table(table, fields=[(1, "k", "string"), (2, "id", "long")],
+                 partition_fields=[("k", 1, 1000)])
+    rows = [("a=b", i) for i in range(4)] + [("50%", 10)]
+    append_dataframe(
+        spark, spark.createDataFrame(rows, "k string, id long").coalesce(1),
+        table, timestamp_ms=1713139260000)
+    delete_where(spark, table, ("id", 1, 2), timestamp_ms=1713139260001)
+    got = sorted((r.k, r.id) for r in scan_table(spark, table).collect())
+    assert got == [("50%", 10), ("a=b", 0), ("a=b", 3)]
