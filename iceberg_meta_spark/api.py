@@ -849,10 +849,14 @@ def register_table(spark: SparkSession, table_dir: str, name: str,
                    ref: str | None = None) -> DataFrame:
     """Expose a native table to Spark SQL: creates (or replaces) a temp
     view ``name`` over the merge-on-read scan, so ``spark.sql("SELECT ...
-    FROM name")`` works like any engine table — time travel via
+    FROM name")`` queries it with plain SQL; time travel via
     snapshot_id=/version=/ref= pins the view to that state. The view is
-    lazy: Catalyst pushes column pruning and filters into the underlying
-    parquet scan as usual."""
+    SNAPSHOT-PINNED at registration (scan planning resolves the file
+    list eagerly, like a database materialized view's frozen plan):
+    commits AFTER register_table are not visible until you re-register —
+    call register_table again after writes, exactly as you would refresh.
+    Row-level execution stays lazy: Catalyst pushes column pruning and
+    filters into the underlying parquet scan as usual."""
     from iceberg_meta_spark.sources.iceberg_scan import scan_table
 
     df = scan_table(spark, table_dir, snapshot_id=snapshot_id,

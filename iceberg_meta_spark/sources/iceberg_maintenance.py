@@ -155,13 +155,17 @@ def expire_snapshots(
 
 
 def _norm(col):
-    """file:///x, file:/x and /x all normalize to /x for the anti-join,
-    url-decoding the URI layer binaryFile paths add over on-disk names
-    (same canonical form as the scan's _norm_path_col — Hive-escaped
-    partition dirs would otherwise mismatch and be flagged orphan)."""
-    from iceberg_meta_spark.sources.iceberg_scan import _norm_path_col
+    """Scheme-strip only: binaryFile ``path`` values (the orphan listing)
+    AND metadata-sourced paths are both already in the canonical on-disk
+    form — probe-verified: binaryFile reports 'k=a%3Db' verbatim, unlike
+    ``_metadata.file_path`` which URI-encodes one extra layer (THAT form
+    decodes via the scan's ``_norm_path_col``). Decoding here would
+    corrupt Hive-escaped names ('k=a%3Db' -> 'k=a=b') and flag LIVE
+    files as orphans."""
+    return F.regexp_replace(col, r"^file:/*", "/")
 
-    return _norm_path_col(col)
+
+_strip = _norm  # referenced-side alias: same canonical on-disk form
 
 
 def referenced_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -205,7 +209,7 @@ def referenced_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
 
     small = spark.createDataFrame([(p,) for p in sorted(driver_paths)], "path string")
     if not manifest_paths:
-        return small.select(_norm("path").alias("path"))
+        return small.select(_strip("path").alias("path"))
     data_files = (
         spark.read.format("binaryFile")
         .load(sorted(manifest_paths))
@@ -213,7 +217,7 @@ def referenced_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
         .mapInPandas(_entries_map_fn, _ENTRY_COLS)
         .select(F.col("file_path").alias("path"))
     )
-    return small.unionByName(data_files).select(_norm("path").alias("path")).distinct()
+    return small.unionByName(data_files).select(_strip("path").alias("path")).distinct()
 
 
 def orphan_files_frame(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -571,7 +575,11 @@ def rewrite_position_deletes(
     total) counts reach the driver. Fully-live files ride along untouched.
     A no-op publishes nothing. Served rows are identical pre/post (the
     deletes being dropped apply to nothing) — pinned by the tests."""
-    from iceberg_meta_spark.sources.iceberg_scan import _norm_path, plan_scan
+    from iceberg_meta_spark.sources.iceberg_scan import (
+        _norm_path,
+        _norm_path_col,
+        plan_scan,
+    )
     from iceberg_meta_spark.sources.iceberg_write import commit_rewrite_files
 
     table_dir = _local_path(table_dir.rstrip("/"))
@@ -587,9 +595,10 @@ def rewrite_position_deletes(
     rows = (
         spark.read.parquet(*del_paths)
         .select(
-            _norm("file_path").alias("target"),
+            _strip("file_path").alias("target"),  # stored values: on-disk
             "pos",
-            _norm(F.col("_metadata.file_path")).alias("__dfile"),
+            # _metadata.file_path is the ONE doubly-encoded source here
+            _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
         )
         .join(F.broadcast(live_df.withColumn("__live", F.lit(1))),
               "target", "left")

@@ -371,6 +371,56 @@ def plan_scan(
     )
 
 
+def _pos_delete_frame(spark: SparkSession, deletes: list[dict]) -> DataFrame:
+    """(__file, __pos, __delseq) rows of the given position-delete files —
+    ONE canonical builder shared by :func:`_merged_rows` and
+    :func:`scan_changes` so the path normalization cannot drift: the
+    stored ``file_path`` VALUES are the canonical on-disk form
+    (scheme-strip only; url-decoding again would corrupt Hive-escaped
+    names), while ``_metadata.file_path`` is URI-encoded and decodes one
+    layer (:func:`_norm_path_col`) to match the broadcast seq map."""
+    pd_seq = spark.createDataFrame(
+        [(_norm_path(d["path"]), d["seq"]) for d in deletes],
+        "__dfile string, __delseq long",
+    )
+    return (
+        spark.read.parquet(*[_norm_path(d["path"]) for d in deletes])
+        .select(
+            F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
+            F.col("pos").alias("__pos"),
+            _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
+        )
+        .join(F.broadcast(pd_seq), "__dfile")
+        .select("__file", "__pos", "__delseq")
+    )
+
+
+def _eq_delete_frames(
+    spark: SparkSession, deletes: list[dict], id_to_name: dict
+):
+    """Yield (key columns, rows-with-``__delseq`` frame) per equality-id
+    set — the eq-delete sibling of :func:`_pos_delete_frame`, same
+    sharing rationale and path rules."""
+    by_ids: dict[tuple[int, ...], list[dict]] = {}
+    for d in deletes:
+        by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+    for ids, dels in sorted(by_ids.items()):
+        cols = [id_to_name[i] for i in ids]
+        e_seq = spark.createDataFrame(
+            [(_norm_path(d["path"]), d["seq"]) for d in dels],
+            "__dfile string, __delseq long",
+        )
+        eq = (
+            spark.read.parquet(*[_norm_path(d["path"]) for d in dels])
+            .select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
+            )
+            .join(F.broadcast(e_seq), "__dfile")
+        )
+        yield cols, eq
+
+
 def _merged_rows(
     spark: SparkSession,
     plan: ScanPlan,
@@ -439,25 +489,7 @@ def _merged_rows(
             df = df.withColumn(c, src)
 
     if plan.position_deletes:
-        pd_paths = [_norm_path(d["path"]) for d in plan.position_deletes]
-        pd_seq = spark.createDataFrame(
-            [(_norm_path(d["path"]), d["seq"]) for d in plan.position_deletes],
-            "__dfile string, __delseq long",
-        )
-        pos = (
-            spark.read.parquet(*pd_paths)
-            .select(
-                # delete files STORE the canonical on-disk path (our writers
-                # record the decoded __file; engines record the manifest
-                # path verbatim): scheme-strip ONLY — url-decoding again
-                # would corrupt Hive-escaped names ('k=a%3Db' -> 'k=a=b')
-                F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
-                F.col("pos").alias("__pos"),
-                _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
-            )
-            .join(F.broadcast(pd_seq), "__dfile")
-            .select("__file", "__pos", "__delseq")
-        )
+        pos = _pos_delete_frame(spark, plan.position_deletes)
         # spec: a position delete applies to data files with seq <= its own
         df = df.join(
             pos,
@@ -467,26 +499,8 @@ def _merged_rows(
             "left_anti",
         )
 
-    # equality deletes, grouped by their equality_ids column set
-    by_ids: dict[tuple[int, ...], list[dict]] = {}
-    for d in plan.equality_deletes:
-        by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
     id_to_name = {fid: name for fid, name, _ in plan.schema_fields}
-    for ids, dels in sorted(by_ids.items()):
-        cols = [id_to_name[i] for i in ids]
-        e_paths = [_norm_path(d["path"]) for d in dels]
-        e_seq = spark.createDataFrame(
-            [(_norm_path(d["path"]), d["seq"]) for d in dels],
-            "__dfile string, __delseq long",
-        )
-        eq = (
-            spark.read.parquet(*e_paths)
-            .select(
-                *[F.col(c).alias(f"__eq_{c}") for c in cols],
-                _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
-            )
-            .join(F.broadcast(e_seq), "__dfile")
-        )
+    for cols, eq in _eq_delete_frames(spark, plan.equality_deletes, id_to_name):
         cond = df["__dseq"] < eq["__delseq"]  # strict, per spec
         for c in cols:
             # null-safe: an equality delete with NULL in a column deletes
@@ -608,26 +622,7 @@ def scan_changes(
         base = _merged_rows(spark, plan1, common, keep_helpers=True)
         killed: list[DataFrame] = []
         if new_pos:
-            pd_seq = spark.createDataFrame(
-                [(_norm_path(d["path"]), d["seq"]) for d in new_pos],
-                "__dfile string, __delseq long",
-            )
-            pos = (
-                spark.read.parquet(*[_norm_path(d["path"]) for d in new_pos])
-                .select(
-                    # delete files STORE the canonical on-disk path (our writers
-                # record the decoded __file; engines record the manifest
-                # path verbatim): scheme-strip ONLY — url-decoding again
-                # would corrupt Hive-escaped names ('k=a%3Db' -> 'k=a=b')
-                F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
-                    F.col("pos").alias("__pos"),
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), r"^file:/*", "/"
-                    ).alias("__dfile"),
-                )
-                .join(F.broadcast(pd_seq), "__dfile")
-                .select("__file", "__pos", "__delseq")
-            )
+            pos = _pos_delete_frame(spark, new_pos)
             killed.append(base.join(
                 pos,
                 (base["__file"] == pos["__file"])
@@ -635,26 +630,8 @@ def scan_changes(
                 & (base["__dseq"] <= pos["__delseq"]),
                 "left_semi",
             ))
-        by_ids: dict[tuple[int, ...], list[dict]] = {}
-        for d in new_eq:
-            by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
         id_to_name = {fid: n for fid, n, _ in plan2.schema_fields}
-        for ids, dels in sorted(by_ids.items()):
-            cols = [id_to_name[i] for i in ids]
-            e_seq = spark.createDataFrame(
-                [(_norm_path(d["path"]), d["seq"]) for d in dels],
-                "__dfile string, __delseq long",
-            )
-            eq = (
-                spark.read.parquet(*[_norm_path(d["path"]) for d in dels])
-                .select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), r"^file:/*", "/"
-                    ).alias("__dfile"),
-                )
-                .join(F.broadcast(e_seq), "__dfile")
-            )
+        for cols, eq in _eq_delete_frames(spark, new_eq, id_to_name):
             cond = base["__dseq"] < eq["__delseq"]
             for c in cols:
                 cond = cond & base[c].eqNullSafe(eq[f"__eq_{c}"])

@@ -1410,20 +1410,23 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
         .collect()
     }
 
-    def _norm(p: str) -> str:
-        # collapse file:///x and ///x to /x AND url-decode the one URI
-        # layer Spark's _metadata/binaryFile paths add on top of the
-        # on-disk name — manifests must store the ON-DISK path (the form
-        # spark.read.parquet can open; Hive-escaped dirs like 'k=a%3Db'
-        # read back as 'k=a%253Db'). unquote leaves literal '+' alone.
-        import urllib.parse as _u
-
+    def _strip(p: str) -> str:
         while p.startswith("file:"):
             p = p[len("file:"):]
-        p = _u.unquote(p)
         return "/" + p.lstrip("/") if p.startswith("/") else p
 
-    sizes = {_norm(k): v for k, v in sizes.items()}
+    def _norm(p: str) -> str:
+        # for _metadata.file_path values ONLY: strip the scheme AND
+        # url-decode the one URI layer _metadata adds on top of the
+        # on-disk name — manifests must store the ON-DISK path (the form
+        # spark.read.parquet can open; Hive-escaped dirs like 'k=a%3Db'
+        # read back as 'k=a%253Db'). binaryFile paths are ALREADY on-disk
+        # (probe-verified) and use _strip. unquote leaves literal '+'.
+        import urllib.parse as _u
+
+        return _strip(_u.unquote(p))
+
+    sizes = {_strip(k): v for k, v in sizes.items()}
     # partition values parse from the Hive FILE PATH ('.../col=value/...'),
     # NOT from partition-discovery columns — directory parsing preserves
     # the exact written string ('00123' stays '00123'; discovery would

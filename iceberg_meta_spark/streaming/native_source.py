@@ -456,12 +456,20 @@ class IcebergNativeBatchReader(DataSourceReader):
                 for v in t
             )
 
+        # group delete files by key-column set: the data-side key tuples
+        # materialize ONCE per distinct column set (not once per delete
+        # file) and the table rebuilds at most once per group
+        by_cols: dict[tuple, list] = {}
         for dpath, _seq, cols in partition.eq_delete_files:
-            dt = pq.read_table(dpath, columns=cols)
-            dead_keys = {
-                _nankey(t)
-                for t in zip(*[dt.column(c).to_pylist() for c in cols])
-            }
+            by_cols.setdefault(tuple(cols), []).append(dpath)
+        for cols, dpaths in sorted(by_cols.items()):
+            dead_keys: set = set()
+            for dpath in dpaths:
+                dt = pq.read_table(dpath, columns=list(cols))
+                dead_keys.update(
+                    _nankey(t)
+                    for t in zip(*[dt.column(c).to_pylist() for c in cols])
+                )
             if not dead_keys:
                 continue
             keys = [_nankey(t)

@@ -658,3 +658,28 @@ def test_orphan_scan_protects_registered_statistics_files(spark, tmp_path):
     from iceberg_meta_spark.sources.iceberg_stats import statistics_frame
 
     assert statistics_frame(spark, table).count() == 2
+
+
+def test_orphan_scan_keeps_live_files_in_escaped_partitions(spark, tmp_path):
+    """Hive-escaped partition dirs ('k=a%3Db'): the listing side decodes
+    the URI layer, the referenced side must NOT decode its already-on-disk
+    manifest paths — a double decode would flag LIVE data files as
+    orphans and remove_orphans would delete them (data loss)."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    table = str(tmp_path / "escorph")
+    create_table(table, fields=[(1, "k", "string"), (2, "id", "long")],
+                 partition_fields=[("k", 1, 1000)])
+    rows = [("a=b", 1), ("50%", 2), ("plain", 3)]
+    append_dataframe(
+        spark, spark.createDataFrame(rows, "k string, id long").coalesce(1),
+        table, timestamp_ms=1713139260000)
+    flagged = {r.path for r in orphan_files_frame(spark, table).collect()}
+    assert not any(".parquet" in p for p in flagged), flagged
+    # and a DELETING pass leaves every row served
+    remove_orphans(spark, table, older_than_ms=1 << 60, dry_run=False)
+    assert scan_table(spark, table).count() == 3

@@ -891,6 +891,8 @@ def test_hive_special_chars_in_partition_values_round_trip(spark, tmp_path):
     plan = plan_scan(spark, table)
     assert sorted(f["part"]["k"] for f in plan.data_files) \
         == ["50%", "a=b", "plain"]
+    # byte sizes resolved through the binaryFile map for escaped dirs too
+    assert all(f["size"] > 0 for f in plan.data_files)
     got = sorted((r.k, r.id) for r in scan_table(spark, table).collect())
     assert got == [("50%", 2), ("a=b", 1), ("plain", 3)]
 
