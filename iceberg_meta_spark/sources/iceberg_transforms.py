@@ -201,15 +201,35 @@ def spark_expr(transform: str, col: str, src_type: str):
         if t == "string":
             return F.substring(F.col(col), 1, param)
         raise ValueError(f"truncate unsupported for type {src_type!r}")
+    if kind in ("year", "month", "day", "hour") and t == "timestamp":
+        # TIMESTAMP sources: compute from the instant's epoch value, never
+        # from calendar extraction — F.year/F.month/F.datediff on a
+        # timestamp render in the SESSION timezone, so under a non-UTC
+        # session the written partition values would diverge from
+        # apply_value's UTC projection and pruning could drop matching
+        # rows. cast("double") yields fractional epoch seconds
+        # (tz-independent); floor division is exact for pre-1970 too.
+        epoch_days = F.floor(F.col(col).cast("double") / 86400).cast("int")
+        if kind == "hour":
+            return F.floor(F.col(col).cast("double") / 3600).cast("int")
+        if kind == "day":
+            return epoch_days
+        # year/month need UTC calendar fields: route through DateType
+        # (tz-free) built from the epoch-day number
+        d = F.date_add(F.to_date(F.lit("1970-01-01")), epoch_days)
+        if kind == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        return ((F.year(d) - F.lit(1970)) * 12 + F.month(d) - 1).cast("int")
     if kind == "year":
         return (F.year(col) - F.lit(1970)).cast("int")
     if kind == "month":
         return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
     if kind == "day":
+        # DATE sources only (timestamps handled above): DateType calendar
+        # arithmetic is timezone-free
         return F.datediff(F.col(col), F.lit("1970-01-01")).cast("int")
     if kind == "hour":
-        # timestamp only: hours from epoch (unix_timestamp is UTC seconds)
-        return F.floor(F.unix_timestamp(F.col(col)) / 3600).cast("int")
+        raise ValueError(f"hour transform needs a timestamp column, got {src_type!r}")
     if kind == "bucket":
         n = param
         if t in ("int", "long", "date"):
@@ -269,7 +289,12 @@ def apply_value(transform: str, v, src_type: str):
             return v[:param]
         raise ValueError(f"truncate unsupported for type {src_type!r}")
     if kind in ("year", "month", "day"):
-        d = v.date() if isinstance(v, datetime.datetime) else v
+        if isinstance(v, datetime.datetime):
+            # tz-aware datetimes project through their UTC instant (naive
+            # ones are treated AS UTC), matching spark_expr's epoch math
+            d = (v.astimezone(datetime.timezone.utc) if v.tzinfo else v).date()
+        else:
+            d = v
         if not isinstance(d, datetime.date):
             raise ValueError(f"{kind} transform needs a date, got {type(v)}")
         if kind == "year":

@@ -352,7 +352,13 @@ class IcebergNativeBatchReader(DataSourceReader):
         md = _load_md(self._table, _current_version(self._table))
         if md.get("current-snapshot-id") is None and self._snapshot_id is None:
             return [_BatchFilePartition("", {}, [], [], 0)]
-        snap_id = self._snapshot_id or int(md["current-snapshot-id"])
+        # `is not None`, not truthiness: snapshot-id 0 is legal (random
+        # 64-bit ids) and must not silently fall back to current
+        snap_id = (
+            self._snapshot_id
+            if self._snapshot_id is not None
+            else int(md["current-snapshot-id"])
+        )
         snap = next(
             s for s in md["snapshots"] if int(s["snapshot-id"]) == snap_id
         )

@@ -101,3 +101,36 @@ def test_compaction_defaults_to_table_sort_order(spark):
     after = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
     assert after == before
     assert plan_scan(spark, table, predicate=("id", 25, 29)).files_pruned >= 1
+
+
+def test_entries_record_sort_order_id(spark):
+    """ADVICE r9: files written sorted under the table's default order must
+    carry its sort-order id in their manifest entries (spec: sort_order_id
+    names the order the file satisfies); unsorted writes stay 0."""
+    from iceberg_meta_spark.sources.avro_py import read_container
+
+    def entry_order_ids(table):
+        md = _md(table)
+        snap = md["snapshots"][-1]
+        with open(snap["manifest-list"], "rb") as fh:
+            _, _, manifests = read_container(fh.read())
+        out = []
+        for m in manifests:
+            # the LAST commit's own manifest only: carried-forward
+            # manifests ride verbatim with their original entries
+            if m["added_snapshot_id"] != snap["snapshot-id"]:
+                continue
+            with open(m["manifest_path"], "rb") as fh:
+                _, _, entries = read_container(fh.read())
+            out += [e["data_file"]["sort_order_id"] for e in entries
+                    if e["status"] == 1]
+        return out
+
+    table = _fresh("so_entry_id")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    df = spark.createDataFrame([(2, 20), (1, 10)], "id long, val long")
+    append_dataframe(spark, df.coalesce(1), table, timestamp_ms=_TS + 60_000)
+    assert entry_order_ids(table) == [0]  # unsorted table: order 0
+    update_sort_order(table, ["id"], timestamp_ms=_TS + 120_000)
+    append_dataframe(spark, df.coalesce(1), table, timestamp_ms=_TS + 180_000)
+    assert entry_order_ids(table) == [1]  # sorted write: the default order

@@ -332,3 +332,139 @@ def test_transform_ddl_validation_covers_bucket_and_temporal():
         parse_transform("bucket[0]")
     with pytest.raises(ValueError, match="width must be >= 1"):
         parse_transform("truncate[0]")
+
+
+def test_temporal_spark_exprs_are_utc_under_any_session_timezone(spark):
+    """ADVICE r9: year/month/day/hour over TIMESTAMP sources must compute
+    from the instant's UTC calendar, not the session timezone — otherwise
+    written partition values and apply_value's scan-time projection
+    diverge and pruning can drop matching rows. Pin: under a non-UTC
+    session every transform equals apply_value's UTC result."""
+    import datetime as _dt
+
+    from iceberg_meta_spark.sources.iceberg_transforms import spark_expr
+
+    # 2024-03-01 03:30 UTC renders as 2024-02-29 19:30 in LA: year/month/
+    # day ALL differ between the two timezones, so a session-tz leak flips
+    # every assertion below
+    ts = _dt.datetime(2024, 3, 1, 3, 30, tzinfo=_dt.timezone.utc)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame([(ts,)], "ts timestamp")
+        row = df.select(
+            *[
+                spark_expr(k, "ts", "timestamp").alias(k)
+                for k in ("year", "month", "day", "hour")
+            ]
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    for k in ("year", "month", "day", "hour"):
+        assert row[k] == apply_value(k, ts, "timestamp"), k
+
+
+def test_partition_field_name_collision_rejected_at_ddl_time():
+    """ADVICE r9 (medium): a transformed partition field named after a
+    schema column would make write_dataframe_files' withColumn silently
+    REPLACE the data column and partitionBy drop its real values — reject
+    at CREATE/ALTER time like Iceberg's name-conflict validation."""
+    import tempfile as _tf
+    import shutil as _sh
+    import os as _os
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        create_table,
+        update_partition_spec,
+    )
+
+    base = _os.path.join(_tf.gettempdir(), "pf_name_collision")
+    _sh.rmtree(base, ignore_errors=True)
+
+    # transformed field shadowing a column: rejected
+    with pytest.raises(ValueError, match="conflicts with schema column"):
+        create_table(
+            _os.path.join(base, "t1"),
+            fields=[(1, "id", "long"), (2, "val", "long")],
+            partition_fields=[("val", 1, 1000, "bucket[4]")],
+        )
+    # two partition fields sharing a name: rejected
+    with pytest.raises(ValueError, match="another partition field"):
+        create_table(
+            _os.path.join(base, "t2"),
+            fields=[(1, "id", "long"), (2, "val", "long")],
+            partition_fields=[
+                ("b", 1, 1000, "bucket[4]"),
+                ("b", 2, 1001, "bucket[8]"),
+            ],
+        )
+    # the one legal overlap: identity named after its own source
+    create_table(
+        _os.path.join(base, "t3"),
+        fields=[(1, "region", "string"), (2, "id", "long")],
+        partition_fields=[("region", 1, 1000)],
+    )
+    # ALTER path: same rules
+    with pytest.raises(ValueError, match="conflicts with schema column"):
+        update_partition_spec(
+            _os.path.join(base, "t3"),
+            add_fields=[("id", "bucket[4]", "id")],
+            timestamp_ms=1713139200000 + 60_000,
+        )
+    with pytest.raises(ValueError, match="another partition field"):
+        update_partition_spec(
+            _os.path.join(base, "t3"),
+            add_fields=[("region", "bucket[4]", "id")],
+            timestamp_ms=1713139200000 + 60_000,
+        )
+
+
+def test_part_from_path_ignores_table_root_hive_segments(spark):
+    """ADVICE r9: a table ROOTED under a directory containing a
+    'col=value' segment must parse partition values from the innermost
+    (write-produced) Hive dir, not the table-root segment."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from iceberg_meta_spark.sources.avro_py import read_container
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(_tf.gettempdir(), "pfp_root", "region=us", "tables")
+    _sh.rmtree(os.path.join(_tf.gettempdir(), "pfp_root"), ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(
+        table,
+        fields=[(1, "region", "string"), (2, "id", "long")],
+        partition_fields=[("region", 1, 1000)],
+    )
+    rows = [("emea", 1), ("apac", 2)]
+    append_dataframe(
+        spark,
+        spark.createDataFrame(rows, "region string, id long").coalesce(1),
+        table,
+        timestamp_ms=1713139200000 + 60_000,
+    )
+    # manifest partition tuples record the WRITTEN values, never 'us'
+    import glob as _glob
+    import json as _json
+
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    md = _json.load(
+        open(os.path.join(table, "metadata", f"v{v}.metadata.json"))
+    )
+    snap = md["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, manifests = read_container(fh.read())
+    parts = set()
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            _, _, entries = read_container(fh.read())
+        parts.update(e["data_file"]["partition"]["region"] for e in entries)
+    assert parts == {"emea", "apac"}
+    got = sorted((r.region, r.id) for r in scan_table(spark, table).collect())
+    assert got == [("apac", 2), ("emea", 1)]

@@ -284,3 +284,43 @@ def test_staged_branch_commits_stream_only_after_publish(streamed):
     _run_to_parquet(spark, table, sink, ckpt)
     assert sorted(r.id for r in spark.read.parquet(sink).collect()) \
         == [0, 1, 2, 10, 11, 12]
+
+
+def test_batch_read_honors_snapshot_id_zero(streamed):
+    """ADVICE r9: a legitimate snapshot id of 0 (legal for engine-written
+    tables with random 64-bit ids) must time-travel to THAT snapshot, not
+    silently fall back to current via `0 or current`."""
+    import json
+
+    spark = streamed
+    table = _fresh("nb_snap0")
+    create_table(table, fields=[(1, "region", "string"), (2, "id", "long"),
+                                (3, "val", "long")])
+    _append(spark, table, [("emea", 1, 10)], 60_000)
+    _append(spark, table, [("apac", 2, 20)], 120_000)
+    # renumber the FIRST snapshot to id 0 (metadata-only: the batch reader
+    # resolves files through the snapshot's manifest-list, and manifest
+    # entries carry their own status/seq)
+    meta_dir = os.path.join(table, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mpath) as fh:
+        md = json.load(fh)
+    first = min(s["snapshot-id"] for s in md["snapshots"])
+    for s in md["snapshots"]:
+        if s["snapshot-id"] == first:
+            s["snapshot-id"] = 0
+        if s.get("parent-snapshot-id") == first:
+            s["parent-snapshot-id"] = 0
+    for e in md.get("snapshot-log", []):
+        if e["snapshot-id"] == first:
+            e["snapshot-id"] = 0
+    with open(mpath, "w") as fh:
+        json.dump(md, fh)
+    got = (
+        spark.read.format("iceberg_native").option("path", table)
+        .option("snapshot_id", "0").load()
+        .select("id").collect()
+    )
+    assert sorted(r.id for r in got) == [1]  # first snapshot only, not both
