@@ -65,6 +65,100 @@ def _local_path(p: str) -> str:
     return "/" + p.lstrip("/") if p.startswith("/") else p
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer kept winning the metadata-version race (or the
+    rebased commit no longer validates). The table is untouched; retry the
+    whole operation against fresh state."""
+
+
+_COMMIT_RETRIES = 10
+_RETRY_BACKOFF_S = 0.02
+
+
+def _latest_version(meta_dir: str) -> int:
+    """Current metadata version: the version-hint, upgraded by a directory
+    scan for any HIGHER v{N}.metadata.json. HadoopTables semantics
+    (Iceberg's HadoopTableOperations.findVersion): the exclusively-created
+    metadata FILE is the commit; the hint is an optimization that can lag
+    by a crash or an in-flight swap, so a committing writer must not trust
+    it alone — basing a retry on a stale hint would spin forever against
+    an already-claimed version."""
+    import re
+
+    with open(os.path.join(meta_dir, "version-hint.text")) as hint_fh:
+        version = int(hint_fh.read().strip())
+    for f in os.listdir(meta_dir):
+        m = re.fullmatch(r"v(\d+)\.metadata\.json", f)
+        if m:
+            version = max(version, int(m.group(1)))
+    return version
+
+
+def _read_meta(meta_dir: str) -> tuple[int, dict]:
+    version = _latest_version(meta_dir)
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        return version, json.load(fh)
+
+
+def _write_new_file(path: str, blob: bytes) -> str:
+    """Exclusive-create write for manifest / manifest-list files, returning
+    the path actually used. Two concurrent attempts based on the same
+    metadata version compute the same snapshot id and therefore the same
+    DETERMINISTIC file name — a plain "wb" would let the losing attempt
+    TRUNCATE the file the winner already published (seen as avro
+    'truncated varint' corruption under the commit race). The exclusive
+    create keeps the single-writer name byte-stable while a racer falls
+    back to ``-rK`` suffixes; its orphans are swept by remove_orphans."""
+    base, ext = os.path.splitext(path)
+    d, k = path, 0
+    while True:
+        try:
+            with open(d, "xb") as fh:
+                fh.write(blob)
+            return d
+        except FileExistsError:
+            k += 1
+            d = f"{base}-r{k}{ext}"
+
+
+def _publish(meta_dir: str, version: int, md: dict) -> None:
+    """Two-phase publish: exclusive-create v(N+1).metadata.json (the
+    commit's atomic claim — a concurrent writer's create of the same
+    version raises FileExistsError), then atomically swap the hint."""
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
+        json.dump(md, fh, indent=1)
+    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+
+
+def _retrying_commit(meta_dir: str, attempt, retries: int = _COMMIT_RETRIES):
+    """The Iceberg optimistic-concurrency commit loop: read the CURRENT
+    metadata, build the commit against it, try to claim the next version;
+    on losing the exclusive-create race, re-read and REBASE (the attempt
+    re-derives everything — snapshot id, sequence number, parent, carried
+    manifests — from the fresh metadata, and re-runs its own validation,
+    so a genuinely conflicting commit, e.g. deleting a file another writer
+    already removed, surfaces as the attempt's own KeyError/ValueError
+    rather than being blindly re-applied). Files written by a losing
+    attempt (manifests, manifest lists) become unreferenced and are swept
+    by remove_orphans, matching engine behavior."""
+    import time
+
+    for i in range(retries + 1):
+        version, md = _read_meta(meta_dir)
+        try:
+            return attempt(version, md)
+        except FileExistsError:
+            if i == retries:
+                raise CommitConflictError(
+                    f"lost the commit race {retries + 1} times under "
+                    f"{meta_dir}; giving up"
+                ) from None
+            time.sleep(_RETRY_BACKOFF_S * (i + 1))
+
+
 _AVRO_T = {"string": "string", "long": "long", "int": "int",
            "double": "double", "boolean": "boolean"}
 
@@ -99,6 +193,35 @@ def truncate_upper_bound(s: str, width: int = _BOUND_TRUNC) -> str | None:
             chars[i] = chr(nxt)
             return "".join(chars[:i + 1])
     return None
+
+
+def _check_partition_names(
+    additions: list[tuple[str, str, str]],
+    column_names: set[str],
+    taken_names: set[str] = frozenset(),
+) -> None:
+    """Iceberg's partition-field name-conflict validation, enforced at DDL
+    time: a partition field name must not collide with a schema column
+    (``write_dataframe_files``'s withColumn(fname, ...) would silently
+    REPLACE the same-named data column and partitionBy would drop its real
+    values from the data files) nor with another partition field. The one
+    legal overlap is an identity transform named after its own source
+    column — that IS how identity specs are spelled. ``additions`` =
+    (field name, transform, source column)."""
+    seen = set(taken_names)
+    for fname, transform, src in additions:
+        if fname in seen:
+            raise ValueError(
+                f"partition field name {fname!r} conflicts with another "
+                "partition field"
+            )
+        if fname in column_names and not (transform == "identity" and fname == src):
+            raise ValueError(
+                f"partition field name {fname!r} conflicts with schema "
+                f"column {fname!r}; pick a distinct name (e.g. "
+                f"{fname}_{transform.split('[')[0]})"
+            )
+        seen.add(fname)
 
 
 def _partition_fields_from_spec(md: dict, types: dict) -> list[dict]:
@@ -162,7 +285,10 @@ def _added_data_entries(
                 "lower_bounds": kv_bytes(f.get("lower_bounds")),
                 "upper_bounds": kv_bytes(f.get("upper_bounds")),
                 "split_offsets": None,
-                "sort_order_id": 0,
+                # per-file: write_dataframe_files stamps the table's default
+                # order id on files it actually sorted; everything else is
+                # unsorted (0) per spec
+                "sort_order_id": int(f.get("sort_order_id", 0)),
             },
         }
         for f in files
@@ -175,6 +301,7 @@ def commit_append(
     partition_fields: list[dict] | None = None,
     timestamp_ms: int | None = None,
     branch: str | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict:
     """Append ``files`` as one new snapshot; returns the new table metadata.
 
@@ -193,13 +320,42 @@ def commit_append(
 
     ``timestamp_ms`` is required metadata on the snapshot; pass a pinned
     value in tests for deterministic output (defaults to last-updated-ms+1
-    so the fixture stays wall-clock-free)."""
+    so the fixture stays wall-clock-free).
+
+    ``extra_summary`` adds string properties to the snapshot summary (e.g.
+    the streaming sink's exactly-once epoch markers).
+
+    Concurrency (r10): the commit runs the optimistic retry loop
+    (:func:`_retrying_commit`) — two interleaved appends BOTH succeed,
+    serialized; the loser rebases onto the winner's snapshot and re-claims
+    the next metadata version. Appends never conflict semantically (their
+    file sets are disjoint), so the rebase is unconditional."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+
+    def attempt(version: int, md: dict) -> dict:
+        return _commit_append_once(
+            table_dir, meta_dir, version, md, files, partition_fields,
+            timestamp_ms, branch, extra_summary,
+        )
+
+    return _retrying_commit(meta_dir, attempt)
+
+
+def _commit_append_once(
+    table_dir: str,
+    meta_dir: str,
+    version: int,
+    md: dict,
+    files: list[dict],
+    partition_fields: list[dict] | None,
+    timestamp_ms: int | None,
+    branch: str | None,
+    extra_summary: dict[str, str] | None,
+) -> dict:
+    """One append attempt against the given metadata; raises
+    FileExistsError when another writer claims v(version+1) first (the
+    retry loop rebases and re-enters)."""
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("commit_append writes format-version 2 tables only")
 
@@ -228,7 +384,6 @@ def commit_append(
 
     entries = _added_data_entries(files, snap_id, seq, types, partition_fields)
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/{snap_id}")
-    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
     blob = write_container(
         manifest_entry_schema(partition_fields),
         entries,
@@ -238,8 +393,9 @@ def commit_append(
             "partition-spec-id": str(md["default-spec-id"]).encode(),
         },
     )
-    with open(manifest_path, "wb") as fh:
-        fh.write(blob)
+    manifest_path = _write_new_file(
+        os.path.join(meta_dir, f"{commit_uuid}-m0.avro"), blob
+    )
 
     added_rows = sum(int(f["record_count"]) for f in files)
     new_manifest = {
@@ -270,15 +426,14 @@ def commit_append(
         for m in prev_manifests:  # normalize optional fields for re-encode
             m.setdefault("partitions", None)
 
-    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(
-            write_container(
-                MANIFEST_FILE_SCHEMA,
-                prev_manifests + [new_manifest],
-                metadata={"format-version": b"2"},
-            )
-        )
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(
+            MANIFEST_FILE_SCHEMA,
+            prev_manifests + [new_manifest],
+            metadata={"format-version": b"2"},
+        ),
+    )
 
     # carry EVERY running total forward from the parent summary, not just
     # total-data-files — native_snapshots_frame / native_warehouse_tables
@@ -312,6 +467,7 @@ def commit_append(
             "total-files-size": str(
                 int(prev_summary.get("total-files-size", 0)) + added_bytes
             ),
+            **{str(k): str(v) for k, v in (extra_summary or {}).items()},
         },
     }
     md["snapshots"] = md.get("snapshots", []) + [snapshot]
@@ -337,14 +493,8 @@ def commit_append(
         if "main" in (md.get("refs") or {}):
             md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
 
-    new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
-    with open(new_meta, "x") as fh:
-        json.dump(md, fh, indent=1)
-    # two-phase publish: everything above is invisible until this swap
-    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(version + 1))
-    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    # two-phase publish: everything above is invisible until the hint swap
+    _publish(meta_dir, version, md)
     return md
 
 
@@ -400,10 +550,10 @@ def _mark_removed_in_manifests(
             rewritten.append(e)
         removed += deleted
         removed_rows += deleted_rows
-        rpath = os.path.join(meta_dir, f"{commit_uuid}-m{mi}.avro")
         blob = write_container(entry_schema, rewritten, metadata=dict(mmeta))
-        with open(rpath, "wb") as fh:
-            fh.write(blob)
+        rpath = _write_new_file(
+            os.path.join(meta_dir, f"{commit_uuid}-m{mi}.avro"), blob
+        )
         new_manifests.append(
             {
                 **m,
@@ -433,14 +583,30 @@ def commit_remove_files(
     preserved; untouched manifests ride into the new manifest list as-is.
     Readers that filter status != 2 (ours, and every engine's live scan)
     stop seeing the files; previous snapshots still time-travel to them.
+
+    Concurrency: runs the optimistic retry loop; a rebase RE-RESOLVES the
+    targets against the winner's snapshot, so deleting a file another
+    writer already removed raises this function's own KeyError (a genuine
+    conflict), never a silent double-delete.
     """
-    targets = set(file_paths)
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    return _retrying_commit(
+        meta_dir,
+        lambda version, md: _commit_remove_files_once(
+            table_dir, meta_dir, version, md, set(file_paths), timestamp_ms
+        ),
+    )
+
+
+def _commit_remove_files_once(
+    table_dir: str,
+    meta_dir: str,
+    version: int,
+    md: dict,
+    targets: set[str],
+    timestamp_ms: int | None,
+) -> dict:
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("commit_remove_files writes format-version 2 tables only")
     parent = md.get("current-snapshot-id")
@@ -464,10 +630,11 @@ def commit_remove_files(
     if not removed:
         raise KeyError(f"none of the {len(targets)} paths are live in snapshot {parent}")
 
-    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
-                                 metadata={"format-version": b"2"}))
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(MANIFEST_FILE_SCHEMA, new_manifests,
+                        metadata={"format-version": b"2"}),
+    )
     prev_summary = (prev.get("summary", {}) or {})
     snapshot = {
         "snapshot-id": snap_id,
@@ -506,13 +673,7 @@ def commit_remove_files(
     md["last-updated-ms"] = ts
     if "main" in (md.get("refs") or {}):
         md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
-    new_meta = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
-    with open(new_meta, "x") as fh:
-        json.dump(md, fh, indent=1)
-    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(version + 1))
-    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    _publish(meta_dir, version, md)
     return md
 
 
@@ -539,14 +700,33 @@ def commit_rewrite_files(
     the compaction tests. ``add_content=1`` adds position/equality DELETE
     files instead (the delete-file rewrite): data totals carry verbatim
     and ``total-delete-files`` moves by (added - removed); ``add_files``
-    may be empty when every rewritten delete file was fully dangling."""
-    targets = set(remove_paths)
+    may be empty when every rewritten delete file was fully dangling.
+
+    Concurrency: optimistic retry loop; the rebase re-resolves
+    ``remove_paths`` against the winner's snapshot — a file another writer
+    already removed raises KeyError (genuine conflict, the compaction must
+    re-plan), concurrent appends rebase cleanly."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    return _retrying_commit(
+        meta_dir,
+        lambda version, md: _commit_rewrite_files_once(
+            table_dir, meta_dir, version, md, set(remove_paths), add_files,
+            timestamp_ms, add_content,
+        ),
+    )
+
+
+def _commit_rewrite_files_once(
+    table_dir: str,
+    meta_dir: str,
+    version: int,
+    md: dict,
+    targets: set[str],
+    add_files: list[dict],
+    timestamp_ms: int | None,
+    add_content: int,
+) -> dict:
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("commit_rewrite_files writes format-version 2 tables only")
     parent = md.get("current-snapshot-id")
@@ -587,9 +767,9 @@ def commit_rewrite_files(
             )
         else:
             blob, _ = _delete_manifest_blob(md, add_files, snap_id, seq)
-        manifest_path = os.path.join(meta_dir, f"{commit_uuid}-a0.avro")
-        with open(manifest_path, "wb") as fh:
-            fh.write(blob)
+        manifest_path = _write_new_file(
+            os.path.join(meta_dir, f"{commit_uuid}-a0.avro"), blob
+        )
         new_manifests.append({
             "manifest_path": manifest_path,
             "manifest_length": len(blob),
@@ -607,10 +787,11 @@ def commit_rewrite_files(
             "partitions": None,
         })
 
-    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
-                                 metadata={"format-version": b"2"}))
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(MANIFEST_FILE_SCHEMA, new_manifests,
+                        metadata={"format-version": b"2"}),
+    )
     prev_summary = (prev.get("summary", {}) or {})
     if add_content == 0:
         summary = {
@@ -673,12 +854,7 @@ def commit_rewrite_files(
     md["last-updated-ms"] = ts
     if "main" in (md.get("refs") or {}):
         md["refs"]["main"]["snapshot-id"] = snap_id
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
-        json.dump(md, fh, indent=1)
-    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(version + 1))
-    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    _publish(meta_dir, version, md)
     return md
 
 
@@ -749,13 +925,30 @@ def commit_delete_files(
     holds), ``file_size_in_bytes``, optional ``partition``, optional
     ``equality_ids`` (list[int] -> content=2 equality deletes; absent ->
     content=1 position deletes).
+
+    Concurrency: optimistic retry loop — a rebase re-reads the winner's
+    manifest list, so the delete manifest lands beside ALL current data
+    manifests (row-level delete files conflict with nothing: they only
+    narrow visibility of already-committed rows).
     """
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    return _retrying_commit(
+        meta_dir,
+        lambda version, md: _commit_delete_files_once(
+            table_dir, meta_dir, version, md, delete_files, timestamp_ms
+        ),
+    )
+
+
+def _commit_delete_files_once(
+    table_dir: str,
+    meta_dir: str,
+    version: int,
+    md: dict,
+    delete_files: list[dict],
+    timestamp_ms: int | None,
+) -> dict:
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("row-level deletes require format-version 2")
     parent = md.get("current-snapshot-id")
@@ -768,9 +961,9 @@ def commit_delete_files(
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/del/{snap_id}")
 
     blob, n_entries = _delete_manifest_blob(md, delete_files, snap_id, seq)
-    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
-    with open(manifest_path, "wb") as fh:
-        fh.write(blob)
+    manifest_path = _write_new_file(
+        os.path.join(meta_dir, f"{commit_uuid}-d0.avro"), blob
+    )
 
     from iceberg_meta_spark.sources.avro_py import read_container
 
@@ -795,11 +988,12 @@ def commit_delete_files(
         "deleted_rows_count": 0,
         "partitions": None,
     }
-    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(write_container(MANIFEST_FILE_SCHEMA,
-                                 prev_manifests + [new_manifest],
-                                 metadata={"format-version": b"2"}))
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(MANIFEST_FILE_SCHEMA,
+                        prev_manifests + [new_manifest],
+                        metadata={"format-version": b"2"}),
+    )
     # row-level deletes leave the DATA files untouched: total-data-files /
     # total-records / total-files-size carry over verbatim from the parent
     # (the logical deletion is tracked by deleted-records and the
@@ -842,12 +1036,7 @@ def commit_delete_files(
     md["last-updated-ms"] = ts
     if "main" in (md.get("refs") or {}):
         md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
-        json.dump(md, fh, indent=1)
-    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(version + 1))
-    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    _publish(meta_dir, version, md)
     return md
 
 
@@ -866,13 +1055,32 @@ def commit_merge(
 
     Summary totals are physical (spec): data files/records/bytes grow by
     the added files; the logically-replaced rows stay on disk until
-    compaction absorbs them (``rewrite_data_files``)."""
+    compaction absorbs them (``rewrite_data_files``).
+
+    Concurrency: optimistic retry loop — a rebased merge re-reads the
+    winner's manifests and claims a NEW sequence number, so its equality
+    deletes still hide exactly the rows committed before it (seq < N),
+    including the concurrent winner's."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    return _retrying_commit(
+        meta_dir,
+        lambda version, md: _commit_merge_once(
+            table_dir, meta_dir, version, md, data_files, delete_files,
+            timestamp_ms,
+        ),
+    )
+
+
+def _commit_merge_once(
+    table_dir: str,
+    meta_dir: str,
+    version: int,
+    md: dict,
+    data_files: list[dict],
+    delete_files: list[dict],
+    timestamp_ms: int | None,
+) -> dict:
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("merge commits require format-version 2")
     parent = md.get("current-snapshot-id")
@@ -895,13 +1103,13 @@ def commit_merge(
         metadata={"format-version": b"2", "content": b"data",
                   "partition-spec-id": str(md["default-spec-id"]).encode()},
     )
-    data_mpath = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
-    with open(data_mpath, "wb") as fh:
-        fh.write(data_blob)
+    data_mpath = _write_new_file(
+        os.path.join(meta_dir, f"{commit_uuid}-m0.avro"), data_blob
+    )
     del_blob, n_del = _delete_manifest_blob(md, delete_files, snap_id, seq)
-    del_mpath = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
-    with open(del_mpath, "wb") as fh:
-        fh.write(del_blob)
+    del_mpath = _write_new_file(
+        os.path.join(meta_dir, f"{commit_uuid}-d0.avro"), del_blob
+    )
 
     from iceberg_meta_spark.sources.avro_py import read_container
 
@@ -933,10 +1141,11 @@ def commit_merge(
          "content": 1, "added_files_count": n_del,
          "added_rows_count": delete_rows},
     ]
-    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(write_container(MANIFEST_FILE_SCHEMA, new_manifests,
-                                 metadata={"format-version": b"2"}))
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(MANIFEST_FILE_SCHEMA, new_manifests,
+                        metadata={"format-version": b"2"}),
+    )
 
     prev_summary = (prev.get("summary", {}) or {})
     snapshot = {
@@ -980,12 +1189,7 @@ def commit_merge(
     md["last-updated-ms"] = ts
     if "main" in (md.get("refs") or {}):
         md["refs"]["main"]["snapshot-id"] = snap_id
-    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "x") as fh:
-        json.dump(md, fh, indent=1)
-    tmp_hint = os.path.join(meta_dir, ".version-hint.text.tmp")
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(version + 1))
-    os.replace(tmp_hint, os.path.join(meta_dir, "version-hint.text"))
+    _publish(meta_dir, version, md)
     return md
 
 
@@ -1010,10 +1214,7 @@ def merge_into(
 
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
     missing = [c for c in key_cols if c not in by_name]
@@ -1021,7 +1222,9 @@ def merge_into(
         raise KeyError(f"merge keys not in table schema: {missing}")
     equality_ids = [by_name[c] for c in key_cols]
 
-    batch_root = os.path.join(table_dir, "data", f"merge-{version + 1:05d}")
+    batch_root = _claim_batch_dir(
+        os.path.join(table_dir, "data", f"merge-{version + 1:05d}")
+    )
     data_files = write_dataframe_files(
         spark, df, md, os.path.join(batch_root, "rows")
     )
@@ -1067,8 +1270,7 @@ def delete_where(
 
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
+    version = _latest_version(meta_dir)
 
     plan = plan_scan(spark, table_dir, predicate=predicate)
     rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
@@ -1085,8 +1287,10 @@ def delete_where(
         .sort("file_path", "pos")
         .coalesce(1)
     )
-    del_dir = os.path.join(table_dir, "data", f"delete-{version + 1:05d}")
-    hits.write.parquet(del_dir)
+    del_dir = _claim_batch_dir(
+        os.path.join(table_dir, "data", f"delete-{version + 1:05d}")
+    )
+    hits.write.mode("overwrite").parquet(del_dir)
     [dp] = glob.glob(os.path.join(del_dir, "*.parquet"))
     n = spark.read.parquet(dp).count()
     if n == 0:
@@ -1122,6 +1326,7 @@ def create_table(
     from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
 
     type_by_fid = {fid: typ for fid, _, typ in fields}
+    name_by_fid = {fid: name for fid, name, _ in fields}
     pf_norm = []
     for tup in (partition_fields or []):
         n, sid, pfid = tup[0], tup[1], tup[2]
@@ -1134,6 +1339,10 @@ def create_table(
         # pairs at DDL time, not at first commit
         result_avro_type(transform, type_by_fid[sid])
         pf_norm.append((n, sid, pfid, transform))
+    _check_partition_names(
+        [(n, t, name_by_fid[sid]) for n, sid, _pfid, t in pf_norm],
+        {name for _, name, _ in fields},
+    )
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -1205,10 +1414,7 @@ def update_schema(
     """
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     fields = [dict(f) for f in cur["fields"]]
     names = {f["name"] for f in fields}
@@ -1283,10 +1489,7 @@ def rollback_to_snapshot(
     rollback as a state change."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     if not any(s["snapshot-id"] == snapshot_id for s in md.get("snapshots", [])):
         raise KeyError(f"snapshot {snapshot_id} not in table metadata")
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
@@ -1310,7 +1513,25 @@ def rollback_to_snapshot(
     return md
 
 
-def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
+def _claim_batch_dir(base: str) -> str:
+    """Atomically claim a unique batch directory for one write.
+    ``makedirs(exist_ok=False)`` is the claim: the single-writer path keeps
+    the deterministic versioned name (fixture oracles pin it), a concurrent
+    writer that read the same metadata version gets ``base-rK``. The caller
+    then writes INTO the claimed (empty) dir with overwrite mode."""
+    d, k = base, 0
+    while True:
+        try:
+            os.makedirs(d, exist_ok=False)
+            return d
+        except FileExistsError:
+            k += 1
+            d = f"{base}-r{k}"
+
+
+def write_dataframe_files(
+    spark, df, md: dict, batch_dir: str, mode: str = "errorifexists"
+) -> list[dict]:
     """Write ``df`` as parquet under ``batch_dir`` (Hive layout when the
     default spec identity-partitions on columns ``df`` carries) and return
     the commit-ready file dicts with REAL per-file statistics — record
@@ -1363,15 +1584,18 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
     # table default sort order: sort WITHIN write tasks (no shuffle) so
     # every file is internally ordered — tight row-group locality and the
     # order engines expect from a WRITE ORDERED BY table
-    sort_cols = [
-        (c, d) for c, d in default_sort_columns(md) if c in out_df.columns
-    ]
+    order_cols = default_sort_columns(md)
+    sort_cols = [(c, d) for c, d in order_cols if c in out_df.columns]
+    # entries are stamped with the order id ONLY when the write satisfied
+    # the ENTIRE default order (every order column present); a partial
+    # sort must not claim the order to downstream planners
+    sorted_under_default = bool(sort_cols) and len(sort_cols) == len(order_cols)
     if sort_cols:
         out_df = out_df.sortWithinPartitions(
             *[F.col(c).asc() if d == "asc" else F.col(c).desc()
               for c, d in sort_cols]
         )
-    writer = out_df.write.mode("errorifexists")
+    writer = out_df.write.mode(mode)
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(batch_dir)
@@ -1453,11 +1677,15 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
     def _part_from_path(path: str) -> dict:
         out = {}
         for c in part_cols:
-            m = _re.search(f"/{_re.escape(c)}=([^/]+)/", path)
+            # LAST match: a table rooted under a directory that itself
+            # contains a 'col=value' segment (/data/region=us/tables/t)
+            # must not shadow the Hive dir the WRITE just laid down —
+            # partition dirs are always the innermost segments
+            ms = _re.findall(f"/{_re.escape(c)}=([^/]+)(?=/)", path)
             # `path` is the _norm'd ON-DISK path (URI layer already
             # decoded), so ONE unquote inverts the remaining Hive
             # escaping ('a%3Db' -> 'a=b'); probe-verified
-            v = _up.unquote(m.group(1)) if m else None
+            v = _up.unquote(ms[-1]) if ms else None
             if v == "__HIVE_DEFAULT_PARTITION__":
                 v = None
             fname, at = pmeta_by_col[c]
@@ -1493,6 +1721,13 @@ def write_dataframe_files(spark, df, md: dict, batch_dir: str) -> list[dict]:
             "lower_bounds": lows,
             "upper_bounds": highs,
             **({"partition": _part_from_path(path)} if part_cols else {}),
+            # files written sorted under the table's default order carry its
+            # id (spec: sort_order_id names the order the file satisfies);
+            # unsorted writes stay 0 via _added_data_entries' default
+            **(
+                {"sort_order_id": int(md.get("default-sort-order-id", 0))}
+                if sorted_under_default else {}
+            ),
         })
     return files
 
@@ -1503,6 +1738,7 @@ def append_dataframe(
     table_dir: str,
     timestamp_ms: int | None = None,
     branch: str | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict:
     """INSERT INTO: write ``df`` into the table's data dir with real
     per-file statistics (:func:`write_dataframe_files`) and commit the
@@ -1513,14 +1749,13 @@ def append_dataframe(
     :func:`commit_append` and :func:`fast_forward`."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
-    batch_dir = os.path.join(table_dir, "data", f"commit-{version + 1:05d}")
-    files = write_dataframe_files(spark, df, md, batch_dir)
+    version, md = _read_meta(meta_dir)
+    batch_dir = _claim_batch_dir(
+        os.path.join(table_dir, "data", f"commit-{version + 1:05d}")
+    )
+    files = write_dataframe_files(spark, df, md, batch_dir, mode="overwrite")
     return commit_append(table_dir, files, timestamp_ms=timestamp_ms,
-                         branch=branch)
+                         branch=branch, extra_summary=extra_summary)
 
 
 def update_partition_spec(
@@ -1544,10 +1779,7 @@ def update_partition_spec(
     from iceberg_meta_spark.sources.iceberg_transforms import parse_transform
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     by_name = {f["name"]: f for f in schema["fields"]}
     cur_spec = next(
@@ -1560,6 +1792,11 @@ def update_partition_spec(
 
     additions = [(name, "identity", name) for name in (add_identity or [])]
     additions += [tuple(t) for t in (add_fields or [])]
+    _check_partition_names(
+        additions,
+        set(by_name),
+        taken_names={f["name"] for f in cur_spec["fields"]},
+    )
     for fname, transform, src in additions:
         parse_transform(transform)
         if src not in by_name:
@@ -1616,10 +1853,7 @@ def update_sort_order(
     (asc -> nulls-first, desc -> nulls-last)."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
     fields = []
@@ -1688,10 +1922,7 @@ def set_properties(
     data). Unknown unset keys are ignored, matching engine behavior."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     props = dict(md.get("properties") or {})
     props.update({str(k): str(v) for k, v in (set_props or {}).items()})
     for k in unset or []:
@@ -1729,10 +1960,7 @@ def manage_ref(
         raise ValueError("ref_type must be 'tag' or 'branch'")
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     refs = dict(md.get("refs") or {})
     if drop:
         if name == "main":
@@ -1777,10 +2005,7 @@ def fast_forward(
     {"updated": bool, "from": old_head, "to": new_head}."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        version = int(fh.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-        md = json.load(fh)
+    version, md = _read_meta(meta_dir)
     refs = dict(md.get("refs") or {})
     if from_ref in refs:
         src = int(refs[from_ref]["snapshot-id"])

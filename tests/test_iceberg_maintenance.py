@@ -300,25 +300,42 @@ def test_api_lifecycle_end_to_end(spark, tmp_path):
 
 
 def test_commit_conflict_raises_instead_of_lost_update(spark, tmp_path):
-    """Optimistic concurrency on the HadoopTables protocol: if another
-    writer already published vN+1, a commit must raise (exclusive create),
-    never silently overwrite the other writer's metadata."""
+    """Optimistic concurrency on the HadoopTables protocol, r10 contract:
+    if another writer already published vN+1, a commit REBASES onto it and
+    claims vN+2 (the Iceberg commit retry loop) — it never overwrites the
+    winner's metadata, and the winner's commit stays fully intact.
+    (r8 pinned conflict->raise; r10 upgraded the loser to rebase-and-
+    retry, live-raced in tests/test_iceberg_concurrency.py.)"""
+    import json as _json
+    import shutil as _sh
+
     from iceberg_meta_spark.sources.iceberg_write import commit_append
 
     table = write_fixture_table(str(tmp_path), n_snapshots=1,
                                 manifests_per_snapshot=1, files_per_manifest=2)
-    # simulate the racing winner: v2 already exists
-    with open(os.path.join(table, "metadata", "v2.metadata.json"), "w") as fh:
-        fh.write("{}")
-    with pytest.raises(FileExistsError):
-        commit_append(table, [{
-            "file_path": f"{table}/data/emea/c.parquet",
-            "partition": {"region": "emea"},
-            "record_count": 1, "file_size_in_bytes": 1,
-        }], timestamp_ms=1713139260000)
-    # the loser's failed attempt must NOT have moved the hint
-    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
-        assert fh.read().strip() == "1"
+    # simulate the racing winner: a VALID v2 already exists (a copy of v1
+    # with a marker property), hint still at 1 (winner mid-swap)
+    meta = os.path.join(table, "metadata")
+    with open(os.path.join(meta, "v1.metadata.json")) as fh:
+        winner = _json.load(fh)
+    winner.setdefault("properties", {})["winner"] = "yes"
+    with open(os.path.join(meta, "v2.metadata.json"), "w") as fh:
+        _json.dump(winner, fh)
+    commit_append(table, [{
+        "file_path": f"{table}/data/emea/c.parquet",
+        "partition": {"region": "emea"},
+        "record_count": 1, "file_size_in_bytes": 1,
+    }], timestamp_ms=1713139260000)
+    # the loser rebased ONTO the winner: v3 claimed, v2 byte-intact,
+    # winner's marker carried forward
+    with open(os.path.join(meta, "version-hint.text")) as fh:
+        assert fh.read().strip() == "3"
+    with open(os.path.join(meta, "v2.metadata.json")) as fh:
+        assert _json.load(fh)["properties"]["winner"] == "yes"
+    with open(os.path.join(meta, "v3.metadata.json")) as fh:
+        v3 = _json.load(fh)
+    assert v3["properties"]["winner"] == "yes"
+    assert len(v3["snapshots"]) == 2  # fixture snapshot + the rebased append
 
 
 def test_remove_orphans_respects_grace_period_and_dry_run(spark, tmp_path):
