@@ -1635,6 +1635,49 @@ def iceberg_native_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "iceberg_native_stream_sink",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,
+               CAST(2 AS BIGINT) AS n_snapshots
+        FROM range(1, 7) t(i) ORDER BY id
+    """,
+    doc="Structured Streaming SINK into a native table (streaming/"
+    "native_sink.py): writeStream -> foreachBatch -> commit_append, one "
+    "append snapshot per micro-batch with (streaming.sink-id, "
+    "streaming.epoch-id) stamped in the snapshot summary — the "
+    "exactly-once key. The fixture streams two NDJSON micro-batches "
+    "(ids 1..3, 4..6) then REPLAYS epoch 0 with a poison row (id 99): "
+    "the gated result pins the row set read back through the "
+    "merge-on-read scan (no 99) AND n_snapshots=2 (the replay published "
+    "nothing). Closes the fourth quadrant (batch/stream x read/write) on "
+    "the table format; grow/restart/two-sink serialization live-tested "
+    "in tests/test_streaming_native_sink.py",
+)
+def iceberg_native_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_stream_sink_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_stream_sink_table(spark)
+    with open(_os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    md = _json.load(
+        open(_os.path.join(table, "metadata", f"v{v}.metadata.json"))
+    )
+    n_snaps = len(md["snapshots"])
+    return (
+        scan_table(spark, table)
+        .select("id", "val",
+                F.lit(n_snaps).cast("long").alias("n_snapshots"))
+        .orderBy("id")
+    )
+
+
+@register(
     "iceberg_native_table_stats",
     oracle="""
         SELECT * FROM (VALUES

@@ -1054,3 +1054,59 @@ def default_rollback_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_stream_sink_table(spark) -> str:
+    """A native table GROWN BY THE STREAMING SINK (streaming/native_sink.py)
+    for the hash-gated write->read streaming loop: two NDJSON micro-batches
+    (maxFilesPerTrigger=1) land as two append snapshots via
+    writeStream->foreachBatch->commit_append, each stamped with
+    (streaming.sink-id, streaming.epoch-id); then epoch 0 is REPLAYED with
+    a poison row (id 99) and must publish nothing — the gated query pins
+    both the row set (ids 1..6, val = 10·id; no 99) and the snapshot count
+    (2: the replay committed no third)."""
+    import json as _json
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+    from iceberg_meta_spark.streaming.native_sink import (
+        append_epoch,
+        write_stream,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_sink_v1"
+    )
+    table = os.path.join(base, "sink_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    for name, ids in (("a.json", (1, 2, 3)), ("b.json", (4, 5, 6))):
+        with open(os.path.join(src, name), "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"id": i, "val": i * 10}) + "\n")
+    stream = (
+        spark.readStream.schema("id long, val long")
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    q = (
+        write_stream(stream, table, os.path.join(base, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # replay epoch 0 with a poison row: exactly-once means NOTHING lands
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    md = _json.load(
+        open(os.path.join(table, "metadata", f"v{v}.metadata.json"))
+    )
+    sink_id = md["snapshots"][0]["summary"]["streaming.sink-id"]
+    poison = spark.createDataFrame([(99, 990)], "id long, val long")
+    out = append_epoch(poison, 0, table, sink_id)
+    assert out["committed"] is False
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -1,0 +1,134 @@
+"""Structured Streaming SINK for native Iceberg tables: exactly-once
+micro-batch appends via ``foreachBatch`` -> ``append_dataframe``.
+
+This closes the fourth quadrant on the real table format (batch/stream ×
+read/write): the native path already had batch read (``scan_table`` /
+``pyds``), batch write (``append_dataframe`` and friends), and a streaming
+SOURCE (``streaming/native_source.py``); this module adds the streaming
+WRITE — the shape Iceberg's own Spark integration uses for
+``writeStream.format("iceberg")`` (a per-epoch append commit, with the
+epoch id recorded in the snapshot summary so a replayed epoch publishes
+nothing).
+
+Exactly-once contract (the same two-phase idempotence ``sources/pyds.py``'s
+NDJSON streamWriter pins):
+
+1. Every committed epoch stamps the snapshot summary with
+   ``streaming.sink-id`` (stable identity of this sink, derived from the
+   checkpoint location unless given) and ``streaming.epoch-id`` (the
+   foreachBatch batch id, monotonic per checkpoint).
+2. Before writing, the batch fn scans the table's snapshot summaries for
+   that (sink-id, epoch-id) pair; a hit means this epoch ALREADY committed
+   (the driver crashed after the table commit but before the checkpoint
+   advanced) and the replay publishes NOTHING — the parquet write never
+   even starts.
+3. A crash BEFORE the table commit leaves at most orphaned data files
+   (never a snapshot); the replay re-writes and commits them fresh.
+   Orphans are swept by ``remove_orphans``, exactly like a failed batch
+   write.
+
+Concurrency: the underlying ``commit_append`` runs the optimistic commit
+retry loop, so a streaming sink and a concurrent batch writer (or a second
+sink with a different sink-id) serialize cleanly on the same table.
+
+At 100 TB the per-epoch work is the batch INSERT path's: the data write is
+a distributed parquet job, per-file stats ride one distributed pass, and
+the commit is O(manifest) driver work. The summary scan for idempotence is
+O(snapshots) on ALREADY-LOADED metadata JSON — planning-index scale.
+
+Scope: append-mode sinks (the streaming-source counterpart serves appends
+only, too). Update/complete output modes need MERGE-per-epoch — compose
+``merge_into`` in your own foreachBatch when keys exist.
+
+Reference parity: the reference's streaming story is the read-side watch
+loop (cli.py:980-1023); a write-side sink is an extension the table format
+makes natural (Iceberg docs § Spark Structured Streaming, commit-per-epoch
+with idempotent replay).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from iceberg_meta_spark.sources.iceberg_write import (
+    _latest_version,
+    _local_path,
+    append_dataframe,
+)
+
+_SINK_KEY = "streaming.sink-id"
+_EPOCH_KEY = "streaming.epoch-id"
+
+
+def _committed_epochs(table_dir: str, sink_id: str) -> set[int]:
+    """Epoch ids this sink already committed, from the snapshot summaries.
+    Reads the CURRENT metadata JSON only — O(snapshots) driver work."""
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    version = _latest_version(meta_dir)
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        md = json.load(fh)
+    out: set[int] = set()
+    for s in md.get("snapshots", []):
+        summary = s.get("summary") or {}
+        if summary.get(_SINK_KEY) == sink_id and _EPOCH_KEY in summary:
+            out.add(int(summary[_EPOCH_KEY]))
+    return out
+
+
+def append_epoch(
+    batch_df,
+    epoch_id: int,
+    table_dir: str,
+    sink_id: str,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """The foreachBatch body: commit one micro-batch as one append
+    snapshot, exactly once. Returns {"committed": bool, "epoch_id": int,
+    "snapshot_id": int | None}; a replayed epoch (or an empty batch)
+    commits nothing."""
+    if int(epoch_id) in _committed_epochs(table_dir, sink_id):
+        return {"committed": False, "epoch_id": int(epoch_id),
+                "snapshot_id": None}
+    if batch_df.isEmpty():
+        return {"committed": False, "epoch_id": int(epoch_id),
+                "snapshot_id": None}
+    md = append_dataframe(
+        batch_df.sparkSession,
+        batch_df,
+        table_dir,
+        timestamp_ms=timestamp_ms,
+        extra_summary={_SINK_KEY: sink_id, _EPOCH_KEY: str(int(epoch_id))},
+    )
+    return {"committed": True, "epoch_id": int(epoch_id),
+            "snapshot_id": int(md["current-snapshot-id"])}
+
+
+def write_stream(
+    df,
+    table_dir: str,
+    checkpoint_dir: str,
+    sink_id: str | None = None,
+):
+    """``df.writeStream`` into a native Iceberg table. Returns the
+    DataStreamWriter (caller picks the trigger and calls ``.start()``)::
+
+        q = write_stream(stream_df, table, ckpt).trigger(availableNow=True).start()
+
+    ``sink_id`` defaults to a hash of the checkpoint location: epoch ids
+    are monotonic PER CHECKPOINT, so the (sink-id, epoch-id) pair is the
+    durable exactly-once key across restarts from the same checkpoint."""
+    sid = sink_id or hashlib.md5(
+        checkpoint_dir.rstrip("/").encode()
+    ).hexdigest()[:16]
+
+    def _batch(batch_df, epoch_id: int) -> None:
+        append_epoch(batch_df, epoch_id, table_dir, sid)
+
+    return (
+        df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
