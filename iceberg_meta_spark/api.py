@@ -843,6 +843,11 @@ def partition_stats(spark: SparkSession, table_dir: str,
                                       snapshot_id=snapshot_id)
 
 
+# name -> table_dir for views registered via register_table; sql() routes
+# DML statements on these names to the native writers
+_SQL_TABLES: dict[str, str] = {}
+
+
 def register_table(spark: SparkSession, table_dir: str, name: str,
                    snapshot_id: int | None = None,
                    version: int | None = None,
@@ -854,7 +859,8 @@ def register_table(spark: SparkSession, table_dir: str, name: str,
     SNAPSHOT-PINNED at registration (scan planning resolves the file
     list eagerly, like a database materialized view's frozen plan):
     commits AFTER register_table are not visible until you re-register —
-    call register_table again after writes, exactly as you would refresh.
+    call register_table again after writes, exactly as you would refresh
+    (:func:`sql` DML statements refresh the view automatically).
     Row-level execution stays lazy: Catalyst pushes column pruning and
     filters into the underlying parquet scan as usual."""
     from iceberg_meta_spark.sources.iceberg_scan import scan_table
@@ -862,4 +868,140 @@ def register_table(spark: SparkSession, table_dir: str, name: str,
     df = scan_table(spark, table_dir, snapshot_id=snapshot_id,
                     version=version, ref=ref)
     df.createOrReplaceTempView(name)
+    _SQL_TABLES[name] = table_dir
     return df
+
+
+def sql(spark: SparkSession, statement: str) -> DataFrame:
+    """SQL over registered native tables, DML included: a thin dispatcher
+    that routes the three write verbs to the native writers and refreshes
+    the table's temp view afterwards, so the next ``spark.sql`` sees the
+    new snapshot. Everything else passes through to ``spark.sql``
+    verbatim (reads over the registered views are plain Catalyst plans).
+
+    Supported DML dialect (stated plainly — a deliberate subset, no
+    Catalyst extension; the writers underneath are the full engine):
+
+    - ``INSERT INTO t VALUES (1, 'a'), (2, 'b')`` — positional against the
+      table schema; also ``INSERT INTO t SELECT ...``.
+    - ``DELETE FROM t WHERE col = v`` / ``col >= v`` / ``col <= v`` /
+      ``col BETWEEN lo AND hi`` — the scan planner's closed-interval
+      predicate shape, executed as one position-delete commit
+      (:func:`delete_where_rows`). Strict </> raise a guided error.
+    - ``MERGE INTO t USING src ON k1[, k2...]`` — upsert whole rows of the
+      registered view/table ``src`` keyed on the named columns
+      (:func:`merge`): matched keys replace, new keys insert, one snapshot.
+
+    Each DML returns a 1-row DataFrame of commit metrics instead of rows.
+    """
+    import re
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        delete_where,
+        merge_into,
+    )
+
+    stmt = statement.strip().rstrip(";").strip()
+
+    def _table_dir(name: str) -> str:
+        if name not in _SQL_TABLES:
+            raise KeyError(
+                f"{name!r} is not a registered native table — call "
+                "register_table(spark, table_dir, name) first"
+            )
+        return _SQL_TABLES[name]
+
+    def _refresh(name: str) -> None:
+        register_table(spark, _SQL_TABLES[name], name)
+
+    def _metrics(**kv) -> DataFrame:
+        cols = ", ".join(f"`{k}` string" for k in kv)
+        return spark.createDataFrame([tuple(str(v) for v in kv.values())], cols)
+
+    m = re.fullmatch(
+        r"INSERT\s+INTO\s+(\w+)\s+(VALUES\s+.+|SELECT\s+.+)",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, rest = m.group(1), m.group(2)
+        table_dir = _table_dir(name)
+        src = spark.sql(rest)  # both VALUES and SELECT parse directly
+        # positional column mapping against the view's schema (the SQL
+        # INSERT contract); spark.sql("VALUES ...") names columns col1..N.
+        # Values also CAST to the declared column types — a literal 1 is
+        # INT while the table declares long, and mixed-width parquet
+        # batches would fail the scan's mergeSchema read
+        target = spark.table(name).schema
+        if len(src.columns) != len(target.fields):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(src.columns)} values vs "
+                f"{len(target.fields)} columns {target.fieldNames()}"
+            )
+        src = src.toDF(*target.fieldNames()).select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+        md = append_dataframe(spark, src, table_dir)
+        _refresh(name)
+        return _metrics(operation="insert",
+                        snapshot_id=md["current-snapshot-id"],
+                        rows_inserted=md["snapshots"][-1]["summary"]
+                        ["added-records"])
+
+    m = re.fullmatch(
+        r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s*"
+        r"(=|>=|<=|<|>|BETWEEN)\s*(.+)",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, col, op, rhs = m.group(1), m.group(2), m.group(3).upper(), m.group(4)
+        table_dir = _table_dir(name)
+
+        def _lit(tok: str):
+            tok = tok.strip()
+            if re.fullmatch(r"'[^']*'", tok):
+                return tok[1:-1]
+            if re.fullmatch(r"-?\d+", tok):
+                return int(tok)
+            if re.fullmatch(r"-?\d+\.\d+", tok):
+                return float(tok)
+            raise ValueError(f"unsupported literal {tok!r} in DELETE WHERE")
+
+        if op == "BETWEEN":
+            b = re.fullmatch(r"(.+?)\s+AND\s+(.+)", rhs, re.IGNORECASE | re.DOTALL)
+            if not b:
+                raise ValueError("BETWEEN needs 'lo AND hi'")
+            lo, hi = _lit(b.group(1)), _lit(b.group(2))
+        elif op == "=":
+            lo = hi = _lit(rhs)
+        elif op == ">=":
+            lo, hi = _lit(rhs), None
+        elif op == "<=":
+            lo, hi = None, _lit(rhs)
+        else:
+            raise ValueError(
+                f"strict {op} is not expressible as the engine's closed "
+                "interval; use >= / <= / BETWEEN (integers: adjust the "
+                "bound by 1)"
+            )
+        out = delete_where(spark, table_dir, (col, lo, hi))
+        _refresh(name)
+        return _metrics(operation="delete",
+                        snapshot_id=out["snapshot_id"],
+                        rows_deleted=out["rows_deleted"])
+
+    m = re.fullmatch(
+        r"MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+([\w\s,]+)",
+        stmt, re.IGNORECASE,
+    )
+    if m:
+        name, src_name, keys = m.group(1), m.group(2), m.group(3)
+        table_dir = _table_dir(name)
+        key_cols = [k.strip() for k in keys.split(",") if k.strip()]
+        md = merge_into(spark, spark.table(src_name), table_dir, key_cols)
+        _refresh(name)
+        return _metrics(operation="merge",
+                        snapshot_id=md["current-snapshot-id"],
+                        merge_keys=",".join(key_cols))
+
+    return spark.sql(stmt)

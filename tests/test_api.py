@@ -136,3 +136,62 @@ def test_scan_tasks_and_clustering_api(spark):
     # fixture bounds (partkey-derived, heavily overlapping) are badly
     # clustered: every field's worst point opens many files
     assert all(r.max_depth >= 2 and r.avg_depth_permille >= 1000 for r in cd.values())
+
+
+def test_sql_dml_round_trip(spark):
+    """api.sql (r10): INSERT INTO / DELETE WHERE / MERGE INTO over a
+    registered native table mutate it through the native writers, each
+    DML refreshes the view so the next spark.sql sees the new snapshot,
+    and non-DML statements pass through to spark.sql verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_dml")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "name", "string"),
+                                (3, "val", "long")])
+    api.register_table(spark, table, "sqlt")
+
+    # INSERT VALUES (positional against the table schema)
+    out = api.sql(spark, "INSERT INTO sqlt VALUES (1, 'a', 10), (2, 'b', 20)")
+    row = out.collect()[0]
+    assert row.operation == "insert" and row.rows_inserted == "2"
+    got = spark.sql("SELECT id, name, val FROM sqlt ORDER BY id").collect()
+    assert [(r.id, r.name, r.val) for r in got] == [(1, "a", 10), (2, "b", 20)]
+
+    # INSERT SELECT (reads the view it inserts into — snapshot-pinned, so
+    # the source is the pre-insert state)
+    api.sql(spark, "INSERT INTO sqlt SELECT id + 10, name, val * 2 FROM sqlt")
+    got = spark.sql("SELECT id FROM sqlt ORDER BY id").collect()
+    assert [r.id for r in got] == [1, 2, 11, 12]
+
+    # DELETE WHERE: = and BETWEEN
+    out = api.sql(spark, "DELETE FROM sqlt WHERE id = 2").collect()[0]
+    assert out.operation == "delete" and out.rows_deleted == "1"
+    api.sql(spark, "DELETE FROM sqlt WHERE id BETWEEN 11 AND 12")
+    got = spark.sql("SELECT id FROM sqlt ORDER BY id").collect()
+    assert [r.id for r in got] == [1]
+
+    # MERGE INTO keyed on id: matched replaces, new inserts
+    spark.createDataFrame(
+        [(1, "A", 100), (3, "c", 30)], "id long, name string, val long"
+    ).createOrReplaceTempView("sql_src")
+    out = api.sql(spark, "MERGE INTO sqlt USING sql_src ON id").collect()[0]
+    assert out.operation == "merge"
+    got = spark.sql("SELECT id, name, val FROM sqlt ORDER BY id").collect()
+    assert [(r.id, r.name, r.val) for r in got] == [(1, "A", 100), (3, "c", 30)]
+
+    # passthrough: plain SELECT goes to spark.sql
+    assert api.sql(spark, "SELECT 1 AS one").collect()[0].one == 1
+
+    # guided errors
+    with pytest.raises(KeyError, match="not a registered native table"):
+        api.sql(spark, "INSERT INTO nope VALUES (1)")
+    with pytest.raises(ValueError, match="closed interval"):
+        api.sql(spark, "DELETE FROM sqlt WHERE id > 5")
+    with pytest.raises(ValueError, match="arity mismatch"):
+        api.sql(spark, "INSERT INTO sqlt VALUES (1, 'x')")
