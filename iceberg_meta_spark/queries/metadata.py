@@ -1635,6 +1635,40 @@ def iceberg_native_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "iceberg_native_dv_scan",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,
+               CAST(2 AS BIGINT) AS n_dvs
+        FROM range(0, 20) t(i) WHERE i NOT IN (0, 3, 15) ORDER BY id
+    """,
+    doc="v3 DELETION VECTORS end to end (sources/iceberg_dv.py, spec "
+    "§ Deletion Vectors + Puffin deletion-vector-v1 + RoaringFormatSpec): "
+    "two data files, one Puffin file holding a portable-64 roaring bitmap "
+    "per referenced file, committed as position-delete entries with "
+    "referenced_data_file/content_offset/content_size_in_bytes (field-ids "
+    "143/144/145). The scan plans DVs at planning-index scale (one "
+    "descriptor per referenced file) and decodes POSITIONS executor-side "
+    "via random-access blob reads in an Arrow-batched mapInPandas — "
+    "deleted positions never materialize on the driver. Gated: ids 0..19 "
+    "minus the DV-killed {0, 3, 15}, plus the planned DV count. Byte "
+    "formats pinned by known-answer + property tests "
+    "(tests/test_iceberg_dv.py); the reference has no v3 story at all",
+)
+def iceberg_native_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import default_dv_table
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+
+    table = default_dv_table(spark)
+    plan = plan_scan(spark, table)
+    return (
+        scan_table(spark, table)
+        .select("id", "val",
+                F.lit(len(plan.deletion_vectors)).cast("long").alias("n_dvs"))
+        .orderBy("id")
+    )
+
+
+@register(
     "iceberg_native_stream_sink",
     oracle="""
         SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,

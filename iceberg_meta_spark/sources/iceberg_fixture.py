@@ -1110,3 +1110,58 @@ def default_stream_sink_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_dv_table(spark) -> str:
+    """A FORMAT-VERSION 3 table with deletion vectors for the hash-gated
+    DV scan: two appended data files (ids 0..9, 10..19; val = 10·id), then
+    one Puffin file holding a roaring deletion vector per data file —
+    positions {0, 3} of batch1 (ids 0, 3) and {5} of batch2 (id 15) —
+    committed as position-delete entries carrying referenced_data_file/
+    content_offset/content_size_in_bytes (spec field-ids 143/144/145).
+    The MoR scan must serve ids 0..19 minus {0, 3, 15}: 17 rows, closed
+    form for the oracle."""
+    import glob
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_dv import (
+        commit_dv_files,
+        write_dv_file,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_append,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_dv_v1")
+    table = os.path.join(base, "dv_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(
+        table,
+        fields=[(1, "id", "long"), (2, "val", "long")],
+        format_version=3,
+    )
+    paths = []
+    for b, ids in enumerate((range(0, 10), range(10, 20))):
+        rows = [(i, i * 10) for i in ids]
+        d = os.path.join(table, "data", f"b{b}")
+        (spark.createDataFrame(rows, "id long, val long").coalesce(1)
+         .write.mode("overwrite").parquet(d))
+        [p] = glob.glob(os.path.join(d, "*.parquet"))
+        commit_append(table, [{
+            "file_path": p, "record_count": 10,
+            "file_size_in_bytes": os.path.getsize(p),
+            "lower_bounds": {1: min(ids)}, "upper_bounds": {1: max(ids)},
+        }], timestamp_ms=1713139200000 + 60_000 * (b + 1))
+        paths.append(p)
+    dv_path = os.path.join(table, "data", "dv-1.puffin")
+    entries = write_dv_file(
+        dv_path, {paths[0]: [0, 3], paths[1]: [5]},
+        snapshot_id=3, sequence_number=3,
+    )
+    commit_dv_files(table, entries, timestamp_ms=1713139200000 + 180_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -91,11 +91,16 @@ class ScanPlan:
     files_pruned: int = 0           # skipped by partition + zone-map pruning
     schema_fields: list[tuple[int, str, str]] = field(default_factory=list)
     partition_cols: list[str] = field(default_factory=list)
+    # v3 deletion vectors: puffin path, seq, referenced data file,
+    # content_offset, content_size (one per referenced file — planning scale)
+    deletion_vectors: list[dict] = field(default_factory=list)
 
 
 _PLAN_COLS = (
     "file_path string, seq long, record_count long, "
-    "file_size_in_bytes long, part_key string, equality_ids array<int>"
+    "file_size_in_bytes long, part_key string, equality_ids array<int>, "
+    "file_format string, referenced_data_file string, "
+    "content_offset long, content_size long"
 )
 
 
@@ -171,6 +176,9 @@ def _make_plan_entries_fn(
                         # manifest-list strings, so both sides normalize
                         seq = mseq.get(_norm_path(path))
                     eq = dfile.get("equality_ids")
+                    rdf = dfile.get("referenced_data_file")
+                    off = dfile.get("content_offset")
+                    csz = dfile.get("content_size_in_bytes")
                     out.append(
                         {
                             "file_path": dfile["file_path"],
@@ -179,6 +187,12 @@ def _make_plan_entries_fn(
                             "file_size_in_bytes": int(dfile["file_size_in_bytes"]),
                             "part_key": json.dumps(part, sort_keys=True, default=str),
                             "equality_ids": [int(i) for i in eq] if eq else None,
+                            "file_format": str(
+                                dfile.get("file_format", "")
+                            ).upper(),
+                            "referenced_data_file": rdf,
+                            "content_offset": int(off) if off is not None else None,
+                            "content_size": int(csz) if csz is not None else None,
                         }
                     )
             yield pd.DataFrame(out, columns=cols)
@@ -343,12 +357,19 @@ def plan_scan(
         files_pruned = files_total - len(data)
 
     deletes, _ = _plan_entries(spark, table_dir, snap, md, content=1)
-    pos, eq = [], []
+    pos, eq, dvs = [], [], []
     for r in deletes:
         d = {"path": r.file_path, "seq": r.seq}
         if r.equality_ids:
             d["equality_ids"] = list(r.equality_ids)
             eq.append(d)
+        elif r.file_format == "PUFFIN":
+            # v3 deletion vector: one roaring bitmap of positions per
+            # referenced data file, random-access inside the Puffin file
+            d["referenced_data_file"] = r.referenced_data_file
+            d["offset"] = r.content_offset
+            d["length"] = r.content_size
+            dvs.append(d)
         else:
             pos.append(d)
     return ScanPlan(
@@ -368,6 +389,7 @@ def plan_scan(
         files_pruned=files_pruned,
         schema_fields=fields,
         partition_cols=partition_cols,
+        deletion_vectors=dvs,
     )
 
 
@@ -392,6 +414,52 @@ def _pos_delete_frame(spark: SparkSession, deletes: list[dict]) -> DataFrame:
         )
         .join(F.broadcast(pd_seq), "__dfile")
         .select("__file", "__pos", "__delseq")
+    )
+
+
+def _dv_delete_frame(spark: SparkSession, dvs: list[dict]) -> DataFrame:
+    """(__file, __pos, __delseq) rows decoded from v3 deletion vectors —
+    the DV sibling of :func:`_pos_delete_frame`. The DESCRIPTORS (one per
+    referenced data file) are planning-index scale and parallelize over
+    executors; the POSITIONS (up to millions per file at 100 TB) decode
+    inside an Arrow-batched mapInPandas via random-access reads of each
+    blob's [content_offset, content_offset+content_size) byte range, so
+    they never materialize on the driver."""
+    desc = spark.createDataFrame(
+        [
+            (
+                _norm_path(d["path"]),
+                _norm_path(d["referenced_data_file"]),
+                int(d["offset"]),
+                int(d["length"]),
+                int(d["seq"]),
+            )
+            for d in dvs
+        ],
+        "puffin string, __file string, off long, len long, __delseq long",
+    )
+
+    def decode(pdf_iter):
+        import pandas as pd
+
+        from iceberg_meta_spark.sources.iceberg_dv import read_dv_positions
+
+        for pdf in pdf_iter:
+            for puffin, file_, off, ln, seq in zip(
+                pdf["puffin"], pdf["__file"], pdf["off"], pdf["len"],
+                pdf["__delseq"],
+            ):
+                positions = read_dv_positions(puffin, int(off), int(ln))
+                yield pd.DataFrame({
+                    "__file": file_,
+                    "__pos": positions,
+                    "__delseq": int(seq),
+                })
+
+    # spread descriptors so decodes parallelize (len(dvs) is already
+    # driver-side — it built the frame)
+    return desc.repartition(max(len(dvs) // 4, 1)).mapInPandas(
+        decode, "__file string, __pos long, __delseq long"
     )
 
 
@@ -496,6 +564,17 @@ def _merged_rows(
             (df["__file"] == pos["__file"])
             & (df["__pos"] == pos["__pos"])
             & (df["__dseq"] <= pos["__delseq"]),
+            "left_anti",
+        )
+
+    if plan.deletion_vectors:
+        # v3 DVs carry the same position-delete visibility rule
+        dv = _dv_delete_frame(spark, plan.deletion_vectors)
+        df = df.join(
+            dv,
+            (df["__file"] == dv["__file"])
+            & (df["__pos"] == dv["__pos"])
+            & (df["__dseq"] <= dv["__delseq"]),
             "left_anti",
         )
 
@@ -616,9 +695,12 @@ def scan_changes(
 
     pos_seen = {d["path"] for d in plan1.position_deletes}
     eq_seen = {d["path"] for d in plan1.equality_deletes}
+    dv_seen = {(d["path"], d["offset"]) for d in plan1.deletion_vectors}
     new_pos = [d for d in plan2.position_deletes if d["path"] not in pos_seen]
     new_eq = [d for d in plan2.equality_deletes if d["path"] not in eq_seen]
-    if common and (new_pos or new_eq):
+    new_dv = [d for d in plan2.deletion_vectors
+              if (d["path"], d["offset"]) not in dv_seen]
+    if common and (new_pos or new_eq or new_dv):
         base = _merged_rows(spark, plan1, common, keep_helpers=True)
         killed: list[DataFrame] = []
         if new_pos:
@@ -628,6 +710,15 @@ def scan_changes(
                 (base["__file"] == pos["__file"])
                 & (base["__pos"] == pos["__pos"])
                 & (base["__dseq"] <= pos["__delseq"]),
+                "left_semi",
+            ))
+        if new_dv:
+            dv = _dv_delete_frame(spark, new_dv)
+            killed.append(base.join(
+                dv,
+                (base["__file"] == dv["__file"])
+                & (base["__pos"] == dv["__pos"])
+                & (base["__dseq"] <= dv["__delseq"]),
                 "left_semi",
             ))
         id_to_name = {fid: n for fid, n, _ in plan2.schema_fields}

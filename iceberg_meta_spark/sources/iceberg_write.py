@@ -356,8 +356,8 @@ def _commit_append_once(
     """One append attempt against the given metadata; raises
     FileExistsError when another writer claims v(version+1) first (the
     retry loop rebases and re-enters)."""
-    if int(md.get("format-version", 1)) != 2:
-        raise ValueError("commit_append writes format-version 2 tables only")
+    if int(md.get("format-version", 1)) not in (2, 3):
+        raise ValueError("commit_append writes format-version 2/3 tables only")
 
     # field-id -> declared type, for type-correct bound widths (Appendix D)
     schema = next(
@@ -1270,7 +1270,7 @@ def delete_where(
 
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
-    version = _latest_version(meta_dir)
+    version, md = _read_meta(meta_dir)
 
     plan = plan_scan(spark, table_dir, predicate=predicate)
     rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
@@ -1281,6 +1281,16 @@ def delete_where(
         rows = rows.where(F.col(col) >= F.lit(lo))
     if hi is not None:
         rows = rows.where(F.col(col) <= F.lit(hi))
+    if int(md.get("format-version", 1)) >= 3:
+        # v3: the DELETE verb publishes deletion vectors, not parquet
+        # position-delete files — per-file roaring bitmaps merged with any
+        # previous DV (one-DV-per-file invariant), encoded executor-side
+        from iceberg_meta_spark.sources.iceberg_dv import delete_where_dv
+
+        return delete_where_dv(
+            spark, table_dir, plan, rows.select("__file", "__pos"),
+            version, timestamp_ms=timestamp_ms,
+        )
     hits = (
         rows.select(F.col("__file").alias("file_path"),
                     F.col("__pos").alias("pos"))
@@ -1311,6 +1321,7 @@ def create_table(
     partition_fields: list[tuple[str, int, int]] | None = None,
     properties: dict | None = None,
     timestamp_ms: int = 1713139200000,
+    format_version: int = 2,
 ) -> dict:
     """CREATE TABLE, HadoopTables protocol: write v1.metadata.json (v2
     format, zero snapshots) + version-hint.text for a new filesystem table.
@@ -1322,7 +1333,11 @@ def create_table(
     ``("id_bucket", 2, 1000, "bucket[4]")``, ``("ts_month", 3, 1001,
     "month")`` (spec § Partition Transforms; validated at create time).
     Default unpartitioned. The created table is immediately consumable by
-    the native reader and every commit path."""
+    the native reader and every commit path. ``format_version=3`` creates
+    a v3 table (deletion vectors via ``iceberg_dv.commit_dv_files``; v2
+    parquet position-delete commits refuse v3 tables)."""
+    if int(format_version) not in (2, 3):
+        raise ValueError("format_version must be 2 or 3")
     from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
 
     type_by_fid = {fid: typ for fid, _, typ in fields}
@@ -1349,7 +1364,7 @@ def create_table(
     if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
         raise FileExistsError(f"table already exists at {table_dir}")
     md = {
-        "format-version": 2,
+        "format-version": int(format_version),
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
         "location": table_dir,
         "last-sequence-number": 0,
