@@ -494,8 +494,18 @@ def rewrite_data_files(
     plan = plan_scan(spark, table_dir)
 
     def delete_affected(f: dict) -> bool:
-        return any(d["seq"] >= f["seq"] for d in plan.position_deletes) or any(
-            d["seq"] > f["seq"] for d in plan.equality_deletes
+        from iceberg_meta_spark.sources.iceberg_scan import _norm_path
+
+        fpath = _norm_path(f["path"])
+        return (
+            any(d["seq"] >= f["seq"] for d in plan.position_deletes)
+            or any(d["seq"] > f["seq"] for d in plan.equality_deletes)
+            # a v3 deletion vector names its file: only THAT file is affected
+            or any(
+                d["seq"] >= f["seq"]
+                and _norm_path(d["referenced_data_file"]) == fpath
+                for d in plan.deletion_vectors
+            )
         )
 
     candidates = [

@@ -727,8 +727,8 @@ def _commit_rewrite_files_once(
     timestamp_ms: int | None,
     add_content: int,
 ) -> dict:
-    if int(md.get("format-version", 1)) != 2:
-        raise ValueError("commit_rewrite_files writes format-version 2 tables only")
+    if int(md.get("format-version", 1)) not in (2, 3):
+        raise ValueError("commit_rewrite_files writes format-version 2/3 tables only")
     parent = md.get("current-snapshot-id")
     if parent is None:
         raise ValueError("table has no current snapshot to rewrite")
@@ -949,8 +949,15 @@ def _commit_delete_files_once(
     delete_files: list[dict],
     timestamp_ms: int | None,
 ) -> dict:
-    if int(md.get("format-version", 1)) != 2:
-        raise ValueError("row-level deletes require format-version 2")
+    fv = int(md.get("format-version", 1))
+    if fv not in (2, 3):
+        raise ValueError("row-level deletes require format-version 2/3")
+    if fv >= 3 and any(not f.get("equality_ids") for f in delete_files):
+        raise ValueError(
+            "format-version 3 forbids parquet position-delete files — "
+            "publish deletion vectors (iceberg_dv.commit_dv_files / "
+            "delete_where) instead; equality deletes remain legal"
+        )
     parent = md.get("current-snapshot-id")
     if parent is None:
         raise ValueError("table has no current snapshot")
@@ -1081,8 +1088,16 @@ def _commit_merge_once(
     delete_files: list[dict],
     timestamp_ms: int | None,
 ) -> dict:
-    if int(md.get("format-version", 1)) != 2:
-        raise ValueError("merge commits require format-version 2")
+    if int(md.get("format-version", 1)) not in (2, 3):
+        raise ValueError("merge commits require format-version 2/3")
+    if int(md.get("format-version", 1)) >= 3 and any(
+        not f.get("equality_ids") for f in delete_files
+    ):
+        raise ValueError(
+            "format-version 3 forbids parquet position-delete files in a "
+            "merge; use equality deletes (merge_into does) or deletion "
+            "vectors"
+        )
     parent = md.get("current-snapshot-id")
     if parent is None:
         raise ValueError("table has no current snapshot; use commit_append")

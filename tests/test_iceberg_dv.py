@@ -260,3 +260,52 @@ def test_second_dv_without_supersede_raises(spark):
         supersede={(d["path"], d["offset"]) for d in old},
     )
     assert len(plan_scan(spark, table).deletion_vectors) == 1
+
+
+def test_v3_compaction_absorbs_dvs(spark):
+    """rewrite_data_files on a v3 table: files referenced by a deletion
+    vector are delete-affected candidates, the group read applies the DV
+    (merge-on-read core), and the rewritten files serve identical rows
+    with the DV'd rows physically gone."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_data_files,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+    from iceberg_meta_spark.sources.iceberg_write import delete_where
+
+    table, (p1, p2) = _v3_table(spark, "dv_compact")
+    delete_where(spark, table, ("id", 3, 5), timestamp_ms=_TS + 180_000)
+    before = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    out = rewrite_data_files(spark, table, timestamp_ms=_TS + 240_000)
+    assert out["groups"] >= 1
+    after = sorted((r.id, r.val) for r in scan_table(spark, table).collect())
+    assert after == before  # served rows identical pre/post
+    plan = plan_scan(spark, table)
+    # the DV'd rows are physically absorbed: total records in live files
+    # equals the served row count
+    assert sum(f["record_count"] for f in plan.data_files) == len(after)
+
+
+def test_v3_merge_into_upserts_with_equality_deletes(spark):
+    """MERGE INTO on a v3 table: equality deletes remain legal in v3, so
+    the upsert publishes normally; parquet position-delete files are
+    refused with a guided error."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import (
+        commit_delete_files,
+        merge_into,
+    )
+
+    table, _ = _v3_table(spark, "dv_merge")
+    src = spark.createDataFrame(
+        [(5, 999), (100, 1000)], "id long, val long"
+    ).coalesce(1)
+    merge_into(spark, src, table, ["id"], timestamp_ms=_TS + 180_000)
+    got = {r.id: r.val for r in scan_table(spark, table).collect()}
+    assert got[5] == 999 and got[100] == 1000 and got[6] == 60
+    assert len(got) == 21
+    with pytest.raises(ValueError, match="forbids parquet position-delete"):
+        commit_delete_files(table, [{
+            "file_path": "pos.parquet", "record_count": 1,
+            "file_size_in_bytes": 10,
+        }], timestamp_ms=_TS + 240_000)
