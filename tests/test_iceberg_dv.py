@@ -309,3 +309,21 @@ def test_v3_merge_into_upserts_with_equality_deletes(spark):
             "file_path": "pos.parquet", "record_count": 1,
             "file_size_in_bytes": 10,
         }], timestamp_ms=_TS + 240_000)
+
+
+def test_remove_orphans_keeps_dv_puffins(spark):
+    """DELETING-pass pin: a deletion vector's Puffin file is a referenced
+    file (its path rides a live manifest entry) — orphan cleanup must
+    never touch it, and the table reads identically afterwards."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import remove_orphans
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import delete_where
+
+    table, _ = _v3_table(spark, "dv_orphans")
+    delete_where(spark, table, ("id", 3, 5), timestamp_ms=_TS + 180_000)
+    before = sorted(r.id for r in scan_table(spark, table).collect())
+    puffins = glob.glob(os.path.join(table, "data", "*.puffin"))
+    assert puffins
+    out = remove_orphans(spark, table, older_than_ms=2**62, dry_run=False)
+    assert all(os.path.exists(p) for p in puffins), out
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == before
