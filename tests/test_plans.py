@@ -639,3 +639,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dv_scan_positions_decode_executor_side(spark):
+    """r10: the v3 DV scan's physical plan — positions decode in a
+    MapInPandas over the descriptor frame (never a driver loop) and apply
+    via the position-delete anti-join; no cartesian anywhere."""
+    p = plan(load_all()["iceberg_native_dv_scan"].spark_fn(spark, SF))
+    assert "MapInPandas" in p, p          # executor-side roaring decode
+    assert "LeftAnti" in p, p             # the delete application join
+    assert "CartesianProduct" not in p, p
