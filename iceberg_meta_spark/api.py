@@ -761,6 +761,17 @@ def rewrite_deletes(spark: SparkSession, table_dir: str) -> dict:
     return rewrite_position_deletes(spark, table_dir)
 
 
+def rewrite_dvs(spark: SparkSession, table_dir: str) -> dict:
+    """EXECUTE the v3 sibling of rewrite_deletes: drop DANGLING deletion
+    vectors (their referenced data file is no longer live) in one replace
+    snapshot (iceberg_maintenance.py:rewrite_deletion_vectors)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_deletion_vectors,
+    )
+
+    return rewrite_deletion_vectors(spark, table_dir)
+
+
 def analyze(spark: SparkSession, table_dir: str,
             columns: list[str] | None = None, exact: bool = False,
             timestamp_ms: int | None = None) -> dict:

@@ -334,6 +334,8 @@ def commit_dv_files(
         commit_uuid = _uuid.uuid5(
             _uuid.NAMESPACE_URL, f"{table_dir}/dv/{snap_id}"
         )
+        if not dv_entries and not supersede:
+            raise ValueError("nothing to commit: no DV entries, no supersede")
         entries = [
             {
                 "status": 1,
@@ -363,14 +365,16 @@ def commit_dv_files(
             }
             for e in dv_entries
         ]
-        blob = write_container(
-            dv_entry_schema(partition_fields), entries,
-            metadata={"format-version": b"3", "content": b"deletes",
-                      "partition-spec-id": str(md["default-spec-id"]).encode()},
-        )
-        manifest_path = _write_new_file(
-            os.path.join(meta_dir, f"{commit_uuid}-dv0.avro"), blob
-        )
+        blob = manifest_path = None
+        if entries:  # a supersede-only commit (dangling-DV cleanup) adds none
+            blob = write_container(
+                dv_entry_schema(partition_fields), entries,
+                metadata={"format-version": b"3", "content": b"deletes",
+                          "partition-spec-id": str(md["default-spec-id"]).encode()},
+            )
+            manifest_path = _write_new_file(
+                os.path.join(meta_dir, f"{commit_uuid}-dv0.avro"), blob
+            )
         prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
         with open(_local_path(prev["manifest-list"]), "rb") as fh:
             _, _, prev_manifests = read_container(fh.read())
@@ -383,6 +387,7 @@ def commit_dv_files(
 
         sup = {(_norm_path(p), int(o)) for p, o in (supersede or set())}
         new_refs = {_norm_path(e["referenced_data_file"]) for e in dv_entries}
+        superseded_total = 0
         rewritten_manifests = []
         for mi, m in enumerate(prev_manifests):
             if int(m.get("content", 0)) != 1:
@@ -431,6 +436,7 @@ def commit_dv_files(
                 if key in sup:
                     e["status"] = 2
                     deleted += 1
+                    superseded_total += 1
                     deleted_rows_m += int(e["data_file"]["record_count"])
                 else:
                     e["status"] = 0
@@ -453,28 +459,30 @@ def commit_dv_files(
                 "deleted_rows_count": deleted_rows_m,
             })
         prev_manifests = rewritten_manifests
-        new_manifest = {
-            "manifest_path": manifest_path,
-            "manifest_length": len(blob),
-            "partition_spec_id": int(md["default-spec-id"]),
-            "content": 1,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(
-                int(e["record_count"]) for e in dv_entries
-            ),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": None,
-        }
+        new_manifests = []
+        if entries:
+            new_manifests.append({
+                "manifest_path": manifest_path,
+                "manifest_length": len(blob),
+                "partition_spec_id": int(md["default-spec-id"]),
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(e["record_count"]) for e in dv_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            })
         mlist_path = _write_new_file(
             os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
             write_container(MANIFEST_FILE_SCHEMA,
-                            prev_manifests + [new_manifest],
+                            prev_manifests + new_manifests,
                             metadata={"format-version": b"3"}),
         )
         prev_summary = prev.get("summary", {}) or {}
@@ -487,12 +495,16 @@ def commit_dv_files(
             "manifest-list": mlist_path,
             "schema-id": md["current-schema-id"],
             "summary": {
-                "operation": "overwrite",
+                # adding DVs hides rows (overwrite); a supersede-only
+                # cleanup rewrites metadata, no logical change (replace)
+                "operation": "overwrite" if entries else "replace",
                 "added-records": "0",
                 "deleted-records": str(deleted_rows),
                 "added-delete-files": str(len(entries)),
+                "removed-delete-files": str(superseded_total),
                 "total-delete-files": str(
-                    int(prev_summary.get("total-delete-files", 0))
+                    max(int(prev_summary.get("total-delete-files", 0))
+                        - superseded_total, 0)
                     + len(entries)
                 ),
                 "total-data-files": prev_summary.get("total-data-files", "0"),

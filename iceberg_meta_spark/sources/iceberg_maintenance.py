@@ -795,3 +795,40 @@ def expire_metadata_versions(
           else int(md["last-updated-ms"]) + 1)
     _publish(md, version, meta_dir, ts)
     return {"deleted": deleted, "kept": keep}
+
+
+def rewrite_deletion_vectors(
+    spark: SparkSession,
+    table_dir: str,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Drop DANGLING deletion vectors on a v3 table — the DV sibling of
+    :func:`rewrite_position_deletes`. A deletion vector references exactly
+    ONE data file, so dangling is all-or-nothing: when ``rewrite_data_files``
+    absorbs and removes the referenced file, its DV applies to nothing and
+    is pure metadata debris. Detection is a planning-index set difference
+    (no blob reads, no data scan); the cleanup publishes one ``replace``
+    snapshot that marks the dangling entries DELETED in rewritten delete
+    manifests (``commit_dv_files`` supersede-only commit). Served rows are
+    identical pre/post — the dropped DVs applied to nothing. A no-op
+    publishes nothing."""
+    from iceberg_meta_spark.sources.iceberg_dv import commit_dv_files
+    from iceberg_meta_spark.sources.iceberg_scan import _norm_path, plan_scan
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    plan = plan_scan(spark, table_dir)
+    if not plan.deletion_vectors:
+        return {"dropped": 0, "snapshot_id": None}
+    live = {_norm_path(f["path"]) for f in plan.data_files}
+    dangling = [
+        d for d in plan.deletion_vectors
+        if _norm_path(d["referenced_data_file"]) not in live
+    ]
+    if not dangling:
+        return {"dropped": 0, "snapshot_id": None}
+    md = commit_dv_files(
+        table_dir, [], timestamp_ms=timestamp_ms,
+        supersede={(d["path"], int(d["offset"])) for d in dangling},
+    )
+    return {"dropped": len(dangling),
+            "snapshot_id": int(md["current-snapshot-id"])}

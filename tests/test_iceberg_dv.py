@@ -327,3 +327,32 @@ def test_remove_orphans_keeps_dv_puffins(spark):
     out = remove_orphans(spark, table, older_than_ms=2**62, dry_run=False)
     assert all(os.path.exists(p) for p in puffins), out
     assert sorted(r.id for r in scan_table(spark, table).collect()) == before
+
+
+def test_rewrite_deletion_vectors_drops_dangling(spark):
+    """After compaction absorbs a DV'd file, the DV is dangling debris —
+    rewrite_deletion_vectors drops it in one replace snapshot (planning-
+    index detection, no blob reads), served rows identical, and a second
+    run is a published-nothing no-op."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_data_files,
+        rewrite_deletion_vectors,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan, scan_table
+    from iceberg_meta_spark.sources.iceberg_write import delete_where
+
+    table, _ = _v3_table(spark, "dv_rewrite_dangling")
+    delete_where(spark, table, ("id", 3, 5), timestamp_ms=_TS + 180_000)
+    rewrite_data_files(spark, table, timestamp_ms=_TS + 240_000)
+    plan = plan_scan(spark, table)
+    assert len(plan.deletion_vectors) == 1  # dangling: its file was rewritten
+    before = sorted(r.id for r in scan_table(spark, table).collect())
+    out = rewrite_deletion_vectors(spark, table, timestamp_ms=_TS + 300_000)
+    assert out["dropped"] == 1 and out["snapshot_id"] is not None
+    plan = plan_scan(spark, table)
+    assert plan.deletion_vectors == []
+    assert sorted(r.id for r in scan_table(spark, table).collect()) == before
+    # idempotent: nothing left to drop, nothing published
+    assert rewrite_deletion_vectors(spark, table) == {
+        "dropped": 0, "snapshot_id": None,
+    }
