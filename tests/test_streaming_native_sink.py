@@ -155,3 +155,36 @@ def test_two_sinks_one_table_serialize(spark):
     assert append_epoch(a, 0, table, "sink-a")["committed"] is False
     got = sorted(r.id for r in scan_table(spark, table).collect())
     assert got == [1, 2]
+
+
+def test_sink_into_partitioned_table(spark):
+    """The sink rides append_dataframe, so an identity-partitioned table
+    gets Hive-layout epoch batches with per-file partition tuples; the
+    merge-on-read scan re-injects the partition column."""
+    from iceberg_meta_spark.sources.iceberg_scan import plan_scan
+
+    base = _fresh("native_sink_part")
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "t")
+    os.makedirs(src)
+    from iceberg_meta_spark.sources.iceberg_write import (
+        create_table as _ct,
+    )
+
+    _ct(table, fields=[(1, "region", "string"), (2, "id", "long")],
+        partition_fields=[("region", 1, 1000)])
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        for region, i in (("emea", 1), ("apac", 2), ("emea", 3)):
+            fh.write(json.dumps({"region": region, "id": i}) + "\n")
+    stream = spark.readStream.schema("region string, id long").json(src)
+    q = (
+        write_stream(stream, table, os.path.join(base, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    plan = plan_scan(spark, table)
+    assert {json.dumps(f["part"]) for f in plan.data_files} == {
+        '{"region": "apac"}', '{"region": "emea"}',
+    }
+    got = sorted((r.region, r.id) for r in scan_table(spark, table).collect())
+    assert got == [("apac", 2), ("emea", 1), ("emea", 3)]
