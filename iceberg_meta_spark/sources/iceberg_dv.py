@@ -586,12 +586,18 @@ def delete_where_dv(
     if not per_file:
         return {"rows_deleted": 0, "snapshot_id": None}
 
-    dv_path = os.path.join(table_dir, "data", f"dv-{version + 1:05d}.puffin")
-    k = 0
-    while os.path.exists(dv_path):  # claim a fresh name under racers
-        k += 1
-        dv_path = os.path.join(table_dir, "data",
-                               f"dv-{version + 1:05d}-r{k}.puffin")
+    # atomic name claim (exclusive create, not exists-then-write: two
+    # concurrent DELETEs that read the same version must not share a path)
+    base = os.path.join(table_dir, "data", f"dv-{version + 1:05d}")
+    dv_path, k = f"{base}.puffin", 0
+    while True:
+        try:
+            with open(dv_path, "xb"):
+                pass
+            break
+        except FileExistsError:
+            k += 1
+            dv_path = f"{base}-r{k}.puffin"
     out = write_puffin(dv_path, [
         {
             "type": DV_BLOB_TYPE,
