@@ -1635,6 +1635,49 @@ def iceberg_native_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "iceberg_native_commit_rebase",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,
+               CAST(4 AS BIGINT) AS metadata_version,
+               CAST(2 AS BIGINT) AS n_snapshots
+        FROM range(1, 7) t(i) ORDER BY id
+    """,
+    doc="the r10 optimistic-concurrency commit loop under the hash gate "
+    "(iceberg_write.py:_retrying_commit/_latest_version, "
+    "HadoopTableOperations.findVersion semantics): the fixture plants a "
+    "crashed writer's orphaned claim (v3 exists, hint still 2) before the "
+    "second append, which must base on v3 and claim v4 — never overwrite "
+    "the claim, never spin on the stale hint. Gated: all six rows served, "
+    "metadata_version=4, n_snapshots=2. The live THREADED races "
+    "(8-writer barrier, conflicting double delete, retry exhaustion) are "
+    "in tests/test_iceberg_concurrency.py",
+)
+def iceberg_native_commit_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_rebase_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+    from iceberg_meta_spark.sources.iceberg_write import _latest_version
+
+    table = default_rebase_table(spark)
+    meta = _os.path.join(table, "metadata")
+    version = _latest_version(meta)
+    md = _json.load(open(_os.path.join(meta, f"v{version}.metadata.json")))
+    return (
+        scan_table(spark, table)
+        .select(
+            "id", "val",
+            F.lit(version).cast("long").alias("metadata_version"),
+            F.lit(len(md["snapshots"])).cast("long").alias("n_snapshots"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
     "iceberg_native_dv_scan",
     oracle="""
         SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,

@@ -1165,3 +1165,48 @@ def default_dv_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_rebase_table(spark) -> str:
+    """A table whose SECOND append must commit PAST an orphaned metadata
+    claim (HadoopTableOperations.findVersion semantics, the r10 commit
+    retry's version-resolution half): after the first append publishes v2,
+    a crashed writer's claim is simulated by copying v2 -> v3 with the
+    hint still at 2; the next append must base on v3 and claim v4 — never
+    overwrite v3, never spin on the stale hint. The gated query pins the
+    row set, the final metadata version (4) and the snapshot count (2)."""
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_rebase_v1"
+    )
+    table = os.path.join(base, "rebase_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in (1, 2, 3)],
+                              "id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    meta = os.path.join(table, "metadata")
+    # the crashed winner: v3 exists, hint still points at 2
+    shutil.copy(os.path.join(meta, "v2.metadata.json"),
+                os.path.join(meta, "v3.metadata.json"))
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in (4, 5, 6)],
+                              "id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 120_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
