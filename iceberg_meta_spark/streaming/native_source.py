@@ -247,7 +247,8 @@ class IcebergNativeStreamReader(DataSourceStreamReader):
 class _BatchFilePartition(InputPartition):
     def __init__(self, file_path: str, part: dict, fields: list,
                  pos_delete_files: list, seq: int,
-                 eq_delete_files: list | None = None):
+                 eq_delete_files: list | None = None,
+                 dvs: list | None = None):
         self.file_path = file_path
         self.part = part
         self.fields = fields
@@ -255,6 +256,9 @@ class _BatchFilePartition(InputPartition):
         self.seq = seq
         # [(path, delete_seq, [eq col names])] with delete_seq > seq
         self.eq_delete_files = eq_delete_files or []
+        # v3 deletion vectors REFERENCING this file, applicable by seq:
+        # [(puffin path, content_offset, content_size)]
+        self.dvs = dvs or []
 
 
 class IcebergNativeBatchReader(DataSourceReader):
@@ -377,7 +381,7 @@ class IcebergNativeBatchReader(DataSourceReader):
             for f in spec.get("fields", [])
             if f.get("transform") == "identity"
         }
-        data, pos_dels, eq_dels = [], [], []
+        data, pos_dels, eq_dels, dvs = [], [], [], []
         for m in _avro_records(snap["manifest-list"]):
             mseq = m.get("sequence_number")
             for e in _avro_records(m["manifest_path"]):
@@ -397,6 +401,14 @@ class IcebergNativeBatchReader(DataSourceReader):
                 elif dfile.get("equality_ids"):
                     cols = [id_to_name[int(i)] for i in dfile["equality_ids"]]
                     eq_dels.append((_local(dfile["file_path"]), seq, cols))
+                elif str(dfile.get("file_format", "")).upper() == "PUFFIN":
+                    # v3 deletion vector: (referenced file, puffin, off, len)
+                    dvs.append((
+                        _local(dfile["referenced_data_file"]),
+                        _local(dfile["file_path"]), seq,
+                        int(dfile["content_offset"]),
+                        int(dfile["content_size_in_bytes"]),
+                    ))
                 else:
                     pos_dels.append((_local(dfile["file_path"]), seq))
         parts = [
@@ -406,6 +418,9 @@ class IcebergNativeBatchReader(DataSourceReader):
                 [pd for pd in pos_dels if seq <= pd[1]], seq,
                 # spec: an equality delete applies STRICTLY later deletes
                 [ed for ed in eq_dels if seq < ed[1]],
+                # a DV names its file; position-delete seq rule applies
+                [(p, off, ln) for ref, p, dseq, off, ln in dvs
+                 if ref == _local(d["file_path"]) and seq <= dseq],
             )
             for d, part, seq in data
         ]
@@ -420,7 +435,7 @@ class IcebergNativeBatchReader(DataSourceReader):
 
         tbl = pq.read_table(partition.file_path)
         n = tbl.num_rows
-        if partition.pos_delete_files:
+        if partition.pos_delete_files or partition.dvs:
             dead: set[int] = set()
             me = partition.file_path
             for dpath, _seq in partition.pos_delete_files:
@@ -433,6 +448,15 @@ class IcebergNativeBatchReader(DataSourceReader):
                 dead.update(
                     int(p) for p in dt.column("pos").filter(mask).to_pylist()
                 )
+            if partition.dvs:
+                from iceberg_meta_spark.sources.iceberg_dv import (
+                    read_dv_positions,
+                )
+
+                for puffin, off, ln in partition.dvs:
+                    dead.update(
+                        int(p) for p in read_dv_positions(puffin, off, ln)
+                    )
             if dead:
                 keep = [i for i in range(n) if i not in dead]
                 tbl = tbl.take(pa.array(keep, type=pa.int64()))

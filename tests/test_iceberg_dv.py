@@ -356,3 +356,25 @@ def test_rewrite_deletion_vectors_drops_dangling(spark):
     assert rewrite_deletion_vectors(spark, table) == {
         "dropped": 0, "snapshot_id": None,
     }
+
+
+def test_batch_datasource_applies_deletion_vectors(spark):
+    """The Python DataSource batch face must decode v3 DVs per partition
+    (random-access blob read) — before r10 it would have treated the
+    Puffin entry as a parquet position-delete file."""
+    from iceberg_meta_spark.streaming.native_source import (
+        register_native_source,
+    )
+
+    table, (p1, p2) = _v3_table(spark, "dv_batch_ds")
+    dv_path = os.path.join(table, "data", "dv-1.puffin")
+    entries = write_dv_file(
+        dv_path, {p1: [0, 3], p2: [5]}, snapshot_id=3, sequence_number=3
+    )
+    commit_dv_files(table, entries, timestamp_ms=_TS + 180_000)
+    register_native_source(spark)
+    got = (
+        spark.read.format("iceberg_native").option("path", table)
+        .load().select("id").collect()
+    )
+    assert sorted(r.id for r in got) == sorted(set(range(20)) - {0, 3, 15})
