@@ -28,6 +28,15 @@ same HadoopTables-protocol filesystem tables the native writer commits to
 Scope matches the writer's, stated plainly: local-filesystem table dirs
 (the HadoopTables protocol); catalog-pointer CAS paths stay jar-gated in
 ``sources/iceberg.py``.
+
+Concurrency, stated plainly: the DATA-commit actions here
+(``rewrite_data_files``, ``rewrite_position_deletes``,
+``rewrite_deletion_vectors``) publish through ``iceberg_write``'s
+optimistic retry loop and rebase like every writer. The metadata-only
+publishes in THIS module (``expire_snapshots``, ``rewrite_manifests``,
+``expire_metadata``) are single-shot: losing a version race raises
+FileExistsError and the caller re-runs the action against fresh state —
+acceptable for maintenance jobs, which deployments serialize anyway.
 """
 
 from __future__ import annotations
