@@ -387,7 +387,36 @@ def commit_dv_files(
 
         sup = {(_norm_path(p), int(o)) for p, o in (supersede or set())}
         new_refs = {_norm_path(e["referenced_data_file"]) for e in dv_entries}
+        if new_refs:
+            # every referenced data file must still be LIVE in the (possibly
+            # rebased) snapshot: a concurrent rewrite_data_files may have
+            # removed it, and committing a DV against a dead file silently
+            # loses the DELETE — the deleted rows live on in the compacted
+            # replacement. Genuine conflict: the caller must re-plan against
+            # fresh state (Java's validateDataFilesExist).
+            from iceberg_meta_spark.sources.iceberg_write import (
+                CommitConflictError,
+            )
+
+            live: set[str] = set()
+            for m in prev_manifests:
+                if int(m.get("content", 0)) != 0:
+                    continue
+                with open(_local_path(m["manifest_path"]), "rb") as fh:
+                    _, _, dentries = read_container(fh.read())
+                live.update(
+                    _norm_path(e["data_file"]["file_path"])
+                    for e in dentries if e.get("status", 0) != 2
+                )
+            dead = sorted(new_refs - live)
+            if dead:
+                raise CommitConflictError(
+                    f"deletion vector references data file {dead[0]!r} which "
+                    "is no longer live (concurrently rewritten/removed); "
+                    "re-plan the delete against the current snapshot"
+                )
         superseded_total = 0
+        superseded_rows = 0
         rewritten_manifests = []
         for mi, m in enumerate(prev_manifests):
             if int(m.get("content", 0)) != 1:
@@ -443,6 +472,7 @@ def commit_dv_files(
                     kept += 1
                     kept_rows += int(e["data_file"]["record_count"])
                 out_entries.append(e)
+            superseded_rows += deleted_rows_m
             mblob = write_container(mschema, out_entries, metadata=dict(mmeta))
             rpath = _write_new_file(
                 os.path.join(meta_dir, f"{commit_uuid}-dvr{mi}.avro"), mblob
@@ -486,7 +516,14 @@ def commit_dv_files(
                             metadata={"format-version": b"3"}),
         )
         prev_summary = prev.get("summary", {}) or {}
-        deleted_rows = sum(int(e["record_count"]) for e in dv_entries)
+        # a superseding DV's record_count is the MERGED cardinality (old
+        # positions + new); report only the net-new deletes, otherwise
+        # repeated DELETEs on the same file double-count rows already
+        # reported deleted by the superseded entry
+        deleted_rows = max(
+            sum(int(e["record_count"]) for e in dv_entries) - superseded_rows,
+            0,
+        )
         snapshot = {
             "snapshot-id": snap_id,
             "parent-snapshot-id": parent,

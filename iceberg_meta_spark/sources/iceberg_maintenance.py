@@ -395,11 +395,14 @@ def rewrite_manifests(
             }
         )
 
+    from iceberg_meta_spark.sources.iceberg_write import _fv_bytes
+
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
     with open(mlist_path, "wb") as fh:
         fh.write(
             write_container(
-                MANIFEST_FILE_SCHEMA, new_manifests, metadata={"format-version": b"2"}
+                MANIFEST_FILE_SCHEMA, new_manifests,
+                metadata={"format-version": _fv_bytes(md)},
             )
         )
     prev_summary = parent.get("summary", {}) or {}
@@ -566,8 +569,12 @@ def rewrite_data_files(
         add_files.extend(files)
         remove_paths.extend(f["path"] for f in group)
 
+    # validate_from_seq pins the plan-time sequence number: if a DELETE
+    # (pos/eq/DV) commits between plan_scan above and this commit, the
+    # rebase raises CommitConflictError instead of silently dropping it
     commit_rewrite_files(table_dir, remove_paths, add_files,
-                         timestamp_ms=timestamp_ms)
+                         timestamp_ms=timestamp_ms,
+                         validate_from_seq=int(md.get("last-sequence-number", 0)))
     new_md, _, _ = _load_md(table_dir)
     return {
         "groups": len(groups),

@@ -159,6 +159,14 @@ def _retrying_commit(meta_dir: str, attempt, retries: int = _COMMIT_RETRIES):
             time.sleep(_RETRY_BACKOFF_S * (i + 1))
 
 
+def _fv_bytes(md: dict) -> bytes:
+    """The table's actual format-version for manifest / manifest-list Avro
+    metadata. v3 tables must stamp "3": external engines key manifest
+    parsing off this label (spec § Manifests, "format-version" property),
+    so a v3 commit labeled "2" would be mis-classified."""
+    return str(int(md.get("format-version", 2))).encode()
+
+
 _AVRO_T = {"string": "string", "long": "long", "int": "int",
            "double": "double", "boolean": "boolean"}
 
@@ -302,6 +310,7 @@ def commit_append(
     timestamp_ms: int | None = None,
     branch: str | None = None,
     extra_summary: dict[str, str] | None = None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict:
     """Append ``files`` as one new snapshot; returns the new table metadata.
 
@@ -323,7 +332,10 @@ def commit_append(
     so the fixture stays wall-clock-free).
 
     ``extra_summary`` adds string properties to the snapshot summary (e.g.
-    the streaming sink's exactly-once epoch markers).
+    the streaming sink's exactly-once epoch markers). ``extra_properties``
+    merges into the TABLE properties in the same atomic commit — unlike
+    summary markers, properties survive ``expire_snapshots`` (the
+    streaming sink persists its high-water epoch there).
 
     Concurrency (r10): the commit runs the optimistic retry loop
     (:func:`_retrying_commit`) — two interleaved appends BOTH succeed,
@@ -336,7 +348,7 @@ def commit_append(
     def attempt(version: int, md: dict) -> dict:
         return _commit_append_once(
             table_dir, meta_dir, version, md, files, partition_fields,
-            timestamp_ms, branch, extra_summary,
+            timestamp_ms, branch, extra_summary, extra_properties,
         )
 
     return _retrying_commit(meta_dir, attempt)
@@ -352,6 +364,7 @@ def _commit_append_once(
     timestamp_ms: int | None,
     branch: str | None,
     extra_summary: dict[str, str] | None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict:
     """One append attempt against the given metadata; raises
     FileExistsError when another writer claims v(version+1) first (the
@@ -388,7 +401,7 @@ def _commit_append_once(
         manifest_entry_schema(partition_fields),
         entries,
         metadata={
-            "format-version": b"2",
+            "format-version": _fv_bytes(md),
             "content": b"data",
             "partition-spec-id": str(md["default-spec-id"]).encode(),
         },
@@ -431,7 +444,7 @@ def _commit_append_once(
         write_container(
             MANIFEST_FILE_SCHEMA,
             prev_manifests + [new_manifest],
-            metadata={"format-version": b"2"},
+            metadata={"format-version": _fv_bytes(md)},
         ),
     )
 
@@ -470,6 +483,11 @@ def _commit_append_once(
             **{str(k): str(v) for k, v in (extra_summary or {}).items()},
         },
     }
+    if extra_properties:
+        md["properties"] = {
+            **(md.get("properties") or {}),
+            **{str(k): str(v) for k, v in extra_properties.items()},
+        }
     md["snapshots"] = md.get("snapshots", []) + [snapshot]
     md["metadata-log"] = md.get("metadata-log", []) + [
         {
@@ -633,7 +651,7 @@ def _commit_remove_files_once(
     mlist_path = _write_new_file(
         os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
         write_container(MANIFEST_FILE_SCHEMA, new_manifests,
-                        metadata={"format-version": b"2"}),
+                        metadata={"format-version": _fv_bytes(md)}),
     )
     prev_summary = (prev.get("summary", {}) or {})
     snapshot = {
@@ -677,12 +695,94 @@ def _commit_remove_files_once(
     return md
 
 
+def _position_delete_refs(path: str, file_format: str | None) -> set[str] | None:
+    """The data-file paths a position-delete PARQUET file references (its
+    ``file_path`` column, spec field 2147483545). Returns None when the
+    file can't be inspected — the caller must treat that as a conflict.
+    Delete files are small by construction (one per DELETE's touched
+    files); this is a driver-side footer+column read, planning-index
+    scale, and only runs for delete manifests newer than the rewrite's
+    base sequence number (the rare-conflict path)."""
+    if str(file_format or "PARQUET").upper() != "PARQUET":
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        from iceberg_meta_spark.sources.iceberg_scan import _norm_path
+
+        col = pq.read_table(_local_path(path), columns=["file_path"])
+        return {_norm_path(p) for p in col.column("file_path").to_pylist()}
+    except Exception:  # unreadable / unexpected layout -> conservative
+        return None
+
+
+def _validate_no_new_deletes(
+    prev_manifests: list[dict], targets_norm: set[str], from_seq: int
+) -> None:
+    """Java RewriteFiles' ``validateNoNewDeletesForDataFiles``, jar-free:
+    a compaction materialized its replacement files WITHOUT any delete
+    committed after its scan, so if the rebased snapshot carries a delete
+    (position delete, equality delete, or deletion vector) with sequence
+    number > the plan-time ``from_seq`` that applies to a file being
+    removed, committing the rewrite would silently DROP that delete —
+    the deleted rows would live on in the compacted files. Raises
+    CommitConflictError (genuine conflict: the compaction must re-plan
+    against fresh state, re-applying the new deletes during its read).
+
+    DVs name their file (``referenced_data_file``); position-delete
+    parquet is inspected via :func:`_position_delete_refs`; equality
+    deletes apply by sequence ordering to every older file in the
+    partition scope, so any new one conflicts (Java's same conservative
+    treatment without a filter-based narrowing)."""
+    from iceberg_meta_spark.sources.avro_py import read_container
+    from iceberg_meta_spark.sources.iceberg_scan import _norm_path
+
+    for m in prev_manifests:
+        if int(m.get("content", 0)) != 1:
+            continue
+        if int(m.get("sequence_number") or 0) <= from_seq:
+            continue
+        with open(_local_path(m["manifest_path"]), "rb") as fh:
+            _, _, entries = read_container(fh.read())
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number") or 0
+            if int(seq) <= from_seq:
+                continue  # pre-plan delete, already applied by the rewrite read
+            df = e["data_file"]
+            ref = df.get("referenced_data_file")
+            if ref is not None:  # v3 deletion vector: exact file check
+                if _norm_path(ref) in targets_norm:
+                    raise CommitConflictError(
+                        f"concurrent deletion vector for {ref!r} (seq {seq} > "
+                        f"plan seq {from_seq}); re-plan the rewrite"
+                    )
+                continue
+            if int(df.get("content", 1)) == 2:
+                raise CommitConflictError(
+                    f"concurrent equality-delete file {df['file_path']!r} "
+                    f"(seq {seq} > plan seq {from_seq}) may apply to the "
+                    "files being rewritten; re-plan the rewrite"
+                )
+            refs = _position_delete_refs(df["file_path"], df.get("file_format"))
+            if refs is None or refs & targets_norm:
+                raise CommitConflictError(
+                    f"concurrent position-delete file {df['file_path']!r} "
+                    f"(seq {seq} > plan seq {from_seq}) references files "
+                    "being rewritten; re-plan the rewrite"
+                )
+
+
 def commit_rewrite_files(
     table_dir: str,
     remove_paths: set[str] | list[str],
     add_files: list[dict],
     timestamp_ms: int | None = None,
     add_content: int = 0,
+    validate_from_seq: int | None = None,
 ) -> dict:
     """Publish ONE ``replace`` snapshot that atomically removes
     ``remove_paths`` (compacted-away files) and adds ``add_files`` (their
@@ -705,14 +805,20 @@ def commit_rewrite_files(
     Concurrency: optimistic retry loop; the rebase re-resolves
     ``remove_paths`` against the winner's snapshot — a file another writer
     already removed raises KeyError (genuine conflict, the compaction must
-    re-plan), concurrent appends rebase cleanly."""
+    re-plan), concurrent appends rebase cleanly. ``validate_from_seq`` is
+    the table's last-sequence-number AT PLAN TIME: when set (data rewrites
+    pass it), the rebase also raises CommitConflictError if any delete
+    (pos/eq/DV) newer than that sequence applies to the files being
+    removed — otherwise a DELETE committed between the rewrite's scan and
+    its commit would be silently lost (the replacement files were
+    materialized without it). Java's validateNoNewDeletesForDataFiles."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     return _retrying_commit(
         meta_dir,
         lambda version, md: _commit_rewrite_files_once(
             table_dir, meta_dir, version, md, set(remove_paths), add_files,
-            timestamp_ms, add_content,
+            timestamp_ms, add_content, validate_from_seq,
         ),
     )
 
@@ -726,6 +832,7 @@ def _commit_rewrite_files_once(
     add_files: list[dict],
     timestamp_ms: int | None,
     add_content: int,
+    validate_from_seq: int | None = None,
 ) -> dict:
     if int(md.get("format-version", 1)) not in (2, 3):
         raise ValueError("commit_rewrite_files writes format-version 2/3 tables only")
@@ -738,6 +845,14 @@ def _commit_rewrite_files_once(
     prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
     with open(_local_path(prev["manifest-list"]), "rb") as fh:
         _, _, prev_manifests = read_container(fh.read())
+
+    if validate_from_seq is not None and add_content == 0:
+        from iceberg_meta_spark.sources.iceberg_scan import _norm_path
+
+        _validate_no_new_deletes(
+            prev_manifests, {_norm_path(t) for t in targets},
+            int(validate_from_seq),
+        )
 
     snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
     seq = int(md.get("last-sequence-number", 0)) + 1
@@ -762,7 +877,7 @@ def _commit_rewrite_files_once(
             blob = write_container(
                 manifest_entry_schema(partition_fields),
                 entries,
-                metadata={"format-version": b"2", "content": b"data",
+                metadata={"format-version": _fv_bytes(md), "content": b"data",
                           "partition-spec-id": str(md["default-spec-id"]).encode()},
             )
         else:
@@ -790,7 +905,7 @@ def _commit_rewrite_files_once(
     mlist_path = _write_new_file(
         os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
         write_container(MANIFEST_FILE_SCHEMA, new_manifests,
-                        metadata={"format-version": b"2"}),
+                        metadata={"format-version": _fv_bytes(md)}),
     )
     prev_summary = (prev.get("summary", {}) or {})
     if add_content == 0:
@@ -904,7 +1019,7 @@ def _delete_manifest_blob(
         })
     blob = write_container(
         entry_schema, entries,
-        metadata={"format-version": b"2", "content": b"deletes",
+        metadata={"format-version": _fv_bytes(md), "content": b"deletes",
                   "partition-spec-id": str(md["default-spec-id"]).encode()},
     )
     return blob, len(entries)
@@ -999,7 +1114,7 @@ def _commit_delete_files_once(
         os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
         write_container(MANIFEST_FILE_SCHEMA,
                         prev_manifests + [new_manifest],
-                        metadata={"format-version": b"2"}),
+                        metadata={"format-version": _fv_bytes(md)}),
     )
     # row-level deletes leave the DATA files untouched: total-data-files /
     # total-records / total-files-size carry over verbatim from the parent
@@ -1115,7 +1230,7 @@ def _commit_merge_once(
                                        partition_fields)
     data_blob = write_container(
         manifest_entry_schema(partition_fields), data_entries,
-        metadata={"format-version": b"2", "content": b"data",
+        metadata={"format-version": _fv_bytes(md), "content": b"data",
                   "partition-spec-id": str(md["default-spec-id"]).encode()},
     )
     data_mpath = _write_new_file(
@@ -1159,7 +1274,7 @@ def _commit_merge_once(
     mlist_path = _write_new_file(
         os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
         write_container(MANIFEST_FILE_SCHEMA, new_manifests,
-                        metadata={"format-version": b"2"}),
+                        metadata={"format-version": _fv_bytes(md)}),
     )
 
     prev_summary = (prev.get("summary", {}) or {})
@@ -1257,18 +1372,44 @@ def merge_into(
                         timestamp_ms=timestamp_ms)
 
 
+def _norm_predicates(predicate) -> list[tuple]:
+    """Normalize DELETE predicates to (col, lo, hi, lo_strict, hi_strict)
+    5-tuples. Accepts one 3-tuple (closed interval, the scan planner's
+    shape), one 5-tuple (strict flags for open bounds), or a LIST of
+    either (a conjunction, ANDed)."""
+    preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+    out = []
+    for p in preds:
+        if len(p) == 3:
+            col, lo, hi = p
+            ls = hs = False
+        elif len(p) == 5:
+            col, lo, hi, ls, hs = p
+        else:
+            raise ValueError(f"predicate must be a 3- or 5-tuple, got {p!r}")
+        out.append((col, lo, hi, bool(ls), bool(hs)))
+    return out
+
+
 def delete_where(
     spark,
     table_dir: str,
-    predicate: tuple[str, object, object],
+    predicate,
     timestamp_ms: int | None = None,
 ) -> dict:
-    """DELETE FROM ... WHERE col BETWEEN lo AND hi (the scan's predicate
-    shape, ``None`` for an open end): resolve the matching rows' physical
-    (file, position) pairs through the merge-on-read scan — so rows
+    """DELETE FROM ... WHERE — predicates over the merge-on-read scan:
+    resolve the matching rows' physical (file, position) pairs — so rows
     already hidden by earlier deletes are never re-deleted — and publish
     them as ONE position-delete commit. The row-level DELETE verb over
     the same machinery MERGE uses.
+
+    ``predicate``: ``(col, lo, hi)`` closed interval (``None`` = open
+    end), ``(col, lo, hi, lo_strict, hi_strict)`` for strict ``<`` / ``>``
+    bounds, or a LIST of either — a conjunction, ANDed. File pruning uses
+    each predicate's CLOSED hull (a strict bound prunes exactly like its
+    closed twin at file granularity — min/max pruning is conservative
+    either way); strictness is enforced by the residual row filter, the
+    same split every engine's scan does.
 
     Distributed work: file pruning + the matching scan are the planner's
     own plan; the delete file is written sorted by (file, pos) per the
@@ -1287,15 +1428,23 @@ def delete_where(
     meta_dir = os.path.join(table_dir, "metadata")
     version, md = _read_meta(meta_dir)
 
-    plan = plan_scan(spark, table_dir, predicate=predicate)
+    preds = _norm_predicates(predicate)
+    plan = plan_scan(
+        spark, table_dir,
+        predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds],
+    )
     rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
     if rows is None:
         return {"rows_deleted": 0, "snapshot_id": None}
-    col, lo, hi = predicate
-    if lo is not None:
-        rows = rows.where(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        rows = rows.where(F.col(col) <= F.lit(hi))
+    for col, lo, hi, lo_strict, hi_strict in preds:
+        if lo is not None:
+            rows = rows.where(
+                F.col(col) > F.lit(lo) if lo_strict else F.col(col) >= F.lit(lo)
+            )
+        if hi is not None:
+            rows = rows.where(
+                F.col(col) < F.lit(hi) if hi_strict else F.col(col) <= F.lit(hi)
+            )
     if int(md.get("format-version", 1)) >= 3:
         # v3: the DELETE verb publishes deletion vectors, not parquet
         # position-delete files — per-file roaring bitmaps merged with any
@@ -1769,6 +1918,7 @@ def append_dataframe(
     timestamp_ms: int | None = None,
     branch: str | None = None,
     extra_summary: dict[str, str] | None = None,
+    extra_properties: dict[str, str] | None = None,
 ) -> dict:
     """INSERT INTO: write ``df`` into the table's data dir with real
     per-file statistics (:func:`write_dataframe_files`) and commit the
@@ -1785,7 +1935,8 @@ def append_dataframe(
     )
     files = write_dataframe_files(spark, df, md, batch_dir, mode="overwrite")
     return commit_append(table_dir, files, timestamp_ms=timestamp_ms,
-                         branch=branch, extra_summary=extra_summary)
+                         branch=branch, extra_summary=extra_summary,
+                         extra_properties=extra_properties)
 
 
 def update_partition_spec(

@@ -26,6 +26,13 @@ NDJSON streamWriter pins):
    (never a snapshot); the replay re-writes and commits them fresh.
    Orphans are swept by ``remove_orphans``, exactly like a failed batch
    write.
+4. The markers also survive snapshot EXPIRY: every commit additionally
+   persists ``streaming.sink.<sink-id>.max-epoch`` in the TABLE
+   properties (same atomic commit). Summaries vanish when
+   ``expire_snapshots`` reclaims old snapshots, but properties live on
+   the metadata root — so a checkpoint-lagged epoch replayed after
+   expiry still skips (epoch ids are monotonic per checkpoint, making
+   the high-water mark a complete replay filter for this sink).
 
 Concurrency: the underlying ``commit_append`` runs the optimistic commit
 retry loop, so a streaming sink and a concurrent batch writer (or a second
@@ -62,9 +69,11 @@ _SINK_KEY = "streaming.sink-id"
 _EPOCH_KEY = "streaming.epoch-id"
 
 
-def _committed_epochs(table_dir: str, sink_id: str) -> set[int]:
-    """Epoch ids this sink already committed, from the snapshot summaries.
-    Reads the CURRENT metadata JSON only — O(snapshots) driver work."""
+def _committed_epochs(table_dir: str, sink_id: str) -> tuple[set[int], int]:
+    """(epoch ids from retained snapshot summaries, high-water epoch from
+    table properties) for this sink. Reads the CURRENT metadata JSON only
+    — O(snapshots) driver work. The property survives expire_snapshots;
+    the summaries are exact for retained history."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     version = _latest_version(meta_dir)
@@ -75,7 +84,14 @@ def _committed_epochs(table_dir: str, sink_id: str) -> set[int]:
         summary = s.get("summary") or {}
         if summary.get(_SINK_KEY) == sink_id and _EPOCH_KEY in summary:
             out.add(int(summary[_EPOCH_KEY]))
-    return out
+    max_epoch = int(
+        (md.get("properties") or {}).get(_max_epoch_key(sink_id), -1)
+    )
+    return out, max_epoch
+
+
+def _max_epoch_key(sink_id: str) -> str:
+    return f"streaming.sink.{sink_id}.max-epoch"
 
 
 def append_epoch(
@@ -89,7 +105,11 @@ def append_epoch(
     snapshot, exactly once. Returns {"committed": bool, "epoch_id": int,
     "snapshot_id": int | None}; a replayed epoch (or an empty batch)
     commits nothing."""
-    if int(epoch_id) in _committed_epochs(table_dir, sink_id):
+    committed, max_epoch = _committed_epochs(table_dir, sink_id)
+    if int(epoch_id) in committed or int(epoch_id) <= max_epoch:
+        # already committed — found in a retained summary, or at/under the
+        # property high-water mark (covers replays after snapshot expiry:
+        # epochs commit in order per checkpoint, so <= max-epoch is final)
         return {"committed": False, "epoch_id": int(epoch_id),
                 "snapshot_id": None}
     if batch_df.isEmpty():
@@ -101,6 +121,7 @@ def append_epoch(
         table_dir,
         timestamp_ms=timestamp_ms,
         extra_summary={_SINK_KEY: sink_id, _EPOCH_KEY: str(int(epoch_id))},
+        extra_properties={_max_epoch_key(sink_id): str(int(epoch_id))},
     )
     return {"committed": True, "epoch_id": int(epoch_id),
             "snapshot_id": int(md["current-snapshot-id"])}
