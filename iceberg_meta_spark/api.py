@@ -895,15 +895,29 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
 
     - ``INSERT INTO t VALUES (1, 'a'), (2, 'b')`` — positional against the
       table schema; also ``INSERT INTO t SELECT ...``.
-    - ``DELETE FROM t WHERE col = v`` / ``col >= v`` / ``col <= v`` /
-      ``col BETWEEN lo AND hi`` — the scan planner's closed-interval
-      predicate shape, executed as one position-delete commit
-      (:func:`delete_where_rows`). Strict </> raise a guided error.
+    - ``DELETE FROM t WHERE <pred> [AND <pred> ...]`` where each ``<pred>``
+      is ``col = v`` / ``col >= v`` / ``col <= v`` / ``col > v`` /
+      ``col < v`` / ``col BETWEEN lo AND hi`` — strict bounds run as the
+      closed hull at file-prune granularity plus a strict residual row
+      filter; the conjunction executes as one row-level delete commit
+      (position deletes on v2 tables, deletion vectors on v3).
     - ``MERGE INTO t USING src ON k1[, k2...]`` — upsert whole rows of the
-      registered view/table ``src`` keyed on the named columns
-      (:func:`merge`): matched keys replace, new keys insert, one snapshot.
+      registered view/table ``src`` keyed on the named columns: matched
+      keys replace, new keys insert, one snapshot. Optional clauses:
+      ``WHEN MATCHED [AND <cond>] THEN UPDATE`` / ``WHEN MATCHED
+      [AND <cond>] THEN DELETE`` (``<cond>`` is a Spark SQL expression
+      over the SOURCE row's columns) and ``WHEN NOT MATCHED THEN INSERT``;
+      giving any WHEN clause makes the merge exactly those clauses (e.g.
+      a lone ``WHEN MATCHED THEN DELETE`` never inserts).
+    - ``CALL <procedure>('t'[, name => value ...])`` — maintenance
+      procedures, mirroring Iceberg's Spark procedures:
+      ``rewrite_data_files``, ``rewrite_manifests``,
+      ``rewrite_position_deletes``, ``rewrite_deletion_vectors``,
+      ``expire_snapshots`` (``keep_last``/``older_than_ms``),
+      ``remove_orphans``, ``rollback_to_snapshot`` (``snapshot_id``).
 
-    Each DML returns a 1-row DataFrame of commit metrics instead of rows.
+    Each DML/CALL returns a 1-row DataFrame of commit metrics instead of
+    rows.
     """
     import re
 
@@ -960,59 +974,172 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         ["added-records"])
 
     m = re.fullmatch(
-        r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s*"
-        r"(=|>=|<=|<|>|BETWEEN)\s*(.+)",
+        r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)",
         stmt, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, col, op, rhs = m.group(1), m.group(2), m.group(3).upper(), m.group(4)
+        name, clause = m.group(1), m.group(2)
         table_dir = _table_dir(name)
-
-        def _lit(tok: str):
-            tok = tok.strip()
-            if re.fullmatch(r"'[^']*'", tok):
-                return tok[1:-1]
-            if re.fullmatch(r"-?\d+", tok):
-                return int(tok)
-            if re.fullmatch(r"-?\d+\.\d+", tok):
-                return float(tok)
-            raise ValueError(f"unsupported literal {tok!r} in DELETE WHERE")
-
-        if op == "BETWEEN":
-            b = re.fullmatch(r"(.+?)\s+AND\s+(.+)", rhs, re.IGNORECASE | re.DOTALL)
-            if not b:
-                raise ValueError("BETWEEN needs 'lo AND hi'")
-            lo, hi = _lit(b.group(1)), _lit(b.group(2))
-        elif op == "=":
-            lo = hi = _lit(rhs)
-        elif op == ">=":
-            lo, hi = _lit(rhs), None
-        elif op == "<=":
-            lo, hi = None, _lit(rhs)
-        else:
-            raise ValueError(
-                f"strict {op} is not expressible as the engine's closed "
-                "interval; use >= / <= / BETWEEN (integers: adjust the "
-                "bound by 1)"
-            )
-        out = delete_where(spark, table_dir, (col, lo, hi))
+        out = delete_where(spark, table_dir, _parse_where(clause))
         _refresh(name)
         return _metrics(operation="delete",
                         snapshot_id=out["snapshot_id"],
                         rows_deleted=out["rows_deleted"])
 
     m = re.fullmatch(
-        r"MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+([\w\s,]+)",
-        stmt, re.IGNORECASE,
+        r"MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+([\w\s,]+?)"
+        r"(\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE|DELETE))?"
+        r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT)?",
+        stmt, re.IGNORECASE | re.DOTALL,
     )
     if m:
         name, src_name, keys = m.group(1), m.group(2), m.group(3)
+        matched_clause, matched_cond, matched_action = m.group(4), m.group(5), m.group(6)
+        insert_clause = m.group(7)
         table_dir = _table_dir(name)
         key_cols = [k.strip() for k in keys.split(",") if k.strip()]
-        md = merge_into(spark, spark.table(src_name), table_dir, key_cols)
+        if matched_clause is None and insert_clause is None:
+            # bare MERGE: the classic upsert (update matched, insert new)
+            when_matched, when_not_matched = "update", "insert"
+        else:
+            when_matched = matched_action.lower() if matched_action else None
+            when_not_matched = "insert" if insert_clause else None
+        md = merge_into(
+            spark, spark.table(src_name), table_dir, key_cols,
+            when_matched=when_matched,
+            matched_condition=matched_cond,
+            when_not_matched=when_not_matched,
+        )
         _refresh(name)
         return _metrics(operation="merge",
-                        snapshot_id=md["current-snapshot-id"],
+                        snapshot_id=md.get("current-snapshot-id"),
                         merge_keys=",".join(key_cols))
 
+    m = re.fullmatch(r"CALL\s+(\w+)\s*\((.*)\)", stmt, re.IGNORECASE | re.DOTALL)
+    if m:
+        return _call_procedure(spark, m.group(1).lower(), m.group(2),
+                               _table_dir, _refresh, _metrics)
+
     return spark.sql(stmt)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    import re
+
+    if re.fullmatch(r"'[^']*'", tok):
+        return tok[1:-1]
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return float(tok)
+    raise ValueError(f"unsupported literal {tok!r}")
+
+
+def _parse_where(clause: str) -> list[tuple]:
+    """Parse an AND-composed DELETE WHERE conjunction into the engine's
+    (col, lo, hi, lo_strict, hi_strict) predicate list. Each conjunct is
+    one of ``col = v``, ``col >= v``, ``col <= v``, ``col > v``,
+    ``col < v``, ``col BETWEEN lo AND hi`` (literals: 'string', int,
+    float). BETWEEN's inner AND binds tighter than the conjunction's —
+    matched first at each position."""
+    import re
+
+    lit = r"'[^']*'|-?\d+(?:\.\d+)?"
+    tok_between = re.compile(
+        rf"(\w+)\s+BETWEEN\s+({lit})\s+AND\s+({lit})", re.IGNORECASE)
+    tok_cmp = re.compile(rf"(\w+)\s*(>=|<=|=|<|>)\s*({lit})")
+    tok_and = re.compile(r"\s*AND\s+", re.IGNORECASE)
+    s = clause.strip()
+    preds: list[tuple] = []
+    pos = 0
+    while True:
+        m = tok_between.match(s, pos)
+        if m:
+            preds.append((m.group(1), _parse_literal(m.group(2)),
+                          _parse_literal(m.group(3)), False, False))
+        else:
+            m = tok_cmp.match(s, pos)
+            if not m:
+                raise ValueError(
+                    f"unsupported DELETE WHERE predicate at: {s[pos:]!r} "
+                    "(use col =/>=/<=/>/< literal or col BETWEEN lo AND hi, "
+                    "AND-composed)"
+                )
+            col, op, rhs = m.group(1), m.group(2), m.group(3)
+            v = _parse_literal(rhs)
+            preds.append({
+                "=": (col, v, v, False, False),
+                ">=": (col, v, None, False, False),
+                "<=": (col, None, v, False, False),
+                ">": (col, v, None, True, False),
+                "<": (col, None, v, False, True),
+            }[op])
+        pos = m.end()
+        if pos >= len(s):
+            return preds
+        m = tok_and.match(s, pos)
+        if not m:
+            raise ValueError(f"expected AND between predicates at: {s[pos:]!r}")
+        pos = m.end()
+
+
+def _call_procedure(spark, proc: str, arg_str: str,
+                    _table_dir, _refresh, _metrics):
+    """``CALL proc('t'[, name => value ...])`` — route to the maintenance
+    executors (Iceberg's Spark-procedure surface, jar-free). The first
+    argument is the registered table name; named args use the ``name =>
+    value`` arrow syntax like Iceberg's procedures."""
+    import re
+
+    from iceberg_meta_spark.sources import iceberg_maintenance as maint
+    from iceberg_meta_spark.sources.iceberg_write import rollback_to_snapshot
+
+    parts = [p.strip() for p in arg_str.split(",") if p.strip()]
+    if not parts:
+        raise ValueError(f"CALL {proc} needs a registered table name argument")
+    name = _parse_literal(parts[0]) if parts[0].startswith("'") else parts[0]
+    table_dir = _table_dir(str(name))
+    kwargs = {}
+    for p in parts[1:]:
+        m = re.fullmatch(r"(\w+)\s*=>\s*(.+)", p, re.DOTALL)
+        if not m:
+            raise ValueError(f"CALL named arguments use name => value, got {p!r}")
+        kwargs[m.group(1).lower()] = _parse_literal(m.group(2))
+
+    if proc == "rewrite_data_files":
+        out = maint.rewrite_data_files(spark, table_dir, **kwargs)
+    elif proc == "rewrite_manifests":
+        out = maint.rewrite_manifests(table_dir, **kwargs)
+    elif proc == "rewrite_position_deletes":
+        out = maint.rewrite_position_deletes(spark, table_dir, **kwargs)
+    elif proc == "rewrite_deletion_vectors":
+        out = maint.rewrite_deletion_vectors(spark, table_dir, **kwargs)
+    elif proc == "expire_snapshots":
+        res = maint.expire_snapshots(table_dir, **kwargs)
+        out = {"expired_snapshots": len(res["expired_snapshot_ids"]),
+               "removable_files": len(res["removable_files"])}
+    elif proc == "remove_orphans":
+        if "older_than_ms" not in kwargs:
+            raise ValueError(
+                "remove_orphans needs older_than_ms => <epoch millis> "
+                "(the grace period guarding in-flight writes)")
+        res = maint.remove_orphans(spark, table_dir, **kwargs)
+        out = {"deleted": len(res["deleted"]),
+               "skipped_recent": res["skipped_recent"]}
+    elif proc == "rollback_to_snapshot":
+        sid = kwargs.pop("snapshot_id", None)
+        if sid is None:
+            raise ValueError(
+                "rollback_to_snapshot needs snapshot_id => <id>")
+        md = rollback_to_snapshot(table_dir, int(sid), **kwargs)
+        out = {"current_snapshot_id": md["current-snapshot-id"]}
+    else:
+        raise ValueError(
+            f"unknown procedure {proc!r}; supported: rewrite_data_files, "
+            "rewrite_manifests, rewrite_position_deletes, "
+            "rewrite_deletion_vectors, expire_snapshots, remove_orphans, "
+            "rollback_to_snapshot"
+        )
+    _refresh(str(name))
+    return _metrics(operation=proc, **{k: str(v) for k, v in out.items()})

@@ -1712,6 +1712,88 @@ def iceberg_native_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_native_row_lineage",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS row_id,
+               CAST(CASE WHEN i < 5 THEN 1 ELSE 2 END AS BIGINT) AS last_seq
+        FROM range(0, 10) t(i)
+        WHERE i NOT BETWEEN 2 AND 6
+        ORDER BY id
+    """,
+    doc="v3 ROW LINEAGE read side (spec § Row Lineage; iceberg_write.py "
+    "assigns first_row_id field-142 per added file from the table's "
+    "next-row-id, iceberg_scan.py:scan_table(lineage=True) derives "
+    "_row_id = first_row_id + position and "
+    "_last_updated_sequence_number = the carrying file's data sequence "
+    "number, via a broadcast per-file map — zero extra scan passes). The "
+    "fixture appends ids 0..4 and 5..9 (row ids 0..9, seqs 1 and 2) then "
+    "DELETEs 2..6 via deletion vectors: gated result pins that SURVIVORS "
+    "KEEP their row ids (MoR deletes never move surviving rows) and the "
+    "per-batch sequence stamp. Write+read round trip, merge/compaction "
+    "id reassignment, and the v2 NULL default in "
+    "tests/test_iceberg_lineage.py; the reference has no v3 story",
+)
+def iceberg_native_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_row_lineage_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_row_lineage_table(spark)
+    return (
+        scan_table(spark, table, lineage=True)
+        .select("id", F.col("_row_id").alias("row_id"),
+                F.col("_last_updated_sequence_number").alias("last_seq"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "iceberg_rest_catalog_scan",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,
+               CAST(5 AS BIGINT) AS n_snapshots
+        FROM (SELECT i FROM range(0, 20) t(i)
+              UNION ALL SELECT i FROM range(100, 106) t(i))
+        ORDER BY id
+    """,
+    doc="the REST-catalog commit protocol end to end (sources/"
+    "iceberg_rest.py against the loopback CAS server in "
+    "iceberg_rest_mock.py; public rest-catalog-open-api.yaml shapes; "
+    "reference client half: catalog.py:145-161): every snapshot of the "
+    "fixture table was committed via loadTable + updateTable with "
+    "assert-table-uuid / assert-ref-snapshot-id(main) requirements and "
+    "add-snapshot / set-snapshot-ref updates — two sequential appends, "
+    "then THREE writers racing one barrier whose losers rebase through "
+    "409s, then a set-properties update. Gated: all 26 rows served "
+    "through the normal scanner plus n_snapshots=5 (one serialized "
+    "chain, asserted in the fixture). Live races + mixed REST/filesystem "
+    "writers in tests/test_iceberg_rest.py",
+)
+def iceberg_rest_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_rest_committed_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_rest_committed_table(spark)
+    with open(_os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    with open(_os.path.join(table, "metadata", f"v{v}.metadata.json")) as fh:
+        md = _json.load(fh)
+    n_snaps = len(md["snapshots"])
+    return (
+        scan_table(spark, table)
+        .select("id", "val",
+                F.lit(n_snaps).cast("long").alias("n_snapshots"))
+        .orderBy("id")
+    )
+
+
+@register(
     "iceberg_native_stream_sink",
     oracle="""
         SELECT CAST(i AS BIGINT) AS id, CAST(i * 10 AS BIGINT) AS val,

@@ -1210,3 +1210,132 @@ def default_rebase_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_rest_committed_table(spark) -> str:
+    """A table whose every snapshot was committed THROUGH the REST-catalog
+    protocol (sources/iceberg_rest.py) against the loopback CAS server
+    (sources/iceberg_rest_mock.py): load-table, build the snapshot, POST
+    updateTable with assert-table-uuid + assert-ref-snapshot-id(main), the
+    second commit chaining onto the first — plus THREE RACING writers on
+    one barrier whose losers rebase through 409s, and a set-properties
+    update. Closed form: ids 0..19 (val = 10*id) from the two sequential
+    commits plus 100..105 from the three racers; 5 snapshots in one
+    serialized chain; owner property set."""
+    import tempfile
+    import threading
+
+    from iceberg_meta_spark.sources.iceberg_rest import (
+        RestCatalog,
+        rest_append_dataframe,
+        rest_append_files,
+    )
+    from iceberg_meta_spark.sources.iceberg_rest_mock import (
+        LoopbackRestCatalog,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import (
+        create_table,
+        write_dataframe_files,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "iceberg_meta_native_fixture_rest_v1")
+    table = os.path.join(base, "rest_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    with LoopbackRestCatalog() as server:
+        catalog = RestCatalog(server.uri)
+        server.register("ns.t", table)
+        for bi, ids in enumerate((range(0, 10), range(10, 20))):
+            rest_append_dataframe(
+                spark,
+                catalog, "ns.t",
+                spark.createDataFrame([(i, i * 10) for i in ids],
+                                      "id long, val long").coalesce(1),
+                timestamp_ms=1713139200000 + 60_000 * (bi + 1),
+            )
+        # three writers race the same parent: losers rebase through 409
+        _, md = catalog.load_table("ns.t")
+        files = []
+        for w in range(3):
+            ids = [100 + 2 * w, 101 + 2 * w]
+            files.append(write_dataframe_files(
+                spark,
+                spark.createDataFrame([(i, i * 10) for i in ids],
+                                      "id long, val long").coalesce(1),
+                md, os.path.join(table, "data", f"race{w}"),
+            ))
+        barrier = threading.Barrier(3)
+        errors = []
+
+        def writer(w):
+            try:
+                barrier.wait()
+                rest_append_files(catalog, "ns.t", files[w],
+                                  timestamp_ms=1713139200000 + 300_000 + w)
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        catalog.commit_table("ns.t", requirements=[], updates=[
+            {"action": "set-properties", "updates": {"owner": "rest-pipeline"}}
+        ])
+        _, md = catalog.load_table("ns.t")
+        assert len(md["snapshots"]) == 5, md["snapshots"]
+        parents = {s.get("parent-snapshot-id") for s in md["snapshots"]}
+        assert len(parents) == 5, "commit chain must be serialized"
+        assert md["properties"]["owner"] == "rest-pipeline"
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+def default_row_lineage_table(spark) -> str:
+    """A v3 table exercising row lineage: two appends (ids 0..4, 5..9 at
+    val = 10*id — first_row_id 0 and 5, sequence numbers 1 and 2), then
+    ``delete_where(id BETWEEN 2 AND 6)`` publishing deletion vectors.
+    Closed form: survivors keep _row_id == id (MoR deletes never move
+    surviving rows) with _last_updated_sequence_number 1 for ids < 5 and
+    2 above; next-row-id stays 10 (the DV snapshot added no rows)."""
+    import json
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        delete_where,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_lineage_v1"
+    )
+    table = os.path.join(base, "lineage_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")],
+                 format_version=3)
+    for bi, ids in enumerate((range(0, 5), range(5, 10))):
+        append_dataframe(
+            spark,
+            spark.createDataFrame([(i, i * 10) for i in ids],
+                                  "id long, val long").coalesce(1),
+            table, timestamp_ms=1713139200000 + 60_000 * (bi + 1),
+        )
+    out = delete_where(spark, table, ("id", 2, 6),
+                       timestamp_ms=1713139200000 + 180_000)
+    assert out["rows_deleted"] == 5, out
+    with open(os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    with open(os.path.join(table, "metadata", f"v{v}.metadata.json")) as fh:
+        md = json.load(fh)
+    assert md["next-row-id"] == 10, md
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -1,0 +1,281 @@
+"""Loopback REST-catalog server: an in-process test double implementing
+the SERVER half of the public Iceberg REST catalog API
+(`rest-catalog-open-api.yaml`) with real compare-and-swap enforcement,
+so the client adapter (``iceberg_rest.py``) can be exercised end to end
+without external infrastructure.
+
+What it implements:
+
+- ``GET /v1/config`` — empty defaults/overrides (spec shape).
+- ``GET /v1/namespaces/{ns}/tables/{table}`` — loadTable: the current
+  metadata + metadata-location.
+- ``POST /v1/namespaces/{ns}/tables/{table}`` — updateTable: validates
+  ``requirements`` under a lock (``assert-table-uuid``,
+  ``assert-ref-snapshot-id``), answers **409** when any fails (the CAS),
+  applies ``updates`` (``add-snapshot``, ``set-snapshot-ref``,
+  ``set-properties``, ``remove-properties``) and persists the new
+  metadata JSON into the table's warehouse directory through the same
+  exclusive-create two-phase publish the filesystem path uses — so a
+  REST-committed table stays scannable by ``scan_table`` and every
+  metadata query.
+
+Faithful to production layout: a REST catalog owns the POINTER; metadata
+files, manifests, and data live in the warehouse (object storage there,
+the local filesystem here). Tables are seeded with ``register`` from an
+existing filesystem-layout table.
+
+This is test infrastructure shipped in-package (like Iceberg's own
+``RESTCatalogAdapter`` test fixture) because the FULL-registry query
+``iceberg_rest_catalog_scan`` drives it to prove the protocol round
+trip under the oracle gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from iceberg_meta_spark.sources.iceberg_write import (
+    _latest_version,
+    _local_path,
+    _publish,
+)
+
+_TABLE_RE = re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$")
+
+
+class _RequirementFailed(Exception):
+    pass
+
+
+class LoopbackRestCatalog:
+    """ThreadingHTTPServer on 127.0.0.1:<ephemeral port>; ``uri`` after
+    :meth:`start`. Context-manager friendly::
+
+        with LoopbackRestCatalog() as server:
+            server.register("ns.t", table_dir)
+            catalog = RestCatalog(server.uri)
+    """
+
+    def __init__(self):
+        self._tables: dict[str, dict] = {}  # ident -> {"dir": ..., "md": ...}
+        self._lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.uri = ""
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self) -> "LoopbackRestCatalog":
+        mock = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/v1/config":
+                    return self._json(200, {"defaults": {}, "overrides": {}})
+                m = _TABLE_RE.match(self.path)
+                if m:
+                    ident = f"{m.group(1)}.{m.group(2)}"
+                    entry = mock._tables.get(ident)
+                    if entry is None:
+                        return self._json(404, {"error": {
+                            "message": f"table {ident} not found",
+                            "type": "NoSuchTableException"}})
+                    with mock._lock:
+                        return self._json(200, {
+                            "metadata-location": entry["location"],
+                            "metadata": entry["md"],
+                        })
+                return self._json(404, {"error": {"message": "no route"}})
+
+            def do_POST(self):
+                m = _TABLE_RE.match(self.path)
+                if not m:
+                    return self._json(404, {"error": {"message": "no route"}})
+                ident = f"{m.group(1)}.{m.group(2)}"
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    out = mock._commit(ident, body.get("requirements", []),
+                                       body.get("updates", []))
+                except _RequirementFailed as e:
+                    return self._json(409, {"error": {
+                        "message": str(e),
+                        "type": "CommitFailedException"}})
+                except FileExistsError as e:
+                    # an external FILESYSTEM writer claimed the next
+                    # metadata version on disk: same CAS loss, same answer
+                    return self._json(409, {"error": {
+                        "message": f"metadata version claimed externally: {e}",
+                        "type": "CommitFailedException"}})
+                except KeyError as e:
+                    return self._json(404, {"error": {"message": str(e)}})
+                except ValueError as e:
+                    return self._json(400, {"error": {"message": str(e)}})
+                return self._json(200, out)
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.uri = f"http://127.0.0.1:{self._httpd.server_port}"
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ------------------------------------------------------------- catalog
+    def register(self, ident: str, table_dir: str) -> None:
+        """Adopt an existing filesystem-layout table: the catalog takes
+        over its pointer, seeded from the current metadata version."""
+        table_dir = _local_path(table_dir.rstrip("/"))
+        meta_dir = os.path.join(table_dir, "metadata")
+        version = _latest_version(meta_dir)
+        path = os.path.join(meta_dir, f"v{version}.metadata.json")
+        with open(path) as fh:
+            md = json.load(fh)
+        with self._lock:
+            self._tables[ident] = {
+                "dir": table_dir, "md": md, "version": version,
+                "location": path,
+            }
+
+    def _commit(self, ident: str, requirements: list[dict],
+                updates: list[dict]) -> dict:
+        with self._lock:
+            entry = self._tables.get(ident)
+            if entry is None:
+                raise KeyError(f"table {ident} not found")
+            md = json.loads(json.dumps(entry["md"]))  # work on a copy
+
+            for r in requirements:
+                rtype = r.get("type")
+                if rtype == "assert-table-uuid":
+                    if md.get("table-uuid") != r.get("uuid"):
+                        raise _RequirementFailed(
+                            f"table uuid changed: {md.get('table-uuid')}")
+                elif rtype == "assert-ref-snapshot-id":
+                    ref = r.get("ref", "main")
+                    have = (md.get("refs") or {}).get(ref, {}).get("snapshot-id")
+                    if have is None and ref == "main":
+                        have = md.get("current-snapshot-id")
+                    want = r.get("snapshot-id")
+                    if have != want:
+                        raise _RequirementFailed(
+                            f"ref {ref} is at {have}, requirement says {want}")
+                else:
+                    raise ValueError(f"unsupported requirement {rtype!r}")
+
+            for u in updates:
+                action = u.get("action")
+                if action == "add-snapshot":
+                    snap = u["snapshot"]
+                    if any(s["snapshot-id"] == snap["snapshot-id"]
+                           for s in md.get("snapshots", [])):
+                        raise _RequirementFailed(
+                            f"snapshot {snap['snapshot-id']} already exists")
+                    md["snapshots"] = md.get("snapshots", []) + [snap]
+                    md["last-sequence-number"] = max(
+                        int(md.get("last-sequence-number", 0)),
+                        int(snap.get("sequence-number", 0)),
+                    )
+                    md["last-updated-ms"] = max(
+                        int(md.get("last-updated-ms", 0)),
+                        int(snap["timestamp-ms"]),
+                    )
+                    if snap.get("first-row-id") is not None:
+                        # v3 row lineage: the catalog advances the row-id
+                        # high-water mark past the committed snapshot
+                        added = int((snap.get("summary") or {})
+                                    .get("added-records", 0))
+                        md["next-row-id"] = max(
+                            int(md.get("next-row-id", 0)),
+                            int(snap["first-row-id"]) + added,
+                        )
+                elif action == "set-snapshot-ref":
+                    name = u["ref-name"]
+                    sid = int(u["snapshot-id"])
+                    refs = dict(md.get("refs") or {})
+                    refs[name] = {"snapshot-id": sid,
+                                  "type": u.get("type", "branch")}
+                    md["refs"] = refs
+                    if name == "main":
+                        md["current-snapshot-id"] = sid
+                        ts = next(
+                            int(s["timestamp-ms"])
+                            for s in md["snapshots"]
+                            if s["snapshot-id"] == sid
+                        )
+                        md["snapshot-log"] = md.get("snapshot-log", []) + [
+                            {"snapshot-id": sid, "timestamp-ms": ts}
+                        ]
+                elif action == "set-properties":
+                    md["properties"] = {
+                        **(md.get("properties") or {}),
+                        **{str(k): str(v)
+                           for k, v in (u.get("updates") or {}).items()},
+                    }
+                elif action == "remove-properties":
+                    props = dict(md.get("properties") or {})
+                    for k in u.get("removals", []):
+                        props.pop(k, None)
+                    md["properties"] = props
+                else:
+                    raise ValueError(f"unsupported update {action!r}")
+
+            # persist: the warehouse keeps the metadata file trail (object
+            # storage in production), the catalog swaps its pointer; the
+            # exclusive-create publish also keeps the directory scannable
+            # by the filesystem reader
+            meta_dir = os.path.join(entry["dir"], "metadata")
+            version = entry["version"]
+            md["metadata-log"] = md.get("metadata-log", []) + [
+                {"metadata-file": os.path.join(
+                    meta_dir, f"v{version}.metadata.json"),
+                 "timestamp-ms": int(entry["md"].get("last-updated-ms", 0))}
+            ]
+            try:
+                _publish(meta_dir, version, md)
+            except FileExistsError:
+                # an external FILESYSTEM writer claimed v(version+1): the
+                # catalog's pointer is stale — resync from disk so the
+                # client's rebase loads the real current state, and answer
+                # 409 like any other CAS loss
+                disk_version = _latest_version(meta_dir)
+                path = os.path.join(meta_dir, f"v{disk_version}.metadata.json")
+                with open(path) as fh:
+                    entry["md"] = json.load(fh)
+                entry["version"] = disk_version
+                entry["location"] = path
+                raise _RequirementFailed(
+                    "metadata version claimed by an external writer; "
+                    "catalog resynced — rebase and retry"
+                ) from None
+            entry["md"] = md
+            entry["version"] = version + 1
+            entry["location"] = os.path.join(
+                meta_dir, f"v{version + 1}.metadata.json")
+            return {"metadata-location": entry["location"], "metadata": md}

@@ -100,7 +100,7 @@ _PLAN_COLS = (
     "file_path string, seq long, record_count long, "
     "file_size_in_bytes long, part_key string, equality_ids array<int>, "
     "file_format string, referenced_data_file string, "
-    "content_offset long, content_size long"
+    "content_offset long, content_size long, first_row_id long"
 )
 
 
@@ -193,6 +193,13 @@ def _make_plan_entries_fn(
                             "referenced_data_file": rdf,
                             "content_offset": int(off) if off is not None else None,
                             "content_size": int(csz) if csz is not None else None,
+                            # v3 row lineage (field-id 142); None for files
+                            # written before lineage (or v2 manifests)
+                            "first_row_id": (
+                                int(dfile["first_row_id"])
+                                if dfile.get("first_row_id") is not None
+                                else None
+                            ),
                         }
                     )
             yield pd.DataFrame(out, columns=cols)
@@ -380,6 +387,7 @@ def plan_scan(
                 "record_count": r.record_count,
                 "size": r.file_size_in_bytes,
                 "part": json.loads(r.part_key) if r.part_key else {},
+                "first_row_id": r.first_row_id,
             }
             for r in data
         ],
@@ -611,18 +619,51 @@ def scan_table(
     version: int | None = None,
     predicate: tuple[str, object, object] | list[tuple] | None = None,
     ref: str | None = None,
+    lineage: bool = False,
 ) -> DataFrame:
     """Merge-on-read scan: plan -> read surviving parquet -> apply position
     and equality deletes -> (residual) filter. Returns the table's columns
-    only; helper columns never escape. ``ref=`` addresses a branch/tag."""
+    only; helper columns never escape. ``ref=`` addresses a branch/tag.
+
+    ``lineage=True`` (v3 row lineage, spec § Row Lineage) appends the two
+    metadata columns engines derive on demand:
+
+    - ``_row_id`` — the row's stable identifier: the file's committed
+      ``first_row_id`` (manifest field 142) + the row's position. NULL for
+      files written before lineage (v2 manifests / pre-upgrade files),
+      exactly the spec's inheritance default.
+    - ``_last_updated_sequence_number`` — the sequence number that last
+      wrote the row; with copy-on-write rewrites and MoR deletes (rows are
+      removed, never updated in place) that is the carrying file's data
+      sequence number.
+
+    Both derive from the per-file planning index (a broadcast map join on
+    ``__file``) + the parquet row position — zero extra scan passes."""
     plan = plan_scan(spark, table_dir, snapshot_id, version, predicate, ref)
-    out = _merged_rows(spark, plan, plan.data_files)
+    out = _merged_rows(spark, plan, plan.data_files,
+                       keep_helpers=bool(lineage))
     if out is None:
         ddl = ", ".join(
             f"`{name}` {_ICEBERG_TO_SPARK.get(t, 'string')}"
             for _, name, t in plan.schema_fields
         )
+        if lineage:
+            ddl += ", `_row_id` bigint, `_last_updated_sequence_number` bigint"
         return spark.createDataFrame([], ddl)
+    if lineage:
+        frid_df = spark.createDataFrame(
+            [(_norm_path(f["path"]),
+              int(f["first_row_id"]) if f.get("first_row_id") is not None
+              else None)
+             for f in plan.data_files],
+            "__file string, __frid long",
+        )
+        out = (
+            out.join(F.broadcast(frid_df), "__file")
+            .withColumn("_row_id", F.col("__frid") + F.col("__pos"))
+            .withColumn("_last_updated_sequence_number", F.col("__dseq"))
+            .drop("__file", "__pos", "__dseq", "__frid")
+        )
     predicates = (
         [] if predicate is None
         else [predicate] if isinstance(predicate, tuple)

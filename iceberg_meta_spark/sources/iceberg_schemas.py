@@ -40,8 +40,24 @@ _KV_BYTES = {
 }
 
 
-def manifest_entry_schema(partition_fields: list[dict]) -> dict:
-    """v2 manifest_entry record (spec § Manifests / Appendix C)."""
+def manifest_entry_schema(
+    partition_fields: list[dict], with_first_row_id: bool = False
+) -> dict:
+    """v2 manifest_entry record (spec § Manifests / Appendix C).
+    ``with_first_row_id`` adds the v3 row-lineage field (``first_row_id``,
+    field-id 142) to the data_file record — v3 writers stamp each added
+    data file's starting ``_row_id``; v2 manifests must not carry it."""
+    schema = _manifest_entry_schema_v2(partition_fields)
+    if with_first_row_id:
+        df_fields = schema["fields"][-1]["type"]["fields"]
+        df_fields.append(
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None, "field-id": 142}
+        )
+    return schema
+
+
+def _manifest_entry_schema_v2(partition_fields: list[dict]) -> dict:
     return {
         "type": "record",
         "name": "manifest_entry",

@@ -259,9 +259,16 @@ def _added_data_entries(
     seq: int,
     types: dict,
     partition_fields: list[dict],
+    first_row_id_base: int | None = None,
 ) -> list[dict]:
     """ADDED (status 1) manifest entries for new DATA files — shared by
-    append, merge, and the compaction rewrite commit."""
+    append, merge, and the compaction rewrite commit.
+
+    ``first_row_id_base`` (v3 row lineage, spec § Row Lineage): assign each
+    added file an explicit ``first_row_id`` (field-id 142) — the base plus
+    the running record counts of the files before it, so a file's row at
+    position p carries ``_row_id = first_row_id + p``. v2 passes None (the
+    field is absent from v2 manifests)."""
 
     def kv_long(d: dict | None):
         return [{"key": int(k), "value": int(v)} for k, v in sorted((d or {}).items())] or None
@@ -271,6 +278,13 @@ def _added_data_entries(
             {"key": int(k), "value": _bound_bytes(v, types.get(int(k)))}
             for k, v in sorted((d or {}).items())
         ] or None
+
+    frids: list[int | None] = []
+    run = first_row_id_base
+    for f in files:
+        frids.append(run)
+        if run is not None:
+            run += int(f["record_count"])
 
     return [
         {
@@ -297,9 +311,11 @@ def _added_data_entries(
                 # order id on files it actually sorted; everything else is
                 # unsorted (0) per spec
                 "sort_order_id": int(f.get("sort_order_id", 0)),
+                **({"first_row_id": frid} if first_row_id_base is not None
+                   else {}),
             },
         }
-        for f in files
+        for f, frid in zip(files, frids)
     ]
 
 
@@ -354,23 +370,26 @@ def commit_append(
     return _retrying_commit(meta_dir, attempt)
 
 
-def _commit_append_once(
+def build_append_snapshot(
     table_dir: str,
     meta_dir: str,
-    version: int,
     md: dict,
     files: list[dict],
-    partition_fields: list[dict] | None,
-    timestamp_ms: int | None,
-    branch: str | None,
-    extra_summary: dict[str, str] | None,
-    extra_properties: dict[str, str] | None = None,
+    parent: int | None,
+    timestamp_ms: int | None = None,
+    partition_fields: list[dict] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> dict:
-    """One append attempt against the given metadata; raises
-    FileExistsError when another writer claims v(version+1) first (the
-    retry loop rebases and re-enters)."""
+    """The PUBLISH-FREE half of an append commit: write the new manifest
+    and manifest list into ``meta_dir`` and return the snapshot entry —
+    metadata is NOT mutated and no version is claimed. Shared by the
+    filesystem commit (:func:`_commit_append_once` mutates + publishes)
+    and the REST-catalog commit (``sources/iceberg_rest.py`` ships the
+    snapshot as an ``add-snapshot`` update; the server owns the pointer
+    swap). Files written by an attempt that loses its commit race become
+    unreferenced and are swept by remove_orphans, as in every engine."""
     if int(md.get("format-version", 1)) not in (2, 3):
-        raise ValueError("commit_append writes format-version 2/3 tables only")
+        raise ValueError("append commits write format-version 2/3 tables only")
 
     # field-id -> declared type, for type-correct bound widths (Appendix D)
     schema = next(
@@ -383,22 +402,17 @@ def _commit_append_once(
     snap_id = max((s["snapshot-id"] for s in md.get("snapshots", [])), default=0) + 1
     seq = int(md.get("last-sequence-number", 0)) + 1
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
-    if branch is not None and branch != "main":
-        ref = (md.get("refs") or {}).get(branch)
-        if ref is not None and ref.get("type") != "branch":
-            raise ValueError(f"ref {branch!r} is a tag, not a branch")
-        # branch head if it exists, else fork from the current snapshot
-        parent = (
-            int(ref["snapshot-id"]) if ref is not None
-            else md.get("current-snapshot-id")
-        )
-    else:
-        parent = md.get("current-snapshot-id")
 
-    entries = _added_data_entries(files, snap_id, seq, types, partition_fields)
+    # v3 row lineage: added files get explicit first_row_id values starting
+    # at the table's next-row-id; the snapshot records its first-row-id and
+    # the publishing caller advances next-row-id by the rows added
+    lineage = int(md.get("format-version", 1)) >= 3
+    frid_base = int(md.get("next-row-id", 0)) if lineage else None
+    entries = _added_data_entries(files, snap_id, seq, types, partition_fields,
+                                  first_row_id_base=frid_base)
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/{snap_id}")
     blob = write_container(
-        manifest_entry_schema(partition_fields),
+        manifest_entry_schema(partition_fields, with_first_row_id=lineage),
         entries,
         metadata={
             "format-version": _fv_bytes(md),
@@ -458,11 +472,12 @@ def _commit_append_once(
         or {}
     )
     added_bytes = sum(int(f["file_size_in_bytes"]) for f in files)
-    snapshot = {
+    return {
         "snapshot-id": snap_id,
         **({"parent-snapshot-id": parent} if parent is not None else {}),
         "sequence-number": seq,
         "timestamp-ms": ts,
+        **({"first-row-id": frid_base} if lineage else {}),
         "manifest-list": mlist_path,
         "schema-id": md["current-schema-id"],
         "summary": {
@@ -483,6 +498,46 @@ def _commit_append_once(
             **{str(k): str(v) for k, v in (extra_summary or {}).items()},
         },
     }
+
+
+def _commit_append_once(
+    table_dir: str,
+    meta_dir: str,
+    version: int,
+    md: dict,
+    files: list[dict],
+    partition_fields: list[dict] | None,
+    timestamp_ms: int | None,
+    branch: str | None,
+    extra_summary: dict[str, str] | None,
+    extra_properties: dict[str, str] | None = None,
+) -> dict:
+    """One append attempt against the given metadata; raises
+    FileExistsError when another writer claims v(version+1) first (the
+    retry loop rebases and re-enters)."""
+    if branch is not None and branch != "main":
+        ref = (md.get("refs") or {}).get(branch)
+        if ref is not None and ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        # branch head if it exists, else fork from the current snapshot
+        parent = (
+            int(ref["snapshot-id"]) if ref is not None
+            else md.get("current-snapshot-id")
+        )
+    else:
+        parent = md.get("current-snapshot-id")
+
+    snapshot = build_append_snapshot(
+        table_dir, meta_dir, md, files, parent,
+        timestamp_ms=timestamp_ms, partition_fields=partition_fields,
+        extra_summary=extra_summary,
+    )
+    snap_id, seq, ts = (snapshot["snapshot-id"], snapshot["sequence-number"],
+                        snapshot["timestamp-ms"])
+    if "first-row-id" in snapshot:  # v3 row lineage: advance the counter
+        md["next-row-id"] = int(snapshot["first-row-id"]) + sum(
+            int(f["record_count"]) for f in files
+        )
     if extra_properties:
         md["properties"] = {
             **(md.get("properties") or {}),
@@ -870,12 +925,18 @@ def _commit_rewrite_files_once(
     partition_fields = _partition_fields_from_spec(md, types)
     added_rows = sum(int(f["record_count"]) for f in add_files)
     added_bytes = sum(int(f["file_size_in_bytes"]) for f in add_files)
+    # v3 row lineage: rewritten replacement files get FRESH row ids (the
+    # spec's default when the writer does not materialize _row_id columns)
+    lineage = int(md.get("format-version", 1)) >= 3 and add_content == 0
+    frid_base = int(md.get("next-row-id", 0)) if lineage else None
     if add_files:
         if add_content == 0:
             entries = _added_data_entries(add_files, snap_id, seq, types,
-                                          partition_fields)
+                                          partition_fields,
+                                          first_row_id_base=frid_base)
             blob = write_container(
-                manifest_entry_schema(partition_fields),
+                manifest_entry_schema(partition_fields,
+                                      with_first_row_id=lineage),
                 entries,
                 metadata={"format-version": _fv_bytes(md), "content": b"data",
                           "partition-spec-id": str(md["default-spec-id"]).encode()},
@@ -952,10 +1013,13 @@ def _commit_rewrite_files_once(
         "parent-snapshot-id": parent,
         "sequence-number": seq,
         "timestamp-ms": ts,
+        **({"first-row-id": frid_base} if lineage else {}),
         "manifest-list": mlist_path,
         "schema-id": md["current-schema-id"],
         "summary": summary,
     }
+    if lineage:
+        md["next-row-id"] = frid_base + added_rows
     md["snapshots"].append(snapshot)
     md["snapshot-log"] = md.get("snapshot-log", []) + [
         {"snapshot-id": snap_id, "timestamp-ms": ts}
@@ -1226,10 +1290,14 @@ def _commit_merge_once(
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
     commit_uuid = uuid.uuid5(uuid.NAMESPACE_URL, f"{table_dir}/merge/{snap_id}")
 
+    lineage = int(md.get("format-version", 1)) >= 3
+    frid_base = int(md.get("next-row-id", 0)) if lineage else None
     data_entries = _added_data_entries(data_files, snap_id, seq, types,
-                                       partition_fields)
+                                       partition_fields,
+                                       first_row_id_base=frid_base)
     data_blob = write_container(
-        manifest_entry_schema(partition_fields), data_entries,
+        manifest_entry_schema(partition_fields, with_first_row_id=lineage),
+        data_entries,
         metadata={"format-version": _fv_bytes(md), "content": b"data",
                   "partition-spec-id": str(md["default-spec-id"]).encode()},
     )
@@ -1283,6 +1351,7 @@ def _commit_merge_once(
         "parent-snapshot-id": parent,
         "sequence-number": seq,
         "timestamp-ms": ts,
+        **({"first-row-id": frid_base} if lineage else {}),
         "manifest-list": mlist_path,
         "schema-id": md["current-schema-id"],
         "summary": {
@@ -1306,6 +1375,8 @@ def _commit_merge_once(
             ),
         },
     }
+    if lineage:
+        md["next-row-id"] = frid_base + added_rows
     md["snapshots"].append(snapshot)
     md["snapshot-log"] = md.get("snapshot-log", []) + [
         {"snapshot-id": snap_id, "timestamp-ms": ts}
@@ -1329,18 +1400,40 @@ def merge_into(
     table_dir: str,
     key_cols: list[str],
     timestamp_ms: int | None = None,
+    when_matched: str | None = "update",
+    matched_condition: str | None = None,
+    when_not_matched: str | None = "insert",
 ) -> dict:
-    """MERGE INTO (upsert) on the native path: rows of ``df`` whose
-    ``key_cols`` match existing rows REPLACE them, new keys INSERT,
-    untouched keys stay — all in one published snapshot
-    (:func:`commit_merge`). The write-side idiom every CDC consumer needs:
-    the equality-delete half hides the old versions, the data half carries
-    the new rows at the same sequence number.
+    """MERGE INTO on the native path, one published snapshot
+    (:func:`commit_merge`): the equality-delete half hides the old row
+    versions, the data half carries the new rows at the same sequence
+    number. The write-side idiom every CDC consumer needs.
+
+    Clause shape (the SQL MERGE subset ``api.sql`` exposes):
+
+    - ``when_matched="update"`` (default): source rows whose ``key_cols``
+      match existing rows REPLACE them.
+    - ``when_matched="delete"``: matched target rows are DELETED (their
+      source rows are not written).
+    - ``when_matched=None``: matched source rows are ignored (insert-only
+      merge).
+    - ``matched_condition``: SQL expression over the SOURCE row's columns
+      narrowing which matched rows the action applies to (``WHEN MATCHED
+      AND <cond> THEN ...``); non-qualifying matches are left untouched.
+    - ``when_not_matched="insert"`` (default) inserts unmatched source
+      rows; ``None`` drops them.
 
     Distributed work: the data write + stats ride
-    :func:`write_dataframe_files`; the delete file is ``df``'s distinct
-    key tuples (bounded by the merge batch, written as one parquet)."""
+    :func:`write_dataframe_files`; the delete file is the qualifying
+    distinct key tuples (bounded by the merge batch, written as one
+    parquet). The default unconditional upsert needs NO target scan
+    (deleting an absent key is a no-op); conditional/delete forms split
+    matched from unmatched with ONE left join against the target's
+    distinct keys — the same single shuffle-on-keys every engine's MERGE
+    pays."""
     import glob
+
+    from pyspark.sql import functions as F
 
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
@@ -1350,24 +1443,72 @@ def merge_into(
     missing = [c for c in key_cols if c not in by_name]
     if missing:
         raise KeyError(f"merge keys not in table schema: {missing}")
+    if when_matched not in ("update", "delete", None):
+        raise ValueError("when_matched must be 'update', 'delete', or None")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
     equality_ids = [by_name[c] for c in key_cols]
+
+    plain_upsert = (
+        when_matched == "update" and matched_condition is None
+        and when_not_matched == "insert"
+    )
+    if plain_upsert:
+        insert_rows, delete_keys = df, df.select(*key_cols).distinct()
+    else:
+        # split matched/unmatched with one left join on the target's
+        # distinct keys (merge-on-read scan, so already-deleted rows
+        # don't count as matches)
+        from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+        target_keys = (
+            scan_table(spark, table_dir).select(*key_cols).distinct()
+            .withColumn("__matched", F.lit(1))
+        )
+        tagged = df.join(target_keys, key_cols, "left")
+        matched = tagged.where(F.col("__matched").isNotNull()).drop("__matched")
+        unmatched = tagged.where(F.col("__matched").isNull()).drop("__matched")
+        hit = matched.where(matched_condition) if matched_condition else matched
+        if when_matched == "update":
+            insert_rows = hit.unionByName(
+                unmatched if when_not_matched == "insert"
+                else unmatched.limit(0)
+            )
+            delete_keys = hit.select(*key_cols).distinct()
+        elif when_matched == "delete":
+            insert_rows = (unmatched if when_not_matched == "insert"
+                           else unmatched.limit(0))
+            delete_keys = hit.select(*key_cols).distinct()
+        else:  # insert-only merge
+            insert_rows = (unmatched if when_not_matched == "insert"
+                           else unmatched.limit(0))
+            delete_keys = unmatched.select(*key_cols).limit(0)
+        # column order back to the source's (write schema stability)
+        insert_rows = insert_rows.select(*df.columns)
 
     batch_root = _claim_batch_dir(
         os.path.join(table_dir, "data", f"merge-{version + 1:05d}")
     )
     data_files = write_dataframe_files(
-        spark, df, md, os.path.join(batch_root, "rows")
+        spark, insert_rows, md, os.path.join(batch_root, "rows")
     )
-    keys = df.select(*key_cols).distinct()
     key_dir = os.path.join(batch_root, "keys")
-    keys.coalesce(1).write.parquet(key_dir)
+    delete_keys.coalesce(1).write.parquet(key_dir)
     [key_path] = glob.glob(os.path.join(key_dir, "*.parquet"))
+    n_keys = spark.read.parquet(key_path).count()
     delete_files = [{
         "file_path": key_path,
-        "record_count": keys.count(),
+        "record_count": n_keys,
         "file_size_in_bytes": os.path.getsize(key_path),
         "equality_ids": equality_ids,
-    }]
+    }] if n_keys else []
+    if not data_files and not delete_files:
+        return md  # nothing qualified: no-op, nothing published
+    if not delete_files:
+        return commit_append(table_dir, data_files, timestamp_ms=timestamp_ms)
+    if not data_files:  # delete-only merge: plain row-level delete commit
+        return commit_delete_files(table_dir, delete_files,
+                                   timestamp_ms=timestamp_ms)
     return commit_merge(table_dir, data_files, delete_files,
                         timestamp_ms=timestamp_ms)
 
@@ -1531,6 +1672,9 @@ def create_table(
         "format-version": int(format_version),
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
         "location": table_dir,
+        # v3 row lineage (spec § Row Lineage): the row-id high-water mark
+        # commits advance as they assign first_row_id to added data files
+        **({"next-row-id": 0} if int(format_version) >= 3 else {}),
         "last-sequence-number": 0,
         "last-updated-ms": int(timestamp_ms),
         "last-column-id": max(fid for fid, _, _ in fields),

@@ -185,13 +185,153 @@ def test_sql_dml_round_trip(spark):
     got = spark.sql("SELECT id, name, val FROM sqlt ORDER BY id").collect()
     assert [(r.id, r.name, r.val) for r in got] == [(1, "A", 100), (3, "c", 30)]
 
+    # strict > executes now (r11) — the closed-interval guided error is
+    # retired: > 2 matches exactly id 3
+    out = api.sql(spark, "DELETE FROM sqlt WHERE id > 2").collect()[0]
+    assert out.operation == "delete" and out.rows_deleted == "1"
+    got = spark.sql("SELECT id FROM sqlt ORDER BY id").collect()
+    assert [r.id for r in got] == [1]
+
     # passthrough: plain SELECT goes to spark.sql
     assert api.sql(spark, "SELECT 1 AS one").collect()[0].one == 1
 
     # guided errors
     with pytest.raises(KeyError, match="not a registered native table"):
         api.sql(spark, "INSERT INTO nope VALUES (1)")
-    with pytest.raises(ValueError, match="closed interval"):
-        api.sql(spark, "DELETE FROM sqlt WHERE id > 5")
     with pytest.raises(ValueError, match="arity mismatch"):
         api.sql(spark, "INSERT INTO sqlt VALUES (1, 'x')")
+
+
+def test_sql_delete_conjunction_and_strict_bounds(spark):
+    """r11 DELETE WHERE surface: AND-composed predicates and strict </>
+    (closed-hull file pruning + strict residual row filter)."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_del_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "grp", "string"),
+                                (3, "val", "long")])
+    api.register_table(spark, table, "sqld")
+    api.sql(spark, "INSERT INTO sqld SELECT id, "
+                   "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 "
+                   "FROM range(0, 20)")
+
+    # conjunction: 5 < id <= 10 AND grp = 'even' -> ids 6, 8, 10
+    out = api.sql(
+        spark, "DELETE FROM sqld WHERE id > 5 AND id <= 10 AND grp = 'even'"
+    ).collect()[0]
+    assert out.rows_deleted == "3"
+    got = [r.id for r in spark.sql("SELECT id FROM sqld ORDER BY id").collect()]
+    assert got == [i for i in range(20) if not (5 < i <= 10 and i % 2 == 0)]
+
+    # BETWEEN composes with further conjuncts (its inner AND binds tighter)
+    out = api.sql(
+        spark, "DELETE FROM sqld WHERE id BETWEEN 0 AND 3 AND grp = 'odd'"
+    ).collect()[0]
+    assert out.rows_deleted == "2"  # ids 1, 3
+
+    # strict < alone
+    out = api.sql(spark, "DELETE FROM sqld WHERE id < 5").collect()[0]
+    assert out.rows_deleted == "3"  # 0, 2, 4 remain from [0..5)
+
+    with pytest.raises(ValueError, match="unsupported DELETE WHERE"):
+        api.sql(spark, "DELETE FROM sqld WHERE id != 5")
+
+
+def test_sql_merge_when_clauses(spark):
+    """r11 MERGE surface: WHEN MATCHED AND <cond> THEN UPDATE, WHEN
+    MATCHED THEN DELETE, WHEN NOT MATCHED THEN INSERT — each clause set
+    executes exactly what it names."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_merge_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "name", "string"),
+                                (3, "val", "long")])
+    api.register_table(spark, table, "sqlm")
+    api.sql(spark, "INSERT INTO sqlm VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+
+    # conditional update: only matched rows with val >= 100 replace; the
+    # unqualified match (id 2) is untouched; no NOT MATCHED clause -> the
+    # new key (id 9) is NOT inserted
+    spark.createDataFrame(
+        [(1, "A", 100), (2, "B", 5), (9, "z", 900)],
+        "id long, name string, val long",
+    ).createOrReplaceTempView("m_src1")
+    api.sql(spark, "MERGE INTO sqlm USING m_src1 ON id "
+                   "WHEN MATCHED AND val >= 100 THEN UPDATE")
+    got = spark.sql("SELECT id, name, val FROM sqlm ORDER BY id").collect()
+    assert [(r.id, r.name, r.val) for r in got] == [
+        (1, "A", 100), (2, "b", 20), (3, "c", 30)]
+
+    # matched delete + insert new: id 3 deleted, id 4 inserted, id 1 kept
+    spark.createDataFrame(
+        [(3, "x", 0), (4, "d", 40)], "id long, name string, val long"
+    ).createOrReplaceTempView("m_src2")
+    api.sql(spark, "MERGE INTO sqlm USING m_src2 ON id "
+                   "WHEN MATCHED THEN DELETE "
+                   "WHEN NOT MATCHED THEN INSERT")
+    got = spark.sql("SELECT id, name, val FROM sqlm ORDER BY id").collect()
+    assert [(r.id, r.name, r.val) for r in got] == [
+        (1, "A", 100), (2, "b", 20), (4, "d", 40)]
+
+    # insert-only merge: matched id 4 ignored, new id 5 inserted
+    spark.createDataFrame(
+        [(4, "DUP", 0), (5, "e", 50)], "id long, name string, val long"
+    ).createOrReplaceTempView("m_src3")
+    api.sql(spark, "MERGE INTO sqlm USING m_src3 ON id "
+                   "WHEN NOT MATCHED THEN INSERT")
+    got = spark.sql("SELECT id, name, val FROM sqlm ORDER BY id").collect()
+    assert [(r.id, r.name, r.val) for r in got] == [
+        (1, "A", 100), (2, "b", 20), (4, "d", 40), (5, "e", 50)]
+
+
+def test_sql_call_procedures(spark):
+    """r11 CALL surface: maintenance procedures route through api.sql to
+    the native executors and the snapshot log shows the maintenance
+    commit."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_call_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    api.register_table(spark, table, "sqlc")
+    # several small files -> compaction has work
+    for k in range(3):
+        api.sql(spark, f"INSERT INTO sqlc SELECT id, id * 10 FROM "
+                       f"range({k * 5}, {k * 5 + 5})")
+
+    out = api.sql(spark, "CALL rewrite_data_files('sqlc')").collect()[0]
+    assert out.operation == "rewrite_data_files"
+    assert int(out.rewritten_files) >= 3 and int(out.added_files) >= 1
+    got = [r.id for r in spark.sql("SELECT id FROM sqlc ORDER BY id").collect()]
+    assert got == list(range(15))  # served rows identical pre/post
+
+    out = api.sql(spark, "CALL expire_snapshots('sqlc', keep_last => 1)").collect()[0]
+    assert out.operation == "expire_snapshots"
+    assert int(out.expired_snapshots) >= 1
+
+    out = api.sql(
+        spark, "CALL remove_orphans('sqlc', older_than_ms => 99999999999999)"
+    ).collect()[0]
+    assert out.operation == "remove_orphans"
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        api.sql(spark, "CALL vacuum('sqlc')")
+    with pytest.raises(ValueError, match="older_than_ms"):
+        api.sql(spark, "CALL remove_orphans('sqlc')")
