@@ -901,6 +901,11 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
       closed hull at file-prune granularity plus a strict residual row
       filter; the conjunction executes as one row-level delete commit
       (position deletes on v2 tables, deletion vectors on v3).
+    - ``UPDATE t SET col = <expr>[, col2 = <expr>] WHERE <pred> [AND ...]``
+      — ``<expr>`` is a Spark SQL expression over the row's columns; the
+      matched rows are rewritten and the old versions hidden in ONE
+      atomic snapshot (position deletes + data on v2, deletion vectors +
+      data on v3).
     - ``MERGE INTO t USING src ON k1[, k2...]`` — upsert whole rows of the
       registered view/table ``src`` keyed on the named columns: matched
       keys replace, new keys insert, one snapshot. Optional clauses:
@@ -987,6 +992,27 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         rows_deleted=out["rows_deleted"])
 
     m = re.fullmatch(
+        r"UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        from iceberg_meta_spark.sources.iceberg_write import update_where
+
+        name, set_clause, where = m.group(1), m.group(2), m.group(3)
+        table_dir = _table_dir(name)
+        set_exprs = {}
+        for part in _split_top_level(set_clause):
+            sm = re.fullmatch(r"(\w+)\s*=\s*(.+)", part.strip(), re.DOTALL)
+            if not sm:
+                raise ValueError(f"UPDATE SET needs col = expr, got {part!r}")
+            set_exprs[sm.group(1)] = sm.group(2).strip()
+        out = update_where(spark, table_dir, set_exprs, _parse_where(where))
+        _refresh(name)
+        return _metrics(operation="update",
+                        snapshot_id=out["snapshot_id"],
+                        rows_updated=out["rows_updated"])
+
+    m = re.fullmatch(
         r"MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+([\w\s,]+?)"
         r"(\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE|DELETE))?"
         r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT)?",
@@ -1021,6 +1047,28 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                                _table_dir, _refresh, _metrics)
 
     return spark.sql(stmt)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a comma list at paren depth 0 outside string literals — so
+    ``a = concat(x, 'b,c'), d = d + 1`` yields two assignments."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(buf))
+                buf = []
+                continue
+        buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return [p for p in out if p.strip()]
 
 
 def _parse_literal(tok: str):

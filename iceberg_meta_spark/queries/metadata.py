@@ -1712,6 +1712,76 @@ def iceberg_native_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_native_update_where",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id,
+               CAST(i * 10 + CASE WHEN i BETWEEN 3 AND 6 THEN 1000 ELSE 0 END
+                    AS BIGINT) AS val,
+               CASE WHEN i BETWEEN 3 AND 6 THEN 'hot' ELSE 'a' END AS tag
+        FROM range(0, 10) t(i) ORDER BY id
+    """,
+    doc="row-level UPDATE (iceberg_write.py:update_where + the api.sql "
+    "UPDATE verb): matched rows resolved through the merge-on-read scan, "
+    "rewritten with JVM-side F.expr SET expressions, and published as ONE "
+    "atomic snapshot — on this v3 fixture, deletion vectors hide the old "
+    "versions while the rewritten rows ride new data files at the same "
+    "sequence number (commit_dv_files(add_data_files=...), the v3 twin of "
+    "the v2 merge commit). Gated: vals +1000 and tag 'hot' for ids 3..6, "
+    "everything else untouched. Atomicity, time travel, no-op, strict "
+    "bounds, v2 path, and the SQL face in tests/test_update_where.py",
+)
+def iceberg_native_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_update_where_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_update_where_table(spark)
+    return (
+        scan_table(spark, table)
+        .select("id", "val", "tag")
+        .orderBy("id")
+    )
+
+
+@register(
+    "iceberg_native_column_defaults",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), CAST(10 AS BIGINT), 'unknown', CAST(0 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(20 AS BIGINT), 'unknown', CAST(0 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(30 AS BIGINT), 'eu', CAST(7 AS BIGINT)),
+            (CAST(4 AS BIGINT), CAST(40 AS BIGINT), NULL, CAST(NULL AS BIGINT))
+        ) AS t(id, val, region, score)
+        ORDER BY id
+    """,
+    doc="v3 DEFAULT-VALUE COLUMNS (spec § Default values; "
+    "iceberg_write.py:update_schema stores initial-default/write-default "
+    "on added fields, iceberg_scan.py:_merged_rows serves the default "
+    "per FILE via the adding snapshot's schema-id — one broadcast flag "
+    "join, zero extra scan passes). The fixture appends ids 1..2, ALTERs "
+    "in region (default 'unknown') and score (default 0), appends 3..4 "
+    "with the columns (4's values explicitly NULL): gated result pins "
+    "that pre-column files serve the default while an explicitly-written "
+    "NULL stays NULL — the distinction initial-default exists to make. "
+    "Predicate/time-travel/compaction interplay in "
+    "tests/test_iceberg_defaults.py",
+)
+def iceberg_native_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_column_defaults_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_column_defaults_table(spark)
+    return (
+        scan_table(spark, table)
+        .select("id", "val", "region", "score")
+        .orderBy("id")
+    )
+
+
+@register(
     "iceberg_native_row_lineage",
     oracle="""
         SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS row_id,

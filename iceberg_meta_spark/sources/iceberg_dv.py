@@ -278,6 +278,7 @@ def commit_dv_files(
     dv_entries: list[dict],
     timestamp_ms: int | None = None,
     supersede: set[tuple[str, int]] | None = None,
+    add_data_files: list[dict] | None = None,
 ) -> dict:
     """Publish deletion vectors as one snapshot on a format-version 3
     table: a DELETE manifest whose position-delete entries carry
@@ -293,7 +294,14 @@ def commit_dv_files(
     entries are marked DELETED in rewritten delete manifests (provenance
     preserved for survivors), exactly like data-file removal. Committing
     a second DV for a referenced file WITHOUT superseding the first
-    raises, enforcing the invariant."""
+    raises, enforcing the invariant.
+
+    ``add_data_files`` commits new DATA files in the SAME snapshot (the
+    UPDATE shape: deletion vectors hide the old row versions, the data
+    half carries the rewritten rows at the same sequence number) — one
+    atomic commit, exactly like the v2 merge commit. Added files get v3
+    row-lineage first_row_id values and the snapshot records
+    first-row-id."""
     from iceberg_meta_spark.sources.avro_py import (
         read_container,
         write_container,
@@ -334,7 +342,7 @@ def commit_dv_files(
         commit_uuid = _uuid.uuid5(
             _uuid.NAMESPACE_URL, f"{table_dir}/dv/{snap_id}"
         )
-        if not dv_entries and not supersede:
+        if not dv_entries and not supersede and not add_data_files:
             raise ValueError("nothing to commit: no DV entries, no supersede")
         entries = [
             {
@@ -490,6 +498,50 @@ def commit_dv_files(
             })
         prev_manifests = rewritten_manifests
         new_manifests = []
+        added_rows = added_bytes = 0
+        frid_base = None
+        if add_data_files:
+            from iceberg_meta_spark.sources.iceberg_write import (
+                _added_data_entries,
+                _fv_bytes,
+            )
+
+            frid_base = int(md.get("next-row-id", 0))
+            data_entries = _added_data_entries(
+                add_data_files, snap_id, seq, types, partition_fields,
+                first_row_id_base=frid_base,
+            )
+            from iceberg_meta_spark.sources.iceberg_schemas import (
+                manifest_entry_schema,
+            )
+
+            data_blob = write_container(
+                manifest_entry_schema(partition_fields, with_first_row_id=True),
+                data_entries,
+                metadata={"format-version": _fv_bytes(md), "content": b"data",
+                          "partition-spec-id": str(md["default-spec-id"]).encode()},
+            )
+            data_mpath = _write_new_file(
+                os.path.join(meta_dir, f"{commit_uuid}-um0.avro"), data_blob
+            )
+            added_rows = sum(int(f["record_count"]) for f in add_data_files)
+            added_bytes = sum(int(f["file_size_in_bytes"]) for f in add_data_files)
+            new_manifests.append({
+                "manifest_path": data_mpath,
+                "manifest_length": len(data_blob),
+                "partition_spec_id": int(md["default-spec-id"]),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(add_data_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            })
         if entries:
             new_manifests.append({
                 "manifest_path": manifest_path,
@@ -529,26 +581,42 @@ def commit_dv_files(
             "parent-snapshot-id": parent,
             "sequence-number": seq,
             "timestamp-ms": ts,
+            **({"first-row-id": frid_base} if frid_base is not None else {}),
             "manifest-list": mlist_path,
             "schema-id": md["current-schema-id"],
             "summary": {
-                # adding DVs hides rows (overwrite); a supersede-only
-                # cleanup rewrites metadata, no logical change (replace)
-                "operation": "overwrite" if entries else "replace",
-                "added-records": "0",
+                # adding DVs (and UPDATE's rewritten rows) hides/replaces
+                # rows (overwrite); a supersede-only cleanup rewrites
+                # metadata, no logical change (replace)
+                "operation": (
+                    "overwrite" if entries or add_data_files else "replace"
+                ),
+                "added-records": str(added_rows),
                 "deleted-records": str(deleted_rows),
                 "added-delete-files": str(len(entries)),
                 "removed-delete-files": str(superseded_total),
+                **({"added-data-files": str(len(add_data_files)),
+                    "added-files-size": str(added_bytes)}
+                   if add_data_files else {}),
                 "total-delete-files": str(
                     max(int(prev_summary.get("total-delete-files", 0))
                         - superseded_total, 0)
                     + len(entries)
                 ),
-                "total-data-files": prev_summary.get("total-data-files", "0"),
-                "total-records": prev_summary.get("total-records", "0"),
-                "total-files-size": prev_summary.get("total-files-size", "0"),
+                "total-data-files": str(
+                    int(prev_summary.get("total-data-files", 0))
+                    + len(add_data_files or [])
+                ),
+                "total-records": str(
+                    int(prev_summary.get("total-records", 0)) + added_rows
+                ),
+                "total-files-size": str(
+                    int(prev_summary.get("total-files-size", 0)) + added_bytes
+                ),
             },
         }
+        if frid_base is not None:
+            md["next-row-id"] = frid_base + added_rows
         md["snapshots"].append(snapshot)
         md["snapshot-log"] = md.get("snapshot-log", []) + [
             {"snapshot-id": snap_id, "timestamp-ms": ts}
@@ -575,6 +643,7 @@ def delete_where_dv(
     matches,
     version: int,
     timestamp_ms: int | None = None,
+    add_data_files: list[dict] | None = None,
 ) -> dict:
     """DELETE WHERE on a v3 table: publish the matched (file, pos) rows as
     deletion vectors — one roaring bitmap per touched data file, MERGED
@@ -669,7 +738,7 @@ def delete_where_dv(
         if _norm_path(d["referenced_data_file"]) in touched
     }
     md = commit_dv_files(table_dir, entries, timestamp_ms=timestamp_ms,
-                         supersede=supersede)
+                         supersede=supersede, add_data_files=add_data_files)
     return {
         "rows_deleted": int(sum(r.new_rows for r in per_file)),
         "snapshot_id": int(md["current-snapshot-id"]),

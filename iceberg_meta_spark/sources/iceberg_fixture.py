@@ -1339,3 +1339,89 @@ def default_row_lineage_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_column_defaults_table(spark) -> str:
+    """A v3 table exercising default-value columns: ids 1..2 appended,
+    then ALTER adds region (default 'unknown') and score (default 0),
+    then ids 3..4 appended WITH the columns — id 4's region/score
+    explicitly NULL. Closed form: 1..2 serve the defaults, 3 serves its
+    written values, 4 serves NULL (initial-default never overwrites an
+    explicitly-written NULL)."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        update_schema,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_defaults_v1"
+    )
+    table = os.path.join(base, "defaults_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")],
+                 format_version=3)
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long")
+        .coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    update_schema(table, add=[("region", "string", "unknown"),
+                              ("score", "long", 0)],
+                  timestamp_ms=1713139200000 + 90_000)
+    append_dataframe(
+        spark,
+        spark.createDataFrame(
+            [(3, 30, "eu", 7), (4, 40, None, None)],
+            "id long, val long, region string, score long",
+        ).coalesce(1),
+        table, timestamp_ms=1713139200000 + 120_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+def default_update_where_table(spark) -> str:
+    """A v3 table after UPDATE ... SET ... WHERE: ids 0..9 (val = 10*id,
+    tag 'a') in two files, then ``update_where(val = val + 1000,
+    tag = 'hot', WHERE id BETWEEN 3 AND 6)`` — ONE atomic snapshot:
+    deletion vectors hide the four old versions, the rewritten rows ride
+    new data files at the same sequence number. Closed form: vals shifted
+    +1000 and tag 'hot' for 3..6, everything else untouched."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        update_where,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_update_v1"
+    )
+    table = os.path.join(base, "update_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long"),
+                                (3, "tag", "string")],
+                 format_version=3)
+    for bi, ids in enumerate((range(0, 5), range(5, 10))):
+        append_dataframe(
+            spark,
+            spark.createDataFrame([(i, i * 10, "a") for i in ids],
+                                  "id long, val long, tag string").coalesce(1),
+            table, timestamp_ms=1713139200000 + 60_000 * (bi + 1),
+        )
+    out = update_where(spark, table, {"val": "val + 1000", "tag": "'hot'"},
+                       ("id", 3, 6), timestamp_ms=1713139200000 + 180_000)
+    assert out["rows_updated"] == 4, out
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

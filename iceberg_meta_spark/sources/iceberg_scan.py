@@ -94,6 +94,13 @@ class ScanPlan:
     # v3 deletion vectors: puffin path, seq, referenced data file,
     # content_offset, content_size (one per referenced file — planning scale)
     deletion_vectors: list[dict] = field(default_factory=list)
+    # v3 default-value columns (spec § Default values): fields of the
+    # CURRENT schema carrying initial-default — {name, type, default};
+    # each data_files dict lists in "default_absent" which of these were
+    # not yet in the schema when the file was written (resolved via the
+    # adding snapshot's schema-id), so the scan serves the default for
+    # exactly those files' rows
+    field_defaults: list[dict] = field(default_factory=list)
 
 
 _PLAN_COLS = (
@@ -379,6 +386,31 @@ def plan_scan(
             dvs.append(d)
         else:
             pos.append(d)
+    # v3 default-value columns: which CURRENT-schema defaulted fields were
+    # absent when each file was written — per-file resolution through the
+    # adding snapshot's schema-id (file seq -> snapshot -> schema), the
+    # id-based presence rule the spec prescribes. Unknown seq (expired
+    # history) is conservative: field treated as present, NULLs stay NULL.
+    field_defaults = [
+        {"name": f["name"], "type": f["type"], "default": f["initial-default"],
+         "id": int(f["id"])}
+        for f in schema["fields"]
+        if f.get("initial-default") is not None
+    ]
+    absent_by_seq: dict[int, list[str]] = {}
+    if field_defaults:
+        fields_by_schema = {
+            s["schema-id"]: {int(fl["id"]) for fl in s["fields"]}
+            for s in md.get("schemas", [])
+        }
+        for s in md.get("snapshots", []):
+            present = fields_by_schema.get(s.get("schema-id"))
+            if present is None:
+                continue
+            absent_by_seq[int(s.get("sequence-number", 0))] = [
+                d["name"] for d in field_defaults if d["id"] not in present
+            ]
+
     return ScanPlan(
         data_files=[
             {
@@ -388,6 +420,7 @@ def plan_scan(
                 "size": r.file_size_in_bytes,
                 "part": json.loads(r.part_key) if r.part_key else {},
                 "first_row_id": r.first_row_id,
+                "default_absent": absent_by_seq.get(int(r.seq), []),
             }
             for r in data
         ],
@@ -398,6 +431,7 @@ def plan_scan(
         schema_fields=fields,
         partition_cols=partition_cols,
         deletion_vectors=dvs,
+        field_defaults=field_defaults,
     )
 
 
@@ -595,6 +629,36 @@ def _merged_rows(
             # null values match"), which plain == would never match
             cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
         df = df.join(eq, cond, "left_anti")
+
+    # v3 default-value columns: rows of files written BEFORE a defaulted
+    # column existed serve its initial-default; newer files' explicit
+    # NULLs stay NULL. Per-file flags ride one broadcast map join (the
+    # partition-injection idiom) — zero extra scan passes.
+    if plan.field_defaults and any(f.get("default_absent") for f in data_files):
+        flag_ddl = "__file string, " + ", ".join(
+            f"`__dfl_{d['name']}` boolean" for d in plan.field_defaults
+        )
+        flag_df = spark.createDataFrame(
+            [
+                tuple(
+                    [_norm_path(f["path"])]
+                    + [d["name"] in set(f.get("default_absent") or [])
+                       for d in plan.field_defaults]
+                )
+                for f in data_files
+            ],
+            flag_ddl,
+        )
+        df = df.join(F.broadcast(flag_df), "__file")
+        for d in plan.field_defaults:
+            spark_t = _ICEBERG_TO_SPARK.get(d["type"], "string")
+            cur = (F.col(d["name"]) if d["name"] in df.columns
+                   else F.lit(None).cast(spark_t))
+            df = df.withColumn(
+                d["name"],
+                F.when(F.col(f"__dfl_{d['name']}"),
+                       F.lit(d["default"]).cast(spark_t)).otherwise(cur),
+            )
 
     # schema evolution on read: a column ADDED after a file was written is
     # absent from that parquet — surface it as NULL of the declared type

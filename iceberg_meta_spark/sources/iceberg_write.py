@@ -1620,6 +1620,117 @@ def delete_where(
             "snapshot_id": int(md["current-snapshot-id"])}
 
 
+def update_where(
+    spark,
+    table_dir: str,
+    set_exprs: dict[str, object],
+    predicate,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """UPDATE ... SET ... WHERE — row-level update over the merge-on-read
+    scan: resolve the matching LIVE rows (same predicate shapes as
+    :func:`delete_where`), rewrite them with ``set_exprs`` applied
+    (column -> Spark SQL expression string, or a literal), and publish
+    ONE atomic snapshot in which the old versions are hidden and the new
+    versions are served:
+
+    - v2: a position-delete file for the matched (file, pos) pairs plus
+      the rewritten rows as new data files, committed together
+      (:func:`commit_merge`'s overwrite shape).
+    - v3: deletion vectors (merged with any prior DV per touched file)
+      plus the rewritten rows, committed together
+      (``commit_dv_files(add_data_files=...)``); rewritten rows get fresh
+      v3 row-lineage ids (the spec default for unmaterialized lineage).
+
+    Distributed shape: file pruning + the matching scan are the planner's
+    plan; the SET expressions run JVM-side (``F.expr``); the rewrite
+    write + stats ride :func:`write_dataframe_files`. No matches -> no-op,
+    nothing published."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from iceberg_meta_spark.sources.iceberg_scan import _merged_rows, plan_scan
+
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    version, md = _read_meta(meta_dir)
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    schema_cols = [f["name"] for f in schema["fields"]]
+    unknown = [c for c in set_exprs if c not in schema_cols]
+    if unknown:
+        raise KeyError(f"SET columns not in table schema: {unknown}")
+
+    preds = _norm_predicates(predicate)
+    plan = plan_scan(
+        spark, table_dir,
+        predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds],
+    )
+    rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
+    if rows is None:
+        return {"rows_updated": 0, "snapshot_id": None}
+    for col, lo, hi, lo_strict, hi_strict in preds:
+        if lo is not None:
+            rows = rows.where(
+                F.col(col) > F.lit(lo) if lo_strict else F.col(col) >= F.lit(lo)
+            )
+        if hi is not None:
+            rows = rows.where(
+                F.col(col) < F.lit(hi) if hi_strict else F.col(col) <= F.lit(hi)
+            )
+
+    updated = rows
+    declared = {f["name"]: f["type"] for f in schema["fields"]}
+    for col, expr in set_exprs.items():
+        new_val = F.expr(expr) if isinstance(expr, str) else F.lit(expr)
+        # cast to the declared type: a SQL literal 1 is INT while the
+        # column declares long — mixed-width batches would break the
+        # mergeSchema read, same rule as the SQL INSERT path
+        from iceberg_meta_spark.sources.iceberg_scan import _ICEBERG_TO_SPARK
+
+        updated = updated.withColumn(
+            col, new_val.cast(_ICEBERG_TO_SPARK.get(declared[col], "string"))
+        )
+
+    batch_dir = _claim_batch_dir(
+        os.path.join(table_dir, "data", f"update-{version + 1:05d}")
+    )
+    data_files = write_dataframe_files(
+        spark, updated.select(*schema_cols), md, os.path.join(batch_dir, "rows")
+    )
+    n = sum(int(f["record_count"]) for f in data_files)
+    if n == 0:
+        shutil.rmtree(batch_dir, ignore_errors=True)
+        return {"rows_updated": 0, "snapshot_id": None}
+
+    if int(md.get("format-version", 1)) >= 3:
+        from iceberg_meta_spark.sources.iceberg_dv import delete_where_dv
+
+        out = delete_where_dv(
+            spark, table_dir, plan, rows.select("__file", "__pos"),
+            version, timestamp_ms=timestamp_ms, add_data_files=data_files,
+        )
+        return {"rows_updated": n, "snapshot_id": out["snapshot_id"]}
+
+    hits = (
+        rows.select(F.col("__file").alias("file_path"),
+                    F.col("__pos").alias("pos"))
+        .sort("file_path", "pos")
+        .coalesce(1)
+    )
+    del_dir = os.path.join(batch_dir, "deletes")
+    hits.write.mode("overwrite").parquet(del_dir)
+    [dp] = glob.glob(os.path.join(del_dir, "*.parquet"))
+    new_md = commit_merge(table_dir, data_files, [{
+        "file_path": dp,
+        "record_count": n,
+        "file_size_in_bytes": os.path.getsize(dp),
+    }], timestamp_ms=timestamp_ms)
+    return {"rows_updated": n,
+            "snapshot_id": int(new_md["current-snapshot-id"])}
+
+
 def create_table(
     table_dir: str,
     fields: list[tuple[int, str, str]],
@@ -1722,7 +1833,7 @@ def create_table(
 
 def update_schema(
     table_dir: str,
-    add: list[tuple[str, str]] | None = None,
+    add: list[tuple] | None = None,
     drop: list[str] | None = None,
     rename: dict[str, str] | None = None,
     timestamp_ms: int | None = None,
@@ -1734,6 +1845,13 @@ def update_schema(
     renames keep the field id (rename is metadata-only). The new schema
     becomes ``current-schema-id`` in a new metadata version; no snapshot is
     created (schema changes are not data changes).
+
+    ``add`` tuples are ``(name, type)`` or — v3 tables only —
+    ``(name, type, default)`` (spec § Default values): the default is
+    stored as the field's ``initial-default`` AND ``write-default``;
+    scans serve it for rows in files written BEFORE the column existed
+    (per-file resolution via the adding snapshot's schema-id), while
+    explicitly-written NULLs in newer files stay NULL.
     """
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
@@ -1772,11 +1890,22 @@ def update_schema(
         fields = [f for f in fields if f["name"] != name]
         names.discard(name)
     last_id = int(md.get("last-column-id", max(f["id"] for f in fields)))
-    for name, typ in add or []:
+    for tup in add or []:
+        name, typ = tup[0], tup[1]
+        default = tup[2] if len(tup) > 2 else None
         if name in names:
             raise ValueError(f"column {name!r} already exists")
+        if default is not None and int(md.get("format-version", 1)) < 3:
+            raise ValueError(
+                "column defaults (initial-default) are a format-version 3 "
+                "feature; upgrade the table or add the column without one"
+            )
         last_id += 1
-        fields.append({"id": last_id, "name": name, "required": False, "type": typ})
+        fields.append({
+            "id": last_id, "name": name, "required": False, "type": typ,
+            **({"initial-default": default, "write-default": default}
+               if default is not None else {}),
+        })
         names.add(name)
     new_schema = {
         "type": "struct",
