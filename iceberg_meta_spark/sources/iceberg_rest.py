@@ -110,6 +110,45 @@ class RestCatalog:
         )
         return out["metadata"]
 
+    def list_namespaces(self) -> list[str]:
+        out = self._request("GET", "/v1/namespaces")
+        return [".".join(n) for n in out.get("namespaces", [])]
+
+    def list_tables(self, ns: str) -> list[str]:
+        """Table names in a namespace — the catalog-listing half the
+        reference's recursive warehouse scan serves (catalog.py:145-161)."""
+        out = self._request("GET", f"/v1/namespaces/{ns}/tables")
+        return [i["name"] for i in out.get("identifiers", [])]
+
+    def create_table(self, ident: str,
+                     fields: list[tuple[int, str, str]],
+                     format_version: int = 2) -> dict:
+        """createTable: the server provisions the storage location in its
+        warehouse and answers with the initial metadata."""
+        ns, table = self._split(ident)
+        out = self._request(
+            "POST", f"/v1/namespaces/{ns}/tables",
+            {
+                "name": table,
+                "schema": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": fid, "name": name, "required": False,
+                         "type": typ}
+                        for fid, name, typ in fields
+                    ],
+                },
+                "properties": {"format-version": str(int(format_version))},
+            },
+        )
+        return out["metadata"]
+
+    def drop_table(self, ident: str) -> None:
+        """dropTable: the catalog forgets the pointer (purge semantics are
+        the caller's remove_orphans problem, like purgeRequested=false)."""
+        ns, table = self._split(ident)
+        self._request("DELETE", f"/v1/namespaces/{ns}/tables/{table}")
+
 
 def rest_append_files(
     catalog: RestCatalog,

@@ -45,6 +45,7 @@ from iceberg_meta_spark.sources.iceberg_write import (
 )
 
 _TABLE_RE = re.compile(r"^/v1/namespaces/([^/]+)/tables/([^/]+)$")
+_TABLES_RE = re.compile(r"^/v1/namespaces/([^/]+)/tables$")
 
 
 class _RequirementFailed(Exception):
@@ -60,12 +61,16 @@ class LoopbackRestCatalog:
             catalog = RestCatalog(server.uri)
     """
 
-    def __init__(self):
+    def __init__(self, warehouse: str | None = None):
+        import tempfile
+
         self._tables: dict[str, dict] = {}  # ident -> {"dir": ..., "md": ...}
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.uri = ""
+        # createTable provisions storage here (object storage in production)
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="rest_warehouse_")
 
     # ------------------------------------------------------------ lifecycle
     def start(self) -> "LoopbackRestCatalog":
@@ -86,6 +91,24 @@ class LoopbackRestCatalog:
             def do_GET(self):
                 if self.path == "/v1/config":
                     return self._json(200, {"defaults": {}, "overrides": {}})
+                if self.path == "/v1/namespaces":
+                    with mock._lock:
+                        nss = sorted({i.rpartition(".")[0]
+                                      for i in mock._tables})
+                    return self._json(200, {
+                        "namespaces": [ns.split(".") for ns in nss]})
+                m = _TABLES_RE.match(self.path)
+                if m:
+                    ns = m.group(1)
+                    with mock._lock:
+                        names = sorted(
+                            i.rpartition(".")[2] for i in mock._tables
+                            if i.rpartition(".")[0] == ns
+                        )
+                    return self._json(200, {"identifiers": [
+                        {"namespace": ns.split("."), "name": n}
+                        for n in names
+                    ]})
                 m = _TABLE_RE.match(self.path)
                 if m:
                     ident = f"{m.group(1)}.{m.group(2)}"
@@ -102,6 +125,19 @@ class LoopbackRestCatalog:
                 return self._json(404, {"error": {"message": "no route"}})
 
             def do_POST(self):
+                m = _TABLES_RE.match(self.path)
+                if m:  # createTable
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    try:
+                        out = mock._create(m.group(1), body)
+                    except FileExistsError as e:
+                        return self._json(409, {"error": {
+                            "message": str(e),
+                            "type": "AlreadyExistsException"}})
+                    except (KeyError, ValueError) as e:
+                        return self._json(400, {"error": {"message": str(e)}})
+                    return self._json(200, out)
                 m = _TABLE_RE.match(self.path)
                 if not m:
                     return self._json(404, {"error": {"message": "no route"}})
@@ -126,6 +162,23 @@ class LoopbackRestCatalog:
                 except ValueError as e:
                     return self._json(400, {"error": {"message": str(e)}})
                 return self._json(200, out)
+
+            def do_DELETE(self):
+                m = _TABLE_RE.match(self.path)
+                if not m:
+                    return self._json(404, {"error": {"message": "no route"}})
+                ident = f"{m.group(1)}.{m.group(2)}"
+                with mock._lock:
+                    if ident not in mock._tables:
+                        return self._json(404, {"error": {
+                            "message": f"table {ident} not found",
+                            "type": "NoSuchTableException"}})
+                    # the catalog forgets the pointer; files stay for
+                    # remove_orphans (purgeRequested=false semantics)
+                    del mock._tables[ident]
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.uri = f"http://127.0.0.1:{self._httpd.server_port}"
@@ -162,6 +215,31 @@ class LoopbackRestCatalog:
                 "dir": table_dir, "md": md, "version": version,
                 "location": path,
             }
+
+    def _create(self, ns: str, body: dict) -> dict:
+        """createTable: provision a filesystem-layout table under the
+        warehouse and take its pointer."""
+        from iceberg_meta_spark.sources.iceberg_write import create_table
+
+        name = body["name"]
+        ident = f"{ns}.{name}"
+        with self._lock:
+            if ident in self._tables:
+                raise FileExistsError(f"table {ident} already exists")
+        fields = [
+            (int(f["id"]), f["name"], f["type"])
+            for f in (body.get("schema") or {}).get("fields", [])
+        ]
+        if not fields:
+            raise ValueError("createTable needs a schema with fields")
+        fv = int((body.get("properties") or {}).get("format-version", 2))
+        table_dir = os.path.join(self.warehouse, ns, name)
+        create_table(table_dir, fields=fields, format_version=fv)
+        self.register(ident, table_dir)
+        with self._lock:
+            entry = self._tables[ident]
+            return {"metadata-location": entry["location"],
+                    "metadata": entry["md"]}
 
     def _commit(self, ident: str, requirements: list[dict],
                 updates: list[dict]) -> dict:

@@ -206,3 +206,35 @@ def test_rest_set_properties_update(rest_table):
     with open(os.path.join(meta, versions[-1])) as fh:
         disk = json.load(fh)
     assert disk["properties"]["retention.days"] == "7"
+
+
+def test_rest_create_list_drop_lifecycle(spark):
+    """createTable provisions storage in the catalog's warehouse; list
+    endpoints serve the namespace inventory (the reference's catalog-scan
+    half); dropTable forgets the pointer, leaving files for
+    remove_orphans."""
+    with LoopbackRestCatalog() as server:
+        catalog = RestCatalog(server.uri)
+        md = catalog.create_table(
+            "ns.created", fields=[(1, "id", "long"), (2, "val", "long")])
+        assert md["table-uuid"] and md.get("current-snapshot-id") is None
+        assert catalog.list_namespaces() == ["ns"]
+        catalog.create_table("ns.other", fields=[(1, "id", "long")])
+        assert catalog.list_tables("ns") == ["created", "other"]
+
+        # a created table accepts commits and scans like any other
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id long, val long")
+        new_md = rest_append_dataframe(spark, catalog, "ns.created", df,
+                                       timestamp_ms=_TS + 60_000)
+        table_dir = new_md["location"]
+        got = sorted(r.id for r in scan_table(spark, table_dir).collect())
+        assert got == [1, 2]
+
+        # duplicate create is an AlreadyExists conflict (409)
+        with pytest.raises(RestCommitConflict):
+            catalog.create_table("ns.created", fields=[(1, "id", "long")])
+
+        catalog.drop_table("ns.other")
+        assert catalog.list_tables("ns") == ["created"]
+        with pytest.raises(RestCatalogError, match="404"):
+            catalog.load_table("ns.other")
