@@ -919,7 +919,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
       ``rewrite_data_files``, ``rewrite_manifests``,
       ``rewrite_position_deletes``, ``rewrite_deletion_vectors``,
       ``expire_snapshots`` (``keep_last``/``older_than_ms``),
-      ``remove_orphans``, ``rollback_to_snapshot`` (``snapshot_id``).
+      ``remove_orphans``, ``rollback_to_snapshot`` (``snapshot_id``),
+      ``create_branch``/``create_tag``/``drop_ref`` (``name``, optional
+      ``snapshot_id``), ``fast_forward`` (``to``, optional ``branch`` —
+      the write-audit-publish publish step).
 
     Each DML/CALL returns a 1-row DataFrame of commit metrics instead of
     rows.
@@ -1182,12 +1185,40 @@ def _call_procedure(spark, proc: str, arg_str: str,
                 "rollback_to_snapshot needs snapshot_id => <id>")
         md = rollback_to_snapshot(table_dir, int(sid), **kwargs)
         out = {"current_snapshot_id": md["current-snapshot-id"]}
+    elif proc in ("create_branch", "create_tag", "drop_ref"):
+        from iceberg_meta_spark.sources.iceberg_write import manage_ref
+
+        ref = kwargs.pop("name", None)
+        if ref is None:
+            raise ValueError(f"{proc} needs name => '<ref>'")
+        if proc == "drop_ref":
+            manage_ref(table_dir, str(ref), drop=True, **kwargs)
+            out = {"dropped": ref}
+        else:
+            sid = kwargs.pop("snapshot_id", None)
+            manage_ref(table_dir, str(ref),
+                       snapshot_id=int(sid) if sid is not None else None,
+                       ref_type="branch" if proc == "create_branch" else "tag",
+                       **kwargs)
+            out = {"ref": ref,
+                   "type": "branch" if proc == "create_branch" else "tag"}
+    elif proc == "fast_forward":
+        from iceberg_meta_spark.sources.iceberg_write import fast_forward
+
+        branch = kwargs.pop("branch", "main")
+        source = kwargs.pop("to", None)
+        if source is None:
+            raise ValueError(
+                "fast_forward needs to => '<source ref>' (and optional "
+                "branch => '<target>', default main)")
+        out = fast_forward(table_dir, str(branch), str(source), **kwargs)
     else:
         raise ValueError(
             f"unknown procedure {proc!r}; supported: rewrite_data_files, "
             "rewrite_manifests, rewrite_position_deletes, "
             "rewrite_deletion_vectors, expire_snapshots, remove_orphans, "
-            "rollback_to_snapshot"
+            "rollback_to_snapshot, create_branch, create_tag, drop_ref, "
+            "fast_forward"
         )
     _refresh(str(name))
     return _metrics(operation=proc, **{k: str(v) for k, v in out.items()})

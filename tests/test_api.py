@@ -335,3 +335,46 @@ def test_sql_call_procedures(spark):
         api.sql(spark, "CALL vacuum('sqlc')")
     with pytest.raises(ValueError, match="older_than_ms"):
         api.sql(spark, "CALL remove_orphans('sqlc')")
+
+
+def test_sql_call_ref_procedures(spark):
+    """r11 CALL ref management: create_branch / create_tag / fast_forward
+    / drop_ref route to manage_ref / fast_forward — the write-audit-
+    publish workflow drivable from SQL alone."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_refs_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    api.register_table(spark, table, "sqlr")
+    api.sql(spark, "INSERT INTO sqlr VALUES (1, 10), (2, 20)")
+
+    out = api.sql(spark, "CALL create_tag('sqlr', name => 'v1')").collect()[0]
+    assert out.operation == "create_tag" and out.ref == "v1"
+    out = api.sql(
+        spark, "CALL create_branch('sqlr', name => 'audit')").collect()[0]
+    assert out.type == "branch"
+
+    # stage a commit on the branch, then publish via fast_forward
+    audit_df = spark.createDataFrame([(3, 30)], "id long, val long")
+    append_dataframe(spark, audit_df, table, branch="audit")
+    got = spark.sql("SELECT id FROM sqlr ORDER BY id").collect()
+    assert [r.id for r in got] == [1, 2]  # main unchanged before publish
+    out = api.sql(
+        spark, "CALL fast_forward('sqlr', to => 'audit')").collect()[0]
+    assert out.operation == "fast_forward" and out.updated == "True"
+    got = spark.sql("SELECT id FROM sqlr ORDER BY id").collect()
+    assert [r.id for r in got] == [1, 2, 3]
+
+    out = api.sql(spark, "CALL drop_ref('sqlr', name => 'v1')").collect()[0]
+    assert out.dropped == "v1"
+    with pytest.raises(ValueError, match="needs name"):
+        api.sql(spark, "CALL create_tag('sqlr')")
