@@ -228,6 +228,33 @@ def main() -> None:
         }
     full_path = (out_flag or os.environ.get("SPARK_GRAFT_BENCH_FULL")
                  or _default_full_path())
+    # canary-normalized regression verdict vs the newest PREVIOUS FULL
+    # artifact (tools/bench_diff.py): turns BASELINE.md's manual
+    # normalization rule into a mechanical check the artifact carries
+    try:
+        import re as _re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        prevs = sorted(
+            (f for f in os.listdir(repo)
+             if _re.match(r"BENCH_FULL_r\d+(-close\d*)?\.json$", f)
+             and os.path.join(repo, f) != os.path.abspath(full_path)),
+            key=lambda f: int(_re.search(r"r(\d+)", f).group(1)),
+        )
+        if prevs:
+            from tools.bench_diff import compare
+
+            with open(os.path.join(repo, prevs[-1])) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == full["sf"]:
+                full["vs_prev"] = {"baseline": prevs[-1],
+                                   **compare(prev, full)}
+            else:  # never compare across scale points (the r9 mixup)
+                full["vs_prev"] = {"baseline": prevs[-1],
+                                   "verdict": "skipped: sf mismatch "
+                                   f"({prev.get('sf')} vs {full['sf']})"}
+    except Exception as e:  # the verdict row must never fail the bench
+        print(f"bench: vs_prev diff skipped: {e}", file=sys.stderr)
     try:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1)
