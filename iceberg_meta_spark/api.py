@@ -923,6 +923,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
       ``create_branch``/``create_tag``/``drop_ref`` (``name``, optional
       ``snapshot_id``), ``fast_forward`` (``to``, optional ``branch`` —
       the write-audit-publish publish step).
+    - ``ALTER TABLE t ADD COLUMN c type [DEFAULT lit]`` / ``DROP COLUMN``
+      / ``RENAME COLUMN a TO b`` / ``SET``/``UNSET TBLPROPERTIES (...)``
+      — schema evolution and property DDL over the native writers.
 
     Each DML/CALL returns a 1-row DataFrame of commit metrics instead of
     rows.
@@ -1049,7 +1052,93 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _call_procedure(spark, m.group(1).lower(), m.group(2),
                                _table_dir, _refresh, _metrics)
 
+    m = re.fullmatch(r"ALTER\s+TABLE\s+(\w+)\s+(.+)", stmt,
+                     re.IGNORECASE | re.DOTALL)
+    if m:
+        return _alter_table(spark, m.group(1), m.group(2),
+                            _table_dir, _refresh, _metrics)
+
     return spark.sql(stmt)
+
+
+def _alter_table(spark, name: str, clause: str,
+                 _table_dir, _refresh, _metrics):
+    """``ALTER TABLE t ...`` — the DDL verbs, routed to the native schema/
+    property writers (each publishes a new metadata version, no snapshot):
+
+    - ``ADD COLUMN <name> <type> [DEFAULT <literal>]`` (DEFAULT is the v3
+      initial-default: pre-column files serve it, spec § Default values)
+    - ``DROP COLUMN <name>``
+    - ``RENAME COLUMN <old> TO <new>``
+    - ``SET TBLPROPERTIES ('k' = 'v'[, ...])`` / ``UNSET TBLPROPERTIES
+      ('k'[, ...])``
+    """
+    import re
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        set_properties,
+        update_schema,
+    )
+
+    table_dir = _table_dir(name)
+    clause = clause.strip()
+
+    m = re.fullmatch(
+        r"ADD\s+COLUMN\s+(\w+)\s+(\w+)(?:\s+DEFAULT\s+(.+))?",
+        clause, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        col, typ, default = m.group(1), m.group(2).lower(), m.group(3)
+        add = (col, typ) if default is None else (
+            col, typ, _parse_literal(default))
+        update_schema(table_dir, add=[add])
+        _refresh(name)
+        return _metrics(operation="add_column", column=col, type=typ,
+                        **({"default": str(_parse_literal(default))}
+                           if default is not None else {}))
+
+    m = re.fullmatch(r"DROP\s+COLUMN\s+(\w+)", clause, re.IGNORECASE)
+    if m:
+        update_schema(table_dir, drop=[m.group(1)])
+        _refresh(name)
+        return _metrics(operation="drop_column", column=m.group(1))
+
+    m = re.fullmatch(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)",
+                     clause, re.IGNORECASE)
+    if m:
+        update_schema(table_dir, rename={m.group(1): m.group(2)})
+        _refresh(name)
+        return _metrics(operation="rename_column",
+                        renamed=f"{m.group(1)}->{m.group(2)}")
+
+    m = re.fullmatch(r"(UN)?SET\s+TBLPROPERTIES\s*\((.+)\)",
+                     clause, re.IGNORECASE | re.DOTALL)
+    if m:
+        unset, body = m.group(1) is not None, m.group(2)
+        if unset:
+            keys = [str(_parse_literal(p.strip()))
+                    for p in _split_top_level(body)]
+            set_properties(table_dir, unset=keys)
+            _refresh(name)
+            return _metrics(operation="unset_properties",
+                            keys=",".join(keys))
+        props = {}
+        for p in _split_top_level(body):
+            kv = re.fullmatch(r"\s*('[^']*')\s*=\s*(.+)", p, re.DOTALL)
+            if not kv:
+                raise ValueError(
+                    f"SET TBLPROPERTIES needs 'key' = 'value', got {p!r}")
+            props[str(_parse_literal(kv.group(1)))] = str(
+                _parse_literal(kv.group(2).strip()))
+        set_properties(table_dir, set_props=props)
+        _refresh(name)
+        return _metrics(operation="set_properties",
+                        keys=",".join(sorted(props)))
+
+    raise ValueError(
+        f"unsupported ALTER TABLE clause: {clause!r} (use ADD COLUMN, "
+        "DROP COLUMN, RENAME COLUMN ... TO ..., SET/UNSET TBLPROPERTIES)"
+    )
 
 
 def _split_top_level(s: str) -> list[str]:

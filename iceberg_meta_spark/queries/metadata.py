@@ -1712,6 +1712,39 @@ def iceberg_native_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_native_rename_scan",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(30 AS BIGINT))
+        ) AS t(id, total)
+        ORDER BY id
+    """,
+    doc="RENAME COLUMN read resolution (r11 fix; spec § Schema Evolution: "
+    "a rename keeps the FIELD ID, files resolve by id — but name-based "
+    "parquet stores the write-time NAME, so pre-rename files read NULL "
+    "under the new name without per-file resolution). The scan now maps "
+    "each current field id to the name it had in the file's write-time "
+    "schema (file seq -> adding snapshot -> schema, the same per-file "
+    "machinery as v3 column defaults) and reads the old name via a "
+    "broadcast source-name map + one CASE per renamed column. The "
+    "fixture renames val -> amount -> total across three files written "
+    "under all three names: gated result pins every row serving its "
+    "written value under the CURRENT name. ALTER TABLE RENAME COLUMN SQL "
+    "face in tests/test_api.py",
+)
+def iceberg_native_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_rename_scan_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_rename_scan_table(spark)
+    return scan_table(spark, table).select("id", "total").orderBy("id")
+
+
+@register(
     "iceberg_native_update_where",
     oracle="""
         SELECT CAST(i AS BIGINT) AS id,

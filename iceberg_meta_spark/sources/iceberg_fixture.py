@@ -1425,3 +1425,46 @@ def default_update_where_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_rename_scan_table(spark) -> str:
+    """A table read across a RENAME COLUMN: ids 1..2 written under the
+    original name (val), the column renamed to amount, id 3 written under
+    the new name, then amount renamed again to total. Closed form: all
+    three rows serve their written values under the CURRENT name — the
+    scan resolves each file's write-time column name through the schema
+    history (renames keep the field id; files are name-based parquet)."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        update_schema,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_rename_v1"
+    )
+    table = os.path.join(base, "rename_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long")
+        .coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    update_schema(table, rename={"val": "amount"},
+                  timestamp_ms=1713139200000 + 90_000)
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(3, 30)], "id long, amount long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 120_000,
+    )
+    update_schema(table, rename={"amount": "total"},
+                  timestamp_ms=1713139200000 + 150_000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -397,19 +397,36 @@ def plan_scan(
         for f in schema["fields"]
         if f.get("initial-default") is not None
     ]
+    # renamed columns: a rename keeps the FIELD ID (spec § Schema
+    # Evolution) but our parquet files resolve by NAME, so a file written
+    # under the old schema stores the old column name — map each current
+    # field id to the name it had in the file's write-time schema, and let
+    # the scan read the old name per file (the id-based resolution rule,
+    # reconstructed through the schema history).
+    current_names = {int(f["id"]): f["name"] for f in schema["fields"]}
+    multi_schema = len(md.get("schemas", [])) > 1
     absent_by_seq: dict[int, list[str]] = {}
-    if field_defaults:
-        fields_by_schema = {
-            s["schema-id"]: {int(fl["id"]) for fl in s["fields"]}
-            for s in md.get("schemas", [])
-        }
+    renames_by_seq: dict[int, dict[str, str]] = {}
+    if field_defaults or multi_schema:
+        schemas_by_id = {s["schema-id"]: s for s in md.get("schemas", [])}
         for s in md.get("snapshots", []):
-            present = fields_by_schema.get(s.get("schema-id"))
-            if present is None:
+            ws = schemas_by_id.get(s.get("schema-id"))
+            if ws is None:
                 continue
-            absent_by_seq[int(s.get("sequence-number", 0))] = [
-                d["name"] for d in field_defaults if d["id"] not in present
-            ]
+            seq_key = int(s.get("sequence-number", 0))
+            write_names = {int(fl["id"]): fl["name"] for fl in ws["fields"]}
+            if field_defaults:
+                absent_by_seq[seq_key] = [
+                    d["name"] for d in field_defaults
+                    if d["id"] not in write_names
+                ]
+            ren = {
+                cur: write_names[fid]
+                for fid, cur in current_names.items()
+                if fid in write_names and write_names[fid] != cur
+            }
+            if ren:
+                renames_by_seq[seq_key] = ren
 
     return ScanPlan(
         data_files=[
@@ -421,6 +438,7 @@ def plan_scan(
                 "part": json.loads(r.part_key) if r.part_key else {},
                 "first_row_id": r.first_row_id,
                 "default_absent": absent_by_seq.get(int(r.seq), []),
+                "renamed": renames_by_seq.get(int(r.seq), {}),
             }
             for r in data
         ],
@@ -629,6 +647,36 @@ def _merged_rows(
             # null values match"), which plain == would never match
             cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
         df = df.join(eq, cond, "left_anti")
+
+    # renamed columns: a file written before RENAME COLUMN stores the OLD
+    # name (name-based parquet, no field ids), so each current column
+    # whose name changed reads from its file's write-time name — a
+    # broadcast per-file source-name map + one CASE per renamed column
+    # (the id-based resolution every engine does, reconstructed through
+    # the schema history; old names per field are bounded by the schema
+    # log, driver-side planning data).
+    rename_files = [f for f in data_files if f.get("renamed")]
+    if rename_files:
+        renamed_cols = sorted({c for f in rename_files
+                               for c in f["renamed"]})
+        src_df = spark.createDataFrame(
+            [
+                tuple([_norm_path(f["path"])]
+                      + [(f.get("renamed") or {}).get(c) for c in renamed_cols])
+                for f in data_files
+            ],
+            "__file string, " + ", ".join(
+                f"`__src_{c}` string" for c in renamed_cols),
+        )
+        df = df.join(F.broadcast(src_df), "__file")
+        for c in renamed_cols:
+            expr = F.col(c) if c in df.columns else F.lit(None)
+            for old in sorted({f["renamed"][c] for f in rename_files
+                               if c in f["renamed"]}):
+                old_col = F.col(old) if old in df.columns else F.lit(None)
+                expr = F.when(F.col(f"__src_{c}") == old, old_col) \
+                    .otherwise(expr)
+            df = df.withColumn(c, expr)
 
     # v3 default-value columns: rows of files written BEFORE a defaulted
     # column existed serve its initial-default; newer files' explicit

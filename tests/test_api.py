@@ -378,3 +378,59 @@ def test_sql_call_ref_procedures(spark):
     assert out.dropped == "v1"
     with pytest.raises(ValueError, match="needs name"):
         api.sql(spark, "CALL create_tag('sqlr')")
+
+
+def test_sql_alter_table_ddl(spark):
+    """r11 ALTER TABLE face: ADD COLUMN (with the v3 DEFAULT), DROP
+    COLUMN, RENAME COLUMN, SET/UNSET TBLPROPERTIES — each publishes a new
+    metadata version through the native writers and refreshes the view."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        _latest_version,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_alter_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")],
+                 format_version=3)
+    api.register_table(spark, table, "sqla")
+    api.sql(spark, "INSERT INTO sqla VALUES (1, 10), (2, 20)")
+
+    out = api.sql(
+        spark, "ALTER TABLE sqla ADD COLUMN region string DEFAULT 'emea'"
+    ).collect()[0]
+    assert out.operation == "add_column" and out.default == "emea"
+    got = spark.sql("SELECT id, region FROM sqla ORDER BY id").collect()
+    assert [(r.id, r.region) for r in got] == [(1, "emea"), (2, "emea")]
+
+    api.sql(spark, "ALTER TABLE sqla RENAME COLUMN val TO amount")
+    got = spark.sql("SELECT id, amount FROM sqla ORDER BY id").collect()
+    assert [r.amount for r in got] == [10, 20]
+
+    api.sql(spark, "ALTER TABLE sqla DROP COLUMN region")
+    assert "region" not in spark.table("sqla").columns
+
+    out = api.sql(
+        spark, "ALTER TABLE sqla SET TBLPROPERTIES "
+               "('owner' = 'etl', 'retention.days' = '30')").collect()[0]
+    assert out.operation == "set_properties"
+    meta = os.path.join(table, "metadata")
+    with open(os.path.join(
+            meta, f"v{_latest_version(meta)}.metadata.json")) as fh:
+        md = json.load(fh)
+    assert md["properties"]["owner"] == "etl"
+    api.sql(spark, "ALTER TABLE sqla UNSET TBLPROPERTIES ('owner')")
+    with open(os.path.join(
+            meta, f"v{_latest_version(meta)}.metadata.json")) as fh:
+        md = json.load(fh)
+    assert "owner" not in md["properties"]
+    assert md["properties"]["retention.days"] == "30"
+
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        api.sql(spark, "ALTER TABLE sqla CLUSTER BY id")
