@@ -203,6 +203,80 @@ def rest_append_files(
     )
 
 
+def rest_update_schema(
+    catalog: RestCatalog,
+    ident: str,
+    add: list[tuple] | None = None,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    retries: int = 10,
+) -> dict:
+    """ALTER TABLE through the REST catalog: build the evolved schema from
+    the loaded metadata (fresh field ids for adds — never reused; renames
+    keep the id; drops remove from the new schema only) and commit it as
+    ``add-schema`` + ``set-current-schema(-1)`` updates guarded by
+    ``assert-current-schema-id`` — a concurrent schema change 409s and the
+    client rebases on reloaded metadata. ``add`` tuples are ``(name,
+    type)`` or ``(name, type, default)`` (v3 initial-default)."""
+    import time as _time
+
+    last: RestCommitConflict | None = None
+    for i in range(retries + 1):
+        _, md = catalog.load_table(ident)
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        fields = [dict(f) for f in cur["fields"]]
+        names = {f["name"] for f in fields}
+        for old, new in (rename or {}).items():
+            if old not in names:
+                raise KeyError(f"no column {old!r} to rename")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            names = {f["name"] for f in fields}
+        for name in drop or []:
+            if name not in names:
+                raise KeyError(f"no column {name!r} to drop")
+            fields = [f for f in fields if f["name"] != name]
+            names.discard(name)
+        last_id = int(md.get("last-column-id",
+                             max(f["id"] for f in fields)))
+        for tup in add or []:
+            name, typ = tup[0], tup[1]
+            default = tup[2] if len(tup) > 2 else None
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            if default is not None and int(md.get("format-version", 1)) < 3:
+                raise ValueError("column defaults need format-version 3")
+            last_id += 1
+            fields.append({
+                "id": last_id, "name": name, "required": False, "type": typ,
+                **({"initial-default": default, "write-default": default}
+                   if default is not None else {}),
+            })
+            names.add(name)
+        new_schema = {"type": "struct", "schema-id": -1, "fields": fields}
+        try:
+            return catalog.commit_table(
+                ident,
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                    {"type": "assert-current-schema-id",
+                     "current-schema-id": md["current-schema-id"]},
+                ],
+                updates=[
+                    {"action": "add-schema", "schema": new_schema},
+                    {"action": "set-current-schema", "schema-id": -1},
+                ],
+            )
+        except RestCommitConflict as e:
+            last = e
+            _time.sleep(0.02 * (i + 1))
+    raise RestCommitConflict(
+        f"lost the schema-commit race {retries + 1} times on {ident}: {last}"
+    )
+
+
 def rest_append_dataframe(
     spark,
     catalog: RestCatalog,

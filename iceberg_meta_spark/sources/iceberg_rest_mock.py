@@ -264,9 +264,17 @@ class LoopbackRestCatalog:
                     if have != want:
                         raise _RequirementFailed(
                             f"ref {ref} is at {have}, requirement says {want}")
+                elif rtype == "assert-current-schema-id":
+                    if int(md.get("current-schema-id", 0)) != int(
+                            r.get("current-schema-id", -1)):
+                        raise _RequirementFailed(
+                            "current schema id is "
+                            f"{md.get('current-schema-id')}, requirement "
+                            f"says {r.get('current-schema-id')}")
                 else:
                     raise ValueError(f"unsupported requirement {rtype!r}")
 
+            last_added_schema = None
             for u in updates:
                 action = u.get("action")
                 if action == "add-snapshot":
@@ -310,6 +318,37 @@ class LoopbackRestCatalog:
                         md["snapshot-log"] = md.get("snapshot-log", []) + [
                             {"snapshot-id": sid, "timestamp-ms": ts}
                         ]
+                elif action == "add-schema":
+                    schema = dict(u["schema"])
+                    sid = schema.get("schema-id")
+                    if sid is None or int(sid) < 0:
+                        sid = max(
+                            (s["schema-id"] for s in md.get("schemas", [])),
+                            default=-1,
+                        ) + 1
+                        schema["schema-id"] = sid
+                    if any(s["schema-id"] == sid
+                           for s in md.get("schemas", [])):
+                        raise _RequirementFailed(
+                            f"schema id {sid} already exists")
+                    md["schemas"] = md.get("schemas", []) + [schema]
+                    md["last-column-id"] = max(
+                        int(md.get("last-column-id", 0)),
+                        max((int(f["id"]) for f in schema["fields"]),
+                            default=0),
+                    )
+                    last_added_schema = sid
+                elif action == "set-current-schema":
+                    sid = int(u["schema-id"])
+                    if sid == -1:  # spec: -1 = the schema added in this commit
+                        if last_added_schema is None:
+                            raise ValueError(
+                                "set-current-schema -1 without add-schema")
+                        sid = last_added_schema
+                    if not any(s["schema-id"] == sid
+                               for s in md.get("schemas", [])):
+                        raise ValueError(f"no schema with id {sid}")
+                    md["current-schema-id"] = sid
                 elif action == "set-properties":
                     md["properties"] = {
                         **(md.get("properties") or {}),

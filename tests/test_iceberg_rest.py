@@ -238,3 +238,38 @@ def test_rest_create_list_drop_lifecycle(spark):
         assert catalog.list_tables("ns") == ["created"]
         with pytest.raises(RestCatalogError, match="404"):
             catalog.load_table("ns.other")
+
+
+def test_rest_schema_evolution_round_trip(spark, rest_table):
+    """ALTER through the wire protocol: add-schema + set-current-schema(-1)
+    guarded by assert-current-schema-id; the evolved schema serves the v3
+    rules on read (here v2: plain NULL fill), and a stale schema
+    assertion 409s."""
+    from iceberg_meta_spark.sources.iceberg_rest import rest_update_schema
+
+    catalog, table = rest_table
+    rest_append_files(catalog, "ns.t",
+                      [_one_file(spark, table, "b0", [1, 2])],
+                      timestamp_ms=_TS + 60_000)
+    md = rest_update_schema(catalog, "ns.t",
+                            add=[("region", "string")],
+                            rename={"val": "amount"})
+    assert md["current-schema-id"] == 1
+    cur = next(s for s in md["schemas"] if s["schema-id"] == 1)
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["amount"] == 2          # rename keeps the field id
+    assert by_name["region"] == 3          # fresh id
+    rows = scan_table(spark, table).orderBy("id").collect()
+    # old files serve their values under the RENAMED name; the added
+    # column reads NULL (v2 — no defaults)
+    assert [(r.id, r.amount, r.region) for r in rows] == [
+        (1, 10, None), (2, 20, None)]
+
+    # stale schema assertion: a commit built against schema 0 must 409
+    with pytest.raises(RestCommitConflict):
+        catalog.commit_table(
+            "ns.t",
+            requirements=[{"type": "assert-current-schema-id",
+                           "current-schema-id": 0}],
+            updates=[],
+        )
