@@ -1068,6 +1068,8 @@ def _alter_table(spark, name: str, clause: str,
 
     - ``ADD COLUMN <name> <type> [DEFAULT <literal>]`` (DEFAULT is the v3
       initial-default: pre-column files serve it, spec § Default values)
+    - ``ALTER COLUMN <name> TYPE <type>`` — the spec's legal promotions
+      only (int -> long/bigint, float -> double)
     - ``DROP COLUMN <name>``
     - ``RENAME COLUMN <old> TO <new>``
     - ``SET TBLPROPERTIES ('k' = 'v'[, ...])`` / ``UNSET TBLPROPERTIES
@@ -1096,6 +1098,15 @@ def _alter_table(spark, name: str, clause: str,
         return _metrics(operation="add_column", column=col, type=typ,
                         **({"default": str(_parse_literal(default))}
                            if default is not None else {}))
+
+    m = re.fullmatch(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)",
+                     clause, re.IGNORECASE)
+    if m:
+        col, typ = m.group(1), m.group(2).lower()
+        typ = {"bigint": "long"}.get(typ, typ)  # SQL name -> Iceberg name
+        update_schema(table_dir, widen={col: typ})
+        _refresh(name)
+        return _metrics(operation="widen_column", column=col, type=typ)
 
     m = re.fullmatch(r"DROP\s+COLUMN\s+(\w+)", clause, re.IGNORECASE)
     if m:

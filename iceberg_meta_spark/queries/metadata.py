@@ -1712,6 +1712,44 @@ def iceberg_native_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_native_type_widening",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(1.5 AS DOUBLE)),
+            (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(2.5 AS DOUBLE)),
+            (CAST(3 AS BIGINT), CAST(7000000000 AS BIGINT),
+             CAST(3.25 AS DOUBLE))
+        ) AS t(id, qty, ratio)
+        ORDER BY id
+    """,
+    doc="TYPE PROMOTION read path (spec § Schema Evolution: int -> long, "
+    "float -> double; update_schema(widen=...) keeps the field id). "
+    "mergeSchema refuses int32-vs-int64 unions, so a widened table reads "
+    "with an EXPLICIT promoted schema (the vectorized reader's legal "
+    "upcast) over every name a current field ever had; Appendix-D bound "
+    "decoding is buffer-width-aware (pre-widen bounds are 4 bytes under "
+    "the 8-byte declared type) so zone-map pruning keeps working across "
+    "the widening. The fixture widens (qty int, ratio float) to (long, "
+    "double) with an int32-overflowing row in the wide file: gated result "
+    "pins all three rows at the wide types. Pruning, illegal promotions, "
+    "widen+rename+default composition, and the ALTER COLUMN TYPE SQL "
+    "face in tests/test_type_widening.py",
+)
+def iceberg_native_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_type_widening_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    table = default_type_widening_table(spark)
+    return (
+        scan_table(spark, table)
+        .select("id", "qty", "ratio")
+        .orderBy("id")
+    )
+
+
+@register(
     "iceberg_native_rename_scan",
     oracle="""
         SELECT * FROM (VALUES

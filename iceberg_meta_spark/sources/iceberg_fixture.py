@@ -1468,3 +1468,46 @@ def default_rename_scan_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_type_widening_table(spark) -> str:
+    """A table read across type promotions (spec § Schema Evolution):
+    (qty int, ratio float) written, then widened to (long, double), then
+    a wide row appended whose qty overflows int32. Closed form: all three
+    rows serve at the WIDE types — the scan's explicit promoted read
+    schema upcasts the narrow file (mergeSchema would refuse the union)
+    and zone-map bounds decode buffer-width-aware."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        update_schema,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_widen_v1"
+    )
+    table = os.path.join(base, "widen_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "qty", "int"),
+                                (3, "ratio", "float")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(1, 5, 1.5), (2, 6, 2.5)],
+                              "id long, qty int, ratio float").coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    update_schema(table, widen={"qty": "long", "ratio": "double"},
+                  timestamp_ms=1713139200000 + 90_000)
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(3, 7_000_000_000, 3.25)],
+                              "id long, qty long, ratio double").coalesce(1),
+        table, timestamp_ms=1713139200000 + 120_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

@@ -388,14 +388,14 @@ def decode_bound(raw: bytes | None, type_name: str):
     if raw is None:
         return None
     t = type_name.lower()
-    if t == "int":
-        return struct.unpack("<i", raw)[0]
-    if t == "long":
-        return struct.unpack("<q", raw)[0]
-    if t == "float":
-        return struct.unpack("<f", raw)[0]
-    if t == "double":
-        return struct.unpack("<d", raw)[0]
+    # numerics decode by BUFFER width, not declared width: after type
+    # widening (int -> long, float -> double; spec § Schema Evolution) the
+    # declared type is the WIDE one while bounds committed before the
+    # widen stay 4 bytes — readers must promote (spec Appendix D)
+    if t in ("int", "long"):
+        return struct.unpack("<i" if len(raw) == 4 else "<q", raw)[0]
+    if t in ("float", "double"):
+        return struct.unpack("<f" if len(raw) == 4 else "<d", raw)[0]
     if t == "string":
         return raw.decode("utf-8")
     if t == "uuid":

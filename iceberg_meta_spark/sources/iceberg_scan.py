@@ -101,6 +101,9 @@ class ScanPlan:
     # adding snapshot's schema-id), so the scan serves the default for
     # exactly those files' rows
     field_defaults: list[dict] = field(default_factory=list)
+    # explicit promoted read-schema DDL when a column's type was WIDENED
+    # (int->long / float->double); None = the usual mergeSchema union
+    read_schema: str | None = None
 
 
 _PLAN_COLS = (
@@ -404,11 +407,25 @@ def plan_scan(
     # the scan read the old name per file (the id-based resolution rule,
     # reconstructed through the schema history).
     current_names = {int(f["id"]): f["name"] for f in schema["fields"]}
+    current_types = {int(f["id"]): f["type"] for f in schema["fields"]}
     multi_schema = len(md.get("schemas", [])) > 1
     absent_by_seq: dict[int, list[str]] = {}
     renames_by_seq: dict[int, dict[str, str]] = {}
+    widened = False
+    hist_names: dict[str, str] = {}  # every name a current field ever had
     if field_defaults or multi_schema:
         schemas_by_id = {s["schema-id"]: s for s in md.get("schemas", [])}
+        for ws in md.get("schemas", []):
+            for fl in ws["fields"]:
+                fid = int(fl["id"])
+                if fid in current_types:
+                    hist_names[fl["name"]] = current_types[fid]
+                    if (fl["type"] != current_types[fid]
+                            and isinstance(fl["type"], str)
+                            and isinstance(current_types[fid], str)):
+                        # a historical schema carries this field NARROWER:
+                        # the type was widened (int->long / float->double)
+                        widened = True
         for s in md.get("snapshots", []):
             ws = schemas_by_id.get(s.get("schema-id"))
             if ws is None:
@@ -427,6 +444,22 @@ def plan_scan(
             }
             if ren:
                 renames_by_seq[seq_key] = ren
+    # type widening: mergeSchema refuses to union int32 with int64 files,
+    # but an EXPLICIT read schema at the wide type promotes narrow files
+    # (the vectorized reader's legal upcast) — so a widened table reads
+    # with the declared-type schema over every name a current field ever
+    # had. Only primitive-typed schemas take this path; a widened table
+    # with complex columns would fail the merge loudly, never silently.
+    read_schema = None
+    if widened and all(
+        isinstance(t, str) and t in _ICEBERG_TO_SPARK
+        for t in current_types.values()
+    ):
+        read_schema = ", ".join(
+            f"`{n}` {_ICEBERG_TO_SPARK[t]}"
+            for n, t in sorted(hist_names.items())
+            if isinstance(t, str) and t in _ICEBERG_TO_SPARK
+        )
 
     return ScanPlan(
         data_files=[
@@ -450,6 +483,7 @@ def plan_scan(
         partition_cols=partition_cols,
         deletion_vectors=dvs,
         field_defaults=field_defaults,
+        read_schema=read_schema,
     )
 
 
@@ -569,8 +603,15 @@ def _merged_rows(
     # mergeSchema: batches written before a column was added lack it; the
     # union schema keeps post-evolution batches' VALUES while older files
     # read NULL — without it Spark samples one file's schema and could
-    # silently drop a newer batch's added column
-    df = spark.read.option("mergeSchema", "true").parquet(*paths).select(
+    # silently drop a newer batch's added column. A WIDENED table instead
+    # reads with the plan's explicit promoted schema (mergeSchema refuses
+    # int32-vs-int64 unions; the explicit wide schema legally upcasts).
+    reader = (
+        spark.read.schema(plan.read_schema)
+        if getattr(plan, "read_schema", None)
+        else spark.read.option("mergeSchema", "true")
+    )
+    df = reader.parquet(*paths).select(
         "*",
         _norm_path_col(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),

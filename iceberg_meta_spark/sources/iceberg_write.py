@@ -1831,12 +1831,16 @@ def create_table(
     return md
 
 
+_LEGAL_WIDENINGS = {("int", "long"), ("float", "double")}
+
+
 def update_schema(
     table_dir: str,
     add: list[tuple] | None = None,
     drop: list[str] | None = None,
     rename: dict[str, str] | None = None,
     timestamp_ms: int | None = None,
+    widen: dict[str, str] | None = None,
 ) -> dict:
     """ALTER TABLE schema evolution (spec § Schema Evolution): publish a new
     schema version — columns added get FRESH field ids (never reused, so
@@ -1852,6 +1856,12 @@ def update_schema(
     scans serve it for rows in files written BEFORE the column existed
     (per-file resolution via the adding snapshot's schema-id), while
     explicitly-written NULLs in newer files stay NULL.
+
+    ``widen`` promotes a column's type in place (same field id), limited
+    to the spec's legal promotions: ``int -> long`` and ``float ->
+    double``. Files written at the narrow width keep reading correctly —
+    the scan switches to an explicit promoted read schema and bound
+    decoding is buffer-width-aware.
     """
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
@@ -1859,6 +1869,18 @@ def update_schema(
     cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     fields = [dict(f) for f in cur["fields"]]
     names = {f["name"] for f in fields}
+    # widen BEFORE rename: a combined call addresses columns by their
+    # PRE-rename names (the reader's mental model of one ALTER statement)
+    for name, new_type in (widen or {}).items():
+        if name not in names:
+            raise KeyError(f"no column {name!r} to widen")
+        f = next(f for f in fields if f["name"] == name)
+        if (f["type"], new_type) not in _LEGAL_WIDENINGS:
+            raise ValueError(
+                f"illegal type promotion {f['type']} -> {new_type}; the "
+                "spec allows int -> long and float -> double"
+            )
+        f["type"] = new_type
     for old, new in (rename or {}).items():
         if old not in names:
             raise KeyError(f"no column {old!r} to rename")
