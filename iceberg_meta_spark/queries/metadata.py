@@ -1383,6 +1383,39 @@ def iceberg_native_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_native_changelog_updates",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('insert', CAST(9 AS BIGINT), CAST(90 AS BIGINT)),
+            ('update_after', CAST(2 AS BIGINT), CAST(999 AS BIGINT)),
+            ('update_before', CAST(2 AS BIGINT), CAST(20 AS BIGINT))
+        ) AS t(_change_type, id, val)
+        ORDER BY _change_type, id
+    """,
+    doc="changelog COMPUTE-UPDATES mode (scan_changes(key_cols=...), "
+    "Iceberg's create_changelog_view with identifier fields): identical "
+    "delete+insert carry-over pairs cancel pairwise (exceptAll/"
+    "intersectAll multiset semantics — a compaction interval nets to "
+    "ZERO), then a surviving delete whose key matches a surviving insert "
+    "becomes update_before/update_after. The fixture MERGEs (2 -> 999 "
+    "upsert, 9 insert) onto ids 0..4: gated result pins one update pair "
+    "+ one plain insert. One extra shuffle on the key, the cost every "
+    "engine's update computation pays. Carry-over cancellation + raw-"
+    "stream contrast live in tests/test_iceberg_scan.py",
+)
+def iceberg_native_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_changelog_updates_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes
+
+    table = default_changelog_updates_table(spark)
+    return scan_changes(
+        spark, table, from_snapshot_id=1, key_cols=["id"]
+    ).orderBy("_change_type", "id")
+
+
+@register(
     "iceberg_native_merge_scan",
     oracle="""
         SELECT i AS id,

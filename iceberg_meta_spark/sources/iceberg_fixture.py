@@ -1511,3 +1511,42 @@ def default_type_widening_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_changelog_updates_table(spark) -> str:
+    """A table for the changelog's compute-updates mode: ids 0..4
+    appended (snapshot 1), then MERGE upserts id 2 -> 999 and inserts
+    id 9 (snapshot 2). Closed form from snapshot 1 with key_cols=["id"]:
+    one update_before/update_after pair for id 2 plus one plain insert
+    for id 9."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        merge_into,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_meta_native_fixture_cdcupd_v1"
+    )
+    table = os.path.join(base, "cdcupd_table")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(5)],
+                              "id long, val long").coalesce(1),
+        table, timestamp_ms=1713139200000 + 60_000,
+    )
+    merge_into(
+        spark,
+        spark.createDataFrame([(2, 999), (9, 90)], "id long, val long")
+        .coalesce(1),
+        table, ["id"], timestamp_ms=1713139200000 + 120_000,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

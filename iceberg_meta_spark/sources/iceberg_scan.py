@@ -837,6 +837,7 @@ def scan_changes(
     to_snapshot_id: int | None = None,
     from_version: int | None = None,
     to_version: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Native changelog read (CDC): row-level changes between two snapshots
     of a native table — the table-format sibling of J1's FILE diff
@@ -857,11 +858,25 @@ def scan_changes(
     reads ride :func:`_merged_rows`, and the new-delete application is the
     scan's own join shapes with ``left_semi`` instead of ``left_anti``.
 
+    ``key_cols`` (Iceberg's identifier fields, the create_changelog_view
+    ``compute updates`` mode) upgrades the raw insert/delete stream:
+
+    - CARRY-OVER rows — a delete and an insert identical on EVERY column
+      (what compaction/rewrite emits) — are eliminated pairwise
+      (multiset semantics, ``exceptAll``/``intersectAll``), so a replace
+      snapshot in the interval nets to zero changes;
+    - a remaining delete whose KEY also appears among the remaining
+      inserts becomes ``update_before``, its insert ``update_after``;
+      unmatched rows keep plain ``insert`` / ``delete``.
+
+    One extra shuffle on the key (the same cost engines pay); assumes one
+    change per key per interval, like Iceberg's ComputeUpdateIterator.
+
     Caveat, stated plainly: like a raw file-based changelog, a ``replace``
     snapshot (compaction/manifest rewrite) in the interval surfaces its
-    rewritten rows as delete+insert pairs of identical rows (net zero);
-    engines that suppress them walk snapshot operations — compose with
-    snapshot-summary filtering when that matters.
+    rewritten rows as delete+insert pairs of identical rows (net zero)
+    WITHOUT ``key_cols``; pass keys (or compose with snapshot-summary
+    filtering) when that matters.
     """
     plan1 = plan_scan(spark, table_dir, snapshot_id=from_snapshot_id,
                       version=from_version)
@@ -939,4 +954,33 @@ def scan_changes(
         # schema evolution across the interval: FROM-side rows may lack a
         # column added later — surface it as NULL, like the scan does
         out = out.unionByName(p, allowMissingColumns=True)
-    return out.select(*names, "_change_type")
+    out = out.select(*names, "_change_type")
+    if key_cols:
+        missing = [c for c in key_cols if c not in names]
+        if missing:
+            raise KeyError(f"key_cols not in table schema: {missing}")
+        dels = out.where(F.col("_change_type") == "delete").drop("_change_type")
+        inss = out.where(F.col("_change_type") == "insert").drop("_change_type")
+        # carry-over elimination (multiset): each identical delete+insert
+        # pair cancels — intersectAll keeps per-row multiplicity, so two
+        # copies cancel two copies, never more
+        carry = dels.intersectAll(inss)
+        dels = dels.exceptAll(carry)
+        inss = inss.exceptAll(carry)
+        upd_keys = (dels.select(*key_cols)
+                    .intersect(inss.select(*key_cols)))
+        out = (
+            dels.join(upd_keys, key_cols, "left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                inss.join(upd_keys, key_cols, "left_anti")
+                .withColumn("_change_type", F.lit("insert")))
+            .unionByName(
+                dels.join(upd_keys, key_cols, "left_semi")
+                .withColumn("_change_type", F.lit("update_before")))
+            .unionByName(
+                inss.join(upd_keys, key_cols, "left_semi")
+                .withColumn("_change_type", F.lit("update_after")))
+            .select(*names, "_change_type")
+        )
+    return out

@@ -919,3 +919,49 @@ def test_hive_special_partition_with_position_deletes(spark, tmp_path):
     delete_where(spark, table, ("id", 1, 2), timestamp_ms=1713139260001)
     got = sorted((r.k, r.id) for r in scan_table(spark, table).collect())
     assert got == [("50%", 10), ("a=b", 0), ("a=b", 3)]
+
+
+def test_changelog_update_pairs_and_carryover_elimination(spark, tmp_path):
+    """scan_changes(key_cols=...) — Iceberg's compute-updates mode: an
+    upserted key pairs into update_before/update_after, fresh keys stay
+    inserts, and a compaction interval nets to ZERO changes (identical
+    delete+insert carry-over rows cancel pairwise)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_data_files,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        merge_into,
+    )
+
+    ts = 1713139200000
+    table = str(tmp_path / "cdc_upd")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(5)],
+                              "id long, val long").coalesce(1),
+        table, timestamp_ms=ts + 60_000)
+    merge_into(spark,
+               spark.createDataFrame([(2, 999), (9, 90)], "id long, val long")
+               .coalesce(1),
+               table, ["id"], timestamp_ms=ts + 120_000)
+    ch = scan_changes(spark, table, from_snapshot_id=1, key_cols=["id"])
+    got = sorted((r._change_type, r.id, r.val) for r in ch.collect())
+    assert got == [("insert", 9, 90), ("update_after", 2, 999),
+                   ("update_before", 2, 20)]
+    # without keys: the same interval shows the raw delete+insert stream
+    raw = scan_changes(spark, table, from_snapshot_id=1)
+    assert sorted(r._change_type for r in raw.collect()) == [
+        "delete", "insert", "insert"]
+
+    # compaction interval: carry-over rows cancel to zero under keys
+    rewrite_data_files(spark, table, timestamp_ms=ts + 180_000)
+    assert scan_changes(spark, table, from_snapshot_id=2,
+                        key_cols=["id"]).count() == 0
+    assert scan_changes(spark, table, from_snapshot_id=2).count() > 0
+
+    with pytest.raises(KeyError, match="key_cols"):
+        scan_changes(spark, table, from_snapshot_id=1, key_cols=["nope"])
