@@ -1072,6 +1072,9 @@ def _alter_table(spark, name: str, clause: str,
       only (int -> long/bigint, float -> double)
     - ``DROP COLUMN <name>``
     - ``RENAME COLUMN <old> TO <new>``
+    - ``ADD PARTITION FIELD col | identity(col) | bucket(N, col) |
+      truncate(W, col) | year/month/day/hour(col)`` — partition evolution
+    - ``WRITE ORDERED BY col [ASC|DESC][, ...]`` — sort-order evolution
     - ``SET TBLPROPERTIES ('k' = 'v'[, ...])`` / ``UNSET TBLPROPERTIES
       ('k'[, ...])``
     """
@@ -1121,6 +1124,65 @@ def _alter_table(spark, name: str, clause: str,
         _refresh(name)
         return _metrics(operation="rename_column",
                         renamed=f"{m.group(1)}->{m.group(2)}")
+
+    m = re.fullmatch(r"ADD\s+PARTITION\s+FIELD\s+(.+)", clause, re.IGNORECASE)
+    if m:
+        from iceberg_meta_spark.sources.iceberg_write import (
+            update_partition_spec,
+        )
+
+        spec = m.group(1).strip()
+        fm = re.fullmatch(
+            r"(?:(identity|bucket|truncate|year|month|day|hour)\s*\(\s*"
+            r"(?:(\d+)\s*,\s*)?(\w+)\s*\)|(\w+))",
+            spec, re.IGNORECASE,
+        )
+        if not fm:
+            raise ValueError(
+                f"unsupported partition transform {spec!r}: use col, "
+                "identity(col), bucket(N, col), truncate(W, col), or "
+                "year/month/day/hour(col)"
+            )
+        fn, n, col, bare = (fm.group(1) or "").lower(), fm.group(2), \
+            fm.group(3), fm.group(4)
+        if bare or fn == "identity":
+            src = bare or col
+            update_partition_spec(table_dir, add_identity=[src])
+            _refresh(name)
+            return _metrics(operation="add_partition_field",
+                            field=src, transform="identity")
+        if fn in ("bucket", "truncate"):
+            if n is None:
+                raise ValueError(f"{fn} needs (N, col)")
+            transform = f"{fn}[{int(n)}]"
+            fname = f"{col}_{fn}"
+        else:
+            transform = fn
+            fname = f"{col}_{fn}"
+        update_partition_spec(table_dir,
+                              add_fields=[(fname, transform, col)])
+        _refresh(name)
+        return _metrics(operation="add_partition_field",
+                        field=fname, transform=transform)
+
+    m = re.fullmatch(r"WRITE\s+ORDERED\s+BY\s+(.+)", clause, re.IGNORECASE)
+    if m:
+        from iceberg_meta_spark.sources.iceberg_write import (
+            update_sort_order,
+        )
+
+        sort_by = []
+        for part in _split_top_level(m.group(1)):
+            sm = re.fullmatch(r"(\w+)(?:\s+(ASC|DESC))?", part.strip(),
+                              re.IGNORECASE)
+            if not sm:
+                raise ValueError(f"WRITE ORDERED BY needs col [ASC|DESC], "
+                                 f"got {part!r}")
+            sort_by.append((sm.group(1), (sm.group(2) or "asc").lower()))
+        update_sort_order(table_dir, sort_by)
+        _refresh(name)
+        return _metrics(operation="write_ordered_by",
+                        order=",".join(f"{c} {d}" for c, d in sort_by))
 
     m = re.fullmatch(r"(UN)?SET\s+TBLPROPERTIES\s*\((.+)\)",
                      clause, re.IGNORECASE | re.DOTALL)

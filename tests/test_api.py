@@ -434,3 +434,63 @@ def test_sql_alter_table_ddl(spark):
 
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         api.sql(spark, "ALTER TABLE sqla CLUSTER BY id")
+
+
+def test_sql_alter_partition_and_sort_order(spark):
+    """r11 DDL completion: ADD PARTITION FIELD (identity + transformed)
+    and WRITE ORDERED BY route to the partition/sort-order evolution
+    writers; subsequent INSERTs lay out and sort under the new spec."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        _latest_version,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_partddl_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "grp", "string"),
+                                (3, "val", "long")])
+    api.register_table(spark, table, "sqlp2")
+
+    out = api.sql(
+        spark, "ALTER TABLE sqlp2 ADD PARTITION FIELD grp").collect()[0]
+    assert out.operation == "add_partition_field" and out.transform == "identity"
+    out = api.sql(
+        spark, "ALTER TABLE sqlp2 ADD PARTITION FIELD bucket(4, id)"
+    ).collect()[0]
+    assert out.field == "id_bucket" and out.transform == "bucket[4]"
+    out = api.sql(
+        spark, "ALTER TABLE sqlp2 WRITE ORDERED BY val DESC, id"
+    ).collect()[0]
+    assert out.operation == "write_ordered_by"
+    assert out.order == "val desc,id asc"
+
+    meta = os.path.join(table, "metadata")
+    with open(os.path.join(
+            meta, f"v{_latest_version(meta)}.metadata.json")) as fh:
+        md = json.load(fh)
+    spec = next(s for s in md["partition-specs"]
+                if s["spec-id"] == md["default-spec-id"])
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("grp", "identity"), ("id_bucket", "bucket[4]")]
+    order = next(o for o in md["sort-orders"]
+                 if o["order-id"] == md["default-sort-order-id"])
+    assert len(order["fields"]) == 2
+
+    # an INSERT after the evolution writes under the new spec and reads back
+    api.sql(spark, "INSERT INTO sqlp2 SELECT id, "
+                   "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 "
+                   "FROM range(0, 8)")
+    got = spark.sql("SELECT id, grp FROM sqlp2 ORDER BY id").collect()
+    assert [(r.id, r.grp) for r in got] == [
+        (i, "even" if i % 2 == 0 else "odd") for i in range(8)]
+
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        api.sql(spark, "ALTER TABLE sqlp2 ADD PARTITION FIELD cube(id)")
+    with pytest.raises(ValueError, match="needs"):
+        api.sql(spark, "ALTER TABLE sqlp2 ADD PARTITION FIELD bucket(id)")
