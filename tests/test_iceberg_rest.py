@@ -273,3 +273,28 @@ def test_rest_schema_evolution_round_trip(spark, rest_table):
                            "current-schema-id": 0}],
             updates=[],
         )
+
+
+def test_rest_append_advances_v3_row_lineage(spark):
+    """REST commits on a v3 table: the catalog advances next-row-id from
+    the committed snapshot's first-row-id + added-records, so successive
+    REST appends assign non-overlapping row ids."""
+    base = os.path.join(tempfile.gettempdir(), "rest_v3_lineage")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")],
+                 format_version=3)
+    with LoopbackRestCatalog() as server:
+        server.register("ns.t3", table)
+        catalog = RestCatalog(server.uri)
+        for bi, ids in enumerate((range(0, 4), range(4, 9))):
+            rest_append_dataframe(
+                spark, catalog, "ns.t3",
+                spark.createDataFrame([(i, i * 10) for i in ids],
+                                      "id long, val long").coalesce(1),
+                timestamp_ms=_TS + 60_000 * (bi + 1))
+        _, md = catalog.load_table("ns.t3")
+        assert md["next-row-id"] == 9
+        assert [s["first-row-id"] for s in md["snapshots"]] == [0, 4]
+    rows = scan_table(spark, table, lineage=True).orderBy("id").collect()
+    assert [(r.id, r._row_id) for r in rows] == [(i, i) for i in range(9)]
