@@ -1073,7 +1073,10 @@ def _alter_table(spark, name: str, clause: str,
     - ``DROP COLUMN <name>``
     - ``RENAME COLUMN <old> TO <new>``
     - ``ADD PARTITION FIELD col | identity(col) | bucket(N, col) |
-      truncate(W, col) | year/month/day/hour(col)`` — partition evolution
+      truncate(W, col) | year/month/day/hour(col)`` / ``DROP PARTITION
+      FIELD <name>`` — partition evolution both ways (old files keep
+      their spec; dropped identity values still inject from each file's
+      own partition tuple)
     - ``WRITE ORDERED BY col [ASC|DESC][, ...]`` — sort-order evolution
     - ``SET TBLPROPERTIES ('k' = 'v'[, ...])`` / ``UNSET TBLPROPERTIES
       ('k'[, ...])``
@@ -1164,6 +1167,17 @@ def _alter_table(spark, name: str, clause: str,
         _refresh(name)
         return _metrics(operation="add_partition_field",
                         field=fname, transform=transform)
+
+    m = re.fullmatch(r"DROP\s+PARTITION\s+FIELD\s+(\w+)", clause,
+                     re.IGNORECASE)
+    if m:
+        from iceberg_meta_spark.sources.iceberg_write import (
+            update_partition_spec,
+        )
+
+        update_partition_spec(table_dir, drop_fields=[m.group(1)])
+        _refresh(name)
+        return _metrics(operation="drop_partition_field", field=m.group(1))
 
     m = re.fullmatch(r"WRITE\s+ORDERED\s+BY\s+(.+)", clause, re.IGNORECASE)
     if m:

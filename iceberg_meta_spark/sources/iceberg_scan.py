@@ -327,6 +327,20 @@ def plan_scan(
     partition_cols = [
         src for _, transform, src, _ in spec_fields if transform == "identity"
     ]
+    # identity sources of OLDER specs too (partition evolution, incl. DROP
+    # PARTITION FIELD): a file written under an old identity spec carries
+    # that column's values ONLY in its manifest partition tuple — the
+    # injection must cover it even after the field left the default spec.
+    # Files whose own tuple lacks the key inject None and coalesce with
+    # the data column, so newer (post-drop) files are untouched.
+    for old_spec in md.get("partition-specs", []):
+        if old_spec.get("spec-id") == md.get("default-spec-id"):
+            continue
+        for f in old_spec.get("fields", []):
+            src = id_to_name.get(int(f["source-id"]))
+            if (f.get("transform", "identity") == "identity"
+                    and src is not None and src not in partition_cols):
+                partition_cols.append(src)
 
     # a single (col, lo, hi) or a LIST of them (conjunction: AND)
     predicates = (

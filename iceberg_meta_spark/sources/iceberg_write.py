@@ -2239,12 +2239,17 @@ def update_partition_spec(
     add_identity: list[str] | None = None,
     timestamp_ms: int | None = None,
     add_fields: list[tuple[str, str, str]] | None = None,
+    drop_fields: list[str] | None = None,
 ) -> dict:
     """Partition evolution (spec § Partition Evolution): publish a NEW
     default partition spec extending the current one with identity
     transforms over existing columns (``add_identity``) and/or transformed
     fields (``add_fields`` = (field_name, transform, source_column), e.g.
-    ``("id_bucket", "bucket[8]", "id")``). Old data files keep their old
+    ``("id_bucket", "bucket[8]", "id")``), and/or REMOVING fields by
+    partition-field name (``drop_fields`` — v2 drops the field from the
+    new spec outright; old specs keep it, so time travel and old-file
+    reads are untouched, and the scan injects old identity values from
+    each entry's own partition tuple). Old data files keep their old
     spec (manifests are self-describing; readers see each entry's own
     partition shape), new commits write under the new spec — exactly how
     engines evolve layout without rewriting data. Partition field ids are
@@ -2261,8 +2266,15 @@ def update_partition_spec(
     cur_spec = next(
         s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
     )
-    existing = {(f["source-id"], f["transform"]) for f in cur_spec["fields"]}
     new_fields = [dict(f) for f in cur_spec["fields"]]
+    for fname in drop_fields or []:
+        if not any(f["name"] == fname for f in new_fields):
+            raise KeyError(
+                f"no partition field {fname!r} in the current spec "
+                f"(fields: {[f['name'] for f in new_fields]})"
+            )
+        new_fields = [f for f in new_fields if f["name"] != fname]
+    existing = {(f["source-id"], f["transform"]) for f in new_fields}
     last_pid = int(md.get("last-partition-id", 999))
     from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
 
@@ -2271,7 +2283,7 @@ def update_partition_spec(
     _check_partition_names(
         additions,
         set(by_name),
-        taken_names={f["name"] for f in cur_spec["fields"]},
+        taken_names={f["name"] for f in new_fields},
     )
     for fname, transform, src in additions:
         parse_transform(transform)

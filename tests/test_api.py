@@ -494,3 +494,50 @@ def test_sql_alter_partition_and_sort_order(spark):
         api.sql(spark, "ALTER TABLE sqlp2 ADD PARTITION FIELD cube(id)")
     with pytest.raises(ValueError, match="needs"):
         api.sql(spark, "ALTER TABLE sqlp2 ADD PARTITION FIELD bucket(id)")
+
+
+def test_sql_drop_partition_field_keeps_old_files_readable(spark):
+    """DROP PARTITION FIELD: the new default spec loses the field, new
+    writes are unpartitioned by it, and OLD files written under the
+    identity spec still serve the column — its values live only in their
+    manifest partition tuples, injected per file by the scan."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        _latest_version,
+        create_table,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "api_sql_droppart_r11")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "t")
+    create_table(table, fields=[(1, "id", "long"), (2, "grp", "string"),
+                                (3, "val", "long")],
+                 partition_fields=[("grp", 2, 1000)])
+    api.register_table(spark, table, "sqldp")
+    api.sql(spark, "INSERT INTO sqldp VALUES (1, 'a', 10), (2, 'b', 20)")
+
+    out = api.sql(
+        spark, "ALTER TABLE sqldp DROP PARTITION FIELD grp").collect()[0]
+    assert out.operation == "drop_partition_field" and out.field == "grp"
+    meta = os.path.join(table, "metadata")
+    with open(os.path.join(
+            meta, f"v{_latest_version(meta)}.metadata.json")) as fh:
+        md = json.load(fh)
+    spec = next(s for s in md["partition-specs"]
+                if s["spec-id"] == md["default-spec-id"])
+    assert spec["fields"] == []
+    assert len(md["partition-specs"]) == 2  # the old spec stays
+
+    # a post-drop INSERT writes unpartitioned; BOTH eras read back whole —
+    # old files' grp comes from their manifest partition tuples
+    api.sql(spark, "INSERT INTO sqldp VALUES (3, 'c', 30)")
+    got = spark.sql("SELECT id, grp, val FROM sqldp ORDER BY id").collect()
+    assert [(r.id, r.grp, r.val) for r in got] == [
+        (1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+    with pytest.raises(KeyError, match="no partition field"):
+        api.sql(spark, "ALTER TABLE sqldp DROP PARTITION FIELD nope")
