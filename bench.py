@@ -169,7 +169,10 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_FULL; the flag wins)
     out_flag = None
     if "--out" in sys.argv:
-        out_flag = sys.argv[sys.argv.index("--out") + 1]
+        idx = sys.argv.index("--out")
+        if idx + 1 >= len(sys.argv):
+            raise SystemExit("bench.py: --out needs a path argument")
+        out_flag = sys.argv[idx + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     second_dir = os.environ.get("SPARK_GRAFT_SECOND_SF_DIR", "/root/testdata/sf0.01")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -1322,7 +1322,9 @@ def _call_procedure(spark, proc: str, arg_str: str,
     from iceberg_meta_spark.sources import iceberg_maintenance as maint
     from iceberg_meta_spark.sources.iceberg_write import rollback_to_snapshot
 
-    parts = [p.strip() for p in arg_str.split(",") if p.strip()]
+    # _split_top_level is string-literal aware: a quoted value containing a
+    # comma (name => 'a,b') stays one argument instead of splitting mid-literal
+    parts = [p.strip() for p in _split_top_level(arg_str) if p.strip()]
     if not parts:
         raise ValueError(f"CALL {proc} needs a registered table name argument")
     name = _parse_literal(parts[0]) if parts[0].startswith("'") else parts[0]

@@ -883,8 +883,14 @@ def scan_changes(
       inserts becomes ``update_before``, its insert ``update_after``;
       unmatched rows keep plain ``insert`` / ``delete``.
 
-    One extra shuffle on the key (the same cost engines pay); assumes one
-    change per key per interval, like Iceberg's ComputeUpdateIterator.
+    One extra shuffle on the key (the same cost engines pay). Like
+    Iceberg's ComputeUpdateIterator, pairing assumes ONE change per key in
+    the interval — and that assumption is ENFORCED: a key appearing more
+    than once among the surviving deletes, or more than once among the
+    surviving inserts, raises a guided ValueError (narrow the snapshot
+    interval until each key changes at most once) instead of silently
+    mispairing update_before/update_after rows. The guard is one
+    aggregate job over the interval's own changes (not the table).
 
     Caveat, stated plainly: like a raw file-based changelog, a ``replace``
     snapshot (compaction/manifest rewrite) in the interval surfaces its
@@ -981,6 +987,25 @@ def scan_changes(
         carry = dels.intersectAll(inss)
         dels = dels.exceptAll(carry)
         inss = inss.exceptAll(carry)
+        # one-change-per-key guard: duplicate keys WITHIN either side make
+        # before/after pairing ambiguous — refuse loudly rather than pair
+        # arbitrarily (Iceberg's iterator quietly assumes sorted 1:1 input)
+        dup = (
+            dels.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1).select(*key_cols)
+            .unionByName(
+                inss.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1).select(*key_cols))
+            .limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "scan_changes(key_cols=...): a key changed more than once "
+                "inside the snapshot interval, so update_before/update_after "
+                "pairing would be ambiguous — narrow the interval (per-"
+                "snapshot steps always satisfy one-change-per-key) or drop "
+                "key_cols for the raw insert/delete stream"
+            )
         upd_keys = (dels.select(*key_cols)
                     .intersect(inss.select(*key_cols)))
         out = (

@@ -379,6 +379,15 @@ def test_sql_call_ref_procedures(spark):
     with pytest.raises(ValueError, match="needs name"):
         api.sql(spark, "CALL create_tag('sqlr')")
 
+    # r12: a quoted argument containing a comma stays ONE literal (the
+    # argument splitter is string-aware, not a raw comma split)
+    out = api.sql(
+        spark, "CALL create_tag('sqlr', name => 'rel,2024')").collect()[0]
+    assert out.ref == "rel,2024"
+    out = api.sql(
+        spark, "CALL drop_ref('sqlr', name => 'rel,2024')").collect()[0]
+    assert out.dropped == "rel,2024"
+
 
 def test_sql_alter_table_ddl(spark):
     """r11 ALTER TABLE face: ADD COLUMN (with the v3 DEFAULT), DROP

@@ -965,3 +965,38 @@ def test_changelog_update_pairs_and_carryover_elimination(spark, tmp_path):
 
     with pytest.raises(KeyError, match="key_cols"):
         scan_changes(spark, table, from_snapshot_id=1, key_cols=["nope"])
+
+
+def test_changelog_multi_change_per_key_raises(spark, tmp_path):
+    """r12 guard: a key changing MORE THAN ONCE inside the interval makes
+    update_before/update_after pairing ambiguous — scan_changes(key_cols=)
+    raises a guided error instead of silently mispairing; per-snapshot
+    intervals (one change per key) still work."""
+    from iceberg_meta_spark.sources.iceberg_scan import scan_changes
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+    )
+
+    ts = 1713139200000
+    table = str(tmp_path / "cdc_dup")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    append_dataframe(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long")
+        .coalesce(1), table, timestamp_ms=ts + 60_000)
+    # two further appends BOTH carrying id=2: surviving inserts duplicate
+    # the key over the 1->3 interval
+    append_dataframe(
+        spark, spark.createDataFrame([(2, 100)], "id long, val long")
+        .coalesce(1), table, timestamp_ms=ts + 120_000)
+    append_dataframe(
+        spark, spark.createDataFrame([(2, 200)], "id long, val long")
+        .coalesce(1), table, timestamp_ms=ts + 180_000)
+    with pytest.raises(ValueError, match="more than once"):
+        scan_changes(spark, table, from_snapshot_id=1, key_cols=["id"])
+    # the per-snapshot sub-intervals each satisfy one-change-per-key
+    assert scan_changes(spark, table, from_snapshot_id=1, to_snapshot_id=2,
+                        key_cols=["id"]).count() == 1
+    assert scan_changes(spark, table, from_snapshot_id=2, to_snapshot_id=3,
+                        key_cols=["id"]).count() == 1
