@@ -858,6 +858,11 @@ def partition_stats(spark: SparkSession, table_dir: str,
 # DML statements on these names to the native writers
 _SQL_TABLES: dict[str, str] = {}
 
+# name -> (RestCatalog, ident) for views registered via register_rest_table;
+# sql() routes every COMMIT on these names through the REST catalog's
+# updateTable CAS instead of the filesystem version-hint swap
+_SQL_REST: dict[str, tuple] = {}
+
 
 def register_table(spark: SparkSession, table_dir: str, name: str,
                    snapshot_id: int | None = None,
@@ -880,6 +885,26 @@ def register_table(spark: SparkSession, table_dir: str, name: str,
                     version=version, ref=ref)
     df.createOrReplaceTempView(name)
     _SQL_TABLES[name] = table_dir
+    _SQL_REST.pop(name, None)  # a plain registration clears a REST binding
+    return df
+
+
+def register_rest_table(spark: SparkSession, catalog, ident: str,
+                        name: str) -> DataFrame:
+    """Expose a REST-catalog table to Spark SQL: loadTable resolves the
+    storage location, the view registers over the merge-on-read scan like
+    :func:`register_table`, and — the difference — EVERY ``sql()`` DML /
+    CALL / ALTER on ``name`` commits through the catalog's updateTable
+    CAS (``RestCommitter`` / the rest_* DDL verbs) instead of the
+    filesystem version-hint swap, as a production REST deployment
+    requires. ``catalog`` is a ``sources.iceberg_rest.RestCatalog``;
+    ``ident`` is ``"namespace.table"``."""
+    from iceberg_meta_spark.sources.iceberg_write import _local_path
+
+    _, md = catalog.load_table(ident)
+    table_dir = _local_path(md["location"].rstrip("/"))
+    df = register_table(spark, table_dir, name)
+    _SQL_REST[name] = (catalog, ident)
     return df
 
 
@@ -949,7 +974,18 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _SQL_TABLES[name]
 
     def _refresh(name: str) -> None:
+        rest = _SQL_REST.get(name)
         register_table(spark, _SQL_TABLES[name], name)
+        if rest is not None:  # register_table clears REST bindings
+            _SQL_REST[name] = rest
+
+    def _committer(name: str):
+        """REST-registered tables commit through the catalog's CAS."""
+        if name in _SQL_REST:
+            from iceberg_meta_spark.sources.iceberg_rest import RestCommitter
+
+            return RestCommitter(*_SQL_REST[name])
+        return None
 
     def _metrics(**kv) -> DataFrame:
         cols = ", ".join(f"`{k}` string" for k in kv)
@@ -977,7 +1013,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         src = src.toDF(*target.fieldNames()).select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields]
         )
-        md = append_dataframe(spark, src, table_dir)
+        md = append_dataframe(spark, src, table_dir,
+                              committer=_committer(name))
         _refresh(name)
         return _metrics(operation="insert",
                         snapshot_id=md["current-snapshot-id"],
@@ -991,7 +1028,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         name, clause = m.group(1), m.group(2)
         table_dir = _table_dir(name)
-        out = delete_where(spark, table_dir, _parse_where(clause))
+        out = delete_where(spark, table_dir, _parse_where(clause),
+                           committer=_committer(name))
         _refresh(name)
         return _metrics(operation="delete",
                         snapshot_id=out["snapshot_id"],
@@ -1012,7 +1050,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             if not sm:
                 raise ValueError(f"UPDATE SET needs col = expr, got {part!r}")
             set_exprs[sm.group(1)] = sm.group(2).strip()
-        out = update_where(spark, table_dir, set_exprs, _parse_where(where))
+        out = update_where(spark, table_dir, set_exprs, _parse_where(where),
+                           committer=_committer(name))
         _refresh(name)
         return _metrics(operation="update",
                         snapshot_id=out["snapshot_id"],
@@ -1041,6 +1080,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             when_matched=when_matched,
             matched_condition=matched_cond,
             when_not_matched=when_not_matched,
+            committer=_committer(name),
         )
         _refresh(name)
         return _metrics(operation="merge",
@@ -1050,7 +1090,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     m = re.fullmatch(r"CALL\s+(\w+)\s*\((.*)\)", stmt, re.IGNORECASE | re.DOTALL)
     if m:
         return _call_procedure(spark, m.group(1).lower(), m.group(2),
-                               _table_dir, _refresh, _metrics)
+                               _table_dir, _refresh, _metrics,
+                               _committer=_committer)
 
     m = re.fullmatch(r"ALTER\s+TABLE\s+(\w+)\s+(.+)", stmt,
                      re.IGNORECASE | re.DOTALL)
@@ -1085,11 +1126,42 @@ def _alter_table(spark, name: str, clause: str,
 
     from iceberg_meta_spark.sources.iceberg_write import (
         set_properties,
+        update_partition_spec,
         update_schema,
+        update_sort_order,
     )
 
     table_dir = _table_dir(name)
     clause = clause.strip()
+    rest = _SQL_REST.get(name)
+    if rest is not None:
+        # a REST-registered table commits its DDL through the catalog's
+        # updateTable (add-schema / add-spec / add-sort-order /
+        # set-properties updates) — same shared builders, CAS publish
+        from iceberg_meta_spark.sources.iceberg_rest import (
+            rest_set_properties,
+            rest_update_partition_spec,
+            rest_update_schema,
+            rest_update_sort_order,
+        )
+
+        def update_schema(_td, **kw):  # noqa: F811 - REST twin
+            kw.pop("timestamp_ms", None)
+            return rest_update_schema(*rest, **kw)
+
+        def set_properties(_td, set_props=None, unset=None):  # noqa: F811
+            return rest_set_properties(*rest, set_props, unset)
+
+        def update_partition_spec(_td, add_identity=None,  # noqa: F811
+                                  add_fields=None, drop_fields=None, **kw):
+            kw.pop("timestamp_ms", None)
+            return rest_update_partition_spec(
+                *rest, add_identity=add_identity, add_fields=add_fields,
+                drop_fields=drop_fields)
+
+        def update_sort_order(_td, sort_by, **kw):  # noqa: F811 - REST twin
+            kw.pop("timestamp_ms", None)
+            return rest_update_sort_order(*rest, sort_by)
 
     m = re.fullmatch(
         r"ADD\s+COLUMN\s+(\w+)\s+(\w+)(?:\s+DEFAULT\s+(.+))?",
@@ -1130,10 +1202,6 @@ def _alter_table(spark, name: str, clause: str,
 
     m = re.fullmatch(r"ADD\s+PARTITION\s+FIELD\s+(.+)", clause, re.IGNORECASE)
     if m:
-        from iceberg_meta_spark.sources.iceberg_write import (
-            update_partition_spec,
-        )
-
         spec = m.group(1).strip()
         fm = re.fullmatch(
             r"(?:(identity|bucket|truncate|year|month|day|hour)\s*\(\s*"
@@ -1171,20 +1239,12 @@ def _alter_table(spark, name: str, clause: str,
     m = re.fullmatch(r"DROP\s+PARTITION\s+FIELD\s+(\w+)", clause,
                      re.IGNORECASE)
     if m:
-        from iceberg_meta_spark.sources.iceberg_write import (
-            update_partition_spec,
-        )
-
         update_partition_spec(table_dir, drop_fields=[m.group(1)])
         _refresh(name)
         return _metrics(operation="drop_partition_field", field=m.group(1))
 
     m = re.fullmatch(r"WRITE\s+ORDERED\s+BY\s+(.+)", clause, re.IGNORECASE)
     if m:
-        from iceberg_meta_spark.sources.iceberg_write import (
-            update_sort_order,
-        )
-
         sort_by = []
         for part in _split_top_level(m.group(1)):
             sm = re.fullmatch(r"(\w+)(?:\s+(ASC|DESC))?", part.strip(),
@@ -1312,11 +1372,15 @@ def _parse_where(clause: str) -> list[tuple]:
 
 
 def _call_procedure(spark, proc: str, arg_str: str,
-                    _table_dir, _refresh, _metrics):
+                    _table_dir, _refresh, _metrics, _committer=None):
     """``CALL proc('t'[, name => value ...])`` — route to the maintenance
     executors (Iceberg's Spark-procedure surface, jar-free). The first
     argument is the registered table name; named args use the ``name =>
-    value`` arrow syntax like Iceberg's procedures."""
+    value`` arrow syntax like Iceberg's procedures. On a REST-registered
+    table every procedure that commits routes through the catalog: the
+    rewrites take ``committer=RestCommitter``, and expiry / rollback /
+    ref management use their rest_* twins (remove-snapshots /
+    set-snapshot-ref updates)."""
     import re
 
     from iceberg_meta_spark.sources import iceberg_maintenance as maint
@@ -1329,6 +1393,8 @@ def _call_procedure(spark, proc: str, arg_str: str,
         raise ValueError(f"CALL {proc} needs a registered table name argument")
     name = _parse_literal(parts[0]) if parts[0].startswith("'") else parts[0]
     table_dir = _table_dir(str(name))
+    committer = _committer(str(name)) if _committer is not None else None
+    rest = _SQL_REST.get(str(name))
     kwargs = {}
     for p in parts[1:]:
         m = re.fullmatch(r"(\w+)\s*=>\s*(.+)", p, re.DOTALL)
@@ -1337,15 +1403,25 @@ def _call_procedure(spark, proc: str, arg_str: str,
         kwargs[m.group(1).lower()] = _parse_literal(m.group(2))
 
     if proc == "rewrite_data_files":
-        out = maint.rewrite_data_files(spark, table_dir, **kwargs)
+        out = maint.rewrite_data_files(spark, table_dir, committer=committer,
+                                       **kwargs)
     elif proc == "rewrite_manifests":
-        out = maint.rewrite_manifests(table_dir, **kwargs)
+        out = maint.rewrite_manifests(table_dir, committer=committer, **kwargs)
     elif proc == "rewrite_position_deletes":
-        out = maint.rewrite_position_deletes(spark, table_dir, **kwargs)
+        out = maint.rewrite_position_deletes(spark, table_dir,
+                                             committer=committer, **kwargs)
     elif proc == "rewrite_deletion_vectors":
-        out = maint.rewrite_deletion_vectors(spark, table_dir, **kwargs)
+        out = maint.rewrite_deletion_vectors(spark, table_dir,
+                                             committer=committer, **kwargs)
     elif proc == "expire_snapshots":
-        res = maint.expire_snapshots(table_dir, **kwargs)
+        if rest is not None:
+            from iceberg_meta_spark.sources.iceberg_rest import (
+                rest_expire_snapshots,
+            )
+
+            res = rest_expire_snapshots(*rest, **kwargs)
+        else:
+            res = maint.expire_snapshots(table_dir, **kwargs)
         out = {"expired_snapshots": len(res["expired_snapshot_ids"]),
                "removable_files": len(res["removable_files"])}
     elif proc == "remove_orphans":
@@ -1361,7 +1437,12 @@ def _call_procedure(spark, proc: str, arg_str: str,
         if sid is None:
             raise ValueError(
                 "rollback_to_snapshot needs snapshot_id => <id>")
-        md = rollback_to_snapshot(table_dir, int(sid), **kwargs)
+        if rest is not None:
+            from iceberg_meta_spark.sources.iceberg_rest import rest_rollback
+
+            md = rest_rollback(*rest, int(sid))
+        else:
+            md = rollback_to_snapshot(table_dir, int(sid), **kwargs)
         out = {"current_snapshot_id": md["current-snapshot-id"]}
     elif proc in ("create_branch", "create_tag", "drop_ref"):
         from iceberg_meta_spark.sources.iceberg_write import manage_ref
@@ -1369,6 +1450,14 @@ def _call_procedure(spark, proc: str, arg_str: str,
         ref = kwargs.pop("name", None)
         if ref is None:
             raise ValueError(f"{proc} needs name => '<ref>'")
+        if rest is not None:
+            from iceberg_meta_spark.sources.iceberg_rest import (
+                rest_manage_ref,
+            )
+
+            def manage_ref(_td, *a, **kw):  # noqa: F811 - REST twin
+                kw.pop("timestamp_ms", None)
+                return rest_manage_ref(*rest, *a, **kw)
         if proc == "drop_ref":
             manage_ref(table_dir, str(ref), drop=True, **kwargs)
             out = {"dropped": ref}
@@ -1389,7 +1478,14 @@ def _call_procedure(spark, proc: str, arg_str: str,
             raise ValueError(
                 "fast_forward needs to => '<source ref>' (and optional "
                 "branch => '<target>', default main)")
-        out = fast_forward(table_dir, str(branch), str(source), **kwargs)
+        if rest is not None:
+            from iceberg_meta_spark.sources.iceberg_rest import (
+                rest_fast_forward,
+            )
+
+            out = rest_fast_forward(*rest, str(branch), str(source))
+        else:
+            out = fast_forward(table_dir, str(branch), str(source), **kwargs)
     else:
         raise ValueError(
             f"unknown procedure {proc!r}; supported: rewrite_data_files, "

@@ -279,6 +279,7 @@ def commit_dv_files(
     timestamp_ms: int | None = None,
     supersede: set[tuple[str, int]] | None = None,
     add_data_files: list[dict] | None = None,
+    committer=None,
 ) -> dict:
     """Publish deletion vectors as one snapshot on a format-version 3
     table: a DELETE manifest whose position-delete entries carry
@@ -301,7 +302,33 @@ def commit_dv_files(
     half carries the rewritten rows at the same sequence number) — one
     atomic commit, exactly like the v2 merge commit. Added files get v3
     row-lineage first_row_id values and the snapshot records
-    first-row-id."""
+    first-row-id.
+
+    ``committer`` routes the publish through another catalog face
+    (``RestCommitter`` — REST updateTable CAS); default filesystem."""
+    from iceberg_meta_spark.sources.iceberg_write import FilesystemCommitter
+
+    committer = committer or FilesystemCommitter(table_dir)
+    return committer.commit_snapshot(
+        lambda td, mdir, md: build_dv_snapshot(
+            td, mdir, md, dv_entries, timestamp_ms, supersede, add_data_files
+        )
+    )
+
+
+def build_dv_snapshot(
+    table_dir: str,
+    meta_dir: str,
+    md: dict,
+    dv_entries: list[dict],
+    timestamp_ms: int | None = None,
+    supersede: set[tuple[str, int]] | None = None,
+    add_data_files: list[dict] | None = None,
+) -> dict:
+    """The publish-free half of :func:`commit_dv_files`: one-DV-per-file
+    invariant + live-file validation, superseded-entry rewrite, DV (and
+    optional data) manifest + manifest list writes; returns the snapshot.
+    Pure against ``md``."""
     from iceberg_meta_spark.sources.avro_py import (
         read_container,
         write_container,
@@ -312,328 +339,305 @@ def commit_dv_files(
     from iceberg_meta_spark.sources.iceberg_write import (
         _local_path,
         _partition_fields_from_spec,
-        _publish,
-        _retrying_commit,
         _write_new_file,
     )
     import uuid as _uuid
 
     table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-
-    def attempt(version: int, md: dict) -> dict:
-        if int(md.get("format-version", 1)) < 3:
-            raise ValueError(
-                "deletion vectors require format-version 3 (v2 tables use "
-                "parquet position-delete files via commit_delete_files)"
-            )
-        parent = md.get("current-snapshot-id")
-        if parent is None:
-            raise ValueError("table has no current snapshot")
-        schema = next(
-            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    if int(md.get("format-version", 1)) < 3:
+        raise ValueError(
+            "deletion vectors require format-version 3 (v2 tables use "
+            "parquet position-delete files via commit_delete_files)"
         )
-        types = {f["id"]: f["type"] for f in schema["fields"]}
-        partition_fields = _partition_fields_from_spec(md, types)
-        snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
-        seq = int(md.get("last-sequence-number", 0)) + 1
-        ts = (timestamp_ms if timestamp_ms is not None
-              else int(md["last-updated-ms"]) + 1)
-        commit_uuid = _uuid.uuid5(
-            _uuid.NAMESPACE_URL, f"{table_dir}/dv/{snap_id}"
-        )
-        if not dv_entries and not supersede and not add_data_files:
-            raise ValueError("nothing to commit: no DV entries, no supersede")
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 1,  # POSITION_DELETES (a DV is one, in v3)
-                    "file_path": e["file_path"],
-                    "file_format": "PUFFIN",
-                    "partition": {
-                        pf["name"]: None for pf in partition_fields
-                    },
-                    "record_count": int(e["record_count"]),
-                    "file_size_in_bytes": int(e["file_size_in_bytes"]),
-                    "column_sizes": None,
-                    "value_counts": None,
-                    "null_value_counts": None,
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                    "split_offsets": None,
-                    "sort_order_id": None,
-                    "referenced_data_file": e["referenced_data_file"],
-                    "content_offset": int(e["content_offset"]),
-                    "content_size_in_bytes": int(e["content_size_in_bytes"]),
+    parent = md.get("current-snapshot-id")
+    if parent is None:
+        raise ValueError("table has no current snapshot")
+    schema = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    partition_fields = _partition_fields_from_spec(md, types)
+    snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    ts = (timestamp_ms if timestamp_ms is not None
+          else int(md["last-updated-ms"]) + 1)
+    commit_uuid = _uuid.uuid5(
+        _uuid.NAMESPACE_URL, f"{table_dir}/dv/{snap_id}"
+    )
+    if not dv_entries and not supersede and not add_data_files:
+        raise ValueError("nothing to commit: no DV entries, no supersede")
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES (a DV is one, in v3)
+                "file_path": e["file_path"],
+                "file_format": "PUFFIN",
+                "partition": {
+                    pf["name"]: None for pf in partition_fields
                 },
-            }
-            for e in dv_entries
-        ]
-        blob = manifest_path = None
-        if entries:  # a supersede-only commit (dangling-DV cleanup) adds none
-            blob = write_container(
-                dv_entry_schema(partition_fields), entries,
-                metadata={"format-version": b"3", "content": b"deletes",
-                          "partition-spec-id": str(md["default-spec-id"]).encode()},
-            )
-            manifest_path = _write_new_file(
-                os.path.join(meta_dir, f"{commit_uuid}-dv0.avro"), blob
-            )
-        prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
-        with open(_local_path(prev["manifest-list"]), "rb") as fh:
-            _, _, prev_manifests = read_container(fh.read())
-        for m in prev_manifests:
-            m.setdefault("partitions", None)
-
-        # the one-DV-per-file invariant: find live DV entries for the
-        # files this commit references; each must be superseded
-        from iceberg_meta_spark.sources.iceberg_scan import _norm_path
-
-        sup = {(_norm_path(p), int(o)) for p, o in (supersede or set())}
-        new_refs = {_norm_path(e["referenced_data_file"]) for e in dv_entries}
-        if new_refs:
-            # every referenced data file must still be LIVE in the (possibly
-            # rebased) snapshot: a concurrent rewrite_data_files may have
-            # removed it, and committing a DV against a dead file silently
-            # loses the DELETE — the deleted rows live on in the compacted
-            # replacement. Genuine conflict: the caller must re-plan against
-            # fresh state (Java's validateDataFilesExist).
-            from iceberg_meta_spark.sources.iceberg_write import (
-                CommitConflictError,
-            )
-
-            live: set[str] = set()
-            for m in prev_manifests:
-                if int(m.get("content", 0)) != 0:
-                    continue
-                with open(_local_path(m["manifest_path"]), "rb") as fh:
-                    _, _, dentries = read_container(fh.read())
-                live.update(
-                    _norm_path(e["data_file"]["file_path"])
-                    for e in dentries if e.get("status", 0) != 2
-                )
-            dead = sorted(new_refs - live)
-            if dead:
-                raise CommitConflictError(
-                    f"deletion vector references data file {dead[0]!r} which "
-                    "is no longer live (concurrently rewritten/removed); "
-                    "re-plan the delete against the current snapshot"
-                )
-        superseded_total = 0
-        superseded_rows = 0
-        rewritten_manifests = []
-        for mi, m in enumerate(prev_manifests):
-            if int(m.get("content", 0)) != 1:
-                rewritten_manifests.append(m)
-                continue
-            with open(_local_path(m["manifest_path"]), "rb") as fh:
-                mschema, mmeta, mentries = read_container(fh.read())
-            hit = [
-                e for e in mentries
-                if e.get("status", 0) != 2
-                and e["data_file"].get("content_offset") is not None
-                and (_norm_path(e["data_file"]["file_path"]),
-                     int(e["data_file"]["content_offset"])) in sup
-            ]
-            live_conflict = [
-                e for e in mentries
-                if e.get("status", 0) != 2
-                and e["data_file"].get("referenced_data_file") is not None
-                and _norm_path(e["data_file"]["referenced_data_file"]) in new_refs
-                and (_norm_path(e["data_file"]["file_path"]),
-                     int(e["data_file"]["content_offset"] or -1)) not in sup
-            ]
-            if live_conflict:
-                raise ValueError(
-                    "a live deletion vector already covers "
-                    f"{live_conflict[0]['data_file']['referenced_data_file']!r};"
-                    " merge its positions and pass supersede= (the spec"
-                    " allows one DV per data file)"
-                )
-            if not hit:
-                rewritten_manifests.append(m)
-                continue
-            kept = deleted = 0
-            kept_rows = deleted_rows_m = 0
-            out_entries = []
-            for e in mentries:
-                if e.get("status", 0) == 2:
-                    continue
-                e = dict(e)
-                if e.get("sequence_number") is None:
-                    e["sequence_number"] = m.get("sequence_number")
-                if e.get("file_sequence_number") is None:
-                    e["file_sequence_number"] = m.get("sequence_number")
-                key = (_norm_path(e["data_file"]["file_path"]),
-                       int(e["data_file"].get("content_offset") or -1))
-                if key in sup:
-                    e["status"] = 2
-                    deleted += 1
-                    superseded_total += 1
-                    deleted_rows_m += int(e["data_file"]["record_count"])
-                else:
-                    e["status"] = 0
-                    kept += 1
-                    kept_rows += int(e["data_file"]["record_count"])
-                out_entries.append(e)
-            superseded_rows += deleted_rows_m
-            mblob = write_container(mschema, out_entries, metadata=dict(mmeta))
-            rpath = _write_new_file(
-                os.path.join(meta_dir, f"{commit_uuid}-dvr{mi}.avro"), mblob
-            )
-            rewritten_manifests.append({
-                **m,
-                "manifest_path": rpath,
-                "manifest_length": len(mblob),
-                "added_files_count": 0,
-                "existing_files_count": kept,
-                "deleted_files_count": deleted,
-                "added_rows_count": 0,
-                "existing_rows_count": kept_rows,
-                "deleted_rows_count": deleted_rows_m,
-            })
-        prev_manifests = rewritten_manifests
-        new_manifests = []
-        added_rows = added_bytes = 0
-        frid_base = None
-        if add_data_files:
-            from iceberg_meta_spark.sources.iceberg_write import (
-                _added_data_entries,
-                _fv_bytes,
-            )
-
-            frid_base = int(md.get("next-row-id", 0))
-            data_entries = _added_data_entries(
-                add_data_files, snap_id, seq, types, partition_fields,
-                first_row_id_base=frid_base,
-            )
-            from iceberg_meta_spark.sources.iceberg_schemas import (
-                manifest_entry_schema,
-            )
-
-            data_blob = write_container(
-                manifest_entry_schema(partition_fields, with_first_row_id=True),
-                data_entries,
-                metadata={"format-version": _fv_bytes(md), "content": b"data",
-                          "partition-spec-id": str(md["default-spec-id"]).encode()},
-            )
-            data_mpath = _write_new_file(
-                os.path.join(meta_dir, f"{commit_uuid}-um0.avro"), data_blob
-            )
-            added_rows = sum(int(f["record_count"]) for f in add_data_files)
-            added_bytes = sum(int(f["file_size_in_bytes"]) for f in add_data_files)
-            new_manifests.append({
-                "manifest_path": data_mpath,
-                "manifest_length": len(data_blob),
-                "partition_spec_id": int(md["default-spec-id"]),
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snap_id,
-                "added_files_count": len(add_data_files),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": None,
-            })
-        if entries:
-            new_manifests.append({
-                "manifest_path": manifest_path,
-                "manifest_length": len(blob),
-                "partition_spec_id": int(md["default-spec-id"]),
-                "content": 1,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snap_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    int(e["record_count"]) for e in dv_entries
-                ),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": None,
-            })
-        mlist_path = _write_new_file(
-            os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
-            write_container(MANIFEST_FILE_SCHEMA,
-                            prev_manifests + new_manifests,
-                            metadata={"format-version": b"3"}),
-        )
-        prev_summary = prev.get("summary", {}) or {}
-        # a superseding DV's record_count is the MERGED cardinality (old
-        # positions + new); report only the net-new deletes, otherwise
-        # repeated DELETEs on the same file double-count rows already
-        # reported deleted by the superseded entry
-        deleted_rows = max(
-            sum(int(e["record_count"]) for e in dv_entries) - superseded_rows,
-            0,
-        )
-        snapshot = {
-            "snapshot-id": snap_id,
-            "parent-snapshot-id": parent,
-            "sequence-number": seq,
-            "timestamp-ms": ts,
-            **({"first-row-id": frid_base} if frid_base is not None else {}),
-            "manifest-list": mlist_path,
-            "schema-id": md["current-schema-id"],
-            "summary": {
-                # adding DVs (and UPDATE's rewritten rows) hides/replaces
-                # rows (overwrite); a supersede-only cleanup rewrites
-                # metadata, no logical change (replace)
-                "operation": (
-                    "overwrite" if entries or add_data_files else "replace"
-                ),
-                "added-records": str(added_rows),
-                "deleted-records": str(deleted_rows),
-                "added-delete-files": str(len(entries)),
-                "removed-delete-files": str(superseded_total),
-                **({"added-data-files": str(len(add_data_files)),
-                    "added-files-size": str(added_bytes)}
-                   if add_data_files else {}),
-                "total-delete-files": str(
-                    max(int(prev_summary.get("total-delete-files", 0))
-                        - superseded_total, 0)
-                    + len(entries)
-                ),
-                "total-data-files": str(
-                    int(prev_summary.get("total-data-files", 0))
-                    + len(add_data_files or [])
-                ),
-                "total-records": str(
-                    int(prev_summary.get("total-records", 0)) + added_rows
-                ),
-                "total-files-size": str(
-                    int(prev_summary.get("total-files-size", 0)) + added_bytes
-                ),
+                "record_count": int(e["record_count"]),
+                "file_size_in_bytes": int(e["file_size_in_bytes"]),
+                "column_sizes": None,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "split_offsets": None,
+                "sort_order_id": None,
+                "referenced_data_file": e["referenced_data_file"],
+                "content_offset": int(e["content_offset"]),
+                "content_size_in_bytes": int(e["content_size_in_bytes"]),
             },
         }
-        if frid_base is not None:
-            md["next-row-id"] = frid_base + added_rows
-        md["snapshots"].append(snapshot)
-        md["snapshot-log"] = md.get("snapshot-log", []) + [
-            {"snapshot-id": snap_id, "timestamp-ms": ts}
-        ]
-        md["metadata-log"] = md.get("metadata-log", []) + [
-            {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-             "timestamp-ms": int(md["last-updated-ms"])}
-        ]
-        md["current-snapshot-id"] = snap_id
-        md["last-sequence-number"] = seq
-        md["last-updated-ms"] = ts
-        if "main" in (md.get("refs") or {}):
-            md["refs"]["main"]["snapshot-id"] = snap_id
-        _publish(meta_dir, version, md)
-        return md
+        for e in dv_entries
+    ]
+    blob = manifest_path = None
+    if entries:  # a supersede-only commit (dangling-DV cleanup) adds none
+        blob = write_container(
+            dv_entry_schema(partition_fields), entries,
+            metadata={"format-version": b"3", "content": b"deletes",
+                      "partition-spec-id": str(md["default-spec-id"]).encode()},
+        )
+        manifest_path = _write_new_file(
+            os.path.join(meta_dir, f"{commit_uuid}-dv0.avro"), blob
+        )
+    prev = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    with open(_local_path(prev["manifest-list"]), "rb") as fh:
+        _, _, prev_manifests = read_container(fh.read())
+    for m in prev_manifests:
+        m.setdefault("partitions", None)
 
-    return _retrying_commit(meta_dir, attempt)
+    # the one-DV-per-file invariant: find live DV entries for the
+    # files this commit references; each must be superseded
+    from iceberg_meta_spark.sources.iceberg_scan import _norm_path
+
+    sup = {(_norm_path(p), int(o)) for p, o in (supersede or set())}
+    new_refs = {_norm_path(e["referenced_data_file"]) for e in dv_entries}
+    if new_refs:
+        # every referenced data file must still be LIVE in the (possibly
+        # rebased) snapshot: a concurrent rewrite_data_files may have
+        # removed it, and committing a DV against a dead file silently
+        # loses the DELETE — the deleted rows live on in the compacted
+        # replacement. Genuine conflict: the caller must re-plan against
+        # fresh state (Java's validateDataFilesExist).
+        from iceberg_meta_spark.sources.iceberg_write import (
+            CommitConflictError,
+        )
+
+        live: set[str] = set()
+        for m in prev_manifests:
+            if int(m.get("content", 0)) != 0:
+                continue
+            with open(_local_path(m["manifest_path"]), "rb") as fh:
+                _, _, dentries = read_container(fh.read())
+            live.update(
+                _norm_path(e["data_file"]["file_path"])
+                for e in dentries if e.get("status", 0) != 2
+            )
+        dead = sorted(new_refs - live)
+        if dead:
+            raise CommitConflictError(
+                f"deletion vector references data file {dead[0]!r} which "
+                "is no longer live (concurrently rewritten/removed); "
+                "re-plan the delete against the current snapshot"
+            )
+    superseded_total = 0
+    superseded_rows = 0
+    rewritten_manifests = []
+    for mi, m in enumerate(prev_manifests):
+        if int(m.get("content", 0)) != 1:
+            rewritten_manifests.append(m)
+            continue
+        with open(_local_path(m["manifest_path"]), "rb") as fh:
+            mschema, mmeta, mentries = read_container(fh.read())
+        hit = [
+            e for e in mentries
+            if e.get("status", 0) != 2
+            and e["data_file"].get("content_offset") is not None
+            and (_norm_path(e["data_file"]["file_path"]),
+                 int(e["data_file"]["content_offset"])) in sup
+        ]
+        live_conflict = [
+            e for e in mentries
+            if e.get("status", 0) != 2
+            and e["data_file"].get("referenced_data_file") is not None
+            and _norm_path(e["data_file"]["referenced_data_file"]) in new_refs
+            and (_norm_path(e["data_file"]["file_path"]),
+                 int(e["data_file"]["content_offset"] or -1)) not in sup
+        ]
+        if live_conflict:
+            raise ValueError(
+                "a live deletion vector already covers "
+                f"{live_conflict[0]['data_file']['referenced_data_file']!r};"
+                " merge its positions and pass supersede= (the spec"
+                " allows one DV per data file)"
+            )
+        if not hit:
+            rewritten_manifests.append(m)
+            continue
+        kept = deleted = 0
+        kept_rows = deleted_rows_m = 0
+        out_entries = []
+        for e in mentries:
+            if e.get("status", 0) == 2:
+                continue
+            e = dict(e)
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = m.get("sequence_number")
+            if e.get("file_sequence_number") is None:
+                e["file_sequence_number"] = m.get("sequence_number")
+            key = (_norm_path(e["data_file"]["file_path"]),
+                   int(e["data_file"].get("content_offset") or -1))
+            if key in sup:
+                e["status"] = 2
+                deleted += 1
+                superseded_total += 1
+                deleted_rows_m += int(e["data_file"]["record_count"])
+            else:
+                e["status"] = 0
+                kept += 1
+                kept_rows += int(e["data_file"]["record_count"])
+            out_entries.append(e)
+        superseded_rows += deleted_rows_m
+        mblob = write_container(mschema, out_entries, metadata=dict(mmeta))
+        rpath = _write_new_file(
+            os.path.join(meta_dir, f"{commit_uuid}-dvr{mi}.avro"), mblob
+        )
+        rewritten_manifests.append({
+            **m,
+            "manifest_path": rpath,
+            "manifest_length": len(mblob),
+            "added_files_count": 0,
+            "existing_files_count": kept,
+            "deleted_files_count": deleted,
+            "added_rows_count": 0,
+            "existing_rows_count": kept_rows,
+            "deleted_rows_count": deleted_rows_m,
+        })
+    prev_manifests = rewritten_manifests
+    new_manifests = []
+    added_rows = added_bytes = 0
+    frid_base = None
+    if add_data_files:
+        from iceberg_meta_spark.sources.iceberg_write import (
+            _added_data_entries,
+            _fv_bytes,
+        )
+
+        frid_base = int(md.get("next-row-id", 0))
+        data_entries = _added_data_entries(
+            add_data_files, snap_id, seq, types, partition_fields,
+            first_row_id_base=frid_base,
+        )
+        from iceberg_meta_spark.sources.iceberg_schemas import (
+            manifest_entry_schema,
+        )
+
+        data_blob = write_container(
+            manifest_entry_schema(partition_fields, with_first_row_id=True),
+            data_entries,
+            metadata={"format-version": _fv_bytes(md), "content": b"data",
+                      "partition-spec-id": str(md["default-spec-id"]).encode()},
+        )
+        data_mpath = _write_new_file(
+            os.path.join(meta_dir, f"{commit_uuid}-um0.avro"), data_blob
+        )
+        added_rows = sum(int(f["record_count"]) for f in add_data_files)
+        added_bytes = sum(int(f["file_size_in_bytes"]) for f in add_data_files)
+        new_manifests.append({
+            "manifest_path": data_mpath,
+            "manifest_length": len(data_blob),
+            "partition_spec_id": int(md["default-spec-id"]),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(add_data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        })
+    if entries:
+        new_manifests.append({
+            "manifest_path": manifest_path,
+            "manifest_length": len(blob),
+            "partition_spec_id": int(md["default-spec-id"]),
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                int(e["record_count"]) for e in dv_entries
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        })
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(MANIFEST_FILE_SCHEMA,
+                        prev_manifests + new_manifests,
+                        metadata={"format-version": b"3"}),
+    )
+    prev_summary = prev.get("summary", {}) or {}
+    # a superseding DV's record_count is the MERGED cardinality (old
+    # positions + new); report only the net-new deletes, otherwise
+    # repeated DELETEs on the same file double-count rows already
+    # reported deleted by the superseded entry
+    deleted_rows = max(
+        sum(int(e["record_count"]) for e in dv_entries) - superseded_rows,
+        0,
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        **({"first-row-id": frid_base} if frid_base is not None else {}),
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            # adding DVs (and UPDATE's rewritten rows) hides/replaces
+            # rows (overwrite); a supersede-only cleanup rewrites
+            # metadata, no logical change (replace)
+            "operation": (
+                "overwrite" if entries or add_data_files else "replace"
+            ),
+            "added-records": str(added_rows),
+            "deleted-records": str(deleted_rows),
+            "added-delete-files": str(len(entries)),
+            "removed-delete-files": str(superseded_total),
+            **({"added-data-files": str(len(add_data_files)),
+                "added-files-size": str(added_bytes)}
+               if add_data_files else {}),
+            "total-delete-files": str(
+                max(int(prev_summary.get("total-delete-files", 0))
+                    - superseded_total, 0)
+                + len(entries)
+            ),
+            "total-data-files": str(
+                int(prev_summary.get("total-data-files", 0))
+                + len(add_data_files or [])
+            ),
+            "total-records": str(
+                int(prev_summary.get("total-records", 0)) + added_rows
+            ),
+            "total-files-size": str(
+                int(prev_summary.get("total-files-size", 0)) + added_bytes
+            ),
+        },
+    }
+    return snapshot
 
 
 def delete_where_dv(
@@ -644,6 +648,7 @@ def delete_where_dv(
     version: int,
     timestamp_ms: int | None = None,
     add_data_files: list[dict] | None = None,
+    committer=None,
 ) -> dict:
     """DELETE WHERE on a v3 table: publish the matched (file, pos) rows as
     deletion vectors — one roaring bitmap per touched data file, MERGED
@@ -738,7 +743,8 @@ def delete_where_dv(
         if _norm_path(d["referenced_data_file"]) in touched
     }
     md = commit_dv_files(table_dir, entries, timestamp_ms=timestamp_ms,
-                         supersede=supersede, add_data_files=add_data_files)
+                         supersede=supersede, add_data_files=add_data_files,
+                         committer=committer)
     return {
         "rows_deleted": int(sum(r.new_rows for r in per_file)),
         "snapshot_id": int(md["current-snapshot-id"]),

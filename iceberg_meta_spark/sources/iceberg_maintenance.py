@@ -108,10 +108,39 @@ def expire_snapshots(
     """
     table_dir = _local_path(table_dir.rstrip("/"))
     md, version, meta_dir = _load_md(table_dir)
-    snaps = md.get("snapshots", [])
-    if not snaps:
+    expired_ids, removable = plan_expiry(
+        md, keep_last=keep_last, older_than_ms=older_than_ms
+    )
+    if not expired_ids:
         return {"expired_snapshot_ids": [], "removable_files": []}
 
+    apply_snapshot_removal(md, expired_ids)
+    ts = (
+        int(timestamp_ms)
+        if timestamp_ms is not None
+        else int(md["last-updated-ms"]) + 1
+    )
+    _publish(md, version, meta_dir, ts)
+    return {
+        "expired_snapshot_ids": expired_ids,
+        "removable_files": removable,
+    }
+
+
+def plan_expiry(
+    md: dict,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> tuple[list[int], list[str]]:
+    """The pure PLAN half of :func:`expire_snapshots`, shared by the
+    filesystem face and the REST face (``rest_expire_snapshots`` ships
+    the result as a ``remove-snapshots`` update): retained = current +
+    every ref-pinned + ``keep_last`` newest + everything at/after
+    ``older_than_ms``. Returns (expired snapshot ids sorted, files
+    referenced ONLY by expired snapshots — manifest lists + manifests)."""
+    snaps = md.get("snapshots", [])
+    if not snaps:
+        return [], []
     keep: set[int] = set()
     cur = md.get("current-snapshot-id")
     if cur is not None:
@@ -129,8 +158,7 @@ def expire_snapshots(
         )
     expired = [s for s in snaps if int(s["snapshot-id"]) not in keep]
     if not expired:
-        return {"expired_snapshot_ids": [], "removable_files": []}
-
+        return [], []
     retained = [s for s in snaps if int(s["snapshot-id"]) in keep]
     # files referenced only by expired snapshots become removable
     kept_files: set[str] = set()
@@ -144,23 +172,23 @@ def expire_snapshots(
         removable.extend(
             p for p in _manifest_paths(s) if p not in kept_files
         )
+    return (sorted(int(s["snapshot-id"]) for s in expired),
+            sorted(set(removable)))
 
-    expired_ids = {int(s["snapshot-id"]) for s in expired}
-    md["snapshots"] = retained
+
+def apply_snapshot_removal(md: dict, expired_ids: list[int]) -> None:
+    """Apply a ``remove-snapshots`` action to table metadata IN PLACE:
+    drop the snapshots and their snapshot-log entries. Shared by the
+    filesystem expiry tail and the REST mock server's update handler."""
+    drop = {int(i) for i in expired_ids}
+    md["snapshots"] = [
+        s for s in md.get("snapshots", [])
+        if int(s["snapshot-id"]) not in drop
+    ]
     md["snapshot-log"] = [
         e for e in md.get("snapshot-log", [])
-        if int(e["snapshot-id"]) not in expired_ids
+        if int(e["snapshot-id"]) not in drop
     ]
-    ts = (
-        int(timestamp_ms)
-        if timestamp_ms is not None
-        else int(md["last-updated-ms"]) + 1
-    )
-    _publish(md, version, meta_dir, ts)
-    return {
-        "expired_snapshot_ids": sorted(expired_ids),
-        "removable_files": sorted(set(removable)),
-    }
 
 
 def _norm(col):
@@ -259,6 +287,7 @@ def rewrite_manifests(
     small_threshold: int = 1 << 20,
     target_bytes: int = 8 << 20,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """Execute Iceberg's ``rewrite_manifests``: first-fit bin-pack every
     small (< ``small_threshold``) DATA manifest of the current snapshot
@@ -279,9 +308,49 @@ def rewrite_manifests(
     each group's working set is ≤ ``target_bytes`` — the per-group merge is
     bounded work; a deployment with 10⁶ small manifests gets ~10³ groups
     sequentially here or sharded upstream by the caller.
+
+    ``committer`` routes the publish through another catalog face
+    (``RestCommitter``); default filesystem. Either way the commit runs
+    the optimistic retry loop: the build below re-derives its groups from
+    the metadata each attempt sees, so a rebase after a concurrent commit
+    re-plans instead of replaying stale manifests (r12 — the pre-r12
+    filesystem path published without a retry loop).
     """
-    table_dir = _local_path(table_dir.rstrip("/"))
-    md, version, meta_dir = _load_md(table_dir)
+    from iceberg_meta_spark.sources.iceberg_write import FilesystemCommitter
+
+    stats: dict = {}
+
+    class _NothingToRewrite(Exception):
+        pass
+
+    def build(table_dir, meta_dir, md):
+        return _build_manifest_rewrite(
+            table_dir, meta_dir, md, small_threshold, target_bytes,
+            timestamp_ms, stats, _NothingToRewrite,
+        )
+
+    committer = committer or FilesystemCommitter(table_dir)
+    try:
+        committer.commit_snapshot(build)
+    except _NothingToRewrite:
+        return {"groups": 0, "rewritten": 0, "snapshot_id": None}
+    return {"groups": stats["groups"], "rewritten": stats["rewritten"],
+            "snapshot_id": stats["snapshot_id"]}
+
+
+def _build_manifest_rewrite(
+    table_dir: str,
+    meta_dir: str,
+    md: dict,
+    small_threshold: int,
+    target_bytes: int,
+    timestamp_ms: int | None,
+    stats: dict,
+    nothing_exc: type,
+) -> dict:
+    """The publish-free half of :func:`rewrite_manifests` (pure against
+    ``md``); raises ``nothing_exc`` when no group qualifies so the caller
+    can skip the commit entirely."""
     parent_id = md.get("current-snapshot-id")
     if parent_id is None:
         raise ValueError("table has no current snapshot")
@@ -327,7 +396,7 @@ def rewrite_manifests(
     # singleton groups are not worth rewriting
     groups = [g for g in groups if len(g) > 1]
     if not groups:
-        return {"groups": 0, "rewritten": 0, "snapshot_id": None}
+        raise nothing_exc()
 
     rewritten_paths = {m["manifest_path"] for g in groups for m in g}
     snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
@@ -372,10 +441,12 @@ def rewrite_manifests(
             if ms is not None:
                 min_seq = ms if min_seq is None else min(min_seq, ms)
         n_rewritten += len(group)
-        gpath = os.path.join(meta_dir, f"{commit_uuid}-rw{gi}.avro")
+        from iceberg_meta_spark.sources.iceberg_write import _write_new_file
+
         blob = write_container(entry_schema, merged, metadata=mmeta)
-        with open(gpath, "wb") as fh:
-            fh.write(blob)
+        gpath = _write_new_file(
+            os.path.join(meta_dir, f"{commit_uuid}-rw{gi}.avro"), blob
+        )
         new_manifests.append(
             {
                 "manifest_path": gpath,
@@ -395,46 +466,39 @@ def rewrite_manifests(
             }
         )
 
-    from iceberg_meta_spark.sources.iceberg_write import _fv_bytes
-
-    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(
-            write_container(
-                MANIFEST_FILE_SCHEMA, new_manifests,
-                metadata={"format-version": _fv_bytes(md)},
-            )
-        )
-    prev_summary = parent.get("summary", {}) or {}
-    md["snapshots"].append(
-        {
-            "snapshot-id": snap_id,
-            "parent-snapshot-id": parent_id,
-            "sequence-number": seq,
-            "timestamp-ms": ts,
-            "manifest-list": mlist_path,
-            "schema-id": md["current-schema-id"],
-            "summary": {
-                "operation": "replace",
-                "added-records": "0",
-                "deleted-records": "0",
-                "manifests-replaced": str(n_rewritten),
-                "manifests-created": str(len(groups)),
-                "total-data-files": prev_summary.get("total-data-files", "0"),
-                "total-records": prev_summary.get("total-records", "0"),
-                "total-files-size": prev_summary.get("total-files-size", "0"),
-            },
-        }
+    from iceberg_meta_spark.sources.iceberg_write import (
+        _fv_bytes,
+        _write_new_file,
     )
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": ts}
-    ]
-    md["current-snapshot-id"] = snap_id
-    md["last-sequence-number"] = seq
-    if "main" in (md.get("refs") or {}):
-        md["refs"]["main"]["snapshot-id"] = snap_id
-    _publish(md, version, meta_dir, ts)
-    return {"groups": len(groups), "rewritten": n_rewritten, "snapshot_id": snap_id}
+
+    mlist_path = _write_new_file(
+        os.path.join(meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"),
+        write_container(
+            MANIFEST_FILE_SCHEMA, new_manifests,
+            metadata={"format-version": _fv_bytes(md)},
+        ),
+    )
+    prev_summary = parent.get("summary", {}) or {}
+    stats.update(groups=len(groups), rewritten=n_rewritten,
+                 snapshot_id=snap_id)
+    return {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": parent_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+        "summary": {
+            "operation": "replace",
+            "added-records": "0",
+            "deleted-records": "0",
+            "manifests-replaced": str(n_rewritten),
+            "manifests-created": str(len(groups)),
+            "total-data-files": prev_summary.get("total-data-files", "0"),
+            "total-records": prev_summary.get("total-records", "0"),
+            "total-files-size": prev_summary.get("total-files-size", "0"),
+        },
+    }
 
 
 def rewrite_data_files(
@@ -444,6 +508,7 @@ def rewrite_data_files(
     target_bytes: int = 1 << 29,
     sort_by: str | None = None,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """EXECUTE Iceberg's ``rewrite_data_files`` (bin-pack strategy): the
     action half of ``meta_compaction_plan``/``api.compaction_plan`` (the
@@ -574,7 +639,8 @@ def rewrite_data_files(
     # rebase raises CommitConflictError instead of silently dropping it
     commit_rewrite_files(table_dir, remove_paths, add_files,
                          timestamp_ms=timestamp_ms,
-                         validate_from_seq=int(md.get("last-sequence-number", 0)))
+                         validate_from_seq=int(md.get("last-sequence-number", 0)),
+                         committer=committer)
     new_md, _, _ = _load_md(table_dir)
     return {
         "groups": len(groups),
@@ -588,6 +654,7 @@ def rewrite_position_deletes(
     spark: SparkSession,
     table_dir: str,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """EXECUTE Iceberg's ``rewrite_position_delete_files``: drop DANGLING
     position-delete files (every row targets a data file no longer live —
@@ -659,6 +726,7 @@ def rewrite_position_deletes(
         })
     remove = [norm_to_orig.get(p, p) for p in dangling + partial]
     new_md = commit_rewrite_files(table_dir, remove, add_files,
+                                  committer=committer,
                                   timestamp_ms=timestamp_ms, add_content=1)
     return {
         "dropped": len(dangling),
@@ -817,6 +885,7 @@ def rewrite_deletion_vectors(
     spark: SparkSession,
     table_dir: str,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """Drop DANGLING deletion vectors on a v3 table — the DV sibling of
     :func:`rewrite_position_deletes`. A deletion vector references exactly
@@ -845,6 +914,7 @@ def rewrite_deletion_vectors(
     md = commit_dv_files(
         table_dir, [], timestamp_ms=timestamp_ms,
         supersede={(d["path"], int(d["offset"])) for d in dangling},
+        committer=committer,
     )
     return {"dropped": len(dangling),
             "snapshot_id": int(md["current-snapshot-id"])}

@@ -32,6 +32,8 @@ import time
 import urllib.error
 import urllib.request
 
+import os
+
 from iceberg_meta_spark.sources.iceberg_write import (
     CommitConflictError,
     _local_path,
@@ -150,6 +152,61 @@ class RestCatalog:
         self._request("DELETE", f"/v1/namespaces/{ns}/tables/{table}")
 
 
+class RestCommitter:
+    """The REST commit face of :class:`~iceberg_meta_spark.sources.
+    iceberg_write.FilesystemCommitter`'s ``commit_snapshot(build)``
+    contract: every snapshot-producing verb — append, DELETE WHERE,
+    UPDATE, MERGE, DV commits, compaction, delete-file/manifest rewrites —
+    routes its built snapshot through the catalog's updateTable CAS by
+    passing ``committer=RestCommitter(catalog, ident)``.
+
+    Per attempt: loadTable, run ``build(table_dir, meta_dir, md)`` against
+    the loaded metadata (the builder writes manifests/manifest lists into
+    the table's storage location and re-runs its OWN conflict validation —
+    e.g. validateNoNewDeletesForDataFiles, the one-DV-per-file check),
+    then POST the snapshot as ``add-snapshot`` + ``set-snapshot-ref(main)``
+    guarded by ``assert-table-uuid`` + ``assert-ref-snapshot-id(main)``.
+    A 409 rebases: reload, rebuild, retry — the same
+    refresh-revalidate-retry loop the filesystem face runs, with the
+    SERVER as the arbiter. Builders that raise ``CommitConflictError``
+    (genuine semantic conflicts) propagate to the caller for re-planning,
+    exactly as on the filesystem face."""
+
+    def __init__(self, catalog: RestCatalog, ident: str, retries: int = 10):
+        self.catalog = catalog
+        self.ident = ident
+        self.retries = retries
+
+    def commit_snapshot(self, build) -> dict:
+        last: RestCommitConflict | None = None
+        for i in range(self.retries + 1):
+            _, md = self.catalog.load_table(self.ident)
+            table_dir = _local_path(md["location"].rstrip("/"))
+            meta_dir = os.path.join(table_dir, "metadata")
+            parent = md.get("current-snapshot-id")
+            snapshot = build(table_dir, meta_dir, md)
+            requirements = [
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": parent},
+            ]
+            updates = [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch", "snapshot-id": snapshot["snapshot-id"]},
+            ]
+            try:
+                return self.catalog.commit_table(
+                    self.ident, requirements, updates)
+            except RestCommitConflict as e:
+                last = e
+                time.sleep(0.02 * (i + 1))
+        raise RestCommitConflict(
+            f"lost the REST commit race {self.retries + 1} times on "
+            f"{self.ident}: {last}"
+        )
+
+
 def rest_append_files(
     catalog: RestCatalog,
     ident: str,
@@ -172,34 +229,59 @@ def rest_append_files(
     Appends never conflict semantically, so the rebase is unconditional;
     files from losing attempts are orphans for remove_orphans. Returns
     the server's committed metadata."""
-    import os
+    return RestCommitter(catalog, ident, retries=retries).commit_snapshot(
+        lambda td, mdir, md: build_append_snapshot(
+            td, mdir, md, files, md.get("current-snapshot-id"),
+            timestamp_ms=timestamp_ms,
+        )
+    )
+
+
+def rest_expire_snapshots(
+    catalog: RestCatalog,
+    ident: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    retries: int = 10,
+) -> dict:
+    """``expire_snapshots`` THROUGH the REST catalog: load the table,
+    compute the retain/expire sets with the SAME policy the filesystem
+    face runs (current + ref-pinned + keep_last newest + not-older-than —
+    the shared :func:`~iceberg_meta_spark.sources.iceberg_maintenance.
+    plan_expiry`), then commit the spec's ``remove-snapshots`` update
+    guarded by ``assert-ref-snapshot-id(main)`` — a concurrent commit
+    409s and the plan rebases against fresh metadata. Returns
+    ``{"expired_snapshot_ids": [...], "removable_files": [...]}`` like
+    the filesystem verb (the metadata commit never deletes data; hand
+    removable_files to remove_orphans)."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import plan_expiry
 
     last: RestCommitConflict | None = None
     for i in range(retries + 1):
         _, md = catalog.load_table(ident)
-        table_dir = _local_path(md["location"].rstrip("/"))
-        meta_dir = os.path.join(table_dir, "metadata")
-        parent = md.get("current-snapshot-id")
-        snapshot = build_append_snapshot(
-            table_dir, meta_dir, md, files, parent, timestamp_ms=timestamp_ms,
+        expired_ids, removable = plan_expiry(
+            md, keep_last=keep_last, older_than_ms=older_than_ms
         )
-        requirements = [
-            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
-            {"type": "assert-ref-snapshot-id", "ref": "main",
-             "snapshot-id": parent},
-        ]
-        updates = [
-            {"action": "add-snapshot", "snapshot": snapshot},
-            {"action": "set-snapshot-ref", "ref-name": "main",
-             "type": "branch", "snapshot-id": snapshot["snapshot-id"]},
-        ]
+        if not expired_ids:
+            return {"expired_snapshot_ids": [], "removable_files": []}
         try:
-            return catalog.commit_table(ident, requirements, updates)
+            catalog.commit_table(
+                ident,
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": md.get("current-snapshot-id")},
+                ],
+                updates=[{"action": "remove-snapshots",
+                          "snapshot-ids": expired_ids}],
+            )
+            return {"expired_snapshot_ids": expired_ids,
+                    "removable_files": removable}
         except RestCommitConflict as e:
             last = e
             time.sleep(0.02 * (i + 1))
     raise RestCommitConflict(
-        f"lost the REST commit race {retries + 1} times on {ident}: {last}"
+        f"lost the expiry commit race {retries + 1} times on {ident}: {last}"
     )
 
 
@@ -210,51 +292,28 @@ def rest_update_schema(
     drop: list[str] | None = None,
     rename: dict[str, str] | None = None,
     retries: int = 10,
+    widen: dict[str, str] | None = None,
 ) -> dict:
     """ALTER TABLE through the REST catalog: build the evolved schema from
-    the loaded metadata (fresh field ids for adds — never reused; renames
-    keep the id; drops remove from the new schema only) and commit it as
-    ``add-schema`` + ``set-current-schema(-1)`` updates guarded by
-    ``assert-current-schema-id`` — a concurrent schema change 409s and the
-    client rebases on reloaded metadata. ``add`` tuples are ``(name,
-    type)`` or ``(name, type, default)`` (v3 initial-default)."""
+    the loaded metadata with the SAME shared builder the filesystem face
+    uses (``iceberg_write.build_evolved_schema`` — fresh field ids for
+    adds, id-stable renames, legal-promotion-only ``widen``, and the
+    partition-source drop guard, so the two faces cannot drift on
+    validation) and commit it as ``add-schema`` + ``set-current-schema
+    (-1)`` updates guarded by ``assert-current-schema-id`` — a concurrent
+    schema change 409s and the client rebases on reloaded metadata.
+    ``add`` tuples are ``(name, type)`` or ``(name, type, default)`` (v3
+    initial-default)."""
     import time as _time
+
+    from iceberg_meta_spark.sources.iceberg_write import build_evolved_schema
 
     last: RestCommitConflict | None = None
     for i in range(retries + 1):
         _, md = catalog.load_table(ident)
-        cur = next(s for s in md["schemas"]
-                   if s["schema-id"] == md["current-schema-id"])
-        fields = [dict(f) for f in cur["fields"]]
-        names = {f["name"] for f in fields}
-        for old, new in (rename or {}).items():
-            if old not in names:
-                raise KeyError(f"no column {old!r} to rename")
-            for f in fields:
-                if f["name"] == old:
-                    f["name"] = new
-            names = {f["name"] for f in fields}
-        for name in drop or []:
-            if name not in names:
-                raise KeyError(f"no column {name!r} to drop")
-            fields = [f for f in fields if f["name"] != name]
-            names.discard(name)
-        last_id = int(md.get("last-column-id",
-                             max(f["id"] for f in fields)))
-        for tup in add or []:
-            name, typ = tup[0], tup[1]
-            default = tup[2] if len(tup) > 2 else None
-            if name in names:
-                raise ValueError(f"column {name!r} already exists")
-            if default is not None and int(md.get("format-version", 1)) < 3:
-                raise ValueError("column defaults need format-version 3")
-            last_id += 1
-            fields.append({
-                "id": last_id, "name": name, "required": False, "type": typ,
-                **({"initial-default": default, "write-default": default}
-                   if default is not None else {}),
-            })
-            names.add(name)
+        fields, _ = build_evolved_schema(
+            md, add=add, drop=drop, rename=rename, widen=widen
+        )
         new_schema = {"type": "struct", "schema-id": -1, "fields": fields}
         try:
             return catalog.commit_table(
@@ -275,6 +334,215 @@ def rest_update_schema(
     raise RestCommitConflict(
         f"lost the schema-commit race {retries + 1} times on {ident}: {last}"
     )
+
+
+def rest_update_partition_spec(
+    catalog: RestCatalog,
+    ident: str,
+    add_identity: list[str] | None = None,
+    add_fields: list[tuple[str, str, str]] | None = None,
+    drop_fields: list[str] | None = None,
+    retries: int = 10,
+) -> dict:
+    """Partition evolution through the REST catalog: build the new spec
+    with the SAME shared builder the filesystem face uses
+    (``iceberg_write.build_evolved_partition_spec``) and commit it as
+    ``add-spec`` + ``set-default-spec(-1)`` guarded by
+    ``assert-default-spec-id`` — a concurrent spec change 409s and the
+    client rebases on reloaded metadata."""
+    import time as _time
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        build_evolved_partition_spec,
+    )
+
+    last: RestCommitConflict | None = None
+    for i in range(retries + 1):
+        _, md = catalog.load_table(ident)
+        new_fields, last_pid = build_evolved_partition_spec(
+            md, add_identity=add_identity, add_fields=add_fields,
+            drop_fields=drop_fields,
+        )
+        try:
+            return catalog.commit_table(
+                ident,
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                    {"type": "assert-default-spec-id",
+                     "default-spec-id": md["default-spec-id"]},
+                ],
+                updates=[
+                    {"action": "add-spec",
+                     "spec": {"spec-id": -1, "fields": new_fields}},
+                    {"action": "set-default-spec", "spec-id": -1},
+                ],
+            )
+        except RestCommitConflict as e:
+            last = e
+            _time.sleep(0.02 * (i + 1))
+    raise RestCommitConflict(
+        f"lost the spec-commit race {retries + 1} times on {ident}: {last}"
+    )
+
+
+def rest_update_sort_order(
+    catalog: RestCatalog,
+    ident: str,
+    sort_by: list,
+    retries: int = 10,
+) -> dict:
+    """WRITE ORDERED BY through the REST catalog: shared field builder
+    (``iceberg_write.build_sort_order_fields``), committed as
+    ``add-sort-order`` + ``set-default-sort-order(-1)`` guarded by
+    ``assert-default-sort-order-id``."""
+    import time as _time
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        build_sort_order_fields,
+    )
+
+    last: RestCommitConflict | None = None
+    for i in range(retries + 1):
+        _, md = catalog.load_table(ident)
+        fields = build_sort_order_fields(md, sort_by)
+        try:
+            return catalog.commit_table(
+                ident,
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                    {"type": "assert-default-sort-order-id",
+                     "default-sort-order-id":
+                         int(md.get("default-sort-order-id", 0))},
+                ],
+                updates=[
+                    {"action": "add-sort-order",
+                     "sort-order": {"order-id": -1, "fields": fields}},
+                    {"action": "set-default-sort-order", "sort-order-id": -1},
+                ],
+            )
+        except RestCommitConflict as e:
+            last = e
+            _time.sleep(0.02 * (i + 1))
+    raise RestCommitConflict(
+        f"lost the sort-order race {retries + 1} times on {ident}: {last}"
+    )
+
+
+def rest_rollback(
+    catalog: RestCatalog,
+    ident: str,
+    snapshot_id: int,
+) -> dict:
+    """rollback_to_snapshot through the REST catalog: validate the target
+    still exists in the loaded metadata, then move main with one
+    ``set-snapshot-ref`` guarded by ``assert-ref-snapshot-id(main)``."""
+    _, md = catalog.load_table(ident)
+    if not any(s["snapshot-id"] == snapshot_id
+               for s in md.get("snapshots", [])):
+        raise KeyError(f"snapshot {snapshot_id} not in table metadata")
+    return catalog.commit_table(
+        ident,
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {"type": "assert-ref-snapshot-id", "ref": "main",
+             "snapshot-id": md.get("current-snapshot-id")},
+        ],
+        updates=[{"action": "set-snapshot-ref", "ref-name": "main",
+                  "type": "branch", "snapshot-id": int(snapshot_id)}],
+    )
+
+
+def rest_manage_ref(
+    catalog: RestCatalog,
+    ident: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+    drop: bool = False,
+) -> dict:
+    """Branch/tag DDL through the REST catalog: ``set-snapshot-ref`` to
+    create/replace (pinned at ``snapshot_id``, default current head) or
+    ``remove-snapshot-ref`` to drop — same validation as the filesystem
+    ``manage_ref`` (main is never droppable; the pinned snapshot must
+    exist)."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError("ref_type must be 'tag' or 'branch'")
+    _, md = catalog.load_table(ident)
+    if drop:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        if name not in (md.get("refs") or {}):
+            raise KeyError(f"no ref {name!r}")
+        return catalog.commit_table(
+            ident,
+            requirements=[
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[{"action": "remove-snapshot-ref", "ref-name": name}],
+        )
+    sid = snapshot_id if snapshot_id is not None else md.get(
+        "current-snapshot-id")
+    if not any(s["snapshot-id"] == sid for s in md.get("snapshots", [])):
+        raise KeyError(f"snapshot {sid} not in table metadata")
+    return catalog.commit_table(
+        ident,
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-snapshot-ref", "ref-name": name,
+                  "type": ref_type, "snapshot-id": int(sid)}],
+    )
+
+
+def rest_fast_forward(
+    catalog: RestCatalog,
+    ident: str,
+    name: str,
+    from_ref: str,
+) -> dict:
+    """The write-audit-publish PUBLISH step through the REST catalog:
+    ancestry-validate with the SAME shared resolver the filesystem face
+    uses (``iceberg_write.resolve_fast_forward``), then move the target
+    branch with ``set-snapshot-ref`` guarded by
+    ``assert-ref-snapshot-id(target)`` — a concurrent move of the target
+    409s rather than silently dropping its commits."""
+    from iceberg_meta_spark.sources.iceberg_write import resolve_fast_forward
+
+    _, md = catalog.load_table(ident)
+    src, tgt = resolve_fast_forward(md, name, from_ref)
+    if tgt == src:
+        return {"updated": False, "from": tgt, "to": src}
+    catalog.commit_table(
+        ident,
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {"type": "assert-ref-snapshot-id", "ref": name,
+             "snapshot-id": tgt},
+        ],
+        updates=[{"action": "set-snapshot-ref", "ref-name": name,
+                  "type": "branch", "snapshot-id": src}],
+    )
+    return {"updated": True, "from": tgt, "to": src}
+
+
+def rest_set_properties(
+    catalog: RestCatalog,
+    ident: str,
+    set_props: dict | None = None,
+    unset: list | None = None,
+) -> dict:
+    """SET/UNSET TBLPROPERTIES through the REST catalog: one updateTable
+    carrying ``set-properties`` and/or ``remove-properties`` (property
+    commits never conflict semantically — no snapshot assertion)."""
+    updates: list[dict] = []
+    if set_props:
+        updates.append({"action": "set-properties",
+                        "updates": {str(k): str(v)
+                                    for k, v in set_props.items()}})
+    if unset:
+        updates.append({"action": "remove-properties",
+                        "removals": [str(k) for k in unset]})
+    if not updates:
+        raise ValueError("nothing to change: pass set_props and/or unset")
+    return catalog.commit_table(ident, requirements=[], updates=updates)
 
 
 def rest_append_dataframe(

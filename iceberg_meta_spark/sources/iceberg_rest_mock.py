@@ -271,10 +271,25 @@ class LoopbackRestCatalog:
                             "current schema id is "
                             f"{md.get('current-schema-id')}, requirement "
                             f"says {r.get('current-schema-id')}")
+                elif rtype == "assert-default-spec-id":
+                    if int(md.get("default-spec-id", 0)) != int(
+                            r.get("default-spec-id", -1)):
+                        raise _RequirementFailed(
+                            f"default spec id is {md.get('default-spec-id')},"
+                            f" requirement says {r.get('default-spec-id')}")
+                elif rtype == "assert-default-sort-order-id":
+                    if int(md.get("default-sort-order-id", 0)) != int(
+                            r.get("default-sort-order-id", -1)):
+                        raise _RequirementFailed(
+                            "default sort order id is "
+                            f"{md.get('default-sort-order-id')}, requirement "
+                            f"says {r.get('default-sort-order-id')}")
                 else:
                     raise ValueError(f"unsupported requirement {rtype!r}")
 
             last_added_schema = None
+            last_added_spec = None
+            last_added_order = None
             for u in updates:
                 action = u.get("action")
                 if action == "add-snapshot":
@@ -349,6 +364,63 @@ class LoopbackRestCatalog:
                                for s in md.get("schemas", [])):
                         raise ValueError(f"no schema with id {sid}")
                     md["current-schema-id"] = sid
+                elif action == "add-spec":
+                    spec = dict(u["spec"])
+                    sid = spec.get("spec-id")
+                    if sid is None or int(sid) < 0:
+                        sid = max((s["spec-id"]
+                                   for s in md.get("partition-specs", [])),
+                                  default=-1) + 1
+                        spec["spec-id"] = sid
+                    if any(s["spec-id"] == sid
+                           for s in md.get("partition-specs", [])):
+                        raise _RequirementFailed(
+                            f"spec id {sid} already exists")
+                    md["partition-specs"] = (
+                        md.get("partition-specs", []) + [spec])
+                    md["last-partition-id"] = max(
+                        int(md.get("last-partition-id", 999)),
+                        max((int(f["field-id"]) for f in spec["fields"]),
+                            default=999),
+                    )
+                    last_added_spec = sid
+                elif action == "set-default-spec":
+                    sid = int(u["spec-id"])
+                    if sid == -1:  # spec: -1 = the spec added in this commit
+                        if last_added_spec is None:
+                            raise ValueError(
+                                "set-default-spec -1 without add-spec")
+                        sid = last_added_spec
+                    if not any(s["spec-id"] == sid
+                               for s in md.get("partition-specs", [])):
+                        raise ValueError(f"no partition spec with id {sid}")
+                    md["default-spec-id"] = sid
+                elif action == "add-sort-order":
+                    order = dict(u["sort-order"])
+                    oid = order.get("order-id")
+                    if oid is None or int(oid) < 0:
+                        oid = max((o["order-id"]
+                                   for o in md.get("sort-orders", [])),
+                                  default=0) + 1
+                        order["order-id"] = oid
+                    if any(o["order-id"] == oid
+                           for o in md.get("sort-orders", [])):
+                        raise _RequirementFailed(
+                            f"sort order id {oid} already exists")
+                    md["sort-orders"] = md.get("sort-orders", []) + [order]
+                    last_added_order = oid
+                elif action == "set-default-sort-order":
+                    oid = int(u["sort-order-id"])
+                    if oid == -1:
+                        if last_added_order is None:
+                            raise ValueError(
+                                "set-default-sort-order -1 without "
+                                "add-sort-order")
+                        oid = last_added_order
+                    if not any(o["order-id"] == oid
+                               for o in md.get("sort-orders", [])):
+                        raise ValueError(f"no sort order with id {oid}")
+                    md["default-sort-order-id"] = oid
                 elif action == "set-properties":
                     md["properties"] = {
                         **(md.get("properties") or {}),
@@ -360,6 +432,31 @@ class LoopbackRestCatalog:
                     for k in u.get("removals", []):
                         props.pop(k, None)
                     md["properties"] = props
+                elif action == "remove-snapshots":
+                    from iceberg_meta_spark.sources.iceberg_maintenance import (
+                        apply_snapshot_removal,
+                    )
+
+                    ids = [int(i) for i in u.get("snapshot-ids", [])]
+                    cur = md.get("current-snapshot-id")
+                    pinned = {int(r["snapshot-id"])
+                              for r in (md.get("refs") or {}).values()}
+                    if cur is not None:
+                        pinned.add(int(cur))
+                    bad = sorted(set(ids) & pinned)
+                    if bad:
+                        raise _RequirementFailed(
+                            f"cannot remove snapshot {bad[0]}: it is the "
+                            "current snapshot or pinned by a ref"
+                        )
+                    apply_snapshot_removal(md, ids)
+                elif action == "remove-snapshot-ref":
+                    name = u["ref-name"]
+                    if name == "main":
+                        raise ValueError("cannot remove the main ref")
+                    refs = dict(md.get("refs") or {})
+                    refs.pop(name, None)
+                    md["refs"] = refs
                 else:
                     raise ValueError(f"unsupported update {action!r}")
 

@@ -159,6 +159,67 @@ def _retrying_commit(meta_dir: str, attempt, retries: int = _COMMIT_RETRIES):
             time.sleep(_RETRY_BACKOFF_S * (i + 1))
 
 
+def _apply_snapshot(md: dict, snapshot: dict, meta_dir: str, version: int) -> None:
+    """The shared commit tail, applied IN PLACE to table metadata: append
+    the built snapshot, advance main / snapshot-log / metadata-log /
+    last-sequence-number / last-updated-ms, and (v3 row lineage) push
+    next-row-id past the snapshot's first-row-id + added-records. The
+    filesystem face runs this client-side before the version claim; the
+    REST face ships the same snapshot as an ``add-snapshot`` +
+    ``set-snapshot-ref`` update and the SERVER applies the equivalent
+    tail (iceberg_rest_mock.py does exactly this) — one snapshot builder,
+    two catalogs. Branch (non-main) commits keep their custom tail in
+    :func:`_commit_append_once`."""
+    snap_id = int(snapshot["snapshot-id"])
+    seq = int(snapshot["sequence-number"])
+    ts = int(snapshot["timestamp-ms"])
+    if "first-row-id" in snapshot:
+        md["next-row-id"] = int(snapshot["first-row-id"]) + int(
+            (snapshot.get("summary") or {}).get("added-records", 0)
+        )
+    md["snapshots"] = md.get("snapshots", []) + [snapshot]
+    md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
+         "timestamp-ms": int(md["last-updated-ms"])}
+    ]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}
+    ]
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    if "main" in (md.get("refs") or {}):
+        md["refs"]["main"]["snapshot-id"] = snap_id
+
+
+class FilesystemCommitter:
+    """The filesystem (HadoopTables-style) commit face: publish a built
+    snapshot by claiming the next metadata version under the optimistic
+    retry loop. ``sources/iceberg_rest.py:RestCommitter`` exposes the SAME
+    ``commit_snapshot(build)`` contract over the REST catalog's
+    updateTable CAS, so every snapshot-producing verb — DELETE WHERE,
+    UPDATE, MERGE, DV commits, compaction, delete-file rewrites — routes
+    through EITHER catalog unchanged: pass ``committer=`` to the verb.
+
+    ``build(table_dir, meta_dir, md) -> snapshot`` must be pure against
+    ``md`` (it writes manifest/manifest-list files, never mutates
+    metadata) and re-derives everything from the metadata it is given, so
+    a rebase after a lost race re-runs its own conflict validation."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = _local_path(table_dir.rstrip("/"))
+        self.meta_dir = os.path.join(self.table_dir, "metadata")
+
+    def commit_snapshot(self, build) -> dict:
+        def attempt(version: int, md: dict) -> dict:
+            snapshot = build(self.table_dir, self.meta_dir, md)
+            _apply_snapshot(md, snapshot, self.meta_dir, version)
+            _publish(self.meta_dir, version, md)
+            return md
+
+        return _retrying_commit(self.meta_dir, attempt)
+
+
 def _fv_bytes(md: dict) -> bytes:
     """The table's actual format-version for manifest / manifest-list Avro
     metadata. v3 tables must stamp "3": external engines key manifest
@@ -327,6 +388,7 @@ def commit_append(
     branch: str | None = None,
     extra_summary: dict[str, str] | None = None,
     extra_properties: dict[str, str] | None = None,
+    committer=None,
 ) -> dict:
     """Append ``files`` as one new snapshot; returns the new table metadata.
 
@@ -357,7 +419,26 @@ def commit_append(
     (:func:`_retrying_commit`) — two interleaved appends BOTH succeed,
     serialized; the loser rebases onto the winner's snapshot and re-claims
     the next metadata version. Appends never conflict semantically (their
-    file sets are disjoint), so the rebase is unconditional."""
+    file sets are disjoint), so the rebase is unconditional.
+
+    ``committer`` routes a MAIN-branch append through another catalog
+    face (``RestCommitter``); branch and extra-property commits keep the
+    filesystem tail (the REST face's set-properties rides
+    ``RestCatalog.commit_table`` directly)."""
+    if committer is not None:
+        if (branch is not None and branch != "main") or extra_properties:
+            raise ValueError(
+                "committer= routing supports main-branch appends without "
+                "extra_properties; commit branches/properties through the "
+                "catalog's own API"
+            )
+        return committer.commit_snapshot(
+            lambda td, mdir, md: build_append_snapshot(
+                td, mdir, md, files, md.get("current-snapshot-id"),
+                timestamp_ms=timestamp_ms, partition_fields=partition_fields,
+                extra_summary=extra_summary,
+            )
+        )
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
 
@@ -647,6 +728,7 @@ def commit_remove_files(
     table_dir: str,
     file_paths: set[str] | list[str],
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """Publish a delete snapshot that removes ``file_paths`` from the table.
 
@@ -661,25 +743,29 @@ def commit_remove_files(
     targets against the winner's snapshot, so deleting a file another
     writer already removed raises this function's own KeyError (a genuine
     conflict), never a silent double-delete.
+
+    ``committer`` routes the publish through another catalog face (e.g.
+    ``RestCommitter`` — the REST updateTable CAS); default filesystem.
     """
-    table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-    return _retrying_commit(
-        meta_dir,
-        lambda version, md: _commit_remove_files_once(
-            table_dir, meta_dir, version, md, set(file_paths), timestamp_ms
-        ),
+    committer = committer or FilesystemCommitter(table_dir)
+    targets = set(file_paths)
+    return committer.commit_snapshot(
+        lambda td, mdir, md: build_remove_snapshot(
+            td, mdir, md, targets, timestamp_ms
+        )
     )
 
 
-def _commit_remove_files_once(
+def build_remove_snapshot(
     table_dir: str,
     meta_dir: str,
-    version: int,
     md: dict,
     targets: set[str],
     timestamp_ms: int | None,
 ) -> dict:
+    """The publish-free half of :func:`commit_remove_files`: rewrite the
+    carrying manifests, write the new manifest list, return the delete
+    snapshot. Pure against ``md``."""
     if int(md.get("format-version", 1)) != 2:
         raise ValueError("commit_remove_files writes format-version 2 tables only")
     parent = md.get("current-snapshot-id")
@@ -733,21 +819,7 @@ def _commit_remove_files_once(
             ),
         },
     }
-    md["snapshots"].append(snapshot)
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": ts}
-    ]
-    md["metadata-log"] = md.get("metadata-log", []) + [
-        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-         "timestamp-ms": int(md["last-updated-ms"])}
-    ]
-    md["current-snapshot-id"] = snap_id
-    md["last-sequence-number"] = seq
-    md["last-updated-ms"] = ts
-    if "main" in (md.get("refs") or {}):
-        md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
-    _publish(meta_dir, version, md)
-    return md
+    return snapshot
 
 
 def _position_delete_refs(path: str, file_format: str | None) -> set[str] | None:
@@ -838,6 +910,7 @@ def commit_rewrite_files(
     timestamp_ms: int | None = None,
     add_content: int = 0,
     validate_from_seq: int | None = None,
+    committer=None,
 ) -> dict:
     """Publish ONE ``replace`` snapshot that atomically removes
     ``remove_paths`` (compacted-away files) and adds ``add_files`` (their
@@ -866,22 +939,23 @@ def commit_rewrite_files(
     (pos/eq/DV) newer than that sequence applies to the files being
     removed — otherwise a DELETE committed between the rewrite's scan and
     its commit would be silently lost (the replacement files were
-    materialized without it). Java's validateNoNewDeletesForDataFiles."""
-    table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-    return _retrying_commit(
-        meta_dir,
-        lambda version, md: _commit_rewrite_files_once(
-            table_dir, meta_dir, version, md, set(remove_paths), add_files,
-            timestamp_ms, add_content, validate_from_seq,
-        ),
+    materialized without it). Java's validateNoNewDeletesForDataFiles.
+
+    ``committer`` routes the publish through another catalog face
+    (``RestCommitter`` — REST updateTable CAS); default filesystem."""
+    committer = committer or FilesystemCommitter(table_dir)
+    targets = set(remove_paths)
+    return committer.commit_snapshot(
+        lambda td, mdir, md: build_rewrite_snapshot(
+            td, mdir, md, targets, add_files, timestamp_ms, add_content,
+            validate_from_seq,
+        )
     )
 
 
-def _commit_rewrite_files_once(
+def build_rewrite_snapshot(
     table_dir: str,
     meta_dir: str,
-    version: int,
     md: dict,
     targets: set[str],
     add_files: list[dict],
@@ -889,6 +963,10 @@ def _commit_rewrite_files_once(
     add_content: int,
     validate_from_seq: int | None = None,
 ) -> dict:
+    """The publish-free half of :func:`commit_rewrite_files`: concurrent-
+    delete validation, carrying-manifest rewrite, replacement manifest +
+    manifest list writes; returns the replace snapshot. Pure against
+    ``md``."""
     if int(md.get("format-version", 1)) not in (2, 3):
         raise ValueError("commit_rewrite_files writes format-version 2/3 tables only")
     parent = md.get("current-snapshot-id")
@@ -1008,7 +1086,7 @@ def _commit_rewrite_files_once(
             "total-records": prev_summary.get("total-records", "0"),
             "total-files-size": prev_summary.get("total-files-size", "0"),
         }
-    snapshot = {
+    return {
         "snapshot-id": snap_id,
         "parent-snapshot-id": parent,
         "sequence-number": seq,
@@ -1018,23 +1096,6 @@ def _commit_rewrite_files_once(
         "schema-id": md["current-schema-id"],
         "summary": summary,
     }
-    if lineage:
-        md["next-row-id"] = frid_base + added_rows
-    md["snapshots"].append(snapshot)
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": ts}
-    ]
-    md["metadata-log"] = md.get("metadata-log", []) + [
-        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-         "timestamp-ms": int(md["last-updated-ms"])}
-    ]
-    md["current-snapshot-id"] = snap_id
-    md["last-sequence-number"] = seq
-    md["last-updated-ms"] = ts
-    if "main" in (md.get("refs") or {}):
-        md["refs"]["main"]["snapshot-id"] = snap_id
-    _publish(meta_dir, version, md)
-    return md
 
 
 def _delete_manifest_blob(
@@ -1093,6 +1154,7 @@ def commit_delete_files(
     table_dir: str,
     delete_files: list[dict],
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """Publish row-level delete files as one new snapshot (v2 row-level
     deletes): a DELETE manifest (manifest content=1) carrying position
@@ -1109,25 +1171,28 @@ def commit_delete_files(
     manifest list, so the delete manifest lands beside ALL current data
     manifests (row-level delete files conflict with nothing: they only
     narrow visibility of already-committed rows).
+
+    ``committer`` routes the publish through another catalog face
+    (``RestCommitter``); default filesystem.
     """
-    table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-    return _retrying_commit(
-        meta_dir,
-        lambda version, md: _commit_delete_files_once(
-            table_dir, meta_dir, version, md, delete_files, timestamp_ms
-        ),
+    committer = committer or FilesystemCommitter(table_dir)
+    return committer.commit_snapshot(
+        lambda td, mdir, md: build_delete_files_snapshot(
+            td, mdir, md, delete_files, timestamp_ms
+        )
     )
 
 
-def _commit_delete_files_once(
+def build_delete_files_snapshot(
     table_dir: str,
     meta_dir: str,
-    version: int,
     md: dict,
     delete_files: list[dict],
     timestamp_ms: int | None,
 ) -> dict:
+    """The publish-free half of :func:`commit_delete_files`: encode the
+    DELETE manifest, write the new manifest list, return the overwrite
+    snapshot. Pure against ``md``."""
     fv = int(md.get("format-version", 1))
     if fv not in (2, 3):
         raise ValueError("row-level deletes require format-version 2/3")
@@ -1206,24 +1271,7 @@ def _commit_delete_files_once(
             "total-files-size": prev_summary.get("total-files-size", "0"),
         },
     }
-    md["snapshots"].append(snapshot)
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": ts}
-    ]
-    # metadata-log entry, same as commit_append/commit_remove_files — every
-    # commit must leave the predecessor version discoverable (spec
-    # § Metadata Log); omitting it left a gap after row-level deletes
-    md["metadata-log"] = md.get("metadata-log", []) + [
-        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-         "timestamp-ms": int(md["last-updated-ms"])}
-    ]
-    md["current-snapshot-id"] = snap_id
-    md["last-sequence-number"] = seq
-    md["last-updated-ms"] = ts
-    if "main" in (md.get("refs") or {}):
-        md["refs"]["main"]["snapshot-id"] = snap_id  # commit lands on main
-    _publish(meta_dir, version, md)
-    return md
+    return snapshot
 
 
 def commit_merge(
@@ -1231,6 +1279,7 @@ def commit_merge(
     data_files: list[dict],
     delete_files: list[dict],
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """Publish an upsert as ONE snapshot: a DELETE manifest (the equality
     deletes on the merge keys) AND a DATA manifest (the new rows), both at
@@ -1246,27 +1295,29 @@ def commit_merge(
     Concurrency: optimistic retry loop — a rebased merge re-reads the
     winner's manifests and claims a NEW sequence number, so its equality
     deletes still hide exactly the rows committed before it (seq < N),
-    including the concurrent winner's."""
-    table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-    return _retrying_commit(
-        meta_dir,
-        lambda version, md: _commit_merge_once(
-            table_dir, meta_dir, version, md, data_files, delete_files,
-            timestamp_ms,
-        ),
+    including the concurrent winner's.
+
+    ``committer`` routes the publish through another catalog face
+    (``RestCommitter``); default filesystem."""
+    committer = committer or FilesystemCommitter(table_dir)
+    return committer.commit_snapshot(
+        lambda td, mdir, md: build_merge_snapshot(
+            td, mdir, md, data_files, delete_files, timestamp_ms
+        )
     )
 
 
-def _commit_merge_once(
+def build_merge_snapshot(
     table_dir: str,
     meta_dir: str,
-    version: int,
     md: dict,
     data_files: list[dict],
     delete_files: list[dict],
     timestamp_ms: int | None,
 ) -> dict:
+    """The publish-free half of :func:`commit_merge`: DATA + DELETE
+    manifests at one sequence number, new manifest list; returns the
+    overwrite snapshot. Pure against ``md``."""
     if int(md.get("format-version", 1)) not in (2, 3):
         raise ValueError("merge commits require format-version 2/3")
     if int(md.get("format-version", 1)) >= 3 and any(
@@ -1375,23 +1426,7 @@ def _commit_merge_once(
             ),
         },
     }
-    if lineage:
-        md["next-row-id"] = frid_base + added_rows
-    md["snapshots"].append(snapshot)
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"snapshot-id": snap_id, "timestamp-ms": ts}
-    ]
-    md["metadata-log"] = md.get("metadata-log", []) + [
-        {"metadata-file": os.path.join(meta_dir, f"v{version}.metadata.json"),
-         "timestamp-ms": int(md["last-updated-ms"])}
-    ]
-    md["current-snapshot-id"] = snap_id
-    md["last-sequence-number"] = seq
-    md["last-updated-ms"] = ts
-    if "main" in (md.get("refs") or {}):
-        md["refs"]["main"]["snapshot-id"] = snap_id
-    _publish(meta_dir, version, md)
-    return md
+    return snapshot
 
 
 def merge_into(
@@ -1403,6 +1438,7 @@ def merge_into(
     when_matched: str | None = "update",
     matched_condition: str | None = None,
     when_not_matched: str | None = "insert",
+    committer=None,
 ) -> dict:
     """MERGE INTO on the native path, one published snapshot
     (:func:`commit_merge`): the equality-delete half hides the old row
@@ -1505,12 +1541,14 @@ def merge_into(
     if not data_files and not delete_files:
         return md  # nothing qualified: no-op, nothing published
     if not delete_files:
-        return commit_append(table_dir, data_files, timestamp_ms=timestamp_ms)
+        return commit_append(table_dir, data_files, timestamp_ms=timestamp_ms,
+                             committer=committer)
     if not data_files:  # delete-only merge: plain row-level delete commit
         return commit_delete_files(table_dir, delete_files,
-                                   timestamp_ms=timestamp_ms)
+                                   timestamp_ms=timestamp_ms,
+                                   committer=committer)
     return commit_merge(table_dir, data_files, delete_files,
-                        timestamp_ms=timestamp_ms)
+                        timestamp_ms=timestamp_ms, committer=committer)
 
 
 def _norm_predicates(predicate) -> list[tuple]:
@@ -1537,6 +1575,7 @@ def delete_where(
     table_dir: str,
     predicate,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """DELETE FROM ... WHERE — predicates over the merge-on-read scan:
     resolve the matching rows' physical (file, position) pairs — so rows
@@ -1594,7 +1633,7 @@ def delete_where(
 
         return delete_where_dv(
             spark, table_dir, plan, rows.select("__file", "__pos"),
-            version, timestamp_ms=timestamp_ms,
+            version, timestamp_ms=timestamp_ms, committer=committer,
         )
     hits = (
         rows.select(F.col("__file").alias("file_path"),
@@ -1615,7 +1654,7 @@ def delete_where(
         "file_path": dp,
         "record_count": n,
         "file_size_in_bytes": os.path.getsize(dp),
-    }], timestamp_ms=timestamp_ms)
+    }], timestamp_ms=timestamp_ms, committer=committer)
     return {"rows_deleted": int(n),
             "snapshot_id": int(md["current-snapshot-id"])}
 
@@ -1626,6 +1665,7 @@ def update_where(
     set_exprs: dict[str, object],
     predicate,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """UPDATE ... SET ... WHERE — row-level update over the merge-on-read
     scan: resolve the matching LIVE rows (same predicate shapes as
@@ -1710,6 +1750,7 @@ def update_where(
         out = delete_where_dv(
             spark, table_dir, plan, rows.select("__file", "__pos"),
             version, timestamp_ms=timestamp_ms, add_data_files=data_files,
+            committer=committer,
         )
         return {"rows_updated": n, "snapshot_id": out["snapshot_id"]}
 
@@ -1726,7 +1767,7 @@ def update_where(
         "file_path": dp,
         "record_count": n,
         "file_size_in_bytes": os.path.getsize(dp),
-    }], timestamp_ms=timestamp_ms)
+    }], timestamp_ms=timestamp_ms, committer=committer)
     return {"rows_updated": n,
             "snapshot_id": int(new_md["current-snapshot-id"])}
 
@@ -1834,38 +1875,19 @@ def create_table(
 _LEGAL_WIDENINGS = {("int", "long"), ("float", "double")}
 
 
-def update_schema(
-    table_dir: str,
+def build_evolved_schema(
+    md: dict,
     add: list[tuple] | None = None,
     drop: list[str] | None = None,
     rename: dict[str, str] | None = None,
-    timestamp_ms: int | None = None,
     widen: dict[str, str] | None = None,
-) -> dict:
-    """ALTER TABLE schema evolution (spec § Schema Evolution): publish a new
-    schema version — columns added get FRESH field ids (never reused, so
-    old data files resolve by id), drops remove the field from the current
-    schema only (historical schemas stay in ``schemas`` for time travel),
-    renames keep the field id (rename is metadata-only). The new schema
-    becomes ``current-schema-id`` in a new metadata version; no snapshot is
-    created (schema changes are not data changes).
-
-    ``add`` tuples are ``(name, type)`` or — v3 tables only —
-    ``(name, type, default)`` (spec § Default values): the default is
-    stored as the field's ``initial-default`` AND ``write-default``;
-    scans serve it for rows in files written BEFORE the column existed
-    (per-file resolution via the adding snapshot's schema-id), while
-    explicitly-written NULLs in newer files stay NULL.
-
-    ``widen`` promotes a column's type in place (same field id), limited
-    to the spec's legal promotions: ``int -> long`` and ``float ->
-    double``. Files written at the narrow width keep reading correctly —
-    the scan switches to an explicit promoted read schema and bound
-    decoding is buffer-width-aware.
-    """
-    table_dir = _local_path(table_dir.rstrip("/"))
-    meta_dir = os.path.join(table_dir, "metadata")
-    version, md = _read_meta(meta_dir)
+) -> tuple[list[dict], int]:
+    """The pure half of schema evolution, shared by the filesystem face
+    (:func:`update_schema`) and the REST face (``rest_update_schema``) so
+    the two faces cannot drift on validation: fresh ids for adds (never
+    reused), id-stable renames, legal-promotion-only widens, and the
+    partition-source drop guard. Returns (new field list, last column
+    id)."""
     cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     fields = [dict(f) for f in cur["fields"]]
     names = {f["name"] for f in fields}
@@ -1929,6 +1951,44 @@ def update_schema(
                if default is not None else {}),
         })
         names.add(name)
+    return fields, last_id
+
+
+def update_schema(
+    table_dir: str,
+    add: list[tuple] | None = None,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    timestamp_ms: int | None = None,
+    widen: dict[str, str] | None = None,
+) -> dict:
+    """ALTER TABLE schema evolution (spec § Schema Evolution): publish a new
+    schema version — columns added get FRESH field ids (never reused, so
+    old data files resolve by id), drops remove the field from the current
+    schema only (historical schemas stay in ``schemas`` for time travel),
+    renames keep the field id (rename is metadata-only). The new schema
+    becomes ``current-schema-id`` in a new metadata version; no snapshot is
+    created (schema changes are not data changes).
+
+    ``add`` tuples are ``(name, type)`` or — v3 tables only —
+    ``(name, type, default)`` (spec § Default values): the default is
+    stored as the field's ``initial-default`` AND ``write-default``;
+    scans serve it for rows in files written BEFORE the column existed
+    (per-file resolution via the adding snapshot's schema-id), while
+    explicitly-written NULLs in newer files stay NULL.
+
+    ``widen`` promotes a column's type in place (same field id), limited
+    to the spec's legal promotions: ``int -> long`` and ``float ->
+    double``. Files written at the narrow width keep reading correctly —
+    the scan switches to an explicit promoted read schema and bound
+    decoding is buffer-width-aware.
+    """
+    table_dir = _local_path(table_dir.rstrip("/"))
+    meta_dir = os.path.join(table_dir, "metadata")
+    version, md = _read_meta(meta_dir)
+    fields, last_id = build_evolved_schema(
+        md, add=add, drop=drop, rename=rename, widen=widen
+    )
     new_schema = {
         "type": "struct",
         "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
@@ -2214,6 +2274,7 @@ def append_dataframe(
     branch: str | None = None,
     extra_summary: dict[str, str] | None = None,
     extra_properties: dict[str, str] | None = None,
+    committer=None,
 ) -> dict:
     """INSERT INTO: write ``df`` into the table's data dir with real
     per-file statistics (:func:`write_dataframe_files`) and commit the
@@ -2221,7 +2282,8 @@ def append_dataframe(
     the scan planner's zone-map pruning, so an inserted-then-queried
     table prunes like an engine-written one. ``branch=`` stages the
     commit on a named branch (write-audit-publish); see
-    :func:`commit_append` and :func:`fast_forward`."""
+    :func:`commit_append` and :func:`fast_forward`. ``committer`` routes
+    the publish through another catalog face (``RestCommitter``)."""
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     version, md = _read_meta(meta_dir)
@@ -2231,7 +2293,67 @@ def append_dataframe(
     files = write_dataframe_files(spark, df, md, batch_dir, mode="overwrite")
     return commit_append(table_dir, files, timestamp_ms=timestamp_ms,
                          branch=branch, extra_summary=extra_summary,
-                         extra_properties=extra_properties)
+                         extra_properties=extra_properties,
+                         committer=committer)
+
+
+def build_evolved_partition_spec(
+    md: dict,
+    add_identity: list[str] | None = None,
+    add_fields: list[tuple[str, str, str]] | None = None,
+    drop_fields: list[str] | None = None,
+) -> tuple[list[dict], int]:
+    """The pure half of partition evolution, shared by the filesystem face
+    (:func:`update_partition_spec`) and the REST face
+    (``rest_update_partition_spec``): fresh partition field ids (never
+    reused), one (source, transform) pair per spec, DDL-time transform/
+    type validation. Returns (new partition field list, last partition
+    id)."""
+    from iceberg_meta_spark.sources.iceberg_transforms import (
+        parse_transform,
+        result_avro_type,
+    )
+
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: f for f in schema["fields"]}
+    cur_spec = next(
+        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    )
+    new_fields = [dict(f) for f in cur_spec["fields"]]
+    for fname in drop_fields or []:
+        if not any(f["name"] == fname for f in new_fields):
+            raise KeyError(
+                f"no partition field {fname!r} in the current spec "
+                f"(fields: {[f['name'] for f in new_fields]})"
+            )
+        new_fields = [f for f in new_fields if f["name"] != fname]
+    existing = {(f["source-id"], f["transform"]) for f in new_fields}
+    last_pid = int(md.get("last-partition-id", 999))
+    additions = [(name, "identity", name) for name in (add_identity or [])]
+    additions += [tuple(t) for t in (add_fields or [])]
+    _check_partition_names(
+        additions,
+        set(by_name),
+        taken_names={f["name"] for f in new_fields},
+    )
+    for fname, transform, src in additions:
+        parse_transform(transform)
+        if src not in by_name:
+            raise KeyError(f"no column {src!r} to partition by")
+        # reject unsupported (transform, type) pairs at DDL time
+        result_avro_type(transform, by_name[src].get("type", "long"))
+        key = (by_name[src]["id"], transform)
+        if key in existing:
+            raise ValueError(
+                f"({src!r}, {transform!r}) already partitions the table"
+            )
+        existing.add(key)
+        last_pid += 1
+        new_fields.append(
+            {"name": fname, "transform": transform,
+             "source-id": by_name[src]["id"], "field-id": last_pid}
+        )
+    return new_fields, last_pid
 
 
 def update_partition_spec(
@@ -2257,51 +2379,13 @@ def update_partition_spec(
     transform) pair may appear only once across the new spec. No snapshot
     is created.
     """
-    from iceberg_meta_spark.sources.iceberg_transforms import parse_transform
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     version, md = _read_meta(meta_dir)
-    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
-    by_name = {f["name"]: f for f in schema["fields"]}
-    cur_spec = next(
-        s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"]
+    new_fields, last_pid = build_evolved_partition_spec(
+        md, add_identity=add_identity, add_fields=add_fields,
+        drop_fields=drop_fields,
     )
-    new_fields = [dict(f) for f in cur_spec["fields"]]
-    for fname in drop_fields or []:
-        if not any(f["name"] == fname for f in new_fields):
-            raise KeyError(
-                f"no partition field {fname!r} in the current spec "
-                f"(fields: {[f['name'] for f in new_fields]})"
-            )
-        new_fields = [f for f in new_fields if f["name"] != fname]
-    existing = {(f["source-id"], f["transform"]) for f in new_fields}
-    last_pid = int(md.get("last-partition-id", 999))
-    from iceberg_meta_spark.sources.iceberg_transforms import result_avro_type
-
-    additions = [(name, "identity", name) for name in (add_identity or [])]
-    additions += [tuple(t) for t in (add_fields or [])]
-    _check_partition_names(
-        additions,
-        set(by_name),
-        taken_names={f["name"] for f in new_fields},
-    )
-    for fname, transform, src in additions:
-        parse_transform(transform)
-        if src not in by_name:
-            raise KeyError(f"no column {src!r} to partition by")
-        # reject unsupported (transform, type) pairs at DDL time
-        result_avro_type(transform, by_name[src].get("type", "long"))
-        key = (by_name[src]["id"], transform)
-        if key in existing:
-            raise ValueError(
-                f"({src!r}, {transform!r}) already partitions the table"
-            )
-        existing.add(key)
-        last_pid += 1
-        new_fields.append(
-            {"name": fname, "transform": transform,
-             "source-id": by_name[src]["id"], "field-id": last_pid}
-        )
     new_spec = {
         "spec-id": max(s["spec-id"] for s in md["partition-specs"]) + 1,
         "fields": new_fields,
@@ -2324,6 +2408,29 @@ def update_partition_spec(
     return md
 
 
+def build_sort_order_fields(md: dict, sort_by: list) -> list[dict]:
+    """The pure half of sort-order evolution, shared by the filesystem
+    face (:func:`update_sort_order`) and the REST face
+    (``rest_update_sort_order``): column resolution + direction/null-order
+    validation per spec defaults."""
+    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
+    fields = []
+    for item in sort_by:
+        col, direction = (item, "asc") if isinstance(item, str) else item
+        if col not in by_name:
+            raise KeyError(f"no column {col!r} to sort by")
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
+        fields.append({
+            "transform": "identity",
+            "source-id": by_name[col],
+            "direction": direction,
+            "null-order": "nulls-first" if direction == "asc" else "nulls-last",
+        })
+    return fields
+
+
 def update_sort_order(
     table_dir: str,
     sort_by: list,
@@ -2342,21 +2449,7 @@ def update_sort_order(
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
     version, md = _read_meta(meta_dir)
-    schema = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
-    by_name = {f["name"]: int(f["id"]) for f in schema["fields"]}
-    fields = []
-    for item in sort_by:
-        col, direction = (item, "asc") if isinstance(item, str) else item
-        if col not in by_name:
-            raise KeyError(f"no column {col!r} to sort by")
-        if direction not in ("asc", "desc"):
-            raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
-        fields.append({
-            "transform": "identity",
-            "source-id": by_name[col],
-            "direction": direction,
-            "null-order": "nulls-first" if direction == "asc" else "nulls-last",
-        })
+    fields = build_sort_order_fields(md, sort_by)
     order = {
         "order-id": max((o["order-id"] for o in md.get("sort-orders", [])),
                         default=0) + 1,
@@ -2477,6 +2570,44 @@ def manage_ref(
     return md
 
 
+def resolve_fast_forward(md: dict, name: str, from_ref: str) -> tuple:
+    """The pure half of :func:`fast_forward`, shared with the REST face
+    (``rest_fast_forward``): resolve (source head, target head) and raise
+    unless the target head is an ancestor of the source head (publishing
+    over a diverged target would silently drop its commits)."""
+    refs = dict(md.get("refs") or {})
+    if from_ref in refs:
+        src = int(refs[from_ref]["snapshot-id"])
+    elif from_ref == "main" and md.get("current-snapshot-id") is not None:
+        src = int(md["current-snapshot-id"])  # implicit main head
+    else:
+        raise KeyError(f"no ref {from_ref!r} on table")
+    if name == "main":
+        tgt = md.get("current-snapshot-id")
+    elif name in refs:
+        if refs[name].get("type") != "branch":
+            raise ValueError(f"ref {name!r} is a tag; cannot fast-forward")
+        tgt = int(refs[name]["snapshot-id"])
+    else:
+        tgt = None  # creating the branch at the source head
+    if tgt == src:
+        return src, tgt
+    by_id = {int(s["snapshot-id"]): s for s in md.get("snapshots", [])}
+    cur, ok = src, tgt is None
+    while cur is not None and not ok:
+        if cur == tgt:
+            ok = True
+            break
+        cur = by_id.get(cur, {}).get("parent-snapshot-id")
+        cur = int(cur) if cur is not None else None
+    if not ok:
+        raise ValueError(
+            f"cannot fast-forward {name!r} ({tgt}) to {from_ref!r} ({src}): "
+            "target head is not an ancestor of the source head"
+        )
+    return src, tgt
+
+
 def fast_forward(
     table_dir: str,
     name: str,
@@ -2495,35 +2626,9 @@ def fast_forward(
     meta_dir = os.path.join(table_dir, "metadata")
     version, md = _read_meta(meta_dir)
     refs = dict(md.get("refs") or {})
-    if from_ref in refs:
-        src = int(refs[from_ref]["snapshot-id"])
-    elif from_ref == "main" and md.get("current-snapshot-id") is not None:
-        src = int(md["current-snapshot-id"])  # implicit main head
-    else:
-        raise KeyError(f"no ref {from_ref!r} on table")
-    if name == "main":
-        tgt = md.get("current-snapshot-id")
-    elif name in refs:
-        if refs[name].get("type") != "branch":
-            raise ValueError(f"ref {name!r} is a tag; cannot fast-forward")
-        tgt = int(refs[name]["snapshot-id"])
-    else:
-        tgt = None  # creating the branch at the source head
+    src, tgt = resolve_fast_forward(md, name, from_ref)
     if tgt == src:
         return {"updated": False, "from": tgt, "to": src}
-    by_id = {int(s["snapshot-id"]): s for s in md.get("snapshots", [])}
-    cur, ok = src, tgt is None
-    while cur is not None and not ok:
-        if cur == tgt:
-            ok = True
-            break
-        cur = by_id.get(cur, {}).get("parent-snapshot-id")
-        cur = int(cur) if cur is not None else None
-    if not ok:
-        raise ValueError(
-            f"cannot fast-forward {name!r} ({tgt}) to {from_ref!r} ({src}): "
-            "target head is not an ancestor of the source head"
-        )
     ts = timestamp_ms if timestamp_ms is not None else int(md["last-updated-ms"]) + 1
     refs[name] = {"snapshot-id": src, "type": "branch"}
     md["refs"] = refs
