@@ -1550,3 +1550,59 @@ def default_changelog_updates_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_rest_dml_table(spark) -> str:
+    """A table whose ENTIRE write history — INSERT, row-level DELETE,
+    UPDATE, MERGE, compaction, snapshot expiry — committed THROUGH the
+    REST-catalog protocol (api.register_rest_table + api.sql against the
+    loopback CAS server): every snapshot publishes as an updateTable
+    ``add-snapshot`` + ``set-snapshot-ref``, the expiry as the spec's
+    ``remove-snapshots`` action. Closed form: ids 0..19 at val = 10*id,
+    minus the DELETEd 4..6, with UPDATE +1 on ids >= 18, MERGE upsert
+    (2 -> 555) and insert (100 -> 1000); compaction absorbs the deletes
+    and expiry leaves exactly ONE snapshot (asserted), so the scan serves
+    18 rows from the compacted layout."""
+    import tempfile
+
+    from iceberg_meta_spark import api
+    from iceberg_meta_spark.sources.iceberg_rest import (
+        RestCatalog,
+        rest_expire_snapshots,
+    )
+    from iceberg_meta_spark.sources.iceberg_rest_mock import (
+        LoopbackRestCatalog,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import create_table
+
+    base = os.path.join(tempfile.gettempdir(),
+                        "iceberg_meta_native_fixture_rest_dml_v1")
+    table = os.path.join(base, "rest_dml")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")])
+    with LoopbackRestCatalog() as server:
+        catalog = RestCatalog(server.uri)
+        server.register("ns.dml", table)
+        api.register_rest_table(spark, catalog, "ns.dml", "rest_dml_fx")
+        api.sql(spark, "INSERT INTO rest_dml_fx SELECT id, id * 10 "
+                       "FROM range(0, 10)")
+        api.sql(spark, "INSERT INTO rest_dml_fx SELECT id, id * 10 "
+                       "FROM range(10, 20)")
+        api.sql(spark, "DELETE FROM rest_dml_fx WHERE id BETWEEN 4 AND 6")
+        api.sql(spark, "UPDATE rest_dml_fx SET val = val + 1 WHERE id >= 18")
+        spark.createDataFrame([(2, 555), (100, 1000)], "id long, val long") \
+            .createOrReplaceTempView("rest_dml_fx_src")
+        api.sql(spark, "MERGE INTO rest_dml_fx USING rest_dml_fx_src ON id")
+        out = api.sql(spark,
+                      "CALL rewrite_data_files('rest_dml_fx')").collect()[0]
+        assert int(out.rewritten_files) >= 2, out
+        res = rest_expire_snapshots(catalog, "ns.dml", keep_last=1)
+        assert len(res["expired_snapshot_ids"]) == 5, res
+        _, md = catalog.load_table("ns.dml")
+        assert len(md["snapshots"]) == 1, md["snapshots"]
+        assert md["snapshots"][0]["summary"]["operation"] == "replace"
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table
