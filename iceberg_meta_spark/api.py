@@ -920,17 +920,18 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
 
     - ``INSERT INTO t VALUES (1, 'a'), (2, 'b')`` — positional against the
       table schema; also ``INSERT INTO t SELECT ...``.
-    - ``DELETE FROM t WHERE <pred> [AND <pred> ...]`` where each ``<pred>``
-      is ``col = v`` / ``col >= v`` / ``col <= v`` / ``col > v`` /
-      ``col < v`` / ``col BETWEEN lo AND hi`` — strict bounds run as the
-      closed hull at file-prune granularity plus a strict residual row
-      filter; the conjunction executes as one row-level delete commit
-      (position deletes on v2 tables, deletion vectors on v3).
-    - ``UPDATE t SET col = <expr>[, col2 = <expr>] WHERE <pred> [AND ...]``
-      — ``<expr>`` is a Spark SQL expression over the row's columns; the
-      matched rows are rewritten and the old versions hidden in ONE
-      atomic snapshot (position deletes + data on v2, deletion vectors +
-      data on v3).
+    - ``DELETE FROM t WHERE <expr>`` — ``<expr>`` is ANY Spark SQL
+      boolean expression (``OR``, ``IN``, ``!=``, functions,
+      cross-column predicates included). Interval conjuncts
+      (``col =/>=/<=/>/< literal``, ``BETWEEN``) drive zone-map FILE
+      pruning; everything else runs as the residual row filter over the
+      merge-on-read scan. One row-level delete commit (position deletes
+      on v2 tables, deletion vectors on v3).
+    - ``UPDATE t SET col = <expr>[, col2 = <expr>] WHERE <expr>`` — SET
+      expressions are Spark SQL over the row's columns; the WHERE takes
+      the same arbitrary-expression dialect as DELETE. Matched rows are
+      rewritten and the old versions hidden in ONE atomic snapshot
+      (position deletes + data on v2, deletion vectors + data on v3).
     - ``MERGE INTO t USING src ON k1[, k2...]`` — upsert whole rows of the
       registered view/table ``src`` keyed on the named columns: matched
       keys replace, new keys insert, one snapshot. Optional clauses:
@@ -1028,7 +1029,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         name, clause = m.group(1), m.group(2)
         table_dir = _table_dir(name)
-        out = delete_where(spark, table_dir, _parse_where(clause),
+        out = delete_where(spark, table_dir, _sql_predicate(clause),
                            committer=_committer(name))
         _refresh(name)
         return _metrics(operation="delete",
@@ -1050,7 +1051,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             if not sm:
                 raise ValueError(f"UPDATE SET needs col = expr, got {part!r}")
             set_exprs[sm.group(1)] = sm.group(2).strip()
-        out = update_where(spark, table_dir, set_exprs, _parse_where(where),
+        out = update_where(spark, table_dir, set_exprs, _sql_predicate(where),
                            committer=_committer(name))
         _refresh(name)
         return _metrics(operation="update",
@@ -1311,64 +1312,25 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _parse_literal(tok: str):
-    tok = tok.strip()
-    import re
+    from iceberg_meta_spark.sources.iceberg_write import parse_sql_literal
 
-    if re.fullmatch(r"'[^']*'", tok):
-        return tok[1:-1]
-    if re.fullmatch(r"-?\d+", tok):
-        return int(tok)
-    if re.fullmatch(r"-?\d+\.\d+", tok):
-        return float(tok)
-    raise ValueError(f"unsupported literal {tok!r}")
+    return parse_sql_literal(tok)
 
 
-def _parse_where(clause: str) -> list[tuple]:
-    """Parse an AND-composed DELETE WHERE conjunction into the engine's
-    (col, lo, hi, lo_strict, hi_strict) predicate list. Each conjunct is
-    one of ``col = v``, ``col >= v``, ``col <= v``, ``col > v``,
-    ``col < v``, ``col BETWEEN lo AND hi`` (literals: 'string', int,
-    float). BETWEEN's inner AND binds tighter than the conjunction's —
-    matched first at each position."""
-    import re
+def _sql_predicate(clause: str):
+    """DELETE/UPDATE WHERE dialect (r12 — the clause is ANY Spark SQL
+    boolean expression): an AND-composed interval conjunction parses into
+    the engine's 5-tuples (file pruning + row filter in one shape);
+    anything else — ``OR``, ``IN``, ``!=``, functions, cross-column
+    predicates — passes through as the expression STRING, which the
+    engine runs as the residual row filter while still pruning files on
+    any extractable interval conjunct (iceberg_write._predicate_plan)."""
+    from iceberg_meta_spark.sources.iceberg_write import parse_where_intervals
 
-    lit = r"'[^']*'|-?\d+(?:\.\d+)?"
-    tok_between = re.compile(
-        rf"(\w+)\s+BETWEEN\s+({lit})\s+AND\s+({lit})", re.IGNORECASE)
-    tok_cmp = re.compile(rf"(\w+)\s*(>=|<=|=|<|>)\s*({lit})")
-    tok_and = re.compile(r"\s*AND\s+", re.IGNORECASE)
-    s = clause.strip()
-    preds: list[tuple] = []
-    pos = 0
-    while True:
-        m = tok_between.match(s, pos)
-        if m:
-            preds.append((m.group(1), _parse_literal(m.group(2)),
-                          _parse_literal(m.group(3)), False, False))
-        else:
-            m = tok_cmp.match(s, pos)
-            if not m:
-                raise ValueError(
-                    f"unsupported DELETE WHERE predicate at: {s[pos:]!r} "
-                    "(use col =/>=/<=/>/< literal or col BETWEEN lo AND hi, "
-                    "AND-composed)"
-                )
-            col, op, rhs = m.group(1), m.group(2), m.group(3)
-            v = _parse_literal(rhs)
-            preds.append({
-                "=": (col, v, v, False, False),
-                ">=": (col, v, None, False, False),
-                "<=": (col, None, v, False, False),
-                ">": (col, v, None, True, False),
-                "<": (col, None, v, False, True),
-            }[op])
-        pos = m.end()
-        if pos >= len(s):
-            return preds
-        m = tok_and.match(s, pos)
-        if not m:
-            raise ValueError(f"expected AND between predicates at: {s[pos:]!r}")
-        pos = m.end()
+    try:
+        return parse_where_intervals(clause)
+    except ValueError:
+        return clause.strip()
 
 
 def _call_procedure(spark, proc: str, arg_str: str,

@@ -1968,6 +1968,36 @@ def iceberg_rest_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_native_delete_expr",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS id,
+               CAST(CASE WHEN i IN (8, 9) THEN -1 ELSE i * 10 END
+                    AS BIGINT) AS val
+        FROM range(3, 17) t(i) ORDER BY id
+    """,
+    doc="the r12 arbitrary-WHERE dialect (iceberg_write._predicate_plan "
+    "+ delete_where/update_where residual filters): DELETE WHERE "
+    "id < 3 OR id >= 17 (top-level OR — zero implied conjuncts, pruning "
+    "degrades conservatively to the residual row filter) and UPDATE SET "
+    "val = -1 WHERE id IN (8, 9) AND val >= 0 (IN as residual, the "
+    "val >= 0 conjunct still prunes files) on a v3 table — both publish "
+    "deletion vectors. Gated: survivors 3..16 with the two rewritten "
+    "vals. Conjunct-extraction unit pins + the SQL face (OR/IN/!=/"
+    "cross-column) in tests/test_update_where.py",
+)
+def iceberg_native_delete_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_meta_spark.sources.iceberg_fixture import (
+        default_delete_expr_table,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import scan_table
+
+    return (
+        scan_table(spark, default_delete_expr_table(spark))
+        .select("id", "val").orderBy("id")
+    )
+
+
+@register(
     "iceberg_rest_dml_scan",
     oracle="""
         SELECT CAST(i AS BIGINT) AS id,

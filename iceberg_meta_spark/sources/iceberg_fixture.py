@@ -1606,3 +1606,47 @@ def default_rest_dml_table(spark) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return table
+
+
+def default_delete_expr_table(spark) -> str:
+    """A v3 table exercising the r12 arbitrary-WHERE dialect: ids 0..19
+    (val = 10*id), then ``DELETE WHERE id < 3 OR id >= 17`` (a top-level
+    OR — no interval conjunct is implied, so pruning degrades to the
+    residual row filter over every file) and ``UPDATE SET val = -1 WHERE
+    id IN (8, 9) AND val >= 0`` (the IN runs as residual; the ``val >= 0``
+    conjunct still prunes). Closed form: ids 3..16 survive, vals 10*id
+    except -1 at ids 8 and 9; both commits publish deletion vectors."""
+    import tempfile
+
+    from iceberg_meta_spark.sources.iceberg_write import (
+        append_dataframe,
+        create_table,
+        delete_where,
+        update_where,
+    )
+
+    base = os.path.join(tempfile.gettempdir(),
+                        "iceberg_meta_native_fixture_delete_expr_v1")
+    table = os.path.join(base, "t")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return table
+    ts = 1713139200000
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")],
+                 format_version=3)
+    for bi, ids in enumerate((range(0, 10), range(10, 20))):
+        append_dataframe(
+            spark,
+            spark.createDataFrame([(i, i * 10) for i in ids],
+                                  "id long, val long").coalesce(1),
+            table, timestamp_ms=ts + 60_000 * (bi + 1))
+    out = delete_where(spark, table, "id < 3 OR id >= 17",
+                       timestamp_ms=ts + 180_000)
+    assert out["rows_deleted"] == 6, out
+    out = update_where(spark, table, {"val": "-1"},
+                       "id IN (8, 9) AND val >= 0",
+                       timestamp_ms=ts + 240_000)
+    assert out["rows_updated"] == 2, out
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return table

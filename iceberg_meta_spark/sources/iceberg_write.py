@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import uuid
 
@@ -1551,6 +1552,128 @@ def merge_into(
                         timestamp_ms=timestamp_ms, committer=committer)
 
 
+def parse_sql_literal(tok: str):
+    """'string' / int / float SQL literal -> Python value (the subset the
+    WHERE interval dialect and the api.sql DDL parsers accept)."""
+    tok = tok.strip()
+    if re.fullmatch(r"'[^']*'", tok):
+        return tok[1:-1]
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return float(tok)
+    raise ValueError(f"unsupported literal {tok!r}")
+
+
+def parse_where_intervals(clause: str) -> list[tuple]:
+    """Parse an AND-composed WHERE conjunction into the engine's
+    (col, lo, hi, lo_strict, hi_strict) predicate list. Each conjunct is
+    one of ``col = v``, ``col >= v``, ``col <= v``, ``col > v``,
+    ``col < v``, ``col BETWEEN lo AND hi`` (literals: 'string', int,
+    float). BETWEEN's inner AND binds tighter than the conjunction's —
+    matched first at each position. Raises ValueError on anything else;
+    callers with arbitrary expressions fall back to
+    :func:`split_where_conjuncts` + a residual row filter."""
+    lit = r"'[^']*'|-?\d+(?:\.\d+)?"
+    tok_between = re.compile(
+        rf"(\w+)\s+BETWEEN\s+({lit})\s+AND\s+({lit})", re.IGNORECASE)
+    tok_cmp = re.compile(rf"(\w+)\s*(>=|<=|=|<|>)\s*({lit})")
+    tok_and = re.compile(r"\s*AND\s+", re.IGNORECASE)
+    s = clause.strip()
+    preds: list[tuple] = []
+    pos = 0
+    while True:
+        m = tok_between.match(s, pos)
+        if m:
+            preds.append((m.group(1), parse_sql_literal(m.group(2)),
+                          parse_sql_literal(m.group(3)), False, False))
+        else:
+            m = tok_cmp.match(s, pos)
+            if not m:
+                raise ValueError(
+                    f"not an interval conjunction at: {s[pos:]!r} "
+                    "(use col =/>=/<=/>/< literal or col BETWEEN lo AND hi, "
+                    "AND-composed)"
+                )
+            col, op, rhs = m.group(1), m.group(2), m.group(3)
+            v = parse_sql_literal(rhs)
+            preds.append({
+                "=": (col, v, v, False, False),
+                ">=": (col, v, None, False, False),
+                "<=": (col, None, v, False, False),
+                ">": (col, v, None, True, False),
+                "<": (col, None, v, False, True),
+            }[op])
+        pos = m.end()
+        if pos >= len(s):
+            return preds
+        m = tok_and.match(s, pos)
+        if not m:
+            raise ValueError(f"expected AND between predicates at: {s[pos:]!r}")
+        pos = m.end()
+
+
+def split_where_conjuncts(clause: str) -> list[str]:
+    """Split a boolean expression into its TOP-LEVEL AND conjuncts —
+    respecting parens and string literals — or return [] when a top-level
+    OR makes conjunct extraction unsound (every AND would then live under
+    the OR, so no conjunct is implied by the whole expression)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth, in_str = 0, False
+    tokens = re.split(r"(\s+|\(|\)|')", clause)
+    has_or = False
+    for tok in tokens:
+        if tok == "'":
+            in_str = not in_str
+            buf.append(tok)
+            continue
+        if not in_str:
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0 and tok.upper() == "AND":
+                parts.append("".join(buf))
+                buf = []
+                continue
+            elif depth == 0 and tok.upper() == "OR":
+                has_or = True
+        buf.append(tok)
+    if buf:
+        parts.append("".join(buf))
+    if has_or:
+        return []
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _predicate_plan(predicate) -> tuple[list[tuple], str | None]:
+    """Normalize a DELETE/UPDATE predicate into (interval 5-tuples used
+    for FILE PRUNING, residual SQL applied as the ROW FILTER).
+
+    - tuples / lists of tuples (the programmatic shape): intervals only,
+      no residual — pruning and filtering both ride the intervals.
+    - a string that parses as an interval conjunction: same fast path.
+    - any other string (OR / IN / != / functions / cross-column): the
+      WHOLE expression becomes the residual row filter — correctness
+      never depended on the interval shape — and any top-level AND
+      conjunct that DOES parse as an interval still contributes file
+      pruning (zone-map pruning is conservative, so a partial conjunct
+      set is always sound; a top-level OR yields no conjuncts)."""
+    if isinstance(predicate, str):
+        try:
+            return parse_where_intervals(predicate), None
+        except ValueError:
+            intervals: list[tuple] = []
+            for part in split_where_conjuncts(predicate):
+                try:
+                    intervals.extend(parse_where_intervals(part))
+                except ValueError:
+                    pass
+            return intervals, predicate
+    return _norm_predicates(predicate), None
+
+
 def _norm_predicates(predicate) -> list[tuple]:
     """Normalize DELETE predicates to (col, lo, hi, lo_strict, hi_strict)
     5-tuples. Accepts one 3-tuple (closed interval, the scan planner's
@@ -1585,11 +1708,15 @@ def delete_where(
 
     ``predicate``: ``(col, lo, hi)`` closed interval (``None`` = open
     end), ``(col, lo, hi, lo_strict, hi_strict)`` for strict ``<`` / ``>``
-    bounds, or a LIST of either — a conjunction, ANDed. File pruning uses
-    each predicate's CLOSED hull (a strict bound prunes exactly like its
-    closed twin at file granularity — min/max pruning is conservative
-    either way); strictness is enforced by the residual row filter, the
-    same split every engine's scan does.
+    bounds, a LIST of either (a conjunction, ANDed) — or, r12, ANY Spark
+    SQL boolean expression as a STRING (``OR`` / ``IN`` / ``!=`` /
+    functions / cross-column predicates). File pruning uses each
+    extractable interval conjunct's CLOSED hull (zone-map pruning is
+    conservative, so a partial conjunct set is always sound; a top-level
+    OR prunes nothing); the full expression runs as the residual ROW
+    filter over the merge-on-read scan — the same prune/filter split
+    every engine's scan does, and correctness never depends on the
+    interval shape.
 
     Distributed work: file pruning + the matching scan are the planner's
     own plan; the delete file is written sorted by (file, pos) per the
@@ -1608,23 +1735,30 @@ def delete_where(
     meta_dir = os.path.join(table_dir, "metadata")
     version, md = _read_meta(meta_dir)
 
-    preds = _norm_predicates(predicate)
+    preds, residual = _predicate_plan(predicate)
     plan = plan_scan(
         spark, table_dir,
-        predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds],
+        predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds] or None,
     )
     rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
     if rows is None:
         return {"rows_deleted": 0, "snapshot_id": None}
-    for col, lo, hi, lo_strict, hi_strict in preds:
-        if lo is not None:
-            rows = rows.where(
-                F.col(col) > F.lit(lo) if lo_strict else F.col(col) >= F.lit(lo)
-            )
-        if hi is not None:
-            rows = rows.where(
-                F.col(col) < F.lit(hi) if hi_strict else F.col(col) <= F.lit(hi)
-            )
+    if residual is not None:
+        # the intervals (if any) were implied conjuncts used for file
+        # pruning only; the expression itself is the complete row filter
+        rows = rows.where(F.expr(residual))
+    else:
+        for col, lo, hi, lo_strict, hi_strict in preds:
+            if lo is not None:
+                rows = rows.where(
+                    F.col(col) > F.lit(lo) if lo_strict
+                    else F.col(col) >= F.lit(lo)
+                )
+            if hi is not None:
+                rows = rows.where(
+                    F.col(col) < F.lit(hi) if hi_strict
+                    else F.col(col) <= F.lit(hi)
+                )
     if int(md.get("format-version", 1)) >= 3:
         # v3: the DELETE verb publishes deletion vectors, not parquet
         # position-delete files — per-file roaring bitmaps merged with any
@@ -1669,7 +1803,8 @@ def update_where(
 ) -> dict:
     """UPDATE ... SET ... WHERE — row-level update over the merge-on-read
     scan: resolve the matching LIVE rows (same predicate shapes as
-    :func:`delete_where`), rewrite them with ``set_exprs`` applied
+    :func:`delete_where`, including arbitrary SQL expression strings),
+    rewrite them with ``set_exprs`` applied
     (column -> Spark SQL expression string, or a literal), and publish
     ONE atomic snapshot in which the old versions are hidden and the new
     versions are served:
@@ -1702,23 +1837,28 @@ def update_where(
     if unknown:
         raise KeyError(f"SET columns not in table schema: {unknown}")
 
-    preds = _norm_predicates(predicate)
+    preds, residual = _predicate_plan(predicate)
     plan = plan_scan(
         spark, table_dir,
-        predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds],
+        predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds] or None,
     )
     rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
     if rows is None:
         return {"rows_updated": 0, "snapshot_id": None}
-    for col, lo, hi, lo_strict, hi_strict in preds:
-        if lo is not None:
-            rows = rows.where(
-                F.col(col) > F.lit(lo) if lo_strict else F.col(col) >= F.lit(lo)
-            )
-        if hi is not None:
-            rows = rows.where(
-                F.col(col) < F.lit(hi) if hi_strict else F.col(col) <= F.lit(hi)
-            )
+    if residual is not None:
+        rows = rows.where(F.expr(residual))
+    else:
+        for col, lo, hi, lo_strict, hi_strict in preds:
+            if lo is not None:
+                rows = rows.where(
+                    F.col(col) > F.lit(lo) if lo_strict
+                    else F.col(col) >= F.lit(lo)
+                )
+            if hi is not None:
+                rows = rows.where(
+                    F.col(col) < F.lit(hi) if hi_strict
+                    else F.col(col) <= F.lit(hi)
+                )
 
     updated = rows
     declared = {f["name"]: f["type"] for f in schema["fields"]}

@@ -130,3 +130,82 @@ def test_sql_update_round_trip(spark):
          "even" if 2 <= i < 5 else "a")
         for i in range(10)
     ]
+
+
+def test_predicate_plan_extraction_unit():
+    """r12 WHERE dialect: interval conjunctions take the fast path;
+    arbitrary expressions keep extractable conjuncts for FILE pruning and
+    run the whole expression as the residual; a top-level OR extracts
+    nothing (no conjunct is implied by the disjunction)."""
+    from iceberg_meta_spark.sources.iceberg_write import _predicate_plan
+
+    preds, residual = _predicate_plan("id BETWEEN 3 AND 5 AND tag = 'a'")
+    assert residual is None
+    assert preds == [("id", 3, 5, False, False), ("tag", "a", "a", False, False)]
+
+    preds, residual = _predicate_plan("id IN (1, 2) AND val > 5")
+    assert residual == "id IN (1, 2) AND val > 5"
+    assert preds == [("val", 5, None, True, False)]  # pruning still applies
+
+    preds, residual = _predicate_plan("id = 1 OR tag = 'x AND y'")
+    assert residual and preds == []  # OR: nothing implied, prune nothing
+
+    preds, residual = _predicate_plan("id >= 3 AND (val = 1 OR val = 2)")
+    assert preds == [("id", 3, None, False, False)]
+    assert residual == "id >= 3 AND (val = 1 OR val = 2)"
+
+
+@pytest.mark.parametrize("fv", [2, 3])
+def test_delete_where_arbitrary_expression(spark, fv):
+    """DELETE with OR / IN / != / cross-column predicates — file pruning
+    degrades conservatively, the residual row filter decides, and the
+    commit shape (pos-deletes on v2, DVs on v3) is unchanged."""
+    from iceberg_meta_spark.sources.iceberg_write import delete_where
+
+    table = _table(spark, f"del_expr_v{fv}", format_version=fv)
+    out = delete_where(spark, table, "id < 2 OR id >= 8",
+                       timestamp_ms=_TS + 300_000)
+    assert out["rows_deleted"] == 4
+    got = sorted(r.id for r in scan_table(spark, table).collect())
+    assert got == [2, 3, 4, 5, 6, 7]
+
+    out = delete_where(spark, table, "id IN (3, 5) AND tag != 'z'",
+                       timestamp_ms=_TS + 360_000)
+    assert out["rows_deleted"] == 2
+    got = sorted(r.id for r in scan_table(spark, table).collect())
+    assert got == [2, 4, 6, 7]
+
+    # cross-column predicate
+    out = delete_where(spark, table, "val = id * 10 AND id % 2 = 0",
+                       timestamp_ms=_TS + 420_000)
+    assert out["rows_deleted"] == 3
+    got = sorted(r.id for r in scan_table(spark, table).collect())
+    assert got == [7]
+
+
+def test_update_where_in_list_and_sql_face(spark):
+    """UPDATE ... WHERE col IN (...) both programmatically and through
+    api.sql — the r11 guided error is retired; the arbitrary expression
+    reaches the engine as the residual filter."""
+    from iceberg_meta_spark import api
+
+    table = _table(spark, "upd_expr_sql")
+    out = update_where(spark, table, {"val": "val + 1000"},
+                       "id IN (1, 8)", timestamp_ms=_TS + 300_000)
+    assert out["rows_updated"] == 2
+
+    api.register_table(spark, table, "upd_expr")
+    res = api.sql(
+        spark,
+        "UPDATE upd_expr SET tag = 'hot' WHERE val >= 1000 OR id = 0",
+    ).collect()[0]
+    assert res.rows_updated == "3"
+    rows = {r.id: (r.val, r.tag)
+            for r in spark.sql("SELECT * FROM upd_expr").collect()}
+    assert rows[1] == (1010, "hot") and rows[8] == (1080, "hot")
+    assert rows[0] == (0, "hot") and rows[2] == (20, "a")
+
+    res = api.sql(spark,
+                  "DELETE FROM upd_expr WHERE tag = 'hot'").collect()[0]
+    assert res.rows_deleted == "3"
+    assert spark.sql("SELECT count(*) AS n FROM upd_expr").collect()[0].n == 7
