@@ -936,8 +936,11 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
       registered view/table ``src`` keyed on the named columns: matched
       keys replace, new keys insert, one snapshot. Optional clauses:
       ``WHEN MATCHED [AND <cond>] THEN UPDATE`` / ``WHEN MATCHED
-      [AND <cond>] THEN DELETE`` (``<cond>`` is a Spark SQL expression
-      over the SOURCE row's columns) and ``WHEN NOT MATCHED THEN INSERT``;
+      [AND <cond>] THEN DELETE`` (``<cond>`` is a Spark SQL expression;
+      bare or ``s.``-qualified columns read the SOURCE row, ``t.<col>``
+      reads the matched TARGET row — e.g. ``WHEN MATCHED AND
+      t.updated_at < s.updated_at THEN UPDATE``) and ``WHEN NOT MATCHED
+      THEN INSERT``;
       giving any WHEN clause makes the merge exactly those clauses (e.g.
       a lone ``WHEN MATCHED THEN DELETE`` never inserts).
     - ``CALL <procedure>('t'[, name => value ...])`` — maintenance

@@ -1454,9 +1454,15 @@ def merge_into(
       source rows are not written).
     - ``when_matched=None``: matched source rows are ignored (insert-only
       merge).
-    - ``matched_condition``: SQL expression over the SOURCE row's columns
-      narrowing which matched rows the action applies to (``WHEN MATCHED
-      AND <cond> THEN ...``); non-qualifying matches are left untouched.
+    - ``matched_condition``: SQL expression narrowing which matched rows
+      the action applies to (``WHEN MATCHED AND <cond> THEN ...``);
+      non-qualifying matches are left untouched. Columns referenced bare
+      or as ``s.<col>`` are the SOURCE row's; ``t.<col>`` references the
+      matched TARGET row's value (r12 — the CDC staleness guard ``WHEN
+      MATCHED AND t.updated_at < s.updated_at THEN UPDATE``). When the
+      condition reads target columns, a key matching MORE than one live
+      target row raises (the SQL MERGE cardinality rule — pairing would
+      be ambiguous).
     - ``when_not_matched="insert"`` (default) inserts unmatched source
       rows; ``None`` drops them.
 
@@ -1467,7 +1473,8 @@ def merge_into(
     (deleting an absent key is a no-op); conditional/delete forms split
     matched from unmatched with ONE left join against the target's
     distinct keys — the same single shuffle-on-keys every engine's MERGE
-    pays."""
+    pays. A target-reading condition carries exactly the referenced
+    ``t.*`` columns through that same join (no extra scan or shuffle)."""
     import glob
 
     from pyspark.sql import functions as F
@@ -1496,16 +1503,63 @@ def merge_into(
         # split matched/unmatched with one left join on the target's
         # distinct keys (merge-on-read scan, so already-deleted rows
         # don't count as matches)
+        import re as _re
+
         from iceberg_meta_spark.sources.iceberg_scan import scan_table
 
-        target_keys = (
-            scan_table(spark, table_dir).select(*key_cols).distinct()
-            .withColumn("__matched", F.lit(1))
-        )
+        cond = matched_condition
+        # t.<col> references read the matched TARGET row: carry exactly
+        # those columns through the same left join (aliased __t_* so they
+        # never collide with the source's identically-named columns) and
+        # rewrite the condition onto the joined frame; s.<col> / bare
+        # names stay the source's
+        tcols = sorted(set(_re.findall(r"\bt\.(\w+)", cond))) if cond else []
+        bad = [c for c in tcols if c not in by_name]
+        if bad:
+            raise KeyError(f"t.* columns not in table schema: {bad}")
+        target = scan_table(spark, table_dir)
+        if tcols:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*[F.col(c) for c in key_cols])
+            target_keys = (
+                target.select(*key_cols,
+                              *[F.col(c).alias(f"__t_{c}") for c in tcols])
+                .withColumn("__t_cnt", F.count(F.lit(1)).over(w))
+                .withColumn("__matched", F.lit(1))
+            )
+            cond = _re.sub(r"\bt\.(\w+)", r"__t_\1", cond)
+        else:
+            target_keys = (
+                target.select(*key_cols).distinct()
+                .withColumn("__matched", F.lit(1))
+            )
+        if cond:
+            cond = _re.sub(r"\bs\.(\w+)", r"\1", cond)
         tagged = df.join(target_keys, key_cols, "left")
-        matched = tagged.where(F.col("__matched").isNotNull()).drop("__matched")
-        unmatched = tagged.where(F.col("__matched").isNull()).drop("__matched")
-        hit = matched.where(matched_condition) if matched_condition else matched
+        if tcols:
+            # SQL MERGE cardinality rule: a source row matching >1 target
+            # row cannot evaluate t.* unambiguously — refuse loudly
+            if tagged.where(
+                F.col("__matched").isNotNull() & (F.col("__t_cnt") > 1)
+            ).limit(1).count():
+                raise ValueError(
+                    "MERGE matched_condition reads t.* columns but a key "
+                    "matches more than one live target row — pairing is "
+                    "ambiguous (the ON keys must identify at most one "
+                    "target row, like SQL MERGE's cardinality rule)"
+                )
+        helper_cols = ["__matched", "__t_cnt",
+                       *[f"__t_{c}" for c in tcols]]
+        drop_helpers = [c for c in helper_cols if c in tagged.columns]
+        matched = (tagged.where(F.col("__matched").isNotNull())
+                   .drop(*drop_helpers) if not tcols else
+                   tagged.where(F.col("__matched").isNotNull()))
+        unmatched = tagged.where(F.col("__matched").isNull()).drop(*drop_helpers)
+        hit = matched.where(cond) if cond else matched
+        if tcols:
+            hit = hit.drop(*drop_helpers)
+            matched = matched.drop(*drop_helpers)
         if when_matched == "update":
             insert_rows = hit.unionByName(
                 unmatched if when_not_matched == "insert"
