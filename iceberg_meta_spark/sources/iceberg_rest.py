@@ -54,13 +54,24 @@ class RestCatalogError(RuntimeError):
 class RestCatalog:
     """Minimal spec-compliant REST catalog client: config, load, commit.
 
-    ``ident`` everywhere is ``"namespace.table"`` (single-level
-    namespaces, the common layout; multipart namespaces URL-encode their
-    unit separator per spec — out of scope here)."""
+    ``ident`` everywhere is ``"namespace.table"``. Multipart namespaces
+    are dot-joined in idents (``"a.b.t"`` = table ``t`` in namespace
+    ``a.b``) and URL-encode the spec's ``0x1F`` unit separator in paths
+    (``/v1/namespaces/a%1Fb/tables/t``), per rest-catalog-open-api.yaml's
+    namespace serialization rule."""
 
     def __init__(self, uri: str, timeout_s: float = 10.0):
         self.uri = uri.rstrip("/")
         self.timeout_s = timeout_s
+
+    @staticmethod
+    def _ns_path(ns: str) -> str:
+        """Dotted namespace -> URL path segment: levels joined by the
+        spec's 0x1F unit separator, percent-encoded (``a.b`` ->
+        ``a%1Fb``)."""
+        import urllib.parse
+
+        return urllib.parse.quote(ns.replace(".", "\x1f"), safe="")
 
     # ------------------------------------------------------------ plumbing
     def _request(self, method: str, path: str, body: dict | None = None) -> dict:
@@ -88,6 +99,10 @@ class RestCatalog:
             raise ValueError(f"ident must be 'namespace.table', got {ident!r}")
         return ns, table
 
+    def _table_path(self, ident: str) -> str:
+        ns, table = self._split(ident)
+        return f"/v1/namespaces/{self._ns_path(ns)}/tables/{table}"
+
     # ------------------------------------------------------------- protocol
     def config(self) -> dict:
         return self._request("GET", "/v1/config")
@@ -96,8 +111,7 @@ class RestCatalog:
         """-> (metadata-location, metadata). The metadata is the full
         table-metadata JSON; its ``location`` names the storage root the
         client writes manifests/data under."""
-        ns, table = self._split(ident)
-        out = self._request("GET", f"/v1/namespaces/{ns}/tables/{table}")
+        out = self._request("GET", self._table_path(ident))
         return out.get("metadata-location", ""), out["metadata"]
 
     def commit_table(self, ident: str, requirements: list[dict],
@@ -105,21 +119,26 @@ class RestCatalog:
         """updateTable: CAS commit. Raises RestCommitConflict on 409 (a
         stale requirement — rebase and retry), RestCatalogError otherwise.
         Returns the server's new metadata."""
-        ns, table = self._split(ident)
         out = self._request(
-            "POST", f"/v1/namespaces/{ns}/tables/{table}",
+            "POST", self._table_path(ident),
             {"requirements": requirements, "updates": updates},
         )
         return out["metadata"]
 
-    def list_namespaces(self) -> list[str]:
-        out = self._request("GET", "/v1/namespaces")
+    def list_namespaces(self, parent: str | None = None) -> list[str]:
+        """Namespaces directly under ``parent`` (dotted; None = top
+        level) — the spec's ``GET /v1/namespaces?parent=a%1Fb``."""
+        path = "/v1/namespaces"
+        if parent is not None:
+            path += f"?parent={self._ns_path(parent)}"
+        out = self._request("GET", path)
         return [".".join(n) for n in out.get("namespaces", [])]
 
     def list_tables(self, ns: str) -> list[str]:
-        """Table names in a namespace — the catalog-listing half the
-        reference's recursive warehouse scan serves (catalog.py:145-161)."""
-        out = self._request("GET", f"/v1/namespaces/{ns}/tables")
+        """Table names in a (possibly multipart) namespace — the
+        catalog-listing half the reference's recursive warehouse scan
+        serves (catalog.py:145-161)."""
+        out = self._request("GET", f"/v1/namespaces/{self._ns_path(ns)}/tables")
         return [i["name"] for i in out.get("identifiers", [])]
 
     def create_table(self, ident: str,
@@ -129,7 +148,7 @@ class RestCatalog:
         warehouse and answers with the initial metadata."""
         ns, table = self._split(ident)
         out = self._request(
-            "POST", f"/v1/namespaces/{ns}/tables",
+            "POST", f"/v1/namespaces/{self._ns_path(ns)}/tables",
             {
                 "name": table,
                 "schema": {
@@ -145,11 +164,15 @@ class RestCatalog:
         )
         return out["metadata"]
 
-    def drop_table(self, ident: str) -> None:
-        """dropTable: the catalog forgets the pointer (purge semantics are
-        the caller's remove_orphans problem, like purgeRequested=false)."""
-        ns, table = self._split(ident)
-        self._request("DELETE", f"/v1/namespaces/{ns}/tables/{table}")
+    def drop_table(self, ident: str, purge: bool = False) -> None:
+        """dropTable. ``purge=False`` (default): the catalog forgets the
+        pointer, files stay for remove_orphans. ``purge=True`` sends the
+        spec's ``purgeRequested=true`` — the server deletes the table's
+        data and metadata."""
+        path = self._table_path(ident)
+        if purge:
+            path += "?purgeRequested=true"
+        self._request("DELETE", path)
 
 
 class RestCommitter:

@@ -22,7 +22,10 @@ What it implements:
 Faithful to production layout: a REST catalog owns the POINTER; metadata
 files, manifests, and data live in the warehouse (object storage there,
 the local filesystem here). Tables are seeded with ``register`` from an
-existing filesystem-layout table.
+existing filesystem-layout table. Multipart namespaces arrive with the
+spec's percent-encoded 0x1F unit separator and are stored dotted;
+``GET /v1/namespaces?parent=`` lists one level at a time, and
+``DELETE ...?purgeRequested=true`` removes the table's files.
 
 This is test infrastructure shipped in-package (like Iceberg's own
 ``RESTCatalogAdapter`` test fixture) because the FULL-registry query
@@ -35,7 +38,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from iceberg_meta_spark.sources.iceberg_write import (
@@ -88,16 +93,41 @@ class LoopbackRestCatalog:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _route(self):
+                """(decoded path, query dict): %1F unit separators in
+                namespace segments decode to dots, query split off."""
+                parts = urllib.parse.urlsplit(self.path)
+                path = urllib.parse.unquote(parts.path).replace("\x1f", ".")
+                query = dict(urllib.parse.parse_qsl(parts.query))
+                # parent= also carries the encoded separator
+                if "parent" in query:
+                    query["parent"] = query["parent"].replace("\x1f", ".")
+                return path, query
+
             def do_GET(self):
-                if self.path == "/v1/config":
+                path, query = self._route()
+                if path == "/v1/config":
                     return self._json(200, {"defaults": {}, "overrides": {}})
-                if self.path == "/v1/namespaces":
+                if path == "/v1/namespaces":
+                    # hierarchical listing: namespaces DIRECTLY under
+                    # parent (spec ListNamespaces), derived from the
+                    # registered tables' dotted namespaces
+                    parent = query.get("parent")
+                    prefix = f"{parent}." if parent else ""
                     with mock._lock:
-                        nss = sorted({i.rpartition(".")[0]
-                                      for i in mock._tables})
+                        all_ns = {i.rpartition(".")[0] for i in mock._tables}
+                    children = set()
+                    for ns in all_ns:
+                        if parent is None:
+                            children.add(ns.split(".")[0])
+                        elif ns == parent or ns.startswith(prefix):
+                            rest = ns[len(prefix):]
+                            if rest:
+                                children.add(f"{parent}.{rest.split('.')[0]}")
                     return self._json(200, {
-                        "namespaces": [ns.split(".") for ns in nss]})
-                m = _TABLES_RE.match(self.path)
+                        "namespaces": [ns.split(".")
+                                       for ns in sorted(children)]})
+                m = _TABLES_RE.match(path)
                 if m:
                     ns = m.group(1)
                     with mock._lock:
@@ -109,7 +139,7 @@ class LoopbackRestCatalog:
                         {"namespace": ns.split("."), "name": n}
                         for n in names
                     ]})
-                m = _TABLE_RE.match(self.path)
+                m = _TABLE_RE.match(path)
                 if m:
                     ident = f"{m.group(1)}.{m.group(2)}"
                     entry = mock._tables.get(ident)
@@ -125,7 +155,8 @@ class LoopbackRestCatalog:
                 return self._json(404, {"error": {"message": "no route"}})
 
             def do_POST(self):
-                m = _TABLES_RE.match(self.path)
+                path, _query = self._route()
+                m = _TABLES_RE.match(path)
                 if m:  # createTable
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
@@ -138,7 +169,7 @@ class LoopbackRestCatalog:
                     except (KeyError, ValueError) as e:
                         return self._json(400, {"error": {"message": str(e)}})
                     return self._json(200, out)
-                m = _TABLE_RE.match(self.path)
+                m = _TABLE_RE.match(path)
                 if not m:
                     return self._json(404, {"error": {"message": "no route"}})
                 ident = f"{m.group(1)}.{m.group(2)}"
@@ -164,18 +195,23 @@ class LoopbackRestCatalog:
                 return self._json(200, out)
 
             def do_DELETE(self):
-                m = _TABLE_RE.match(self.path)
+                path, query = self._route()
+                m = _TABLE_RE.match(path)
                 if not m:
                     return self._json(404, {"error": {"message": "no route"}})
                 ident = f"{m.group(1)}.{m.group(2)}"
+                purge = query.get("purgeRequested", "").lower() == "true"
                 with mock._lock:
                     if ident not in mock._tables:
                         return self._json(404, {"error": {
                             "message": f"table {ident} not found",
                             "type": "NoSuchTableException"}})
-                    # the catalog forgets the pointer; files stay for
-                    # remove_orphans (purgeRequested=false semantics)
-                    del mock._tables[ident]
+                    entry = mock._tables.pop(ident)
+                # purgeRequested=true: the server deletes data AND
+                # metadata; otherwise the catalog only forgets the
+                # pointer and files stay for remove_orphans
+                if purge:
+                    shutil.rmtree(entry["dir"], ignore_errors=True)
                 self.send_response(204)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
