@@ -1903,8 +1903,11 @@ def iceberg_native_column_defaults(spark: SparkSession, sf_dir: str) -> DataFram
     "fixture appends ids 0..4 and 5..9 (row ids 0..9, seqs 1 and 2) then "
     "DELETEs 2..6 via deletion vectors: gated result pins that SURVIVORS "
     "KEEP their row ids (MoR deletes never move surviving rows) and the "
-    "per-batch sequence stamp. Write+read round trip, merge/compaction "
-    "id reassignment, and the v2 NULL default in "
+    "per-batch sequence stamp. Write+read round trip, the v2 NULL "
+    "default, and (r12) lineage MATERIALIZATION — compaction/UPDATE "
+    "rewrites write _row_id/_last_updated_sequence_number into the "
+    "replacement parquet so identity survives rewrites, readers "
+    "preferring materialized values per spec — in "
     "tests/test_iceberg_lineage.py; the reference has no v3 story",
 )
 def iceberg_native_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:

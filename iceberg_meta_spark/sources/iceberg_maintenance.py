@@ -550,7 +550,11 @@ def rewrite_data_files(
     scale. Each group coalesces to ONE output task — bounded by
     target_bytes, the same contract a real compaction job sizes for.
     """
-    from iceberg_meta_spark.sources.iceberg_scan import _merged_rows, plan_scan
+    from iceberg_meta_spark.sources.iceberg_scan import (
+        _merged_rows,
+        _with_lineage_columns,
+        plan_scan,
+    )
     from iceberg_meta_spark.sources.iceberg_write import (
         commit_rewrite_files,
         write_dataframe_files,
@@ -621,8 +625,19 @@ def rewrite_data_files(
     add_files: list[dict] = []
     remove_paths: list[str] = []
     out_root = os.path.join(table_dir, "data", f"compact-{version + 1:05d}")
+    # v3 row lineage (spec § Row Lineage): a rewrite MOVES existing rows,
+    # so the replacement files MATERIALIZE _row_id and
+    # _last_updated_sequence_number — row identity survives compaction
+    # (readers prefer the written values over first-row-id derivation);
+    # rows whose source file predates lineage keep NULL and re-derive
+    lineage = int(md.get("format-version", 1)) >= 3
     for gi, group in enumerate(groups):
-        rows = _merged_rows(spark, plan, group)  # deletes applied here
+        if lineage:
+            rows = _merged_rows(spark, plan, group, keep_helpers=True,
+                                keep_lineage_cols=True)
+            rows = _with_lineage_columns(spark, rows, group)
+        else:
+            rows = _merged_rows(spark, plan, group)  # deletes applied here
         if sort_by is not None:
             n_out = max(1, -(-sum(int(f["size"]) for f in group) // target_bytes))
             rows = rows.repartitionByRange(n_out, F.col(sort_by))

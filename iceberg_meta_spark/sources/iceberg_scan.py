@@ -602,6 +602,7 @@ def _merged_rows(
     plan: ScanPlan,
     data_files: list[dict],
     keep_helpers: bool = False,
+    keep_lineage_cols: bool = False,
 ) -> DataFrame | None:
     """Read ``data_files`` (a subset of ``plan.data_files``) and apply the
     plan's position + equality deletes — the merge-on-read core shared by
@@ -610,7 +611,12 @@ def _merged_rows(
     scan. Returns None when ``data_files`` is empty. With ``keep_helpers``
     the ``__file``/``__pos``/``__dseq`` columns survive (the changelog scan
     joins new delete files against them); otherwise the projection keeps
-    the table's declared columns only."""
+    the table's declared columns only. ``keep_lineage_cols`` additionally
+    carries MATERIALIZED ``_row_id`` / ``_last_updated_sequence_number``
+    parquet columns (written by lineage-preserving rewrites) through the
+    projection as ``__mat_row_id`` / ``__mat_lus`` — NULL for files that
+    carry none, so :func:`_with_lineage_columns` can apply the spec's
+    materialized-over-derived precedence."""
     if not data_files:
         return None
     paths = [_norm_path(f["path"]) for f in data_files]
@@ -619,10 +625,16 @@ def _merged_rows(
     # read NULL — without it Spark samples one file's schema and could
     # silently drop a newer batch's added column. A WIDENED table instead
     # reads with the plan's explicit promoted schema (mergeSchema refuses
-    # int32-vs-int64 unions; the explicit wide schema legally upcasts).
+    # int32-vs-int64 unions; the explicit wide schema legally upcasts —
+    # extended with the lineage columns when requested, since an explicit
+    # schema would otherwise drop them).
+    read_schema = getattr(plan, "read_schema", None)
+    if read_schema and keep_lineage_cols:
+        read_schema += (", `_row_id` bigint, "
+                        "`_last_updated_sequence_number` bigint")
     reader = (
-        spark.read.schema(plan.read_schema)
-        if getattr(plan, "read_schema", None)
+        spark.read.schema(read_schema)
+        if read_schema
         else spark.read.option("mergeSchema", "true")
     )
     df = reader.parquet(*paths).select(
@@ -776,7 +788,53 @@ def _merged_rows(
     ]
     if keep_helpers:
         cols += [F.col("__file"), F.col("__pos"), F.col("__dseq")]
+    if keep_lineage_cols:
+        # materialized lineage (spec § Row Lineage: readers use a file's
+        # written _row_id/_last_updated_sequence_number when present,
+        # deriving only for nulls) — absent from every file reads NULL
+        cols += [
+            (F.col("_row_id") if "_row_id" in present
+             else F.lit(None).cast("long")).alias("__mat_row_id"),
+            (F.col("_last_updated_sequence_number")
+             if "_last_updated_sequence_number" in present
+             else F.lit(None).cast("long")).alias("__mat_lus"),
+        ]
     return df.select(*cols)
+
+
+def _with_lineage_columns(
+    spark: SparkSession,
+    out: DataFrame,
+    data_files: list[dict],
+    keep_helpers: bool = False,
+) -> DataFrame:
+    """Append the v3 lineage metadata columns to a helper-carrying frame
+    (from ``_merged_rows(keep_helpers=True, keep_lineage_cols=True)``):
+    ``_row_id`` = the file's materialized value when written, else
+    committed ``first_row_id`` + position; ``_last_updated_sequence_
+    number`` = materialized value else the carrying file's data sequence.
+    One broadcast map join on ``__file`` — zero extra scan passes. Shared
+    by the lineage scan and the lineage-preserving compaction rewrite."""
+    frid_df = spark.createDataFrame(
+        [(_norm_path(f["path"]),
+          int(f["first_row_id"]) if f.get("first_row_id") is not None
+          else None)
+         for f in data_files],
+        "__file string, __frid long",
+    )
+    out = out.join(F.broadcast(frid_df), "__file")
+    rid = F.col("__frid") + F.col("__pos")
+    lus = F.col("__dseq")
+    if "__mat_row_id" in out.columns:
+        rid = F.coalesce(F.col("__mat_row_id"), rid)
+    if "__mat_lus" in out.columns:
+        lus = F.coalesce(F.col("__mat_lus"), lus)
+    out = (out.withColumn("_row_id", rid)
+           .withColumn("_last_updated_sequence_number", lus))
+    drop = ["__frid", "__mat_row_id", "__mat_lus"]
+    if not keep_helpers:
+        drop += ["__file", "__pos", "__dseq"]
+    return out.drop(*[c for c in drop if c in out.columns])
 
 
 def scan_table(
@@ -808,7 +866,8 @@ def scan_table(
     ``__file``) + the parquet row position — zero extra scan passes."""
     plan = plan_scan(spark, table_dir, snapshot_id, version, predicate, ref)
     out = _merged_rows(spark, plan, plan.data_files,
-                       keep_helpers=bool(lineage))
+                       keep_helpers=bool(lineage),
+                       keep_lineage_cols=bool(lineage))
     if out is None:
         ddl = ", ".join(
             f"`{name}` {_ICEBERG_TO_SPARK.get(t, 'string')}"
@@ -818,19 +877,7 @@ def scan_table(
             ddl += ", `_row_id` bigint, `_last_updated_sequence_number` bigint"
         return spark.createDataFrame([], ddl)
     if lineage:
-        frid_df = spark.createDataFrame(
-            [(_norm_path(f["path"]),
-              int(f["first_row_id"]) if f.get("first_row_id") is not None
-              else None)
-             for f in plan.data_files],
-            "__file string, __frid long",
-        )
-        out = (
-            out.join(F.broadcast(frid_df), "__file")
-            .withColumn("_row_id", F.col("__frid") + F.col("__pos"))
-            .withColumn("_last_updated_sequence_number", F.col("__dseq"))
-            .drop("__file", "__pos", "__dseq", "__frid")
-        )
+        out = _with_lineage_columns(spark, out, plan.data_files)
     predicates = (
         [] if predicate is None
         else [predicate] if isinstance(predicate, tuple)

@@ -1891,12 +1891,14 @@ def update_where(
     if unknown:
         raise KeyError(f"SET columns not in table schema: {unknown}")
 
+    fv3 = int(md.get("format-version", 1)) >= 3
     preds, residual = _predicate_plan(predicate)
     plan = plan_scan(
         spark, table_dir,
         predicate=[(c, lo, hi) for c, lo, hi, _, _ in preds] or None,
     )
-    rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True)
+    rows = _merged_rows(spark, plan, plan.data_files, keep_helpers=True,
+                        keep_lineage_cols=fv3)
     if rows is None:
         return {"rows_updated": 0, "snapshot_id": None}
     if residual is not None:
@@ -1927,11 +1929,26 @@ def update_where(
             col, new_val.cast(_ICEBERG_TO_SPARK.get(declared[col], "string"))
         )
 
+    out_cols = list(schema_cols)
+    if fv3:
+        # v3 row lineage: an UPDATE rewrites EXISTING rows, so the new
+        # files MATERIALIZE _row_id (spec: a moved row keeps its id) —
+        # _last_updated_sequence_number is NOT written, so readers derive
+        # it from the new file's data sequence, which IS the update's
+        # (the row was just modified)
+        from iceberg_meta_spark.sources.iceberg_scan import (
+            _with_lineage_columns,
+        )
+
+        updated = _with_lineage_columns(
+            spark, updated, plan.data_files, keep_helpers=True
+        ).drop("_last_updated_sequence_number")
+        out_cols.append("_row_id")
     batch_dir = _claim_batch_dir(
         os.path.join(table_dir, "data", f"update-{version + 1:05d}")
     )
     data_files = write_dataframe_files(
-        spark, updated.select(*schema_cols), md, os.path.join(batch_dir, "rows")
+        spark, updated.select(*out_cols), md, os.path.join(batch_dir, "rows")
     )
     n = sum(int(f["record_count"]) for f in data_files)
     if n == 0:

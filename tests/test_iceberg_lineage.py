@@ -114,10 +114,13 @@ def test_v2_table_reads_null_lineage(spark):
     assert "next-row-id" not in _md(table)
 
 
-def test_compaction_reassigns_row_ids_fresh(spark):
-    """rewrite_data_files on v3: replacement files get FRESH ids (the
-    spec default when the writer does not materialize _row_id columns) —
-    pinned so the behavior is a stated contract, not an accident."""
+def test_compaction_preserves_row_ids(spark):
+    """r12 (advisor r11 #1): rewrite_data_files on v3 MATERIALIZES
+    _row_id and _last_updated_sequence_number into the replacement
+    parquet, so row identity and last-update provenance SURVIVE
+    compaction (spec § Row Lineage: a writer moving existing rows must
+    preserve their lineage; readers prefer materialized values over
+    first-row-id derivation)."""
     from iceberg_meta_spark.sources.iceberg_maintenance import (
         rewrite_data_files,
     )
@@ -126,9 +129,44 @@ def test_compaction_reassigns_row_ids_fresh(spark):
     out = rewrite_data_files(spark, table, timestamp_ms=_TS + 240_000)
     assert out["groups"] >= 1
     md = _md(table)
+    # the manifest still assigns fresh first-row-id to the new file (the
+    # inheritance base for any NULL materialized ids); the MATERIALIZED
+    # column wins for the carried rows
     assert md["snapshots"][-1]["first-row-id"] == 10
-    assert md["next-row-id"] == 20
     rows = scan_table(spark, table, lineage=True).orderBy("id").collect()
-    assert sorted(r._row_id for r in rows) == list(range(10, 20))
+    assert [(r.id, r._row_id) for r in rows] == [(i, i) for i in range(10)]
+    # last-updated provenance also carries: the rows were WRITTEN at
+    # seqs 1 and 2, and compaction did not modify them
+    assert [r._last_updated_sequence_number for r in rows] == [1] * 5 + [2] * 5
     # row VALUES identical pre/post (the compaction contract)
     assert [(r.id, r.val) for r in rows] == [(i, i * 10) for i in range(10)]
+
+
+def test_update_preserves_row_ids_and_stamps_new_seq(spark):
+    """r12: UPDATE ... WHERE on v3 rewrites matched rows with their
+    _row_id MATERIALIZED (identity survives the update) while
+    _last_updated_sequence_number derives from the NEW file's sequence —
+    exactly the spec's semantics for a modified row."""
+    from iceberg_meta_spark.sources.iceberg_write import update_where
+
+    table = _v3(spark, "lin_update")
+    out = update_where(spark, table, {"val": "val + 1"}, ("id", 3, 6),
+                       timestamp_ms=_TS + 240_000)
+    assert out["rows_updated"] == 4
+    rows = {r.id: (r._row_id, r._last_updated_sequence_number, r.val)
+            for r in scan_table(spark, table, lineage=True).collect()}
+    # updated rows keep their identity, carry the update's seq (3)
+    for i in (3, 4, 5, 6):
+        assert rows[i] == (i, 3, i * 10 + 1)
+    # untouched rows keep identity AND their original write seq
+    assert rows[0] == (0, 1, 0) and rows[9] == (9, 2, 90)
+
+    # a compaction AFTER the update still preserves everything
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        rewrite_data_files,
+    )
+
+    rewrite_data_files(spark, table, timestamp_ms=_TS + 300_000)
+    rows2 = {r.id: (r._row_id, r._last_updated_sequence_number, r.val)
+             for r in scan_table(spark, table, lineage=True).collect()}
+    assert rows2 == rows
