@@ -179,8 +179,27 @@ def plan_expiry(
 def apply_snapshot_removal(md: dict, expired_ids: list[int]) -> None:
     """Apply a ``remove-snapshots`` action to table metadata IN PLACE:
     drop the snapshots and their snapshot-log entries. Shared by the
-    filesystem expiry tail and the REST mock server's update handler."""
+    filesystem expiry tail and the REST mock server's update handler.
+
+    Before dropping, each expired snapshot's (sequence-number ->
+    schema-id) pair is preserved in the schema-seq-log table property:
+    the scan resolves every file's WRITE-TIME schema (renames, v3
+    default-absence) through its adding snapshot, and files outlive the
+    snapshots that added them — without this log, expiring a pre-rename
+    snapshot would silently flip its files' renamed columns to NULL
+    (schemas themselves are never dropped from metadata, only the
+    seq -> schema edge was lost)."""
+    from iceberg_meta_spark.sources.iceberg_scan import SCHEMA_SEQ_LOG_PROP
+
     drop = {int(i) for i in expired_ids}
+    props = dict(md.get("properties") or {})
+    log = json.loads(props.get(SCHEMA_SEQ_LOG_PROP, "{}"))
+    for s in md.get("snapshots", []):
+        if int(s["snapshot-id"]) in drop and s.get("schema-id") is not None:
+            log[str(int(s.get("sequence-number", 0)))] = int(s["schema-id"])
+    if log:
+        props[SCHEMA_SEQ_LOG_PROP] = json.dumps(log, sort_keys=True)
+        md["properties"] = props
     md["snapshots"] = [
         s for s in md.get("snapshots", [])
         if int(s["snapshot-id"]) not in drop

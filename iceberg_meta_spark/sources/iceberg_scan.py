@@ -57,6 +57,12 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+# table property carrying expired snapshots' sequence -> schema-id pairs
+# (engine-internal durability extension; see plan_scan and
+# iceberg_maintenance.apply_snapshot_removal)
+SCHEMA_SEQ_LOG_PROP = "iceberg-meta.schema-seq-log"
+
+
 def _norm_path(p: str) -> str:
     """file:///x, file:/x, ///x and /x all normalize to /x — the SAME form
     the Spark-side :func:`_norm_path_col` produces, so the ``__file``
@@ -427,12 +433,22 @@ def plan_scan(
     renames_by_seq: dict[int, dict[str, str]] = {}
     widened = False
     hist_names: dict[str, str] = {}  # every name a current field ever had
+    # name -> owning field id across the schema history; a NAME ever
+    # claimed by two different current fields (drop-then-re-add, swapped
+    # renames) makes the widened-table explicit read schema ambiguous —
+    # an old file's column could be declared at the WRONG field's type.
+    # Ambiguity falls back to the mergeSchema path, whose int32-vs-int64
+    # union refuses LOUDLY instead of decoding garbage.
+    name_owner: dict[str, int] = {}
+    ambiguous_names = False
     if field_defaults or multi_schema:
         schemas_by_id = {s["schema-id"]: s for s in md.get("schemas", [])}
         for ws in md.get("schemas", []):
             for fl in ws["fields"]:
                 fid = int(fl["id"])
                 if fid in current_types:
+                    if name_owner.setdefault(fl["name"], fid) != fid:
+                        ambiguous_names = True
                     hist_names[fl["name"]] = current_types[fid]
                     if (fl["type"] != current_types[fid]
                             and isinstance(fl["type"], str)
@@ -440,11 +456,7 @@ def plan_scan(
                         # a historical schema carries this field NARROWER:
                         # the type was widened (int->long / float->double)
                         widened = True
-        for s in md.get("snapshots", []):
-            ws = schemas_by_id.get(s.get("schema-id"))
-            if ws is None:
-                continue
-            seq_key = int(s.get("sequence-number", 0))
+        def note(seq_key: int, ws: dict) -> None:
             write_names = {int(fl["id"]): fl["name"] for fl in ws["fields"]}
             if field_defaults:
                 absent_by_seq[seq_key] = [
@@ -458,6 +470,26 @@ def plan_scan(
             }
             if ren:
                 renames_by_seq[seq_key] = ren
+
+        for s in md.get("snapshots", []):
+            ws = schemas_by_id.get(s.get("schema-id"))
+            if ws is None:
+                continue
+            note(int(s.get("sequence-number", 0)), ws)
+        # DURABLE seq -> write-schema resolution (r12, advisor r11 #2):
+        # expire_snapshots records each dropped snapshot's (sequence ->
+        # schema-id) pair in the schema-seq-log table property, so files
+        # whose ADDING snapshot was expired still resolve their
+        # write-time renames and default-absence — without it, a rename +
+        # expiry would silently read pre-rename files as NULL. Retained
+        # snapshots win over the log (they are the live source of truth).
+        log = (md.get("properties") or {}).get(SCHEMA_SEQ_LOG_PROP)
+        if log:
+            seen_seqs = set(absent_by_seq) | set(renames_by_seq)
+            for seq_s, sid in json.loads(log).items():
+                ws = schemas_by_id.get(int(sid))
+                if ws is not None and int(seq_s) not in seen_seqs:
+                    note(int(seq_s), ws)
     # type widening: mergeSchema refuses to union int32 with int64 files,
     # but an EXPLICIT read schema at the wide type promotes narrow files
     # (the vectorized reader's legal upcast) — so a widened table reads
@@ -465,7 +497,7 @@ def plan_scan(
     # had. Only primitive-typed schemas take this path; a widened table
     # with complex columns would fail the merge loudly, never silently.
     read_schema = None
-    if widened and all(
+    if widened and not ambiguous_names and all(
         isinstance(t, str) and t in _ICEBERG_TO_SPARK
         for t in current_types.values()
     ):

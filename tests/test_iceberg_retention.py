@@ -143,3 +143,49 @@ def test_metadata_cleanup_force_keep_zero_deletes_all_previous(spark):
                                    force_keep=0)
     assert len(res["deleted"]) == 3  # v1..v3 all gone (v4 was current)
     assert scan_table(spark, table).count() == 3  # table fully readable
+
+
+def test_schema_resolution_survives_expiry(spark):
+    """r12 (advisor r11 #2): the scan resolves each file's WRITE-TIME
+    schema (renames, v3 default-absence) via its adding snapshot; expiry
+    drops that snapshot, so apply_snapshot_removal preserves the
+    (sequence -> schema-id) edge in the schema-seq-log property and
+    plan_scan consults it — pre-rename files keep serving their values
+    under the new name, and defaulted columns keep serving the default,
+    AFTER the adding snapshots are expired."""
+    from iceberg_meta_spark.sources.iceberg_maintenance import (
+        expire_snapshots,
+    )
+    from iceberg_meta_spark.sources.iceberg_scan import SCHEMA_SEQ_LOG_PROP
+    from iceberg_meta_spark.sources.iceberg_write import update_schema
+
+    table = _fresh("ret_schema_log")
+    create_table(table, fields=[(1, "id", "long"), (2, "val", "long")],
+                 format_version=3)
+    _append(spark, table, [1, 2], _TS + 1 * _DAY)
+    # rename + v3 default AFTER the first batch: batch-1 files store the
+    # OLD column name and predate the defaulted column
+    update_schema(table, rename={"val": "amount"},
+                  add=[("region", "string", "emea")])
+    spark_df = spark.createDataFrame([(3, 3, "apac")],
+                                     "id long, amount long, region string")
+    append_dataframe(spark, spark_df.coalesce(1), table,
+                     timestamp_ms=_TS + 2 * _DAY)
+
+    # sanity before expiry
+    rows = {r.id: (r.amount, r.region)
+            for r in scan_table(spark, table).collect()}
+    assert rows == {1: (1, "emea"), 2: (2, "emea"), 3: (3, "apac")}
+
+    # expire the ADDING snapshot of batch 1
+    res = expire_snapshots(table, keep_last=1, timestamp_ms=_TS + 3 * _DAY)
+    assert res["expired_snapshot_ids"] == [1]
+    md = _md(table)
+    log = json.loads(md["properties"][SCHEMA_SEQ_LOG_PROP])
+    assert log == {"1": 0}  # seq 1 wrote under schema 0
+
+    # the resolution still holds: old file serves values under the NEW
+    # name and the defaulted column — not NULL
+    rows = {r.id: (r.amount, r.region)
+            for r in scan_table(spark, table).collect()}
+    assert rows == {1: (1, "emea"), 2: (2, "emea"), 3: (3, "apac")}

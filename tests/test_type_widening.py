@@ -117,3 +117,33 @@ def test_sql_alter_column_type(spark):
     api.sql(spark, "INSERT INTO sqlw VALUES (2, 8000000000)")
     got = spark.sql("SELECT id, qty FROM sqlw ORDER BY id").collect()
     assert [(r.id, r.qty) for r in got] == [(1, 5), (2, 8_000_000_000)]
+
+
+def test_name_reuse_across_fields_falls_back_loudly(spark):
+    """r12 (advisor r11 #3): a NAME ever claimed by two different fields
+    (rename away, then re-add under the old name) makes the widened
+    table's explicit read schema ambiguous — an old file's column could
+    be declared at the wrong field's type. The plan detects the
+    collision, drops the explicit schema, and the mergeSchema path
+    refuses the int32-vs-int64 union LOUDLY instead of decoding
+    garbage."""
+    table = _widened(spark, "widen_name_reuse")
+    # rename qty away, then RE-ADD a new (string) column under the old
+    # name: 'qty' now maps to two different field ids across history
+    update_schema(table, rename={"qty": "quantity"},
+                  timestamp_ms=_TS + 150_000)
+    update_schema(table, add=[("qty", "string")],
+                  timestamp_ms=_TS + 180_000)
+    append_dataframe(
+        spark,
+        spark.createDataFrame(
+            [(4, 8, 4.5, "eight")],
+            "id long, quantity long, ratio double, qty string").coalesce(1),
+        table, timestamp_ms=_TS + 210_000)
+
+    plan = plan_scan(spark, table)
+    assert plan.read_schema is None  # ambiguity detected -> no explicit schema
+    # ... and the mixed-width read fails LOUDLY (mergeSchema refuses the
+    # int32/int64 union) instead of silently mis-typing the old column
+    with pytest.raises(Exception, match="merge|Merge|FAILED_READ"):
+        scan_table(spark, table).collect()
