@@ -187,37 +187,53 @@ class RestCommitter:
     the loaded metadata (the builder writes manifests/manifest lists into
     the table's storage location and re-runs its OWN conflict validation —
     e.g. validateNoNewDeletesForDataFiles, the one-DV-per-file check),
-    then POST the snapshot as ``add-snapshot`` + ``set-snapshot-ref(main)``
-    guarded by ``assert-table-uuid`` + ``assert-ref-snapshot-id(main)``.
-    A 409 rebases: reload, rebuild, retry — the same
-    refresh-revalidate-retry loop the filesystem face runs, with the
-    SERVER as the arbiter. Builders that raise ``CommitConflictError``
-    (genuine semantic conflicts) propagate to the caller for re-planning,
-    exactly as on the filesystem face."""
+    then POST the snapshot as ``add-snapshot`` + ``set-snapshot-ref``
+    guarded by ``assert-table-uuid`` + ``assert-ref-snapshot-id`` on the
+    committer's ``ref`` (default ``main``; a named branch makes this a
+    write-audit-publish STAGING commit — only that ref moves, main
+    readers see nothing until fast-forward). A 409 rebases: reload,
+    rebuild, retry — the same refresh-revalidate-retry loop the
+    filesystem face runs, with the SERVER as the arbiter. Builders that
+    raise ``CommitConflictError`` (genuine semantic conflicts) propagate
+    to the caller for re-planning, exactly as on the filesystem face.
+    ``extra_properties`` ride the SAME updateTable as a set-properties
+    update (one atomic commit — the streaming sink's exactly-once epoch
+    high-water mark needs this)."""
 
-    def __init__(self, catalog: RestCatalog, ident: str, retries: int = 10):
+    def __init__(self, catalog: RestCatalog, ident: str, retries: int = 10,
+                 ref: str = "main"):
         self.catalog = catalog
         self.ident = ident
         self.retries = retries
+        self.ref = ref
 
-    def commit_snapshot(self, build) -> dict:
+    def commit_snapshot(self, build, extra_properties=None) -> dict:
         last: RestCommitConflict | None = None
         for i in range(self.retries + 1):
             _, md = self.catalog.load_table(self.ident)
             table_dir = _local_path(md["location"].rstrip("/"))
             meta_dir = os.path.join(table_dir, "metadata")
-            parent = md.get("current-snapshot-id")
+            head = ((md.get("refs") or {}).get(self.ref) or {}).get(
+                "snapshot-id")
+            if head is None and self.ref == "main":
+                head = md.get("current-snapshot-id")
             snapshot = build(table_dir, meta_dir, md)
             requirements = [
                 {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
-                {"type": "assert-ref-snapshot-id", "ref": "main",
-                 "snapshot-id": parent},
+                {"type": "assert-ref-snapshot-id", "ref": self.ref,
+                 "snapshot-id": head},
             ]
             updates = [
                 {"action": "add-snapshot", "snapshot": snapshot},
-                {"action": "set-snapshot-ref", "ref-name": "main",
+                {"action": "set-snapshot-ref", "ref-name": self.ref,
                  "type": "branch", "snapshot-id": snapshot["snapshot-id"]},
             ]
+            if extra_properties:
+                updates.append({
+                    "action": "set-properties",
+                    "updates": {str(k): str(v)
+                                for k, v in extra_properties.items()},
+                })
             try:
                 return self.catalog.commit_table(
                     self.ident, requirements, updates)

@@ -210,10 +210,16 @@ class FilesystemCommitter:
     def __init__(self, table_dir: str):
         self.table_dir = _local_path(table_dir.rstrip("/"))
         self.meta_dir = os.path.join(self.table_dir, "metadata")
+        self.ref = "main"
 
-    def commit_snapshot(self, build) -> dict:
+    def commit_snapshot(self, build, extra_properties=None) -> dict:
         def attempt(version: int, md: dict) -> dict:
             snapshot = build(self.table_dir, self.meta_dir, md)
+            if extra_properties:
+                md["properties"] = {
+                    **(md.get("properties") or {}),
+                    **{str(k): str(v) for k, v in extra_properties.items()},
+                }
             _apply_snapshot(md, snapshot, self.meta_dir, version)
             _publish(self.meta_dir, version, md)
             return md
@@ -422,24 +428,40 @@ def commit_append(
     the next metadata version. Appends never conflict semantically (their
     file sets are disjoint), so the rebase is unconditional.
 
-    ``committer`` routes a MAIN-branch append through another catalog
-    face (``RestCommitter``); branch and extra-property commits keep the
-    filesystem tail (the REST face's set-properties rides
-    ``RestCatalog.commit_table`` directly)."""
+    ``committer`` routes the append through another catalog face
+    (``RestCommitter``). Branch (write-audit-publish) appends require the
+    committer's ``ref`` to name the same branch — the CAS assertion and
+    the built snapshot's parent must agree on which ref moves; a
+    mismatch raises before any IO. ``extra_properties`` ride the SAME
+    commit as a set-properties update (REST) / property merge
+    (filesystem)."""
     if committer is not None:
-        if (branch is not None and branch != "main") or extra_properties:
+        want = branch if branch is not None else "main"
+        have = getattr(committer, "ref", "main")
+        if have != want:
             raise ValueError(
-                "committer= routing supports main-branch appends without "
-                "extra_properties; commit branches/properties through the "
-                "catalog's own API"
+                f"committer targets ref {have!r} but the append names "
+                f"branch {want!r}; construct the committer with ref="
+                f"{want!r} so the CAS assertion moves the right ref"
             )
-        return committer.commit_snapshot(
-            lambda td, mdir, md: build_append_snapshot(
-                td, mdir, md, files, md.get("current-snapshot-id"),
+
+        def build(td, mdir, md):
+            if want != "main":
+                ref = (md.get("refs") or {}).get(want)
+                if ref is not None and ref.get("type") != "branch":
+                    raise ValueError(f"ref {want!r} is a tag, not a branch")
+                parent = (int(ref["snapshot-id"]) if ref is not None
+                          else md.get("current-snapshot-id"))
+            else:
+                parent = md.get("current-snapshot-id")
+            return build_append_snapshot(
+                td, mdir, md, files, parent,
                 timestamp_ms=timestamp_ms, partition_fields=partition_fields,
                 extra_summary=extra_summary,
             )
-        )
+
+        return committer.commit_snapshot(
+            build, extra_properties=extra_properties)
     table_dir = _local_path(table_dir.rstrip("/"))
     meta_dir = os.path.join(table_dir, "metadata")
 

@@ -100,11 +100,17 @@ def append_epoch(
     table_dir: str,
     sink_id: str,
     timestamp_ms: int | None = None,
+    committer=None,
 ) -> dict:
     """The foreachBatch body: commit one micro-batch as one append
     snapshot, exactly once. Returns {"committed": bool, "epoch_id": int,
     "snapshot_id": int | None}; a replayed epoch (or an empty batch)
-    commits nothing."""
+    commits nothing. ``committer`` routes the epoch commit through
+    another catalog face (``RestCommitter`` — the epoch high-water
+    property rides the SAME updateTable as a set-properties update, so
+    exactly-once holds through the REST catalog too); the replay check
+    reads the published metadata either way (the catalog persists it to
+    the warehouse directory)."""
     committed, max_epoch = _committed_epochs(table_dir, sink_id)
     if int(epoch_id) in committed or int(epoch_id) <= max_epoch:
         # already committed — found in a retained summary, or at/under the
@@ -122,6 +128,7 @@ def append_epoch(
         timestamp_ms=timestamp_ms,
         extra_summary={_SINK_KEY: sink_id, _EPOCH_KEY: str(int(epoch_id))},
         extra_properties={_max_epoch_key(sink_id): str(int(epoch_id))},
+        committer=committer,
     )
     return {"committed": True, "epoch_id": int(epoch_id),
             "snapshot_id": int(md["current-snapshot-id"])}
@@ -132,6 +139,7 @@ def write_stream(
     table_dir: str,
     checkpoint_dir: str,
     sink_id: str | None = None,
+    committer=None,
 ):
     """``df.writeStream`` into a native Iceberg table. Returns the
     DataStreamWriter (caller picks the trigger and calls ``.start()``)::
@@ -146,7 +154,8 @@ def write_stream(
     ).hexdigest()[:16]
 
     def _batch(batch_df, epoch_id: int) -> None:
-        append_epoch(batch_df, epoch_id, table_dir, sid)
+        append_epoch(batch_df, epoch_id, table_dir, sid,
+                     committer=committer)
 
     return (
         df.writeStream.foreachBatch(_batch)

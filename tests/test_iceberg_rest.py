@@ -607,3 +607,74 @@ def test_rest_multipart_namespace_lifecycle(spark):
         loc2, md2 = catalog.load_table("analytics.dev.t2")
         catalog.drop_table("analytics.dev.t2")
         assert os.path.exists(md2["location"])
+
+
+def test_rest_branch_commit_and_publish(spark, rest_table):
+    """r12: write-audit-publish THROUGH the REST catalog — a branch
+    append commits via set-snapshot-ref on the BRANCH ref (CAS-guarded on
+    that ref's head, main untouched), rest_fast_forward publishes, and a
+    mismatched committer ref is refused before any IO."""
+    from iceberg_meta_spark.sources.iceberg_rest import (
+        RestCommitter,
+        rest_fast_forward,
+    )
+    from iceberg_meta_spark.sources.iceberg_write import commit_append
+
+    catalog, table = rest_table
+    rest_append_files(catalog, "ns.t",
+                      [_one_file(spark, table, "b0", [1, 2])],
+                      timestamp_ms=_TS + 60_000)
+
+    commit_append(table, [_one_file(spark, table, "audit0", [3, 4])],
+                  branch="audit", timestamp_ms=_TS + 120_000,
+                  committer=RestCommitter(catalog, "ns.t", ref="audit"))
+    _, md = catalog.load_table("ns.t")
+    assert md["refs"]["audit"]["snapshot-id"] == 2
+    assert md["current-snapshot-id"] == 1  # main untouched while staged
+    got = sorted(r.id for r in scan_table(spark, table).collect())
+    assert got == [1, 2]
+    got = sorted(r.id for r in scan_table(spark, table, ref="audit").collect())
+    assert got == [1, 2, 3, 4]
+
+    # committer ref must match the named branch
+    with pytest.raises(ValueError, match="construct the committer"):
+        commit_append(table, [], branch="audit",
+                      committer=RestCommitter(catalog, "ns.t"))
+
+    out = rest_fast_forward(catalog, "ns.t", "main", "audit")
+    assert out == {"updated": True, "from": 1, "to": 2}
+    got = sorted(r.id for r in scan_table(spark, table).collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_rest_streaming_sink_exactly_once(spark, rest_table, tmp_path):
+    """r12: the Structured Streaming native sink commits its micro-batch
+    epochs through the REST catalog — the (sink-id, epoch-id) summary
+    markers AND the epoch high-water property ride ONE updateTable, so a
+    replayed epoch publishes nothing even against the REST face."""
+    from iceberg_meta_spark.sources.iceberg_rest import RestCommitter
+    from iceberg_meta_spark.streaming.native_sink import append_epoch
+
+    catalog, table = rest_table
+    committer = RestCommitter(catalog, "ns.t")
+
+    def batch(ids):
+        return spark.createDataFrame([(i, i * 10) for i in ids],
+                                     "id long, val long").coalesce(1)
+
+    out = append_epoch(batch([1, 2]), 0, table, "sinkA",
+                       timestamp_ms=_TS + 60_000, committer=committer)
+    assert out["committed"] is True
+    out = append_epoch(batch([3, 4]), 1, table, "sinkA",
+                       timestamp_ms=_TS + 120_000, committer=committer)
+    assert out["committed"] is True
+    # replay epoch 0 with a poison row: nothing publishes
+    out = append_epoch(batch([99]), 0, table, "sinkA",
+                       timestamp_ms=_TS + 180_000, committer=committer)
+    assert out["committed"] is False
+    _, md = catalog.load_table("ns.t")
+    assert len(md["snapshots"]) == 2
+    assert md["properties"]["streaming.sink.sinkA.max-epoch"] == "1"
+    assert md["snapshots"][-1]["summary"]["streaming.epoch-id"] == "1"
+    got = sorted(r.id for r in scan_table(spark, table).collect())
+    assert got == [1, 2, 3, 4]
