@@ -55,16 +55,20 @@ def _quantize(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
 
 
-def _compact(base: DataFrame, threshold: int = 100_000, target: int = 8) -> DataFrame:
+def _compact(
+    base: DataFrame, n_est: int, threshold: int = 100_000, target: int = 8
+) -> DataFrame:
     """Task-count right-sizing for a materialized (localCheckpointed) frame:
     an iterative trainer re-reads its base once per Lloyd round, and when
     the base is metadata-scale (a quantizer trained on a sample, test
     fixtures) 32-way parallelism costs more in task/Arrow-worker overhead
-    per round than the compute is worth. The count is cheap — the
-    checkpoint is already materialized — and at data scale it exceeds the
-    threshold, making this a no-op (the analog of AQE's post-shuffle
+    per round than the compute is worth. ``n_est`` is the caller's row
+    estimate (sample size × sample modulus — the init collect already
+    returned it, so sizing costs ZERO extra jobs; r12 replaced the
+    dedicated .count() job here). At data scale the estimate exceeds the
+    threshold and this is a no-op (the analog of AQE's post-shuffle
     coalescing for the scan side, which AQE cannot touch)."""
-    if base.count() < threshold:
+    if n_est < threshold:
         return base.coalesce(target)
     return base
 
@@ -141,38 +145,106 @@ def _assign(
     return base.select(*cols).mapInPandas(kernel, schema)
 
 
-def _update(assign: DataFrame, dims: int) -> DataFrame:
-    """New quantized centroids: per-cell integer mean of quantized vectors
-    (``assign`` must carry ``q`` — see ``_assign(with_q=True)``).
-    Empty cells drop out (identically in the oracle's GROUP BY)."""
-    sums = assign.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}") for i in range(dims)],
+def _assign_update(
+    base: DataFrame, cent_rows: list[tuple[int, list[int]]], dims: int
+) -> DataFrame:
+    """One Lloyd round in ONE pass: the assignment kernel ALSO accumulates
+    each cell's vector sums and counts in numpy (``np.add.at`` /
+    ``np.bincount`` — a map-side combine), so a round shuffles at most K
+    partial rows per task instead of every (vec_id, cell, q) row, and the
+    post-kernel plan is one small fixed-shape aggregate instead of dims+1
+    sum columns. The previous shape (``_assign(with_q=True)`` feeding a
+    65-column ``_update`` aggregate) spent most of each round COMPILING:
+    the centroids are baked into the kernel, so every round is a fresh
+    plan, and whole-stage codegen of the wide aggregate dominated at
+    metadata scale (~0.5 s/round at sf0.1 vs ~0.1 s execution).
+
+    Result (cent_id, c) is bit-identical to the old pair: the assignment
+    arithmetic is the module's exactness contract verbatim, int64 partial
+    sums are exact and order-independent, and the mean stays the same
+    ``sum DIV n``. Empty cells drop out (never emitted by any kernel)."""
+    if not cent_rows:
+        return base.sparkSession.createDataFrame([], "cent_id long, c array<long>")
+    ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+    dq = np.asarray([c for _, c in cent_rows], dtype=np.float64) / QUANT
+    c_norm = np.floor((dq * dq) * SCALE).astype(np.int64).sum(axis=1)
+    c_sqrt = np.sqrt(c_norm.astype(np.float64))
+    k, kd = dq.shape
+    step = max(1, 50_000_000 // max(1, k * kd))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dims), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n_sqrt = np.sqrt(pdf["norm_s"].to_numpy().astype(np.float64))
+            best = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), step):
+                hi = min(lo + step, len(pdf))
+                dot = (
+                    np.floor((x[lo:hi, None, :] * dq[None, :, :]) * SCALE)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                cos = dot.astype(np.float64) / (n_sqrt[lo:hi, None] * c_sqrt[None, :])
+                best[lo:hi] = np.argmax(cos, axis=1)  # first max = lowest cent_id
+            np.add.at(sums, best, q)
+            counts += np.bincount(best, minlength=k)
+        live = np.nonzero(counts)[0]
+        if live.size:  # empty partitions yield no batch (an empty 's'
+            # column would carry float64 dtype Arrow cannot cast to list)
+            yield pd.DataFrame(
+                {
+                    "cell": ids[live],
+                    "n": counts[live],
+                    "s": [sums[i].tolist() for i in live],
+                }
+            )
+
+    partials = base.select("vec_id", "embedding", "norm_s", "q").mapInPandas(
+        kernel, "cell long, n long, s array<long>"
     )
-    mean = F.array(*[F.expr(f"CAST(s{i} DIV n AS BIGINT)") for i in range(dims)])
-    return sums.select(F.col("cell").alias("cent_id"), mean.alias("c"))
+    merged = partials.groupBy("cell").agg(
+        F.sum("n").alias("n"),
+        F.aggregate(
+            F.collect_list("s"),
+            F.array_repeat(F.lit(0).cast("long"), dims),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("s"),
+    )
+    return merged.select(
+        F.col("cell").alias("cent_id"),
+        F.expr("transform(s, x -> CAST(x DIV n AS BIGINT))").alias("c"),
+    )
 
 
 def _refined(
     emb: DataFrame, centroid_mod: int, iters: int, dims: int
 ) -> tuple[DataFrame, list[tuple[int, list[int]]], DataFrame]:
     """Shared Lloyd prologue: (base, refined centroid rows, final assignment).
-    ``base`` is localCheckpointed once (reused by every round); each round's
-    K-row centroid table is collected to the driver — the collect IS the
-    round's materialization, replacing a checkpoint job."""
-    base = _compact(
+    ``base`` is localCheckpointed LAZILY (reused by every round): the init
+    centroid-sample collect is the first action, so ONE job materializes
+    the checkpoint AND returns the sample (r12 — previously the eager
+    checkpoint, a count, and the sample collect were three separate jobs);
+    each later round's K-row centroid table is collected to the driver —
+    the collect IS the round's materialization, replacing a checkpoint
+    job."""
+    base = (
         with_self_norm(emb)
         .select("vec_id", "embedding", "norm_s", _quantize(F.col("embedding")).alias("q"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cent_rows = _collect_cents(
         base.filter(F.col("vec_id") % centroid_mod == 1).select(
             F.col("vec_id").alias("cent_id"), F.col("q").alias("c")
         )
     )
+    base = _compact(base, len(cent_rows) * centroid_mod)
     for _ in range(iters):
-        assign = _assign(base, cent_rows, with_q=True)
-        cent_rows = _collect_cents(_update(assign, dims))
+        cent_rows = _collect_cents(_assign_update(base, cent_rows, dims))
     return base, cent_rows, _assign(base, cent_rows)
 
 

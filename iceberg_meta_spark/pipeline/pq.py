@@ -56,45 +56,95 @@ def train_codebooks(
         sl = F.slice("embedding", s * dims_sub + 1, dims_sub)
         cols.append(scaled_dot(sl, sl).alias(f"norm_{s}"))
         cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
-    base = kmeans._compact(emb.select(*cols).localCheckpoint())
+    # lazy checkpoint: the init-sample collect below is the first action,
+    # so one job materializes the base AND seeds every codebook (r12)
+    base = emb.select(*cols).localCheckpoint(eager=False)
 
     # one collect seeds every subspace's centroid sample
     init = base.filter(F.col("vec_id") % centroid_mod == 1).select(
         "vec_id", *[f"q_{s}" for s in range(m)]
     )
     seeds = sorted((r["vec_id"], [list(r[f"q_{s}"]) for s in range(m)]) for r in init.collect())
+    base = kmeans._compact(base, len(seeds) * centroid_mod)
     codebooks = [[(vid, qs[s]) for vid, qs in seeds] for s in range(m)]
 
     for _ in range(iters):
-        coded = _encode(base, codebooks, dims_sub, carry_q=True)
-        # unpivot (subspace, cell, q-slice) in-row, then ONE map-side-combined
-        # aggregate produces every subspace's per-cell integer means
-        pairs = coded.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.col(f"s{s}").alias("cell"), F.col(f"q_{s}").alias("q")
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("subspace", "x")
-        )
-        sums = pairs.groupBy("subspace", F.col("x.cell").alias("cell")).agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("x.q"), i + 1)).alias(f"c{i}")
-                for i in range(dims_sub)
-            ],
-        )
-        mean = F.array(*[F.expr(f"CAST(c{i} DIV n AS BIGINT)") for i in range(dims_sub)])
-        rows = sums.select("subspace", "cell", mean.alias("c")).collect()
+        rows = _encode_update(base, codebooks, dims_sub).collect()
         codebooks = [
             sorted((r["cell"], list(r["c"])) for r in rows if r["subspace"] == s)
             for s in range(m)
         ]
     return base, codebooks
+
+
+def _encode_update(
+    base: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    dims_sub: int,
+) -> DataFrame:
+    """One fused PQ-Lloyd round: every subspace's argmax AND its per-cell
+    partial sums/counts accumulate inside ONE kernel pass (``np.add.at``
+    map-side combine), merged by a small fixed-shape aggregate — the PQ
+    sibling of :func:`kmeans._assign_update`, replacing the previous
+    ``_encode(carry_q=True)`` + posexplode + (dims_sub+1)-column aggregate
+    whose fresh-plan codegen dominated each round at metadata scale.
+    Result rows (subspace, cell, c) are bit-identical: same assignment
+    arithmetic, exact int64 sums, the same ``sum DIV n`` mean."""
+    m = len(codebooks)
+    out_schema = "subspace int, cell long, n long, s array<long>"
+    if any(not cb for cb in codebooks):  # empty corpus → empty codebooks
+        return base.sparkSession.createDataFrame(
+            [], "subspace int, cell long, c array<long>"
+        )
+    preps = []
+    for cent_rows in codebooks:
+        ids = np.asarray([cid for cid, _ in cent_rows], dtype=np.int64)
+        dq = np.asarray([c for _, c in cent_rows], dtype=np.float64) / QUANT
+        c_norm = np.floor((dq * dq) * SCALE).astype(np.int64).sum(axis=1)
+        preps.append((ids, dq, np.sqrt(c_norm.astype(np.float64))))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = [np.zeros((len(p[0]), dims_sub), dtype=np.int64) for p in preps]
+        counts = [np.zeros(len(p[0]), dtype=np.int64) for p in preps]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            for s, (ids, dq, c_sqrt) in enumerate(preps):
+                xs = x[:, s * dims_sub : (s + 1) * dims_sub]
+                n_sqrt = np.sqrt(pdf[f"norm_{s}"].to_numpy().astype(np.float64))
+                dot = (
+                    np.floor((xs[:, None, :] * dq[None, :, :]) * SCALE)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                cos = dot.astype(np.float64) / (n_sqrt[:, None] * c_sqrt[None, :])
+                best = np.argmax(cos, axis=1)  # first max = lowest cent_id
+                q = np.stack(pdf[f"q_{s}"].to_numpy()).astype(np.int64)
+                np.add.at(sums[s], best, q)
+                counts[s] += np.bincount(best, minlength=len(ids))
+        out = []
+        for s, (ids, _dq, _cs) in enumerate(preps):
+            for i in np.nonzero(counts[s])[0]:
+                out.append((s, int(ids[i]), int(counts[s][i]), sums[s][i].tolist()))
+        if out:  # empty partitions yield no batch (dtype-less empty cols)
+            yield pd.DataFrame(out, columns=["subspace", "cell", "n", "s"])
+
+    cols = (["vec_id", "embedding"] + [f"norm_{s}" for s in range(m)]
+            + [f"q_{s}" for s in range(m)])
+    partials = base.select(*cols).mapInPandas(kernel, out_schema)
+    merged = partials.groupBy("subspace", "cell").agg(
+        F.sum("n").alias("n"),
+        F.aggregate(
+            F.collect_list("s"),
+            F.array_repeat(F.lit(0).cast("long"), dims_sub),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("s"),
+    )
+    return merged.select(
+        "subspace", "cell",
+        F.expr("transform(s, x -> CAST(x DIV n AS BIGINT))").alias("c"),
+    )
 
 
 def _encode(
@@ -343,7 +393,9 @@ def build_ivf_pq_index(
         sl = F.slice("embedding", s * dims_sub + 1, dims_sub)
         cols.append(scaled_dot(sl, sl).alias(f"norm_{s}"))
         cols.append(kmeans._quantize(sl).alias(f"q_{s}"))
-    base = kmeans._compact(emb.select(*cols).localCheckpoint())
+    # lazy checkpoint: the IVF init-sample collect is the first action, so
+    # one job materializes the base AND seeds the coarse quantizer (r12)
+    base = emb.select(*cols).localCheckpoint(eager=False)
 
     # IVF training on the full vector (kmeans contract via projection)
     ivf_view = base.select(
@@ -354,9 +406,15 @@ def build_ivf_pq_index(
             F.col("vec_id").alias("cent_id"), F.col("q").alias("c")
         )
     )
+    base = kmeans._compact(base, len(ivf_cents) * ivf_mod)
+    ivf_view = base.select(
+        "vec_id", "embedding", F.col("norm_full").alias("norm_s"),
+        F.col("q_full").alias("q"),
+    )
     for _ in range(ivf_iters):
-        assign = kmeans._assign(ivf_view, ivf_cents, with_q=True)
-        ivf_cents = kmeans._collect_cents(kmeans._update(assign, dims))
+        ivf_cents = kmeans._collect_cents(
+            kmeans._assign_update(ivf_view, ivf_cents, dims)
+        )
 
     # PQ codebooks per subspace (fused rounds — reuse the training loop
     # against the shared base by projecting the same column contract)
@@ -366,21 +424,7 @@ def build_ivf_pq_index(
     seeds = sorted((r["vec_id"], [list(r[f"q_{s}"]) for s in range(m)]) for r in init.collect())
     codebooks = [[(vid, qs[s]) for vid, qs in seeds] for s in range(m)]
     for _ in range(pq_iters):
-        coded = _encode(base, codebooks, dims_sub, carry_q=True)
-        pairs = coded.select(
-            F.posexplode(
-                F.array(
-                    *[F.struct(F.col(f"s{s}").alias("cell"), F.col(f"q_{s}").alias("q"))
-                      for s in range(m)]
-                )
-            ).alias("subspace", "x")
-        )
-        sums = pairs.groupBy("subspace", F.col("x.cell").alias("cell")).agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at(F.col("x.q"), i + 1)).alias(f"c{i}") for i in range(dims_sub)],
-        )
-        mean = F.array(*[F.expr(f"CAST(c{i} DIV n AS BIGINT)") for i in range(dims_sub)])
-        rows = sums.select("subspace", "cell", mean.alias("c")).collect()
+        rows = _encode_update(base, codebooks, dims_sub).collect()
         codebooks = [
             sorted((r["cell"], list(r["c"])) for r in rows if r["subspace"] == s)
             for s in range(m)

@@ -312,12 +312,14 @@ def schema_fields_from_metadata(
 
 
 def load_table_metadata(spark: SparkSession, metadata_location: str) -> dict:
-    """Read one table-metadata JSON through Spark's configured filesystem
-    (works for s3://... once the catalog FS confs are set; the file is KBs)."""
+    """Read one table-metadata JSON: driver-side for local paths (KBs —
+    no Spark job), through Spark's configured filesystem for remote
+    schemes (works for s3://... once the catalog FS confs are set)."""
     import json
 
-    text = "\n".join(r.value for r in spark.read.text(metadata_location).collect())
-    return json.loads(text)
+    from iceberg_meta_spark.sources.iceberg_native import _read_small_text
+
+    return json.loads(_read_small_text(spark, metadata_location))
 
 
 def column_stats_frame(spark: SparkSession, table: str) -> DataFrame:

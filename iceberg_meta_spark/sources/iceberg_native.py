@@ -28,6 +28,7 @@ Output frames match the jar-gated readers in ``sources/iceberg.py``
 from __future__ import annotations
 
 import json
+import os
 import struct
 from typing import Iterator
 
@@ -35,6 +36,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.sources.avro_py import read_container
+
+
+def _as_local(path: str) -> str | None:
+    """Filesystem path when ``path`` addresses the LOCAL filesystem
+    (bare path or ``file:`` URI), else None (s3://, hdfs://, ...).
+
+    Planning-index files (metadata JSON, version hint, manifest lists)
+    are KB-scale; reading them through a Spark job costs a full
+    scheduler round trip (~100 ms each) per file — a real engine's
+    planner reads them directly (Iceberg's TableMetadataParser does).
+    Remote schemes keep the Spark read path, which carries the session's
+    filesystem credentials."""
+    p = str(path)
+    if p.startswith("file://"):
+        rest = p[len("file://"):]
+        return rest if rest.startswith("/") else None
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    if "://" in p:
+        return None
+    return p
+
+
+# Manifest bytes at or below this total decode DRIVER-side / read locally
+# (zero Spark jobs); above it, the distributed binaryFile + mapInPandas
+# decode runs unchanged. The manifest list carries every manifest's byte
+# length, so the decision costs nothing. At 100 TB (GBs of manifests) the
+# distributed path always fires; parameterized so deployments can tune it.
+DRIVER_PLAN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_PLAN_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def _read_small_text(spark: SparkSession, path: str) -> str:
+    """One small text file, driver-side when local (no Spark job)."""
+    lp = _as_local(path)
+    if lp is not None:
+        with open(lp, encoding="utf-8") as fh:
+            return fh.read()
+    return "\n".join(r.value for r in spark.read.text(path).collect())
+
+
+def _read_small_bytes(spark: SparkSession, path: str) -> bytes:
+    """One small binary file, driver-side when local (no Spark job)."""
+    lp = _as_local(path)
+    if lp is not None:
+        with open(lp, "rb") as fh:
+            return fh.read()
+    row = spark.read.format("binaryFile").load(path).select("content").head()
+    if row is None:
+        raise FileNotFoundError(path)
+    return bytes(row.content)
+
 
 # ---------------------------------------------------------------------------
 # Table metadata JSON (driver-side: one small file per table)
@@ -51,12 +105,23 @@ def current_metadata_path(spark: SparkSession, table_dir: str) -> str:
     sort correctly by their numeric prefix)."""
     table_dir = table_dir.rstrip("/")
     try:
-        hint_rows = spark.read.text(f"{table_dir}/metadata/version-hint.text").collect()
-        hint = "".join(r.value for r in hint_rows).strip()
+        hint = _read_small_text(spark, f"{table_dir}/metadata/version-hint.text").strip()
         if hint:
             return f"{table_dir}/metadata/v{int(hint)}.metadata.json"
     except Exception:
         pass  # no hint file -> list and take the newest
+
+    def version_of(path: str) -> int:
+        stem = path.rsplit("/", 1)[-1].split(".metadata.json")[0]
+        digits = stem.lstrip("v").split("-")[0]
+        return int(digits) if digits.isdigit() else -1
+
+    local_dir = _as_local(f"{table_dir}/metadata")
+    if local_dir is not None:
+        names = [n for n in os.listdir(local_dir) if n.endswith(".metadata.json")]
+        if not names:
+            raise FileNotFoundError(f"no *.metadata.json under {table_dir}/metadata")
+        return f"{table_dir}/metadata/{max(names, key=version_of)}"
     listed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.metadata.json")
@@ -66,12 +131,6 @@ def current_metadata_path(spark: SparkSession, table_dir: str) -> str:
     )
     if not listed:
         raise FileNotFoundError(f"no *.metadata.json under {table_dir}/metadata")
-
-    def version_of(path: str) -> int:
-        stem = path.rsplit("/", 1)[-1].split(".metadata.json")[0]
-        digits = stem.lstrip("v").split("-")[0]
-        return int(digits) if digits.isdigit() else -1
-
     return max((r.path for r in listed), key=version_of)
 
 
@@ -86,8 +145,7 @@ def load_table_metadata(
         path = f"{table_dir.rstrip('/')}/metadata/v{int(version)}.metadata.json"
     else:
         path = current_metadata_path(spark, table_dir)
-    text = "\n".join(r.value for r in spark.read.text(path).collect())
-    return json.loads(text)
+    return json.loads(_read_small_text(spark, path))
 
 
 def _snapshot(metadata: dict, snapshot_id: int | None) -> dict:
@@ -145,10 +203,7 @@ def native_snapshots_frame(
 
 
 def _read_avro_file(spark: SparkSession, path: str) -> list:
-    row = spark.read.format("binaryFile").load(path).select("content").head()
-    if row is None:
-        raise FileNotFoundError(path)
-    _, _, records = read_container(bytes(row.content))
+    _, _, records = read_container(_read_small_bytes(spark, path))
     return records
 
 
@@ -317,13 +372,25 @@ def _manifest_bytes_df(
     md = metadata or load_table_metadata(spark, table_dir)
     snap = _snapshot(md, snapshot_id)
     mlist = _read_avro_file(spark, snap["manifest-list"])
-    paths = [
-        r["manifest_path"]
-        for r in mlist
+    mine = [
+        r for r in mlist
         if content is None or int(r.get("content", 0)) == content
     ]
+    paths = [r["manifest_path"] for r in mine]
     if not paths:
         return spark.createDataFrame([], "path string, content binary")
+    # scale-adaptive byte sourcing: small local manifest sets load
+    # driver-side into a local relation (no binaryFile listing job; the
+    # decode mapInPandas downstream runs unchanged), large or remote sets
+    # keep the distributed binaryFile scan
+    local = [_as_local(p) for p in paths]
+    total = sum(int(r.get("manifest_length") or 0) for r in mine)
+    if all(lp is not None for lp in local) and total <= DRIVER_PLAN_BYTES:
+        rows = []
+        for p, lp in zip(paths, local):
+            with open(lp, "rb") as fh:
+                rows.append((p, bytearray(fh.read())))
+        return spark.createDataFrame(rows, "path string, content binary")
     return (
         spark.read.format("binaryFile").load(paths).select("path", "content")
     )

@@ -31,6 +31,7 @@ oracle's full-scan filter).
 from __future__ import annotations
 
 import json
+from collections import namedtuple
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,105 +120,138 @@ _PLAN_COLS = (
     "content_offset long, content_size long, first_row_id long"
 )
 
+# Driver-side plan-entry record (attribute access like the collected Rows
+# of the distributed path; field set = _PLAN_COLS).
+_PlanEntry = namedtuple("_PlanEntry", [c.split()[0] for c in _PLAN_COLS.split(", ")])
+
+# Manifest bytes at or below this decode DRIVER-side (zero Spark jobs);
+# above it, the distributed binaryFile + mapInPandas decode runs. Shared
+# with sources/iceberg_native.py (one knob for both decode layers).
+from iceberg_meta_spark.sources.iceberg_native import (  # noqa: E402
+    DRIVER_PLAN_BYTES as _DRIVER_PLAN_BYTES,
+)
+
+
+def _decode_plan_entries(
+    content: bytes,
+    path: str,
+    mseq: dict,
+    bounds_preds: list[tuple],
+    part_preds: list[tuple],
+) -> tuple[list[dict], int]:
+    """Decode ONE manifest's bytes into (surviving plan-entry dicts,
+    live-entry count before pruning) — the pure per-manifest kernel shared
+    by the distributed Arrow decode (:func:`_make_plan_entries_fn`) and
+    the driver-side small-metadata fast path (:func:`_plan_entries`), so
+    the two paths cannot drift. Prunes in the same pass: only live entries
+    that survive EVERY partition-value prune (``part_preds`` = [(col, lo,
+    hi)] against the entry's own partition tuple) and EVERY zone-map prune
+    (``bounds_preds`` = [(field_id, type, lo, hi)] against the entry's
+    Appendix-D bounds) are emitted. Predicates AND together (a conjunction
+    prunes a file when ANY conjunct excludes it). Sequence-number
+    inheritance (null entry seq -> manifest seq) happens here too, via the
+    tiny manifest_path -> seq map."""
+    from iceberg_meta_spark.sources.iceberg_native import (
+        _decode_manifest_entries,
+        _kv_map,
+        decode_bound,
+    )
+
+    def pruned(dfile: dict, part: dict) -> bool:
+        for col, lo, hi in part_preds:
+            v = part.get(col)
+            # unknown/absent value (older spec, null): keep
+            if v is not None:
+                if lo is not None and v < lo:
+                    return True
+                if hi is not None and v > hi:
+                    return True
+        if bounds_preds:
+            lb = _kv_map(dfile.get("lower_bounds"))
+            ub = _kv_map(dfile.get("upper_bounds"))
+            for fid, ftype, lo, hi in bounds_preds:
+                fmin = decode_bound(
+                    bytes(lb[fid]) if fid in lb else None, ftype
+                )
+                fmax = decode_bound(
+                    bytes(ub[fid]) if fid in ub else None, ftype
+                )
+                # files without bounds cannot be pruned safely
+                if fmin is None or fmax is None:
+                    continue
+                if lo is not None and fmax < lo:
+                    return True
+                if hi is not None and fmin > hi:
+                    return True
+        return False
+
+    out, n_live = [], 0
+    for e in _decode_manifest_entries(bytes(content), path):
+        if e["status"] == 2:
+            continue  # DELETED entries are not live
+        n_live += 1
+        dfile = e["data_file"]
+        part = dfile.get("partition") or {}
+        if pruned(dfile, part):
+            continue
+        seq = e["entry"].get("sequence_number")
+        if seq is None:
+            # inheritance: manifest seq, looked up by NORMALIZED
+            # path — `path` here is the binaryFile URI
+            # ('file:/x') while mseq keys come from the raw
+            # manifest-list strings, so both sides normalize
+            seq = mseq.get(_norm_path(path))
+        eq = dfile.get("equality_ids")
+        rdf = dfile.get("referenced_data_file")
+        off = dfile.get("content_offset")
+        csz = dfile.get("content_size_in_bytes")
+        out.append(
+            {
+                "file_path": dfile["file_path"],
+                "seq": int(seq) if seq is not None else 0,
+                "record_count": int(dfile["record_count"]),
+                "file_size_in_bytes": int(dfile["file_size_in_bytes"]),
+                "part_key": json.dumps(part, sort_keys=True, default=str),
+                "equality_ids": [int(i) for i in eq] if eq else None,
+                "file_format": str(
+                    dfile.get("file_format", "")
+                ).upper(),
+                "referenced_data_file": rdf,
+                "content_offset": int(off) if off is not None else None,
+                "content_size": int(csz) if csz is not None else None,
+                # v3 row lineage (field-id 142); None for files
+                # written before lineage (or v2 manifests)
+                "first_row_id": (
+                    int(dfile["first_row_id"])
+                    if dfile.get("first_row_id") is not None
+                    else None
+                ),
+            }
+        )
+    return out, n_live
+
 
 def _make_plan_entries_fn(
     mseq: dict,
     bounds_preds: list[tuple],
     part_preds: list[tuple],
 ):
-    """Arrow-batched manifest decode that ALSO prunes, executor-side: only
-    live entries that survive EVERY partition-value prune (``part_preds``
-    = [(col, lo, hi)] against the entry's own partition tuple) and EVERY
-    zone-map prune (``bounds_preds`` = [(field_id, type, lo, hi)] against
-    the entry's Appendix-D bounds, decoded in the same pass) are ever
-    emitted — the driver collects a post-prune planning index, never the
-    full file list. Predicates AND together (a conjunction prunes a file
-    when ANY conjunct excludes it). Sequence-number inheritance (null
-    entry seq -> manifest seq) happens here too, via the tiny
-    manifest_path -> seq closure map."""
+    """Arrow-batched wrapper over :func:`_decode_plan_entries` for the
+    DISTRIBUTED manifest decode: the driver collects a post-prune planning
+    index, never the full file list — at 10^8 manifest entries the
+    pre-prune list never materializes anywhere."""
 
     def fn(pdf_iter):
         import pandas as pd
-
-        from iceberg_meta_spark.sources.iceberg_native import (
-            _decode_manifest_entries,
-            _kv_map,
-            decode_bound,
-        )
-
-        def pruned(dfile: dict, part: dict) -> bool:
-            for col, lo, hi in part_preds:
-                v = part.get(col)
-                # unknown/absent value (older spec, null): keep
-                if v is not None:
-                    if lo is not None and v < lo:
-                        return True
-                    if hi is not None and v > hi:
-                        return True
-            if bounds_preds:
-                lb = _kv_map(dfile.get("lower_bounds"))
-                ub = _kv_map(dfile.get("upper_bounds"))
-                for fid, ftype, lo, hi in bounds_preds:
-                    fmin = decode_bound(
-                        bytes(lb[fid]) if fid in lb else None, ftype
-                    )
-                    fmax = decode_bound(
-                        bytes(ub[fid]) if fid in ub else None, ftype
-                    )
-                    # files without bounds cannot be pruned safely
-                    if fmin is None or fmax is None:
-                        continue
-                    if lo is not None and fmax < lo:
-                        return True
-                    if hi is not None and fmin > hi:
-                        return True
-            return False
 
         cols = [c.split()[0] for c in _PLAN_COLS.split(", ")]
         for pdf in pdf_iter:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                for e in _decode_manifest_entries(bytes(content), path):
-                    if e["status"] == 2:
-                        continue  # DELETED entries are not live
-                    dfile = e["data_file"]
-                    part = dfile.get("partition") or {}
-                    if pruned(dfile, part):
-                        continue
-                    seq = e["entry"].get("sequence_number")
-                    if seq is None:
-                        # inheritance: manifest seq, looked up by NORMALIZED
-                        # path — `path` here is the binaryFile URI
-                        # ('file:/x') while mseq keys come from the raw
-                        # manifest-list strings, so both sides normalize
-                        seq = mseq.get(_norm_path(path))
-                    eq = dfile.get("equality_ids")
-                    rdf = dfile.get("referenced_data_file")
-                    off = dfile.get("content_offset")
-                    csz = dfile.get("content_size_in_bytes")
-                    out.append(
-                        {
-                            "file_path": dfile["file_path"],
-                            "seq": int(seq) if seq is not None else 0,
-                            "record_count": int(dfile["record_count"]),
-                            "file_size_in_bytes": int(dfile["file_size_in_bytes"]),
-                            "part_key": json.dumps(part, sort_keys=True, default=str),
-                            "equality_ids": [int(i) for i in eq] if eq else None,
-                            "file_format": str(
-                                dfile.get("file_format", "")
-                            ).upper(),
-                            "referenced_data_file": rdf,
-                            "content_offset": int(off) if off is not None else None,
-                            "content_size": int(csz) if csz is not None else None,
-                            # v3 row lineage (field-id 142); None for files
-                            # written before lineage (or v2 manifests)
-                            "first_row_id": (
-                                int(dfile["first_row_id"])
-                                if dfile.get("first_row_id") is not None
-                                else None
-                            ),
-                        }
-                    )
+                rows, _ = _decode_plan_entries(
+                    bytes(content), path, mseq, bounds_preds, part_preds
+                )
+                out.extend(rows)
             yield pd.DataFrame(out, columns=cols)
 
     return fn
@@ -235,9 +269,22 @@ def _plan_entries(
     """(surviving live entries, live-entry total) for one manifest content
     kind. The total comes from the manifest LIST's required added/existing
     counts (planning index, no decode); decode + prune + seq inheritance
-    all run inside the distributed Arrow pass, so the driver only ever
-    holds post-prune entries."""
-    from iceberg_meta_spark.sources.iceberg_native import _mf_int
+    all run inside one Arrow pass, so the driver only ever holds
+    post-prune entries.
+
+    Scale-adaptive decode placement: the manifest list carries every
+    manifest's byte length, so the TOTAL decode size is known before any
+    work. Small metadata (<= $SPARK_GRAFT_DRIVER_PLAN_BYTES, default
+    32 MB — KBs for typical tables) decodes DRIVER-side with the same
+    per-manifest kernel, zero Spark jobs; past the threshold (a 100 TB
+    table's thousands of manifests) the distributed binaryFile +
+    mapInPandas path runs unchanged. This is Iceberg's own planning
+    posture (driver plans by default, distributed planning for huge
+    metadata), parameterized instead of hard-coded."""
+    from iceberg_meta_spark.sources.iceberg_native import (
+        _as_local,
+        _mf_int,
+    )
 
     mlist = _read_avro_file(spark, snap["manifest-list"])
     mine = [r for r in mlist if int(r.get("content", 0)) == content]
@@ -251,6 +298,26 @@ def _plan_entries(
             live_total = None  # pre-v2 writer without counts: fall back
             break
         live_total += a + x
+
+    if not mine:
+        return [], 0
+    paths = [r["manifest_path"] for r in mine]
+    local = [_as_local(p) for p in paths]
+    total_bytes = sum(int(r.get("manifest_length") or 0) for r in mine)
+    if all(lp is not None for lp in local) and total_bytes <= _DRIVER_PLAN_BYTES:
+        rows_d: list[dict] = []
+        n_live = 0
+        for p, lp in zip(paths, local):
+            with open(lp, "rb") as fh:
+                decoded, live = _decode_plan_entries(
+                    fh.read(), p, mseq, list(bounds_preds), list(part_preds)
+                )
+            rows_d.extend(decoded)
+            n_live += live
+        if live_total is None:
+            live_total = n_live
+        return [_PlanEntry(**d) for d in rows_d], live_total
+
     bin_df = _manifest_bytes_df(
         spark, table_dir, snap["snapshot-id"], md, content=content
     )
@@ -490,22 +557,38 @@ def plan_scan(
                 ws = schemas_by_id.get(int(sid))
                 if ws is not None and int(seq_s) not in seen_seqs:
                     note(int(seq_s), ws)
-    # type widening: mergeSchema refuses to union int32 with int64 files,
-    # but an EXPLICIT read schema at the wide type promotes narrow files
-    # (the vectorized reader's legal upcast) — so a widened table reads
-    # with the declared-type schema over every name a current field ever
-    # had. Only primitive-typed schemas take this path; a widened table
-    # with complex columns would fail the merge loudly, never silently.
+    # Explicit read schema whenever the declared schema is all-primitive
+    # and name-unambiguous: the planner already KNOWS the schema, so
+    # handing it to the reader skips the per-query footer
+    # inference/merge pass (mergeSchema launches a distributed
+    # footer-read job per scan). Semantics are unchanged: columns a file
+    # lacks read NULL (name-based resolution), WIDENED tables read
+    # narrow files through the vectorized reader's legal upcast
+    # (mergeSchema would refuse that int32-vs-int64 union), and every
+    # name a current field ever had (renames) is included so per-file
+    # old-name resolution still sees the old columns. Ambiguous name
+    # reuse or non-primitive columns keep the mergeSchema path — a
+    # widened table there would fail the merge loudly, never silently.
     read_schema = None
-    if widened and not ambiguous_names and all(
+    if not ambiguous_names and all(
         isinstance(t, str) and t in _ICEBERG_TO_SPARK
         for t in current_types.values()
     ):
-        read_schema = ", ".join(
-            f"`{n}` {_ICEBERG_TO_SPARK[t]}"
-            for n, t in sorted(hist_names.items())
-            if isinstance(t, str) and t in _ICEBERG_TO_SPARK
+        # hist_names covers every (historical) name of a current field;
+        # it is only built for multi-schema/defaults tables — a
+        # single-schema table reads with its current fields directly
+        names = (
+            dict(sorted(hist_names.items()))
+            if hist_names
+            else {name: t for _, name, t in fields}
         )
+        if all(
+            isinstance(t, str) and t in _ICEBERG_TO_SPARK
+            for t in names.values()
+        ):
+            read_schema = ", ".join(
+                f"`{n}` {_ICEBERG_TO_SPARK[t]}" for n, t in names.items()
+            )
 
     return ScanPlan(
         data_files=[

@@ -2391,15 +2391,15 @@ def write_dataframe_files(
         .agg(*aggs)
         .collect()
     )
-    sizes = {
-        r.path: int(r.length)
-        for r in spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")  # Hive partition subdirs
-        .load(batch_dir)
-        .select("path", "length")
-        .collect()
-    }
+    # byte sizes via a local directory walk (the write path is local-fs
+    # throughout — see _local_path uses above); a Spark binaryFile listing
+    # job here cost a full scheduler round trip per commit
+    sizes = {}
+    for dirpath, _dirs, files in os.walk(_local_path(batch_dir)):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                fp = os.path.join(dirpath, fname)
+                sizes[fp] = os.path.getsize(fp)
 
     def _strip(p: str) -> str:
         while p.startswith("file:"):
