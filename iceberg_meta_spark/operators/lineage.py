@@ -36,7 +36,7 @@ def ancestry(nodes: DataFrame, max_depth: int = 1 << 20) -> DataFrame:
         F.coalesce(F.col("parent_id"), F.col("snapshot_id")).alias("anc"),
         F.when(F.col("parent_id").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
         F.col("parent_id").isNull().alias("done"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # lookup table reused every round: each node's (ancestor, hop, done)
     rounds = max(1, (max_depth - 1).bit_length())
@@ -65,7 +65,7 @@ def ancestry(nodes: DataFrame, max_depth: int = 1 << 20) -> DataFrame:
                 .otherwise(F.coalesce(F.col("j_done"), F.lit(True)))
                 .alias("done"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return state.select(
         "snapshot_id", F.col("anc").alias("root_id"), "depth"
@@ -87,7 +87,7 @@ def ancestor_closure(nodes: DataFrame) -> DataFrame:
     ).filter(F.col("ancestor_id").isNotNull())
     closure = nodes.select(
         "snapshot_id", F.col("snapshot_id").alias("ancestor_id")
-    ).unionByName(edges).localCheckpoint()
+    ).unionByName(edges).localCheckpoint(eager=False)
     while True:
         hop = closure.select(
             F.col("snapshot_id").alias("j_id"), F.col("ancestor_id").alias("j_anc")
@@ -97,7 +97,7 @@ def ancestor_closure(nodes: DataFrame) -> DataFrame:
             .select("snapshot_id", F.col("j_anc").alias("ancestor_id"))
             .unionByName(closure)
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if grown.count() == closure.count():
             return closure

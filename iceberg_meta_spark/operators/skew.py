@@ -170,29 +170,41 @@ def join_cardinality_preflight(
     la = left.groupBy(F.col(key).cast("string").alias("k")).agg(
         F.count(F.lit(1)).alias("ca")
     )
-    lt = left.agg(F.count(F.lit(1)).alias("left_rows"))
     if right is left:
-        # self-join census: reuse the one count table / total instead of
-        # trusting exchange-reuse to dedupe two identical aggregates
+        # self-join census: reuse the one count table instead of trusting
+        # exchange-reuse to dedupe two identical aggregates
         rb = la.select("k", F.col("ca").alias("cb"))
-        rt = lt.select(F.col("left_rows").alias("right_rows"))
     else:
         rb = right.groupBy(F.col(key).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("cb")
         )
-        rt = right.agg(F.count(F.lit(1)).alias("right_rows"))
-    per_key = la.join(rb, "k").select(
-        "k", (F.col("ca") * F.col("cb")).alias("out_k")
+    # ONE full-outer join + ONE aggregate carries everything: the input
+    # totals are just sum(ca)/sum(cb) over the (full) per-key count tables
+    # — unmatched and NULL keys survive a full outer join, so the totals
+    # equal plain count(*) of each input — and the matched-key stats read
+    # the both-sides-present rows. This replaces the previous shape (two
+    # extra whole-input count aggregates + two 1-row broadcast cross joins
+    # = four more jobs per preflight) with zero result change (r12).
+    per_key = la.join(rb, "k", "full_outer").select(
+        "k", "ca", "cb",
+        F.when(
+            F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+            F.col("ca") * F.col("cb"),
+        ).alias("out_k"),
     )
-    agg = per_key.agg(
+    prof = per_key.agg(
         F.lit(key).alias("key_col"),
-        F.count(F.lit(1)).alias("matched_keys"),
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("left_rows"),
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("right_rows"),
+        F.count("out_k").alias("matched_keys"),
         F.coalesce(F.sum("out_k"), F.lit(0)).alias("out_rows"),
         F.coalesce(F.max("out_k"), F.lit(0)).alias("max_key_out"),
-        F.max(F.struct(F.col("out_k"), F.col("k"))).getField("k").alias("top_key"),
+        F.max(
+            F.when(
+                F.col("out_k").isNotNull(), F.struct(F.col("out_k"), F.col("k"))
+            )
+        ).getField("k").alias("top_key"),
     )
-    # three single-row frames: cross joins are 1x1, pure plan glue
-    prof = agg.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(rt))
     return prof.select(
         "key_col",
         "left_rows",

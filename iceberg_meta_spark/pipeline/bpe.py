@@ -132,5 +132,5 @@ def train_merge_rules(
         rules.append((pa, pb, merged))
         arr = arr.select(
             _merge_fold(F.col("a"), F.lit(pa), F.lit(pb), F.lit(merged)).alias("a")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return rules

@@ -94,7 +94,7 @@ def token_rarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
     # materialize the distinct-token count table ONCE (an index-build step:
     # it feeds the vocab cap, the corpus total, and the expected weight —
     # without this the corpus would be re-tokenized for each consumer)
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=False)
     vocab = (
         counts.orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(vocab_cap)
@@ -307,7 +307,7 @@ def lm_familiarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
     bg = docs.select("doc_id", F.explode(_ngrams(_toks(), 2)).alias("bigram"))
     # index-build step: one tokenize+count pass feeds prefix totals, the
     # capped model, and the corpus expectation
-    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=False)
     prefix = counts.groupBy(
         F.substring_index("bigram", " ", 1).alias("w1")
     ).agg(F.sum("cnt").alias("ptot"))

@@ -66,13 +66,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cur = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         arriving = sym.join(
@@ -82,7 +82,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             cur.unionAll(arriving)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.withColumnRenamed("label", "new_label")
@@ -136,7 +136,7 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
@@ -158,7 +158,7 @@ def pagerank(
                     + F.expr(f"{damping_ppm} * coalesce(in_sum, 0) DIV 1000000")
                 ).cast("long").alias("rank_scaled"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.orderBy(F.desc("rank_scaled"), "node")
 

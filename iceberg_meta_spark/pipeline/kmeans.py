@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.pipeline.similarity import SCALE, with_self_norm
+from iceberg_meta_spark.sources.localrel import local_frame
 
 QUANT = 1_000_000  # centroid component quantization scale
 
@@ -264,7 +265,8 @@ def kmeans_cells(
     sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     # md5(concat_ws(",", c)) computed driver-side on the collected K rows —
     # Python str(int) and hashlib.md5 match Spark's CAST(STRING)/md5 exactly
-    cmd5 = base.sparkSession.createDataFrame(
+    cmd5 = local_frame(
+        base.sparkSession,
         [
             (cid, hashlib.md5(",".join(str(v) for v in c).encode()).hexdigest())
             for cid, c in cent_rows
@@ -450,7 +452,8 @@ def prototype_stats(
     if not cent_rows:
         return base.sparkSession.createDataFrame([], out_schema)
     cellv = _assign(base, cent_rows, carry=("embedding", "norm_s"))
-    cdf = base.sparkSession.createDataFrame(
+    cdf = local_frame(
+        base.sparkSession,
         [(cid, list(c)) for cid, c in cent_rows], "cell bigint, c array<bigint>"
     )
     j = cellv.join(F.broadcast(cdf), "cell")

@@ -468,7 +468,9 @@ def lsh_recall_audit(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
     spark = emb.sparkSession
-    qframe = spark.createDataFrame([(int(i),) for i in query_ids], "query_id bigint")
+    from iceberg_meta_spark.sources.localrel import local_frame
+
+    qframe = local_frame(spark, [(int(i),) for i in query_ids], "query_id bigint")
     return (
         qframe.join(n_cand, "query_id", "left")
         .join(hits, "query_id", "left")

@@ -90,7 +90,9 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
     )
     tot = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
-    ks = qi.sparkSession.createDataFrame([(2,), (3,), (5,), (10,)], "k bigint")
+    from iceberg_meta_spark.sources.localrel import local_frame
+
+    ks = local_frame(qi.sparkSession, [(2,), (3,), (5,), (10,)], "k bigint")
     sweep = (
         qi.crossJoin(F.broadcast(ks))
         .crossJoin(F.broadcast(tot))
@@ -160,7 +162,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = qi.agg(F.sum("class_size").cast("long").alias("n_rows"))
-    ls = qi.sparkSession.createDataFrame([(2,), (3,), (5,)], "l bigint")
+    from iceberg_meta_spark.sources.localrel import local_frame
+
+    ls = local_frame(qi.sparkSession, [(2,), (3,), (5,)], "l bigint")
     return (
         qi.crossJoin(F.broadcast(ls))
         .crossJoin(F.broadcast(tot))
@@ -243,7 +247,9 @@ def privacy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sweep(classes: DataFrame, size_col: str, metric_col: str, audit: str, thresholds: list[int]) -> DataFrame:
-        ts = classes.sparkSession.createDataFrame([(t,) for t in thresholds], "thr bigint")
+        from iceberg_meta_spark.sources.localrel import local_frame
+
+        ts = local_frame(classes.sparkSession, [(t,) for t in thresholds], "thr bigint")
         return (
             classes.crossJoin(F.broadcast(ts))
             .crossJoin(F.broadcast(tot))

@@ -872,6 +872,15 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = orders.filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") >= 150000)
     ).select(F.col("o_orderkey").alias("l_orderkey"))
+    # m_bits sizing, measured r12: 65536 bits = ~3 bits/key for the ~21k
+    # surviving hot orders (~23 % false positives — 207k of 600k rows pass
+    # vs ~84k true matches). Raising m to the §3.2 10-bits/key rule
+    # (262144) was tried and MEASURED SLOWER here: the 4096-long literal
+    # word array dominates codegen at this scale factor, costing more than
+    # the extra 120k-row shuffle it saves. Result-identical at any m (the
+    # exact semi join backstops every false positive), so the knob stays
+    # at the locally-faster value; at real scale the probe-side row volume
+    # dominates and a deployment would size m to the build cardinality.
     kept = bloom_semi_join(li, hot, "l_orderkey", m_bits=65536, k=3)
     return (
         kept.groupBy("l_returnflag")

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.sources.avro_py import read_container
+from iceberg_meta_spark.sources.localrel import local_frame
 
 
 def _as_local(path: str) -> str | None:
@@ -194,7 +195,7 @@ def native_snapshots_frame(
         )
         for s in md.get("snapshots", [])
     ]
-    return spark.createDataFrame(rows, _SNAP_SCHEMA)
+    return local_frame(spark, rows, _SNAP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +249,7 @@ def native_manifests_frame(
         )
         for r in records
     ]
-    return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+    return local_frame(spark, rows, _MANIFESTS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -292,39 +293,79 @@ def _decode_manifest_entries(content: bytes, path: str) -> Iterator[dict]:
         }
 
 
+def _entry_dicts(content: bytes, path: str) -> list[dict]:
+    """Decode ONE manifest's bytes into S7-shaped entry dicts — the pure
+    per-manifest kernel shared by the distributed Arrow decode
+    (:func:`_entries_map_fn`) and the driver-side small-metadata path
+    (:func:`native_entries_frame`), so the two cannot drift."""
+    out = []
+    for e in _decode_manifest_entries(bytes(content), path):
+        df = e["data_file"]
+        part = df.get("partition") or {}
+        seq = e["entry"].get("sequence_number")
+        eq = df.get("equality_ids")
+        out.append(
+            {
+                "manifest_path": e["manifest_path"],
+                "status": e["status"],
+                "snapshot_id": e["snapshot_id"],
+                "content": int(df.get("content", 0)),
+                "file_path": df["file_path"],
+                "file_format": str(df.get("file_format", "")).upper(),
+                "part_key": json.dumps(part, sort_keys=True, default=str),
+                "record_count": int(df["record_count"]),
+                "file_size_in_bytes": int(df["file_size_in_bytes"]),
+                # null = inherited from the manifest (spec § Manifest
+                # Entry Fields): the scan planner coalesces with the
+                # manifest's own sequence_number
+                "sequence_number": int(seq) if seq is not None else None,
+                "equality_ids": [int(i) for i in eq] if eq else None,
+            }
+        )
+    return out
+
+
 def _entries_map_fn(pdf_iter):
     import pandas as pd
 
     for pdf in pdf_iter:
         out = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for e in _decode_manifest_entries(bytes(content), path):
-                df = e["data_file"]
-                part = df.get("partition") or {}
-                seq = e["entry"].get("sequence_number")
-                eq = df.get("equality_ids")
-                out.append(
-                    {
-                        "manifest_path": e["manifest_path"],
-                        "status": e["status"],
-                        "snapshot_id": e["snapshot_id"],
-                        "content": int(df.get("content", 0)),
-                        "file_path": df["file_path"],
-                        "file_format": str(df.get("file_format", "")).upper(),
-                        "part_key": json.dumps(part, sort_keys=True, default=str),
-                        "record_count": int(df["record_count"]),
-                        "file_size_in_bytes": int(df["file_size_in_bytes"]),
-                        # null = inherited from the manifest (spec § Manifest
-                        # Entry Fields): the scan planner coalesces with the
-                        # manifest's own sequence_number
-                        "sequence_number": int(seq) if seq is not None else None,
-                        "equality_ids": [int(i) for i in eq] if eq else None,
-                    }
-                )
+            out.extend(_entry_dicts(bytes(content), path))
         yield pd.DataFrame(
             out,
             columns=[c.split()[0] for c in _ENTRY_COLS.split(", ")],
         )
+
+
+def _stat_dicts(content: bytes, path: str) -> list[dict]:
+    """Per-(file, field) stats dicts of ONE manifest — shared kernel of the
+    distributed and driver-side paths (same rationale as _entry_dicts)."""
+    out = []
+    for e in _decode_manifest_entries(bytes(content), path):
+        if e["status"] == 2:  # DELETED entries carry no live stats
+            continue
+        df = e["data_file"]
+        vc = _kv_map(df.get("value_counts"))
+        nc = _kv_map(df.get("null_value_counts"))
+        cs = _kv_map(df.get("column_sizes"))
+        lb = _kv_map(df.get("lower_bounds"))
+        ub = _kv_map(df.get("upper_bounds"))
+        # bounds-only stats are legal (a writer may track min/max
+        # without value counts) — include every field ANY map names
+        for fid in sorted(set(vc) | set(nc) | set(cs) | set(lb) | set(ub)):
+            out.append(
+                {
+                    "file_path": df["file_path"],
+                    "field_id": fid,
+                    "value_count": vc.get(fid),
+                    "null_count": nc.get(fid),
+                    "column_size": cs.get(fid),
+                    "lower_bound": bytes(lb[fid]) if fid in lb else None,
+                    "upper_bound": bytes(ub[fid]) if fid in ub else None,
+                }
+            )
+    return out
 
 
 def _stats_map_fn(pdf_iter):
@@ -333,33 +374,46 @@ def _stats_map_fn(pdf_iter):
     for pdf in pdf_iter:
         out = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            for e in _decode_manifest_entries(bytes(content), path):
-                if e["status"] == 2:  # DELETED entries carry no live stats
-                    continue
-                df = e["data_file"]
-                vc = _kv_map(df.get("value_counts"))
-                nc = _kv_map(df.get("null_value_counts"))
-                cs = _kv_map(df.get("column_sizes"))
-                lb = _kv_map(df.get("lower_bounds"))
-                ub = _kv_map(df.get("upper_bounds"))
-                # bounds-only stats are legal (a writer may track min/max
-                # without value counts) — include every field ANY map names
-                for fid in sorted(set(vc) | set(nc) | set(cs) | set(lb) | set(ub)):
-                    out.append(
-                        {
-                            "file_path": df["file_path"],
-                            "field_id": fid,
-                            "value_count": vc.get(fid),
-                            "null_count": nc.get(fid),
-                            "column_size": cs.get(fid),
-                            "lower_bound": bytes(lb[fid]) if fid in lb else None,
-                            "upper_bound": bytes(ub[fid]) if fid in ub else None,
-                        }
-                    )
+            out.extend(_stat_dicts(bytes(content), path))
         yield pd.DataFrame(
             out,
             columns=[c.split()[0] for c in _STATS_COLS.split(", ")],
         )
+
+
+def _local_manifest_bytes(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None,
+    metadata: dict | None,
+    content: int | None = 0,
+) -> list[tuple[str, bytes]] | None:
+    """Scale-adaptive manifest byte sourcing: the (path, bytes) list when
+    every manifest of the requested content kind is LOCAL and their total
+    length (free from the manifest list) is at most DRIVER_PLAN_BYTES —
+    else None, meaning the caller must take the distributed binaryFile
+    path. Decode callers build a local relation of DECODED rows from this
+    (zero Spark jobs; re-consumption by multi-pass operators is free)."""
+    md = metadata or load_table_metadata(spark, table_dir)
+    snap = _snapshot(md, snapshot_id)
+    mlist = _read_avro_file(spark, snap["manifest-list"])
+    mine = [
+        r for r in mlist
+        if content is None or int(r.get("content", 0)) == content
+    ]
+    local = [_as_local(r["manifest_path"]) for r in mine]
+    total = sum(int(r.get("manifest_length") or 0) for r in mine)
+    # module attribute (not the import-time constant) so tests can
+    # monkeypatch the threshold to pin either decode placement
+    import iceberg_meta_spark.sources.iceberg_native as _self
+
+    if any(lp is None for lp in local) or total > _self.DRIVER_PLAN_BYTES:
+        return None
+    out = []
+    for r, lp in zip(mine, local):
+        with open(lp, "rb") as fh:
+            out.append((r["manifest_path"], fh.read()))
+    return out
 
 
 def _manifest_bytes_df(
@@ -372,25 +426,13 @@ def _manifest_bytes_df(
     md = metadata or load_table_metadata(spark, table_dir)
     snap = _snapshot(md, snapshot_id)
     mlist = _read_avro_file(spark, snap["manifest-list"])
-    mine = [
-        r for r in mlist
+    paths = [
+        r["manifest_path"]
+        for r in mlist
         if content is None or int(r.get("content", 0)) == content
     ]
-    paths = [r["manifest_path"] for r in mine]
     if not paths:
         return spark.createDataFrame([], "path string, content binary")
-    # scale-adaptive byte sourcing: small local manifest sets load
-    # driver-side into a local relation (no binaryFile listing job; the
-    # decode mapInPandas downstream runs unchanged), large or remote sets
-    # keep the distributed binaryFile scan
-    local = [_as_local(p) for p in paths]
-    total = sum(int(r.get("manifest_length") or 0) for r in mine)
-    if all(lp is not None for lp in local) and total <= DRIVER_PLAN_BYTES:
-        rows = []
-        for p, lp in zip(paths, local):
-            with open(lp, "rb") as fh:
-                rows.append((p, bytearray(fh.read())))
-        return spark.createDataFrame(rows, "path string, content binary")
     return (
         spark.read.format("binaryFile").load(paths).select("path", "content")
     )
@@ -403,7 +445,19 @@ def native_entries_frame(
     metadata: dict | None = None,
 ) -> DataFrame:
     """Every manifest entry of a snapshot (S7 shape: status included), one
-    row per (manifest, data file) — decoded executor-side."""
+    row per (manifest, data file) — decoded executor-side, or driver-side
+    into a local relation when the metadata is small (see
+    :func:`_local_manifest_bytes`; multi-pass consumers then re-read a
+    plain in-memory relation instead of re-running the decode)."""
+    small = _local_manifest_bytes(spark, table_dir, snapshot_id, metadata)
+    if small is not None:
+        cols = [c.split()[0] for c in _ENTRY_COLS.split(", ")]
+        rows = [
+            tuple(d[c] for c in cols)
+            for p, b in small
+            for d in _entry_dicts(b, p)
+        ]
+        return local_frame(spark, rows, _ENTRY_COLS)
     bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata)
     return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS)
 
@@ -439,7 +493,18 @@ def native_column_stats_frame(
     metadata: dict | None = None,
 ) -> DataFrame:
     """Per-(file, field) stats — the A5/A6 input shape of
-    sources/iceberg.py::column_stats_frame, + raw bound bytes for A7."""
+    sources/iceberg.py::column_stats_frame, + raw bound bytes for A7.
+    Driver-decoded into a local relation for small metadata (same
+    adaptive rule as :func:`native_entries_frame`)."""
+    small = _local_manifest_bytes(spark, table_dir, snapshot_id, metadata)
+    if small is not None:
+        cols = [c.split()[0] for c in _STATS_COLS.split(", ")]
+        rows = [
+            tuple(d[c] for c in cols)
+            for p, b in small
+            for d in _stat_dicts(b, p)
+        ]
+        return local_frame(spark, rows, _STATS_COLS)
     bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata)
     return bin_df.mapInPandas(_stats_map_fn, _STATS_COLS)
 
@@ -630,6 +695,24 @@ def native_column_stats_typed(
         for f in schema["fields"]
         if f.get("type") in ("int", "long")
     }
+    small = _local_manifest_bytes(spark, table_dir, snapshot_id, md)
+    if small is not None:
+        import struct as _s
+
+        cols = [c.split()[0] for c in _STATS_TYPED_COLS.split(", ")]
+
+        def _dec1(fid, raw):
+            if raw is None or fid not in int_fields:
+                return None
+            return _s.unpack(int_fields[fid], raw)[0]
+
+        rows = []
+        for p, b in small:
+            for d in _stat_dicts(b, p):
+                d["lower_bound"] = _dec1(d["field_id"], d["lower_bound"])
+                d["upper_bound"] = _dec1(d["field_id"], d["upper_bound"])
+                rows.append(tuple(d[c] for c in cols))
+        return local_frame(spark, rows, _STATS_TYPED_COLS)
     bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, md)
 
     def typed_fn(pdf_iter):
@@ -661,7 +744,16 @@ def native_delete_files_frame(
     """Delete files (position/equality, data_file.content 1/2) of a
     snapshot, from the snapshot's DELETE manifests (manifest content=1) —
     the v2 row-level-delete audit input (A2/P5's file-level view). Same
-    distributed decode as the data path."""
+    adaptive decode placement as the data path."""
+    small = _local_manifest_bytes(spark, table_dir, snapshot_id, metadata, content=1)
+    if small is not None:
+        cols = [c.split()[0] for c in _ENTRY_COLS.split(", ")]
+        rows = [
+            tuple(d[c] for c in cols)
+            for p, b in small
+            for d in _entry_dicts(b, p)
+        ]
+        return local_frame(spark, rows, _ENTRY_COLS).where(F.col("status") != 2)
     bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata, content=1)
     return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS).where(F.col("status") != 2)
 
@@ -732,7 +824,7 @@ def native_history_frame(
             int(parent) if parent is not None else None,
             sid in ancestors,
         ))
-    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+    return local_frame(spark, rows, _HISTORY_SCHEMA)
 
 
 def native_partitions_frame(

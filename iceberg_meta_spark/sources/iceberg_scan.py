@@ -124,12 +124,12 @@ _PLAN_COLS = (
 # of the distributed path; field set = _PLAN_COLS).
 _PlanEntry = namedtuple("_PlanEntry", [c.split()[0] for c in _PLAN_COLS.split(", ")])
 
-# Manifest bytes at or below this decode DRIVER-side (zero Spark jobs);
-# above it, the distributed binaryFile + mapInPandas decode runs. Shared
-# with sources/iceberg_native.py (one knob for both decode layers).
-from iceberg_meta_spark.sources.iceberg_native import (  # noqa: E402
-    DRIVER_PLAN_BYTES as _DRIVER_PLAN_BYTES,
-)
+# Manifest bytes at or below iceberg_native.DRIVER_PLAN_BYTES decode
+# DRIVER-side (zero Spark jobs); above it, the distributed binaryFile +
+# mapInPandas decode runs. Read dynamically from the native module so one
+# knob (monkeypatch-able in tests) governs both decode layers.
+from iceberg_meta_spark.sources import iceberg_native as _native  # noqa: E402
+from iceberg_meta_spark.sources.localrel import local_frame  # noqa: E402
 
 
 def _decode_plan_entries(
@@ -304,7 +304,7 @@ def _plan_entries(
     paths = [r["manifest_path"] for r in mine]
     local = [_as_local(p) for p in paths]
     total_bytes = sum(int(r.get("manifest_length") or 0) for r in mine)
-    if all(lp is not None for lp in local) and total_bytes <= _DRIVER_PLAN_BYTES:
+    if all(lp is not None for lp in local) and total_bytes <= _native.DRIVER_PLAN_BYTES:
         rows_d: list[dict] = []
         n_live = 0
         for p, lp in zip(paths, local):
@@ -624,12 +624,17 @@ def _pos_delete_frame(spark: SparkSession, deletes: list[dict]) -> DataFrame:
     (scheme-strip only; url-decoding again would corrupt Hive-escaped
     names), while ``_metadata.file_path`` is URI-encoded and decodes one
     layer (:func:`_norm_path_col`) to match the broadcast seq map."""
-    pd_seq = spark.createDataFrame(
+    pd_seq = local_frame(
+        spark,
         [(_norm_path(d["path"]), d["seq"]) for d in deletes],
         "__dfile string, __delseq long",
     )
+    # explicit schema: a position-delete file's layout is fixed by the spec
+    # (file_path string, pos long — the optional `row` payload is never
+    # consumed), so schema inference's footer read is pure overhead
     return (
-        spark.read.parquet(*[_norm_path(d["path"]) for d in deletes])
+        spark.read.schema("file_path string, pos long")
+        .parquet(*[_norm_path(d["path"]) for d in deletes])
         .select(
             F.regexp_replace("file_path", r"^file:/*", "/").alias("__file"),
             F.col("pos").alias("__pos"),
@@ -648,7 +653,8 @@ def _dv_delete_frame(spark: SparkSession, dvs: list[dict]) -> DataFrame:
     inside an Arrow-batched mapInPandas via random-access reads of each
     blob's [content_offset, content_offset+content_size) byte range, so
     they never materialize on the driver."""
-    desc = spark.createDataFrame(
+    desc = local_frame(
+        spark,
         [
             (
                 _norm_path(d["path"]),
@@ -697,7 +703,8 @@ def _eq_delete_frames(
         by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
     for ids, dels in sorted(by_ids.items()):
         cols = [id_to_name[i] for i in ids]
-        e_seq = spark.createDataFrame(
+        e_seq = local_frame(
+            spark,
             [(_norm_path(d["path"]), d["seq"]) for d in dels],
             "__dfile string, __delseq long",
         )
@@ -757,46 +764,57 @@ def _merged_rows(
         _norm_path_col(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     )
-    # per-file data sequence number: tiny planning-index map, broadcast
-    seq_df = spark.createDataFrame(
-        [(_norm_path(f["path"]), f["seq"]) for f in data_files],
-        "__file string, __dseq long",
+    # ONE combined per-file planning-index map, broadcast-joined once: the
+    # data sequence number, identity-partition values, rename sources, and
+    # default-absence flags all key on __file, so carrying them in a single
+    # broadcast join replaces what used to be up to four separate joins
+    # (each a broadcast-build job + an extra plan node). The map is one row
+    # per surviving file — planning-index scale at any table size. The
+    # column LOGIC below stays in its original order (partition injection
+    # before delete application; rename/default resolution after), which
+    # joins of per-file constants commute with.
+    types_by_name = {name: t for _, name, t in plan.schema_fields}
+    rename_files = [f for f in data_files if f.get("renamed")]
+    renamed_cols = sorted({c for f in rename_files for c in f["renamed"]})
+    with_defaults = plan.field_defaults and any(
+        f.get("default_absent") for f in data_files
     )
-    df = df.join(F.broadcast(seq_df), "__file")
+    map_ddl = ["__file string", "__dseq long"]
+    map_ddl += [
+        f"`__part_{c}` "
+        f"{_ICEBERG_TO_SPARK.get(types_by_name.get(c, 'string'), 'string')}"
+        for c in plan.partition_cols
+    ]
+    map_ddl += [f"`__src_{c}` string" for c in renamed_cols]
+    if with_defaults:
+        map_ddl += [f"`__dfl_{d['name']}` boolean" for d in plan.field_defaults]
+    map_rows = []
+    for f in data_files:
+        row = [_norm_path(f["path"]), f["seq"]]
+        row += [f["part"].get(c) for c in plan.partition_cols]
+        row += [(f.get("renamed") or {}).get(c) for c in renamed_cols]
+        if with_defaults:
+            absent = set(f.get("default_absent") or [])
+            row += [d["name"] in absent for d in plan.field_defaults]
+        map_rows.append(tuple(row))
+    file_map = local_frame(spark, map_rows, ", ".join(map_ddl))
+    df = df.join(F.broadcast(file_map), "__file")
 
     # identity-partition columns absent from the parquet itself (Hive-layout
     # writes keep them in the directory, engines keep them in METADATA):
     # inject each file's partition value from the plan — this is how real
     # scans serve partition columns, and it must happen BEFORE delete
-    # application (an equality delete may key on a partition column)
-    types_by_name = {name: t for _, name, t in plan.schema_fields}
-    if plan.partition_cols:
-        # per-FILE resolution: after partition evolution a column can be
-        # physical in old files and Hive-virtual (directory-only) in new
-        # ones, so coalesce the data column with the metadata value
-        ddl_parts = ", ".join(
-            f"`__part_{c}` "
-            f"{_ICEBERG_TO_SPARK.get(types_by_name.get(c, 'string'), 'string')}"
-            for c in plan.partition_cols
+    # application (an equality delete may key on a partition column).
+    # Per-FILE resolution: after partition evolution a column can be
+    # physical in old files and Hive-virtual (directory-only) in new
+    # ones, so coalesce the data column with the metadata value.
+    for c in plan.partition_cols:
+        src = (
+            F.coalesce(F.col(c), F.col(f"__part_{c}"))
+            if c in df.columns
+            else F.col(f"__part_{c}")
         )
-        part_df = spark.createDataFrame(
-            [
-                tuple(
-                    [_norm_path(f["path"])]
-                    + [f["part"].get(c) for c in plan.partition_cols]
-                )
-                for f in data_files
-            ],
-            f"__file string, {ddl_parts}",
-        )
-        df = df.join(F.broadcast(part_df), "__file")
-        for c in plan.partition_cols:
-            src = (
-                F.coalesce(F.col(c), F.col(f"__part_{c}"))
-                if c in df.columns
-                else F.col(f"__part_{c}")
-            )
-            df = df.withColumn(c, src)
+        df = df.withColumn(c, src)
 
     if plan.position_deletes:
         pos = _pos_delete_frame(spark, plan.position_deletes)
@@ -832,25 +850,12 @@ def _merged_rows(
 
     # renamed columns: a file written before RENAME COLUMN stores the OLD
     # name (name-based parquet, no field ids), so each current column
-    # whose name changed reads from its file's write-time name — a
-    # broadcast per-file source-name map + one CASE per renamed column
-    # (the id-based resolution every engine does, reconstructed through
-    # the schema history; old names per field are bounded by the schema
-    # log, driver-side planning data).
-    rename_files = [f for f in data_files if f.get("renamed")]
+    # whose name changed reads from its file's write-time name — the
+    # per-file source names ride the combined file_map join above, one
+    # CASE per renamed column (the id-based resolution every engine does,
+    # reconstructed through the schema history; old names per field are
+    # bounded by the schema log, driver-side planning data).
     if rename_files:
-        renamed_cols = sorted({c for f in rename_files
-                               for c in f["renamed"]})
-        src_df = spark.createDataFrame(
-            [
-                tuple([_norm_path(f["path"])]
-                      + [(f.get("renamed") or {}).get(c) for c in renamed_cols])
-                for f in data_files
-            ],
-            "__file string, " + ", ".join(
-                f"`__src_{c}` string" for c in renamed_cols),
-        )
-        df = df.join(F.broadcast(src_df), "__file")
         for c in renamed_cols:
             expr = F.col(c) if c in df.columns else F.lit(None)
             for old in sorted({f["renamed"][c] for f in rename_files
@@ -862,24 +867,9 @@ def _merged_rows(
 
     # v3 default-value columns: rows of files written BEFORE a defaulted
     # column existed serve its initial-default; newer files' explicit
-    # NULLs stay NULL. Per-file flags ride one broadcast map join (the
-    # partition-injection idiom) — zero extra scan passes.
-    if plan.field_defaults and any(f.get("default_absent") for f in data_files):
-        flag_ddl = "__file string, " + ", ".join(
-            f"`__dfl_{d['name']}` boolean" for d in plan.field_defaults
-        )
-        flag_df = spark.createDataFrame(
-            [
-                tuple(
-                    [_norm_path(f["path"])]
-                    + [d["name"] in set(f.get("default_absent") or [])
-                       for d in plan.field_defaults]
-                )
-                for f in data_files
-            ],
-            flag_ddl,
-        )
-        df = df.join(F.broadcast(flag_df), "__file")
+    # NULLs stay NULL. Per-file flags ride the combined file_map join
+    # above (the partition-injection idiom) — zero extra scan passes.
+    if with_defaults:
         for d in plan.field_defaults:
             spark_t = _ICEBERG_TO_SPARK.get(d["type"], "string")
             cur = (F.col(d["name"]) if d["name"] in df.columns
@@ -930,7 +920,8 @@ def _with_lineage_columns(
     number`` = materialized value else the carrying file's data sequence.
     One broadcast map join on ``__file`` — zero extra scan passes. Shared
     by the lineage scan and the lineage-preserving compaction rewrite."""
-    frid_df = spark.createDataFrame(
+    frid_df = local_frame(
+        spark,
         [(_norm_path(f["path"]),
           int(f["first_row_id"]) if f.get("first_row_id") is not None
           else None)

@@ -174,12 +174,33 @@ def test_native_files_frame_matches_closed_form(spark, table_dir):
     assert native_files_frame(spark, table_dir, snapshot_id=2).count() == 100
 
 
-def test_native_files_decode_is_distributed(spark, table_dir):
-    """The manifest decode must be a mapInPandas over binaryFile rows (one
-    task per manifest — never a driver loop): the plan carries both scans."""
-    plan = native_files_frame(spark, table_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
-    assert "binaryFile" in plan or "BinaryFile" in plan
+def test_native_files_decode_placement_is_scale_adaptive(spark, table_dir, monkeypatch):
+    """r12: decode placement follows metadata size. Small local metadata
+    (<= DRIVER_PLAN_BYTES) decodes driver-side into a local relation —
+    zero scan jobs, free re-consumption by multi-pass operators; above
+    the threshold the distributed binaryFile + mapInPandas decode (one
+    task per manifest — never a driver loop) runs, pinned by forcing the
+    threshold to 0. Both placements must return identical rows."""
+    from iceberg_meta_spark.sources import iceberg_native
+
+    plan_small = (
+        native_files_frame(spark, table_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan_small  # local relation, no decode job
+    rows_small = sorted(
+        (r.file_path, r.record_count) for r in native_files_frame(spark, table_dir).collect()
+    )
+
+    monkeypatch.setattr(iceberg_native, "DRIVER_PLAN_BYTES", 0)
+    plan_big = (
+        native_files_frame(spark, table_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_big
+    assert "binaryFile" in plan_big or "BinaryFile" in plan_big
+    rows_big = sorted(
+        (r.file_path, r.record_count) for r in native_files_frame(spark, table_dir).collect()
+    )
+    assert rows_small == rows_big
 
 
 def test_native_entries_and_statuses(spark, table_dir):

@@ -383,11 +383,26 @@ def test_rest_delete_races_filesystem_append(spark, rest_table):
     assert results["delete"]["rows_deleted"] == 2
     got = sorted(r.id for r in scan_table(spark, table).collect())
     assert got == [0, 1, 4, 5, 50, 51]
-    # both commits are in ONE serialized chain the catalog agrees on
+    # both commits land in ONE serialized linear chain on disk, whichever
+    # thread wins the version race. (r12: driver-side metadata IO made
+    # planning ~1000× faster, so the REST deleter now genuinely races the
+    # appender and EITHER can claim the version first — the old assertion
+    # assumed the appender always won. Appender-first: the mock loses its
+    # exclusive-create, resyncs, 409s, and the rebased delete lands third
+    # — catalog sees all 3. Deleter-first: the APPENDER rebases on the
+    # filesystem, and the catalog — which learns of filesystem commits at
+    # its next publish conflict — still holds the 2-snapshot prefix.)
+    from iceberg_meta_spark.sources.iceberg_native import load_table_metadata
+
+    disk = load_table_metadata(spark, table)
+    assert len(disk["snapshots"]) == 3
+    parents = {s.get("parent-snapshot-id") for s in disk["snapshots"]}
+    assert len(parents) == 3  # linear chain: three distinct parents
     _, md = catalog.load_table("ns.t")
-    assert len(md["snapshots"]) == 3
-    parents = {s.get("parent-snapshot-id") for s in md["snapshots"]}
-    assert len(parents) == 3
+    cat_ids = [s["snapshot-id"] for s in md["snapshots"]]
+    disk_ids = [s["snapshot-id"] for s in disk["snapshots"]]
+    assert len(cat_ids) in (2, 3)
+    assert cat_ids == disk_ids[: len(cat_ids)]  # catalog = prefix of disk
 
 
 def test_rest_compaction_and_expiry(spark, rest_table):

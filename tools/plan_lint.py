@@ -35,6 +35,11 @@ SINGLE_PARTITION_ALLOWED: dict[str, str] = {
     # exact global ntile is the documented driver-side twin; the _approx
     # twin is the deployment path (VERDICT r1 #2 — both ship)
     "user_value_deciles": "exact-ntile twin; user_value_deciles_approx is the scale path",
+    # exact-median rank selection (operators/file_health._exact_median_frame):
+    # same single-reducer funnel the exact `median` aggregate already had,
+    # now codegen'd; meta_file_health_approx is the >10^8-files path
+    "meta_file_health": "exact-median selection twin; meta_file_health_approx is the scale path",
+    "iceberg_native_file_health": "exact-median selection over the manifest-entry frame (metadata-sized)",
     "user_value_pareto": "exact-ntile base (same twin reasoning) + a 10-row decile window",
     # metadata-sized frames: rows bounded independent of data scale
     "meta_snapshot_expiry": "rank over the snapshot log (O(snapshots/table); multi-table partitions by table)",
