@@ -19,8 +19,10 @@ centroids, see mllib's KMeans.findClosest).  The interpreted higher-order
 expression form (``aggregate(zip_with(...))`` per pair) costs ~230 ns per
 element; the vectorized kernel does the identical floor-scaled arithmetic at
 numpy speed, ~50× faster, with ZERO rows shuffled during assignment.  The
-new-centroid update is a per-cell integer-mean aggregate (64 ``sum`` columns,
-map-side combined — one row per cell on the wire).  Centroids live
+new-centroid update is FUSED into the same kernel pass (r12,
+:func:`_assign_update`): per-cell sums/counts accumulate in numpy
+map-side, so at most K partial rows per task reach the one small merge
+aggregate — nothing row-shaped crosses the wire.  Centroids live
 driver-side between rounds (K ≈ √N rows, bounded — MLlib keeps them on the
 driver too), which also keeps lineage flat across iterations without
 per-round checkpoints.
@@ -83,10 +85,9 @@ def _collect_cents(cents: DataFrame) -> list[tuple[int, list[int]]]:
 def _assign(
     base: DataFrame,
     cent_rows: list[tuple[int, list[int]]],
-    with_q: bool = False,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, cell[, q]): argmax-cosine cell per vector.
+    """(vec_id, cell[, carry...]): argmax-cosine cell per vector.
 
     Vectorized Arrow kernel: centroids ride to executors inside the task
     closure (K×dims int64 — a few hundred KB at K=√10⁹); each Arrow batch
@@ -96,17 +97,15 @@ def _assign(
     ``similarity.scaled_dot``, so results match the hash-gated oracle
     bit for bit (see module docstring for the exactness contract).
 
-    ``with_q=True`` carries the quantized vector through the kernel so the
-    centroid update can aggregate the kernel output DIRECTLY — the kernel is
-    a narrow map, so this replaces an N⋈N vec_id join (a whole extra shuffle
-    per Lloyd round) with plain column passthrough.  ``carry`` does the same
-    for arbitrary base columns (semantic_dedup carries embedding/norm_s so
-    the in-cell pair join needs no back-join to fetch vectors).
+    ``carry`` passes base columns through the narrow map (semantic_dedup
+    carries embedding/norm_s so the in-cell pair kernel needs no N⋈N
+    back-join to re-fetch vectors). Lloyd TRAINING rounds do not use this
+    — :func:`_assign_update` fuses assignment with the centroid update.
     """
-    carry = tuple(c for c in carry if c != "vec_id" and not (with_q and c == "q"))
+    carry = tuple(c for c in carry if c != "vec_id")
     types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
     schema = "vec_id long, cell long"
-    for c in (["q"] if with_q else []) + list(carry):
+    for c in carry:
         schema += f", {c} {types[c]}"
     if not cent_rows:  # empty corpus → empty centroid sample → no cells
         return base.sparkSession.createDataFrame([], schema)
@@ -135,14 +134,12 @@ def _assign(
                 cos = dot.astype(np.float64) / (n_sqrt[lo:hi, None] * c_sqrt[None, :])
                 best[lo:hi] = np.argmax(cos, axis=1)  # first max = lowest cent_id
             out = {"vec_id": pdf["vec_id"].to_numpy(), "cell": ids[best]}
-            if with_q:
-                out["q"] = pdf["q"]
             for c in carry:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     cols = ["vec_id", "embedding", "norm_s"]
-    cols += [c for c in (["q"] if with_q else []) + list(carry) if c not in cols]
+    cols += [c for c in carry if c not in cols]
     return base.select(*cols).mapInPandas(kernel, schema)
 
 

@@ -151,18 +151,15 @@ def _encode(
     base: DataFrame,
     codebooks: list[list[tuple[int, list[int]]]],
     dims_sub: int,
-    carry_q: bool = False,
 ) -> DataFrame:
-    """(vec_id, s0..s{m-1}[, q_0..q_{m-1}]): every subspace argmax in ONE
-    kernel pass over the checkpointed base — same exactness contract as
-    kmeans._assign (floor-scaled integer dots, cosine in f64, ties to the
-    lowest cent_id). ``carry_q`` passes the quantized slices through the
-    narrow map so the centroid update aggregates the kernel output directly.
+    """(vec_id, s0..s{m-1}): every subspace argmax in ONE kernel pass over
+    the checkpointed base — same exactness contract as kmeans._assign
+    (floor-scaled integer dots, cosine in f64, ties to the lowest
+    cent_id). Lloyd TRAINING rounds use :func:`_encode_update`, which
+    fuses this argmax with the per-cell centroid update.
     """
     m = len(codebooks)
     schema = "vec_id long, " + ", ".join(f"s{s} long" for s in range(m))
-    if carry_q:
-        schema += ", " + ", ".join(f"q_{s} array<long>" for s in range(m))
     if any(not cb for cb in codebooks):  # empty corpus → empty codebooks
         return base.sparkSession.createDataFrame([], schema)
     preps = []
@@ -188,14 +185,9 @@ def _encode(
                 )
                 cos = dot.astype(np.float64) / (n_sqrt[:, None] * c_sqrt[None, :])
                 out[f"s{s}"] = ids[np.argmax(cos, axis=1)]
-            if carry_q:
-                for s in range(len(preps)):
-                    out[f"q_{s}"] = pdf[f"q_{s}"]
             yield pd.DataFrame(out)
 
     cols = ["vec_id", "embedding"] + [f"norm_{s}" for s in range(m)]
-    if carry_q:
-        cols += [f"q_{s}" for s in range(m)]
     return base.select(*cols).mapInPandas(kernel, schema)
 
 
