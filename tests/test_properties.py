@@ -19,8 +19,18 @@ from iceberg_meta_spark.functions import display
 SET = settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
+
+
+def _spark_round(x: float, scale: int) -> float:
+    """Spark's round(): HALF_UP over the double's shortest repr. Python's
+    built-in round() is half-even over the exact binary value; the two
+    diverge on ~0.3% of inputs, so reference values must emulate Spark."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
 
 intervals = st.lists(
     st.tuples(st.integers(0, 500), st.integers(0, 200)),  # (lo, length)
@@ -548,8 +558,8 @@ def test_key_skew_profile_matches_bruteforce(spark, counts, hot):
     kct = len(hist)
     mx = max(hist.values())
     assert (r.n_rows, r.n_keys, r.max_cnt) == (n, kct, mx)
-    assert r.max_over_avg == round(mx / (n / kct), 2)
-    assert r.eff_keys == round(n * n / sum(c * c for c in hist.values()), 2)
-    assert r.top_share == round(mx / n, 6)
+    assert r.max_over_avg == _spark_round(mx / (n / kct), 2)
+    assert r.eff_keys == _spark_round(n * n / sum(c * c for c in hist.values()), 2)
+    assert r.top_share == _spark_round(mx / n, 6)
     # the recommendation trigger is exactly the documented integer predicate
     assert (r.salt_n > 0) == (mx * kct > 8 * n)
