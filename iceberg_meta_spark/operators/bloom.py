@@ -107,4 +107,11 @@ def bloom_semi_join(
     join (which is why its oracle IS the plain semi join)."""
     words = bloom_build(small, key_col, m_bits, k)
     pre = big.filter(bloom_might_contain(F.col(key_col), words, k))
-    return pre.join(small.select(key_col).distinct(), key_col, "left_semi")
+    # no .distinct() on the build side (r13): LEFT SEMI is insensitive to
+    # build-side duplicates (the hash relation dedupes keys as it builds),
+    # and the explicit distinct cost a full extra exchange + aggregate
+    # before the join — measured 1.0–1.4 s vs 0.5–0.7 s per query at sf0.1
+    # with zero result change. A build side with HEAVY key duplication
+    # would shuffle more rows on the non-broadcast path; callers with such
+    # inputs should pre-aggregate upstream where the dup ratio is known.
+    return pre.join(small.select(key_col), key_col, "left_semi")

@@ -28,27 +28,47 @@ def _exact_median_frame(files: DataFrame, col: str) -> DataFrame:
     Spark's own percentile interpolation formula
     ``(higher - pos)·lower + (pos - lower_idx)·higher`` reproduces
     ``F.median`` BIT FOR BIT (randomized A/B across odd/even/negative/1e12
-    inputs). Replaces the interpreted ObjectHashAggregate ``median``, whose
-    per-row boxed buffer updates cost ~4× the codegen'd sort at sf0.1
-    (1.3 s of meta_file_health's 1.5 s, measured in isolation).
+    inputs, NULLs, empty). Replaces the interpreted ObjectHashAggregate
+    ``median``, whose per-row boxed buffer updates cost ~4× the codegen'd
+    sort at sf0.1 (1.3 s of meta_file_health's 1.5 s, measured r12).
+
+    r13: the total row count is a COUNT window over the same sort (one
+    Window node evaluates both frames), replacing the separate whole-input
+    count pass + 1×1 broadcast cross join of the r12 shape; NULLs are
+    excluded before ranking and counting, so the helper matches
+    ``F.median`` (which ignores NULLs) for ANY column, not just the
+    spec-non-null file sizes.
 
     Scale posture, stated plainly: the unpartitioned rank window funnels
     through one task — the SAME single-reducer funnel the exact
     ``median``'s merge phase already had (every value reaches one
     ObjectHashAggregate buffer), so this trades an interpreted funnel for
-    a codegen'd one without changing asymptotics. The documented
-    deployment path for >10⁸ files remains :func:`file_size_stats_approx`
-    (mergeable sketch, constant memory); tools/plan_lint.py allowlists the
-    exact twin with that reason."""
-    tot = files.agg(F.count(F.lit(1)).alias("__n"))
-    ranked = files.select(F.col(col).alias("__v")).withColumn(
-        "__rn", F.row_number().over(Window.orderBy("__v"))
+    a codegen'd one without changing asymptotics. A funnel-FREE two-level
+    form (rank windows partitioned by ``v DIV 2²⁰`` + a broadcast
+    bucket-offset table, overlap_sweepline's trick) was built and measured
+    in r13: bit-identical, no single-partition Exchange — and 2.3× SLOWER
+    at sf0.1 (meta_file_health 0.95 → 2.19 s, 6 → 9 jobs: the extra
+    aggregate pass, tiny-table windows and broadcast join all bill ~150 ms
+    of stage latency each, far more than the 600k-row codegen'd sort they
+    avoid). Rejected on measurement; the documented deployment path for
+    >10⁸ files remains :func:`file_size_stats_approx` (mergeable sketch),
+    and tools/plan_lint.py allowlists the exact twin with that reason."""
+    w = Window.orderBy("__v")
+    whole = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        files.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select(
+            "__v",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(whole).alias("__n"),
+        )
     )
     pos = F.lit(0.5) * (F.col("__n") - 1).cast("double")
     lo_i, hi_i = F.floor(pos), F.ceil(pos)
-    keep = ranked.crossJoin(F.broadcast(tot)).where(
-        (F.col("__rn") - 1 == lo_i) | (F.col("__rn") - 1 == hi_i)
-    )
+    keep = ranked.where((F.col("__rn") - 1 == lo_i) | (F.col("__rn") - 1 == hi_i))
     return keep.agg(
         F.coalesce(
             F.when(F.first(lo_i) == F.first(hi_i), F.min("__v").cast("double"))

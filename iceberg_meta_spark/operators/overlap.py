@@ -117,28 +117,50 @@ def clustering_depth(
     at a shared value, matching inclusive Iceberg bounds. Both max and sum
     of prefix sums are invariant to permutations within an equal
     (value, delta) block, so no file tie-break is needed.
+
+    Grouped-event compression (r13): identical (field, v, delta) events are
+    collapsed to one weighted row BEFORE the windows (map-side-combined
+    groupBy — §2.3 shrink-before-shuffle), so the running-sum machinery
+    touches one row per distinct boundary value instead of one per file.
+    The per-group depth series is closed-form: a group of ``cnt`` equal
+    deltas after prefix ``prev`` contributes depths ``prev+δ .. prev+cnt·δ``,
+    whose max is ``cum`` (δ=+1) or ``prev+δ`` (δ=-1) and whose sum is
+    ``cnt·prev + δ·cnt(cnt+1)/2`` — exact integer arithmetic, result
+    bit-identical to the row-per-event sweep (property-tested against the
+    brute force and the DuckDB oracle). The explode also replaces the
+    two-scan UNION with ONE pass over the stats.
     """
-    starts = stats.select(
+    ev = stats.select(
         "field_id",
-        F.col("lower_bound").alias("v"),
-        F.lit(1).cast("long").alias("delta"),
-    )
-    ends = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lower_bound").alias("v"), F.lit(1).cast("long").alias("delta")
+                ),
+                F.struct(
+                    F.col("upper_bound").alias("v"), F.lit(-1).cast("long").alias("delta")
+                ),
+            )
+        ).alias("e"),
+    ).select(
         "field_id",
-        F.col("upper_bound").alias("v"),
-        F.lit(-1).cast("long").alias("delta"),
+        F.col("e.v").alias("v"),
+        F.col("e.delta").alias("delta"),
+        F.expr(f"CAST(e.v DIV {int(bucket_width)} AS BIGINT)").alias("bucket"),
     )
-    ev = starts.unionByName(ends).withColumn(
-        "bucket", F.expr(f"CAST(v DIV {int(bucket_width)} AS BIGINT)")
+    grouped = ev.groupBy("field_id", "bucket", "v", "delta").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     local = (
         Window.partitionBy("field_id", "bucket")
         .orderBy(F.asc("v"), F.desc("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_local = ev.withColumn("local_run", F.sum("delta").over(local))
-    bucket_net = ev.groupBy("field_id", "bucket").agg(
-        F.sum("delta").alias("net")
+    with_local = grouped.withColumn(
+        "local_run", F.sum(F.col("delta") * F.col("cnt")).over(local)
+    )
+    bucket_net = grouped.groupBy("field_id", "bucket").agg(
+        F.sum(F.col("delta") * F.col("cnt")).alias("net")
     )
     prefix = (
         Window.partitionBy("field_id")
@@ -148,18 +170,22 @@ def clustering_depth(
     bucket_prefix = bucket_net.select(
         "field_id", "bucket", F.sum("net").over(prefix).alias("prev_net")
     )
-    depth = (
-        with_local.join(F.broadcast(bucket_prefix), ["field_id", "bucket"])
-        .withColumn(
-            "depth", F.col("local_run") + F.coalesce(F.col("prev_net"), F.lit(0))
-        )
+    cum = F.col("local_run") + F.coalesce(F.col("prev_net"), F.lit(0))
+    prev = cum - F.col("delta") * F.col("cnt")
+    depth = with_local.join(F.broadcast(bucket_prefix), ["field_id", "bucket"]).select(
+        "field_id",
+        "cnt",
+        F.when(F.col("delta") > 0, cum).otherwise(prev + F.col("delta")).alias("gmax"),
+        (F.col("cnt") * prev + F.col("delta") * F.expr("(cnt * (cnt + 1)) DIV 2")).alias(
+            "gsum"
+        ),
     )
     return (
         depth.groupBy("field_id")
         .agg(
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_files"),
-            F.max("depth").cast("long").alias("max_depth"),
-            F.expr("CAST(sum(depth) * 1000 DIV count(*) AS BIGINT)").alias(
+            (F.sum("cnt") / 2).cast("long").alias("n_files"),
+            F.max("gmax").cast("long").alias("max_depth"),
+            F.expr("CAST(sum(gsum) * 1000 DIV sum(cnt) AS BIGINT)").alias(
                 "avg_depth_permille"
             ),
         )

@@ -95,6 +95,10 @@ def token_rarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
     # it feeds the vocab cap, the corpus total, and the expected weight —
     # without this the corpus would be re-tokenized for each consumer)
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=False)
+    # the capped vocab is consumed TWICE (the scoring broadcast and the
+    # corpus expectation) — checkpoint the <= vocab_cap rows so the
+    # TakeOrdered top-k (a per-partition heap + driver merge) runs once,
+    # not once per consumer
     vocab = (
         counts.orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(vocab_cap)
@@ -104,6 +108,7 @@ def token_rarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
             F.expr(f"CAST((cnt * {COMMONNESS_SCALE}) DIV total AS BIGINT)").alias("w"),
             "cnt",
         )
+        .localCheckpoint(eager=False)
     )
     scored = (
         tok.join(F.broadcast(vocab.select("token", "w")), "token", "left")
@@ -316,10 +321,18 @@ def lm_familiarity_scores(docs: DataFrame, vocab_cap: int = 65536) -> DataFrame:
         .limit(vocab_cap)
         .withColumn("w1", F.substring_index("bigram", " ", 1))
     )
-    model = prefix.join(F.broadcast(capped), "w1").select(
-        "bigram",
-        F.expr(f"CAST((cnt * {COMMONNESS_SCALE}) DIV ptot AS BIGINT)").alias("w"),
-        "cnt",
+    # the capped model is consumed TWICE (the scoring broadcast and the
+    # corpus expectation) — checkpoint the <= vocab_cap rows so the
+    # TakeOrdered top-k (per-partition heaps + a driver merge of
+    # partitions × cap rows) and the prefix-total join run once, not twice
+    model = (
+        prefix.join(F.broadcast(capped), "w1")
+        .select(
+            "bigram",
+            F.expr(f"CAST((cnt * {COMMONNESS_SCALE}) DIV ptot AS BIGINT)").alias("w"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)
     )
     scored = (
         bg.join(F.broadcast(model.select("bigram", "w")), "bigram", "left")

@@ -127,7 +127,15 @@ def minhash_lsh_pairs(
     signature arrays, so the estimation joins move one row per doc, not one
     per (doc, seed).
     """
-    bands = minhash_band_rows(docs, num_hashes, shingle_k, band_size)
+    # the band table feeds BOTH sides of the self-join; without the (lazy)
+    # checkpoint each side re-runs the whole shingle-explode + 8-md5 +
+    # signature-aggregate pipeline (measured 2× cost at sf0.1: 1.65 s vs
+    # 0.45 s) — materializing the index before a self-join is the §3.3
+    # plan-truncation idiom, and at 10⁹ docs it trades one corpus-sized
+    # spill-able store for a second full hash pass over the corpus
+    bands = minhash_band_rows(docs, num_hashes, shingle_k, band_size).localCheckpoint(
+        eager=False
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_key"
     )
@@ -181,7 +189,10 @@ def containment_pairs(
     equi-join on the rare-shingle key (bounded fan-out by construction);
     verification is candidate × shingles-per-doc, never block².
     """
-    sh = _word_shingles(docs, shingle_k)
+    # four consumers of the distinct shingle set (df census, candidate
+    # generation ×2, sizes, intersection ×2) — one lazy checkpoint instead
+    # of re-running the explode+dropDuplicates pipeline per consumer (§3.3)
+    sh = _word_shingles(docs, shingle_k).localCheckpoint(eager=False)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -270,7 +281,12 @@ def source_overlap_matrix(
     corpus.  The pair-distinct and the matrix rollup aggregate candidate
     pairs, a set LSH already bounded far below N².
     """
-    bands = minhash_band_rows(docs, num_hashes, shingle_k, band_size, carry=("source",))
+    # lazy checkpoint: both self-join sides read ONE materialized band
+    # table instead of re-running the minhash pipeline (see
+    # minhash_lsh_pairs)
+    bands = minhash_band_rows(
+        docs, num_hashes, shingle_k, band_size, carry=("source",)
+    ).localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"), "band_idx", "band_key"
     )
@@ -347,7 +363,10 @@ def ngram_jaccard_pairs(
     cand = minhash_lsh_pairs(
         docs, num_hashes=num_hashes, shingle_k=shingle_k, band_size=band_size, min_bands=1
     ).select("doc_a", "doc_b")
-    sh = _word_shingles(docs, shingle_k)
+    # the distinct shingle set feeds THREE consumers (sizes + both sides of
+    # the intersection join): one lazy checkpoint replaces three
+    # explode+dropDuplicates pipeline runs (§3.3 — see minhash_lsh_pairs)
+    sh = _word_shingles(docs, shingle_k).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -380,10 +399,14 @@ def substring_dup_stats(docs: DataFrame, window_tokens: int = 20) -> DataFrame:
     dup_permille) — the fraction of the document covered by cross-document
     boilerplate, ordered by doc_id.
 
-    Scale shape: windows are linear in corpus tokens (one explode), span
-    counting is ONE groupBy on the window hash (well-distributed md5 key),
-    the share join is an equi-join on the same hash — never a pair join.
-    Documents shorter than the window are excluded (no full window exists).
+    Scale shape: windows are linear in corpus tokens (one explode); the
+    duplicated-span flag is ONE analytic window PARTITIONED by the md5 key
+    ("appears in >= 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) within
+    the hash partition — no count_distinct expansion, no ordering), so the
+    hash pipeline runs ONCE and one exchange replaces the r12 shape's
+    groupBy + equi-join back (which evaluated the window explode twice and
+    paid two count_distinct exchanges). Never a pair join. Documents
+    shorter than the window are excluded (no full window exists).
     """
     w = window_tokens
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
@@ -398,13 +421,18 @@ def substring_dup_stats(docs: DataFrame, window_tokens: int = 20) -> DataFrame:
             )
         ).alias("h"),
     )
-    counts = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    from pyspark.sql import Window
+
+    per_h = Window.partitionBy("h")
+    flagged = wins.select(
+        "doc_id",
+        (F.min("doc_id").over(per_h) != F.max("doc_id").over(per_h)).alias("dup"),
+    )
     return (
-        wins.join(counts, "h")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
             .cast("long")
             .alias("n_dup_windows"),
         )
@@ -470,10 +498,14 @@ def substring_removal_stats(docs: DataFrame, window_tokens: int = 20) -> DataFra
     corpus (docs with no removable span report 0).
 
     Mechanics: windows are one linear explode; df + canonical occurrence
-    come from ONE groupBy on the md5 key (min of a (doc_id, pos) struct
-    — no second pass); removed mass is the union length of the cut
-    intervals, computed with the standard sweep — running max of
-    interval ends in a window PARTITIONED BY doc_id, contribution
+    come from ONE analytic window PARTITIONED by the md5 key ("df >= 2"
+    ⟺ min(doc_id) ≠ max(doc_id) in the hash partition, canon = min of a
+    (doc_id, pos) struct — no ordering, no count_distinct expansion), so
+    the hash pipeline runs ONCE and one exchange replaces the r12 shape's
+    groupBy + equi-join back (two full evaluations of the window explode
+    plus two count_distinct exchanges); removed mass is the union length
+    of the cut intervals, computed with the standard sweep — running max
+    of interval ends in a window PARTITIONED BY doc_id, contribution
     ``max(0, end - max(start, prev_max_end))`` — so per-doc work is
     linear and no global funnel exists. The final left join restores
     uncut docs.
@@ -489,14 +521,18 @@ def substring_removal_stats(docs: DataFrame, window_tokens: int = 20) -> DataFra
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.i").alias("i"), F.col("x.h").alias("h"))
-    agg = wins.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("df"),
-        F.min(F.struct("doc_id", "i")).alias("canon"),
-    )
+    from pyspark.sql import Window
+
+    per_h = Window.partitionBy("h")
     cut = (
-        wins.join(agg, "h")
+        wins.select(
+            "doc_id",
+            "i",
+            (F.min("doc_id").over(per_h) != F.max("doc_id").over(per_h)).alias("dup"),
+            F.min(F.struct("doc_id", "i")).over(per_h).alias("canon"),
+        )
         .where(
-            (F.col("df") >= 2)
+            F.col("dup")
             & ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))
                 & (F.col("i") == F.col("canon.i"))
@@ -504,7 +540,6 @@ def substring_removal_stats(docs: DataFrame, window_tokens: int = 20) -> DataFra
         )
         .select("doc_id", "i")
     )
-    from pyspark.sql import Window
 
     sweep = (
         Window.partitionBy("doc_id")

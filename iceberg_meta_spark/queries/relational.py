@@ -941,21 +941,26 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
     )
     a, b = keys.alias("a"), keys.alias("b")
+    # levenshtein BEFORE the pair-dedup (r13): the verify predicate is a
+    # pure function of the pair, so filtering first is result-identical —
+    # and the distinct then shuffles three ints for MATCHED pairs only,
+    # instead of every candidate row with both name strings aboard
+    # (§2.3 project/filter before the exchange). Re-verified duplicates
+    # (pairs sharing several deletion variants) cost one extra ~20-char
+    # levenshtein each, far less than the wide distinct they replace.
     cand = (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
         .select(
             F.col("a.c_nationkey").alias("c_nationkey"),
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),
-            F.col("a.name").alias("na"),
-            F.col("b.name").alias("nb"),
         )
         .distinct()
-        .where(F.levenshtein("na", "nb") <= 1)
     )
     return (
         cand.groupBy("c_nationkey")
