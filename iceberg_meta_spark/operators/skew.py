@@ -171,27 +171,38 @@ def join_cardinality_preflight(
         F.count(F.lit(1)).alias("ca")
     )
     if right is left:
-        # self-join census: reuse the one count table instead of trusting
-        # exchange-reuse to dedupe two identical aggregates
-        rb = la.select("k", F.col("ca").alias("cb"))
+        # self-join census (r13): every NON-NULL key trivially matches
+        # itself, so the per-key frame is a pure projection of the ONE
+        # count table — no join at all (the r12 shape full-outer-joined
+        # the table with its own aliased copy, an exchange + join stage
+        # for an identity). NULL keys never match (NULL != NULL in join
+        # equality — the full-outer form leaves them unmatched too), so
+        # they stay in the totals but out of out_k/matched stats.
+        per_key = la.select(
+            "k",
+            "ca",
+            F.col("ca").alias("cb"),
+            F.when(F.col("k").isNotNull(), F.col("ca") * F.col("ca")).alias("out_k"),
+        )
     else:
         rb = right.groupBy(F.col(key).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("cb")
         )
-    # ONE full-outer join + ONE aggregate carries everything: the input
-    # totals are just sum(ca)/sum(cb) over the (full) per-key count tables
-    # — unmatched and NULL keys survive a full outer join, so the totals
-    # equal plain count(*) of each input — and the matched-key stats read
-    # the both-sides-present rows. This replaces the previous shape (two
-    # extra whole-input count aggregates + two 1-row broadcast cross joins
-    # = four more jobs per preflight) with zero result change (r12).
-    per_key = la.join(rb, "k", "full_outer").select(
-        "k", "ca", "cb",
-        F.when(
-            F.col("ca").isNotNull() & F.col("cb").isNotNull(),
-            F.col("ca") * F.col("cb"),
-        ).alias("out_k"),
-    )
+        # ONE full-outer join + ONE aggregate carries everything: the input
+        # totals are just sum(ca)/sum(cb) over the (full) per-key count
+        # tables — unmatched and NULL keys survive a full outer join, so the
+        # totals equal plain count(*) of each input — and the matched-key
+        # stats read the both-sides-present rows. This replaces the previous
+        # shape (two extra whole-input count aggregates + two 1-row
+        # broadcast cross joins = four more jobs per preflight) with zero
+        # result change (r12).
+        per_key = la.join(rb, "k", "full_outer").select(
+            "k", "ca", "cb",
+            F.when(
+                F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+                F.col("ca") * F.col("cb"),
+            ).alias("out_k"),
+        )
     prof = per_key.agg(
         F.lit(key).alias("key_col"),
         F.coalesce(F.sum("ca"), F.lit(0)).alias("left_rows"),

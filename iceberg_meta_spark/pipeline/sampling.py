@@ -147,7 +147,12 @@ def dsir_importance(
     bucket = (
         F.conv(F.substring(F.md5(bigram), 1, 3), 16, 10).cast("long") % buckets
     ).alias("bucket")
-    bk = base.select("doc_id", "lang", "t", idx).select("doc_id", "lang", bucket)
+    # the hashed-feature stream feeds BOTH the bucket census and the
+    # scoring join — lazy checkpoint so the explode+md5 pipeline runs once
+    # (§3.3; same materialize-before-reuse trade as the minhash kernels)
+    bk = base.select("doc_id", "lang", "t", idx).select(
+        "doc_id", "lang", bucket
+    ).localCheckpoint(eager=False)
     freqs = bk.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("tc"),

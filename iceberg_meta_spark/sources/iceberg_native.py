@@ -381,19 +381,22 @@ def _stats_map_fn(pdf_iter):
         )
 
 
-def _local_manifest_bytes(
+def _manifest_bytes_source(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: int | None,
     metadata: dict | None,
     content: int | None = 0,
-) -> list[tuple[str, bytes]] | None:
-    """Scale-adaptive manifest byte sourcing: the (path, bytes) list when
+) -> tuple[list[tuple[str, bytes]] | None, DataFrame | None]:
+    """Scale-adaptive manifest byte sourcing: ``(local_list, None)`` when
     every manifest of the requested content kind is LOCAL and their total
     length (free from the manifest list) is at most DRIVER_PLAN_BYTES —
-    else None, meaning the caller must take the distributed binaryFile
-    path. Decode callers build a local relation of DECODED rows from this
-    (zero Spark jobs; re-consumption by multi-pass operators is free)."""
+    decode callers build a local relation of DECODED rows from the list
+    (zero Spark jobs; re-consumption by multi-pass operators is free).
+    Otherwise ``(None, binaryFile DataFrame)`` for the distributed decode.
+    ONE metadata load + ONE manifest-list read serve both outcomes (the
+    r12 split-function shape re-read both on exactly the big-metadata
+    fallback path — ADVICE r12)."""
     md = metadata or load_table_metadata(spark, table_dir)
     snap = _snapshot(md, snapshot_id)
     mlist = _read_avro_file(spark, snap["manifest-list"])
@@ -407,35 +410,16 @@ def _local_manifest_bytes(
     # monkeypatch the threshold to pin either decode placement
     import iceberg_meta_spark.sources.iceberg_native as _self
 
-    if any(lp is None for lp in local) or total > _self.DRIVER_PLAN_BYTES:
-        return None
-    out = []
-    for r, lp in zip(mine, local):
-        with open(lp, "rb") as fh:
-            out.append((r["manifest_path"], fh.read()))
-    return out
-
-
-def _manifest_bytes_df(
-    spark: SparkSession,
-    table_dir: str,
-    snapshot_id: int | None,
-    metadata: dict | None,
-    content: int | None = 0,
-) -> DataFrame:
-    md = metadata or load_table_metadata(spark, table_dir)
-    snap = _snapshot(md, snapshot_id)
-    mlist = _read_avro_file(spark, snap["manifest-list"])
-    paths = [
-        r["manifest_path"]
-        for r in mlist
-        if content is None or int(r.get("content", 0)) == content
-    ]
+    if all(lp is not None for lp in local) and total <= _self.DRIVER_PLAN_BYTES:
+        out = []
+        for r, lp in zip(mine, local):
+            with open(lp, "rb") as fh:
+                out.append((r["manifest_path"], fh.read()))
+        return out, None
+    paths = [r["manifest_path"] for r in mine]
     if not paths:
-        return spark.createDataFrame([], "path string, content binary")
-    return (
-        spark.read.format("binaryFile").load(paths).select("path", "content")
-    )
+        return None, spark.createDataFrame([], "path string, content binary")
+    return None, spark.read.format("binaryFile").load(paths).select("path", "content")
 
 
 def native_entries_frame(
@@ -449,7 +433,7 @@ def native_entries_frame(
     into a local relation when the metadata is small (see
     :func:`_local_manifest_bytes`; multi-pass consumers then re-read a
     plain in-memory relation instead of re-running the decode)."""
-    small = _local_manifest_bytes(spark, table_dir, snapshot_id, metadata)
+    small, bin_df = _manifest_bytes_source(spark, table_dir, snapshot_id, metadata)
     if small is not None:
         cols = [c.split()[0] for c in _ENTRY_COLS.split(", ")]
         rows = [
@@ -458,7 +442,6 @@ def native_entries_frame(
             for d in _entry_dicts(b, p)
         ]
         return local_frame(spark, rows, _ENTRY_COLS)
-    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata)
     return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS)
 
 
@@ -496,7 +479,7 @@ def native_column_stats_frame(
     sources/iceberg.py::column_stats_frame, + raw bound bytes for A7.
     Driver-decoded into a local relation for small metadata (same
     adaptive rule as :func:`native_entries_frame`)."""
-    small = _local_manifest_bytes(spark, table_dir, snapshot_id, metadata)
+    small, bin_df = _manifest_bytes_source(spark, table_dir, snapshot_id, metadata)
     if small is not None:
         cols = [c.split()[0] for c in _STATS_COLS.split(", ")]
         rows = [
@@ -505,7 +488,6 @@ def native_column_stats_frame(
             for d in _stat_dicts(b, p)
         ]
         return local_frame(spark, rows, _STATS_COLS)
-    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata)
     return bin_df.mapInPandas(_stats_map_fn, _STATS_COLS)
 
 
@@ -695,7 +677,7 @@ def native_column_stats_typed(
         for f in schema["fields"]
         if f.get("type") in ("int", "long")
     }
-    small = _local_manifest_bytes(spark, table_dir, snapshot_id, md)
+    small, bin_df = _manifest_bytes_source(spark, table_dir, snapshot_id, md)
     if small is not None:
         import struct as _s
 
@@ -713,7 +695,6 @@ def native_column_stats_typed(
                 d["upper_bound"] = _dec1(d["field_id"], d["upper_bound"])
                 rows.append(tuple(d[c] for c in cols))
         return local_frame(spark, rows, _STATS_TYPED_COLS)
-    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, md)
 
     def typed_fn(pdf_iter):
         import pandas as pd
@@ -745,7 +726,9 @@ def native_delete_files_frame(
     snapshot, from the snapshot's DELETE manifests (manifest content=1) —
     the v2 row-level-delete audit input (A2/P5's file-level view). Same
     adaptive decode placement as the data path."""
-    small = _local_manifest_bytes(spark, table_dir, snapshot_id, metadata, content=1)
+    small, bin_df = _manifest_bytes_source(
+        spark, table_dir, snapshot_id, metadata, content=1
+    )
     if small is not None:
         cols = [c.split()[0] for c in _ENTRY_COLS.split(", ")]
         rows = [
@@ -754,7 +737,6 @@ def native_delete_files_frame(
             for d in _entry_dicts(b, p)
         ]
         return local_frame(spark, rows, _ENTRY_COLS).where(F.col("status") != 2)
-    bin_df = _manifest_bytes_df(spark, table_dir, snapshot_id, metadata, content=1)
     return bin_df.mapInPandas(_entries_map_fn, _ENTRY_COLS).where(F.col("status") != 2)
 
 

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_meta_spark.sources.iceberg_native import (
-    _manifest_bytes_df,
     _entries_map_fn,
     _ENTRY_COLS,
     load_table_metadata,
@@ -318,8 +317,10 @@ def _plan_entries(
             live_total = n_live
         return [_PlanEntry(**d) for d in rows_d], live_total
 
-    bin_df = _manifest_bytes_df(
-        spark, table_dir, snap["snapshot-id"], md, content=content
+    # paths are already in hand from the manifest list above — read them
+    # directly instead of re-loading metadata + manifest list (ADVICE r12)
+    bin_df = (
+        spark.read.format("binaryFile").load(paths).select("path", "content")
     )
     fn = _make_plan_entries_fn(mseq, list(bounds_preds), list(part_preds))
     rows = bin_df.mapInPandas(fn, _PLAN_COLS).collect()

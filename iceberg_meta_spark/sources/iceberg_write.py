@@ -2394,8 +2394,11 @@ def write_dataframe_files(
     # byte sizes via a local directory walk (the write path is local-fs
     # throughout — see _local_path uses above); a Spark binaryFile listing
     # job here cost a full scheduler round trip per commit
+    # abspath: _metadata.file_path is always absolute, so the size keys
+    # must be too — a relative batch_dir would otherwise miss every lookup
+    # and silently write file_size_in_bytes=0 into the manifests
     sizes = {}
-    for dirpath, _dirs, files in os.walk(_local_path(batch_dir)):
+    for dirpath, _dirs, files in os.walk(os.path.abspath(_local_path(batch_dir))):
         for fname in files:
             if fname.endswith(".parquet"):
                 fp = os.path.join(dirpath, fname)

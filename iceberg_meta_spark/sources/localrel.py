@@ -28,5 +28,15 @@ def local_frame(spark: SparkSession, rows, ddl: str) -> DataFrame:
 
     try:
         return spark.createDataFrame(pd.DataFrame(rows, dtype=object), schema=ddl)
-    except Exception:
+    except Exception as e:
+        # The classic list path has different type-coercion/validation
+        # behavior than the Arrow path, so a silent flip could mask a
+        # schema bug — leave a trace when it happens (expected only for
+        # shapes the Arrow converter rejects, e.g. nested NULL-only cols).
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "local_frame: Arrow path rejected (%s: %s); using classic "
+            "createDataFrame for schema %r", type(e).__name__, e, ddl
+        )
         return spark.createDataFrame(rows, ddl)

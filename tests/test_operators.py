@@ -1302,3 +1302,37 @@ def test_exact_median_of_empty_is_null(spark):
     assert exact_median(spark.createDataFrame([], "x long"), "x") is None
     all_null = spark.createDataFrame([(None,), (None,)], "x long")
     assert exact_median(all_null, "x") is None
+
+
+def test_join_preflight_self_join_skips_the_join(spark):
+    """The ``right is left`` census must return exactly what the general
+    full-outer form returns on an identical (but distinct-object) copy —
+    the r13 projection shortcut is result-identical by construction, this
+    pins it against regressions."""
+    from iceberg_meta_spark.operators.skew import join_cardinality_preflight
+
+    rows = [("a",)] * 3 + [("b",)] * 2 + [("c",)] + [(None,)] * 2
+    df = spark.createDataFrame(rows, "key string")
+    copy = spark.createDataFrame(rows, "key string")
+    self_row = join_cardinality_preflight(df, df, "key", broadcast_row_cap=2).collect()[0]
+    two_row = join_cardinality_preflight(df, copy, "key", broadcast_row_cap=2).collect()[0]
+    assert self_row == two_row
+    # NULL keys count in the row totals but are NOT matched: join equality
+    # is NULL != NULL, so the full-outer form leaves the NULL groups
+    # unmatched and the shortcut must exclude them from out_k too
+    assert self_row.left_rows == 8 and self_row.right_rows == 8
+    assert self_row.matched_keys == 3 and self_row.out_rows == 3 * 3 + 2 * 2 + 1
+
+
+def test_file_size_stats_median_ignores_nulls(spark):
+    """The rank-selection median must match F.median (which skips NULLs)
+    when the size column is nullable — the r12 form counted NULL rows in
+    the selection positions (latent, unreachable for spec-non-null sizes;
+    fixed r13)."""
+    vals = [10, None, 30, None, 20, 40, None]
+    df = spark.createDataFrame([(v,) for v in vals], "file_size_in_bytes long")
+    row = ops.file_size_stats(df).collect()[0]
+    want = df.agg(F.median("file_size_in_bytes")).collect()[0][0]
+    assert row.median_size == float(want) == 25.0
+    # the other aggregates still count ALL rows (reference semantics)
+    assert row.file_count == 7
