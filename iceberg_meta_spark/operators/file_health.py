@@ -81,10 +81,30 @@ def _exact_median_frame(files: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _one_evaluation(files: DataFrame) -> DataFrame:
+    """The stats + median split below consumes ``files`` TWICE; when the
+    input is anything but an in-memory LocalRelation (a fixture-derivation
+    query, a distributed manifest decode at scale), that re-runs the whole
+    upstream pipeline per consumer. Lazily checkpoint those so the input
+    computes once (ADVICE r12); LocalRelations — the driver-decoded
+    metadata path, the common case locally — are free to re-consume and
+    skip the checkpoint job."""
+    plan = files._jdf.queryExecution().optimizedPlan()
+    if plan.getClass().getSimpleName() == "LocalRelation":
+        return files
+    return files.localCheckpoint(eager=False)
+
+
 def file_size_stats(files: DataFrame, threshold: int = SMALL_FILE_THRESHOLD) -> DataFrame:
     """A1: count/min/max/avg/median/sum + small-file count & pct — one
     hash-aggregate pass plus the rank-selection exact median
-    (:func:`_exact_median_frame`), glued by a 1×1 broadcast cross join."""
+    (:func:`_exact_median_frame`), glued by a 1×1 broadcast cross join.
+
+    Every aggregate here reads ONLY file_size_in_bytes, so the input is
+    projected to that column BEFORE the one-evaluation checkpoint: column
+    pruning reaches the upstream scan inside the checkpointed plan, and
+    the materialized RDD is one narrow column, not the full file row."""
+    files = _one_evaluation(files.select("file_size_in_bytes"))
     size = F.col("file_size_in_bytes")
     small = F.coalesce(F.sum(F.when(size < F.lit(threshold), 1).otherwise(0)).cast("long"), F.lit(0))
     n = F.count(F.lit(1))

@@ -42,6 +42,49 @@ BASE_TABLES = (
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _CACHE_ENABLED = os.environ.get("SPARK_GRAFT_CACHE", "") == "1"
 
+# Scan-parallelism floor for the UNCACHED path (guide §2.5 "one huge
+# unsplittable file ... repartition immediately after the read"): the
+# testdata parquet is one row group per table, so a cold scan plans one
+# task and every map-heavy pipeline stage (explode, levenshtein, md5,
+# tokenize, Arrow kernels) runs serially until its first exchange —
+# measured 10.1 s of the 10.9 s cold customer_fuzzy_matches run at sf0.1
+# on 32 cores. Two guards keep it from becoming a tax:
+#   * it only fires when the scan plans FEWER partitions than the cluster
+#     has slots (at data scale scans have thousands of splits — no-op);
+#   * it only fires when the table's on-disk bytes are under
+#     SPARK_GRAFT_SCAN_FLOOR_BYTES (default 1 MB): the round-robin
+#     exchange it inserts shuffles EVERY row, which is free for a 0.3 MB
+#     customer table but measurably regressed scan->aggregate queries
+#     over the 2-10 MB events/orders/lineitem tables (canary-normalized
+#     +0.25-0.3 s each: map-side combine beats repartition there, the
+#     serial map work being only cheap column arithmetic). The winners
+#     (customer, documents, embeddings — levenshtein/tokenize/Arrow-kernel
+#     pipelines) are all under 1 MB at every SF the driver benches.
+# Column pruning and filter pushdown travel through Repartition, so
+# PushedFilters / ReadSchema at the scan are unchanged. Memoized per
+# (session, dir, table): the probe costs one driver-side plan, no job.
+_SCAN_FLOOR_BYTES = int(os.environ.get("SPARK_GRAFT_SCAN_FLOOR_BYTES", 1024 * 1024))
+_SCAN_PARTS: dict[tuple[int, str, str], int] = {}
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def _parallelize_scan(
+    spark: SparkSession, df: DataFrame, path: str, key: tuple
+) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    if key not in _SCAN_PARTS:
+        small = _table_bytes(path) < _SCAN_FLOOR_BYTES
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions() if small else par
+    return df.repartition(par) if _SCAN_PARTS[key] < par else df
+
 
 def enable_cache(on: bool = True) -> None:
     global _CACHE_ENABLED
@@ -80,7 +123,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.count()  # materialize eagerly so queries never pay the scan
             _CACHE[key] = df
         return _CACHE[key]
-    return _normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+    path = f"{sf_dir}/{name}.parquet"
+    df = _normalize(spark.read.parquet(path), name)
+    return _parallelize_scan(spark, df, path, (id(spark), sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = BASE_TABLES) -> None:

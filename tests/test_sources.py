@@ -792,3 +792,75 @@ def test_write_orc_roundtrip_with_projection(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.columns == ["id", "v"]
     assert {(r.id, r.v) for r in back.collect()} == {(1, 1.5), (2, 2.5)}
+
+
+def test_scan_parallelism_floor_fires_only_for_tiny_tables(spark, tmp_path):
+    """Uncached loads of sub-threshold single-row-group parquet get
+    repartitioned to cluster parallelism (the r13 cold-path floor); tables
+    over the byte bound keep the scan's own partitioning (the round-robin
+    exchange would cost more than the serial map work it prevents)."""
+    import iceberg_meta_spark.sources.parquet as pq
+
+    d = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(d)
+    spark.range(1000).selectExpr(
+        "id AS c_custkey", "CAST(id % 5 AS INT) AS c_nationkey",
+        "CAST(id AS STRING) AS c_name", "'x' AS c_address",
+        "'p' AS c_phone", "CAST(id AS DOUBLE) AS c_acctbal",
+        "'s' AS c_mktsegment", "'c' AS c_comment"
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    was = pq._CACHE_ENABLED
+    pq.enable_cache(False)
+    try:
+        par = spark.sparkContext.defaultParallelism
+        df = pq.load_table(spark, d, "customer")
+        assert df.rdd.getNumPartitions() == par
+        assert df.count() == 1000
+        # raise the probe result above the floor: the same load must now
+        # keep the scan partitioning (memoized per (session, dir, table),
+        # so use a fresh key via a second directory)
+        d2 = str(tmp_path / "sfy")
+        os.makedirs(d2)
+        spark.range(1000).selectExpr(
+            "id AS c_custkey", "CAST(id % 5 AS INT) AS c_nationkey",
+            "CAST(id AS STRING) AS c_name", "'x' AS c_address",
+            "'p' AS c_phone", "CAST(id AS DOUBLE) AS c_acctbal",
+            "'s' AS c_mktsegment", "'c' AS c_comment"
+        ).coalesce(1).write.parquet(f"{d2}/customer.parquet")
+        old = pq._SCAN_FLOOR_BYTES
+        pq._SCAN_FLOOR_BYTES = 0  # nothing is "tiny" now
+        try:
+            df2 = pq.load_table(spark, d2, "customer")
+            assert df2.rdd.getNumPartitions() < par
+        finally:
+            pq._SCAN_FLOOR_BYTES = old
+    finally:
+        pq.enable_cache(was)
+
+
+def test_file_size_stats_single_evaluation_for_derived_inputs(spark):
+    """file_size_stats consumes its input twice (stats pass + median rank
+    selection); non-LocalRelation inputs must be lazily checkpointed so the
+    upstream pipeline runs once, while LocalRelation inputs skip the
+    checkpoint (re-consumption is free, the checkpoint job is not)."""
+    from iceberg_meta_spark.operators.file_health import _one_evaluation
+
+    from iceberg_meta_spark.sources.localrel import local_frame
+
+    # the Arrow/pandas path plans as a LocalRelation (the driver-decoded
+    # metadata shape); the classic list path plans as LogicalRDD and DOES
+    # get checkpointed — both directions asserted
+    local = local_frame(spark, [(100,), (200,)], "file_size_in_bytes long")
+    assert _one_evaluation(local) is local
+    derived = local.groupBy("file_size_in_bytes").count().select("file_size_in_bytes")
+    out = _one_evaluation(derived)
+    assert out is not derived
+    plan = out._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+    assert plan == "LogicalRDD"
+    # and the stats themselves are unchanged by the materialization
+    from iceberg_meta_spark.operators.file_health import file_size_stats
+
+    row = file_size_stats(derived).collect()[0]
+    assert row.file_count == 2 and row.median_size == 150.0
